@@ -1,0 +1,49 @@
+"""Table catalog over the driver-provided parquet fixtures.
+
+The engine's equivalent of the reference's governed 3-level namespace
+(``catalog.schema.table``, SURVEY.md §1.1): a thin loader that
+normalises physical quirks once so every operator sees clean, typed
+DataFrames. Registers temp views so SQL-form plans work too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalising storage quirks.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark has
+    no type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as a long which we truncate to microseconds — the exact
+    behaviour DuckDB applies when it reads the same file, so oracle
+    comparisons line up.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view (by bare name)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

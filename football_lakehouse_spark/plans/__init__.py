@@ -1,0 +1,11 @@
+"""Query plans — importing this package registers every query.
+
+Modules self-register into ``registry.REGISTRY`` at import time.
+"""
+
+from football_lakehouse_spark.plans import registry
+
+# Import for side effects: each module registers its queries.
+from football_lakehouse_spark.plans import flagship  # noqa: F401, E402
+
+__all__ = ["registry"]

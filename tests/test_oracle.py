@@ -1,0 +1,51 @@
+"""Oracle parity: every registered query with a DuckDB oracle must
+hash-match it — the local mirror of the driver's CORRECTNESS gate.
+
+Runs at sf0.001 for speed; set SPARK_GRAFT_TEST_FULL=1 to also run at
+sf0.01 (the driver's actual gate scale)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from football_lakehouse_spark.plans import registry
+from tests.conftest import SF_ORACLE, SF_SMOKE, compare_with_oracle
+
+SF_DIRS = [SF_SMOKE] + ([SF_ORACLE] if os.environ.get("SPARK_GRAFT_TEST_FULL") else [])
+
+ORACLE_SPECS = [s for s in registry.REGISTRY.values() if s.oracle is not None]
+ROWS_ONLY_SPECS = [s for s in registry.REGISTRY.values() if s.oracle is None]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_oracle_parity(spark, duck, spec, sf_dir):
+    df = spec.builder(spark, sf_dir)
+    compare_with_oracle(df, spec.oracle, duck[sf_dir])
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
+def test_rows_only_runs(spark, spec):
+    df = spec.builder(spark, SF_SMOKE)
+    assert df.columns, f"{spec.name}: no columns"
+    df.limit(5).collect()  # must execute without error
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert qs, "queries() empty"
+    assert set(os_).issubset(set(qs)), "oracle_sql keys must be subset of queries"
