@@ -1,0 +1,75 @@
+"""Windowed / rolling-feature operators (reference SURVEY.md §2 A7/A8,
+O1, ST5 — declared as ``44_build_fact_live_form.py`` /
+``43_build_fact_price_snapshot.py`` stubs, spec in docs/backlog.md:43-46,
+79-81).
+
+All are single-shuffle window plans: one hash-exchange on the partition
+key, then sorted evaluation within partitions — the at-scale shape for
+per-entity timeline features. Ordering always carries a unique
+tie-breaker so results are deterministic (required for oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def entity_timeline(df: DataFrame, key: str, order: list[str]) -> WindowSpec:
+    return Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order])
+
+
+def rolling_mean(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+    window_rows: int,
+    alias: str,
+) -> DataFrame:
+    """Rolling mean over the trailing ``window_rows`` rows per entity —
+    the 'form score' primitive (reference A7)."""
+    w = entity_timeline(df, key, order).rowsBetween(-(window_rows - 1), 0)
+    return df.withColumn(alias, F.round(F.avg(value).over(w), 4))
+
+
+def lag_delta(
+    df: DataFrame, key: str, order: list[str], value: str, alias: str
+) -> DataFrame:
+    """Per-entity delta vs previous observation — the 'price delta'
+    primitive (reference A8: lag(now_cost) over player timeline)."""
+    w = entity_timeline(df, key, order)
+    return df.withColumn(
+        alias, F.round(F.col(value) - F.lag(value, 1).over(w), 4)
+    )
+
+
+def latest_per_key(df: DataFrame, key: str, order_desc: list[str]) -> DataFrame:
+    """Top-1-per-group argmax — the reference's latest-snapshot / as-of
+    primitive (O1), expressed as a window instead of the reference's
+    driver-side sort-limit-collect so it stays fully distributed."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_desc])
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop(
+        "__rn"
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    order: list[str],
+    gap: Column,
+    session_alias: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event exceeds ``gap``. lag + conditional cumsum —
+    two window passes over one exchange."""
+    w = entity_timeline(df, key, order)
+    prev_ts = F.lag(ts, 1).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col(ts).cast("long") - prev_ts.cast("long") > gap), 1
+    ).otherwise(0)
+    return df.withColumn("__new", is_new).withColumn(
+        session_alias,
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    ).drop("__new")

@@ -7,5 +7,7 @@ from football_lakehouse_spark.plans import registry
 
 # Import for side effects: each module registers its queries.
 from football_lakehouse_spark.plans import flagship  # noqa: F401, E402
+from football_lakehouse_spark.plans import relational  # noqa: F401, E402
+from football_lakehouse_spark.plans import windows  # noqa: F401, E402
 
 __all__ = ["registry"]

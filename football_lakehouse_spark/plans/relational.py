@@ -1,0 +1,650 @@
+"""Relational core — one verified query per operator family from
+SURVEY.md §2 (projections/filters P*, aggregations A*, joins JN*,
+set ops U*/D*, semi-structured J*, sorts/limits O*).
+
+Every query is DataFrame-API (Catalyst-optimised, whole-stage codegen)
+with an exactly-aliased DuckDB oracle twin. Cross-engine stability
+rules: every computed integer is cast to bigint on both sides, every
+aggregated double is rounded, timestamps leave the plan as formatted
+strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.functions.scalars import to_double_or_null
+from football_lakehouse_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# A2 — conditional aggregate (reference 11_ingest_fpl_bootstrap.py:164-172)
+# --------------------------------------------------------------------------
+@query(
+    "q04_conditional_agg",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ok_rows,
+           count(*) AS n_rows,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS max_order_date
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Per-period ingest-health report: sum(CASE WHEN ...) + count + max "
+    "(SURVEY §2 A2/A5/P11).",
+    bench=True,
+    tags=("relational",),
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ok_rows"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_order_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 — grouped multi-aggregate over a bounded range (42_build_fixture_horizons.py:52-67)
+# --------------------------------------------------------------------------
+@query(
+    "q05_bounded_multi_agg",
+    oracle="""
+    SELECT l_suppkey,
+           round(avg(l_discount), 4) AS avg_discount,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+    GROUP BY l_suppkey
+    """,
+    doc="Bounded-range grouped avg/count/max (SURVEY §2 A1 + P5 range predicate).",
+    bench=True,
+    tags=("relational",),
+)
+def bounded_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A4/Q2 — duplicate-key detection (31_build_silver_dims.py:287-294)
+# --------------------------------------------------------------------------
+@query(
+    "q06_duplicate_key_detection",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 1
+    """,
+    doc="groupBy(key).count().where(count > 1) — the reference's duplicate-PK "
+    "gate as a query (SURVEY §2 A4/Q2).",
+    tags=("relational", "quality"),
+)
+def duplicate_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# O3 — top-k by metric (42_build_fixture_horizons.py:136-139)
+# --------------------------------------------------------------------------
+@query(
+    "q07_topk_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="ORDER BY metric LIMIT k with deterministic tie-break (SURVEY §2 O2/O3).",
+    tags=("relational",),
+)
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# U2 — UNION ALL validation report (31_build_silver_dims.py:346-358)
+# --------------------------------------------------------------------------
+@query(
+    "q08_union_all_counts",
+    oracle="""
+    SELECT 'orders' AS table_name, count(*) AS n_rows FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    """,
+    doc="Multi-table row-count validation report via UNION ALL (SURVEY §2 U2/A6).",
+    tags=("relational", "quality"),
+)
+def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t in ("orders", "lineitem", "customer", "supplier", "part"):
+        df = load_table(spark, sf_dir, t).agg(F.count(F.lit(1)).alias("n_rows"))
+        df = df.select(F.lit(t).alias("table_name"), "n_rows")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# --------------------------------------------------------------------------
+# P8 — null-safe string→double cast (31_build_silver_dims.py:156-158)
+# --------------------------------------------------------------------------
+@query(
+    "q09_null_safe_cast",
+    oracle="""
+    WITH dirty AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN ''
+                    WHEN doc_id % 7 = 1 THEN 'null'
+                    WHEN doc_id % 7 = 2 THEN ' None '
+                    ELSE CAST(n_chars AS VARCHAR) END AS raw_value
+        FROM documents
+    )
+    SELECT doc_id, raw_value,
+           CASE WHEN trim(raw_value) IN ('', 'null', 'None') THEN NULL
+                ELSE CAST(raw_value AS DOUBLE) END AS parsed
+    FROM dirty
+    """,
+    doc="to_double_or_null: when/otherwise + trim + isin + cast — the "
+    "reference's FPL string-decimal normaliser (SURVEY §2 P8/J7).",
+    tags=("relational", "functions"),
+)
+def null_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .when(F.col("doc_id") % 7 == 1, F.lit("null"))
+        .when(F.col("doc_id") % 7 == 2, F.lit(" None "))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("raw_value"),
+    )
+    return dirty.select(
+        "doc_id", "raw_value", to_double_or_null(F.col("raw_value")).alias("parsed")
+    )
+
+
+# --------------------------------------------------------------------------
+# J1/J2/J4 — from_json to typed struct + parse guard (31_build_silver_dims.py:117-128)
+# --------------------------------------------------------------------------
+@query(
+    "q10_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+    doc="from_json(payload, schema) → nested field access + predicate on the "
+    "extracted field (SURVEY §2 J1/J4; parse guard J2 = isNotNull filter).",
+    tags=("relational", "json"),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("j", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.where(F.col("j").isNotNull())  # parse-failure guard (J2)
+        .select("event_id", "event_type", F.col("j.k").alias("k"))
+        .where(F.col("k") >= 50)
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — explode / unnest (31_build_silver_dims.py:137)
+# --------------------------------------------------------------------------
+@query(
+    "q11_explode_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+    doc="explode(split(text)) → grouped counts: the unnest pattern the "
+    "reference applies to JSON arrays (SURVEY §2 J3).",
+    bench=True,
+    tags=("relational", "json", "text"),
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J5/J6/J7 — string scalars (41_publish_gold_dims.py:45; 11_ingest:156)
+# --------------------------------------------------------------------------
+@query(
+    "q12_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           concat_ws(' ', c_name, c_mktsegment) AS label,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           upper(c_mktsegment) AS segment_uc,
+           trim(concat(' ', c_name, ' ')) AS trimmed
+    FROM customer
+    """,
+    doc="concat_ws / length / upper / trim scalar pipeline (SURVEY §2 J5-J7).",
+    tags=("relational", "functions"),
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat_ws(" ", "c_name", "c_mktsegment").alias("label"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.upper("c_mktsegment").alias("segment_uc"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J8 — timestamp parse / date arithmetic (31_build_silver_dims.py:185,203)
+# --------------------------------------------------------------------------
+@query(
+    "q13_date_funcs",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           count(*) AS n_orders,
+           CAST(min(datediff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS min_day_offset,
+           strftime(min(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS first_month
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="year/datediff/date_trunc date pipeline (SURVEY §2 J8/P9).",
+    tags=("relational", "functions"),
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")))
+        .cast("bigint")
+        .alias("min_day_offset"),
+        F.date_format(F.min(F.date_trunc("month", "o_orderdate")), "yyyy-MM-dd").alias(
+            "first_month"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# J10/D2 — distributed content hash + duplicate groups (11_ingest:68-72,138-151)
+# --------------------------------------------------------------------------
+@query(
+    "q14_content_hash_groups",
+    oracle="""
+    SELECT sha256(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_sha,
+           count(*) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+    doc="sha2(canonical-prefix, 256) content hashing + duplicate-group "
+    "detection — the reference's idempotent-ingest dedup probe, distributed "
+    "(SURVEY §2 J10/D2). Hashes the 8-token prefix because the fixture corpus "
+    "has prefix-level (not full-text) duplicates.",
+    bench=True,
+    tags=("relational", "dedup"),
+)
+def content_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    return (
+        docs.select(F.sha2(prefix, 256).alias("prefix_sha"), "doc_id")
+        .groupBy("prefix_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# D1 — deterministic dropDuplicates (31_build_silver_dims.py:272)
+# --------------------------------------------------------------------------
+@query(
+    "q15_dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+    """,
+    doc="Deterministic dropDuplicates(subset): keep lowest-key row per group "
+    "via window row_number — the engine's order-stable form of the "
+    "reference's dropDuplicates (SURVEY §2 D1/O1).",
+    tags=("relational", "dedup"),
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# O5/P6 — limited existence probe (41_publish_gold_dims.py:153-156)
+# --------------------------------------------------------------------------
+@query(
+    "q16_exists_probe",
+    oracle="""
+    SELECT count(*) > 0 AS exists_high_value,
+           count(*) AS n_high_value
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+    doc="Cheap EXISTS: filtered probe reported as a scalar row (SURVEY §2 O5/P6; "
+    "engine-internal form uses limit(1).isEmpty()).",
+    tags=("relational",),
+)
+def exists_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(F.col("o_totalprice") > 400000).agg(
+        (F.count(F.lit(1)) > 0).alias("exists_high_value"),
+        F.count(F.lit(1)).alias("n_high_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JN1/JN2 — multi-way dimension join (42:71-73; vw_player_fixture_horizon)
+# --------------------------------------------------------------------------
+@query(
+    "q17_multiway_join",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal,
+           round(avg(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="customer ⟖ nation ⟖ region snowflake join with broadcast dims "
+    "(SURVEY §2 JN1/JN2); at 100 TB both dims broadcast, zero shuffle joins.",
+    bench=True,
+    tags=("relational", "join"),
+)
+def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi/anti joins — engine additions (reference has none; SURVEY §2.5 note)
+# --------------------------------------------------------------------------
+@query(
+    "q18_anti_semi_join",
+    oracle="""
+    SELECT 'no_orders' AS bucket, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'with_orders', count(*) FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left_anti / left_semi joins (engine addition beyond reference surface; "
+    "SURVEY §2.5 'no semi/anti in the reference').",
+    tags=("relational", "join"),
+)
+def anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return anti.select(F.lit("no_orders").alias("bucket"), "n").unionByName(
+        semi.select(F.lit("with_orders").alias("bucket"), "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# O4 — anchor selection with fallback (42_build_fixture_horizons.py:13-21)
+# --------------------------------------------------------------------------
+@query(
+    "q19_anchor_fallback",
+    oracle="""
+    SELECT coalesce(
+        max(CASE WHEN o_orderstatus = 'P' THEN strftime(o_orderdate, '%Y-%m') END),
+        max(CASE WHEN o_orderstatus = 'O' THEN strftime(o_orderdate, '%Y-%m') END)
+    ) AS anchor_month
+    FROM orders
+    """,
+    doc="Anchor selection with fallback (is_next else is_current) as a single "
+    "coalesce over conditional aggregates — no driver collect (SURVEY §2 O4).",
+    tags=("relational",),
+)
+def anchor_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    return orders.agg(
+        F.coalesce(
+            F.max(F.when(F.col("o_orderstatus") == "P", month)),
+            F.max(F.when(F.col("o_orderstatus") == "O", month)),
+        ).alias("anchor_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# U1 — unpivot via stack (42_build_fixture_horizons.py:29-47)
+# --------------------------------------------------------------------------
+@query(
+    "q20_unpivot_metrics",
+    oracle="""
+    SELECT metric, round(avg(val), 4) AS avg_val, count(*) AS n
+    FROM (
+        SELECT 'totalprice' AS metric, o_totalprice AS val FROM orders
+        UNION ALL
+        SELECT 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders
+    )
+    GROUP BY metric
+    """,
+    doc="True unpivot via stack() — single-scan alternative to the reference's "
+    "unionByName melt (SURVEY §2 U1).",
+    tags=("relational",),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.selectExpr(
+            "stack(2, 'totalprice', o_totalprice, 'custkey', cast(o_custkey as double)) "
+            "as (metric, val)"
+        )
+        .groupBy("metric")
+        .agg(F.round(F.avg("val"), 4).alias("avg_val"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup / pivot — engine additions (SURVEY §2.4 note: expose cheaply)
+# --------------------------------------------------------------------------
+@query(
+    "q21_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (engine addition; SURVEY §2.4 notes the reference "
+    "has none but the engine should expose built-ins).",
+    tags=("relational",),
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q22_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot on linestatus (engine addition: groupBy().pivot() built-in).",
+    tags=("relational",),
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 shape — the canonical OLAP aggregate, as the wide-agg benchmark
+# --------------------------------------------------------------------------
+@query(
+    "q23_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: the canonical wide grouped aggregate "
+    "(map-side partial agg + tiny shuffle — the 100 TB-safe agg shape).",
+    bench=True,
+    tags=("relational", "bench"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fact-dimension join at scale — broadcast + partial agg (JN3 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q24_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="Fact-to-fact join (lineitem ⋈ orders) + broadcast dims + grouped "
+    "revenue — the feature-assembly join shape (SURVEY §2 JN3). The "
+    "orders filter prunes before the join; AQE handles skew at scale.",
+    bench=True,
+    tags=("relational", "join", "bench"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        # customer is NOT hinted: dimension-sized here but fact-sized at
+        # 100 TB — let Catalyst/AQE pick broadcast vs shuffle by stats.
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -1,0 +1,184 @@
+"""Window-function queries: latest-snapshot/as-of (O1), rolling form
+features (A7), price deltas (A8), stateful timeline end-state (ST5),
+sessionization (engine addition). Each is one exchange on the entity
+key + in-partition sort — the scale-safe timeline shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.operators.rolling import (
+    lag_delta,
+    latest_per_key,
+    rolling_mean,
+    sessionize,
+)
+from football_lakehouse_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# O1 — latest-snapshot / as-of top-1 per group (31_build_silver_dims.py:16-22)
+# --------------------------------------------------------------------------
+@query(
+    "q03_latest_snapshot_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date,
+           o_totalprice AS latest_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) = 1
+    """,
+    doc="Latest good snapshot per entity — the reference's as-of primitive "
+    "(SURVEY §2 O1), distributed via window row_number instead of the "
+    "reference's driver-side orderBy().limit(1).collect().",
+    bench=True,
+    tags=("window",),
+)
+def latest_snapshot_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return latest_per_key(orders, "o_custkey", ["o_orderdate", "o_orderkey"]).select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_order_date"),
+        F.col("o_totalprice").alias("latest_totalprice"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — rolling form features (stub 44_build_fact_live_form.py, backlog:79-81)
+# --------------------------------------------------------------------------
+@query(
+    "q25_rolling_form",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 4) AS form_score,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS form_n
+    FROM events
+    """,
+    doc="Rolling 5-event mean per user ordered by event time — the declared "
+    "fact_live_form 'rolling features' operator (SURVEY §2 A7).",
+    bench=True,
+    tags=("window",),
+)
+def rolling_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w5 = w.rowsBetween(-4, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.avg("value").over(w5), 4).alias("form_score"),
+        F.count(F.lit(1)).over(w5).cast("bigint").alias("form_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A8 — price-delta derivation (stub 43_build_fact_price_snapshot.py)
+# --------------------------------------------------------------------------
+@query(
+    "q26_value_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 4) AS value_delta
+    FROM events
+    """,
+    doc="Per-entity lag delta — the declared fact_price_snapshot price-delta "
+    "operator (SURVEY §2 A8: lag(now_cost) over player timeline).",
+    tags=("window",),
+)
+def value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return lag_delta(ev, "user_id", ["ts", "event_id"], "value", "value_delta").select(
+        "event_id", "user_id", "value_delta"
+    )
+
+
+# --------------------------------------------------------------------------
+# ST5 — stateful timeline end-state (stub 33_build_silver_live_fixture_state.py)
+# --------------------------------------------------------------------------
+@query(
+    "q27_live_state",
+    oracle="""
+    WITH agg AS (
+        SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+        FROM events GROUP BY user_id
+    ),
+    last AS (
+        SELECT user_id, event_type AS last_event_type
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) = 1
+    )
+    SELECT agg.user_id, last.last_event_type, agg.total_value, agg.n_events, agg.last_seen
+    FROM agg JOIN last USING (user_id)
+    """,
+    doc="Batch derivation of the live-state table: last status + running "
+    "totals per entity (SURVEY §2 ST5 silver.live_fixture_state; "
+    "max_by = argmax on the ordered timeline).",
+    tags=("window", "streaming"),
+)
+def live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "last_event_type"
+        ),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization — engine addition (idiomatic Spark timeline op)
+# --------------------------------------------------------------------------
+@query(
+    "q28_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (1 h inactivity): lag + conditional cumsum "
+    "(engine addition; pyspark_guide 'Common OLAP patterns').",
+    tags=("window",),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", ["ts", "event_id"], F.lit(3600))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
