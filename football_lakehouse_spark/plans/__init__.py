@@ -9,5 +9,6 @@ from football_lakehouse_spark.plans import registry
 from football_lakehouse_spark.plans import flagship  # noqa: F401, E402
 from football_lakehouse_spark.plans import relational  # noqa: F401, E402
 from football_lakehouse_spark.plans import windows  # noqa: F401, E402
+from football_lakehouse_spark.plans import lakehouse_plans  # noqa: F401, E402
 
 __all__ = ["registry"]

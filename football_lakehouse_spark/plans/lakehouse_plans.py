@@ -1,0 +1,142 @@
+"""Lakehouse-pattern queries: MERGE upsert (JN4), time travel (§2.13),
+content-hash idempotent ingest (D2/S4). q30/q31 exercise the REAL
+versioned-table layer end to end (write → commit → read back) inside a
+temp directory, and still oracle-check because every input is a
+deterministic transform of the fixture tables.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+from football_lakehouse_spark.operators.merge import merge_upsert
+from football_lakehouse_spark.plans.registry import query
+
+# Deterministic base/updates split of `events` shared by q29/q30 and the
+# DuckDB oracles: base = 90% of events; updates touch every 3rd event
+# (some match base rows → UPDATE, some don't → INSERT).
+_BASE_SQL = "SELECT event_id, event_type, value FROM events WHERE event_id % 10 <> 0"
+_UPD_SQL = (
+    "SELECT event_id, 'updated' AS event_type, round(value * 2, 2) AS value "
+    "FROM events WHERE event_id % 3 = 0"
+)
+
+
+def _base_updates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 10 != 0).select("event_id", "event_type", "value")
+    upd = ev.where(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        F.lit("updated").alias("event_type"),
+        F.round(F.col("value") * 2, 2).alias("value"),
+    )
+    return base, upd
+
+
+@query(
+    "q29_merge_upsert",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}), upd AS ({_UPD_SQL})
+    SELECT * FROM upd
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.event_id = b.event_id)
+    """,
+    doc="MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT as its "
+    "relational decomposition (SURVEY §2 JN4; reference stub "
+    "32_merge_silver_live_event.sql). Update keys broadcast; one base scan.",
+    bench=True,
+    tags=("lakehouse", "merge"),
+)
+def merge_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, upd = _base_updates(spark, sf_dir)
+    return merge_upsert(base, upd, ["event_id"])
+
+
+@query(
+    "q30_time_travel",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}), upd AS ({_UPD_SQL}),
+    merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.event_id = b.event_id)
+    )
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS operation, count(*) AS n_rows,
+           CAST(sum(CASE WHEN event_type = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM base
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'merge', count(*),
+           CAST(sum(CASE WHEN event_type = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM merged
+    """,
+    doc="Time travel / DESCRIBE HISTORY (SURVEY §2.13, reference stub "
+    "45_time_travel_debug.sql): writes v0, MERGEs to v1 on the versioned "
+    "parquet table layer, then reads BOTH versions back and summarises — "
+    "an end-to-end transaction-log check, oracle-verified.",
+    tags=("lakehouse", "time-travel"),
+)
+def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, upd = _base_updates(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="fls-tt-") as root:
+        t = LakehouseTable(spark, root, "silver", "event_tt")
+        t.append(base)
+        t.merge(upd, ["event_id"])
+        hist = t.describe_history()
+        outs = []
+        for h in hist:
+            df = t.read(version=h["version"])
+            outs.append(
+                df.agg(
+                    F.lit(h["version"]).cast("bigint").alias("version"),
+                    F.lit(h["operation"]).alias("operation"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.when(F.col("event_type") == "updated", 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("n_updated"),
+                )
+            )
+        result = outs[0]
+        for o in outs[1:]:
+            result = result.unionByName(o)
+        # materialise before the temp dir vanishes
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "q31_idempotent_ingest",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(1 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS second_run_skipped
+    FROM events
+    """,
+    doc="Content-hash idempotent append (SURVEY §2 D2/S4, reference "
+    "11_ingest_fpl_bootstrap.py:138-151): ingesting the same payload batch "
+    "twice commits exactly one version; the rerun is a verified no-op.",
+    tags=("lakehouse", "ingest"),
+)
+def idempotent_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value", "props"))
+    batch = ev.select(
+        F.to_date("ts").alias("snapshot_date"),
+        payload.alias("payload_json"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+    with tempfile.TemporaryDirectory(prefix="fls-ing-") as root:
+        t = LakehouseTable(spark, root, "bronze", "events_raw")
+        first = t.append_if_new(batch, "payload_sha256")
+        second = t.append_if_new(batch, "payload_sha256")  # must skip
+        n_rows = t.read().count()
+        n_versions = len(t.describe_history())
+        return spark.createDataFrame(
+            [(n_rows, n_versions, 1 if (second is None and first is not None) else 0)],
+            "n_rows bigint, n_versions bigint, second_run_skipped bigint",
+        )
