@@ -1,0 +1,88 @@
+"""Streaming queries — real Structured Streaming runs (availableNow,
+checkpointed) wrapped as registry entries with DuckDB oracles. The
+stream output is deterministic because the file set is fixed and every
+run drains it completely (SURVEY.md §7 Phase 3 'deterministic streaming
+tests').
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.plans.registry import query
+from football_lakehouse_spark.streaming.ingest import (
+    ingest_available_now,
+    land_json_files,
+)
+
+
+@query(
+    "q32_streaming_ingest",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    """,
+    doc="End-to-end streaming Bronze ingest (SURVEY §2 S7/S8/ST1-ST3): land "
+    "day-partitioned JSON → availableNow file-source stream with checkpoint "
+    "→ parquet Bronze → RERUN the stream (verified no-op: exactly-once) → "
+    "read Bronze back. Oracle = the original events table, proving no loss "
+    "and no duplication through the landing+stream+rerun cycle.",
+    tags=("streaming",),
+)
+def streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory(prefix="fls-stream-") as root:
+        landing = os.path.join(root, "landing")
+        bronze = os.path.join(root, "bronze")
+        ckpt = os.path.join(root, "ckpt")
+        land_json_files(ev, landing)
+        ingest_available_now(spark, landing, bronze, ckpt)
+        ingest_available_now(spark, landing, bronze, ckpt)  # exactly-once rerun
+        out = spark.read.parquet(bronze).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "q33_windowed_counts",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling-window aggregation (engine addition per SURVEY §2.9: the "
+    "reference avoids stream windows; the engine exposes them). Batch form "
+    "of streaming/state.windowed_event_counts — identical window() "
+    "expression; the watermarked streaming execution is covered by "
+    "tests/test_streaming.py.",
+    tags=("streaming", "window"),
+)
+def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

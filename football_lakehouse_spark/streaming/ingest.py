@@ -1,0 +1,115 @@
+"""Streaming ingest slice — reference SURVEY.md §2 S7/S8, ST1-ST4.
+
+The reference's declared design (docs/architecture.md:103-129,
+docs/backlog.md:66-77): poll → land JSON files → Auto Loader
+(incremental file discovery) → Bronze table, as FINITE, checkpointed
+``availableNow`` runs — "Structured Streaming as an execution pattern,
+not a data layer". Open-source Spark's equivalent of Auto Loader is the
+file-source stream with an explicit schema + checkpointed offsets,
+which is exactly what this module uses:
+
+- :func:`land_json_files` — S7 file-landing writer (day-partitioned)
+- :func:`ingest_available_now` — S8/ST1-ST3: file stream → parquet
+  Bronze dir; rerunning with the same checkpoint processes only NEW
+  files (exactly-once), corrupt records rescued to ``_rescue``
+- :func:`merge_stream_into_table` — ST4: ``foreachBatch`` + lakehouse
+  MERGE keyed on the deterministic event key, so late/duplicate
+  events are rerun-safe (the reference's chosen pattern; the
+  watermark+dropDuplicates alternative lives in state.py)
+
+Scale notes: file listing is incremental per micro-batch; the Bronze
+sink partitions by ``snapshot_date`` (fixing the reference's
+declared-but-missing partitioning); no driver-side state beyond the
+checkpoint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+from football_lakehouse_spark.operators.merge import dedupe_updates
+
+EVENT_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+# rescue column for schema drift / corrupt lines (ST3)
+EVENT_SCHEMA_WITH_RESCUE = EVENT_SCHEMA + ", _rescue STRING"
+
+
+def land_json_files(events: DataFrame, landing_dir: str, files_per_day: int = 1) -> None:
+    """S7: land event payloads as day-partitioned JSON files. Partition
+    dirs give the downstream stream (and any batch reader) partition
+    pruning on ``snapshot_date``."""
+    (
+        events.withColumn("snapshot_date", F.to_date("ts"))
+        .repartition(files_per_day, "snapshot_date")
+        .write.mode("append")
+        .partitionBy("snapshot_date")
+        .json(landing_dir)
+    )
+
+
+def read_landing_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """S8: incremental file-source stream with explicit schema (no
+    inference on trusted paths — reference §1.3), source-file lineage
+    column, and a rescue column for corrupt records."""
+    return (
+        spark.readStream.format("json")
+        .schema(EVENT_SCHEMA_WITH_RESCUE + ", snapshot_date DATE")
+        .option("columnNameOfCorruptRecord", "_rescue")
+        .option("basePath", landing_dir)
+        .load(landing_dir)
+        .withColumn("source_file", F.col("_metadata.file_path"))
+        .withColumn("ingest_ts", F.current_timestamp())
+    )
+
+
+def ingest_available_now(
+    spark: SparkSession, landing_dir: str, bronze_dir: str, checkpoint_dir: str
+) -> None:
+    """ST1/ST2: finite checkpointed run — process all files not yet seen
+    by this checkpoint, then stop. Rerun == no-op until new files land."""
+    stream = read_landing_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", bronze_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("snapshot_date")
+        .start()
+    )
+    q.awaitTermination()
+
+
+def merge_stream_into_table(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    table: LakehouseTable,
+    keys: Sequence[str] = ("event_id",),
+    order_desc: Sequence[str] = ("ts", "event_id"),
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """ST4: late/duplicate-safe upsert — every micro-batch is deduped
+    (latest wins) and MERGEd into the versioned table inside
+    ``foreachBatch``, the exactly-once sink pattern for non-idempotent
+    targets."""
+    stream = read_landing_stream(spark, landing_dir)
+
+    def _merge_batch(batch: DataFrame, _epoch: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+        batch = dedupe_updates(batch, list(keys), list(order_desc))
+        table.merge(batch, list(keys))
+
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()

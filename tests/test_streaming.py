@@ -1,0 +1,114 @@
+"""Streaming slice: exactly-once availableNow reruns, late/duplicate
+MERGE via foreachBatch, watermarked windowed aggregation, rescue
+column on corrupt records."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+from football_lakehouse_spark.streaming.ingest import (
+    ingest_available_now,
+    land_json_files,
+    merge_stream_into_table,
+)
+from football_lakehouse_spark.streaming.state import (
+    run_windowed_counts_available_now,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_available_now_exactly_once(spark, events, tmp_path):
+    landing, bronze, ckpt = (str(tmp_path / d) for d in ("landing", "bronze", "ckpt"))
+    land_json_files(events.limit(200), landing)
+    ingest_available_now(spark, landing, bronze, ckpt)
+    n1 = spark.read.parquet(bronze).count()
+    assert n1 == 200
+    # rerun with same checkpoint: no new files → no new rows
+    ingest_available_now(spark, landing, bronze, ckpt)
+    assert spark.read.parquet(bronze).count() == 200
+    # new files land → only the increment is processed
+    land_json_files(events.where(F.col("event_id").between(200, 299)), landing)
+    ingest_available_now(spark, landing, bronze, ckpt)
+    assert spark.read.parquet(bronze).count() == 300
+    # lineage column present
+    assert "source_file" in spark.read.parquet(bronze).columns
+
+
+def test_foreach_batch_merge_late_duplicates(spark, events, tmp_path):
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    table = LakehouseTable(spark, str(tmp_path), "silver", "live_event")
+
+    def to_silver(batch):
+        return batch.select("event_id", "ts", "user_id", "event_type", "value")
+
+    base = events.limit(100)
+    land_json_files(base, landing)
+    merge_stream_into_table(spark, landing, ckpt, table, transform=to_silver)
+    assert table.read().count() == 100
+
+    # late batch: 20 duplicates with LATER ts + bumped value, plus 10 new events
+    dup = (
+        base.limit(20)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.lit(9999.0))
+    )
+    new = events.where(F.col("event_id").between(900, 909))
+    land_json_files(dup.unionByName(new), landing)
+    merge_stream_into_table(spark, landing, ckpt, table, transform=to_silver)
+
+    got = table.read()
+    assert got.count() == 110  # upserted, not appended
+    assert got.where(F.col("value") == 9999.0).count() == 20  # latest won
+    # rerun-safe: draining again changes nothing
+    merge_stream_into_table(spark, landing, ckpt, table, transform=to_silver)
+    assert table.read().count() == 110
+
+
+def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
+    landing, ckpt, out = (str(tmp_path / d) for d in ("landing", "ckpt", "out"))
+    sample = events.limit(500)
+    # sentinel 30 days past max ts pushes the watermark beyond every real
+    # window so append mode finalises them all (bounded-state contract)
+    sentinel = sample.limit(1).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    ).withColumn("event_type", F.lit("__sentinel__"))
+    land_json_files(sample.unionByName(sentinel), landing)
+    run_windowed_counts_available_now(spark, landing, ckpt, out)
+    streamed = spark.read.parquet(out).where(F.col("event_type") != "__sentinel__")
+    batch = (
+        sample.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_rescue_column_on_corrupt_records(spark, events, tmp_path):
+    landing = tmp_path / "landing" / "snapshot_date=2024-01-01"
+    landing.mkdir(parents=True)
+    good = {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 7,
+            "event_type": "click", "value": 1.5, "props": "{}"}
+    with open(landing / "batch.json", "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write('{"event_id": oops-not-json\n')
+    bronze, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    ingest_available_now(spark, str(tmp_path / "landing"), bronze, ckpt)
+    got = spark.read.parquet(bronze)
+    assert got.count() == 2
+    rescued = got.where(F.col("_rescue").isNotNull())
+    assert rescued.count() == 1  # corrupt line kept, not dropped (ST3)
+    assert got.where(F.col("event_id") == 1).count() == 1
