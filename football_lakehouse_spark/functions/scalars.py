@@ -28,6 +28,58 @@ def content_sha256(c: Column) -> Column:
     return F.sha2(c, 256)
 
 
+def _micros(c: Column) -> Column:
+    """Per-row quantisation to integer micro-units that is BIT-IDENTICAL
+    across engines: ``floor(x·10⁶ + 0.5)`` uses only IEEE multiply/add/
+    floor on the same input double. (A double→DECIMAL cast is NOT
+    portable: Spark rounds the shortest decimal repr, DuckDB rounds the
+    binary value — the per-row ±1e-6 drift accumulates across millions
+    of rows and flips any fixed-point result.) Summed as DECIMAL(38,0)
+    so 100 TB-scale totals cannot overflow."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+
+
+def money_sum(c: Column, scale: int = 2) -> Column:
+    """Cross-engine-exact sum for money-magnitude doubles: quantise each
+    row to micro-units (portable, see :func:`_micros`), sum exactly,
+    floor at ``scale``. No round() anywhere — floor on exact integers
+    has no tie-breaking semantics to disagree on."""
+    shift = 10 ** (6 - scale)
+    unit = 10 ** scale
+    return F.floor(F.sum(_micros(c)) / F.lit(shift)).cast("double") / unit
+
+
+def money_avg(c: Column, scale: int = 4) -> Column:
+    """Cross-engine-exact average: floor(sum_micros / (count·10^(6-s)))
+    / 10^s. Residual risk: Spark's decimal division rounds at scale 6
+    before the floor (DuckDB floors exactly); they diverge only when the
+    true quotient is within 5e-7 of an integer — ~1e-6 per group."""
+    shift = 10 ** (6 - scale)
+    unit = 10 ** scale
+    denom = F.count(F.lit(1)) * F.lit(shift)
+    return F.floor(F.sum(_micros(c)) / denom).cast("double") / unit
+
+
+def sql_money_sum(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`money_sum` (// = integer floor division)."""
+    shift = 10 ** (6 - scale)
+    unit = 10 ** scale
+    return (
+        f"CAST(sum(CAST(floor({expr} * 1000000.0 + 0.5) AS HUGEINT)) "
+        f"// {shift} AS DOUBLE) / {unit}"
+    )
+
+
+def sql_money_avg(expr: str, scale: int = 4) -> str:
+    """DuckDB twin of :func:`money_avg`."""
+    shift = 10 ** (6 - scale)
+    unit = 10 ** scale
+    return (
+        f"CAST(sum(CAST(floor({expr} * 1000000.0 + 0.5) AS HUGEINT)) "
+        f"// (count(*) * {shift}) AS DOUBLE) / {unit}"
+    )
+
+
 def bucket_hash(c: Column, n_buckets: int, seed: str = "") -> Column:
     """Deterministic, cross-engine-portable bucket assignment: first 8
     hex chars of sha256 → int → mod. Used for salting and LSH banding

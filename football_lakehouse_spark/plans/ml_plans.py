@@ -1,0 +1,141 @@
+"""ML + optimiser queries (SURVEY.md §2.11): feature pipeline (M1,
+oracle-checked — pure relational), GBT train/score (M2/M3, rows-only),
+deterministic transfer optimizer (M4/JN5, oracle-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.operators.optimizer import best_transfers
+from football_lakehouse_spark.pipelines.ml import customer_features, train_and_score
+from football_lakehouse_spark.functions.scalars import sql_money_avg, sql_money_sum
+from football_lakehouse_spark.plans.registry import query
+
+_BANK = 50.0
+
+
+@query(
+    "q34_feature_pipeline",
+    oracle=f"""
+    WITH hist AS (
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               {sql_money_avg('o_totalprice')} AS avg_order_value,
+               {sql_money_sum('o_totalprice')} AS lifetime_value,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment, n.n_name, c.c_acctbal,
+           coalesce(h.n_orders, 0) AS n_orders,
+           coalesce(h.avg_order_value, 0.0) AS avg_order_value,
+           coalesce(h.lifetime_value, 0.0) AS lifetime_value,
+           coalesce(h.n_finished, 0) AS n_finished,
+           h.last_order_date
+    FROM customer c
+    LEFT JOIN hist h ON c.c_custkey = h.o_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="M1 feature-assembly pipeline: history aggregates + dim joins into "
+    "the modelling-grain training table (SURVEY §2 JN3/M1).",
+    bench=True,
+    tags=("ml", "join"),
+)
+def feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customer_features(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "q35_train_score_gbt",
+    oracle=None,  # model outputs are not SQL-expressible → rows-only check
+    doc="M2+M3: GBT regressor (pyspark.ml, fixed seed, deterministic "
+    "key-based split) trained on the feature table, scoring every "
+    "customer (SURVEY §2.11; reference stubs 52/53).",
+    tags=("ml",),
+)
+def train_score_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = customer_features(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    return train_and_score(feats)
+
+
+@query(
+    "q36_transfer_optimizer",
+    oracle=f"""
+    WITH squad AS (
+        -- fixed-size squad (bounded key range): the squad is a constant
+        -- roster at every scale factor; only the candidate POOL scales
+        SELECT p_partkey, p_brand, p_retailprice, p_partkey % 29 AS team, p_size
+        FROM part WHERE p_partkey % 43 = 0 AND p_partkey < 600
+    ),
+    pool AS (
+        SELECT p_partkey, p_brand, p_retailprice, p_partkey % 29 AS team, p_size
+        FROM part WHERE NOT (p_partkey % 43 = 0 AND p_partkey < 600)
+    ),
+    team_counts AS (
+        SELECT team AS in_team, count(*) AS squad_team_count FROM squad GROUP BY team
+    ),
+    pairs AS (
+        SELECT s.p_partkey AS out_key, c.p_partkey AS in_key,
+               s.p_brand AS position,
+               round(c.p_retailprice - s.p_retailprice, 2) AS cost_delta,
+               CAST(c.p_size - s.p_size AS BIGINT) AS points_delta,
+               coalesce(t.squad_team_count, 0)
+                 - CASE WHEN s.team = c.team THEN 1 ELSE 0 END + 1 AS post_swap
+        FROM pool c
+        JOIN squad s ON c.p_brand = s.p_brand
+        LEFT JOIN team_counts t ON c.team = t.in_team
+    ),
+    feasible AS (
+        SELECT * FROM pairs
+        WHERE cost_delta <= {_BANK} AND post_swap <= 3 AND points_delta > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY out_key ORDER BY points_delta DESC, in_key ASC
+        ) AS rn
+        FROM feasible
+    )
+    SELECT out_key, in_key, position, cost_delta, points_delta,
+           'position_ok,budget_ok,team_limit_ok' AS constraint_flags,
+           'swap ' || out_key || ' -> ' || in_key || ': +' || points_delta ||
+           ' points for ' || cost_delta || ' cost within {_BANK} bank' AS rationale
+    FROM ranked WHERE rn = 1
+    ORDER BY points_delta DESC, out_key ASC
+    LIMIT 10
+    """,
+    doc="M4/JN5 deterministic transfer optimizer: constrained candidate-pair "
+    "join (position parity, budget, ≤3-per-team post-swap) + window rank, "
+    "with constraint_flags and rationale (reference docs/backlog.md:94-100, "
+    "output DDL resources/uc/objects.sql:250-261). Squad + team counts "
+    "broadcast; one pass over the pool.",
+    bench=True,
+    tags=("ml", "optimizer", "join"),
+)
+def transfer_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").withColumn(
+        "team", F.col("p_partkey") % 29
+    )
+    cols = ["p_partkey", "p_brand", "p_retailprice", "team", "p_size"]
+    in_squad = (F.col("p_partkey") % 43 == 0) & (F.col("p_partkey") < 600)
+    squad = part.where(in_squad).select(cols)
+    pool = part.where(~in_squad).select(cols)
+    return best_transfers(
+        squad,
+        pool,
+        key="p_partkey",
+        position="p_brand",
+        price="p_retailprice",
+        team="team",
+        points="p_size",
+        bank=_BANK,
+        top_n=10,
+    )

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from football_lakehouse_spark.catalog import load_table
-from football_lakehouse_spark.functions.scalars import to_double_or_null
+from football_lakehouse_spark.functions.scalars import (
+    money_avg,
+    money_sum,
+    sql_money_avg,
+    sql_money_sum,
+    to_double_or_null,
+)
 from football_lakehouse_spark.plans.registry import query
 
 
@@ -54,11 +60,11 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q05_bounded_multi_agg",
-    oracle="""
+    oracle=f"""
     SELECT l_suppkey,
            round(avg(l_discount), 4) AS avg_discount,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {sql_money_avg('l_extendedprice')} AS avg_price,
+           {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
            count(*) AS n_items,
            strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
     FROM lineitem
@@ -79,10 +85,8 @@ def bounded_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(
             F.round(F.avg("l_discount"), 4).alias("avg_discount"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            money_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
             F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
         )
@@ -396,11 +400,11 @@ def exists_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q17_multiway_join",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name, n.n_name,
            count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_acctbal,
-           round(avg(c.c_acctbal), 4) AS avg_acctbal
+           {sql_money_sum('c.c_acctbal')} AS total_acctbal,
+           {sql_money_avg('c.c_acctbal')} AS avg_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -421,8 +425,8 @@ def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+            money_avg(F.col("c_acctbal"), 4).alias("avg_acctbal"),
         )
     )
 
@@ -489,8 +493,8 @@ def anchor_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q20_unpivot_metrics",
-    oracle="""
-    SELECT metric, round(avg(val), 4) AS avg_val, count(*) AS n
+    oracle=f"""
+    SELECT metric, {sql_money_avg('val')} AS avg_val, count(*) AS n
     FROM (
         SELECT 'totalprice' AS metric, o_totalprice AS val FROM orders
         UNION ALL
@@ -510,7 +514,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as (metric, val)"
         )
         .groupBy("metric")
-        .agg(F.round(F.avg("val"), 4).alias("avg_val"), F.count(F.lit(1)).alias("n"))
+        .agg(money_avg(F.col("val"), 4).alias("avg_val"), F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -519,9 +523,9 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q21_rollup",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
+           {sql_money_sum('l_quantity')} AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -533,17 +537,17 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @query(
     "q22_pivot",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+           {sql_money_sum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+           {sql_money_sum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -555,7 +559,7 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(money_sum(F.col("l_quantity")))
     )
     return out
 
@@ -565,14 +569,14 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q23_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
+           {sql_money_sum('l_quantity')} AS sum_qty,
+           {sql_money_sum('l_extendedprice')} AS sum_base_price,
+           {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_money_avg('l_quantity')} AS avg_qty,
+           {sql_money_avg('l_extendedprice')} AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
@@ -591,12 +595,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            money_avg(F.col("l_quantity"), 4).alias("avg_qty"),
+            money_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -608,9 +612,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q24_revenue_by_nation",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -642,9 +646,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

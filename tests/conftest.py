@@ -45,8 +45,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # queries already round; this guards residual binary noise
-        return f"{v:.9g}"
+        # FULL precision: the driver hashes raw values, so tests must be
+        # bit-strict too. Queries are responsible for cross-engine
+        # determinism (decimal sums for money, rounding of derived cols).
+        return f"{v:.17g}"
     if isinstance(v, bool):
         return str(bool(v)).lower()
     return str(v)
