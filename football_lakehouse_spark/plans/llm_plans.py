@@ -1,0 +1,450 @@
+"""LLM training-data queries (north-star surface): text analysis,
+dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity
+search (brute-force + LSH ANN), multimodal columns. Each oracle mirrors
+the Spark plan exactly — portable sha-prefix hashes, floor-quantised
+ratios, element-order dot products — so even the LSH pipeline is
+value-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.functions.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    TOKEN_RE,
+    predicted_lang,
+    quality_score,
+    re_tokens,
+    ws_tokens,
+)
+from football_lakehouse_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_neardups,
+    shingles,
+    simhash16,
+)
+from football_lakehouse_spark.operators.multimodal import bundle_assets, extract_features
+from football_lakehouse_spark.operators.similarity import brute_force_topk, lsh_topk
+from football_lakehouse_spark.plans.registry import query
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _sql_hash(expr: str, seed: str | None = None) -> str:
+    inp = f"'{seed}' || '§' || {expr}" if seed else expr
+    return f"CAST(('0x' || substr(sha256({inp}), 1, 8)) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@query(
+    "q37_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens_re,
+           floor(length(replace(text, ' ', '')) * 10000 / len(toks)) / 10000 AS avg_token_len
+    FROM t
+    """,
+    doc="Token counting: whitespace + BPE-ish regex + mean token length "
+    "(north star: text analysis). All JVM-side column expressions.",
+    bench=True,
+    tags=("llm", "text"),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    total_len = F.length(F.regexp_replace("text", " ", ""))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens_ws"),
+        F.size(re_tokens(F.col("text"))).cast("bigint").alias("n_tokens_re"),
+        (F.floor(total_len.cast("bigint") * 10000 / F.size(toks).cast("bigint")).cast("double") / 10000).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def _sql_lang_pred() -> str:
+    """DuckDB mirror of functions.text.predicted_lang: strictly-greater
+    chain over ascending language codes."""
+    langs = sorted(LANG_PROFILES)
+    score = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in LANG_PROFILES[lang])})))"
+        for lang in langs
+    }
+    clauses = []
+    for i in range(len(langs) - 1, 0, -1):
+        prev = ", ".join(score[x] for x in langs[:i])
+        gt = f"greatest({prev})" if i > 1 else prev
+        clauses.append(f"WHEN {score[langs[i]]} > {gt} THEN '{langs[i]}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[0]}' END"
+
+
+@query(
+    "q38_lang_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           floor(len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in STOPWORDS)})))
+                 * 10000 / len(toks)) / 10000 AS stopword_ratio,
+           floor((CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.5 * 10000
+                 + (len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in STOPWORDS)})))
+                    * 1.0 / len(toks)) * 0.5 * 10000) / 10000 AS quality,
+           {_sql_lang_pred()} AS predicted_lang
+    FROM t
+    """,
+    doc="Quality scoring (length band + stopword ratio) and heuristic "
+    "n-gram/stopword language ID (north star: text analysis).",
+    tags=("llm", "text"),
+)
+def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n = F.size(toks).cast("bigint")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        (F.floor(sw * 10000 / n).cast("double") / 10000).alias("stopword_ratio"),
+        (
+            F.floor(
+                F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+                * 0.5
+                * 10000
+                + (sw * F.lit(1.0) / n) * 0.5 * 10000
+            ).cast("double")
+            / 10000
+        ).alias("quality"),
+        predicted_lang(toks).alias("predicted_lang"),
+    )
+
+
+@query(
+    "q39_doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 5
+                      THEN list_transform(range(1, len(toks) - 3),
+                                          i -> array_to_string(toks[i:i+4], ' '))
+                      ELSE [] END) AS s
+        FROM t
+    ),
+    fp AS (SELECT doc_id, min({_sql_hash('s', 'fp')}) AS fingerprint FROM sh GROUP BY doc_id)
+    SELECT doc_id, fingerprint,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_docs_same
+    FROM fp
+    """,
+    doc="Document fingerprinting: min rolling-window (5-gram) portable hash "
+    "per doc — winnowing-style signature + collision-group size (north "
+    "star: fingerprinting).",
+    tags=("llm", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), n=5)).alias("s"))
+    fp = sh.groupBy("doc_id").agg(
+        F.min(portable_hash(F.col("s"), seed="fp")).alias("fingerprint")
+    )
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).cast("bigint").alias("n_docs_same"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+@query(
+    "q40_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY sha256(array_to_string(string_split(text, ' ')[1:8], ' '))
+        ORDER BY doc_id
+    ) = 1
+    """,
+    doc="Exact dedup via canonical content hash, deterministic keep-first "
+    "(north star: exact dedup; hash-groupBy, one shuffle).",
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    return exact_dedup(docs, prefix).select("doc_id", "lang", "source")
+
+
+def _sql_minhash_pipeline(threshold: float) -> str:
+    mh = ",\n               ".join(
+        f"min({_sql_hash('s', str(k))}) AS mh{k}" for k in range(6)
+    )
+    band_selects = []
+    for b in range(3):
+        key = (
+            f"substr(sha256('{b}' || '_' || CAST(mh{2*b} AS VARCHAR) || '_' || "
+            f"CAST(mh{2*b+1} AS VARCHAR)), 1, 16)"
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        )
+    bands = "\n        UNION ALL ".join(band_selects)
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 1),
+                                              i -> array_to_string(toks[i:i+2], ' '))
+                          ELSE [] END) AS s
+            FROM t
+        )
+    ),
+    sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, n_common,
+           floor(n_common * 10000 / (na.n + nb.n - n_common)) / 10000 AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE floor(n_common * 10000 / (na.n + nb.n - n_common)) / 10000 >= {threshold}
+    """
+
+
+@query(
+    "q41_minhash_neardup",
+    oracle=_sql_minhash_pipeline(0.5),
+    doc="MinHash+LSH near-duplicate detection, END-TO-END oracle-checked: "
+    "3-gram shingles → 6 portable minhashes → 3×2 banding → bucket join "
+    "→ exact Jaccard verification ≥ 0.5 (north star: near-dup dedup). "
+    "The O(n²) pair space never materialises — only same-bucket pairs.",
+    bench=True,
+    tags=("llm", "dedup"),
+)
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_neardups(docs, threshold=0.5)
+
+
+@query(
+    "q42_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    votes AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"sum(CASE WHEN ({_sql_hash('token')} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+                   for j in range(16)
+               )}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))} AS BIGINT) AS simhash
+    FROM votes
+    """,
+    doc="16-bit SimHash per document from portable token hashes (north star: "
+    "SimHash dedup); one explode + one aggregation.",
+    tags=("llm", "dedup"),
+)
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs)
+
+
+@query(
+    "q43_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len({_SQL_TOKS}) >= 3
+                   THEN list_transform(range(1, len({_SQL_TOKS}) - 1),
+                                       i -> array_to_string(({_SQL_TOKS})[i:i+2], ' '))
+                   ELSE [] END) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+           floor(len(list_intersect(a.sh, b.sh)) * 10000
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) / 10000 AS jaccard
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="n-gram Jaccard similarity on consecutive-id pairs — the exact "
+    "verification primitive used inside the LSH pipeline, isolated "
+    "(north star: n-gram Jaccard dedup).",
+    tags=("llm", "dedup"),
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), n=3)).alias("sh")
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - common
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        common.alias("n_common"),
+        (F.floor(common * 10000 / union).cast("double") / 10000).alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+_COS = (
+    "list_dot_product(qv, mv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv)))"
+)
+
+
+@query(
+    "q44_ann_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS mv FROM embeddings),
+    scored AS (
+        SELECT query_id, match_id, {_COS} AS cos_sim
+        FROM c, q WHERE match_id <> query_id
+    )
+    SELECT query_id, match_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Exact cosine top-k similarity search (north star: ANN baseline). "
+    "The element-order dot product is bit-identical to DuckDB's "
+    "list_dot_product, so even the floats are oracle-exact. Queries "
+    "broadcast; one corpus scan.",
+    bench=True,
+    tags=("llm", "similarity"),
+)
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(queries, emb, k=3)
+
+
+@query(
+    "q45_ann_lsh",
+    oracle=None,  # candidate set depends on bucket granularity; recall vs
+    # brute force is asserted in tests/test_llm.py
+    doc="LSH-bucketed ANN (north star: the scale path): deterministic "
+    "random-hyperplane sign buckets prune the corpus before exact "
+    "scoring; recall measured against q44 in tests.",
+    tags=("llm", "similarity"),
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(queries, emb, k=3, n_planes=6)
+
+
+@query(
+    "q48_embedding_stats",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           CAST(sum(CAST(floor(nrm * 1000000.0 + 0.5) AS HUGEINT))
+                // (count(*) * 100) AS DOUBLE) / 10000 AS avg_norm
+    FROM n GROUP BY label
+    """,
+    doc="Vector-column statistics: per-label count + mean L2 norm "
+    "(micro-unit floor-quantised) — vector ops composing with relational "
+    "aggregation.",
+    tags=("llm", "similarity"),
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.similarity import as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    nrm = F.sqrt(dot(v, v))
+    micros = F.floor(nrm * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.floor(F.sum(micros) / (F.count(F.lit(1)) * F.lit(100))).cast("double")
+            / 10000
+        ).alias("avg_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+@query(
+    "q46_multimodal_meta",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha
+    FROM documents
+    """,
+    doc="Multimodal asset bundling: opaque binary payload in a typed struct "
+    "with JVM-side metadata (byte length, sha256) — the schema/partitioning "
+    "plumbing for image/audio columns (north star: multimodal).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bundled = bundle_assets(docs, F.encode(F.col("text"), "utf-8"), "text/plain")
+    return bundled.select(
+        "doc_id",
+        F.col("asset.mime").alias("mime"),
+        F.col("asset.byte_len").alias("byte_len"),
+        F.col("asset.sha").alias("sha"),
+    )
+
+
+@query(
+    "q47_multimodal_features",
+    oracle=None,  # Arrow/mapInPandas feature extraction; determinism and
+    # batch shape asserted in tests/test_llm.py
+    doc="mapInPandas feature extraction over binary assets (Arrow batches; "
+    "decode step stubbed with a deterministic byte-histogram — real codecs "
+    "absent in this container, see operators/multimodal.py).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bundled = bundle_assets(docs, F.encode(F.col("text"), "utf-8"), "text/plain")
+    return extract_features(bundled)

@@ -1,0 +1,96 @@
+"""LLM-data operator behaviour tests beyond oracle parity: LSH recall
+vs brute force, multimodal Arrow plumbing, dedup properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.operators.dedup import minhash_lsh_neardups
+from football_lakehouse_spark.operators.multimodal import (
+    bundle_assets,
+    decode_image,
+    extract_features,
+    fake_features,
+)
+from football_lakehouse_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+@pytest.fixture()
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_lsh_results_subset_of_bruteforce_scores(spark, emb):
+    """Every LSH hit must carry the exact cosine the brute-force path
+    computes for the same pair (same scoring, pruned candidates)."""
+    queries = emb.where(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.match_id): r.cos_sim for r in brute_force_topk(queries, emb, k=50).collect()}
+    lsh = lsh_topk(queries, emb, k=3, n_planes=6).collect()
+    assert lsh, "LSH returned nothing"
+    for r in lsh:
+        key = (r.query_id, r.match_id)
+        if key in bf:
+            assert abs(bf[key] - r.cos_sim) < 1e-12
+
+
+def test_lsh_recall_reasonable(spark, emb):
+    """With 6 planes on 64-dim ~random vectors, same-bucket recall of the
+    true top-3 is limited but must be nonzero overall, and every query
+    must return *something* scored correctly when its bucket has
+    neighbours."""
+    queries = emb.where(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.match_id)
+        for r in brute_force_topk(queries, emb, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.match_id)
+        for r in lsh_topk(queries, emb, k=3, n_planes=6).collect()
+    }
+    # sanity floor: some overlap with exact top-3 across 20 queries
+    assert len(truth & got) >= 1
+
+
+def test_minhash_finds_known_near_dups(spark, docs):
+    """Construct exact prefix-duplicates → the LSH pipeline must surface
+    them with jaccard ≈ 1 for identical texts."""
+    a = docs.limit(5).select("doc_id", "text")
+    dup = a.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = a.unionByName(dup)
+    pairs = minhash_lsh_neardups(corpus, threshold=0.9).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    for r in a.collect():
+        assert (r.doc_id, r.doc_id + 100000) in found
+    for r in pairs:
+        if r.doc_b == r.doc_a + 100000:
+            assert r.jaccard >= 0.999
+
+
+def test_multimodal_features_deterministic_and_shaped(spark, docs):
+    bundled = bundle_assets(docs.limit(50), F.encode(F.col("text"), "utf-8"), "text/plain")
+    f1 = sorted(map(tuple, extract_features(bundled).collect()))
+    f2 = sorted(map(tuple, extract_features(bundled).collect()))
+    assert f1 == f2  # Arrow path deterministic
+    assert all(len(row[2]) == 8 for row in f1)  # feature dim
+    assert all(abs(sum(row[2]) - 1.0) < 1e-4 for row in f1)  # normalised (±8 roundings)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_fake_features_pure():
+    assert fake_features(b"hello world") == fake_features(b"hello world")
+    assert len(fake_features(b"")) == 8
