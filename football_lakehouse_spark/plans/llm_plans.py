@@ -23,7 +23,7 @@ from football_lakehouse_spark.functions.text import (
 from football_lakehouse_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_neardups,
-    shingles,
+    shingles_from_tokens,
     simhash16,
 )
 from football_lakehouse_spark.operators.multimodal import bundle_assets, extract_features
@@ -155,7 +155,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.functions.text import portable_hash
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), n=5)).alias("s"))
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"), n=5)).alias("s")
+    )
     fp = sh.groupBy("doc_id").agg(
         F.min(portable_hash(F.col("s"), seed="fp")).alias("fingerprint")
     )
@@ -191,7 +194,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_pipeline(threshold: float) -> str:
     mh = ",\n               ".join(
-        f"min({_sql_hash('s', str(k))}) AS mh{k}" for k in range(6)
+        f"min(CAST(('0x' || substr(sha256(s), {8 * k + 1}, 8)) AS BIGINT)) AS mh{k}"
+        for k in range(6)
     )
     band_selects = []
     for b in range(3):
@@ -304,8 +308,8 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), n=3)).alias("sh")
+    t = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.array_distinct(shingles_from_tokens(F.col("toks"), n=3)).alias("sh")
     )
     a = t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
