@@ -9,6 +9,7 @@ column aliases.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,10 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 from football_lakehouse_spark.plans import registry
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (fixture-horizon build) on /root/testdata/sf0.001."""
+def _tune(spark: SparkSession) -> None:
+    """Engine configs that are runtime-settable — applied here because
+    the driver owns SparkSession construction. All verified settable
+    post-build on Spark 4."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query (fixture-horizon build) on /root/testdata/sf0.001."""
+    _tune(spark)
     flagship = registry.REGISTRY["q01_fixture_horizons"]
     return flagship.builder(spark, "/root/testdata/sf0.001")
 
@@ -29,8 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _wrap(builder):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            _tune(spark)
             return builder(spark, sf_dir)
 
         return run
