@@ -1,0 +1,83 @@
+"""As-of (temporal) join — a custom operator Spark lacks natively
+(pyspark_guide 'Common OLAP patterns'; the reference solves as-of with
+its latest-snapshot top-1 idiom, SURVEY.md §2.5 note).
+
+Implemented as the UNION + WINDOW forward-fill pattern, NOT a range
+cross-join and NOT per-group ``pd.merge_asof``:
+
+    tag right rows, union with left rows, sort per key by (ts, side),
+    forward-fill the right-side payload with ``last(ignorenulls)``,
+    keep left rows.
+
+Cost: one shuffle on the join key + one in-partition sort — identical
+asymptotics to a regular sort-merge join, no range explosion, no
+Python. This is the 100 TB-safe as-of; a banded range join would
+re-shuffle per band and ``merge_asof`` would drag every row through
+Arrow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    strictly_before: bool = True,
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row
+    with ``right.ts < left.ts`` (or <= when not strict) and the same
+    key. Left rows with no prior right row keep NULL payload.
+
+    Ties inside the right table resolve to the later-sorted row
+    (deterministic given a unique right_ts per key; pass a composite
+    ts column when the raw timestamp can tie).
+    """
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left_row"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}") for c in payload],
+    )
+    rt = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__left_row"].dataType).alias("__left_row"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    # sort order decides tie semantics: with strictly_before, a left row
+    # at the same instant as a right row must NOT see it → left sorts
+    # first (0 < 1 on __is_left would break this, so order by ts then
+    # __is_left ASC puts right rows (0) before left (1) — i.e. <= ; for
+    # strict <, left rows sort before right rows at equal ts.
+    tie = F.col("__is_left").desc() if strictly_before else F.col("__is_left").asc()
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = lt.unionByName(rt)
+    filled = unioned.select(
+        "__is_left",
+        "__left_row",
+        *[
+            F.last(F.when(F.col("__is_left") == 0, F.col(f"__p_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"__f_{c}")
+            for c in payload
+        ],
+    )
+    out = filled.where(F.col("__is_left") == 1).select(
+        F.col("__left_row.*"),
+        *[F.col(f"__f_{c}").alias(f"asof_{c}") for c in payload],
+    )
+    return out

@@ -1,0 +1,69 @@
+"""Bucketing & skew operators — the physical-layout tools for 100 TB
+joins (pyspark_guide 'Partitioning & shuffle').
+
+- :func:`write_bucketed` / :func:`read_bucketed_join`: persist both
+  sides bucketed+sorted on the join key so later joins co-locate with
+  ZERO exchange (asserted against the physical plan in tests). This is
+  what replaces the shuffle for repeated fact-fact joins at scale.
+- :func:`salted_aggregate`: two-phase aggregation over a salted key for
+  hot-key skew — partial agg on (key, salt) spreads a hot key over N
+  reducers, final agg merges. AQE's skew-join handling covers joins;
+  salting covers aggregations, which AQE does not rebalance.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_bucketed(
+    df: DataFrame, name: str, path: str, key: str, n_buckets: int = 8
+) -> None:
+    """Persist as an external bucketed+sorted table: later equi-joins /
+    aggregations on ``key`` read co-located, pre-sorted buckets."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def read_bucketed_join(
+    spark: SparkSession, left_name: str, right_name: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed tables — Catalyst elides both exchanges."""
+    return spark.table(left_name).join(spark.table(right_name), key)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    n_salt: int,
+    sums: Sequence[str] = (),
+    counts: bool = True,
+) -> DataFrame:
+    """count/sum per key via salted two-phase aggregation. The salt is
+    derived from row content (not RNG) so the plan stays deterministic;
+    partial results per (key, salt) merge exactly for algebraic aggs."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    partial_aggs = []
+    final_aggs = []
+    if counts:
+        partial_aggs.append(F.count(F.lit(1)).alias("__pn"))
+        final_aggs.append(F.sum("__pn").cast("bigint").alias("n"))
+    for c in sums:
+        # micro-unit quantisation (see functions.scalars.money_sum): the
+        # two-phase salted sum lands on the identical double as the
+        # single-phase oracle because integer partials merge exactly
+        micros = F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+        partial_aggs.append(F.sum(micros).alias(f"__ps_{c}"))
+        final_aggs.append(
+            (F.floor(F.sum(f"__ps_{c}") / F.lit(10000)).cast("double") / 100).alias(f"sum_{c}")
+        )
+    partial = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*partial_aggs)
+    return partial.groupBy(key).agg(*final_aggs)

@@ -13,5 +13,6 @@ from football_lakehouse_spark.plans import lakehouse_plans  # noqa: F401, E402
 from football_lakehouse_spark.plans import streaming_plans  # noqa: F401, E402
 from football_lakehouse_spark.plans import ml_plans  # noqa: F401, E402
 from football_lakehouse_spark.plans import llm_plans  # noqa: F401, E402
+from football_lakehouse_spark.plans import advanced_plans  # noqa: F401, E402
 
 __all__ = ["registry"]

@@ -1,0 +1,76 @@
+"""Advanced relational operators beyond the reference surface: as-of
+join (temporal), approximate aggregates, bucketed co-located joins.
+These are the idiomatic-Spark additions SURVEY.md §2.4/§2.5 flags as
+cheap built-ins the engine should expose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.operators.asof import asof_join
+from football_lakehouse_spark.plans.registry import query
+
+
+@query(
+    "q49_asof_join",
+    oracle="""
+    SELECT a.event_id, a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           a.event_type,
+           b.event_id AS asof_event_id,
+           b.value AS asof_value
+    FROM events a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND a.ts > b.ts
+    """,
+    doc="As-of (temporal) join: each event annotated with the latest "
+    "STRICTLY-prior purchase of the same user. Implemented as the "
+    "union+window forward-fill (one shuffle + one sort — no range "
+    "explosion, no Python); oracle is DuckDB's native ASOF JOIN, so two "
+    "completely different algorithms must agree.",
+    bench=True,
+    tags=("advanced", "join"),
+)
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = asof_join(
+        ev,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "value"],
+        strictly_before=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+    )
+
+
+@query(
+    "q50_approx_stats",
+    oracle=None,  # sketch-based: HLL/KLL differ across engines by design;
+    # error bounds vs exact values asserted in tests/test_advanced.py
+    doc="Approximate aggregates (SURVEY §2.4 note: built-ins worth exposing): "
+    "approx_count_distinct (HLL) + percentile_approx (KLL-style) per "
+    "order-month over lineitem.",
+    tags=("advanced",),
+)
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

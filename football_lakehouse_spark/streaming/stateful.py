@@ -1,0 +1,84 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(north-star briefing: the escape hatch for operators Structured
+Streaming's built-ins can't express; SURVEY.md §2 ST5's streaming
+variant).
+
+Keeps a running per-user accumulator (event count + value sum) across
+micro-batches and emits the updated state per batch — the streaming
+form of the batch ``live_state`` derivation (plans/windows.q27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _update_user_state(key, pdfs, state: GroupState):
+    # self-contained: runs on Python workers — only stdlib/pandas here
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 2)))
+    import pandas as pd
+
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_state(stream: DataFrame) -> DataFrame:
+    """Per-user running totals, maintained in state across micro-batches
+    and emitted on every update."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stateful_available_now(
+    spark: SparkSession, landing_dir: str, checkpoint_dir: str, out_dir: str
+) -> None:
+    from football_lakehouse_spark.streaming.ingest import read_landing_stream
+
+    stream = read_landing_stream(spark, landing_dir)
+
+    # parquet sinks reject update mode → append each update batch via
+    # foreachBatch (the standard pattern for update-mode file output)
+    def _append(batch: DataFrame, _epoch: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        running_user_state(stream)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,102 @@
+"""Advanced operators: bucketed zero-shuffle joins, salted aggregation
+parity, approx-agg error bounds, stateful streaming accumulator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.operators.bucketing import (
+    read_bucketed_join,
+    salted_aggregate,
+    write_bucketed,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", str(tmp_path / "bo"), "o_orderkey")
+    write_bucketed(li, "b_lineitem", str(tmp_path / "bl"), "o_orderkey")
+    # force the sort-merge path: at fixture scale the planner would just
+    # broadcast (making buckets moot); at 100 TB neither side broadcasts
+    # and the bucket layout is what removes the shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join still shuffles:\n{plan[:800]}"
+        )
+        expected = li.join(orders, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_aggregate_matches_plain(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    salted = salted_aggregate(orders, "o_orderstatus", 8, sums=["o_totalprice"])
+    from football_lakehouse_spark.functions.scalars import money_sum
+
+    plain = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("o_totalprice")).alias("sum_o_totalprice"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_approx_stats_within_bounds(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        )
+        .collect()
+    }
+    for flag, r in got.items():
+        assert abs(r.approx_parts - r.exact_parts) <= 0.1 * r.exact_parts + 5
+        assert abs(r.approx_median - r.exact_median) <= 0.1 * r.exact_median
+
+
+def test_stateful_running_user_state(spark, tmp_path):
+    from football_lakehouse_spark.streaming.ingest import land_json_files
+    from football_lakehouse_spark.streaming.stateful import (
+        run_stateful_available_now,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").limit(300)
+    landing, ckpt, out = (str(tmp_path / d) for d in ("landing", "ckpt", "out"))
+    land_json_files(events, landing)
+    run_stateful_available_now(spark, landing, ckpt, out)
+    got = spark.read.parquet(out)
+    # final state per user (last emitted row) must equal the batch truth
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        got.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    )
+    truth = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    f = {r.user_id: (r.n_events, r.total_value) for r in final.collect()}
+    t = {r.user_id: (r.n_events, r.total_value) for r in truth.collect()}
+    assert set(f) == set(t)
+    for u in t:
+        assert f[u][0] == t[u][0]
+        assert abs(f[u][1] - t[u][1]) < 0.05
