@@ -59,13 +59,20 @@ def horizon_aggregate(
     """One h-N aggregate (reference A1/P5): bounded period range →
     grouped avg + count. Averages rounded to 4 dp for cross-engine
     stability of the value hash."""
+    micros = F.floor(F.col(value) * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    n = F.count(F.lit(1))
     return (
         unpivoted.where(
             (F.col(period) >= F.lit(anchor)) & (F.col(period) < F.lit(anchor + horizon))
         )
         .groupBy(key)
         .agg(
-            F.round(F.avg(value), 4).alias(f"{prefix}_avg_fdr"),
+            # micro-unit floor average (functions.scalars rationale): a
+            # plain round(avg(double),4) diverges from the oracle at
+            # scale because float summation order differs per engine
+            (F.floor(F.sum(micros) / (n * F.lit(100))).cast("double") / 10000).alias(
+                f"{prefix}_avg_fdr"
+            ),
             F.count(F.lit(1)).alias(f"{prefix}_n"),
         )
     )
@@ -117,8 +124,16 @@ def fused_horizon_features(
     aggs = []
     for h in sorted(horizons):
         in_window = F.col(period) < F.lit(anchor + h)
-        aggs.append(F.round(F.avg(F.when(in_window, F.col(value))), 4).alias(f"h{h}_avg_fdr"))
-        aggs.append(F.count(F.when(in_window, F.lit(1))).alias(f"h{h}_n"))
+        micros = F.floor(
+            F.when(in_window, F.col(value)) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("decimal(38,0)")
+        n_in = F.count(F.when(in_window, F.lit(1)))
+        aggs.append(
+            (F.floor(F.sum(micros) / (n_in * F.lit(100))).cast("double") / 10000).alias(
+                f"h{h}_avg_fdr"
+            )
+        )
+        aggs.append(n_in.alias(f"h{h}_n"))
     narrowest = min(horizons)
     return base.groupBy(key).agg(*aggs).where(F.col(f"h{narrowest}_n") > 0)
 

@@ -37,15 +37,15 @@ WITH unp AS (
 ),
 f AS (SELECT * FROM unp WHERE gw >= {ANCHOR_GW}),
 h3 AS (
-    SELECT team_id, round(avg(fdr), 4) AS h3_avg_fdr, count(*) AS h3_n
+    SELECT team_id, CAST(sum(CAST(floor(fdr * 1000000.0 + 0.5) AS HUGEINT)) // (count(*) * 100) AS DOUBLE) / 10000 AS h3_avg_fdr, count(*) AS h3_n
     FROM f WHERE gw < {ANCHOR_GW + 3} GROUP BY team_id
 ),
 h5 AS (
-    SELECT team_id, round(avg(fdr), 4) AS h5_avg_fdr, count(*) AS h5_n
+    SELECT team_id, CAST(sum(CAST(floor(fdr * 1000000.0 + 0.5) AS HUGEINT)) // (count(*) * 100) AS DOUBLE) / 10000 AS h5_avg_fdr, count(*) AS h5_n
     FROM f WHERE gw < {ANCHOR_GW + 5} GROUP BY team_id
 ),
 h8 AS (
-    SELECT team_id, round(avg(fdr), 4) AS h8_avg_fdr, count(*) AS h8_n
+    SELECT team_id, CAST(sum(CAST(floor(fdr * 1000000.0 + 0.5) AS HUGEINT)) // (count(*) * 100) AS DOUBLE) / 10000 AS h8_avg_fdr, count(*) AS h8_n
     FROM f WHERE gw < {ANCHOR_GW + 8} GROUP BY team_id
 )
 SELECT h3.team_id, s.s_name,

@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for operator laws the oracle can't
+express: MERGE idempotence/commutativity-with-dedupe, money_sum order
+independence, as-of join vs a naive per-row reference, latest_per_key
+determinism. The reference ships no tests at all (SURVEY.md §5) — these
+are the engine's stronger guarantee."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from football_lakehouse_spark.functions.scalars import money_sum
+from football_lakehouse_spark.operators.merge import dedupe_updates, merge_upsert
+from football_lakehouse_spark.operators.rolling import latest_per_key
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(0, 20),                      # key
+        st.integers(0, 5),                       # version/ts
+        st.floats(-1e6, 1e6, allow_nan=False),   # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(base=rows, upd=rows)
+@SLOW
+def test_merge_upsert_laws(spark, base, upd):
+    schema = "k int, v int, x double"
+    b = dedupe_updates(spark.createDataFrame(base, schema), ["k"], ["v", "x"])
+    u = dedupe_updates(spark.createDataFrame(upd, schema), ["k"], ["v", "x"])
+    merged = merge_upsert(b, u, ["k"])
+    got = {r.k: (r.v, r.x) for r in merged.collect()}
+    bd = {r.k: (r.v, r.x) for r in b.collect()}
+    ud = {r.k: (r.v, r.x) for r in u.collect()}
+    # law: result keyspace = union; updates win on collision
+    assert set(got) == set(bd) | set(ud)
+    for k, val in got.items():
+        assert val == (ud[k] if k in ud else bd[k])
+    # law: merging the same updates again is a no-op (rerun-safe)
+    again = merge_upsert(merged, u, ["k"])
+    assert {r.k: (r.v, r.x) for r in again.collect()} == got
+
+
+@given(vals=st.lists(st.floats(0, 1e5, allow_nan=False), min_size=1, max_size=30),
+       seed=st.integers(0, 5))
+@SLOW
+def test_money_sum_order_independent(spark, vals, seed):
+    import random
+
+    shuffled = vals[:]
+    random.Random(seed).shuffle(shuffled)
+    a = spark.createDataFrame([(v,) for v in vals], "x double").agg(
+        money_sum(F.col("x")).alias("s")
+    ).first().s
+    b = (
+        spark.createDataFrame([(v,) for v in shuffled], "x double")
+        .repartition(7)
+        .agg(money_sum(F.col("x")).alias("s"))
+        .first()
+        .s
+    )
+    assert a == b  # bitwise equal regardless of order/partitioning
+
+
+@given(data=rows)
+@SLOW
+def test_latest_per_key_matches_python_argmax(spark, data):
+    if not data:
+        return
+    df = spark.createDataFrame(data, "k int, v int, x double")
+    got = {r.k: (r.v, r.x) for r in latest_per_key(df, "k", ["v", "x"]).collect()}
+    expect: dict[int, tuple] = {}
+    for k, v, x in data:
+        if k not in expect or (v, x) > expect[k]:
+            expect[k] = (v, x)
+    assert got == expect
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=25),
+    right=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.floats(0, 10, allow_nan=False)),
+        max_size=25,
+    ),
+)
+@SLOW
+def test_asof_join_matches_naive(spark, left, right):
+    from football_lakehouse_spark.operators.asof import asof_join
+
+    # unique right ts per key (operator contract)
+    seen = set()
+    right = [r for r in right if not ((r[0], r[1]) in seen or seen.add((r[0], r[1])))]
+    if not left:
+        return
+    ldf = spark.createDataFrame([(k, t, i) for i, (k, t) in enumerate(left)], "k int, ts int, lid int")
+    rdf = spark.createDataFrame(right, "k int, ts int, payload double")
+    got = {
+        r.lid: r.asof_payload
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["payload"]).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        prior = [(rt, p) for (rk, rt, p) in right if rk == k and rt < t]
+        expect = max(prior)[1] if prior else None
+        assert got[i] == expect, (i, k, t, prior)
