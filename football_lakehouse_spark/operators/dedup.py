@@ -163,7 +163,12 @@ def minhash_lsh_neardups(
 
     pairs = doc_shingles(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(pairs, id_col)
-    cands = candidate_pairs(band_buckets(sigs, id_col), id_col)
+    # candidates are broadcast twice downstream (pair filter + both size
+    # joins) — persist so each broadcast reads the cached handful of rows
+    # instead of re-running the signature+bucket stages
+    cands = candidate_pairs(band_buckets(sigs, id_col), id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return verified_jaccard(cands, pairs, threshold, id_col)
 
 
