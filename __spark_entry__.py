@@ -28,6 +28,9 @@ def _tune(spark: SparkSession) -> None:
     )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

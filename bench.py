@@ -30,12 +30,12 @@ def main() -> None:
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    # min of 2 timed runs per query: local[32] scheduling noise on
-    # sub-second queries is ±3×; the min is the honest plan cost
+    # min of 3 timed runs per query: the shared host's load bursts
+    # inflate sub-second queries ±5×; the min is the honest plan cost
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

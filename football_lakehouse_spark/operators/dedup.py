@@ -58,7 +58,14 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     """Distinct (doc, shingle) pairs — the dedup working set. The token
     array is materialised as a column FIRST so the split runs once per
     row, not once per shingle position."""
-    toks = docs.select(id_col, ws_tokens(F.col(text_col)).alias("toks"))
+    # corpus files are large relative to row count → a doc table often
+    # arrives in very few input splits; the explode+hash stages are CPU
+    # bound, so spread docs across the executors first (cheap: doc rows,
+    # not shingle rows, cross the wire)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        id_col, ws_tokens(F.col(text_col)).alias("toks")
+    )
     return (
         toks.select(id_col, F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle"))
         .distinct()
@@ -175,7 +182,10 @@ def minhash_lsh_neardups(
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash per document: per-token portable hash, signed bit
     votes, sign → bit. One explode + one aggregation."""
-    toks = docs.select(id_col, F.explode(ws_tokens(F.col(text_col))).alias("token"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        id_col, F.explode(ws_tokens(F.col(text_col))).alias("token")
+    )
     h = portable_hash(F.col("token"))
     votes = [
         F.sum(

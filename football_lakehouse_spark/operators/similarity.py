@@ -47,7 +47,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    c = corpus.select(
+    # embedding tables pack many rows per file split; the scoring stage is
+    # CPU-bound → spread the corpus across executors first
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
     )
     scored = (
@@ -105,7 +108,8 @@ def lsh_topk(
         F.col(vec_col).alias("query_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    c = corpus.select(
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("match_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),

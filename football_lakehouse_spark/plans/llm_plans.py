@@ -155,7 +155,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.functions.text import portable_hash
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select("doc_id", ws_tokens(F.col("text")).alias("toks"))
     sh = toks.select(
         "doc_id", F.explode(shingles_from_tokens(F.col("toks"), n=5)).alias("s")
     )

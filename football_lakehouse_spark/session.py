@@ -42,6 +42,10 @@ def get_spark(
         # Spark has no nanosecond type, so read as long and normalise in
         # catalog.load_table (truncation to micros matches DuckDB).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixture files are tens of MB → one 128 MB split each; force
+        # enough input splits to use every core (at real scale files
+        # exceed maxPartitionBytes and this floor is a no-op)
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
     )
