@@ -380,6 +380,23 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q51_ann_ivf",
+    oracle=None,  # k-means cells are model state; recall vs q44 asserted
+    # in tests/test_llm.py
+    doc="IVF ANN (north star: the other scale path beside LSH): seeded "
+    "k-means coarse quantiser, n_probe nearest cells per query, exact "
+    "cosine only on cell members (operators/similarity.ivf_topk).",
+    tags=("llm", "similarity"),
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(queries_df, emb, k=3, n_cells=16, n_probe=4)
+
+
+@query(
     "q48_embedding_stats",
     oracle="""
     WITH n AS (

@@ -62,6 +62,26 @@ def test_lsh_recall_reasonable(spark, emb):
     assert len(truth & got) >= 1
 
 
+def test_ivf_recall_and_exact_scoring(spark, emb):
+    """IVF with n_probe=4/16 cells: hits must carry exact brute-force
+    cosines, and recall of the true top-3 should be substantial (cells
+    cluster cosine-similar vectors far better than random sign buckets)."""
+    from football_lakehouse_spark.operators.similarity import ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 20)
+    truth = brute_force_topk(queries, emb, k=3).collect()
+    bf_scores = {(r.query_id, r.match_id): r.cos_sim for r in truth}
+    got = ivf_topk(queries, emb, k=3, n_cells=16, n_probe=4).collect()
+    assert got
+    for r in got:
+        if (r.query_id, r.match_id) in bf_scores:
+            assert abs(bf_scores[(r.query_id, r.match_id)] - r.cos_sim) < 1e-12
+    truth_pairs = set(bf_scores)
+    got_pairs = {(r.query_id, r.match_id) for r in got}
+    recall = len(truth_pairs & got_pairs) / len(truth_pairs)
+    assert recall >= 0.25, f"IVF recall too low: {recall}"
+
+
 def test_minhash_finds_known_near_dups(spark, docs):
     """Construct exact prefix-duplicates → the LSH pipeline must surface
     them with jaccard ≈ 1 for identical texts."""
