@@ -97,6 +97,50 @@ def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_schema_evolution_new_column(spark, events, tmp_path):
+    """ST3 schema drift: files landed BEFORE a column existed read as
+    NULL for it; files landed after populate it — the addNewColumns
+    evolution contract on a JSON landing zone (restart with the wider
+    schema; checkpoint offsets carry over)."""
+    landing, bronze, ckpt = (str(tmp_path / d) for d in ("landing", "bronze", "ckpt"))
+    land_json_files(events.limit(50), landing)
+    ingest_available_now(spark, landing, bronze, ckpt)
+
+    evolved = (
+        events.where(F.col("event_id").between(100, 149))
+        .withColumn("device", F.concat(F.lit("dev-"), (F.col("event_id") % 3).cast("string")))
+    )
+    land_json_files(evolved, landing)
+
+    # restart the stream with the evolved (wider) schema, same checkpoint
+    from football_lakehouse_spark.streaming import ingest as ing
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(ing.EVENT_SCHEMA_WITH_RESCUE + ", device STRING, snapshot_date DATE")
+        .option("columnNameOfCorruptRecord", "_rescue")
+        .option("basePath", landing)
+        .load(landing)
+        .withColumn("source_file", F.col("_metadata.file_path"))
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", bronze)  # same table: schema widens in place
+        .option("checkpointLocation", ckpt)
+        .partitionBy("snapshot_date")
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.option("mergeSchema", "true").parquet(bronze)
+    # offsets honoured: 50 old + 50 new rows, no reprocessing
+    assert got.count() == 100
+    assert "device" in got.columns
+    # old rows read as NULL for the evolved column; new rows populate it
+    assert got.where(F.col("device").isNull()).count() == 50
+    assert got.where(F.col("device").isNotNull()).count() == 50
+
+
 def test_rescue_column_on_corrupt_records(spark, events, tmp_path):
     landing = tmp_path / "landing" / "snapshot_date=2024-01-01"
     landing.mkdir(parents=True)
