@@ -397,6 +397,40 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q52_embedding_neardup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (north star: embedding "
+    "near-dup). Exact form oracle-checked (bit-identical dot products); "
+    "the LSH/IVF bucketed paths (q45/q51) are the 100 TB pruning layer "
+    "in front of exactly this scoring.",
+    tags=("llm", "dedup", "similarity"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    a = emb.repartition(par).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.4)
+    )
+
+
+@query(
     "q48_embedding_stats",
     oracle="""
     WITH n AS (
