@@ -16,7 +16,6 @@ from football_lakehouse_spark.functions.text import (
     STOPWORDS,
     TOKEN_RE,
     predicted_lang,
-    quality_score,
     re_tokens,
     ws_tokens,
 )
