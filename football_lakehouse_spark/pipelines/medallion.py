@@ -121,6 +121,21 @@ def build_gold(spark: SparkSession, silver: LakehouseTable,
     return v1, v2
 
 
+def publish_gold_dim(
+    source: DataFrame,
+    dim_table: LakehouseTable,
+    projection: list[F.Column],
+    pk: str,
+    name: str,
+) -> int:
+    """EP3 step 1 (reference ``41_publish_gold_dims.py``): per-dim
+    projection/cast/rename plan → PK gate → overwrite-publish. The
+    written schema is authoritative (SURVEY.md §1.3 overwrite-defined)."""
+    dim = source.select(*projection)
+    assert_pk(dim, pk, name=name)
+    return dim_table.overwrite(dim)
+
+
 def run_pipeline(spark: SparkSession, events: DataFrame, root: str) -> dict[str, int | None]:
     """Full slice: bronze → silver → gold (reference workflow
     slice_v1_fpl_bootstrap.yml DAG). Rerun-safe end to end."""

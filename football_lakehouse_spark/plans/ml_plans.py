@@ -68,6 +68,44 @@ def train_score_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q53_publish_gold_dim",
+    oracle="""
+    SELECT c.c_custkey AS customer_id,
+           upper(trim(c.c_name)) AS customer_name,
+           c.c_mktsegment AS segment,
+           n.n_name AS nation_name,
+           r.r_name AS region_name,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="Gold dim publish plan (reference 41_publish_gold_dims.py: "
+    "projection/cast/rename/conform + broadcast dim joins; the written "
+    "schema is authoritative per SURVEY §1.3). The lakehouse write path "
+    "(overwrite + PK gate) is exercised in tests via "
+    "pipelines.medallion.publish_gold_dim.",
+    tags=("relational", "pipeline"),
+)
+def publish_gold_dim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.upper(F.trim("c_name")).alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        )
+    )
+
+
+@query(
     "q36_transfer_optimizer",
     oracle=f"""
     WITH squad AS (

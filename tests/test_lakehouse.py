@@ -103,3 +103,30 @@ def test_medallion_pipeline_idempotent(spark, events, tmp_path):
     # partition pruning survives the manifest read path
     plan = silver.read().where(F.col("snapshot_date") == "2024-01-05")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "snapshot_date" in plan
+
+
+def test_publish_gold_dim_overwrite_and_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from football_lakehouse_spark.operators.quality import DataQualityError
+    from football_lakehouse_spark.pipelines.medallion import publish_gold_dim
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    t = LakehouseTable(spark, str(tmp_path), "gold", "dim_customer")
+    v = publish_gold_dim(
+        cust, t,
+        [F.col("c_custkey").alias("customer_id"), F.col("c_name").alias("customer_name")],
+        pk="customer_id", name="gold.dim_customer",
+    )
+    assert v == 0 and t.read().count() == cust.count()
+    # a source with duplicate PKs must abort BEFORE writing (write-after-validate)
+    dup = cust.limit(5).unionByName(cust.limit(5))
+    import pytest as _pytest
+
+    with _pytest.raises(DataQualityError):
+        publish_gold_dim(
+            dup, t,
+            [F.col("c_custkey").alias("customer_id")],
+            pk="customer_id", name="gold.dim_customer",
+        )
+    assert t.current_version() == 0  # no new version committed
