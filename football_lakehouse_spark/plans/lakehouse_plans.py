@@ -110,6 +110,51 @@ def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q54_format_roundtrip",
+    oracle="""
+    SELECT fmt, event_id, event_type, value FROM (
+        SELECT 'csv' AS fmt, event_id, event_type, value FROM events
+        UNION ALL SELECT 'json', event_id, event_type, value FROM events
+        UNION ALL SELECT 'orc', event_id, event_type, value FROM events
+    )
+    """,
+    doc="Source/sink format coverage (pyspark_guide 'Sources & sinks'): "
+    "write the events table as CSV, JSON and ORC, read each back with "
+    "explicit schemas (no inference on trusted paths, SURVEY §1.3), and "
+    "prove lossless round-trips by matching the original values.",
+    tags=("lakehouse", "io"),
+)
+def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    schema = "event_id BIGINT, event_type STRING, value DOUBLE"
+    with tempfile.TemporaryDirectory(prefix="fls-fmt-") as root:
+        parts = []
+        ev.write.mode("overwrite").option("header", True).csv(os.path.join(root, "csv"))
+        parts.append(
+            spark.read.schema(schema).option("header", True)
+            .csv(os.path.join(root, "csv"))
+            .select(F.lit("csv").alias("fmt"), "*")
+        )
+        ev.write.mode("overwrite").json(os.path.join(root, "json"))
+        parts.append(
+            spark.read.schema(schema).json(os.path.join(root, "json"))
+            .select(F.lit("json").alias("fmt"), "*")
+        )
+        ev.write.mode("overwrite").orc(os.path.join(root, "orc"))
+        parts.append(
+            spark.read.schema(schema).orc(os.path.join(root, "orc"))
+            .select(F.lit("orc").alias("fmt"), "*")
+        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
     "q31_idempotent_ingest",
     oracle="""
     SELECT count(*) AS n_rows,
