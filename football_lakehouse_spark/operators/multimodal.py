@@ -59,6 +59,48 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [round(x / total, 6) for x in buckets]
 
 
+def frame_sample(
+    df: DataFrame, asset_col: str = "asset", frame_bytes: int = 64, every_nth: int = 4
+) -> DataFrame:
+    """Frame sampling for video-like payloads: split the binary into
+    fixed-size frames JVM-side and keep every Nth — one row per sampled
+    frame with (doc_id, frame_ix, frame) for downstream per-frame decode.
+
+    A real container would be demuxed inside mapInPandas; the fixed-size
+    split stands in for that (codecs absent here) while the Spark-side
+    contract — explode to frame grain, deterministic frame index,
+    binary column preserved — is exactly the production shape.
+    """
+    from pyspark.sql import functions as F
+
+    payload = F.col(f"{asset_col}.payload")
+    n_frames = F.ceil(F.length(payload) / F.lit(frame_bytes)).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.struct(
+            i.alias("frame_ix"),
+            payload.substr(i * frame_bytes + 1, F.lit(frame_bytes)).alias("frame"),
+        ),
+    )
+    sampled = F.filter(frames, lambda fr: fr["frame_ix"] % every_nth == 0)
+    return df.select(
+        "doc_id", F.explode(sampled).alias("fr")
+    ).select(
+        "doc_id",
+        F.col("fr.frame_ix").cast("bigint").alias("frame_ix"),
+        F.col("fr.frame").alias("frame"),
+        F.length(F.col("fr.frame")).cast("bigint").alias("frame_bytes"),
+    )
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize — needs an image codec; not available here."""
+    raise NotImplementedError(
+        "image codecs are not available in this container; frame_sample/"
+        "extract_features demonstrate the Spark-side plumbing"
+    )
+
+
 def extract_features(df: DataFrame, asset_col: str = "asset") -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, (id, features)
     out. The partitioning, schema, and batch iteration are exactly what

@@ -110,6 +110,43 @@ def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q55_rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS BIGINT) AS v_micros
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(v_micros) // 10000 AS DOUBLE) / 100 AS total_value
+    FROM hourly GROUP BY 1, 2
+    """,
+    doc="Hypertable-style rollup cascade: the DAILY aggregate is computed by "
+    "re-aggregating the HOURLY aggregate (algebraic merge of partials) — "
+    "the continuous-aggregate maintenance pattern; at scale each tier "
+    "reads the tier below, never raw data twice.",
+    tags=("lakehouse", "window"),
+)
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(micros).alias("v_micros"))
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        (F.floor(F.sum("v_micros") / F.lit(10000)).cast("double") / 100).alias(
+            "total_value"
+        ),
+    )
+
+
+@query(
     "q54_format_roundtrip",
     oracle="""
     SELECT fmt, event_id, event_type, value FROM (

@@ -114,3 +114,25 @@ def test_decode_stub_raises():
 def test_fake_features_pure():
     assert fake_features(b"hello world") == fake_features(b"hello world")
     assert len(fake_features(b"")) == 8
+
+
+def test_frame_sample_plumbing(spark, docs):
+    from football_lakehouse_spark.operators.multimodal import frame_sample, resize_stub
+    import pytest as _pytest
+
+    bundled = bundle_assets(docs.limit(20), F.encode(F.col("text"), "utf-8"), "video/fake")
+    frames = frame_sample(bundled, frame_bytes=64, every_nth=4)
+    rows = frames.collect()
+    assert rows
+    # only every 4th frame index survives
+    assert all(r.frame_ix % 4 == 0 for r in rows)
+    # frames are fixed-size except possibly the tail
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.frame_ix)
+        assert all(r.frame_bytes == 64 for r in doc_rows[:-1])
+        assert 1 <= doc_rows[-1].frame_bytes <= 64
+    with _pytest.raises(NotImplementedError):
+        resize_stub(b"x", 8, 8)
