@@ -1,0 +1,65 @@
+"""Continuous-aggregate maintenance — the incremental counterpart of
+plans/lakehouse_plans.q55's rollup cascade: keep an hourly rollup table
+up to date as event batches land, WITHOUT rescanning history.
+
+Pattern (hypertable/materialized-view maintenance on a lakehouse):
+  1. aggregate the new batch to the rollup grain (micro-unit partials,
+     so merging is exact integer addition — see functions/scalars.py),
+  2. ADDITIVE-merge into the rollup table: touched keys re-sum
+     (old partial + new partial), untouched keys keep their rows.
+
+Cost per batch: one batch aggregation + one join against only the
+touched keys — never a scan of raw history. Works because count/sum are
+algebraic; for non-algebraic measures keep partial sketches instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+
+ROLLUP_KEYS = ("h", "event_type")
+
+
+def batch_partials(events: DataFrame) -> DataFrame:
+    """Aggregate one event batch to hourly-grain integer partials."""
+    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(micros).alias("v_micros"))
+
+
+def merge_additive(table: LakehouseTable, partials: DataFrame) -> int:
+    """Merge new partials into the rollup: matched keys ADD, unmatched
+    insert. Integer partials merge exactly (no float drift, any order)."""
+    if not table.exists():
+        return table.append(partials)
+    current = table.read()
+    combined = (
+        current.unionByName(partials)
+        .groupBy(*ROLLUP_KEYS)
+        .agg(F.sum("n").cast("bigint").alias("n"), F.sum("v_micros").cast("bigint").alias("v_micros"))
+    )
+    # overwrite with the re-summed state; at scale, restrict to touched
+    # partitions exactly like LakehouseTable.merge (partition on date(h))
+    return table.overwrite(combined)
+
+
+def rollup_view(table: LakehouseTable) -> DataFrame:
+    """User-facing view of the maintained rollup (values back in units)."""
+    return table.read().select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        (F.floor(F.col("v_micros") / F.lit(10000)).cast("double") / 100).alias("total_value"),
+    )
+
+
+def maintain_from_batches(
+    spark: SparkSession, batches: list[DataFrame], root: str
+) -> LakehouseTable:
+    t = LakehouseTable(spark, root, "gold", "rollup_hourly")
+    for b in batches:
+        merge_additive(t, batch_partials(b))
+    return t

@@ -147,6 +147,38 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q56_continuous_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) // 10000 AS DOUBLE) / 100 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Continuous-aggregate maintenance end to end: events split into 3 "
+    "batches, each incrementally ADDITIVE-merged into a versioned hourly "
+    "rollup table (one commit per batch, no history rescans); the final "
+    "maintained state is oracle-checked against a direct aggregate of all "
+    "events (pipelines/continuous.py).",
+    tags=("lakehouse", "streaming"),
+)
+def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.pipelines.continuous import (
+        maintain_from_batches,
+        rollup_view,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batches = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    with tempfile.TemporaryDirectory(prefix="fls-cagg-") as root:
+        t = maintain_from_batches(spark, batches, root)
+        out = rollup_view(t)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
     "q54_format_roundtrip",
     oracle="""
     SELECT fmt, event_id, event_type, value FROM (
