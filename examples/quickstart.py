@@ -1,0 +1,69 @@
+"""Quickstart — the reference user's workflow on this engine.
+
+Runs the full medallion slice (bronze ingest → silver conform → gold
+facts), the flagship horizon query, a MERGE + time travel, and an LLM-
+data pass (near-dup + ANN) against the sf0.001 fixtures.
+
+    python examples/quickstart.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from football_lakehouse_spark.catalog import load_table  # noqa: E402
+from football_lakehouse_spark.lakehouse.tables import LakehouseTable  # noqa: E402
+from football_lakehouse_spark.operators.dedup import minhash_lsh_neardups  # noqa: E402
+from football_lakehouse_spark.operators.similarity import brute_force_topk  # noqa: E402
+from football_lakehouse_spark.pipelines.medallion import run_pipeline  # noqa: E402
+from football_lakehouse_spark.plans import registry  # noqa: E402
+from football_lakehouse_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("quickstart", cpus=8)
+    root = tempfile.mkdtemp(prefix="fls-quickstart-")
+
+    print("== medallion slice (bronze → silver → gold, rerun-safe)")
+    events = load_table(spark, SF, "events")
+    versions = run_pipeline(spark, events, root)
+    print("   committed versions:", versions)
+    rerun = run_pipeline(spark, events, root)
+    print("   rerun (bronze skipped):", rerun["bronze"] is None)
+
+    print("== flagship horizon query (reference 42_build_fixture_horizons)")
+    registry.REGISTRY["q01_fixture_horizons"].builder(spark, SF).show(5, truncate=False)
+
+    print("== MERGE + time travel")
+    t = LakehouseTable(spark, root, "silver", "demo")
+    t.append(events.limit(100).select("event_id", "event_type", "value"))
+    late = (
+        events.limit(10)
+        .select("event_id", F.lit("corrected").alias("event_type"), F.col("value"))
+    )
+    t.merge(late, ["event_id"])
+    print("   v0 rows:", t.read(version=0).count(), "| current corrected:",
+          t.read().where("event_type = 'corrected'").count())
+    print("   history:", [(h["version"], h["operation"]) for h in t.describe_history()])
+
+    print("== LLM-data: near-duplicates + similarity search")
+    docs = load_table(spark, SF, "documents")
+    pairs = minhash_lsh_neardups(docs, threshold=0.5)
+    print("   near-dup pairs (jaccard ≥ 0.5):", pairs.count())
+    emb = load_table(spark, SF, "embeddings")
+    topk = brute_force_topk(emb.where("vec_id < 3"), emb, k=3)
+    topk.show(9, truncate=False)
+
+    spark.stop()
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()
