@@ -167,17 +167,33 @@ def ivf_topk(
 
 def lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 3, n_planes: int = 8,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", multiprobe: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates share the full sign-bit bucket (all
     n_planes bits). Prunes the corpus ~2^n_planes-fold before exact
-    cosine; recall measured against brute force in tests."""
+    cosine; recall measured against brute force in tests.
+
+    ``multiprobe`` > 0 additionally probes the buckets at Hamming
+    distance 1 on the ``multiprobe`` least-significant planes — the
+    standard recall/cost dial: candidates grow ×(1+multiprobe), recall
+    grows with them, still no corpus re-scan (probing expands the tiny
+    QUERY side, never the corpus side)."""
     planes = [hyperplane(s) for s in range(n_planes)]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if multiprobe > 0:
+        probe_buckets = F.array_union(
+            F.array(F.col("bucket")),
+            F.array(*[
+                F.col("bucket").bitwiseXOR(F.lit(2 ** b)) for b in range(multiprobe)
+            ]),
+        )
+        q = q.select(
+            "query_id", "query_vec", F.explode(probe_buckets).alias("bucket")
+        )
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par).select(
         F.col(id_col).alias("match_id"),

@@ -155,3 +155,30 @@ def test_continuous_aggregate_maintenance(spark, events, tmp_path):
     # idempotence check of the partial computation itself
     p = sorted(map(tuple, batch_partials(b1).collect()))
     assert p == sorted(map(tuple, batch_partials(b1).collect()))
+
+
+def test_silver_build_aborts_on_corrupt_bronze(spark, tmp_path):
+    """J2 parse-failure guard: a bronze row whose payload cannot parse
+    must abort the silver build BEFORE any write (write-after-validate,
+    reference 31_build_silver_dims.py:126-128)."""
+    from football_lakehouse_spark.pipelines.medallion import build_silver
+
+    bronze = LakehouseTable(spark, str(tmp_path), "bronze", "events_raw",
+                            partition_by=["snapshot_date"])
+    from football_lakehouse_spark.operators.quality import DataQualityError
+
+    # two corruption shapes: plain garbage → from_json yields NULL struct
+    # (caught by the J2 parse guard); brace-prefixed garbage → PERMISSIVE
+    # partial parse with null fields (caught by the PK gate). Either way
+    # the build aborts before any write.
+    bad = spark.createDataFrame(
+        [("2024-01-01", "not json at all", 200),
+         ("2024-01-01", "{not json either", 200)],
+        "snapshot_date string, payload_json string, http_status int",
+    ).withColumn("snapshot_date", F.to_date("snapshot_date"))
+    bronze.append(bad)
+    silver = LakehouseTable(spark, str(tmp_path), "silver", "event",
+                            partition_by=["snapshot_date"])
+    with pytest.raises((ValueError, DataQualityError)):
+        build_silver(spark, bronze, silver)
+    assert not silver.exists()  # nothing was written

@@ -136,3 +136,25 @@ def test_frame_sample_plumbing(spark, docs):
         assert 1 <= doc_rows[-1].frame_bytes <= 64
     with _pytest.raises(NotImplementedError):
         resize_stub(b"x", 8, 8)
+
+
+def test_multiprobe_lsh_improves_recall(spark, emb):
+    """Hamming-1 multiprobe must be a superset of the base probe and
+    strictly improve (or equal) recall of the true top-3."""
+    queries = emb.where(F.col("vec_id") < 30)
+    truth = {
+        (r.query_id, r.match_id)
+        for r in brute_force_topk(queries, emb, k=3).collect()
+    }
+    base = {
+        (r.query_id, r.match_id)
+        for r in lsh_topk(queries, emb, k=3, n_planes=6).collect()
+    }
+    multi = {
+        (r.query_id, r.match_id)
+        for r in lsh_topk(queries, emb, k=3, n_planes=6, multiprobe=3).collect()
+    }
+    r_base = len(truth & base) / len(truth)
+    r_multi = len(truth & multi) / len(truth)
+    assert r_multi >= r_base, (r_base, r_multi)
+    assert r_multi > 0
