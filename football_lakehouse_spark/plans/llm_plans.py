@@ -368,14 +368,14 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # candidate set depends on bucket granularity; recall vs
     # brute force is asserted in tests/test_llm.py
     doc="LSH-bucketed ANN (north star: the scale path): deterministic "
-    "random-hyperplane sign buckets prune the corpus before exact "
-    "scoring; recall measured against q44 in tests.",
+    "random-hyperplane sign buckets + Hamming-1 multiprobe prune the "
+    "corpus before exact scoring; recall measured against q44 in tests.",
     tags=("llm", "similarity"),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return lsh_topk(queries, emb, k=3, n_planes=6)
+    return lsh_topk(queries, emb, k=3, n_planes=6, multiprobe=2)
 
 
 @query(
