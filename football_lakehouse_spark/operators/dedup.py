@@ -10,16 +10,23 @@ DuckDB for the correctness oracle. At 100 TB you'd swap the sha-based
 hash for xxhash64 (same topology, one line) — the plan shape is the
 scale-relevant part:
 
-    docs → explode shingles → distinct         (1 shuffle on doc)
-         → minhash signature per doc           (1 hash-agg)
-         → explode bands → bucket join         (1 shuffle on band key,
-                                                skew-safe: band keys are
-                                                hashes → uniform)
-         → candidate pairs (distinct)          (dimension-sized)
-         → verify true Jaccard via shingle join (broadcast candidates)
+    docs → explode shingles                     (no shuffle)
+         → ONE groupBy(doc): 6 minhash mins     (1 shuffle — the only
+           + collect_set(shingle)                corpus-sized shuffle in
+           + distinct count                      the whole pipeline)
+         → explode bands → bucket join          (doc-count-sized rows;
+                                                 band keys are hashes →
+                                                 uniform, skew-free)
+         → candidate pairs (distinct)           (LSH-output-sized)
+         → verify: broadcast candidates against
+           the cached per-doc shingle sets,
+           exact Jaccard via array_intersect    (no corpus shuffle)
 
-The expensive all-pairs O(n²) never materialises; only same-bucket
-pairs are verified — the standard MinHash/LSH contract.
+Minhash is duplicate-invariant (min over a multiset == min over its
+set), so no pre-distinct pass is needed; the exact-verify step uses
+``collect_set`` output, which is the distinct shingle set. The
+expensive all-pairs O(n²) never materialises; only same-bucket pairs
+are verified — the standard MinHash/LSH contract.
 """
 
 from __future__ import annotations
@@ -55,9 +62,18 @@ def shingles_from_tokens(toks: F.Column, n: int = 3) -> F.Column:
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (doc, shingle) pairs — the dedup working set. The token
-    array is materialised as a column FIRST so the split runs once per
-    row, not once per shingle position."""
+    """Distinct (doc, shingle) pairs — the standalone dedup working set.
+    The token array is materialised as a column FIRST so the split runs
+    once per row, not once per shingle position."""
+    return (
+        _shingle_rows(docs, id_col, text_col)
+        .distinct()
+    )
+
+
+def _shingle_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One (doc, shingle) row per shingle OCCURRENCE — no distinct, so
+    no shuffle; downstream aggregation absorbs duplicates."""
     # corpus files are large relative to row count → a doc table often
     # arrives in very few input splits; the explode+hash stages are CPU
     # bound, so spread docs across the executors first (cheap: doc rows,
@@ -66,17 +82,37 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     toks = docs.repartition(par).select(
         id_col, ws_tokens(F.col(text_col)).alias("toks")
     )
-    return (
-        toks.select(id_col, F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle"))
-        .distinct()
+    return toks.select(
+        id_col, F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle")
     )
+
+
+def doc_profiles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc minhash signature AND distinct shingle set in ONE
+    shuffle: ``groupBy(doc)`` with 6 ``min`` aggregates over sha256
+    slices plus ``collect_set(shingle)``. Minhash is duplicate-invariant
+    so the input needn't be pre-distincted; ``collect_set`` yields the
+    exact distinct set for Jaccard verification. One sha256 per shingle
+    occurrence: the 64-hex digest is sliced into K independent 8-hex
+    (32-bit) hash values — 6× cheaper than seeded re-hashing, same LSH
+    statistics, still DuckDB-reproducible."""
+    rows = _shingle_rows(docs, id_col, text_col)
+    sha = F.sha2(F.col("shingle"), 256)
+    aggs = [
+        F.min(
+            F.conv(F.substring(sha, 8 * k + 1, 8), 16, 10).cast("bigint")
+        ).alias(f"mh{k}")
+        for k in range(N_MINHASH)
+    ]
+    return rows.groupBy(id_col).agg(
+        *aggs, F.collect_set("shingle").alias("shset")
+    ).withColumn("n_shingles", F.size("shset"))
 
 
 def minhash_signatures(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """K minhash values per doc in ONE aggregation pass and ONE sha256
-    per shingle row: the 64-hex-char digest is sliced into K independent
-    8-hex (32-bit) hash values — 6× cheaper than seeded re-hashing, same
-    LSH statistics, still DuckDB-reproducible."""
+    per shingle row (standalone form; the fused pipeline uses
+    :func:`doc_profiles`)."""
     sha = F.sha2(F.col("shingle"), 256)
     aggs = [
         F.min(
@@ -155,28 +191,65 @@ def verified_jaccard(
     )
 
 
+def verified_jaccard_profiles(
+    cands: DataFrame, profiles: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs from cached per-doc
+    profiles — NO corpus-sized shuffle. Candidates are LSH-output-sized,
+    so both probes are broadcast hash joins against the profile table
+    (streamed once per side from cache); only candidate-pair rows (with
+    their two shingle arrays) meet in the final equi-join."""
+    a_side = profiles.select(
+        F.col(id_col).alias("doc_a"), F.col("shset").alias("sh_a"), F.col("n_shingles").alias("n_a")
+    ).join(F.broadcast(cands), "doc_a")
+    b_side = profiles.select(
+        F.col(id_col).alias("doc_b"), F.col("shset").alias("sh_b"), F.col("n_shingles").alias("n_b")
+    ).join(F.broadcast(cands), "doc_b")
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    jac = (
+        a_side.join(b_side, ["doc_a", "doc_b"])
+        .withColumn("n_common", common)
+        .withColumn(
+            "jaccard",
+            F.floor(
+                F.col("n_common")
+                * 10000
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("double")
+            / 10000,
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", "jaccard"
+    )
+
+
 def minhash_lsh_neardups(
     docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → band → bucket join →
-    exact-verify. Returns (doc_a, doc_b, n_common, jaccard).
+    """Full near-dup pipeline: shingle → fused per-doc profile (minhash
+    signature + distinct shingle set, ONE shuffle) → band → bucket join
+    → exact-verify via array_intersect. Returns
+    (doc_a, doc_b, n_common, jaccard).
 
-    The distinct (doc, shingle) set feeds four downstream consumers
-    (signatures, both verify sides, sizes); without persistence Spark
-    recomputes the explode+distinct+hash lineage per consumer — at
-    corpus scale that's 4 extra full scans. MEMORY_AND_DISK matches the
-    checkpoint a production pipeline would put here."""
+    The profile table feeds three downstream consumers (banding + both
+    verify sides); without persistence Spark recomputes the
+    explode+hash+agg lineage per consumer — at corpus scale that's 2
+    extra full corpus scans. MEMORY_AND_DISK matches the checkpoint a
+    production pipeline would put here. Re-expresses the reference's
+    declared near-dup surface (docs/backlog.md:49-51 MERGE dedupe is
+    exact-key; this is the content-similarity extension)."""
     from pyspark import StorageLevel
 
-    pairs = doc_shingles(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(pairs, id_col)
-    # candidates are broadcast twice downstream (pair filter + both size
-    # joins) — persist so each broadcast reads the cached handful of rows
-    # instead of re-running the signature+bucket stages
+    profiles = doc_profiles(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = profiles.select(id_col, *[f"mh{k}" for k in range(N_MINHASH)])
+    # candidates are broadcast twice downstream (one per verify probe) —
+    # persist so each broadcast reads the cached handful of rows instead
+    # of re-running the banding join
     cands = candidate_pairs(band_buckets(sigs, id_col), id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return verified_jaccard(cands, pairs, threshold, id_col)
+    return verified_jaccard_profiles(cands, profiles, threshold, id_col)
 
 
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
