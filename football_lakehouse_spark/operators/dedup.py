@@ -252,6 +252,69 @@ def minhash_lsh_neardups(
     return verified_jaccard_profiles(cands, profiles, threshold, id_col)
 
 
+def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → cluster assignment
+    (doc_id, cluster_id, is_canonical), cluster_id = min doc_id in the
+    component, canonical = the kept representative. This completes the
+    dedup contract: LSH gives PAIRS, but near-duplication is transitive
+    (A~B, B~C ⇒ one group even when A≁C), so retention decisions need
+    the component, not the pair.
+
+    Iterative min-label propagation: each round every node adopts
+    ``min(own label, min(neighbour labels))``. The driver only controls
+    the loop; all data stays distributed (edges/labels DataFrames), and
+    rounds needed = component diameter — near-dup components are
+    shallow (dozens of docs), so convergence is a handful of rounds. At
+    100 TB scale with adversarial long-chain components you'd switch to
+    the large-star/small-star algorithm (Kiveris et al.) — same
+    join/agg primitives, O(log n) rounds."""
+    from pyspark import StorageLevel
+
+    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("dst_label")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_changed = stepped.where(F.col("label") < F.col("old_label")).count()
+        labels.unpersist()
+        labels = stepped.select("node", "label")
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(f"neardup_clusters did not converge in {max_iters} rounds")
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash per document: per-token portable hash, signed bit
     votes, sign → bit. One explode + one aggregation."""

@@ -22,6 +22,7 @@ from football_lakehouse_spark.functions.text import (
 from football_lakehouse_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_neardups,
+    neardup_clusters,
     shingles_from_tokens,
     simhash16,
 )
@@ -192,7 +193,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, prefix).select("doc_id", "lang", "source")
 
 
-def _sql_minhash_pipeline(threshold: float) -> str:
+def _sql_minhash_ctes(threshold: float) -> str:
+    """The minhash near-dup pipeline as a reusable CTE chain ending in
+    ``neardup(doc_a, doc_b, n_common, jaccard)`` — shared by q41 (pair
+    output) and q57 (connected components on top)."""
     mh = ",\n               ".join(
         f"min(CAST(('0x' || substr(sha256(s), {8 * k + 1}, 8)) AS BIGINT)) AS mh{k}"
         for k in range(6)
@@ -207,8 +211,7 @@ def _sql_minhash_pipeline(threshold: float) -> str:
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
         )
     bands = "\n        UNION ALL ".join(band_selects)
-    return f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     sh AS (
         SELECT DISTINCT doc_id, s FROM (
             SELECT doc_id,
@@ -233,13 +236,21 @@ def _sql_minhash_pipeline(threshold: float) -> str:
         JOIN sh x ON x.doc_id = c.doc_a
         JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
         GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT doc_a, doc_b, n_common,
-           floor(n_common * 10000 / (na.n + nb.n - n_common)) / 10000 AS jaccard
-    FROM common
-    JOIN sizes na ON na.doc_id = doc_a
-    JOIN sizes nb ON nb.doc_id = doc_b
-    WHERE floor(n_common * 10000 / (na.n + nb.n - n_common)) / 10000 >= {threshold}
+    ),
+    neardup AS (
+        SELECT doc_a, doc_b, n_common,
+               floor(n_common * 10000 / (na.n + nb.n - n_common)) / 10000 AS jaccard
+        FROM common
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE floor(n_common * 10000 / (na.n + nb.n - n_common)) / 10000 >= {threshold}
+    )"""
+
+
+def _sql_minhash_pipeline(threshold: float) -> str:
+    return f"""
+    WITH {_sql_minhash_ctes(threshold)}
+    SELECT doc_a, doc_b, n_common, jaccard FROM neardup
     """
 
 
@@ -322,6 +333,93 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.alias("n_common"),
         (F.floor(common * 10000 / union).cast("double") / 10000).alias("jaccard"),
     )
+
+
+@query(
+    "q56_corpus_split",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, n_chars,
+               len({_SQL_TOKS}) AS nt,
+               CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 AS b
+        FROM documents
+    )
+    SELECT CASE WHEN b < 18 THEN 'train' WHEN b = 18 THEN 'val' ELSE 'test' END AS split,
+           source,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM t
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test split (90/5/5) by sha256 hash of the "
+    "document id, with per-split per-source mixture stats (docs, tokens, "
+    "chars) — the corpus-mixing report a training-data pipeline cuts before "
+    "every run. The split is a map-side expression: stable under re-runs, "
+    "re-partitioning, and incremental arrivals; the single shuffle is the "
+    "final low-cardinality groupBy (north star: training-data ops).",
+    tags=("llm", "sampling"),
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10)
+        .cast("bigint") % 20
+    )
+    split = (
+        F.when(bucket < 18, F.lit("train"))
+        .when(bucket == 18, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "source",
+            F.size(ws_tokens(F.col("text"))).cast("bigint").alias("nt"),
+            "n_chars",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "q57_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_ctes(0.5)},
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM neardup
+        UNION
+        SELECT doc_b, doc_a FROM neardup
+    ),
+    reach(node, m) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.m
+    )
+    SELECT node AS doc_id,
+           CAST(min(m) AS BIGINT) AS cluster_id,
+           (node = min(m)) AS is_canonical
+    FROM reach
+    GROUP BY node
+    """,
+    doc="Near-duplicate CLUSTERS: connected components over the verified "
+    "MinHash+LSH pair graph (near-duplication is transitive — retention "
+    "needs the component, not the pair). Spark side: iterative min-label "
+    "propagation, all-distributed, diameter-bounded rounds "
+    "(large-star/small-star at adversarial scale); oracle: DuckDB "
+    "recursive-CTE reachability. cluster_id = min doc_id; is_canonical "
+    "marks the kept representative (north star: near-dup dedup).",
+    tags=("llm", "dedup"),
+)
+def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardups(docs, threshold=0.5)
+    return neardup_clusters(pairs)
 
 
 # --------------------------------------------------------------------------

@@ -97,6 +97,30 @@ def test_minhash_finds_known_near_dups(spark, docs):
             assert r.jaccard >= 0.999
 
 
+def test_neardup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster even without an A~C pair;
+    canonical = min doc_id; isolated nodes never appear."""
+    from football_lakehouse_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in neardup_clusters(pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False), 22: (20, False),
+    }
+
+
+def test_neardup_clusters_empty(spark):
+    from football_lakehouse_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert neardup_clusters(pairs).count() == 0
+
+
 def test_multimodal_features_deterministic_and_shaped(spark, docs):
     bundled = bundle_assets(docs.limit(50), F.encode(F.col("text"), "utf-8"), "text/plain")
     f1 = sorted(map(tuple, extract_features(bundled).collect()))
