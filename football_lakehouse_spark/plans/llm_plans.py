@@ -336,6 +336,91 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q58_repetition_ratio",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE [] END AS sh
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(sh) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+           floor((len(sh) - len(list_distinct(sh))) * 10000 / len(sh)) / 10000
+               AS repetition_ratio
+    FROM t
+    WHERE len(sh) >= 1
+    """,
+    doc="Intra-document repetition ratio: duplicated-bigram fraction per doc "
+    "(the Gopher/C4-style quality signal that catches boilerplate and "
+    "degenerate loops). Pure per-row array expressions — ZERO shuffles, "
+    "scales embarrassingly (north star: quality scoring).",
+    tags=("llm", "text"),
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", shingles_from_tokens(ws_tokens(F.col("text")), n=2).alias("sh")
+    )
+    total = F.size("sh").cast("bigint")
+    dist = F.size(F.array_distinct("sh")).cast("bigint")
+    return t.where(total >= 1).select(
+        "doc_id",
+        total.alias("n_bigrams"),
+        dist.alias("n_distinct"),
+        (F.floor((total - dist) * 10000 / total).cast("double") / 10000).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
+@query(
+    "q59_decontamination",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END)) AS s
+        FROM t
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0)
+    SELECT sh.doc_id, count(*) AS n_contaminated_ngrams
+    FROM sh JOIN ev USING (s)
+    WHERE sh.doc_id % 100 <> 0
+    GROUP BY sh.doc_id
+    """,
+    doc="Benchmark decontamination: flag training docs sharing any 3-gram "
+    "with the held-out eval slice (doc_id % 100 == 0 stands in for the "
+    "benchmark corpus), reporting the overlapping-ngram count per doc. "
+    "Eval n-gram sets are benchmark-sized in practice → broadcast to every "
+    "executor; the training side streams map-side with no corpus shuffle "
+    "before the per-doc count (north star: training-data hygiene).",
+    tags=("llm", "text"),
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(ws_tokens(F.col("text")), n=3))
+        ).alias("s"),
+    )
+    eval_sh = sh.where(F.col("doc_id") % 100 == 0).select("s").distinct()
+    train = sh.where(F.col("doc_id") % 100 != 0)
+    return (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
+@query(
     "q56_corpus_split",
     oracle=f"""
     WITH t AS (
