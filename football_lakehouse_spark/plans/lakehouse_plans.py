@@ -147,7 +147,7 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q56_continuous_rollup",
+    "q60_continuous_rollup",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,
