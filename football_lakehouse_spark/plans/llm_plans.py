@@ -421,6 +421,84 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q61_vocab_df",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    per_doc AS (SELECT token, doc_id, count(*) AS cnt FROM u GROUP BY token, doc_id)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(cnt) AS BIGINT) AS tf
+    FROM per_doc
+    GROUP BY token
+    HAVING count(*) >= 5
+    """,
+    doc="Corpus vocabulary statistics: document frequency + total term "
+    "frequency per token, min-df filtered (the IDF/vocab-build input of a "
+    "training-data pipeline). Two-phase agg — per-(doc,token) partials "
+    "first, so the token-level shuffle moves one row per (doc,token), not "
+    "one per occurrence, and no distinct-aggregate expand is needed "
+    "(north star: text analysis).",
+    tags=("llm", "text"),
+)
+def vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    per_doc = u.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("cnt").cast("bigint").alias("tf"),
+        )
+        .where(F.col("df") >= 5)
+    )
+
+
+@query(
+    "q62_mixture_weights",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+               FROM documents GROUP BY source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           floor(n_docs * 10000.0 / sum(n_docs) OVER ()) / 10000 AS share,
+           floor(sum(n_docs) OVER () * 10000.0
+                 / (count(*) OVER () * n_docs)) / 10000 AS uniform_weight
+    FROM c
+    """,
+    doc="Source-mixture statistics and reweighting: per-source doc/char "
+    "counts, corpus share, and the per-doc sampling weight that rebalances "
+    "the mixture to uniform-over-sources (the data-mixture knob of LLM "
+    "corpus curation). One shuffle to ~n_sources rows; the window runs "
+    "over the aggregate, never the corpus (north star: corpus curation).",
+    tags=("llm", "text"),
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    n_src = F.count(F.lit(1)).over(w)
+    return c.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (F.floor(F.col("n_docs") * 10000.0 / total).cast("double") / 10000).alias(
+            "share"
+        ),
+        (
+            F.floor(total * 10000.0 / (n_src * F.col("n_docs"))).cast("double") / 10000
+        ).alias("uniform_weight"),
+    )
+
+
+@query(
     "q56_corpus_split",
     oracle=f"""
     WITH t AS (
