@@ -74,3 +74,57 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q64_range_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           count(e.event_id) AS n_prior,
+           CAST(sum(CAST(floor(e.value * 1000000.0 + 0.5) AS HUGEINT)) // 10000
+                AS DOUBLE) / 100 AS sum_prior_value
+    FROM events p LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR
+     AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="Interval/range join: each purchase annotated with the count and "
+    "value-sum of the same user's events in the preceding hour (the "
+    "attribution-window shape). Implemented as the BANDED equi-join "
+    "(operators/range_join.py) — time buckets of exactly the window span "
+    "become a second join key, so the plan is a plain equi-shuffle, never "
+    "a per-key cross product; the oracle is DuckDB's native range join, "
+    "so two different algorithms must agree.",
+    tags=("advanced", "join"),
+)
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import money_sum
+    from football_lakehouse_spark.operators.range_join import banded_prior_window_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    cand = banded_prior_window_join(
+        purchases,
+        ev,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_micros=3_600_000_000,
+        payload=["value"],
+    )
+    agg = cand.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        money_sum(F.col("__p_value")).alias("sum_prior_value"),
+    )
+    return (
+        purchases.select("event_id", "user_id")
+        .join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_prior"),
+            F.col("sum_prior_value"),
+        )
+    )

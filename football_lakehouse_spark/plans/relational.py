@@ -650,3 +650,31 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q63_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           {sql_money_sum('l_quantity')} AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets with GROUPING() flags to disambiguate NULL "
+    "group keys from subtotal rows (engine addition; SURVEY §2.4 notes "
+    "the reference has none but the engine should expose the built-ins). "
+    "Catalyst expands the cube map-side; the shuffle carries one partial "
+    "per (row, grouping set) — still a tiny-cardinality agg at any scale.",
+    tags=("relational",),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

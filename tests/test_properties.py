@@ -110,3 +110,32 @@ def test_asof_join_matches_naive(spark, left, right):
         prior = [(rt, p) for (rk, rt, p) in right if rk == k and rt < t]
         expect = max(prior)[1] if prior else None
         assert got[i] == expect, (i, k, t, prior)
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=25),
+    right=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.floats(0, 10, allow_nan=False)),
+        max_size=25,
+    ),
+    window=st.integers(1, 40),
+)
+@SLOW
+def test_banded_range_join_matches_naive(spark, left, right, window):
+    from football_lakehouse_spark.operators.range_join import banded_prior_window_join
+
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, ts int, lid int"
+    )
+    rdf = spark.createDataFrame(right, "k int, ts int, payload double")
+    cand = banded_prior_window_join(ldf, rdf, "k", "ts", "ts", window, ["payload"])
+    got = sorted((r.lid, r["__p_payload"]) for r in cand.collect())
+    expect = sorted(
+        (i, p)
+        for i, (k, t) in enumerate(left)
+        for (rk, rt, p) in right
+        if rk == k and t - window <= rt < t
+    )
+    assert got == expect
