@@ -54,3 +54,11 @@ def test_flagship_single_scan_single_shuffle(spark):
     plan = plan_of(spark, "q01_fixture_horizons")
     assert plan.count("FileScan parquet") == 2  # lineitem once + supplier dim
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_range_join_is_equi_join(spark):
+    plan = plan_of(spark, "q64_range_join")
+    # the banded form must plan as an equi-join (hash/sort-merge), never
+    # a per-key cross product
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
