@@ -499,6 +499,54 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q65_stratified_sample",
+    oracle=f"""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    w AS (SELECT source,
+                 floor(sum(n_docs) OVER () * 10000.0
+                       / (count(*) OVER () * n_docs)) / 10000 AS uniform_weight
+          FROM c)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w USING (source)
+    WHERE {{h}} % 10000 < least(10000, floor(w.uniform_weight * 5000))
+    """.format(h="CAST(('0x' || substr(sha256('mix' || '§' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"),
+    doc="Deterministic stratified sampling that APPLIES the q62 mixture "
+    "weights: each doc is kept iff a portable content hash of its id "
+    "falls under its source's rebalancing rate (base rate 50% scaled by "
+    "the uniform-mixture weight, capped at 1). Hash-gated sampling is "
+    "reproducible across engines, re-runs, and partitionings — unlike "
+    "seeded RNG sampling, which is engine-specific. The weight table is "
+    "n_sources rows → broadcast; the corpus is filtered map-side with "
+    "ZERO corpus shuffles (north star: corpus curation).",
+    tags=("llm", "text"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.partitionBy()
+    weights = c.select(
+        "source",
+        (
+            F.floor(
+                F.sum("n_docs").over(w) * 10000.0
+                / (F.count(F.lit(1)).over(w) * F.col("n_docs"))
+            ).cast("double")
+            / 10000
+        ).alias("uniform_weight"),
+    )
+    rate = F.least(F.lit(10000.0), F.floor(F.col("uniform_weight") * 5000))
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .where(portable_hash(F.col("doc_id").cast("string"), seed="mix") % 10000 < rate)
+        .select("doc_id", "source")
+    )
+
+
+@query(
     "q56_corpus_split",
     oracle=f"""
     WITH t AS (
