@@ -86,3 +86,40 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q66_sliding_window",
+    oracle="""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    x AS (
+        SELECT event_type, (us // 7200000000 - t.i) * 7200000000 AS ws_us
+        FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t
+    )
+    SELECT strftime(make_timestamp(CAST(ws_us AS BIGINT)), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n
+    FROM x
+    GROUP BY 1, 2
+    """,
+    doc="Sliding-window aggregation: 6-hour windows sliding every 2 hours "
+    "(engine addition per SURVEY §2.9). Spark's window() emits each row "
+    "into width/slide = 3 windows map-side before the partial agg — the "
+    "oracle reconstructs the same 3-way expansion explicitly, so the "
+    "window-assignment arithmetic itself is cross-checked. The shuffle "
+    "carries only (window, type) partials: sliding windows cost one "
+    "expansion factor, never a second shuffle.",
+    tags=("streaming", "window"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
