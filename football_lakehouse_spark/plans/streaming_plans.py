@@ -123,3 +123,57 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "q67_session_window",
+    oracle="""
+    WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    m AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                         >= 1800000000
+                      OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    s AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           strftime(make_timestamp(CAST(min(us) AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(CAST(max(us) + 1800000000 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    doc="Session-window aggregation (30-min inactivity gap) via Spark's "
+    "native session_window() — the streaming-capable form of q28's "
+    "batch sessionize. The oracle reconstructs sessions with the "
+    "lag/cumsum idiom, so the gap-merge semantics (half-open window, "
+    "end = last event + gap) are cross-checked between two different "
+    "algorithms. One shuffle on the session key; Spark merges windows "
+    "in the aggregate, never materialising per-pair comparisons.",
+    tags=("streaming", "window"),
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
