@@ -678,3 +678,50 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("l_quantity")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q68_set_ops",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01'),
+    y97 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+    UNION ALL
+    SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+    UNION ALL
+    SELECT o_custkey, 'new' AS cohort FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)
+    """,
+    doc="INTERSECT / EXCEPT set operations as a customer-cohort query "
+    "(retained / churned / acquired between two order years). SURVEY "
+    "§2.7 notes the reference has neither; the engine exposes the "
+    "built-ins (Catalyst plans both as aggregates/anti-joins on distinct "
+    "keys — one shuffle per side, no row-pair comparisons).",
+    tags=("relational", "setop"),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = year_keys(1996), year_keys(1997)
+    return (
+        y96.intersect(y97).select("o_custkey", F.lit("both").alias("cohort"))
+        .unionByName(
+            y96.exceptAll(y97).select("o_custkey", F.lit("churned").alias("cohort"))
+        )
+        .unionByName(
+            y97.exceptAll(y96).select("o_custkey", F.lit("new").alias("cohort"))
+        )
+    )
