@@ -145,17 +145,44 @@ class LakehouseTable:
     def merge(self, updates: DataFrame, keys: Sequence[str]) -> int:
         """Delta-style MERGE: upsert by key, copy-on-write.
 
-        When the table is partitioned and all partition columns are in
-        the update batch, only the partitions present in ``updates``
-        are rewritten — untouched partitions keep their existing files
-        (the at-scale behaviour; a full rewrite of 100 TB per merge
-        would be unusable).
+        When the table is partitioned, only the partitions that the
+        merge can change are rewritten — untouched partitions keep
+        their existing files (the at-scale behaviour; a full rewrite of
+        100 TB per merge would be unusable). "Can change" means the
+        union of (a) partitions named by the update rows and (b)
+        partitions where a matched key CURRENTLY lives — (b) covers the
+        Delta-semantics case where an update moves a key to a different
+        partition value (e.g. a corrected snapshot_date): the old copy
+        must be deleted from the partition it lives in, not retained.
+
+        A partitioned table requires the update batch to carry every
+        partition column (the merged rows are rewritten partition-wise
+        and Spark needs the values to route them); a batch missing them
+        raises a clear error instead of an opaque AnalysisException.
         """
         if not self.exists():
             return self.append(updates)
         base = self.read()
         if self.partition_by:
-            parts = updates.select(*self.partition_by).distinct()
+            missing = set(self.partition_by) - set(updates.columns)
+            if missing:
+                raise ValueError(
+                    f"merge into partitioned table {self.base} requires partition "
+                    f"column(s) {sorted(missing)} in the update batch (got "
+                    f"{updates.columns}); merged rows cannot be routed to "
+                    f"partitions without them"
+                )
+            # (a) partitions the update rows land in
+            parts_new = updates.select(*self.partition_by).distinct()
+            # (b) partitions where a matched key currently lives — a key
+            # whose partition value changed must be rewritten out of its
+            # old partition, or the stale copy survives as a duplicate.
+            upd_keys = updates.select(*keys).distinct()
+            parts_old = (
+                base.join(F.broadcast(upd_keys), list(keys), "left_semi")
+                .select(*self.partition_by).distinct()
+            )
+            parts = parts_new.unionByName(parts_old).distinct()
             touched_base = base.join(F.broadcast(parts), self.partition_by, "left_semi")
             merged = merge_upsert(touched_base, updates, keys)
             new_files = self._stage(merged)

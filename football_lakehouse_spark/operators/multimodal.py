@@ -75,13 +75,18 @@ def frame_sample(
 
     payload = F.col(f"{asset_col}.payload")
     n_frames = F.ceil(F.length(payload) / F.lit(frame_bytes)).cast("int")
-    frames = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: F.struct(
-            i.alias("frame_ix"),
-            payload.substr(i * frame_bytes + 1, F.lit(frame_bytes)).alias("frame"),
+    # n_frames == 0 would make sequence(0, -1) count DOWN to [0, -1] and
+    # emit a phantom empty frame — empty payloads must yield no frames
+    frames = F.when(
+        n_frames > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda i: F.struct(
+                i.alias("frame_ix"),
+                payload.substr(i * frame_bytes + 1, F.lit(frame_bytes)).alias("frame"),
+            ),
         ),
-    )
+    ).otherwise(F.array())
     sampled = F.filter(frames, lambda fr: fr["frame_ix"] % every_nth == 0)
     return df.select(
         "doc_id", F.explode(sampled).alias("fr")

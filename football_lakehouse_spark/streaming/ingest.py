@@ -43,10 +43,28 @@ EVENT_SCHEMA_WITH_RESCUE = EVENT_SCHEMA + ", _rescue STRING"
 def land_json_files(events: DataFrame, landing_dir: str, files_per_day: int = 1) -> None:
     """S7: land event payloads as day-partitioned JSON files. Partition
     dirs give the downstream stream (and any batch reader) partition
-    pruning on ``snapshot_date``."""
-    (
+    pruning on ``snapshot_date``.
+
+    ``files_per_day`` controls write parallelism per day via a
+    deterministic salt: rows are shuffled on ``(snapshot_date, salt)``
+    so each day lands in up to ``files_per_day`` files (exact when the
+    salt values hash to distinct tasks — close enough for sizing; at
+    scale this is how you keep one hot day from serialising into a
+    single writer task)."""
+    src_cols = events.columns
+    salted = (
         events.withColumn("snapshot_date", F.to_date("ts"))
-        .repartition(files_per_day, "snapshot_date")
+        .withColumn("_salt", F.pmod(F.hash(*src_cols), F.lit(files_per_day)))
+    )
+    # explicit partition count: AQE coalesces un-numbered repartitions on
+    # small batches, which would collapse every day back into one file
+    n_parts = max(
+        int(events.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        files_per_day,
+    )
+    (
+        salted.repartition(n_parts, F.col("snapshot_date"), F.col("_salt"))
+        .drop("_salt")
         .write.mode("append")
         .partitionBy("snapshot_date")
         .json(landing_dir)
@@ -93,16 +111,33 @@ def merge_stream_into_table(
     keys: Sequence[str] = ("event_id",),
     order_desc: Sequence[str] = ("ts", "event_id"),
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    quarantine_table: LakehouseTable | None = None,
 ) -> None:
     """ST4: late/duplicate-safe upsert — every micro-batch is deduped
     (latest wins) and MERGEd into the versioned table inside
     ``foreachBatch``, the exactly-once sink pattern for non-idempotent
-    targets."""
+    targets.
+
+    Rescued/corrupt rows (``_rescue`` set, or a null merge key) are
+    routed to ``quarantine_table`` (or dropped if none is given) BEFORE
+    dedupe+merge: a null key never matches in the merge anti-join, so
+    letting them through would accumulate one null-key row per
+    micro-batch in the target table.
+    """
     stream = read_landing_stream(spark, landing_dir)
 
     def _merge_batch(batch: DataFrame, _epoch: int) -> None:
         if transform is not None:
             batch = transform(batch)
+        bad = F.lit(False)
+        if "_rescue" in batch.columns:
+            bad = bad | F.col("_rescue").isNotNull()
+        for k in keys:
+            bad = bad | F.col(k).isNull()
+        quarantined = batch.where(bad)
+        if quarantine_table is not None and not quarantined.isEmpty():
+            quarantine_table.append(quarantined)
+        batch = batch.where(~bad)
         batch = dedupe_updates(batch, list(keys), list(order_desc))
         table.merge(batch, list(keys))
 

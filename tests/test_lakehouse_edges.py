@@ -55,3 +55,40 @@ def test_append_if_new_partial_novelty(spark, tmp_path):
     # no hash appears more often than before + once per novel value
     dupes = t.read().groupBy("h", "event_id").count().where("count > 2").count()
     assert dupes == 0
+
+
+def test_merge_key_moving_between_partitions(spark, tmp_path):
+    """Delta MERGE semantics: an update that changes a key's partition
+    value must delete the old copy from the partition it lived in —
+    the old partition is rewritten too, not just the ones named by the
+    update batch (ADVICE round 1)."""
+    t = LakehouseTable(spark, str(tmp_path), "s", "moving",
+                       partition_by=["snapshot_date"])
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"), (3, "2024-01-02", "c")],
+        "k int, snapshot_date string, v string",
+    )
+    t.merge(base, ["k"])
+    # key 1 moves from 2024-01-01 to 2024-01-03
+    upd = spark.createDataFrame(
+        [(1, "2024-01-03", "a2")], "k int, snapshot_date string, v string"
+    )
+    t.merge(upd, ["k"])
+    got = t.read()
+    assert got.count() == 3  # no duplicate of key 1
+    rows = {r["k"]: (str(r["snapshot_date"]), r["v"]) for r in got.collect()}
+    assert rows[1] == ("2024-01-03", "a2")
+    assert rows[2] == ("2024-01-01", "b")  # untouched sibling survives
+    assert rows[3] == ("2024-01-02", "c")  # untouched partition survives
+
+
+def test_merge_missing_partition_cols_raises_clearly(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path), "s", "partial",
+                       partition_by=["snapshot_date"])
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a")], "k int, snapshot_date string, v string"
+    )
+    t.merge(base, ["k"])
+    upd = spark.createDataFrame([(1, "a2")], "k int, v string")
+    with pytest.raises(ValueError, match="partition"):
+        t.merge(upd, ["k"])

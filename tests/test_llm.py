@@ -182,3 +182,21 @@ def test_multiprobe_lsh_improves_recall(spark, emb):
     r_multi = len(truth & multi) / len(truth)
     assert r_multi >= r_base, (r_base, r_multi)
     assert r_multi > 0
+
+
+def test_frame_sample_empty_payload_yields_no_frames(spark):
+    """Empty payloads must produce zero frames — not a phantom
+    zero-byte frame from sequence(0, -1) (ADVICE round 1)."""
+    from football_lakehouse_spark.operators.multimodal import bundle_assets, frame_sample
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(b"x" * 100))],
+        "doc_id bigint, payload binary",
+    )
+    bundled = bundle_assets(df, F.col("payload"), "application/octet-stream")
+    frames = frame_sample(bundled, frame_bytes=64, every_nth=1)
+    got = frames.groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in got}
+    assert 1 not in counts
+    assert counts[2] == 2

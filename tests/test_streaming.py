@@ -156,3 +156,53 @@ def test_rescue_column_on_corrupt_records(spark, events, tmp_path):
     rescued = got.where(F.col("_rescue").isNotNull())
     assert rescued.count() == 1  # corrupt line kept, not dropped (ST3)
     assert got.where(F.col("event_id") == 1).count() == 1
+
+
+def test_land_json_files_per_day_fanout(spark, events, tmp_path):
+    """files_per_day actually fans each day out into multiple files
+    (salted shuffle), so one hot day cannot serialise into a single
+    writer task (ADVICE round 1)."""
+    import glob
+
+    landing = str(tmp_path / "landing")
+    sample = events.limit(2000)
+    n_src = sample.count()
+    land_json_files(sample, landing, files_per_day=4)
+    day_dirs = glob.glob(landing + "/snapshot_date=*")
+    assert day_dirs
+    multi = [d for d in day_dirs if len(glob.glob(d + "/*.json")) > 1]
+    # hash placement is approximate; most days must fan out
+    assert len(multi) >= max(1, len(day_dirs) // 2)
+    assert spark.read.json(landing).count() == n_src
+
+
+def test_merge_stream_quarantines_rescued_rows(spark, events, tmp_path):
+    """Rescued/corrupt rows (null merge key) are routed to quarantine,
+    not merged — otherwise one null-key row accumulates per micro-batch
+    (ADVICE round 1)."""
+    landing = tmp_path / "landing" / "snapshot_date=2024-01-01"
+    landing.mkdir(parents=True)
+    good = {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 7,
+            "event_type": "click", "value": 1.5, "props": "{}"}
+    with open(landing / "batch1.json", "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write('{"event_id": oops-not-json\n')
+    table = LakehouseTable(spark, str(tmp_path), "silver", "ev")
+    quarantine = LakehouseTable(spark, str(tmp_path), "silver", "ev_quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    merge_stream_into_table(
+        spark, str(tmp_path / "landing"), ckpt, table,
+        quarantine_table=quarantine,
+    )
+    assert table.read().count() == 1
+    assert table.read().where(F.col("event_id").isNull()).count() == 0
+    assert quarantine.read().count() == 1
+    # second corrupt batch: still exactly zero null keys in the table
+    with open(landing / "batch2.json", "w") as f:
+        f.write('{"event_id": also-bad\n')
+    merge_stream_into_table(
+        spark, str(tmp_path / "landing"), ckpt, table,
+        quarantine_table=quarantine,
+    )
+    assert table.read().where(F.col("event_id").isNull()).count() == 0
+    assert quarantine.read().count() == 2
