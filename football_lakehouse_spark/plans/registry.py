@@ -49,12 +49,58 @@ def query(
     return deco
 
 
+#: Driver-facing ordering. The round-1 driver recorded CORRECTNESS rows for
+#: exactly the first 50 registry entries, so the per-round report is a
+#: 50-query prefix of this order. Queries that did NOT get a row in round 1
+#: (registry positions 50-67 back then) are promoted to the front so the
+#: union of per-round reports covers the whole surface; new queries added
+#: this round join the front group for the same reason.
+DRIVER_ORDER_FIRST: tuple[str, ...] = (
+    "q43_ngram_jaccard",
+    "q58_repetition_ratio",
+    "q59_decontamination",
+    "q61_vocab_df",
+    "q62_mixture_weights",
+    "q65_stratified_sample",
+    "q56_corpus_split",
+    "q57_neardup_clusters",
+    "q44_ann_bruteforce",
+    "q45_ann_lsh",
+    "q51_ann_ivf",
+    "q52_embedding_neardup",
+    "q48_embedding_stats",
+    "q46_multimodal_meta",
+    "q47_multimodal_features",
+    "q49_asof_join",
+    "q50_approx_stats",
+    "q64_range_join",
+    # changed in round 2 (new oracle / de-collect-ed wrapper / widened hash)
+    # → need fresh rows even though round 1 covered them
+    "q35_train_score_gbt",
+    "q42_simhash",
+    "q32_streaming_ingest",
+    "q30_time_travel",
+    "q54_format_roundtrip",
+    "q60_continuous_rollup",
+)
+
+
+def _driver_ordered() -> list[str]:
+    front = [n for n in DRIVER_ORDER_FIRST if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(front)]
+    return front + rest
+
+
 def all_queries() -> dict[str, Builder]:
-    return {n: s.builder for n, s in REGISTRY.items()}
+    return {n: REGISTRY[n].builder for n in _driver_ordered()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {
+        n: REGISTRY[n].oracle
+        for n in _driver_ordered()
+        if REGISTRY[n].oracle is not None
+    }
 
 
 def bench_queries() -> dict[str, QuerySpec]:
