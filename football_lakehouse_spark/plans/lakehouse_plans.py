@@ -15,6 +15,7 @@ from football_lakehouse_spark.catalog import load_table
 from football_lakehouse_spark.lakehouse.tables import LakehouseTable
 from football_lakehouse_spark.operators.merge import merge_upsert
 from football_lakehouse_spark.plans.registry import query
+from football_lakehouse_spark.scratch import scratch_dir
 
 # Deterministic base/updates split of `events` shared by q29/q30 and the
 # DuckDB oracles: base = 90% of events; updates touch every 3rd event
@@ -83,30 +84,30 @@ def merge_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, upd = _base_updates(spark, sf_dir)
-    with tempfile.TemporaryDirectory(prefix="fls-tt-") as root:
-        t = LakehouseTable(spark, root, "silver", "event_tt")
-        t.append(base)
-        t.merge(upd, ["event_id"])
-        hist = t.describe_history()
-        outs = []
-        for h in hist:
-            df = t.read(version=h["version"])
-            outs.append(
-                df.agg(
-                    F.lit(h["version"]).cast("bigint").alias("version"),
-                    F.lit(h["operation"]).alias("operation"),
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.sum(F.when(F.col("event_type") == "updated", 1).otherwise(0))
-                    .cast("bigint")
-                    .alias("n_updated"),
-                )
+    # persistent scratch (cleaned on next run): the per-version summaries
+    # stay lazy reads over the committed table files, distributed end to end
+    root = scratch_dir("q30_time_travel")
+    t = LakehouseTable(spark, root, "silver", "event_tt")
+    t.append(base)
+    t.merge(upd, ["event_id"])
+    hist = t.describe_history()
+    outs = []
+    for h in hist:
+        df = t.read(version=h["version"])
+        outs.append(
+            df.agg(
+                F.lit(h["version"]).cast("bigint").alias("version"),
+                F.lit(h["operation"]).alias("operation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("event_type") == "updated", 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_updated"),
             )
-        result = outs[0]
-        for o in outs[1:]:
-            result = result.unionByName(o)
-        # materialise before the temp dir vanishes
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
 
 
 @query(
@@ -171,11 +172,9 @@ def continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     batches = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
-    with tempfile.TemporaryDirectory(prefix="fls-cagg-") as root:
-        t = maintain_from_batches(spark, batches, root)
-        out = rollup_view(t)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+    root = scratch_dir("q60_continuous_rollup")
+    t = maintain_from_batches(spark, batches, root)
+    return rollup_view(t)
 
 
 @query(
@@ -198,29 +197,28 @@ def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     schema = "event_id BIGINT, event_type STRING, value DOUBLE"
-    with tempfile.TemporaryDirectory(prefix="fls-fmt-") as root:
-        parts = []
-        ev.write.mode("overwrite").option("header", True).csv(os.path.join(root, "csv"))
-        parts.append(
-            spark.read.schema(schema).option("header", True)
-            .csv(os.path.join(root, "csv"))
-            .select(F.lit("csv").alias("fmt"), "*")
-        )
-        ev.write.mode("overwrite").json(os.path.join(root, "json"))
-        parts.append(
-            spark.read.schema(schema).json(os.path.join(root, "json"))
-            .select(F.lit("json").alias("fmt"), "*")
-        )
-        ev.write.mode("overwrite").orc(os.path.join(root, "orc"))
-        parts.append(
-            spark.read.schema(schema).orc(os.path.join(root, "orc"))
-            .select(F.lit("orc").alias("fmt"), "*")
-        )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+    root = scratch_dir("q54_format_roundtrip")
+    parts = []
+    ev.write.mode("overwrite").option("header", True).csv(os.path.join(root, "csv"))
+    parts.append(
+        spark.read.schema(schema).option("header", True)
+        .csv(os.path.join(root, "csv"))
+        .select(F.lit("csv").alias("fmt"), "*")
+    )
+    ev.write.mode("overwrite").json(os.path.join(root, "json"))
+    parts.append(
+        spark.read.schema(schema).json(os.path.join(root, "json"))
+        .select(F.lit("json").alias("fmt"), "*")
+    )
+    ev.write.mode("overwrite").orc(os.path.join(root, "orc"))
+    parts.append(
+        spark.read.schema(schema).orc(os.path.join(root, "orc"))
+        .select(F.lit("orc").alias("fmt"), "*")
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @query(

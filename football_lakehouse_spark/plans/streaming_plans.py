@@ -8,12 +8,12 @@ tests').
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from football_lakehouse_spark.catalog import load_table
 from football_lakehouse_spark.plans.registry import query
+from football_lakehouse_spark.scratch import scratch_dir
 from football_lakehouse_spark.streaming.ingest import (
     ingest_available_now,
     land_json_files,
@@ -36,22 +36,22 @@ from football_lakehouse_spark.streaming.ingest import (
 )
 def streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    with tempfile.TemporaryDirectory(prefix="fls-stream-") as root:
-        landing = os.path.join(root, "landing")
-        bronze = os.path.join(root, "bronze")
-        ckpt = os.path.join(root, "ckpt")
-        land_json_files(ev, landing)
-        ingest_available_now(spark, landing, bronze, ckpt)
-        ingest_available_now(spark, landing, bronze, ckpt)  # exactly-once rerun
-        out = spark.read.parquet(bronze).select(
-            "event_id",
-            "user_id",
-            "event_type",
-            "value",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+    # persistent scratch (cleaned on next run) so the result stays a LAZY
+    # parquet reader — no driver-side materialisation of the Bronze table
+    root = scratch_dir("q32_streaming_ingest")
+    landing = os.path.join(root, "landing")
+    bronze = os.path.join(root, "bronze")
+    ckpt = os.path.join(root, "ckpt")
+    land_json_files(ev, landing)
+    ingest_available_now(spark, landing, bronze, ckpt)
+    ingest_available_now(spark, landing, bronze, ckpt)  # exactly-once rerun
+    return spark.read.parquet(bronze).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
 
 
 @query(
