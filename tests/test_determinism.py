@@ -19,3 +19,14 @@ def test_rows_only_deterministic(spark, spec):
     b = sorted(tuple(str(x) for x in r) for r in spec.builder(spark, SF_SMOKE).collect())
     assert a == b, f"{spec.name} is nondeterministic across runs"
     assert a, f"{spec.name} returned no rows"
+
+
+def test_ml_pinned_eval_matches_oracle(spark, duck):
+    """The pinned GBT regression row (q69) must reproduce exactly at
+    sf0.01 — integer cents, fixed seed, deterministic split. GBT was
+    verified bit-deterministic across 32/7/200 shuffle partitions and
+    repartitioned inputs; this guards the model/seed/split/features."""
+    from tests.conftest import SF_ORACLE, compare_with_oracle
+
+    spec = registry.REGISTRY["q69_ml_pinned_eval"]
+    compare_with_oracle(spec.builder(spark, SF_ORACLE), spec.oracle, duck[SF_ORACLE])
