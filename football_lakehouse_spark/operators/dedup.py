@@ -315,26 +315,58 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
-def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash per document: per-token portable hash, signed bit
-    votes, sign → bit. One explode + one aggregation."""
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per-token portable hash, signed bit
+    votes, sign → bit. One explode + one aggregation (the 64 votes fuse
+    into the same partial-agg pass — no extra shuffle vs 16 bits).
+
+    16 bits collide heavily on real corpora (~2^16 distinct values for
+    10⁹ docs); 64 bits is the standard width (Charikar / Manku et al.).
+    The two independent 32-bit halves come from disjoint slices of ONE
+    sha256 per token — no extra hashing — and are returned as
+    ``simhash_hi`` (bits 32-63) and ``simhash_lo`` (bits 0-31) so each
+    half stays in unsigned-32 range inside a signed BIGINT, exactly
+    reproducible in DuckDB without 2^63 overflow games."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(par).select(
         id_col, F.explode(ws_tokens(F.col(text_col))).alias("token")
     )
-    h = portable_hash(F.col("token"))
+    sha = F.sha2(F.col("token"), 256)
+    h_lo = F.conv(F.substring(sha, 1, 8), 16, 10).cast("bigint")  # == portable_hash
+    h_hi = F.conv(F.substring(sha, 9, 8), 16, 10).cast("bigint")
     votes = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(h_lo, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{j}")
-        for j in range(16)
+        for j in range(32)
+    ] + [
+        F.sum(
+            F.when(F.shiftright(h_hi, j - 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(32, 64)
     ]
     voted = toks.groupBy(id_col).agg(*votes)
-    sim = None
-    for j in range(16):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return voted.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+    def pack(js: range, base: int) -> F.Column:
+        sim = None
+        for j in js:
+            bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** (j - base))).otherwise(F.lit(0))
+            sim = bit if sim is None else sim + bit
+        return sim.cast("bigint")
+
+    return voted.select(
+        F.col(id_col),
+        pack(range(32, 64), 32).alias("simhash_hi"),
+        pack(range(0, 32), 0).alias("simhash_lo"),
+    )
+
+
+def simhash_hamming(hi_a: F.Column, lo_a: F.Column, hi_b: F.Column, lo_b: F.Column) -> F.Column:
+    """Hamming distance between two packed 64-bit simhashes — the
+    near-dup predicate (typically distance ≤ 3 at 64 bits)."""
+    return (
+        F.bit_count(hi_a.bitwiseXOR(hi_b)) + F.bit_count(lo_a.bitwiseXOR(lo_b))
+    ).cast("bigint")
 
 
 def exact_dedup(docs: DataFrame, on: F.Column, id_col: str = "doc_id") -> DataFrame:

@@ -24,7 +24,7 @@ from football_lakehouse_spark.operators.dedup import (
     minhash_lsh_neardups,
     neardup_clusters,
     shingles_from_tokens,
-    simhash16,
+    simhash64,
 )
 from football_lakehouse_spark.operators.multimodal import bundle_assets, extract_features
 from football_lakehouse_spark.operators.similarity import brute_force_topk, lsh_topk
@@ -274,25 +274,37 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256(token), 1, 8)) AS BIGINT) AS h_lo,
+               CAST(('0x' || substr(sha256(token), 9, 8)) AS BIGINT) AS h_hi
+        FROM tok
+    ),
     votes AS (
         SELECT doc_id,
                {", ".join(
-                   f"sum(CASE WHEN ({_sql_hash('token')} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
-                   for j in range(16)
+                   f"sum(CASE WHEN (h_lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+                   for j in range(32)
+               )},
+               {", ".join(
+                   f"sum(CASE WHEN (h_hi >> {j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+                   for j in range(32, 64)
                )}
-        FROM tok GROUP BY doc_id
+        FROM h GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST({" + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))} AS BIGINT) AS simhash
+           CAST({" + ".join(f"(CASE WHEN v{j} > 0 THEN {2**(j-32)} ELSE 0 END)" for j in range(32, 64))} AS BIGINT) AS simhash_hi,
+           CAST({" + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(32))} AS BIGINT) AS simhash_lo
     FROM votes
     """,
-    doc="16-bit SimHash per document from portable token hashes (north star: "
-    "SimHash dedup); one explode + one aggregation.",
+    doc="64-bit SimHash per document (Charikar bit-vote construction, two "
+    "independent 32-bit halves from disjoint sha256 slices — 16 bits "
+    "collides at real corpus sizes); one explode + one aggregation.",
     tags=("llm", "dedup"),
 )
 def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash16(docs)
+    return simhash64(docs)
 
 
 @query(

@@ -88,6 +88,7 @@ def train_score_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixture — closes the one no-oracle row from round 1 (q35 keeps the "
     "full per-customer scoring surface).",
     tags=("ml",),
+    oracle_sf="sf0.01",
 )
 def ml_pinned_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = train_score_gbt(spark, sf_dir)

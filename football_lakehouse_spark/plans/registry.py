@@ -26,6 +26,9 @@ class QuerySpec:
     doc: str = ""
     bench: bool = False  # include in bench.py's headline set
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: scale the oracle is valid at (e.g. "sf0.01" for pinned-literal
+    #: regression oracles); None → valid at every scale factor
+    oracle_sf: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -37,13 +40,16 @@ def query(
     doc: str = "",
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    oracle_sf: str | None = None,
 ) -> Callable[[Builder], Builder]:
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), bench, tags)
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, doc or (fn.__doc__ or ""), bench, tags, oracle_sf
+        )
         return fn
 
     return deco

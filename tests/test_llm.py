@@ -200,3 +200,37 @@ def test_frame_sample_empty_payload_yields_no_frames(spark):
     counts = {r["doc_id"]: r["count"] for r in got}
     assert 1 not in counts
     assert counts[2] == 2
+
+
+def test_simhash64_near_dup_property(spark):
+    """64-bit SimHash: identical docs hash identically; a small edit
+    moves few bits (hamming <= 12 of 64); unrelated docs are far."""
+    from football_lakehouse_spark.operators.dedup import simhash64, simhash_hamming
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate
+            (3, base + " extra tail words here"),  # near duplicate
+            (4, "completely different content about spark partitions " * 8),
+        ],
+        "doc_id bigint, text string",
+    )
+    s = simhash64(docs)
+    rows = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"]) for r in s.collect()}
+    assert rows[1] == rows[2]
+    for hi, lo in rows.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+    a = s.select(F.col("doc_id").alias("da"), F.col("simhash_hi").alias("ha"), F.col("simhash_lo").alias("la"))
+    b = s.select(F.col("doc_id").alias("db"), F.col("simhash_hi").alias("hb"), F.col("simhash_lo").alias("lb"))
+    d = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select("da", "db", simhash_hamming(F.col("ha"), F.col("la"), F.col("hb"), F.col("lb")).alias("d"))
+    )
+    dist = {(r["da"], r["db"]): r["d"] for r in d.collect()}
+    assert dist[(1, 2)] == 0
+    assert dist[(1, 3)] <= 12
+    assert dist[(1, 4)] > 12
