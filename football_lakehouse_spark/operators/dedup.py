@@ -87,25 +87,52 @@ def _shingle_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def doc_profiles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def _shingle_minhash_aggs(hash_impl: str) -> list[F.Column]:
+    """K per-shingle min-hash aggregates under the chosen hash.
+
+    - ``sha256`` (default): the 64-hex digest of ONE sha256 per shingle
+      is sliced into K independent 8-hex (32-bit) values — 6× cheaper
+      than seeded re-hashing, same LSH statistics, DuckDB-reproducible
+      → this is the ORACLE twin.
+    - ``xxhash64``: K seeded xxhash64 calls (seed = minhash index mixed
+      in as a literal column). xxhash64 is a few ns/row JVM-side vs
+      ~µs-scale sha256 — at 100 TB the shingle hash dominates the CPU
+      cost of the minhash pass, so this is the PRODUCTION path. Not
+      bit-reproducible in DuckDB (different xxhash seeding), hence
+      flag-gated; the property test pins that both paths yield the same
+      verified near-dup topology on the fixture corpus.
+    """
+    if hash_impl == "sha256":
+        sha = F.sha2(F.col("shingle"), 256)
+        return [
+            F.min(
+                F.conv(F.substring(sha, 8 * k + 1, 8), 16, 10).cast("bigint")
+            ).alias(f"mh{k}")
+            for k in range(N_MINHASH)
+        ]
+    if hash_impl == "xxhash64":
+        return [
+            F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh{k}")
+            for k in range(N_MINHASH)
+        ]
+    raise ValueError(f"unknown hash_impl: {hash_impl!r} (use 'sha256' or 'xxhash64')")
+
+
+def doc_profiles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_impl: str = "sha256",
+) -> DataFrame:
     """Per-doc minhash signature AND distinct shingle set in ONE
-    shuffle: ``groupBy(doc)`` with 6 ``min`` aggregates over sha256
-    slices plus ``collect_set(shingle)``. Minhash is duplicate-invariant
-    so the input needn't be pre-distincted; ``collect_set`` yields the
-    exact distinct set for Jaccard verification. One sha256 per shingle
-    occurrence: the 64-hex digest is sliced into K independent 8-hex
-    (32-bit) hash values — 6× cheaper than seeded re-hashing, same LSH
-    statistics, still DuckDB-reproducible."""
+    shuffle: ``groupBy(doc)`` with K ``min`` aggregates plus
+    ``collect_set(shingle)``. Minhash is duplicate-invariant so the
+    input needn't be pre-distincted; ``collect_set`` yields the exact
+    distinct set for Jaccard verification. See
+    :func:`_shingle_minhash_aggs` for the sha256-vs-xxhash64 trade."""
     rows = _shingle_rows(docs, id_col, text_col)
-    sha = F.sha2(F.col("shingle"), 256)
-    aggs = [
-        F.min(
-            F.conv(F.substring(sha, 8 * k + 1, 8), 16, 10).cast("bigint")
-        ).alias(f"mh{k}")
-        for k in range(N_MINHASH)
-    ]
     return rows.groupBy(id_col).agg(
-        *aggs, F.collect_set("shingle").alias("shset")
+        *_shingle_minhash_aggs(hash_impl), F.collect_set("shingle").alias("shset")
     ).withColumn("n_shingles", F.size("shset"))
 
 
@@ -123,17 +150,26 @@ def minhash_signatures(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return pairs.groupBy(id_col).agg(*aggs)
 
 
-def band_buckets(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def band_buckets(
+    sigs: DataFrame, id_col: str = "doc_id", hash_impl: str = "sha256"
+) -> DataFrame:
     """(doc, band_id, band_key) rows via a single explode — a unionByName
     of per-band projections would recompute the signature aggregation
     once per band. Band keys are hashes → uniform, the bucket join can't
-    skew."""
+    skew. The xxhash64 path emits a BIGINT band key (cheaper to shuffle
+    and compare than the 16-hex string of the oracle path)."""
     entries = []
     for b in range(N_BANDS):
         cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        key = F.sha2(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols]), 256)
+        if hash_impl == "xxhash64":
+            key = F.xxhash64(F.lit(b), *cols).cast("string")
+        else:
+            sha = F.sha2(
+                F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols]), 256
+            )
+            key = F.substring(sha, 1, 16)
         entries.append(
-            F.struct(F.lit(b).alias("band_id"), F.substring(key, 1, 16).alias("band_key"))
+            F.struct(F.lit(b).alias("band_id"), key.alias("band_key"))
         )
     return sigs.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("band")
@@ -225,7 +261,11 @@ def verified_jaccard_profiles(
 
 
 def minhash_lsh_neardups(
-    docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_impl: str = "sha256",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → fused per-doc profile (minhash
     signature + distinct shingle set, ONE shuffle) → band → bucket join
@@ -241,12 +281,14 @@ def minhash_lsh_neardups(
     exact-key; this is the content-similarity extension)."""
     from pyspark import StorageLevel
 
-    profiles = doc_profiles(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    profiles = doc_profiles(docs, id_col, text_col, hash_impl).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = profiles.select(id_col, *[f"mh{k}" for k in range(N_MINHASH)])
     # candidates are broadcast twice downstream (one per verify probe) —
     # persist so each broadcast reads the cached handful of rows instead
     # of re-running the banding join
-    cands = candidate_pairs(band_buckets(sigs, id_col), id_col).persist(
+    cands = candidate_pairs(band_buckets(sigs, id_col, hash_impl), id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     return verified_jaccard_profiles(cands, profiles, threshold, id_col)

@@ -234,3 +234,41 @@ def test_simhash64_near_dup_property(spark):
     assert dist[(1, 2)] == 0
     assert dist[(1, 3)] <= 12
     assert dist[(1, 4)] > 12
+
+
+def test_minhash_hash_impl_equivalent_topology(spark, docs):
+    """The xxhash64 production hash and the sha256 oracle hash must be
+    interchangeable on the fixture corpus. Banding is probabilistic, so
+    the two hash families may differ on borderline pairs — the hard
+    guarantees are: (1) NO false positives under either (exact-Jaccard
+    verify), (2) exact duplicates (jaccard 1.0 → identical signatures
+    under ANY hash) are found by BOTH, (3) recall vs brute-force ground
+    truth is high and comparable for both."""
+    from pyspark.sql import functions as F
+
+    from football_lakehouse_spark.operators.dedup import (
+        doc_shingles,
+        minhash_lsh_neardups,
+        verified_jaccard,
+    )
+
+    # brute-force ground truth: all pairs with exact jaccard >= 0.5
+    pairs = doc_shingles(docs)
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    truth_df = verified_jaccard(all_pairs, pairs, 0.5)
+    truth = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in truth_df.collect()}
+    assert truth  # fixture corpus contains near-dups (all ~0.89-0.99)
+
+    sha = {(r[0], r[1]) for r in minhash_lsh_neardups(docs, 0.5, hash_impl="sha256").collect()}
+    xxh = {(r[0], r[1]) for r in minhash_lsh_neardups(docs, 0.5, hash_impl="xxhash64").collect()}
+
+    assert sha <= set(truth), f"sha false positives: {sha - set(truth)}"
+    assert xxh <= set(truth), f"xxh false positives: {xxh - set(truth)}"
+    for name, found in (("sha256", sha), ("xxhash64", xxh)):
+        recall = len(found) / len(truth)
+        assert recall >= 0.9, f"{name} recall {recall:.2f} vs ground truth"
