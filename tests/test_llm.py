@@ -272,3 +272,60 @@ def test_minhash_hash_impl_equivalent_topology(spark, docs):
     for name, found in (("sha256", sha), ("xxhash64", xxh)):
         recall = len(found) / len(truth)
         assert recall >= 0.9, f"{name} recall {recall:.2f} vs ground truth"
+
+
+def test_star_components_equiv_label_propagation(spark, docs):
+    """large-star/small-star must produce exactly the same clustering
+    as iterative min-label propagation on the fixture near-dup pairs."""
+    from football_lakehouse_spark.operators.dedup import (
+        minhash_lsh_neardups,
+        neardup_clusters,
+        neardup_clusters_star,
+    )
+
+    pairs = minhash_lsh_neardups(docs, 0.5).select("doc_a", "doc_b")
+    lp = sorted(tuple(r) for r in neardup_clusters(pairs).collect())
+    star = sorted(tuple(r) for r in neardup_clusters_star(pairs).collect())
+    assert lp == star
+    assert lp
+
+
+def test_star_components_log_rounds_on_chain(spark):
+    """An adversarial 256-node chain (diameter 255) must converge in
+    O(log n) star rounds — label propagation would need ~255."""
+    from football_lakehouse_spark.operators.dedup import (
+        _star_components,
+        neardup_clusters_star,
+    )
+
+    n = 256
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    _, rounds = _star_components(chain)
+    assert rounds <= 12, f"chain took {rounds} rounds (expected O(log n))"
+    out = neardup_clusters_star(chain).collect()
+    assert len(out) == n
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_star_components_disjoint_shapes(spark):
+    """Mixed shapes: two triangles, a star, an isolated pair — every
+    component gets its own min-id cluster with one canonical doc."""
+    from football_lakehouse_spark.operators.dedup import neardup_clusters_star
+
+    edges = (
+        [(10, 11), (11, 12), (10, 12)]          # triangle
+        + [(20, 21), (21, 22), (20, 22)]        # triangle
+        + [(30, 31), (30, 32), (30, 33)]        # star centred on 30
+        + [(40, 41)]                            # pair
+    )
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in neardup_clusters_star(pairs).collect()}
+    expect = {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20,
+              30: 30, 31: 30, 32: 30, 33: 30, 40: 40, 41: 40}
+    assert {k: v[0] for k, v in got.items()} == expect
+    canon = [k for k, v in got.items() if v[1]]
+    assert sorted(canon) == [10, 20, 30, 40]
