@@ -83,6 +83,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # changed in round 2 (new oracle / de-collect-ed wrapper / widened hash)
     # → need fresh rows even though round 1 covered them
     "q69_ml_pinned_eval",
+    "q70_schema_evolution",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",

@@ -55,6 +55,45 @@ def streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q70_schema_evolution",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CASE WHEN event_id % 2 = 1
+                THEN 'dev-' || CAST(event_id % 3 AS VARCHAR) END AS device
+    FROM events
+    """,
+    doc="ST3 complete — addNewColumns schema evolution across stream "
+    "restarts (reference docs/backlog.md:52-54): half the events land "
+    "WITHOUT a device column and are ingested; the other half lands WITH "
+    "it; the restarted stream (same checkpoint) adopts the column via the "
+    "schema log, old rows read back NULL, nothing is rescued. Oracle "
+    "derives the same device value directly from the events table.",
+    tags=("streaming",),
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("q70_schema_evolution")
+    landing = os.path.join(root, "landing")
+    bronze = os.path.join(root, "bronze")
+    ckpt = os.path.join(root, "ckpt")
+    # epoch 1: producer does not emit `device` yet
+    land_json_files(ev.where(F.col("event_id") % 2 == 0), landing)
+    ingest_available_now(spark, landing, bronze, ckpt, evolve_schema=True)
+    # epoch 2: producer adds `device`; stream restarts on the same
+    # checkpoint and must adopt the new column additively
+    evolved = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "device", F.concat(F.lit("dev-"), (F.col("event_id") % 3).cast("string"))
+    )
+    land_json_files(evolved, landing)
+    ingest_available_now(spark, landing, bronze, ckpt, evolve_schema=True)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(bronze)
+        .select("event_id", "event_type", "value", "device")
+    )
+
+
+@query(
     "q33_windowed_counts",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -25,6 +25,7 @@ checkpoint.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -71,13 +72,15 @@ def land_json_files(events: DataFrame, landing_dir: str, files_per_day: int = 1)
     )
 
 
-def read_landing_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+def read_landing_stream(
+    spark: SparkSession, landing_dir: str, schema: str | None = None
+) -> DataFrame:
     """S8: incremental file-source stream with explicit schema (no
     inference on trusted paths — reference §1.3), source-file lineage
     column, and a rescue column for corrupt records."""
     return (
         spark.readStream.format("json")
-        .schema(EVENT_SCHEMA_WITH_RESCUE + ", snapshot_date DATE")
+        .schema(schema or (EVENT_SCHEMA_WITH_RESCUE + ", snapshot_date DATE"))
         .option("columnNameOfCorruptRecord", "_rescue")
         .option("basePath", landing_dir)
         .load(landing_dir)
@@ -86,17 +89,84 @@ def read_landing_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     )
 
 
+def _schema_log_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "_schema_log.json")
+
+
+def evolve_landing_schema(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    base_schema: str = EVENT_SCHEMA_WITH_RESCUE,
+) -> str:
+    """ST3 ``addNewColumns`` evolution (Auto Loader analogue,
+    reference docs/backlog.md:52-54): infer the landing zone's current
+    JSON schema, adopt columns NOT yet in the tracked schema
+    (additive-only — declared columns never change type or vanish, so a
+    drifting producer can't corrupt the contract), and persist the
+    widened schema in a schema log next to the checkpoint so restarts
+    see every column ever adopted even after the files age out.
+
+    Returns the evolved schema as DDL (without the partition column).
+    The inference pass is one extra listing+sample of the landing zone
+    per restart — the same cost Auto Loader pays; at scale you bound it
+    with a sampled read, which this uses via ``samplingRatio``."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    prior = StructType.fromDDL(base_schema)
+    log_path = _schema_log_path(checkpoint_dir)
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            prior = StructType.fromJson(_json.load(f))
+    inferred = (
+        spark.read.option("samplingRatio", 0.5)
+        .option("basePath", landing_dir)
+        .json(landing_dir)
+        .schema
+    )
+    known = {f.name for f in prior.fields} | {"snapshot_date"}
+    extra = [
+        f for f in inferred.fields
+        if f.name not in known and not f.name.startswith("_")
+    ]
+    evolved = StructType(prior.fields + extra)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = log_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(evolved.jsonValue(), f)
+    os.replace(tmp, log_path)
+    return evolved.toDDL()
+
+
 def ingest_available_now(
-    spark: SparkSession, landing_dir: str, bronze_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    landing_dir: str,
+    bronze_dir: str,
+    checkpoint_dir: str,
+    evolve_schema: bool = False,
 ) -> None:
     """ST1/ST2: finite checkpointed run — process all files not yet seen
-    by this checkpoint, then stop. Rerun == no-op until new files land."""
-    stream = read_landing_stream(spark, landing_dir)
+    by this checkpoint, then stop. Rerun == no-op until new files land.
+
+    With ``evolve_schema=True`` each (re)start adopts new columns from
+    the landing zone additively (ST3 complete: rescue for corrupt rows
+    AND schema evolution for well-formed drift); rows from before a
+    column existed read back as NULL for it."""
+    schema = None
+    if evolve_schema:
+        schema = (
+            evolve_landing_schema(spark, landing_dir, checkpoint_dir)
+            + ", snapshot_date DATE"
+        )
+    stream = read_landing_stream(spark, landing_dir, schema)
     q = (
         stream.writeStream.trigger(availableNow=True)
         .format("parquet")
         .option("path", bronze_dir)
         .option("checkpointLocation", checkpoint_dir)
+        .option("mergeSchema", "true")
         .partitionBy("snapshot_date")
         .start()
     )

@@ -99,39 +99,22 @@ def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
 
 def test_schema_evolution_new_column(spark, events, tmp_path):
     """ST3 schema drift: files landed BEFORE a column existed read as
-    NULL for it; files landed after populate it — the addNewColumns
-    evolution contract on a JSON landing zone (restart with the wider
-    schema; checkpoint offsets carry over)."""
+    NULL for it; files landed after populate it — the engine's
+    addNewColumns evolution (evolve_schema=True): the restarted stream
+    adopts the column from the schema log automatically; checkpoint
+    offsets carry over (no reprocessing)."""
     landing, bronze, ckpt = (str(tmp_path / d) for d in ("landing", "bronze", "ckpt"))
     land_json_files(events.limit(50), landing)
-    ingest_available_now(spark, landing, bronze, ckpt)
+    ingest_available_now(spark, landing, bronze, ckpt, evolve_schema=True)
 
     evolved = (
         events.where(F.col("event_id").between(100, 149))
         .withColumn("device", F.concat(F.lit("dev-"), (F.col("event_id") % 3).cast("string")))
     )
     land_json_files(evolved, landing)
+    # restart: same checkpoint; the engine must adopt `device` on its own
+    ingest_available_now(spark, landing, bronze, ckpt, evolve_schema=True)
 
-    # restart the stream with the evolved (wider) schema, same checkpoint
-    from football_lakehouse_spark.streaming import ingest as ing
-
-    stream = (
-        spark.readStream.format("json")
-        .schema(ing.EVENT_SCHEMA_WITH_RESCUE + ", device STRING, snapshot_date DATE")
-        .option("columnNameOfCorruptRecord", "_rescue")
-        .option("basePath", landing)
-        .load(landing)
-        .withColumn("source_file", F.col("_metadata.file_path"))
-    )
-    q = (
-        stream.writeStream.trigger(availableNow=True)
-        .format("parquet")
-        .option("path", bronze)  # same table: schema widens in place
-        .option("checkpointLocation", ckpt)
-        .partitionBy("snapshot_date")
-        .start()
-    )
-    q.awaitTermination()
     got = spark.read.option("mergeSchema", "true").parquet(bronze)
     # offsets honoured: 50 old + 50 new rows, no reprocessing
     assert got.count() == 100
@@ -139,6 +122,33 @@ def test_schema_evolution_new_column(spark, events, tmp_path):
     # old rows read as NULL for the evolved column; new rows populate it
     assert got.where(F.col("device").isNull()).count() == 50
     assert got.where(F.col("device").isNotNull()).count() == 50
+    # nothing rescued: well-formed drift is adopted, not quarantined
+    assert got.where(F.col("_rescue").isNotNull()).count() == 0
+
+
+def test_schema_evolution_keeps_rescue_and_old_columns(spark, events, tmp_path):
+    """Evolution survives the column ageing OUT of the landing zone
+    (schema log remembers it) and corrupt lines still land in _rescue."""
+    import shutil
+
+    landing, bronze, ckpt = (str(tmp_path / d) for d in ("landing", "bronze", "ckpt"))
+    evolved = events.limit(20).withColumn("extra_col", F.lit("x"))
+    land_json_files(evolved, landing)
+    ingest_available_now(spark, landing, bronze, ckpt, evolve_schema=True)
+
+    # producer reverts (new landing files WITHOUT extra_col) + a corrupt line
+    shutil.rmtree(landing)
+    land_json_files(events.where(F.col("event_id").between(500, 519)), landing)
+    day = tmp_path / "landing" / "snapshot_date=2024-01-01"
+    day.mkdir(parents=True, exist_ok=True)
+    with open(day / "corrupt.json", "w") as f:
+        f.write('{"event_id": not-json\n')
+    ingest_available_now(spark, landing, bronze, ckpt, evolve_schema=True)
+
+    got = spark.read.option("mergeSchema", "true").parquet(bronze)
+    assert "extra_col" in got.columns  # remembered from the schema log
+    assert got.where(F.col("_rescue").isNotNull()).count() == 1
+    assert got.where(F.col("extra_col").isNotNull()).count() == 20
 
 
 def test_rescue_column_on_corrupt_records(spark, events, tmp_path):
