@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -21,7 +22,8 @@ from football_lakehouse_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.1
     spark = get_spark("fls-bench")
 
     specs = registry.bench_queries()
@@ -30,17 +32,18 @@ def main() -> None:
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    # min of 3 timed runs per query: the shared host's load bursts
-    # inflate sub-second queries ±5×; the min is the honest plan cost
-    timings: dict[str, float] = {}
-    for name, spec in specs.items():
-        best = float("inf")
-        for _ in range(3):
+    # min over 4 ROUND-ROBIN passes: the shared host's load bursts last
+    # seconds and would span all back-to-back runs of one query;
+    # interleaving means a burst inflates different queries in different
+    # passes, so the per-query min stays the honest plan cost
+    timings: dict[str, float] = {n: float("inf") for n in specs}
+    for _ in range(4):
+        for name, spec in specs.items():
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(best, 4)
+    timings = {n: round(v, 4) for n, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
     print(

@@ -260,13 +260,30 @@ def _sql_minhash_pipeline(threshold: float) -> str:
     doc="MinHash+LSH near-duplicate detection, END-TO-END oracle-checked: "
     "3-gram shingles → 6 portable minhashes → 3×2 banding → bucket join "
     "→ exact Jaccard verification ≥ 0.5 (north star: near-dup dedup). "
-    "The O(n²) pair space never materialises — only same-bucket pairs.",
-    bench=True,
+    "The O(n²) pair space never materialises — only same-bucket pairs. "
+    "sha256 hashing here is the cross-engine-verifiable twin; the BENCH "
+    "entry (q71) runs the xxhash64 production path of the same pipeline.",
     tags=("llm", "dedup"),
 )
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_neardups(docs, threshold=0.5)
+
+
+@query(
+    "q71_minhash_neardup_fast",
+    oracle=None,  # xxhash64 seeding is not reproducible in DuckDB;
+    # interchangeability with the oracle-checked sha path is
+    # property-tested (test_minhash_hash_impl_equivalent_topology)
+    doc="Production-hash MinHash+LSH near-dup: identical pipeline to q41 "
+    "with hash_impl=xxhash64 (JVM-intrinsic, ns/row) — what you run at "
+    "100 TB, where the per-shingle hash dominates the pass's CPU.",
+    bench=True,
+    tags=("llm", "dedup"),
+)
+def minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_neardups(docs, threshold=0.5, hash_impl="xxhash64")
 
 
 @query(

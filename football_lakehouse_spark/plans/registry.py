@@ -84,6 +84,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # → need fresh rows even though round 1 covered them
     "q69_ml_pinned_eval",
     "q70_schema_evolution",
+    "q71_minhash_neardup_fast",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
