@@ -1,19 +1,27 @@
 """Versioned lakehouse tables on plain parquet.
 
 The reference stores everything in Delta tables and leans on Delta for
-append/overwrite sinks, MERGE, time travel, OPTIMIZE/VACUUM and
+append/overwrite sinks, MERGE, DELETE, time travel, OPTIMIZE/VACUUM and
 small-file controls (SURVEY.md §2.1 S4-S6, §2.13). delta-spark is not
 in this image, so this module provides the same contract on parquet +
-a JSON manifest — a deliberately small, single-writer transaction log:
+a Delta-shaped transaction log:
 
     <root>/<schema>/<table>/
-        _manifest.json          # versions: [{version, operation, files, ts}]
-        data/<partition dirs>/<version>-<n>.parquet
+        _log/<20-digit version>.json         # ONE commit = ONE file:
+                                             #   {version, operation, ts,
+                                             #    add: [files], remove: [files]}
+        _log/<version>.checkpoint.json       # every CHECKPOINT_EVERY commits:
+                                             #   {version, live: [files],
+                                             #    history: [compact entries]}
+        data/<partition dirs>/<txid>-<n>.parquet
 
-Every commit is copy-on-write at file granularity: a version lists the
-exact data files that make it up; readers resolve a version to its file
-list and read with ``option("basePath", data_root)`` so Spark still
-infers partition columns and PRUNES partitions from the file list.
+Commits are copy-on-write at file granularity and INCREMENTAL: a commit
+records only the files it adds/removes (Delta's add/remove actions), so
+commit cost is O(changed files), not O(table files × versions) — the
+round-1 design rewrote the full manifest (every version's full file
+list) per commit, a documented cliff at ~10⁵ files. Readers resolve a
+version from the newest checkpoint ≤ it plus the commit tail, exactly
+like Delta's checkpoint + _delta_log replay.
 
 Semantics matched to the reference:
 - ``append``      → S4 Delta append sink (with optional content-hash
@@ -22,16 +30,18 @@ Semantics matched to the reference:
                     the written schema wins)
 - ``merge``       → JN4 Delta MERGE (upsert by key, rerun-safe);
                     partition-scoped rewrite when the table is
-                    partitioned (only partitions present in the update
-                    batch are rewritten)
+                    partitioned — including partitions a matched key
+                    is MOVING OUT of
+- ``delete``      → Delta DELETE (predicate-scoped copy-on-write)
 - ``time_travel`` → VERSION AS OF / DESCRIBE HISTORY (§2.13)
 - ``vacuum``      → VACUUM (delete files unreachable from retained versions)
 - ``compact``     → OPTIMIZE / autoCompact (rewrite current version into
-                    right-sized files)
+                    right-sized files; optional sort_by ≈ ZORDER
+                    clustering for scan locality)
 
 Single-writer by design — the reference runs every pipeline with
-``max_concurrent_runs: 1`` (slice_v1_fpl_bootstrap.yml:5), so a
-compare-and-swap manifest write is sufficient.
+``max_concurrent_runs: 1`` (slice_v1_fpl_bootstrap.yml:5), so atomic
+rename of one commit file is a sufficient CAS.
 """
 
 from __future__ import annotations
@@ -44,18 +54,19 @@ import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from football_lakehouse_spark.operators.merge import merge_upsert
 
-MANIFEST = "_manifest.json"
+LOG_DIR = "_log"
+CHECKPOINT_EVERY = 10
+_V_WIDTH = 20
 
 
 @dataclass
 class Version:
     version: int
     operation: str
-    files: list[str]  # relative to data/
     ts: float
     rows: int | None = None
 
@@ -66,33 +77,72 @@ class LakehouseTable:
         self.spark = spark
         self.base = os.path.join(root, schema, name)
         self.data_root = os.path.join(self.base, "data")
+        self.log_root = os.path.join(self.base, LOG_DIR)
         self.partition_by = list(partition_by)
         os.makedirs(self.data_root, exist_ok=True)
+        os.makedirs(self.log_root, exist_ok=True)
 
-    # ---------------------------------------------------------------- manifest
-    @property
-    def _manifest_path(self) -> str:
-        return os.path.join(self.base, MANIFEST)
+    # ---------------------------------------------------------------- log I/O
+    def _commit_path(self, v: int) -> str:
+        return os.path.join(self.log_root, f"{v:0{_V_WIDTH}d}.json")
 
-    def _load_manifest(self) -> list[Version]:
-        if not os.path.exists(self._manifest_path):
-            return []
-        with open(self._manifest_path) as f:
-            raw = json.load(f)
-        return [Version(**v) for v in raw["versions"]]
+    def _checkpoint_path(self, v: int) -> str:
+        return os.path.join(self.log_root, f"{v:0{_V_WIDTH}d}.checkpoint.json")
 
-    def _commit(self, operation: str, files: list[str], rows: int | None) -> int:
-        versions = self._load_manifest()
-        v = Version(
-            version=len(versions), operation=operation, files=files,
-            ts=time.time(), rows=rows,
-        )
-        versions.append(v)
-        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+    def _log_entries(self) -> tuple[list[int], list[int]]:
+        """(sorted commit versions, sorted checkpoint versions)."""
+        commits, checkpoints = [], []
+        for fn in os.listdir(self.log_root):
+            if fn.endswith(".checkpoint.json"):
+                checkpoints.append(int(fn[:_V_WIDTH]))
+            elif fn.endswith(".json"):
+                commits.append(int(fn[:_V_WIDTH]))
+        return sorted(commits), sorted(checkpoints)
+
+    def _read_commit(self, v: int) -> dict:
+        with open(self._commit_path(v)) as f:
+            return json.load(f)
+
+    def _live_at(self, v: int) -> list[str]:
+        """Live file set at version ``v``: newest checkpoint ≤ v, then
+        replay the commit tail — O(tail) commits, never the full log."""
+        _, checkpoints = self._log_entries()
+        base_v, live = -1, set()
+        for cv in reversed(checkpoints):
+            if cv <= v:
+                with open(self._checkpoint_path(cv)) as f:
+                    live = set(json.load(f)["live"])
+                base_v = cv
+                break
+        for cv in range(base_v + 1, v + 1):
+            c = self._read_commit(cv)
+            live -= set(c["remove"])
+            live |= set(c["add"])
+        return sorted(live)
+
+    def _commit(self, operation: str, add: list[str], remove: list[str],
+                rows: int | None) -> int:
+        commits, _ = self._log_entries()
+        v = (commits[-1] + 1) if commits else 0
+        entry = {
+            "version": v, "operation": operation, "ts": time.time(),
+            "rows": rows, "add": sorted(add), "remove": sorted(remove),
+        }
+        tmp = self._commit_path(v) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"versions": [vars(x) for x in versions]}, f, indent=1)
-        os.replace(tmp, self._manifest_path)  # atomic CAS (single-writer)
-        return v.version
+            json.dump(entry, f)
+        os.replace(tmp, self._commit_path(v))  # atomic (single-writer CAS)
+        if v % CHECKPOINT_EVERY == 0 and v > 0:
+            cp = {
+                "version": v,
+                "live": self._live_at(v),
+                "history": [vars(h) for h in self.describe_history_versions()],
+            }
+            tmp = self._checkpoint_path(v) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(cp, f)
+            os.replace(tmp, self._checkpoint_path(v))
+        return v
 
     # ------------------------------------------------------------------ write
     def _stage(self, df: DataFrame) -> list[str]:
@@ -121,9 +171,7 @@ class LakehouseTable:
         return sorted(moved)
 
     def append(self, df: DataFrame) -> int:
-        new_files = self._stage(df)
-        live = self.current_files()
-        return self._commit("append", live + new_files, rows=None)
+        return self._commit("append", self._stage(df), [], rows=None)
 
     def append_if_new(self, df: DataFrame, hash_col: str) -> int | None:
         """Content-hash idempotent append (reference D2: skip the write
@@ -139,8 +187,8 @@ class LakehouseTable:
         return self.append(df)
 
     def overwrite(self, df: DataFrame) -> int:
-        new_files = self._stage(df)
-        return self._commit("overwrite", new_files, rows=None)
+        live = self.current_files()
+        return self._commit("overwrite", self._stage(df), live, rows=None)
 
     def merge(self, updates: DataFrame, keys: Sequence[str]) -> int:
         """Delta-style MERGE: upsert by key, copy-on-write.
@@ -193,42 +241,96 @@ class LakehouseTable:
                 "/".join(f"{c}={r[c]}" for c in self.partition_by)
                 for r in parts.collect()
             ]
-            kept = [
+            removed = [
                 f for f in self.current_files()
-                if not any(f.startswith(d + "/") for d in touched_dirs)
+                if any(f.startswith(d + "/") for d in touched_dirs)
             ]
-            return self._commit("merge", kept + new_files, rows=None)
+            return self._commit("merge", new_files, removed, rows=None)
         merged = merge_upsert(base, updates, keys)
         new_files = self._stage(merged)
-        return self._commit("merge", new_files, rows=None)
+        return self._commit("merge", new_files, self.current_files(), rows=None)
+
+    def delete(self, predicate: Column) -> int:
+        """Delta-style DELETE: copy-on-write removal of rows matching
+        ``predicate``. Only partitions that CONTAIN matches are
+        rewritten (file-level pruning via the partition dirs); a delete
+        that matches nothing commits no version and returns -1."""
+        base = self.read()
+        matches = base.where(predicate)
+        if matches.limit(1).isEmpty():
+            return -1
+        if self.partition_by:
+            parts = matches.select(*self.partition_by).distinct()
+            touched = base.join(F.broadcast(parts), self.partition_by, "left_semi")
+            kept_rows = touched.where(~predicate)
+            new_files = self._stage(kept_rows)
+            touched_dirs = [
+                "/".join(f"{c}={r[c]}" for c in self.partition_by)
+                for r in parts.collect()
+            ]
+            removed = [
+                f for f in self.current_files()
+                if any(f.startswith(d + "/") for d in touched_dirs)
+            ]
+            return self._commit("delete", new_files, removed, rows=None)
+        new_files = self._stage(base.where(~predicate))
+        return self._commit("delete", new_files, self.current_files(), rows=None)
 
     # ------------------------------------------------------------------- read
     def exists(self) -> bool:
-        return bool(self._load_manifest())
+        commits, _ = self._log_entries()
+        return bool(commits)
 
     def current_version(self) -> int:
-        return self._load_manifest()[-1].version
+        commits, _ = self._log_entries()
+        return commits[-1]
 
     def current_files(self) -> list[str]:
-        versions = self._load_manifest()
-        return list(versions[-1].files) if versions else []
+        commits, _ = self._log_entries()
+        return self._live_at(commits[-1]) if commits else []
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read the table at the current (or a time-travelled) version.
         basePath keeps partition-column inference + pruning alive even
         though we hand Spark an explicit file list."""
-        versions = self._load_manifest()
-        if not versions:
+        commits, _ = self._log_entries()
+        if not commits:
             raise FileNotFoundError(f"table {self.base} has no committed version")
-        v = versions[-1] if version is None else versions[version]
-        paths = [os.path.join(self.data_root, f) for f in v.files]
+        v = commits[-1] if version is None else version
+        files = self._live_at(v)
+        paths = [os.path.join(self.data_root, f) for f in files]
         if not paths:
-            raise FileNotFoundError(f"version {v.version} of {self.base} is empty")
+            raise FileNotFoundError(f"version {v} of {self.base} is empty")
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"version {v} of {self.base} references vacuumed files "
+                f"(e.g. {missing[0]}); time travel beyond the retention "
+                f"horizon is not possible"
+            )
         return self.spark.read.option("basePath", self.data_root).parquet(*paths)
 
+    def describe_history_versions(self) -> list[Version]:
+        commits, checkpoints = self._log_entries()
+        hist: list[Version] = []
+        base_v = -1
+        for cv in reversed(checkpoints):
+            with open(self._checkpoint_path(cv)) as f:
+                hist = [Version(**h) for h in json.load(f)["history"]]
+            base_v = cv
+            break
+        for cv in commits:
+            if cv > base_v:
+                c = self._read_commit(cv)
+                hist.append(
+                    Version(c["version"], c["operation"], c["ts"], c.get("rows"))
+                )
+        return hist
+
     def describe_history(self) -> list[dict]:
-        """DESCRIBE HISTORY equivalent."""
-        return [vars(v) for v in self._load_manifest()]
+        """DESCRIBE HISTORY equivalent (compact entries; file lists live
+        in the per-commit log, not the history)."""
+        return [vars(v) for v in self.describe_history_versions()]
 
     # ------------------------------------------------------------ maintenance
     def vacuum(self, retain_last: int = 1) -> int:
@@ -236,10 +338,10 @@ class LakehouseTable:
         versions (VACUUM with retention awareness, docs/backlog.md:106).
         Returns number of files deleted. Time travel older than the
         retention horizon stops working — same trade-off as Delta."""
-        versions = self._load_manifest()
+        commits, _ = self._log_entries()
         keep: set[str] = set()
-        for v in versions[-retain_last:]:
-            keep.update(v.files)
+        for v in commits[-retain_last:]:
+            keep.update(self._live_at(v))
         deleted = 0
         for dirpath, _dirs, files in os.walk(self.data_root):
             for fn in files:
@@ -249,10 +351,18 @@ class LakehouseTable:
                     deleted += 1
         return deleted
 
-    def compact(self, target_partitions: int = 1) -> int:
+    def compact(self, target_partitions: int = 1,
+                sort_by: Sequence[str] = ()) -> int:
         """OPTIMIZE-style small-file compaction: rewrite the current
         version's contents into ``target_partitions`` files (per
-        partition dir when partitioned)."""
-        df = self.read().coalesce(target_partitions)
+        partition dir when partitioned). ``sort_by`` clusters rows
+        within the rewritten files (the ZORDER-analogue for single-key
+        locality: parquet min/max row-group stats become selective, so
+        point/range scans skip row groups)."""
+        df = self.read()
+        if sort_by:
+            df = df.repartition(target_partitions).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(target_partitions)
         new_files = self._stage(df)
-        return self._commit("optimize", new_files, rows=None)
+        return self._commit("optimize", new_files, self.current_files(), rows=None)

@@ -111,6 +111,28 @@ def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q72_delete_rows",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT event_id, event_type, value FROM base
+    WHERE NOT (event_type = 'purchase' AND value < 50)
+    """,
+    doc="Delta-style DELETE (§2.13 / delta.io DELETE FROM): base events "
+    "committed to the versioned table, then a predicate delete "
+    "(copy-on-write, partition-scoped file rewrite) and a lazy read-back "
+    "of the surviving rows; v0 still time-travels to the full set.",
+    tags=("lakehouse",),
+)
+def delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, _ = _base_updates(spark, sf_dir)
+    root = scratch_dir("q72_delete_rows")
+    t = LakehouseTable(spark, root, "silver", "event_del")
+    t.append(base)
+    t.delete((F.col("event_type") == "purchase") & (F.col("value") < 50))
+    return t.read().select("event_id", "event_type", "value")
+
+
+@query(
     "q55_rollup_cascade",
     oracle="""
     WITH hourly AS (

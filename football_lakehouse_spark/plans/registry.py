@@ -85,6 +85,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q69_ml_pinned_eval",
     "q70_schema_evolution",
     "q71_minhash_neardup_fast",
+    "q72_delete_rows",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",

@@ -60,7 +60,10 @@ def test_c1_c2_history_shape(spark, make_table):
     assert [h["version"] for h in hist] == [0, 1, 2, 3]
     assert [h["operation"] for h in hist] == ["append", "overwrite", "merge", "optimize"]
     assert all(isinstance(h["ts"], float) for h in hist)
-    assert all(h["files"] for h in hist)
+    # the commit log is incremental: every commit records add/remove
+    # actions (never the full table file list — Delta's log shape)
+    assert all(t._read_commit(v)["add"] for v in range(4))
+    assert t._read_commit(1)["remove"]  # overwrite removes v0's files
     assert t.current_version() == 3
 
 
@@ -147,3 +150,69 @@ def test_c8_optimize_preserves_rows(spark, make_table):
     assert _rows(t.read()) == before
     assert len(t.current_files()) < n_files_before
     assert t.describe_history()[-1]["operation"] == "optimize"
+
+
+def test_c9_delete_predicate_scoped(spark, make_table):
+    t = make_table("del", partition_by=["p"])
+    base = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")], "k int, p string, v string"
+    )
+    t.append(base)
+    files_before = set(t.current_files())
+    v = t.delete(F.col("k") == 1)
+    assert v == t.current_version()
+    got = _rows(t.read().select("k", F.col("p").cast("string"), "v"))
+    assert got == [(2, "a", "y"), (3, "b", "z")]
+    # untouched partition p=b keeps its exact files (copy-on-write is
+    # partition-scoped, not table-wide)
+    b_files = {f for f in files_before if f.startswith("p=b/")}
+    assert b_files <= set(t.current_files())
+    # no-match delete commits nothing
+    v2 = t.current_version()
+    assert t.delete(F.col("k") == 999) == -1
+    assert t.current_version() == v2
+    # time travel still shows the deleted row
+    assert (1, "a", "x") in _rows(
+        t.read(version=0).select("k", F.col("p").cast("string"), "v")
+    )
+
+
+def test_c10_checkpointed_log_replay(spark, make_table):
+    """≥ CHECKPOINT_EVERY commits → a checkpoint file exists and reads
+    resolve from checkpoint + commit tail; every historical version
+    still reads exactly."""
+    import glob
+    import os
+
+    t = make_table("ckpt")
+    states = []
+    for i in range(13):
+        t.append(_df(spark, [(i, f"v{i}")]))
+        states.append(_rows(t.read()))
+    cps = glob.glob(os.path.join(t.log_root, "*.checkpoint.json"))
+    assert cps, "no checkpoint written after 13 commits"
+    hist = t.describe_history()
+    assert [h["version"] for h in hist] == list(range(13))
+    for v in (0, 5, 9, 10, 11, 12):
+        assert _rows(t.read(version=v)) == states[v], f"v{v} diverged"
+
+
+def test_c11_optimize_sort_clusters_rows(spark, make_table):
+    """compact(sort_by=...) rewrites with rows clustered — parquet
+    row-group stats become selective for the sort key."""
+    t = make_table("zorder")
+    import random
+
+    rng = random.Random(7)
+    ks = list(range(1000))
+    rng.shuffle(ks)
+    t.append(spark.createDataFrame([(k, f"v{k}") for k in ks], "k int, v string"))
+    t.compact(target_partitions=2, sort_by=["k"])
+    assert t.describe_history()[-1]["operation"] == "optimize"
+    # same rows, now sorted within each output file
+    assert t.read().count() == 1000
+    import pyarrow.parquet as pq
+
+    for f in t.current_files():
+        col = pq.read_table(f"{t.data_root}/{f}", columns=["k"])["k"].to_pylist()
+        assert col == sorted(col)
