@@ -841,3 +841,112 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bundled = bundle_assets(docs, F.encode(F.col("text"), "utf-8"), "text/plain")
     return extract_features(bundled)
+
+
+# --------------------------------------------------------------------------
+# Round 2 additions: boilerplate detection + normalization
+# --------------------------------------------------------------------------
+_BOILER_MIN_DOCS = 5
+
+
+@query(
+    "q73_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len({_SQL_TOKS}) >= 3
+                   THEN list_transform(range(1, len({_SQL_TOKS}) - 1),
+                                       i -> array_to_string(({_SQL_TOKS})[i:i+2], ' '))
+                   ELSE [] END) AS sh
+        FROM documents
+    ),
+    r AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    dfreq AS (SELECT s, count(*) AS nd FROM r GROUP BY s),
+    freq AS (SELECT s FROM dfreq WHERE nd >= {_BOILER_MIN_DOCS}),
+    bc AS (SELECT r.doc_id, count(*) AS n_boiler
+           FROM r JOIN freq USING (s) GROUP BY r.doc_id)
+    SELECT t.doc_id,
+           CAST(len(sh) AS BIGINT) AS n_shingles,
+           CAST(coalesce(bc.n_boiler, 0) AS BIGINT) AS n_boiler,
+           floor(coalesce(bc.n_boiler, 0) * 10000 / len(sh)) / 10000 AS boiler_ratio
+    FROM t LEFT JOIN bc USING (doc_id)
+    WHERE len(sh) >= 1
+    """,
+    doc="Boilerplate detection (C4-style repeated-substring filtering at "
+    "n-gram granularity): corpus document-frequency of distinct 3-gram "
+    "shingles → grams present in ≥ 5 docs are 'boilerplate' → per-doc "
+    "boilerplate count and ratio, the standard pre-training removal "
+    "signal. Two shuffles total (gram DF, per-doc count); gram keys are "
+    "content-hash-distributed so the DF agg cannot skew; the per-doc "
+    "pass re-joins on the gram — at 100 TB you'd thresholded-broadcast "
+    "the frequent-gram set instead (it is vocabulary-sized, not "
+    "corpus-sized).",
+    tags=("llm", "text"),
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.array_distinct(shingles_from_tokens(F.col("toks"), n=3)).alias("sh")
+    )
+    t = t.where(F.size("sh") >= 1)
+    rows = t.select("doc_id", F.explode("sh").alias("s"))
+    freq = (
+        rows.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("s")
+    )
+    bc = rows.join(freq, "s").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_boiler")
+    )
+    n_sh = F.size("sh").cast("bigint")
+    nb = F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint")
+    return (
+        t.join(bc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            nb.alias("n_boiler"),
+            (F.floor(nb * 10000 / n_sh).cast("double") / 10000).alias("boiler_ratio"),
+        )
+    )
+
+
+@query(
+    "q74_text_normalize",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, toks,
+               list_filter(toks, x -> len(x) > 1
+                   AND x NOT IN ({', '.join(repr(w) for w in STOPWORDS)})) AS kept
+        FROM t
+    )
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS norm_text,
+           CAST(len(kept) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+    FROM k
+    """,
+    doc="Text normalisation for dedup/training prep: lowercase, regex "
+    "(BPE-ish) re-tokenisation, drop 1-char tokens and stopwords, "
+    "re-join — ZERO shuffles (pure per-row column expressions, "
+    "embarrassingly parallel); the canonical form feeds exact dedup "
+    "and fingerprinting so trivial variants collapse.",
+    tags=("llm", "text"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = re_tokens(F.col("text"))
+    kept = F.filter(
+        toks, lambda x: (F.length(x) > 1) & ~x.isin(*STOPWORDS)
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("norm_text"),
+        F.size(kept).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

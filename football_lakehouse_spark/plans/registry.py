@@ -86,6 +86,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q70_schema_evolution",
     "q71_minhash_neardup_fast",
     "q72_delete_rows",
+    "q73_boilerplate_ngrams",
+    "q74_text_normalize",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
