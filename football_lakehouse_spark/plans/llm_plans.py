@@ -950,3 +950,121 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("bigint").alias("n_tokens"),
         (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction + Gopher-style quality gate
+# --------------------------------------------------------------------------
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@query(
+    "q75_pii_redaction",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id
+                    || '@example.org call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+    doc="PII redaction for training corpora: regex detection + "
+    "replacement of email addresses and phone-shaped strings, with "
+    "per-doc match counts for audit. The synthetic corpus has no PII, "
+    "so the query derives deterministic PII from doc_id (both engines "
+    "compute the identical derived text) to exercise real matches. "
+    "ZERO shuffles — pure per-row regexp (RE2-compatible patterns so "
+    "Java regex and DuckDB agree); at 100 TB this is an "
+    "embarrassingly-parallel map with no skew surface.",
+    tags=("llm", "text"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = docs.select("doc_id", pii_text.alias("pii_text"))
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("pii_text", F.lit(_EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("pii_text", F.lit(_PHONE_RE), 0)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("pii_text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+_GOPHER_MIN_TOKS, _GOPHER_MAX_TOKS = 30, 5000
+_GOPHER_MIN_LEN, _GOPHER_MAX_LEN = 3.0, 10.0
+_GOPHER_ALPHA_MIN = 0.8
+_GOPHER_MIN_STOPS = 2
+
+
+@query(
+    "q76_gopher_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               floor(list_sum(list_transform(toks, x -> len(x))) * 10000
+                     / len(toks)) / 10000 AS mean_tok_len,
+               floor(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+                     * 10000 / len(toks)) / 10000 AS alpha_ratio,
+               CAST(len(list_distinct(list_filter(toks,
+                   x -> x IN ({', '.join(repr(w) for w in STOPWORDS)})))) AS BIGINT)
+                   AS n_stop_distinct
+        FROM t
+    )
+    SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, n_stop_distinct,
+           (n_tokens BETWEEN {_GOPHER_MIN_TOKS} AND {_GOPHER_MAX_TOKS})
+           AND (mean_tok_len BETWEEN {_GOPHER_MIN_LEN} AND {_GOPHER_MAX_LEN})
+           AND (alpha_ratio >= {_GOPHER_ALPHA_MIN})
+           AND (n_stop_distinct >= {_GOPHER_MIN_STOPS}) AS keep
+    FROM m
+    """,
+    doc="Gopher-style document quality gate (Rae et al. 2021 rules "
+    "re-expressed): token-count band, mean-token-length band, "
+    "alphabetic-word ratio, distinct-stopword floor; emits per-rule "
+    "metrics plus the fused keep flag so downstream filters stay "
+    "auditable. ZERO shuffles — per-row lambda/array expressions only, "
+    "all inside whole-stage codegen.",
+    tags=("llm", "text"),
+)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    n = F.size("toks").cast("bigint")
+    total_len = F.aggregate("toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    mean_len = F.floor(total_len * 10000 / n).cast("double") / 10000
+    alpha = F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$"))).cast("bigint")
+    alpha_ratio = F.floor(alpha * 10000 / n).cast("double") / 10000
+    n_stop = F.size(F.array_distinct(F.filter("toks", lambda x: x.isin(*STOPWORDS)))).cast("bigint")
+    m = t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_len.alias("mean_tok_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stop_distinct"),
+    )
+    keep = (
+        F.col("n_tokens").between(_GOPHER_MIN_TOKS, _GOPHER_MAX_TOKS)
+        & F.col("mean_tok_len").between(_GOPHER_MIN_LEN, _GOPHER_MAX_LEN)
+        & (F.col("alpha_ratio") >= _GOPHER_ALPHA_MIN)
+        & (F.col("n_stop_distinct") >= _GOPHER_MIN_STOPS)
+    )
+    return m.select("*", keep.alias("keep"))

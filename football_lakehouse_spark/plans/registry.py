@@ -88,6 +88,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q72_delete_rows",
     "q73_boilerplate_ngrams",
     "q74_text_normalize",
+    "q75_pii_redaction",
+    "q76_gopher_quality",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
