@@ -1068,3 +1068,138 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stop_distinct") >= _GOPHER_MIN_STOPS)
     )
     return m.select("*", keep.alias("keep"))
+
+
+# --------------------------------------------------------------------------
+# Per-source distinctive terms + greedy sequence packing
+# --------------------------------------------------------------------------
+_TFIDF_TOPK = 5
+
+
+@query(
+    "q77_source_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(list_distinct({_SQL_TOKS})) AS term
+        FROM documents
+    ),
+    alltoks AS (
+        SELECT doc_id, source, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, count(*) AS tf FROM alltoks GROUP BY source, term),
+    df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term, tf.tf, df.df,
+               CAST(floor(tf.tf * 1000000 * n.n_docs / df.df) AS BIGINT) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY score DESC, term ASC) AS rk
+        FROM scored
+    )
+    SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_TFIDF_TOPK}
+    """,
+    doc="Per-source distinctive terms (TF-IDF-style): term frequency per "
+    "source x corpus-wide document frequency -> rational score "
+    "floor(tf*1e6*N/df) kept in integer arithmetic (monotone in "
+    "tf*idf; exact cross-engine, no libm ln divergence) -> top-5 per "
+    "source via ranked window. Plan: one explode feeding two partial "
+    "aggs (source-term TF, term DF), a term-keyed join, and a "
+    "per-source WindowGroupLimit top-k. At 100 TB the DF table is "
+    "vocabulary-sized -> broadcast; the TF agg is the only "
+    "corpus-sized shuffle and it map-side combines.",
+    tags=("llm", "text"),
+)
+def source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", ws_tokens(F.col("text")).alias("toks"))
+    alltoks = base.select("source", F.explode("toks").alias("term"))
+    tf = alltoks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dtoks = base.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+    df = dtoks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
+        "source",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.floor(F.col("tf") * 1000000 * F.col("n_docs") / F.col("df")).cast("bigint").alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= _TFIDF_TOPK)
+        .select("source", "term", "tf", "df", "score", "rk")
+    )
+
+
+@query(
+    "q78_sequence_packing",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, source, doc_id % 4 AS shard,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY source, doc_id % 4 ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, source, shard, n_tokens, rn,
+               CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.doc_id, t.source, t.shard, t.n_tokens, t.rn,
+               CASE WHEN p.fill + t.n_tokens > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+               CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens ELSE p.fill + t.n_tokens END
+        FROM t JOIN p ON t.source = p.source AND t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tokens, pack_id
+    FROM p
+    """,
+    doc="Greedy sequence packing for training batches: docs are packed "
+    "in doc_id order into context windows of 256 tokens (a doc that "
+    "would overflow starts a new pack; oversized docs get their own). "
+    "Sharded per (source, doc_id%4) so packing is embarrassingly "
+    "parallel -- the standard trick: packing quality needs only local "
+    "order, so shard count scales with the cluster, not the corpus. "
+    "Implemented as applyInPandas (inherently sequential scan within "
+    "a shard); oracle is a DuckDB recursive CTE computing the same "
+    "fold. One shuffle on the shard key.",
+    tags=("llm", "text"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 4).cast("bigint").alias("shard"),
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        # Self-contained closure: only pandas + builtins (driver contract —
+        # workers cannot import the engine package).
+        cap = 256
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, pid, fill = [], 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            if first:
+                pid, fill, first = 0, int(n), False
+            elif fill + int(n) > cap:
+                pid, fill = pid + 1, int(n)
+            else:
+                fill += int(n)
+            pack_ids.append(pid)
+        pdf["pack_id"] = pack_ids
+        return pdf[["doc_id", "source", "shard", "n_tokens", "pack_id"]]
+
+    return base.groupBy("source", "shard").applyInPandas(
+        pack,
+        schema="doc_id bigint, source string, shard bigint, n_tokens bigint, pack_id bigint",
+    )

@@ -90,6 +90,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q74_text_normalize",
     "q75_pii_redaction",
     "q76_gopher_quality",
+    "q77_source_top_terms",
+    "q78_sequence_packing",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
