@@ -128,3 +128,36 @@ def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_prior_value"),
         )
     )
+
+
+@query(
+    "q79_salted_hot_key_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS HUGEINT))
+                // 10000 AS DOUBLE) / 100 AS sum_l_extendedprice
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Hot-key aggregation via explicit salting (operators/bucketing."
+    "salted_aggregate): l_returnflag has only 3 values, so a naive "
+    "groupBy lands the whole table on 3 reducers — the canonical skew "
+    "case AQE does NOT rebalance (it splits skewed JOIN partitions, "
+    "not agg groups). The salted form spreads each hot key over 16 "
+    "(key, salt) partials, then merges 3x16 tiny partials; the sums "
+    "are micro-unit-quantised integers so the two-phase result is "
+    "bit-identical to the single-phase oracle. At 100 TB this is the "
+    "difference between 3 straggler reducers and even utilisation.",
+    tags=("advanced", "skew"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.bucketing import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        li.select("l_returnflag", "l_extendedprice"),
+        key="l_returnflag",
+        n_salt=16,
+        sums=["l_extendedprice"],
+    )
