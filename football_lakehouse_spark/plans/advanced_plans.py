@@ -161,3 +161,50 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salt=16,
         sums=["l_extendedprice"],
     )
+
+
+@query(
+    "q80_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS HUGEINT))
+                // 10000 AS DOUBLE) / 100 AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc="Co-located fact-fact join via bucketing (operators/bucketing."
+    "write_bucketed): both sides are persisted bucketed+sorted on the "
+    "order key, so the join reads co-located buckets with ZERO "
+    "exchange on either side — the layout investment that amortises "
+    "repeated 100 TB fact-fact joins (vs paying a full shuffle per "
+    "query). The only exchange left in the plan is the tiny post-join "
+    "status rollup. Uses persistent scratch + lazy readers (no "
+    "driver-side materialisation).",
+    tags=("advanced", "layout"),
+)
+def bucketed_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from football_lakehouse_spark.functions.scalars import money_sum
+    from football_lakehouse_spark.operators.bucketing import (
+        read_bucketed_join,
+        write_bucketed,
+    )
+    from football_lakehouse_spark.scratch import scratch_dir
+
+    root = scratch_dir("q80_bucketed_join")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice")
+    )
+    for name in ("q80_orders", "q80_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(orders, "q80_orders", os.path.join(root, "orders"), "o_orderkey")
+    write_bucketed(items, "q80_lineitem", os.path.join(root, "lineitem"), "o_orderkey")
+    joined = read_bucketed_join(spark, "q80_orders", "q80_lineitem", "o_orderkey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )

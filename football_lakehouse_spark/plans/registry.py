@@ -93,6 +93,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q77_source_top_terms",
     "q78_sequence_packing",
     "q79_salted_hot_key_agg",
+    "q80_bucketed_join",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
