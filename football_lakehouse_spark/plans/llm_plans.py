@@ -1203,3 +1203,127 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack,
         schema="doc_id bigint, source string, shard bigint, n_tokens bigint, pack_id bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking + cross-source overlap
+# --------------------------------------------------------------------------
+_CHUNK_LEN, _CHUNK_STRIDE = 64, 32
+
+
+@query(
+    "q81_doc_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= {_CHUNK_LEN} THEN [0]
+                    ELSE list_transform(
+                        range(0, CAST(ceil((len(toks) - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0) AS BIGINT) + 1),
+                        i -> i * {_CHUNK_STRIDE})
+               END AS starts
+        FROM t
+    ),
+    r AS (SELECT doc_id, toks, unnest(starts) AS start FROM c)
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_ix,
+           CAST(least({_CHUNK_LEN}, len(toks) - start) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + {_CHUNK_LEN}], ' ') AS chunk_text
+    FROM r
+    """,
+    doc="Context chunking for embedding/training prep: each doc is split "
+    "into overlapping windows of 64 tokens with stride 32 (last chunk "
+    "clipped, short docs = one chunk). ZERO shuffles — per-row "
+    "sequence arithmetic + one explode; chunk boundaries are pure "
+    "arithmetic on token offsets so the op is embarrassingly parallel "
+    "and deterministic at any partitioning.",
+    tags=("llm", "text"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    n_starts = F.ceil((n - _CHUNK_LEN) / float(_CHUNK_STRIDE)).cast("bigint") + 1
+    starts = F.when(n <= _CHUNK_LEN, F.array(F.lit(0).cast("bigint"))).otherwise(
+        F.transform(F.sequence(F.lit(0).cast("bigint"), n_starts - 1), lambda i: i * _CHUNK_STRIDE)
+    )
+    c = t.select("doc_id", "toks", F.posexplode(starts).alias("chunk_ix", "start"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_ix").cast("bigint").alias("chunk_ix"),
+        F.least(F.lit(_CHUNK_LEN), F.size("toks") - F.col("start")).cast("bigint").alias("n_tokens"),
+        F.array_join(F.slice("toks", F.col("start") + 1, _CHUNK_LEN), " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "q82_source_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, unnest(list_distinct(CASE WHEN len({_SQL_TOKS}) >= 3
+            THEN list_transform(range(1, len({_SQL_TOKS}) - 1),
+                                i -> array_to_string(({_SQL_TOKS})[i:i+2], ' '))
+            ELSE [] END)) AS g
+        FROM documents
+    ),
+    sg AS (SELECT DISTINCT source, g FROM t),
+    sz AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+    ix AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+           floor(n_common * 10000 / (za.n + zb.n - n_common)) / 10000 AS jaccard
+    FROM ix JOIN sz za ON ix.src_a = za.source
+            JOIN sz zb ON ix.src_b = zb.source
+    """,
+    doc="Cross-source contamination matrix: distinct 3-gram vocabulary "
+    "per source, pairwise intersection via a gram-keyed self-join "
+    "(source < source dedupes pairs), Jaccard floor-quantised. The "
+    "join is on the GRAM (content-hash-uniform, skew-free), never a "
+    "source×source cross product; per-gram source lists are "
+    "bounded by source count so the agg state is tiny. At 100 TB "
+    "gram vocab per source is bounded by vocabulary, not corpus — "
+    "the self-join input is vocabulary-sized.",
+    tags=("llm", "text"),
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(ws_tokens(F.col("text")), n=3))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sg = sg.persist()
+    sz = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.select(F.col("source").alias("src_a"), "g")
+    b = sg.select(F.col("source").alias("src_b"), "g")
+    ix = (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        ix.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.floor(F.col("n_common") * 10000 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double")
+                / 10000
+            ).alias("jaccard"),
+        )
+    )

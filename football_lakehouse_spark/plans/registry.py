@@ -94,6 +94,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q78_sequence_packing",
     "q79_salted_hot_key_agg",
     "q80_bucketed_join",
+    "q81_doc_chunking",
+    "q82_source_overlap",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
