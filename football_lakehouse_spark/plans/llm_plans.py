@@ -878,8 +878,11 @@ _BOILER_MIN_DOCS = 5
     "boilerplate count and ratio, the standard pre-training removal "
     "signal. Two shuffles total (gram DF, per-doc count); gram keys are "
     "content-hash-distributed so the DF agg cannot skew; the per-doc "
-    "pass re-joins on the gram — at 100 TB you'd thresholded-broadcast "
-    "the frequent-gram set instead (it is vocabulary-sized, not "
+    "pass re-joins on the gram — the frequent-gram set is "
+    "vocabulary-sized so AQE converts both gram joins to broadcast at "
+    "runtime (verified in the executed plan: 2 BroadcastHashJoin, 0 "
+    "SortMergeJoin; the set stays broadcastable at 100 TB because it "
+    "is bounded by the ≥N-doc vocabulary, not "
     "corpus-sized).",
     tags=("llm", "text"),
 )

@@ -62,3 +62,47 @@ def test_range_join_is_equi_join(spark):
     # a per-key cross product
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_partials_before_exchange(spark):
+    # q79: partial agg on (key, salt) must combine map-side so the hot
+    # key arrives at the reducers pre-aggregated 16 ways
+    plan = plan_of(spark, "q79_salted_hot_key_agg")
+    lines = plan.splitlines()
+    first_exchange = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l)
+    assert any("partial_" in l for l in lines[first_exchange:]), "no map-side partials"
+    assert "__salt" in plan
+
+
+def test_bucketed_join_elides_exchange(spark):
+    # q80: the fact-fact join reads co-located buckets — no exchange on
+    # the join key anywhere in the plan
+    plan = plan_of(spark, "q80_bucketed_join")
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan
+
+
+def test_source_top_terms_window_group_limit(spark):
+    # q77: the per-source top-k must prune via WindowGroupLimit, and the
+    # vocabulary-sized DF side must broadcast
+    plan = plan_of(spark, "q77_source_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_gram_joins_broadcast(spark):
+    # q73: AQE must convert both gram joins to broadcast (the frequent-
+    # gram set is vocabulary-sized); a SortMergeJoin here would shuffle
+    # the exploded corpus a second time
+    name = "q73_boilerplate_ngrams"
+    df = registry.REGISTRY[name].builder(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()  # finalize AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_has_no_shuffle(spark):
+    # q81: pure per-row chunk arithmetic + explode — zero exchanges
+    plan = plan_of(spark, "q81_doc_chunking")
+    assert "Exchange hashpartitioning" not in plan
