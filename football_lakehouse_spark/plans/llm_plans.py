@@ -1176,6 +1176,8 @@ def source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.packing import greedy_pack
+
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -1183,28 +1185,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 4).cast("bigint").alias("shard"),
         F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
-
-    def pack(pdf):
-        # Self-contained closure: only pandas + builtins (driver contract —
-        # workers cannot import the engine package).
-        cap = 256
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_ids, pid, fill = [], 0, 0
-        first = True
-        for n in pdf["n_tokens"]:
-            if first:
-                pid, fill, first = 0, int(n), False
-            elif fill + int(n) > cap:
-                pid, fill = pid + 1, int(n)
-            else:
-                fill += int(n)
-            pack_ids.append(pid)
-        pdf["pack_id"] = pack_ids
-        return pdf[["doc_id", "source", "shard", "n_tokens", "pack_id"]]
-
-    return base.groupBy("source", "shard").applyInPandas(
-        pack,
-        schema="doc_id bigint, source string, shard bigint, n_tokens bigint, pack_id bigint",
+    return greedy_pack(
+        base, shard_cols=("source", "shard"), order_col="doc_id",
+        tokens_col="n_tokens", capacity=256,
     )
 
 

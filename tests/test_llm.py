@@ -329,3 +329,37 @@ def test_star_components_disjoint_shapes(spark):
     assert {k: v[0] for k, v in got.items()} == expect
     canon = [k for k, v in got.items() if v[1]]
     assert sorted(canon) == [10, 20, 30, 40]
+
+
+def test_doc_chunking_covers_every_token(spark):
+    """q81 invariants at sf0.001: chunk_ix dense from 0 per doc; chunk i
+    starts at i*stride; consecutive chunks overlap by len-stride; the
+    union of chunks covers every token; re-joining the stride-aligned
+    prefixes reconstructs the document."""
+    from football_lakehouse_spark.catalog import load_table
+    from football_lakehouse_spark.plans import registry
+    from tests.conftest import SF_SMOKE
+
+    spec = registry.REGISTRY["q81_doc_chunking"]
+    rows = spec.builder(spark, SF_SMOKE).collect()
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride, clen = 32, 64
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = [t for t in docs[doc_id].split(" ") if t]
+        chunks.sort(key=lambda r: r["chunk_ix"])
+        assert [c["chunk_ix"] for c in chunks] == list(range(len(chunks)))
+        covered = 0
+        for c in chunks:
+            start = c["chunk_ix"] * stride
+            want = toks[start : start + clen]
+            assert c["chunk_text"].split(" ") == (want if want else [""]) or (
+                not want and c["chunk_text"] == ""
+            )
+            assert c["n_tokens"] == min(clen, len(toks) - start)
+            covered = max(covered, start + c["n_tokens"])
+        assert covered == len(toks)

@@ -139,3 +139,42 @@ def test_banded_range_join_matches_naive(spark, left, right, window):
         if rk == k and t - window <= rt < t
     )
     assert got == expect
+
+
+@given(
+    toks=st.lists(st.integers(1, 300), min_size=0, max_size=40),
+    cap=st.integers(8, 300),
+)
+@SLOW
+def test_greedy_pack_matches_reference_fold(spark, toks, cap):
+    from football_lakehouse_spark.operators.packing import greedy_pack
+
+    df = spark.createDataFrame(
+        [(i, i % 2, n) for i, n in enumerate(toks)],
+        schema="doc_id bigint, shard bigint, n_tokens bigint",
+    )
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in greedy_pack(df, ["shard"], "doc_id", "n_tokens", cap).collect()
+    }
+    # pure-python reference: the same greedy fold per shard
+    want = {}
+    for shard in (0, 1):
+        pid, fill, first = 0, 0, True
+        for i, n in enumerate(toks):
+            if i % 2 != shard:
+                continue
+            if first:
+                pid, fill, first = 0, n, False
+            elif fill + n > cap:
+                pid, fill = pid + 1, n
+            else:
+                fill += n
+            want[i] = pid
+    assert got == want
+    # invariants: no pack over capacity unless it holds a single doc
+    by_pack = {}
+    for i, n in enumerate(toks):
+        by_pack.setdefault((i % 2, want[i]), []).append(n)
+    for members in by_pack.values():
+        assert sum(members) <= cap or len(members) == 1
