@@ -1313,3 +1313,67 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic source upsampling (mixture materialisation)
+# --------------------------------------------------------------------------
+#: per-source mixture weight in basis points (10000 = 1.0). Sources not
+#: listed keep weight 1.0. Covers integer repeat (2.5x), downsample
+#: (0.5x) and fractional upsample (1.75x).
+_UPSAMPLE_BP = {"src0": 25000, "src1": 5000, "src3": 17500}
+
+
+@query(
+    "q83_source_upsample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE {' '.join(f"WHEN source = '{s}' THEN {bp}" for s, bp in sorted(_UPSAMPLE_BP.items()))}
+                    ELSE 10000 END AS w_bp,
+               {_sql_hash("CAST(doc_id AS VARCHAR)", seed="upsample")} % 10000 AS gate
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, source, w_bp,
+               w_bp // 10000 + CASE WHEN gate < w_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+        FROM w
+    )
+    SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(unnest(range(n_copies)) AS BIGINT) AS copy_ix
+    FROM n WHERE n_copies > 0
+    """,
+    doc="Mixture materialisation: per-source weights (basis points) are "
+    "applied as deterministic document repetition — floor(w) full "
+    "copies plus one extra copy gated on a portable per-doc hash "
+    "against the fractional part (w<1 becomes hash-gated "
+    "downsampling). Reproducible across engines, re-runs and "
+    "partitionings (no RNG); ZERO shuffles — weight lookup is a "
+    "literal CASE (broadcast-sized by definition) and the repeat is "
+    "a per-row sequence explode. This is how a 100 TB pretraining "
+    "run upweights high-quality sources without a sampling service.",
+    tags=("llm", "text"),
+)
+def source_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_bp = F.lit(10000)
+    for s, bp in sorted(_UPSAMPLE_BP.items()):
+        w_bp = F.when(F.col("source") == s, F.lit(bp)).otherwise(w_bp)
+    gate = portable_hash(F.col("doc_id").cast("string"), seed="upsample") % 10000
+    n_copies = (F.col("w_bp") / 10000).cast("bigint") + F.when(
+        F.col("gate") < F.col("w_bp") % 10000, F.lit(1)
+    ).otherwise(F.lit(0))
+    n = docs.select(
+        "doc_id", "source", w_bp.alias("w_bp"), gate.alias("gate")
+    ).select("doc_id", "source", n_copies.cast("bigint").alias("n_copies"))
+    return (
+        n.where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_copies") - 1)).alias("copy_ix"),
+        )
+    )

@@ -96,6 +96,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q80_bucketed_join",
     "q81_doc_chunking",
     "q82_source_overlap",
+    "q83_source_upsample",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
