@@ -1377,3 +1377,90 @@ def source_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_copies") - 1)).alias("copy_ix"),
         )
     )
+
+
+@query(
+    "q84_curation_pipeline",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, text, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM m
+        WHERE len(toks) BETWEEN {_GOPHER_MIN_TOKS} AND {_GOPHER_MAX_TOKS}
+          AND floor(list_sum(list_transform(toks, x -> len(x))) * 10000
+                    / len(toks)) / 10000 BETWEEN {_GOPHER_MIN_LEN} AND {_GOPHER_MAX_LEN}
+          AND floor(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+                    * 10000 / len(toks)) / 10000 >= {_GOPHER_ALPHA_MIN}
+          AND len(list_distinct(list_filter(toks,
+                  x -> x IN ({', '.join(repr(w) for w in STOPWORDS)})))) >= {_GOPHER_MIN_STOPS}
+    ),
+    d AS (
+        SELECT doc_id, source, n_tokens
+        FROM q
+        QUALIFY row_number() OVER (
+            PARTITION BY sha256(array_to_string(string_split(text, ' ')[1:8], ' '))
+            ORDER BY doc_id
+        ) = 1
+    ),
+    s AS (
+        SELECT source, n_tokens,
+               CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 AS b
+        FROM d
+    )
+    SELECT CASE WHEN b < 18 THEN 'train' WHEN b = 18 THEN 'val' ELSE 'test' END AS split,
+           source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM s
+    GROUP BY 1, 2
+    """,
+    doc="End-to-end corpus curation (the composed pipeline a pretraining "
+    "run actually executes): Gopher quality gate (q76 rules) → exact "
+    "dedup keep-first on the canonical prefix hash (q40) → "
+    "deterministic 90/5/5 hash split (q56) → per-(split, source) "
+    "mixture report. Composition stays one pass + two shuffles: the "
+    "quality gate and split assignment are map-side expressions "
+    "FUSED into the scan, dedup is the only corpus-keyed shuffle "
+    "(uniform hash keys), and the final rollup is low-cardinality. "
+    "Demonstrates that the operators compose without materialisation "
+    "barriers between stages.",
+    tags=("llm", "text"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select("doc_id", "source", "text", ws_tokens(F.col("text")).alias("toks"))
+    n = F.size("toks").cast("bigint")
+    total_len = F.aggregate("toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    mean_len = F.floor(total_len * 10000 / n).cast("double") / 10000
+    alpha_ratio = (
+        F.floor(F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$"))).cast("bigint") * 10000 / n).cast("double")
+        / 10000
+    )
+    n_stop = F.size(F.array_distinct(F.filter("toks", lambda x: x.isin(*STOPWORDS))))
+    q = m.where(
+        n.between(_GOPHER_MIN_TOKS, _GOPHER_MAX_TOKS)
+        & mean_len.between(_GOPHER_MIN_LEN, _GOPHER_MAX_LEN)
+        & (alpha_ratio >= _GOPHER_ALPHA_MIN)
+        & (n_stop >= _GOPHER_MIN_STOPS)
+    ).select("doc_id", "source", "text", n.alias("n_tokens"))
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    d = exact_dedup(q, prefix).select("doc_id", "source", "n_tokens")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10)
+        .cast("bigint") % 20
+    )
+    split = (
+        F.when(bucket < 18, F.lit("train"))
+        .when(bucket == 18, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
