@@ -516,3 +516,49 @@ def exact_dedup(docs: DataFrame, on: F.Column, id_col: str = "doc_id") -> DataFr
 
     w = Window.partitionBy(F.sha2(on, 256)).orderBy(F.col(id_col).asc())
     return docs.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def incremental_neardups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_impl: str = "sha256",
+) -> DataFrame:
+    """Near-dups of an ARRIVING batch against an EXISTING corpus —
+    the incremental form of :func:`minhash_lsh_neardups`. Returns
+    (doc_a = corpus doc, doc_b = batch doc, n_common, jaccard).
+
+    Why it matters at 100 TB: when a batch lands you must not re-pair
+    the corpus against itself (that work is already done); the only new
+    pairs are batch×corpus and batch×batch. Here the batch's band
+    buckets are BROADCAST against the corpus banding, so the corpus is
+    scanned once, no corpus×corpus bucket join happens at all, and the
+    candidate set is bounded by the batch's bucket occupancy. In
+    production the corpus profiles/buckets come from the stored index
+    of the previous run (they are recomputed here because the fixture
+    has no persisted index — the topology is identical).
+    """
+    from pyspark import StorageLevel
+
+    corpus_profiles = doc_profiles(corpus, id_col, text_col, hash_impl).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    batch_profiles = doc_profiles(batch, id_col, text_col, hash_impl).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    mh_cols = [f"mh{k}" for k in range(N_MINHASH)]
+    cb = band_buckets(corpus_profiles.select(id_col, *mh_cols), id_col, hash_impl)
+    bb = band_buckets(batch_profiles.select(id_col, *mh_cols), id_col, hash_impl)
+    cands = (
+        cb.select("band_id", "band_key", F.col(id_col).alias("doc_a"))
+        .join(
+            F.broadcast(bb.select("band_id", "band_key", F.col(id_col).alias("doc_b"))),
+            ["band_id", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    profiles = corpus_profiles.unionByName(batch_profiles)
+    return verified_jaccard_profiles(cands, profiles, threshold, id_col)

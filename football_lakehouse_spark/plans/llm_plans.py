@@ -1464,3 +1464,35 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "q85_incremental_neardup",
+    oracle=f"""
+    WITH {_sql_minhash_ctes(0.5)},
+    inc AS (
+        SELECT doc_a AS ca, doc_b AS cb, n_common, jaccard FROM neardup
+        WHERE (doc_a % 25 = 0) <> (doc_b % 25 = 0)
+    )
+    SELECT CASE WHEN ca % 25 = 0 THEN cb ELSE ca END AS doc_a,
+           CASE WHEN ca % 25 = 0 THEN ca ELSE cb END AS doc_b,
+           n_common, jaccard
+    FROM inc
+    """,
+    doc="Incremental near-dup: an arriving batch (doc_id % 25 = 0, ~4% "
+    "of the corpus) is checked against the existing corpus WITHOUT "
+    "re-pairing the corpus against itself — the batch's band buckets "
+    "broadcast against the corpus banding, so new-batch ingestion "
+    "costs O(corpus scan + batch-sized verify), not a fresh "
+    "corpus×corpus LSH. Oracle = the full-corpus pipeline filtered to "
+    "cross(batch, corpus) pairs: candidate generation is restricted, "
+    "never widened, so the verified sets are provably identical.",
+    tags=("llm", "dedup"),
+)
+def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.dedup import incremental_neardups
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return incremental_neardups(corpus, batch, threshold=0.5)

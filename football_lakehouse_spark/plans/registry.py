@@ -98,6 +98,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q82_source_overlap",
     "q83_source_upsample",
     "q84_curation_pipeline",
+    "q85_incremental_neardup",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
