@@ -208,3 +208,110 @@ def bucketed_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         money_sum(F.col("l_extendedprice")).alias("sum_price"),
     )
+
+
+@query(
+    "q86_table_profile",
+    oracle="""
+    WITH a AS (
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS ok_nulls,
+               count(DISTINCT l_orderkey) AS ok_dist,
+               CAST(min(l_orderkey) AS VARCHAR) AS ok_min,
+               CAST(max(l_orderkey) AS VARCHAR) AS ok_max,
+               sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS sk_nulls,
+               count(DISTINCT l_suppkey) AS sk_dist,
+               CAST(min(l_suppkey) AS VARCHAR) AS sk_min,
+               CAST(max(l_suppkey) AS VARCHAR) AS sk_max,
+               sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS rf_nulls,
+               count(DISTINCT l_returnflag) AS rf_dist,
+               min(l_returnflag) AS rf_min,
+               max(l_returnflag) AS rf_max,
+               sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS ls_nulls,
+               count(DISTINCT l_linestatus) AS ls_dist,
+               min(l_linestatus) AS ls_min,
+               max(l_linestatus) AS ls_max,
+               sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS ep_nulls,
+               count(DISTINCT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS ep_dist,
+               CAST(min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS ep_min,
+               CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS ep_max,
+               sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS sd_nulls,
+               count(DISTINCT l_shipdate) AS sd_dist,
+               strftime(min(l_shipdate), '%Y-%m-%d') AS sd_min,
+               strftime(max(l_shipdate), '%Y-%m-%d') AS sd_max
+        FROM lineitem
+    )
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+    FROM (
+        SELECT 'l_orderkey' AS col_name, n_rows, ok_nulls AS n_nulls, ok_dist AS n_distinct, ok_min AS min_val, ok_max AS max_val FROM a
+        UNION ALL SELECT 'l_suppkey', n_rows, sk_nulls, sk_dist, sk_min, sk_max FROM a
+        UNION ALL SELECT 'l_returnflag', n_rows, rf_nulls, rf_dist, rf_min, rf_max FROM a
+        UNION ALL SELECT 'l_linestatus', n_rows, ls_nulls, ls_dist, ls_min, ls_max FROM a
+        UNION ALL SELECT 'l_extendedprice_cents', n_rows, ep_nulls, ep_dist, ep_min, ep_max FROM a
+        UNION ALL SELECT 'l_shipdate', n_rows, sd_nulls, sd_dist, sd_min, sd_max FROM a
+    )
+    """,
+    doc="Table profiling (the DQ reconnaissance pass a lakehouse runs "
+    "before trusting a feed): per-column null count, exact distinct "
+    "count, min/max — one corpus scan producing a 6-row report. "
+    "Doubles are profiled in cent-quantised integer space and "
+    "timestamps as formatted dates so the report is cross-engine "
+    "stable. NOTE for 100 TB: the multiple exact COUNT(DISTINCT) "
+    "force Catalyst's Expand (one input replica per distinct agg) — "
+    "at scale swap to approx_count_distinct (HLL, one pass, no "
+    "expand); exact kept here because the oracle gate demands exact "
+    "values.",
+    tags=("advanced", "quality"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    nulls = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    a = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        nulls("l_orderkey").alias("ok_nulls"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("ok_dist"),
+        F.min("l_orderkey").cast("string").alias("ok_min"),
+        F.max("l_orderkey").cast("string").alias("ok_max"),
+        nulls("l_suppkey").alias("sk_nulls"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("sk_dist"),
+        F.min("l_suppkey").cast("string").alias("sk_min"),
+        F.max("l_suppkey").cast("string").alias("sk_max"),
+        nulls("l_returnflag").alias("rf_nulls"),
+        F.countDistinct("l_returnflag").cast("bigint").alias("rf_dist"),
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+        nulls("l_linestatus").alias("ls_nulls"),
+        F.countDistinct("l_linestatus").cast("bigint").alias("ls_dist"),
+        F.min("l_linestatus").alias("ls_min"),
+        F.max("l_linestatus").alias("ls_max"),
+        nulls("l_extendedprice").alias("ep_nulls"),
+        F.countDistinct(cents).cast("bigint").alias("ep_dist"),
+        F.min(cents).cast("string").alias("ep_min"),
+        F.max(cents).cast("string").alias("ep_max"),
+        nulls("l_shipdate").alias("sd_nulls"),
+        F.countDistinct("l_shipdate").cast("bigint").alias("sd_dist"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("sd_min"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("sd_max"),
+    )
+    rows = [
+        ("l_orderkey", "ok"), ("l_suppkey", "sk"), ("l_returnflag", "rf"),
+        ("l_linestatus", "ls"), ("l_extendedprice_cents", "ep"), ("l_shipdate", "sd"),
+    ]
+    parts = [
+        a.select(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"{p}_nulls").alias("n_nulls"),
+            F.col(f"{p}_dist").alias("n_distinct"),
+            F.col(f"{p}_min").alias("min_val"),
+            F.col(f"{p}_max").alias("max_val"),
+        )
+        for name, p in rows
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
