@@ -1496,3 +1496,77 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 25 == 0)
     corpus = docs.where(F.col("doc_id") % 25 != 0)
     return incremental_neardups(corpus, batch, threshold=0.5)
+
+
+@query(
+    "q87_embedding_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, i AS pos,
+               CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qx
+        FROM embeddings, range(64) r(i)
+    ),
+    cent AS (SELECT label, pos, sum(qx) AS c FROM q GROUP BY label, pos),
+    nc AS (SELECT label, sum(c * c) AS nc2 FROM cent GROUP BY label),
+    d AS (
+        SELECT q.vec_id, q.label,
+               sum(q.qx * cent.c) AS dot,
+               sum(q.qx * q.qx) AS na2
+        FROM q JOIN cent ON q.label = cent.label AND q.pos = cent.pos
+        GROUP BY q.vec_id, q.label
+    )
+    SELECT d.vec_id, d.label,
+           floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE)))
+                 * 10000) / 10000 AS cos_centroid,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE))) < 0.0
+               AS is_outlier
+    FROM d JOIN nc ON d.label = nc.label
+    """,
+    doc="Embedding-space outlier detection for corpus curation: each "
+    "vector's cosine against its cluster's centroid direction; docs "
+    "pointing away from their cluster centre (cos < 0) are flagged as "
+    "mislabeled/noise candidates. All arithmetic runs in "
+    "micro-quantised INTEGER space (component sums, dots, norms are "
+    "exact bigints; centroid division is skipped entirely since "
+    "cosine is scale-invariant — the SUM vector is the centroid "
+    "direction), so the result is bit-identical cross-engine. Plan: "
+    "posexplode → per-(label,pos) sum (1 corpus shuffle) → broadcast "
+    "centroid join → per-vec agg (1 shuffle). Overflow bound: dot "
+    "terms < 3e5 · n_label·3e5 · 64 — safe in int64 up to ~4e8 docs "
+    "per label; beyond that drop to 1e3 quantisation.",
+    tags=("llm", "similarity"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1000000).cast("bigint").alias("qx"),
+    )
+    cent = q.groupBy("label", "pos").agg(F.sum("qx").alias("c"))
+    nc = cent.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("nc2"))
+    d = (
+        q.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("qx") * F.col("c")).alias("dot"),
+            F.sum(F.col("qx") * F.col("qx")).alias("na2"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nc2").cast("double"))
+    )
+    return (
+        d.join(F.broadcast(nc), "label")
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(cos * 10000).cast("double") / 10000).alias("cos_centroid"),
+            (cos < 0.0).alias("is_outlier"),
+        )
+    )

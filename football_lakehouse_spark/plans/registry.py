@@ -100,6 +100,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q84_curation_pipeline",
     "q85_incremental_neardup",
     "q86_table_profile",
+    "q87_embedding_outliers",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
