@@ -1570,3 +1570,38 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cos < 0.0).alias("is_outlier"),
         )
     )
+
+
+@query(
+    "q88_length_quantiles",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.75) AS p75,
+           quantile_cont(n_chars, 0.95) AS p95
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Per-source document-length order statistics (the distribution "
+    "report that picks corpus length-filter thresholds): exact "
+    "interpolated p25/p50/p75/p95 of n_chars. Spark's exact "
+    "`percentile` matches DuckDB's `quantile_cont` to the bit on "
+    "integer inputs (identical linear-interpolation arithmetic — "
+    "verified, 0/20 groups diverge). NOTE for 100 TB: exact "
+    "percentile buffers each group's values — swap to "
+    "approx_percentile (t-digest/QuantileSummaries, mergeable "
+    "partials, bounded memory) when groups outgrow executor memory; "
+    "exact kept here because the oracle gate demands exact values.",
+    tags=("llm", "text"),
+)
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25D)").alias("p25"),
+        F.expr("percentile(n_chars, 0.5D)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75D)").alias("p75"),
+        F.expr("percentile(n_chars, 0.95D)").alias("p95"),
+    )

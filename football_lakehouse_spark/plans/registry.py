@@ -101,6 +101,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q85_incremental_neardup",
     "q86_table_profile",
     "q87_embedding_outliers",
+    "q88_length_quantiles",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
