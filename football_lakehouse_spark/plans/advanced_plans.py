@@ -315,3 +315,52 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionByName(x)
     return out
+
+
+@query(
+    "q89_full_outer_reconcile",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 <> 0),
+    o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+          WHERE o_totalprice > 400000 GROUP BY o_custkey)
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN o.o_custkey IS NULL THEN 'customer_only'
+                ELSE 'matched' END AS status
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Full outer reconciliation (completes the join-type matrix: "
+    "inner/left/semi/anti/cross-bounded exist elsewhere): a stale dim "
+    "snapshot (custkey % 7 dropped) against a filtered fact rollup "
+    "(orders > 400k), keeping unmatched rows from BOTH sides with a "
+    "status verdict — the referential-integrity audit between feeds "
+    "that disagree. One shuffle for the rollup, one "
+    "sort-merge full join; neither side can broadcast (full outer "
+    "needs both sides complete), which is exactly why Catalyst picks "
+    "SMJ here at any scale.",
+    tags=("advanced", "joins"),
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(o, cust.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("matched")
+        .alias("status"),
+    )

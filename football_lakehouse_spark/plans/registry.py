@@ -102,6 +102,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q86_table_profile",
     "q87_embedding_outliers",
     "q88_length_quantiles",
+    "q89_full_outer_reconcile",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
