@@ -363,3 +363,35 @@ def test_doc_chunking_covers_every_token(spark):
             assert c["n_tokens"] == min(clen, len(toks) - start)
             covered = max(covered, start + c["n_tokens"])
         assert covered == len(toks)
+
+
+def test_incremental_neardup_equals_filtered_full(spark):
+    """The incremental batch-vs-corpus result must equal the full-corpus
+    pipeline filtered to cross(batch, corpus) pairs — candidate
+    generation is restricted, never widened."""
+    from pyspark.sql import functions as F
+
+    from football_lakehouse_spark.catalog import load_table
+    from football_lakehouse_spark.operators.dedup import (
+        incremental_neardups,
+        minhash_lsh_neardups,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    inc = {
+        (r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+        for r in incremental_neardups(corpus, batch, 0.3).collect()
+    }
+    full = minhash_lsh_neardups(docs, threshold=0.3).collect()
+    want = set()
+    for r in full:
+        a_in = r["doc_a"] % 10 == 0
+        b_in = r["doc_b"] % 10 == 0
+        if a_in != b_in:  # exactly one side in the batch
+            c, b = (r["doc_b"], r["doc_a"]) if a_in else (r["doc_a"], r["doc_b"])
+            want.add((c, b, r["n_common"], r["jaccard"]))
+    assert inc == want
+    assert want, "fixture produced no cross pairs — weaken the threshold"
