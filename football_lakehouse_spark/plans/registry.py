@@ -103,6 +103,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q87_embedding_outliers",
     "q88_length_quantiles",
     "q89_full_outer_reconcile",
+    "q91_stateful_state",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",

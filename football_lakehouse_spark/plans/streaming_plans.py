@@ -216,3 +216,96 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q91_stateful_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT))
+                // 10000 AS DOUBLE) / 100 AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator END-TO-END (SURVEY §2 ST5 "
+    "streaming variant): land events as JSON → availableNow stream → "
+    "applyInPandasWithState keeps a per-user accumulator (event count "
+    "+ micro-unit value total) across micro-batches, emitting updated "
+    "state per batch → final state per user read back lazily. The "
+    "accumulator is an INTEGER micro-unit sum (same quantisation as "
+    "money_sum) so the drained-stream state matches the batch oracle "
+    "exactly regardless of batch boundaries or row order. State is "
+    "O(users), not O(events); the closure is self-contained "
+    "(pandas/numpy only) so it serialises to workers that cannot "
+    "import the engine package.",
+    tags=("streaming",),
+)
+def stateful_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    from football_lakehouse_spark.streaming.ingest import read_landing_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("q91_stateful_state")
+    landing = os.path.join(root, "landing")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    land_json_files(ev, landing)
+    stream = read_landing_stream(spark, landing)
+
+    def upd(key, pdfs, state):
+        # self-contained: pandas/numpy only (workers cannot import the
+        # engine package — see the driver contract)
+        import numpy as np
+        import pandas as pd
+
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            micros += int(
+                np.floor(pdf["value"].to_numpy(dtype="float64") * 1000000.0 + 0.5)
+                .astype("int64")
+                .sum()
+            )
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micros": [micros]}
+        )
+
+    updates = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            upd,
+            outputStructType="user_id bigint, n_events bigint, total_micros bigint",
+            stateStructType="n bigint, micros bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def _append(batch: DataFrame, _epoch: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    (
+        updates.writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(_append)
+        .start()
+        .awaitTermination()
+    )
+    # final state per user = the row with the highest running count
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.read.parquet(out)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.floor(F.col("total_micros") / 10000).cast("double") / 100).alias("total_value"),
+        )
+    )
