@@ -364,3 +364,46 @@ def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("matched")
         .alias("status"),
     )
+
+
+@query(
+    "q90_props_map",
+    oracle="""
+    WITH kv AS (
+        SELECT event_id, event_type,
+               unnest(json_keys(props)) AS map_key, props
+        FROM events
+    )
+    SELECT event_type, map_key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.' || map_key) AS BIGINT)) AS BIGINT)
+               AS sum_val,
+           CAST(min(CAST(json_extract_string(props, '$.' || map_key) AS BIGINT)) AS BIGINT)
+               AS min_val,
+           CAST(max(CAST(json_extract_string(props, '$.' || map_key) AS BIGINT)) AS BIGINT)
+               AS max_val
+    FROM kv
+    GROUP BY event_type, map_key
+    """,
+    doc="MapType coverage (completes the semi-structured family beyond "
+    "typed-struct from_json): the props JSON parses as "
+    "map<string,bigint>, explodes to (key, value) pairs, and "
+    "aggregates per (event_type, key) — the schema-on-read path for "
+    "property bags whose keys are NOT known at pipeline-author time "
+    "(typed structs require a declared schema; maps do not). "
+    "One explode + one low-cardinality shuffle; parsing is JVM-side "
+    "from_json, zero Python.",
+    tags=("advanced", "json"),
+)
+def props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("map_key", "val"),
+    )
+    return kv.groupBy("event_type", "map_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+        F.min("val").cast("bigint").alias("min_val"),
+        F.max("val").cast("bigint").alias("max_val"),
+    )

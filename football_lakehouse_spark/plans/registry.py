@@ -104,6 +104,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q88_length_quantiles",
     "q89_full_outer_reconcile",
     "q91_stateful_state",
+    "q90_props_map",
     "q35_train_score_gbt",
     "q42_simhash",
     "q32_streaming_ingest",
