@@ -216,3 +216,17 @@ def test_merge_stream_quarantines_rescued_rows(spark, events, tmp_path):
     )
     assert table.read().where(F.col("event_id").isNull()).count() == 0
     assert quarantine.read().count() == 2
+
+
+def test_stateful_state_query_rerun_deterministic(spark):
+    """q91 end-to-end twice in one session: fresh scratch per run, same
+    final state both times (land → stream → stateful fold is
+    deterministic because the state is integer micro-units)."""
+    from football_lakehouse_spark.plans import registry
+    from tests.conftest import SF_SMOKE
+
+    build = registry.REGISTRY["q91_stateful_state"].builder
+    r1 = sorted(map(tuple, build(spark, SF_SMOKE).collect()))
+    r2 = sorted(map(tuple, build(spark, SF_SMOKE).collect()))
+    assert r1 == r2
+    assert r1
