@@ -51,12 +51,18 @@ def decode_image(payload: bytes) -> object:
 
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a decoder+encoder: a byte-histogram
-    projection. Same signature and batch shape as a real extractor."""
+    projection. Same signature and batch shape as a real extractor.
+
+    Values are floor-quantised to micro-units in integer space
+    (``count * 1e6 // total / 1e6``) so the result is bit-identical to
+    any engine that reproduces the integer histogram — ``round()`` on a
+    double is not portable across engines at ties.
+    """
     buckets = [0] * dim
-    for i, b in enumerate(payload[:256]):
+    for b in payload[:256]:
         buckets[b % dim] += 1
     total = max(1, sum(buckets))
-    return [round(x / total, 6) for x in buckets]
+    return [x * 1_000_000 // total / 1e6 for x in buckets]
 
 
 def frame_sample(
@@ -124,7 +130,8 @@ def extract_features(df: DataFrame, asset_col: str = "asset") -> DataFrame:
             for b in payload[:256]:
                 buckets[b % dim] += 1
             total = max(1, sum(buckets))
-            return [round(x / total, 6) for x in buckets]
+            # floor-quantised micro-units: cross-engine bit-identical
+            return [x * 1_000_000 // total / 1e6 for x in buckets]
 
         for pdf in it:
             yield pd.DataFrame(

@@ -830,17 +830,61 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q47_multimodal_features",
-    oracle=None,  # Arrow/mapInPandas feature extraction; determinism and
-    # batch shape asserted in tests/test_llm.py
+    # The byte-histogram stub is deterministic SQL over the payload bytes:
+    # reconstruct each byte from hex(encode(text)) (robust for any byte
+    # value, not just ASCII), histogram byte % 8 over the first 256 bytes,
+    # floor-quantise count/total to micro-units in integer space (see
+    # memory: round()/decimal casts are not portable Spark<->DuckDB).
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               hex(encode(text)) AS hx,
+               least(octet_length(encode(text)), 256) AS nb
+        FROM documents
+    ),
+    bytes AS (SELECT doc_id, hx, unnest(range(0, nb)) AS i FROM b),
+    vals AS (
+        SELECT doc_id,
+               (strpos('0123456789ABCDEF', hx[CAST(i * 2 + 1 AS BIGINT)]) - 1) * 16
+               + (strpos('0123456789ABCDEF', hx[CAST(i * 2 + 2 AS BIGINT)]) - 1)
+               AS byte
+        FROM bytes
+    ),
+    hist AS (
+        SELECT doc_id, byte % 8 AS feature_ix, count(*) AS cnt
+        FROM vals GROUP BY doc_id, byte % 8
+    ),
+    tot AS (SELECT doc_id, sum(cnt) AS total FROM hist GROUP BY doc_id),
+    grid AS (
+        SELECT b.doc_id, b.byte_len, g.feature_ix
+        FROM b CROSS JOIN (SELECT unnest(range(0, 8)) AS feature_ix) g
+    )
+    SELECT grid.doc_id,
+           grid.byte_len,
+           CAST(grid.feature_ix AS INT) AS feature_ix,
+           CAST((coalesce(hist.cnt, 0) * 1000000) // coalesce(tot.total, 1)
+                AS DOUBLE) / 1000000 AS value
+    FROM grid
+    LEFT JOIN hist ON hist.doc_id = grid.doc_id
+                  AND hist.feature_ix = grid.feature_ix
+    LEFT JOIN tot ON tot.doc_id = grid.doc_id
+    """,
     doc="mapInPandas feature extraction over binary assets (Arrow batches; "
     "decode step stubbed with a deterministic byte-histogram — real codecs "
-    "absent in this container, see operators/multimodal.py).",
+    "absent in this container, see operators/multimodal.py). The gate view "
+    "explodes the ARRAY<DOUBLE> feature vector to (doc_id, feature_ix, "
+    "value) rows so the external canonicalizer can hash it; the "
+    "array-returning operator stays available for programmatic use.",
     tags=("llm", "multimodal"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bundled = bundle_assets(docs, F.encode(F.col("text"), "utf-8"), "text/plain")
-    return extract_features(bundled)
+    feats = extract_features(bundled)
+    return feats.select(
+        "doc_id", "byte_len", F.posexplode("features").alias("feature_ix", "value")
+    )
 
 
 # --------------------------------------------------------------------------
