@@ -254,15 +254,23 @@ class LakehouseTable:
         """Delta-style DELETE: copy-on-write removal of rows matching
         ``predicate``. Only partitions that CONTAIN matches are
         rewritten (file-level pruning via the partition dirs); a delete
-        that matches nothing commits no version and returns -1."""
+        that matches nothing commits no version and returns -1.
+
+        SQL DELETE semantics: only rows where the predicate evaluates
+        TRUE are removed — rows where it evaluates NULL (e.g. a NULL in
+        the predicate column) are RETAINED, which plain ``where(~pred)``
+        would silently drop (three-valued logic: NOT NULL is NULL).
+        The kept-rows filter is therefore ``NOT (pred <=> TRUE)``.
+        """
         base = self.read()
         matches = base.where(predicate)
         if matches.limit(1).isEmpty():
             return -1
+        kept_pred = ~predicate.eqNullSafe(F.lit(True))
         if self.partition_by:
             parts = matches.select(*self.partition_by).distinct()
             touched = base.join(F.broadcast(parts), self.partition_by, "left_semi")
-            kept_rows = touched.where(~predicate)
+            kept_rows = touched.where(kept_pred)
             new_files = self._stage(kept_rows)
             touched_dirs = [
                 "/".join(f"{c}={r[c]}" for c in self.partition_by)
@@ -273,7 +281,7 @@ class LakehouseTable:
                 if any(f.startswith(d + "/") for d in touched_dirs)
             ]
             return self._commit("delete", new_files, removed, rows=None)
-        new_files = self._stage(base.where(~predicate))
+        new_files = self._stage(base.where(kept_pred))
         return self._commit("delete", new_files, self.current_files(), rows=None)
 
     # ------------------------------------------------------------------- read

@@ -177,6 +177,27 @@ def test_c9_delete_predicate_scoped(spark, make_table):
     )
 
 
+def test_c12_delete_null_predicate_retains(spark, make_table):
+    """SQL/Delta DELETE removes only rows where the predicate is TRUE;
+    rows where it evaluates NULL (NULL in the predicate column) are
+    retained. A naive where(~pred) rewrite silently drops them
+    (NOT NULL is NULL under three-valued logic) — data loss."""
+    data = [(1, "a", "del"), (2, None, "keep-null"), (3, "b", "keep")]
+    schema = "k int, tag string, v string"
+
+    t = make_table("delnull")
+    t.append(spark.createDataFrame(data, schema))
+    t.delete(F.col("tag") == "a")
+    assert _rows(t.read()) == [(2, None, "keep-null"), (3, "b", "keep")]
+
+    # partitioned branch takes a different kept-rows path — same contract
+    tp = make_table("delnull_part", partition_by=["v"])
+    tp.append(spark.createDataFrame(data, schema))
+    tp.delete(F.col("tag") == "a")
+    got = _rows(tp.read().select("k", "tag", F.col("v").cast("string")))
+    assert got == [(2, None, "keep-null"), (3, "b", "keep")]
+
+
 def test_c10_checkpointed_log_replay(spark, make_table):
     """≥ CHECKPOINT_EVERY commits → a checkpoint file exists and reads
     resolve from checkpoint + commit tail; every historical version
