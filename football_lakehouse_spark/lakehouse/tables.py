@@ -62,6 +62,39 @@ LOG_DIR = "_log"
 CHECKPOINT_EVERY = 10
 _V_WIDTH = 20
 
+#: Spark/Hive's on-disk name for a NULL partition value
+_DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
+#: chars Spark escapes in partition dir names (ExternalCatalogUtils:
+#: ASCII 0x01-0x1F plus the path/URI-unsafe set), each written as %XX
+_ESCAPED_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_partition_value(v: object) -> str:
+    """Render a partition value exactly the way Spark names the dir on
+    disk: NULL -> __HIVE_DEFAULT_PARTITION__; unsafe chars -> %XX
+    (upper-case hex), mirroring ExternalCatalogUtils.escapePathName.
+    Keeps string-matched removal paths (merge/delete) in agreement with
+    the files Spark actually wrote for exotic partition values."""
+    if v is None:
+        return _DEFAULT_PARTITION_NAME
+    s = str(v)
+    return "".join(
+        f"%{ord(ch):02X}" if (0 < ord(ch) < 32 or ch in _ESCAPED_CHARS) else ch
+        for ch in s
+    )
+
+
+def _null_safe_semi(base: DataFrame, parts: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """left_semi join on partition tuples that also matches NULL values
+    (a plain equi-join drops NULL keys, so rows in the
+    __HIVE_DEFAULT_PARTITION__ partition would silently escape the
+    rewrite set and be lost when their files are removed)."""
+    cond = None
+    for c in cols:
+        clause = base[c].eqNullSafe(parts[c])
+        cond = clause if cond is None else cond & clause
+    return base.join(F.broadcast(parts), cond, "left_semi")
+
 
 @dataclass
 class Version:
@@ -231,14 +264,13 @@ class LakehouseTable:
                 .select(*self.partition_by).distinct()
             )
             parts = parts_new.unionByName(parts_old).distinct()
-            touched_base = base.join(F.broadcast(parts), self.partition_by, "left_semi")
+            touched_base = _null_safe_semi(base, parts, self.partition_by)
             merged = merge_upsert(touched_base, updates, keys)
             new_files = self._stage(merged)
-            # partition dir names assume plain scalar values (the engine
-            # partitions by dates/ints); Spark's URL-escaping of exotic
-            # values is out of scope for the single-writer log
             touched_dirs = [
-                "/".join(f"{c}={r[c]}" for c in self.partition_by)
+                "/".join(
+                    f"{c}={_escape_partition_value(r[c])}" for c in self.partition_by
+                )
                 for r in parts.collect()
             ]
             removed = [
@@ -269,11 +301,13 @@ class LakehouseTable:
         kept_pred = ~predicate.eqNullSafe(F.lit(True))
         if self.partition_by:
             parts = matches.select(*self.partition_by).distinct()
-            touched = base.join(F.broadcast(parts), self.partition_by, "left_semi")
+            touched = _null_safe_semi(base, parts, self.partition_by)
             kept_rows = touched.where(kept_pred)
             new_files = self._stage(kept_rows)
             touched_dirs = [
-                "/".join(f"{c}={r[c]}" for c in self.partition_by)
+                "/".join(
+                    f"{c}={_escape_partition_value(r[c])}" for c in self.partition_by
+                )
                 for r in parts.collect()
             ]
             removed = [

@@ -528,17 +528,20 @@ def incremental_neardups(
 ) -> DataFrame:
     """Near-dups of an ARRIVING batch against an EXISTING corpus —
     the incremental form of :func:`minhash_lsh_neardups`. Returns
-    (doc_a = corpus doc, doc_b = batch doc, n_common, jaccard).
+    cross pairs as (doc_a = corpus doc, doc_b = batch doc) plus
+    batch-internal pairs as (doc_a < doc_b, both batch docs), with
+    (n_common, jaccard) for each.
 
     Why it matters at 100 TB: when a batch lands you must not re-pair
     the corpus against itself (that work is already done); the only new
     pairs are batch×corpus and batch×batch. Here the batch's band
     buckets are BROADCAST against the corpus banding, so the corpus is
-    scanned once, no corpus×corpus bucket join happens at all, and the
-    candidate set is bounded by the batch's bucket occupancy. In
-    production the corpus profiles/buckets come from the stored index
-    of the previous run (they are recomputed here because the fixture
-    has no persisted index — the topology is identical).
+    scanned once and no corpus×corpus bucket join happens at all; the
+    batch×batch pairs come from a batch-sized self-join (both sides
+    broadcastable). The candidate set is bounded by the batch's bucket
+    occupancy. In production the corpus profiles/buckets come from the
+    stored index of the previous run (they are recomputed here because
+    the fixture has no persisted index — the topology is identical).
     """
     from pyspark import StorageLevel
 
@@ -551,14 +554,23 @@ def incremental_neardups(
     mh_cols = [f"mh{k}" for k in range(N_MINHASH)]
     cb = band_buckets(corpus_profiles.select(id_col, *mh_cols), id_col, hash_impl)
     bb = band_buckets(batch_profiles.select(id_col, *mh_cols), id_col, hash_impl)
-    cands = (
+    bb_b = bb.select("band_id", "band_key", F.col(id_col).alias("doc_b"))
+    cands_cross = (
         cb.select("band_id", "band_key", F.col(id_col).alias("doc_a"))
-        .join(
-            F.broadcast(bb.select("band_id", "band_key", F.col(id_col).alias("doc_b"))),
-            ["band_id", "band_key"],
-        )
+        .join(F.broadcast(bb_b), ["band_id", "band_key"])
+        # a doc present in both inputs must not pair with itself
+        .where(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
-    profiles = corpus_profiles.unionByName(batch_profiles)
+    # the arriving batch can contain near-dups of ITSELF — those pairs
+    # are also new on arrival; batch-sized self-join, oriented
+    # doc_a < doc_b like the full pipeline
+    cands_batch = (
+        bb.select("band_id", "band_key", F.col(id_col).alias("doc_a"))
+        .join(F.broadcast(bb_b), ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cands = cands_cross.unionByName(cands_batch).distinct()
+    profiles = corpus_profiles.unionByName(batch_profiles).dropDuplicates([id_col])
     return verified_jaccard_profiles(cands, profiles, threshold, id_col)

@@ -1516,20 +1516,21 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_sql_minhash_ctes(0.5)},
     inc AS (
         SELECT doc_a AS ca, doc_b AS cb, n_common, jaccard FROM neardup
-        WHERE (doc_a % 25 = 0) <> (doc_b % 25 = 0)
+        WHERE (doc_a % 25 = 0) OR (doc_b % 25 = 0)
     )
-    SELECT CASE WHEN ca % 25 = 0 THEN cb ELSE ca END AS doc_a,
-           CASE WHEN ca % 25 = 0 THEN ca ELSE cb END AS doc_b,
+    SELECT CASE WHEN ca % 25 = 0 AND cb % 25 <> 0 THEN cb ELSE ca END AS doc_a,
+           CASE WHEN ca % 25 = 0 AND cb % 25 <> 0 THEN ca ELSE cb END AS doc_b,
            n_common, jaccard
     FROM inc
     """,
     doc="Incremental near-dup: an arriving batch (doc_id % 25 = 0, ~4% "
     "of the corpus) is checked against the existing corpus WITHOUT "
     "re-pairing the corpus against itself — the batch's band buckets "
-    "broadcast against the corpus banding, so new-batch ingestion "
+    "broadcast against the corpus banding (plus a batch-sized "
+    "self-join for batch-internal dups), so new-batch ingestion "
     "costs O(corpus scan + batch-sized verify), not a fresh "
     "corpus×corpus LSH. Oracle = the full-corpus pipeline filtered to "
-    "cross(batch, corpus) pairs: candidate generation is restricted, "
+    "pairs touching the batch: candidate generation is restricted, "
     "never widened, so the verified sets are provably identical.",
     tags=("llm", "dedup"),
 )

@@ -108,9 +108,14 @@ def evolve_landing_schema(
     see every column ever adopted even after the files age out.
 
     Returns the evolved schema as DDL (without the partition column).
-    The inference pass is one extra listing+sample of the landing zone
-    per restart — the same cost Auto Loader pays; at scale you bound it
-    with a sampled read, which this uses via ``samplingRatio``."""
+    The inference pass is one extra listing+read of the landing zone per
+    restart — the same cost Auto Loader pays. Inference must be FULL
+    (samplingRatio 1.0): a sampled read can nondeterministically miss a
+    column present in only a few rows, and because checkpoint offsets
+    never reprocess files, that column's values for the already-ingested
+    epoch would be silently dropped forever (extra fields are ignored,
+    not rescued). At scale, bound the cost by restricting inference to
+    files newer than the last adopted schema instead of sampling rows."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -121,7 +126,7 @@ def evolve_landing_schema(
         with open(log_path) as f:
             prior = StructType.fromJson(_json.load(f))
     inferred = (
-        spark.read.option("samplingRatio", 0.5)
+        spark.read.option("samplingRatio", 1.0)
         .option("basePath", landing_dir)
         .json(landing_dir)
         .schema

@@ -198,6 +198,33 @@ def test_c12_delete_null_predicate_retains(spark, make_table):
     assert got == [(2, None, "keep-null"), (3, "b", "keep")]
 
 
+def test_c13_exotic_partition_values(spark, make_table):
+    """Partition values Spark escapes on disk (':' -> %3A) and NULL
+    (-> __HIVE_DEFAULT_PARTITION__) must round-trip through merge and
+    delete: the removal path string-matches partition dirs, so a naive
+    f\"{c}={value}\" build misses the escaped dir name and leaves the
+    old copy alive as a duplicate; a plain equi semi-join drops the
+    NULL partition from the rewrite set and loses its rows."""
+    data = [(1, "a:1", "x"), (2, "a:1", "y"), (3, None, "z"), (4, "plain", "w")]
+    schema = "k int, p string, v string"
+
+    t = make_table("exotic", partition_by=["p"])
+    t.append(spark.createDataFrame(data, schema))
+    # merge updates a key in the escaped partition and one in the NULL
+    # partition — no duplicates may survive in either
+    t.merge(
+        spark.createDataFrame([(1, "a:1", "x2"), (3, None, "z2")], schema), ["k"]
+    )
+    got = _rows(t.read().select("k", F.col("p").cast("string"), "v"))
+    assert got == [(1, "a:1", "x2"), (2, "a:1", "y"), (3, None, "z2"), (4, "plain", "w")]
+
+    # delete from the escaped partition, then from the NULL partition
+    t.delete(F.col("k") == 2)
+    t.delete(F.col("p").isNull())
+    got = _rows(t.read().select("k", F.col("p").cast("string"), "v"))
+    assert got == [(1, "a:1", "x2"), (4, "plain", "w")]
+
+
 def test_c10_checkpointed_log_replay(spark, make_table):
     """≥ CHECKPOINT_EVERY commits → a checkpoint file exists and reads
     resolve from checkpoint + commit tail; every historical version

@@ -92,3 +92,20 @@ def test_merge_missing_partition_cols_raises_clearly(spark, tmp_path):
     upd = spark.createDataFrame([(1, "a2")], "k int, v string")
     with pytest.raises(ValueError, match="partition"):
         t.merge(upd, ["k"])
+
+
+def test_scratch_dir_keeps_previous_run(tmp_path, monkeypatch):
+    """A lazy reader from the PREVIOUS invocation of the same query must
+    survive one re-invocation; runs older than that are pruned."""
+    import os
+
+    from football_lakehouse_spark.scratch import scratch_dir
+
+    monkeypatch.setenv("FLS_SCRATCH_ROOT", str(tmp_path))
+    d1 = scratch_dir("q")
+    open(os.path.join(d1, "marker"), "w").close()
+    d2 = scratch_dir("q")
+    assert os.path.exists(os.path.join(d1, "marker")), "previous run was wiped"
+    d3 = scratch_dir("q")
+    assert not os.path.exists(d1), "run before last was not pruned"
+    assert os.path.exists(d2) and os.path.exists(d3)

@@ -387,11 +387,16 @@ def test_incremental_neardup_equals_filtered_full(spark):
     }
     full = minhash_lsh_neardups(docs, threshold=0.3).collect()
     want = set()
+    n_batch_internal = 0
     for r in full:
         a_in = r["doc_a"] % 10 == 0
         b_in = r["doc_b"] % 10 == 0
-        if a_in != b_in:  # exactly one side in the batch
+        if a_in and b_in:  # batch-internal pair, already doc_a < doc_b
+            want.add((r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"]))
+            n_batch_internal += 1
+        elif a_in != b_in:  # cross pair, oriented (corpus, batch)
             c, b = (r["doc_b"], r["doc_a"]) if a_in else (r["doc_a"], r["doc_b"])
             want.add((c, b, r["n_common"], r["jaccard"]))
     assert inc == want
     assert want, "fixture produced no cross pairs — weaken the threshold"
+    assert n_batch_internal, "fixture produced no batch-internal pairs"
