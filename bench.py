@@ -20,10 +20,25 @@ from football_lakehouse_spark.plans import registry
 from football_lakehouse_spark.session import get_spark
 
 
+N_PASSES = 4
+#: 1-min loadavg above which timings on this 32-cpu host are known to be
+#: noise-inflated (observed ±3× under concurrent pytest) — the run is
+#: still recorded, but flagged so regressions aren't read from it
+LOAD_CONTAMINATION_THRESHOLD = 3.0
+
+
+def _loadavg() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:  # pragma: no cover - non-POSIX
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 0.1
+    load_start = _loadavg()
     spark = get_spark("fls-bench")
 
     specs = registry.bench_queries()
@@ -37,7 +52,7 @@ def main() -> None:
     # interleaving means a burst inflates different queries in different
     # passes, so the per-query min stays the honest plan cost
     timings: dict[str, float] = {n: float("inf") for n in specs}
-    for _ in range(4):
+    for _ in range(N_PASSES):
         for name, spec in specs.items():
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -46,6 +61,7 @@ def main() -> None:
     timings = {n: round(v, 4) for n, v in timings.items()}
 
     total = round(sum(timings.values()), 4)
+    load_end = _loadavg()
     print(
         json.dumps(
             {
@@ -54,6 +70,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_passes": N_PASSES,
+                "loadavg_start": round(load_start, 2),
+                "loadavg_end": round(load_end, 2),
+                # loadavg here includes THIS bench's own executors, so
+                # contamination is judged on the pre-run reading only
+                "load_contaminated": load_start > LOAD_CONTAMINATION_THRESHOLD,
             }
         )
     )

@@ -95,59 +95,112 @@ def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
     return acc
 
 
+def _quantized_components(df: DataFrame, id_out: str, id_col: str, vec_col: str) -> DataFrame:
+    """(id, pos, qx) rows with each component floor-quantised to integer
+    micro-units — the exact arithmetic space the deterministic k-means
+    runs in (float sums are order-dependent; integer sums are not)."""
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+    ).select(
+        id_out, "pos", F.floor(F.col("x") * 1000000).cast("bigint").alias("qx")
+    )
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 3, n_cells: int = 16,
     n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-    seed: int = 42,
+    iters: int = 2,
 ) -> DataFrame:
-    """IVF-style ANN: a seeded k-means coarse quantiser assigns every
-    corpus vector to a cell; each query probes its ``n_probe`` nearest
-    cells (by centroid distance) and scores only those members exactly.
+    """IVF-style ANN: a DETERMINISTIC k-means coarse quantiser assigns
+    every corpus vector to a cell; each query probes its ``n_probe``
+    nearest cells (by centroid distance) and scores only those members
+    exactly.
 
-    Scale contract: the quantiser trains on a bounded sample, cell
-    assignment is one narrow pass over the corpus, the probe table is
-    queries×n_cells (tiny, centroid list broadcast), and exact scoring
-    touches ≈ corpus·(n_probe/n_cells). Recall vs brute force is
-    asserted in tests.
+    The quantiser is Lloyd's algorithm run entirely in micro-quantised
+    INTEGER space: components are ``floor(x·1e6)`` bigints, distances
+    are exact integer sums, centroid updates are
+    ``floor(sum/count)``, init is the ``n_cells`` lowest-id vectors,
+    and ties break on the lower cell id. Every step is therefore
+    partition-invariant and reproducible in plain SQL — unlike
+    ``pyspark.ml`` KMeans, whose k-means|| init samples per-partition
+    RNG streams and yields different centers under different input
+    partitionings. (In production, train on a deterministic hash-gated
+    sample instead of the full corpus; the refinement topology is
+    identical.)
+
+    Scale contract: each Lloyd round is one exploded-corpus shuffle;
+    cell assignment is one narrow pass; the probe table is
+    queries×n_cells (tiny, centroids broadcast); exact scoring touches
+    ≈ corpus·(n_probe/n_cells). Recall vs brute force is asserted in
+    tests. Centroid sums stay exact below 2^53 (qx ≤ 1e6 per
+    component → safe past 1e9 members per cell).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(par).select(
+    c = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
     )
-    c_vec = c.withColumn("fv", array_to_vector(as_double(F.col("match_vec"))))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell").fit(
-        c_vec.select("fv")
-    )
-    assigned = km.transform(c_vec).select("match_id", "match_vec", "cell")
+    qx = _quantized_components(corpus, "match_id", id_col, vec_col)
 
-    # centroids are tiny → literal table; each query ranks cells exactly
-    centers = [
-        (int(i), [float(x) for x in ctr]) for i, ctr in enumerate(km.clusterCenters())
-    ]
-    spark = corpus.sparkSession
-    centers_df = spark.createDataFrame(centers, "cell INT, center ARRAY<DOUBLE>")
+    # init: the n_cells lowest-id vectors, cell = 0..n_cells-1 in id order
+    w_init = Window.orderBy(F.col("match_id").asc())
+    init = (
+        c.select("match_id").orderBy("match_id").limit(n_cells)
+        .select("match_id", (F.row_number().over(w_init) - 1).cast("int").alias("cell"))
+    )
+    cent = (
+        qx.join(F.broadcast(init), "match_id")
+        .select("cell", "pos", F.col("qx").alias("cq"))
+    )
+
+    w_assign = Window.partitionBy("match_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        diff = F.col("qx") - F.col("cq")
+        d2 = (
+            qx.join(F.broadcast(centroids), "pos")
+            .groupBy("match_id", "cell")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+        return (
+            d2.withColumn("rn", F.row_number().over(w_assign))
+            .where(F.col("rn") == 1)
+            .select("match_id", "cell")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cent)
+        cent = (
+            qx.join(assigned, "match_id")
+            .groupBy("cell", "pos")
+            .agg(
+                F.floor(F.sum("qx") / F.count(F.lit(1))).cast("bigint").alias("cq")
+            )
+        )
+    assigned = assign(cent)
+
+    # probe: each query ranks the final centroids by exact integer d2
+    qqx = _quantized_components(queries, "query_id", id_col, vec_col)
+    diff = F.col("qx") - F.col("cq")
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qqx.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "cell")
+        .agg(F.sum(diff * diff).alias("d2"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "cell")
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    qd = q.withColumn("qv", as_double(F.col("query_vec")))
-    dist2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("center"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    probes = (
-        qd.crossJoin(F.broadcast(centers_df))
-        .select("query_id", "query_vec", "cell", dist2.alias("d2"))
-        .withColumn("pr", F.row_number().over(probe_w))
-        .where(F.col("pr") <= n_probe)
-        .select("query_id", "query_vec", "cell")
-    )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
+        .join(c, "match_id")
+        .join(F.broadcast(q), "query_id")
         .where(F.col("match_id") != F.col("query_id"))
         .select(
             "query_id",

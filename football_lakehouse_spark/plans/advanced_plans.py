@@ -57,22 +57,65 @@ def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q50_approx_stats",
-    oracle=None,  # sketch-based: HLL/KLL differ across engines by design;
-    # error bounds vs exact values asserted in tests/test_advanced.py
+    # Sketch VALUES are engine-specific (Spark HLL++ / QuantileSummaries
+    # vs DuckDB's HLL / t-digest) and percentile_approx is not even
+    # partition-stable (verified: three different medians at 32/7/200
+    # shuffle partitions), so the gate checks the sketches by their
+    # CONTRACT instead: HLL within its rsd bound of the exact distinct
+    # count, and the approx median's RANK within the eps*N guarantee of
+    # the true median rank. Both booleans are deterministic for any
+    # valid sketch output, making the oracle exact at EVERY scale — a
+    # strictly stronger check than pinning one run's values.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS hll_in_bounds,
+           true AS median_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="Approximate aggregates (SURVEY §2.4 note: built-ins worth exposing): "
     "approx_count_distinct (HLL) + percentile_approx (KLL-style) per "
-    "order-month over lineitem.",
+    "return flag over lineitem, verified against their accuracy "
+    "contracts (HLL estimate within 3×rsd of the exact distinct count; "
+    "approx-median rank within eps*N + duplicate slack of N/2).",
     tags=("advanced",),
 )
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
+    rsd = 0.05  # Spark default for approx_count_distinct
+    accuracy = 10000  # Spark default for percentile_approx → eps = 1/accuracy
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, accuracy).alias("approx_median"),
+    )
+    stats = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
             F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.first("approx_parts").alias("approx_parts"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("approx_median"), 1)
+                .otherwise(0)
+            ).alias("rank_le"),
         )
+    )
+    eps_slack = F.ceil(F.col("n") / accuracy) + 2  # eps*N + duplicate slack
+    target = F.col("n") / 2
+    return stats.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 3 * rsd * F.col("exact_parts")
+        ).alias("hll_in_bounds"),
+        (
+            (F.col("rank_le") >= target - eps_slack)
+            & (F.col("rank_le") <= target + eps_slack)
+        ).alias("median_in_bounds"),
     )
 
 

@@ -701,13 +701,64 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb, k=3)
 
 
+def _lsh_planes_values(n_planes: int) -> str:
+    """The LSH hyperplanes are sha256-derived CONSTANTS of the algorithm
+    (operators/similarity.hyperplane), so the oracle can inline them as
+    literals and re-run the whole bucketing in SQL — upgrading q45 from
+    a rows-only check to a full cross-engine hash match."""
+    from football_lakehouse_spark.operators.similarity import hyperplane
+
+    rows = []
+    for b in range(n_planes):
+        comps = ", ".join(repr(x) for x in hyperplane(b))
+        rows.append(f"({b}, [{comps}]::DOUBLE[])")
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(b, plane)"
+
+
 @query(
     "q45_ann_lsh",
-    oracle=None,  # candidate set depends on bucket granularity; recall vs
-    # brute force is asserted in tests/test_llm.py
+    oracle=f"""
+    WITH planes AS ({{planes}}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    buck AS (
+        SELECT v.vec_id,
+               sum(CASE WHEN list_dot_product(v.e, planes.plane) >= 0
+                   THEN (CAST(1 AS BIGINT) << planes.b) ELSE 0 END) AS bucket
+        FROM v CROSS JOIN planes
+        GROUP BY v.vec_id
+    ),
+    q AS (
+        SELECT buck.vec_id AS query_id, v.e AS qv, buck.bucket
+        FROM buck JOIN v USING (vec_id) WHERE vec_id < 5
+    ),
+    probes AS (
+        SELECT query_id, qv, bucket FROM q
+        UNION ALL SELECT query_id, qv, xor(bucket, 1) FROM q
+        UNION ALL SELECT query_id, qv, xor(bucket, 2) FROM q
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS match_id,
+               list_dot_product(p.qv, cv.e)
+                 / (sqrt(list_dot_product(p.qv, p.qv))
+                    * sqrt(list_dot_product(cv.e, cv.e))) AS cos_sim
+        FROM buck c
+        JOIN probes p ON c.bucket = p.bucket
+        JOIN v cv ON cv.vec_id = c.vec_id
+        WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, match_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+        ) AS BIGINT) AS rank FROM scored
+    ) WHERE rank <= 3
+    """.replace("{planes}", _lsh_planes_values(6)),
     doc="LSH-bucketed ANN (north star: the scale path): deterministic "
     "random-hyperplane sign buckets + Hamming-1 multiprobe prune the "
-    "corpus before exact scoring; recall measured against q44 in tests.",
+    "corpus before exact scoring. The planes are sha256-derived "
+    "constants, so the ORACLE re-runs the identical bucketing + "
+    "scoring in SQL — full value-level cross-engine match (the doubles "
+    "are bit-identical: element-order dot products). Recall vs brute "
+    "force additionally asserted in tests.",
     tags=("llm", "similarity"),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,13 +767,102 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, k=3, n_planes=6, multiprobe=2)
 
 
+def _ivf_oracle_sql(n_cells: int, n_probe: int, k: int, iters: int, dim: int = 64) -> str:
+    """Unrolled deterministic-k-means IVF in DuckDB SQL: the quantiser
+    runs in floor-quantised integer space with lowest-id init and
+    lowest-cell tie-breaks (operators/similarity.ivf_topk), so every
+    Lloyd round is exactly reproducible as a pair of CTEs."""
+    ctes = [
+        f"""qx AS (
+        SELECT vec_id, i AS pos,
+               CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qx
+        FROM embeddings, range({dim}) r(i)
+    )""",
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""init AS (
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells})
+    )""",
+        "cent0 AS (SELECT init.cell, qx.pos, qx.qx AS cq FROM init JOIN qx USING (vec_id))",
+    ]
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""d{i} AS (
+        SELECT qx.vec_id, c.cell, sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2
+        FROM qx JOIN {prev} c ON qx.pos = c.pos
+        GROUP BY qx.vec_id, c.cell
+    )""")
+        ctes.append(f"""a{i} AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2 ASC, cell ASC
+            ) AS rn FROM d{i}
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""cent{i} AS (
+        SELECT a{i}.cell, qx.pos,
+               CAST(floor(CAST(sum(qx.qx) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+        FROM a{i} JOIN qx USING (vec_id)
+        GROUP BY a{i}.cell, qx.pos
+    )""")
+        prev = f"cent{i}"
+    ctes.append(f"""df AS (
+        SELECT qx.vec_id, c.cell, sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2
+        FROM qx JOIN {prev} c ON qx.pos = c.pos
+        GROUP BY qx.vec_id, c.cell
+    )""")
+    ctes.append("""af AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2 ASC, cell ASC
+            ) AS rn FROM df
+        ) WHERE rn = 1
+    )""")
+    ctes.append(f"""probes AS (
+        SELECT query_id, cell FROM (
+            SELECT qx.vec_id AS query_id, c.cell,
+                   sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2,
+                   row_number() OVER (
+                       PARTITION BY qx.vec_id
+                       ORDER BY sum((qx.qx - c.cq) * (qx.qx - c.cq)) ASC, c.cell ASC
+                   ) AS pr
+            FROM qx JOIN {prev} c ON qx.pos = c.pos
+            WHERE qx.vec_id < 5
+            GROUP BY qx.vec_id, c.cell
+        ) WHERE pr <= {n_probe}
+    )""")
+    ctes.append("""scored AS (
+        SELECT p.query_id, af.vec_id AS match_id,
+               list_dot_product(qv.e, cv.e)
+                 / (sqrt(list_dot_product(qv.e, qv.e))
+                    * sqrt(list_dot_product(cv.e, cv.e))) AS cos_sim
+        FROM af
+        JOIN probes p USING (cell)
+        JOIN v cv ON cv.vec_id = af.vec_id
+        JOIN v qv ON qv.vec_id = p.query_id
+        WHERE af.vec_id <> p.query_id
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, match_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+        ) AS BIGINT) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+    )
+
+
 @query(
     "q51_ann_ivf",
-    oracle=None,  # k-means cells are model state; recall vs q44 asserted
-    # in tests/test_llm.py
-    doc="IVF ANN (north star: the other scale path beside LSH): seeded "
-    "k-means coarse quantiser, n_probe nearest cells per query, exact "
-    "cosine only on cell members (operators/similarity.ivf_topk).",
+    oracle=_ivf_oracle_sql(n_cells=16, n_probe=4, k=3, iters=2),
+    doc="IVF ANN (north star: the other scale path beside LSH): a "
+    "deterministic integer-space k-means coarse quantiser (lowest-id "
+    "init, exact integer distances, floor-average centroid updates — "
+    "partition-invariant by construction), n_probe nearest cells per "
+    "query, exact cosine only on cell members "
+    "(operators/similarity.ivf_topk). The ORACLE unrolls the identical "
+    "Lloyd rounds in SQL — full value-level cross-engine match.",
     tags=("llm", "similarity"),
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
