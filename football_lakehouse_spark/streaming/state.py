@@ -11,7 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from football_lakehouse_spark.streaming.ingest import read_landing_stream
+from football_lakehouse_spark.streaming.ingest import (
+    land_json_files,
+    read_landing_stream,
+)
+
+#: marker value written into the discriminator column of flush-sentinel
+#: rows so they are mechanically strippable downstream
+FLUSH_MARKER = "__flush_sentinel__"
 
 
 def windowed_event_counts(stream: DataFrame, window: str = "6 hours",
@@ -35,6 +42,83 @@ def windowed_event_counts(stream: DataFrame, window: str = "6 hours",
     )
 
 
+def flush_sentinel(
+    batch: DataFrame,
+    ts_col: str = "ts",
+    marker_col: str = "event_type",
+    advance: str = "30 DAYS",
+) -> DataFrame:
+    """End-of-stream flush sentinel: a 1-row DataFrame shaped like
+    ``batch`` whose event time sits ``advance`` past the batch maximum
+    and whose ``marker_col`` is :data:`FLUSH_MARKER`.
+
+    Append-mode watermarked aggregation only emits a window once the
+    watermark passes its end — so a finite ``availableNow`` run leaves
+    every window within ``watermark`` of max event time stuck in state.
+    Landing this sentinel with (or after) the final batch pushes the
+    watermark past ALL real windows, flushing them; the sentinel's own
+    output rows carry the marker and are stripped with
+    :func:`strip_flush_rows` (or filtered pre-sink, see
+    :func:`run_windowed_counts_available_now`).
+
+    The bump is computed from ``max(ts)`` (exact — not "some row + 30
+    days", which under-shoots when the data spans longer than
+    ``advance``), without a driver-side action: a 1×1 crossJoin of a
+    template row against the aggregated max. An empty ``batch`` yields
+    an empty sentinel, which is the right degenerate behaviour.
+    """
+    bumped = batch.agg(
+        (F.max(ts_col) + F.expr(f"INTERVAL {advance}")).alias(ts_col)
+    ).where(F.col(ts_col).isNotNull())
+    template = batch.limit(1).drop(ts_col)
+    return (
+        template.crossJoin(bumped)
+        .withColumn(marker_col, F.lit(FLUSH_MARKER))
+        .select(*batch.columns)
+    )
+
+
+def strip_flush_rows(df: DataFrame, marker_col: str = "event_type") -> DataFrame:
+    """Drop sentinel-derived rows from a flushed result.
+
+    Apply this to BATCH reads of the sink, never inside the streaming
+    plan: in-stream, a marker predicate is pushed below the
+    ``EventTimeWatermark`` node (it's a deterministic group-key filter),
+    which starves the watermark operator of the sentinel and cancels
+    the flush."""
+    return df.where(F.col(marker_col) != F.lit(FLUSH_MARKER))
+
+
+def read_windowed_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Batch-read a windowed-counts sink, stripping flush-sentinel
+    rows — the companion reader for
+    :func:`run_windowed_counts_available_now` with ``flush_all=True``."""
+    return strip_flush_rows(spark.read.parquet(out_dir))
+
+
+def land_flush_sentinel(
+    spark: SparkSession,
+    landing_dir: str,
+    ts_col: str = "ts",
+    marker_col: str = "event_type",
+    advance: str = "30 DAYS",
+) -> None:
+    """Land a flush sentinel for everything currently in ``landing_dir``
+    (batch read of the same files the stream consumes). Each call lands
+    one new sentinel file — rerun-safe for correctness (sentinel rows
+    are always stripped) at the cost of one extra 1-row file per call."""
+    from football_lakehouse_spark.streaming.ingest import EVENT_SCHEMA
+
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .option("basePath", landing_dir)
+        .json(landing_dir)
+    )
+    sentinel = flush_sentinel(batch, ts_col, marker_col, advance)
+    if not sentinel.isEmpty():
+        land_json_files(sentinel, landing_dir)
+
+
 def streaming_dedup(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Watermark + dropDuplicates on the deterministic event key — the
     Spark-native late/duplicate handling (engine offers both this and
@@ -43,7 +127,11 @@ def streaming_dedup(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
 
 
 def run_windowed_counts_available_now(
-    spark: SparkSession, landing_dir: str, checkpoint_dir: str, out_dir: str
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    flush_all: bool = False,
 ) -> None:
     """Finite windowed-aggregation job: landing files → watermarked
     tumbling windows → parquet.
@@ -51,9 +139,18 @@ def run_windowed_counts_available_now(
     Append mode emits only windows the watermark has CLOSED: windows
     within ``watermark`` of the max event time stay in state at
     end-of-input and appear on the next run once later data lands.
-    That is the correct bounded-state contract; callers needing
-    everything flushed land a watermark-advancing sentinel first
-    (see tests/test_streaming.py)."""
+    That is the correct bounded-state contract. ``flush_all=True`` opts
+    into flush-all semantics: a watermark-advancing sentinel is landed
+    first (:func:`land_flush_sentinel`) so every real window finalises
+    in this run. The sentinel's own aggregate rows DO land in the sink
+    (carrying :data:`FLUSH_MARKER`) and are stripped on read via
+    :func:`read_windowed_counts` — filtering them pre-sink is unsafe:
+    the marker predicate is a group-key filter, so Catalyst pushes it
+    below the ``EventTimeWatermark`` node, the sentinel rows never
+    reach the watermark operator, and the flush silently un-happens
+    (observed, not hypothetical)."""
+    if flush_all:
+        land_flush_sentinel(spark, landing_dir)
     stream = read_landing_stream(spark, landing_dir)
     agg = windowed_event_counts(stream)
     q = (

@@ -18,7 +18,11 @@ from football_lakehouse_spark.streaming.ingest import (
     merge_stream_into_table,
 )
 from football_lakehouse_spark.streaming.state import (
+    FLUSH_MARKER,
+    flush_sentinel,
+    read_windowed_counts,
     run_windowed_counts_available_now,
+    strip_flush_rows,
 )
 from tests.conftest import SF_SMOKE
 
@@ -76,16 +80,15 @@ def test_foreach_batch_merge_late_duplicates(spark, events, tmp_path):
 
 
 def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
+    """Flush-all via the public operator: land batch, run with
+    flush_all=True — every window finalises and no sentinel rows leak
+    into the sink."""
     landing, ckpt, out = (str(tmp_path / d) for d in ("landing", "ckpt", "out"))
     sample = events.limit(500)
-    # sentinel 30 days past max ts pushes the watermark beyond every real
-    # window so append mode finalises them all (bounded-state contract)
-    sentinel = sample.limit(1).withColumn(
-        "ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")
-    ).withColumn("event_type", F.lit("__sentinel__"))
-    land_json_files(sample.unionByName(sentinel), landing)
-    run_windowed_counts_available_now(spark, landing, ckpt, out)
-    streamed = spark.read.parquet(out).where(F.col("event_type") != "__sentinel__")
+    land_json_files(sample, landing)
+    run_windowed_counts_available_now(spark, landing, ckpt, out, flush_all=True)
+    streamed = read_windowed_counts(spark, out)
+    assert streamed.where(F.col("event_type") == FLUSH_MARKER).count() == 0
     batch = (
         sample.groupBy(F.window("ts", "6 hours"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
@@ -95,6 +98,30 @@ def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
         )
     )
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_flush_sentinel_exact_max(spark, events):
+    """The sentinel bump is computed from max(ts) — exact even when the
+    data spans longer than the advance interval (a limit(1)-row bump
+    would under-shoot there)."""
+    sample = events.limit(300)
+    sent = flush_sentinel(sample, advance="30 DAYS")
+    assert sent.count() == 1
+    row = sent.collect()[0]
+    assert row["event_type"] == FLUSH_MARKER
+    max_ts = sample.agg(F.max("ts")).collect()[0][0]
+    from datetime import timedelta
+
+    assert row["ts"] == max_ts + timedelta(days=30)
+    # same columns, same order — unionByName/landing-compatible
+    assert sent.columns == sample.columns
+    # strip removes exactly the sentinel rows
+    both = sample.unionByName(sent)
+    assert strip_flush_rows(both).count() == 300
+
+
+def test_flush_sentinel_empty_batch(spark, events):
+    assert flush_sentinel(events.limit(0)).count() == 0
 
 
 def test_schema_evolution_new_column(spark, events, tmp_path):
