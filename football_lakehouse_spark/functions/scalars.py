@@ -80,6 +80,23 @@ def sql_money_avg(expr: str, scale: int = 4) -> str:
     )
 
 
+def epoch_seconds(c: Column) -> Column:
+    """NTZ-safe epoch seconds. The driver's parquet fixtures drifted from
+    TIMESTAMP (LTZ) to TIMESTAMP_NTZ between rounds; ``cast("long")`` and
+    ``unix_micros`` both reject NTZ input, so every epoch conversion in
+    the engine routes through here. Casting NTZ→LTZ reinterprets the wall
+    clock in the session zone — forced to UTC by :mod:`..session` — which
+    is exactly how the DuckDB oracle (no TZ concept on naive timestamps)
+    reads the same files. For LTZ/TIMESTAMP input the extra cast is an
+    identity, so this is safe for either fixture flavour."""
+    return c.cast("timestamp_ltz").cast("long")
+
+
+def epoch_micros(c: Column) -> Column:
+    """NTZ-safe epoch microseconds — see :func:`epoch_seconds`."""
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
 def bucket_hash(c: Column, n_buckets: int, seed: str = "") -> Column:
     """Deterministic, cross-engine-portable bucket assignment: first 8
     hex chars of sha256 → int → mod. Used for salting and LSH banding

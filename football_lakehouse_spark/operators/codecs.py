@@ -18,16 +18,29 @@ unsupported payloads must be *detectably* bad, not silently wrong,
 because at 100 TB the decode step runs inside ``mapInPandas`` where a
 silent misdecode poisons downstream features invisibly.
 
-This module must stay self-contained (stdlib only, no package-relative
-imports): it is shipped to Python workers by VALUE via
+This module must stay self-contained (stdlib + numpy only, no
+package-relative imports): it is shipped to Python workers by VALUE via
 ``cloudpickle.register_pickle_by_value`` (see multimodal.py), which
-re-pickles every global the functions touch.
+re-pickles every global the functions touch — stdlib/numpy globals are
+referenced by name and resolve on any worker.
+
+Hot-loop discipline (this code runs inside ``mapInPandas`` at 100 TB):
+encode filters are defined on ORIGINAL pixel values, so all five
+vectorise as whole-image numpy expressions. Decode unfilters None/Sub/Up
+as whole-scanline numpy ops (Sub is a per-channel byte cumsum — addition
+mod 256 distributes over the prefix sum); Average and Paeth are
+*spec-sequential* within a scanline (each output pixel feeds the next
+pixel's predictor), so those two keep a per-pixel path and cost
+~stride·height Python steps per image — acceptable because this
+pipeline's own encoder (the only producer here) defaults to filter 0.
 """
 
 from __future__ import annotations
 
 import struct
 import zlib
+
+import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -57,6 +70,13 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorised Paeth predictor over int16+ arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
 def encode_png(
     pixels: bytes,
     width: int,
@@ -80,31 +100,33 @@ def encode_png(
         )
     color_type = 0 if channels == 1 else 2
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        line = pixels[y * stride : (y + 1) * stride]
-        raw.append(filter_type)
-        for x in range(stride):
-            a = line[x - channels] if x >= channels else 0
-            b = prev[x]
-            c = prev[x - channels] if x >= channels else 0
-            if filter_type == 0:
-                v = line[x]
-            elif filter_type == 1:
-                v = line[x] - a
-            elif filter_type == 2:
-                v = line[x] - b
-            elif filter_type == 3:
-                v = line[x] - (a + b) // 2
-            else:
-                v = line[x] - _paeth(a, b, c)
-            raw.append(v & 0xFF)
-        prev = line
+    # All five filters predict from ORIGINAL neighbour values, so the
+    # whole image filters as one vectorised expression: a = left pixel
+    # (same row, shifted by one pixel), b = up (previous row), c = up-left.
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride).astype(np.int16)
+    a = np.zeros_like(px)
+    a[:, channels:] = px[:, :-channels]
+    b = np.zeros_like(px)
+    b[1:, :] = px[:-1, :]
+    c = np.zeros_like(px)
+    c[1:, channels:] = px[:-1, :-channels]
+    if filter_type == 0:
+        filt = px
+    elif filter_type == 1:
+        filt = px - a
+    elif filter_type == 2:
+        filt = px - b
+    elif filter_type == 3:
+        filt = px - (a + b) // 2
+    else:
+        filt = px - _paeth_vec(a, b, c)
+    raw = np.empty((height, stride + 1), dtype=np.uint8)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = filt.astype(np.uint8)  # wraps mod 256 like the spec
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -149,37 +171,53 @@ def decode_png(payload: bytes) -> dict:
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("decompressed size does not match dimensions")
-    out = bytearray(stride * height)
-    prev = bytes(stride)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    fts = arr[:, 0]
+    bad = fts[fts > 4]
+    if bad.size:
+        raise ValueError(f"bad scanline filter: {int(bad[0])}")
+    lines = arr[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ft = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        cur = out
-        base = y * stride
-        for x in range(stride):
-            a = cur[base + x - channels] if x >= channels else 0
-            b = prev[x]
-            c = prev[x - channels] if x >= channels else 0
-            if ft == 0:
-                v = line[x]
-            elif ft == 1:
-                v = line[x] + a
-            elif ft == 2:
-                v = line[x] + b
-            elif ft == 3:
-                v = line[x] + (a + b) // 2
-            elif ft == 4:
-                v = line[x] + _paeth(a, b, c)
-            else:
-                raise ValueError(f"bad scanline filter: {ft}")
-            cur[base + x] = v & 0xFF
-        prev = bytes(out[base : base + stride])
+        ft = int(fts[y])
+        line = lines[y]
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 1:
+            # Sub: v[x] = (line[x] + v[x-ch]) mod 256 — a per-channel
+            # prefix sum; mod 256 distributes over the cumsum.
+            cur = np.empty(stride, dtype=np.uint8)
+            for ch in range(channels):
+                cur[ch::channels] = (
+                    np.cumsum(line[ch::channels], dtype=np.uint64) & 0xFF
+                )
+        elif ft == 2:
+            cur = line + prev  # uint8 wraps mod 256
+        else:
+            # Average/Paeth are sequential within the scanline by spec:
+            # each reconstructed pixel is the next pixel's predictor
+            # input, so no closed-form vectorisation exists (see module
+            # docstring). Per-pixel path, only for rows that use them.
+            cur = np.empty(stride, dtype=np.uint8)
+            li, pv = line.tolist(), prev.tolist()
+            cv = cur.tolist()
+            for x in range(stride):
+                a = cv[x - channels] if x >= channels else 0
+                b = pv[x]
+                c = pv[x - channels] if x >= channels else 0
+                pred = (a + b) // 2 if ft == 3 else _paeth(a, b, c)
+                cv[x] = (li[x] + pred) & 0xFF
+            cur = np.asarray(cv, dtype=np.uint8)
+        out[y] = cur
+        prev = cur
+    out = out.reshape(-1).tobytes()
     return {
         "width": width,
         "height": height,
         "bit_depth": 8,
         "channels": channels,
-        "pixels": bytes(out),
+        "pixels": out,
     }
 
 
@@ -241,4 +279,7 @@ def decode_wav(payload: bytes) -> dict:
         "sample_rate": sample_rate,
         "bits": bits,
         "samples": samples,
+        # raw little-endian PCM bytes so vectorised consumers can
+        # np.frombuffer(pcm, "<i2") instead of walking the Python list
+        "pcm": data[: n * 2],
     }

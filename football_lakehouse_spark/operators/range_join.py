@@ -24,12 +24,15 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.scalars import epoch_micros
+
 
 def _micros(df: DataFrame, c: str) -> Column:
-    """Timestamp columns → epoch microseconds; integer columns pass
-    through (already in caller-chosen units, e.g. property tests)."""
+    """Timestamp columns (LTZ or NTZ) → epoch microseconds via the
+    NTZ-safe shared helper; integer columns pass through (already in
+    caller-chosen units, e.g. property tests)."""
     if dict(df.dtypes)[c].startswith("timestamp"):
-        return F.unix_micros(F.col(c))
+        return epoch_micros(F.col(c))
     return F.col(c).cast("bigint")
 
 

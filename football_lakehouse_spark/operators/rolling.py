@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
 
+from ..functions.scalars import epoch_seconds
+
 
 def entity_timeline(df: DataFrame, key: str, order: list[str]) -> WindowSpec:
     return Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order])
@@ -67,7 +69,7 @@ def sessionize(
     w = entity_timeline(df, key, order)
     prev_ts = F.lag(ts, 1).over(w)
     is_new = F.when(
-        prev_ts.isNull() | (F.col(ts).cast("long") - prev_ts.cast("long") > gap), 1
+        prev_ts.isNull() | (epoch_seconds(F.col(ts)) - epoch_seconds(prev_ts) > gap), 1
     ).otherwise(0)
     return df.withColumn("__new", is_new).withColumn(
         session_alias,

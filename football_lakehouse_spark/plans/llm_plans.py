@@ -1027,6 +1027,87 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q92_multimodal_decode",
+    # The decode features are exact integers of the DECODED content, and
+    # the synthesized containers are invertible (PNG pixels ARE the first
+    # 128 utf-8 bytes zero-padded; WAV sample[i] = (byte[i]-128)*256), so
+    # the oracle recomputes them straight from the source text via the
+    # hex-extraction trick (q47): per-doc byte sum/min/max over the first
+    # 128 bytes with zero padding, then the mime branch maps them to the
+    # pixel/sample domain. No division anywhere → bit-exact across
+    # engines.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               hex(encode(text)) AS hx,
+               least(octet_length(encode(text)), 128) AS nb
+        FROM documents
+    ),
+    bytes AS (SELECT doc_id, hx, unnest(range(0, nb)) AS i FROM b),
+    vals AS (
+        SELECT doc_id,
+               (strpos('0123456789ABCDEF', hx[CAST(i * 2 + 1 AS BIGINT)]) - 1) * 16
+               + (strpos('0123456789ABCDEF', hx[CAST(i * 2 + 2 AS BIGINT)]) - 1)
+               AS byte
+        FROM bytes
+    ),
+    agg AS (
+        SELECT b.doc_id, b.nb,
+               coalesce(sum(v.byte), 0) AS bsum,
+               CASE WHEN b.nb < 128 THEN 0 ELSE min(v.byte) END AS bmin,
+               coalesce(max(v.byte), 0) AS bmax
+        FROM b LEFT JOIN vals v ON v.doc_id = b.doc_id
+        GROUP BY b.doc_id, b.nb
+    ),
+    feats AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                    ELSE 'audio/wav' END AS mime,
+               CASE WHEN doc_id % 2 = 0
+                    THEN [1.0, 16.0, 8.0, 1.0, 128.0,
+                          CAST(bsum AS DOUBLE),
+                          CAST(bmin AS DOUBLE),
+                          CAST(bmax AS DOUBLE)]
+                    ELSE [2.0, 1.0, 16000.0, 128.0,
+                          CAST(256 * (bsum - 16384) AS DOUBLE),
+                          CAST(256 * (bmin - 128) AS DOUBLE),
+                          CAST(256 * (bmax - 128) AS DOUBLE),
+                          16.0]
+               END AS f
+        FROM agg
+    )
+    SELECT feats.doc_id, feats.mime,
+           CAST(g.ix AS INT) AS feature_ix,
+           f[g.ix + 1] AS value
+    FROM feats CROSS JOIN (SELECT unnest(range(0, 8)) AS ix) g
+    """,
+    doc="REAL container decode under mapInPandas: synthesize_assets "
+    "builds genuine PNG (all five scanline filters, keyed on doc_id % 5) "
+    "and RIFF/WAVE PCM-16 payloads from each document's bytes, then "
+    "extract_features routes on the MIME type through the stdlib+numpy "
+    "codec (operators/codecs.py: chunk walking, vectorised scanline "
+    "unfiltering, PCM parsing) and emits integer-exact features of the "
+    "DECODED pixels/samples. Two Arrow-batched mapInPandas passes, no "
+    "shuffle between them (both are per-row maps); at 100 TB this is "
+    "the canonical decode-stage shape.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.multimodal import synthesize_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets(docs)
+    feats = extract_features(assets)
+    return feats.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/png"))
+        .otherwise(F.lit("audio/wav"))
+        .alias("mime"),
+        F.posexplode("features").alias("feature_ix", "value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Round 2 additions: boilerplate detection + normalization
 # --------------------------------------------------------------------------

@@ -130,8 +130,9 @@ def test_multimodal_features_deterministic_and_shaped(spark, docs):
     assert all(abs(sum(row[2]) - 1.0) < 1e-4 for row in f1)  # normalised (±8 roundings)
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_rejects_truncated():
+    # real decoder now: a bare signature with no chunks is detectably bad
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG")
 
 
@@ -141,7 +142,7 @@ def test_fake_features_pure():
 
 
 def test_frame_sample_plumbing(spark, docs):
-    from football_lakehouse_spark.operators.multimodal import frame_sample, resize_stub
+    from football_lakehouse_spark.operators.multimodal import frame_sample, resize_png
     import pytest as _pytest
 
     bundled = bundle_assets(docs.limit(20), F.encode(F.col("text"), "utf-8"), "video/fake")
@@ -158,8 +159,8 @@ def test_frame_sample_plumbing(spark, docs):
         doc_rows.sort(key=lambda r: r.frame_ix)
         assert all(r.frame_bytes == 64 for r in doc_rows[:-1])
         assert 1 <= doc_rows[-1].frame_bytes <= 64
-    with _pytest.raises(NotImplementedError):
-        resize_stub(b"x", 8, 8)
+    with _pytest.raises(ValueError):
+        resize_png(b"x", 8, 8)  # not a PNG → detectably bad, not silent
 
 
 def test_multiprobe_lsh_improves_recall(spark, emb):
