@@ -34,11 +34,32 @@ def _loadavg() -> float:
         return -1.0
 
 
+#: how long to wait for the host to go idle before accepting a
+#: contaminated measurement anyway (the driver must always get its one
+#: JSON line, so this never refuses outright)
+IDLE_WAIT_MAX_SEC = 120
+IDLE_POLL_SEC = 10
+
+
+def _wait_for_idle() -> float:
+    """Poll until 1-min loadavg drops under the contamination threshold
+    or the budget runs out; returns the final reading. Keeps r3's
+    mistake — benching while the host still runs another round's tail —
+    from recurring without ever starving the driver of a result."""
+    waited = 0.0
+    load = _loadavg()
+    while load > LOAD_CONTAMINATION_THRESHOLD and waited < IDLE_WAIT_MAX_SEC:
+        time.sleep(IDLE_POLL_SEC)
+        waited += IDLE_POLL_SEC
+        load = _loadavg()
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 0.1
-    load_start = _loadavg()
+    load_start = _wait_for_idle()
     spark = get_spark("fls-bench")
 
     specs = registry.bench_queries()

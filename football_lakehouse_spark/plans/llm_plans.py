@@ -270,16 +270,43 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_neardups(docs, threshold=0.5)
 
 
+#: q71's verified sf0.01 output, pinned. xxhash64 seeding is not
+#: reproducible in DuckDB, but the pair list is fully deterministic and
+#: partition-invariant (verified: identical under 32 vs 7 shuffle
+#: partitions), so a literal regression oracle closes the registry's
+#: last rows-only row (q69 is the template). n_common and jaccard come
+#: from the EXACT verification stage (shingle-set intersection), which
+#: is hash-independent; only candidate *generation* uses xxhash64, so a
+#: changed pair list means the banding or verification logic changed —
+#: exactly what should break this row.
+_Q71_PINNED_PAIRS = (
+    (8, 245, 81, 0.9878), (26, 455, 9, 0.9), (31, 383, 41, 0.9761),
+    (44, 446, 22, 0.9565), (45, 267, 75, 0.974), (45, 413, 76, 0.987),
+    (58, 293, 69, 0.9857), (61, 185, 56, 0.9824), (70, 447, 91, 0.9891),
+    (72, 377, 40, 0.9756), (87, 134, 21, 0.9545), (92, 450, 23, 0.9583),
+    (98, 290, 91, 0.9891), (107, 387, 37, 0.9736), (120, 332, 34, 0.9714),
+    (152, 178, 36, 0.9729), (166, 323, 59, 0.9833), (267, 413, 75, 0.9868),
+    (285, 301, 91, 0.9891), (295, 374, 29, 0.9666), (310, 389, 25, 0.9615),
+    (326, 457, 34, 0.9714), (393, 420, 78, 0.9873), (435, 486, 29, 0.9666),
+    (458, 462, 57, 0.9827),
+)
+
+
 @query(
     "q71_minhash_neardup_fast",
-    oracle=None,  # xxhash64 seeding is not reproducible in DuckDB;
-    # interchangeability with the oracle-checked sha path is
-    # property-tested (test_minhash_hash_impl_equivalent_topology)
+    oracle="SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, "
+    "CAST(n_common AS BIGINT) AS n_common, CAST(jaccard AS DOUBLE) AS jaccard "
+    "FROM (VALUES "
+    + ", ".join(f"({a}, {b}, {n}, {j})" for a, b, n, j in _Q71_PINNED_PAIRS)
+    + ") AS t(doc_a, doc_b, n_common, jaccard)",
     doc="Production-hash MinHash+LSH near-dup: identical pipeline to q41 "
     "with hash_impl=xxhash64 (JVM-intrinsic, ns/row) — what you run at "
-    "100 TB, where the per-shingle hash dominates the pass's CPU.",
+    "100 TB, where the per-shingle hash dominates the pass's CPU. "
+    "Oracle is the pinned sf0.01 pair list (deterministic and "
+    "partition-invariant; see _Q71_PINNED_PAIRS note).",
     bench=True,
     tags=("llm", "dedup"),
+    oracle_sf="sf0.01",
 )
 def minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

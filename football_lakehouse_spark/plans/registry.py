@@ -57,66 +57,58 @@ def query(
 
 #: Driver-facing ordering. The driver records CORRECTNESS rows for exactly
 #: the first 50 registry entries per round, so the per-round report is a
-#: 50-query prefix of this order. Round 3 rotation: the 41 queries whose
-#: last driver row is from round 1 (round 2's prefix covered the rest; the
-#: judge re-verified these 41 out-of-band) move to the front, plus the
-#: queries whose plan or oracle changed this round (q45/q51 new full
-#: oracles, q47 exploded gate view, q50 contract booleans, q85
-#: batch-internal pairs, q30/q72 DELETE-NULL + partition-escape fixes,
-#: q70 full-inference evolution). New round-3 queries go to the TAIL —
-#: the judge runs uncovered ones itself.
+#: 50-query prefix of this order. Round 4 rotation: the 41 queries with no
+#: round-3 driver row (r3's prefix covered the other 50) move to the
+#: front, plus q28_sessionize (r3's one red row — NTZ epoch fix needs
+#: re-attestation) and q47_multimodal_features (extract_features gained
+#: the mime switch this round). Everything else was hash-green in
+#: CORRECTNESS_r03 with an unchanged plan.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # --- round-1-covered block (fresh rows wanted this round) ---
-    "q03_latest_snapshot_per_customer",
-    "q05_bounded_multi_agg",
-    "q06_duplicate_key_detection",
-    "q07_topk_customers",
-    "q08_union_all_counts",
-    "q09_null_safe_cast",
-    "q10_json_extract",
-    "q11_explode_tokens",
-    "q12_string_funcs",
-    "q13_date_funcs",
-    "q14_content_hash_groups",
-    "q15_dedup_keep_first",
-    "q16_exists_probe",
-    "q17_multiway_join",
-    "q18_anti_semi_join",
-    "q19_anchor_fallback",
-    "q20_unpivot_metrics",
-    "q21_rollup",
-    "q22_pivot",
-    "q23_pricing_summary",
-    "q24_revenue_by_nation",
-    "q25_rolling_form",
-    "q26_value_delta",
-    "q27_live_state",
+    # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
-    "q29_merge_upsert",
-    "q31_idempotent_ingest",
-    "q33_windowed_counts",
-    "q34_feature_pipeline",
-    "q36_transfer_optimizer",
-    "q37_token_stats",
-    "q38_lang_quality",
-    "q39_doc_fingerprint",
-    "q40_dedup_exact",
-    "q41_minhash_neardup",
-    "q53_publish_gold_dim",
-    "q55_rollup_cascade",
-    "q63_cube",
-    "q66_sliding_window",
-    "q67_session_window",
-    "q68_set_ops",
-    # --- changed in round 3 → need fresh rows ---
-    "q45_ann_lsh",
-    "q51_ann_ivf",
+    "q64_range_join",
     "q47_multimodal_features",
-    "q50_approx_stats",
-    "q85_incremental_neardup",
-    "q30_time_travel",
-    "q72_delete_rows",
-    "q70_schema_evolution",
+    "q71_minhash_neardup_fast",
+    "q92_multimodal_decode",
+    # --- no round-3 driver row → fresh rows wanted ---
+    "q02_horizon_assembly_joins",
+    "q04_conditional_agg",
+    "q60_continuous_rollup",
+    "q54_format_roundtrip",
+    "q32_streaming_ingest",
+    "q91_stateful_state",
+    "q69_ml_pinned_eval",
+    "q42_simhash",
+    "q43_ngram_jaccard",
+    "q58_repetition_ratio",
+    "q59_decontamination",
+    "q61_vocab_df",
+    "q62_mixture_weights",
+    "q65_stratified_sample",
+    "q56_corpus_split",
+    "q57_neardup_clusters",
+    "q44_ann_bruteforce",
+    "q52_embedding_neardup",
+    "q48_embedding_stats",
+    "q46_multimodal_meta",
+    "q73_boilerplate_ngrams",
+    "q74_text_normalize",
+    "q75_pii_redaction",
+    "q76_gopher_quality",
+    "q77_source_top_terms",
+    "q78_sequence_packing",
+    "q81_doc_chunking",
+    "q82_source_overlap",
+    "q83_source_upsample",
+    "q84_curation_pipeline",
+    "q87_embedding_outliers",
+    "q88_length_quantiles",
+    "q49_asof_join",
+    "q79_salted_hot_key_agg",
+    "q80_bucketed_join",
+    "q86_table_profile",
+    "q89_full_outer_reconcile",
+    "q90_props_map",
 )
 
 
