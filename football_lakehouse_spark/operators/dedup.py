@@ -176,8 +176,45 @@ def band_buckets(
     ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
 
 
-def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Docs sharing any band bucket, as ordered distinct pairs."""
+def candidate_pairs(
+    buckets: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
+    """Docs sharing any band bucket, as ordered distinct pairs.
+
+    Band keys are content hashes, so buckets of DISTINCT documents stay
+    uniform — but N near-copies of one document (boilerplate replicated
+    across a crawl) legitimately share every band and inflate one bucket
+    to N, making the self-join emit N²/2 pairs. ``max_bucket_size``
+    bounds that: buckets above the cap switch to a STAR pattern (every
+    member paired with the bucket's min doc only — O(N) pairs). The
+    downstream exact-Jaccard verify still checks each emitted pair, and
+    connected components recovers the full cluster through the shared
+    representative, so cluster output is unchanged for genuine near-dup
+    blowups (property-tested in test_properties.py; measured in
+    scripts/soak_skew.py). Default None keeps the exact all-pairs
+    semantics that the q41/q71 oracles pin."""
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_key")
+        sized = buckets.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
+            "__bmin", F.min(id_col).over(w)
+        )
+        small = sized.where(F.col("__bn") <= max_bucket_size)
+        a = small.select("band_id", "band_key", F.col(id_col).alias("doc_a"))
+        b = small.select("band_id", "band_key", F.col(id_col).alias("doc_b"))
+        normal = (
+            a.join(b, ["band_id", "band_key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        star = (
+            sized.where(
+                (F.col("__bn") > max_bucket_size) & (F.col(id_col) != F.col("__bmin"))
+            )
+            .select(F.col("__bmin").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        )
+        return normal.unionByName(star).distinct()
     a = buckets.select(
         F.col("band_id"), F.col("band_key"), F.col(id_col).alias("doc_a")
     )
@@ -266,6 +303,7 @@ def minhash_lsh_neardups(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_impl: str = "sha256",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → fused per-doc profile (minhash
     signature + distinct shingle set, ONE shuffle) → band → bucket join
@@ -288,9 +326,9 @@ def minhash_lsh_neardups(
     # candidates are broadcast twice downstream (one per verify probe) —
     # persist so each broadcast reads the cached handful of rows instead
     # of re-running the banding join
-    cands = candidate_pairs(band_buckets(sigs, id_col, hash_impl), id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cands = candidate_pairs(
+        band_buckets(sigs, id_col, hash_impl), id_col, max_bucket_size
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return verified_jaccard_profiles(cands, profiles, threshold, id_col)
 
 

@@ -193,10 +193,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, prefix).select("doc_id", "lang", "source")
 
 
-def _sql_minhash_ctes(threshold: float) -> str:
+def _sql_minhash_ctes(
+    threshold: float, corpus: str = "documents", max_bucket_size: int | None = None
+) -> str:
     """The minhash near-dup pipeline as a reusable CTE chain ending in
     ``neardup(doc_a, doc_b, n_common, jaccard)`` — shared by q41 (pair
-    output) and q57 (connected components on top)."""
+    output), q57 (connected components on top) and q93 (star-capped
+    buckets over an inflated corpus). ``corpus`` is the FROM source of
+    the tokenisation CTE; ``max_bucket_size`` mirrors the engine's
+    oversized-bucket star pattern via window functions."""
     mh = ",\n               ".join(
         f"min(CAST(('0x' || substr(sha256(s), {8 * k + 1}, 8)) AS BIGINT)) AS mh{k}"
         for k in range(6)
@@ -211,7 +216,32 @@ def _sql_minhash_ctes(threshold: float) -> str:
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
         )
     bands = "\n        UNION ALL ".join(band_selects)
-    return f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    if max_bucket_size is None:
+        cand = """cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
+    else:
+        cand = f"""sized AS (
+        SELECT doc_id, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS bn,
+               min(doc_id) OVER (PARTITION BY band_id, band_key) AS bmin
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sized a JOIN sized b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            WHERE a.bn <= {max_bucket_size} AND b.bn <= {max_bucket_size}
+            UNION ALL
+            SELECT bmin AS doc_a, doc_id AS doc_b
+            FROM sized WHERE bn > {max_bucket_size} AND doc_id <> bmin
+        )
+    )"""
+    return f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM {corpus}),
     sh AS (
         SELECT DISTINCT doc_id, s FROM (
             SELECT doc_id,
@@ -224,11 +254,7 @@ def _sql_minhash_ctes(threshold: float) -> str:
     ),
     sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
     bands AS ({bands}),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
+    {cand},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
         SELECT c.doc_a, c.doc_b, count(*) AS n_common
@@ -311,6 +337,52 @@ _Q71_PINNED_PAIRS = (
 def minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_neardups(docs, threshold=0.5, hash_impl="xxhash64")
+
+
+_Q93_CAP = 8
+_Q93_CLONES = 60
+
+
+@query(
+    "q93_capped_neardup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT 1000000 + i AS doc_id,
+               (SELECT text FROM documents WHERE doc_id = 1)
+                   || ' clonemark' || CAST(i AS VARCHAR) AS text
+        FROM range(1, {_Q93_CLONES + 1}) t(i)
+    ),
+    {_sql_minhash_ctes(0.5, corpus="corpus", max_bucket_size=_Q93_CAP)}
+    SELECT doc_a, doc_b, n_common, jaccard FROM neardup
+    """,
+    doc="Star-capped LSH near-dup under an inflated band bucket: the corpus "
+    "is documents plus 60 near-clones of doc 1 (the 'boilerplate page "
+    "duplicated everywhere' case), so every band has one bucket of ~61 docs "
+    "and the plain bucket self-join would emit C(61,2)·bands pairs. "
+    "max_bucket_size=8 switches oversized buckets to the star pattern "
+    "(members pair with the bucket min only — O(N) pairs), exact-Jaccard "
+    "verification still filters every emitted pair, and connected components "
+    "recover the full clone cluster through the shared representative "
+    "(property-tested equivalent; measured 80× pair reduction in "
+    "scripts/soak_skew.py). Oracle mirrors the cap with window functions "
+    "over the same sha256 banding.",
+    tags=("llm", "dedup", "skew"),
+)
+def capped_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") == 1).select(F.col("text").alias("__base"))
+    clones = (
+        spark.range(1, _Q93_CLONES + 1)
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("id") + F.lit(1000000)).alias("doc_id"),
+            F.concat(F.col("__base"), F.lit(" clonemark"), F.col("id")).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(clones)
+    return minhash_lsh_neardups(corpus, threshold=0.5, max_bucket_size=_Q93_CAP)
 
 
 @query(

@@ -70,6 +70,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q47_multimodal_features",
     "q71_minhash_neardup_fast",
     "q92_multimodal_decode",
+    "q93_capped_neardup",
     # --- no round-3 driver row → fresh rows wanted ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -1,0 +1,306 @@
+"""Adversarial hot-key skew soak (SCALING.md evidence, round-4 verdict #6).
+
+Builds a deliberately skewed variant of the sf0.1 fixtures and measures
+how the engine's three skew defences behave under load:
+
+A. Salted two-phase aggregation (operators/bucketing.salted_aggregate,
+   q79) vs the naive single groupBy on a key where ONE value owns ~20%
+   of a 10x-replicated lineitem (~6M rows -> ~1.2M rows on the hot key).
+   Also records the REDUCER ROW DISTRIBUTION both ways (rows landing on
+   each of 32 hash partitions), because wall-time alone can hide the
+   imbalance behind map-side partial aggregation.
+
+B. AQE skew-join splitting on the same hot key: sort-merge join
+   lineitem_skew x orders with skewJoin on vs off, thresholds scaled to
+   the local data size, and the executed plan inspected for the
+   ``skew=true`` marker + number of split partitions - i.e. proof the
+   mechanism ENGAGES, not just that a config flag is set.
+
+C. MinHash LSH with ONE inflated band bucket: 400 near-copies of a
+   single document (the "boilerplate page duplicated everywhere" case).
+   The bucket self-join is quadratic in bucket size by construction;
+   this measures the candidate-pair blowup and the ``max_bucket_size``
+   star-capping mitigation (operators/dedup.candidate_pairs) that bounds
+   it to O(bucket) while preserving the connected components.
+
+Usage: python scripts/soak_skew.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from football_lakehouse_spark.catalog import load_table  # noqa: E402
+from football_lakehouse_spark.operators.bucketing import salted_aggregate  # noqa: E402
+from football_lakehouse_spark.operators.dedup import (  # noqa: E402
+    band_buckets,
+    candidate_pairs,
+    doc_profiles,
+    minhash_lsh_neardups,
+    neardup_clusters,
+    verified_jaccard_profiles,
+)
+from football_lakehouse_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+SKEW_DIR = "/tmp/fls-skew"
+HOT_ORDER = 1  # every skewed row is remapped to this l_orderkey
+REPLICAS = 10
+HOT_SHARE_MOD = 5  # 1-in-5 rows -> ~20% on the hot key
+N_CLONES = 400  # inflated near-dup cluster size
+
+
+def timed(fn, n=3):
+    """min-of-n wall time (shared host; min filters load bursts)."""
+    best = None
+    out = None
+    for _ in range(n):
+        t0 = time.monotonic()
+        out = fn()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return best, out
+
+
+def build_skewed(spark):
+    os.makedirs(SKEW_DIR, exist_ok=True)
+    li_path = os.path.join(SKEW_DIR, "lineitem_skew.parquet")
+    ord_path = os.path.join(SKEW_DIR, "orders_rep.parquet")
+    docs_path = os.path.join(SKEW_DIR, "documents_hotcluster.parquet")
+
+    if not os.path.exists(li_path):
+        li = load_table(spark, SRC, "lineitem")
+        ok = 10 ** len(str(li.agg(F.max("l_orderkey")).collect()[0][0]))
+        reps = [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * ok))
+            for i in range(REPLICAS)
+        ]
+        big = reps[0]
+        for r in reps[1:]:
+            big = big.unionByName(r)
+        # deterministic 20% hot-key gate: content hash, not RNG
+        gate = F.pmod(F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"), F.lit(HOT_SHARE_MOD)) == 0
+        skewed = big.withColumn(
+            "l_orderkey", F.when(gate, F.lit(HOT_ORDER)).otherwise(F.col("l_orderkey"))
+        )
+        skewed.repartition(8).write.mode("overwrite").parquet(li_path)
+
+        orders = load_table(spark, SRC, "orders")
+        oreps = [
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * ok))
+            for i in range(REPLICAS)
+        ]
+        obig = oreps[0]
+        for r in oreps[1:]:
+            obig = obig.unionByName(r)
+        obig.repartition(4).write.mode("overwrite").parquet(ord_path)
+
+    if not os.path.exists(docs_path):
+        docs = load_table(spark, SRC, "documents")
+        base = docs.where(F.col("doc_id") == 1).select("text").collect()[0][0]
+        dmax = docs.agg(F.max("doc_id")).collect()[0][0]
+        clones = spark.range(1, N_CLONES + 1).select(
+            (F.col("id") + F.lit(dmax)).alias("doc_id"),
+            # one perturbed token per clone: shingle sets stay ~identical,
+            # minhash bands collide, the bucket inflates to ~N_CLONES
+            F.concat(F.lit(base), F.lit(" clonemark"), F.col("id")).alias("text"),
+        )
+        docs.select("doc_id", "text").unionByName(clones).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+
+    return (
+        spark.read.parquet(li_path),
+        spark.read.parquet(ord_path),
+        spark.read.parquet(docs_path),
+    )
+
+
+def reducer_distribution(df, cols, n_part=32):
+    """Rows landing on each reducer under hash partitioning on cols —
+    the static view of the exchange the aggregation would perform."""
+    dist = (
+        df.groupBy(F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_part)).alias("p"))
+        .count()
+        .collect()
+    )
+    counts = sorted((r["count"] for r in dist), reverse=True)
+    total = sum(counts)
+    return {
+        "n_reducers_hit": len(counts),
+        "max_rows": counts[0],
+        "median_rows": counts[len(counts) // 2],
+        "max_share": round(counts[0] / total, 3),
+    }
+
+
+def part_a_agg(spark, li):
+    res = {}
+    res["hot_rows"] = li.where(F.col("l_orderkey") == HOT_ORDER).count()
+    res["total_rows"] = li.count()
+    res["dist_naive_key"] = reducer_distribution(li, ["l_orderkey"])
+    salted = li.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in li.columns]), F.lit(16))
+    )
+    res["dist_salted_key"] = reducer_distribution(salted, ["l_orderkey", "__salt"])
+
+    def naive():
+        return (
+            li.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("s"))
+            .count()
+        )
+
+    def salted_q79():
+        return salted_aggregate(li, "l_orderkey", 16, sums=["l_extendedprice"]).count()
+
+    res["naive_agg_s"], _ = timed(naive)
+    res["salted_agg_s"], _ = timed(salted_q79)
+
+    # the agg family partial aggregation can NOT absorb: per-entity sort
+    # (window) — every hot-key row crosses to one task and sorts there
+    from pyspark.sql import Window
+
+    def hot_window():
+        w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+        return (
+            li.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .count()
+        )
+
+    res["window_over_hot_key_s"], _ = timed(hot_window)
+    return res
+
+
+def part_b_skew_join(spark, li, orders):
+    res = {}
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+
+    def run_join():
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("rev"))
+        # collect() executes THIS DataFrame's QueryExecution, so the
+        # adaptive plan we inspect afterwards is the one that ran
+        # (count() would spawn a separate execution and leave j's plan
+        # unfinalised — no skew markers ever visible)
+        j.collect()
+        return j
+
+    try:
+        # force SMJ (no broadcast) so the skew machinery is what's under test;
+        # thresholds scaled to local data: hot partition ~40 MB >> 4 MB gate
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        res["skewjoin_off_s"], _ = timed(run_join)
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        res["skewjoin_on_s"], j = timed(run_join)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        res["plan_skew_marker"] = "skew=true" in plan
+        res["aqe_skewed_read"] = "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    return res
+
+
+def part_c_lsh_bucket(spark, docs):
+    res = {}
+    profiles = doc_profiles(docs, "doc_id", "text", "xxhash64").persist()
+    sigs = profiles.select("doc_id", *[f"mh{k}" for k in range(6)])
+    buckets = band_buckets(sigs, "doc_id", "xxhash64").persist()
+    bucket_sizes = (
+        buckets.groupBy("band_id", "band_key").count().orderBy(F.desc("count"))
+    )
+    top = bucket_sizes.limit(3).collect()
+    res["top_bucket_sizes"] = [r["count"] for r in top]
+
+    def full_pairs():
+        return candidate_pairs(buckets, "doc_id").count()
+
+    def capped_pairs():
+        return candidate_pairs(buckets, "doc_id", max_bucket_size=32).count()
+
+    res["pairs_full_s"], res["pairs_full_n"] = timed(full_pairs, n=2)
+    res["pairs_capped_s"], res["pairs_capped_n"] = timed(capped_pairs, n=2)
+
+    # cluster-equivalence: star-capping must not change the connected
+    # components on this corpus (every clone verifies against the rep)
+    full_verified = verified_jaccard_profiles(
+        candidate_pairs(buckets, "doc_id").persist(), profiles, 0.5
+    )
+    capped_verified = verified_jaccard_profiles(
+        candidate_pairs(buckets, "doc_id", max_bucket_size=32).persist(), profiles, 0.5
+    )
+    cf = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(full_verified).collect()
+    }
+    cc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(capped_verified).collect()
+    }
+    res["clusters_equal"] = cf == cc
+    res["n_clustered_docs"] = len(cf)
+
+    def end_to_end_capped():
+        return minhash_lsh_neardups(
+            docs, 0.5, hash_impl="xxhash64", max_bucket_size=32
+        ).count()
+
+    res["end_to_end_capped_s"], res["end_to_end_capped_pairs"] = timed(
+        end_to_end_capped, n=2
+    )
+    profiles.unpersist()
+    buckets.unpersist()
+    return res
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/soak_skew.json"
+    spark = get_spark("soak-skew")
+    li, orders, docs = build_skewed(spark)
+    results = {"A_salted_agg": part_a_agg(spark, li)}
+    print(json.dumps(results["A_salted_agg"], indent=2))
+    results["B_aqe_skew_join"] = part_b_skew_join(spark, li, orders)
+    print(json.dumps(results["B_aqe_skew_join"], indent=2))
+    results["C_lsh_inflated_bucket"] = part_c_lsh_bucket(spark, docs)
+    print(json.dumps(results["C_lsh_inflated_bucket"], indent=2))
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", out_path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,34 @@ def test_minhash_finds_known_near_dups(spark, docs):
             assert r.jaccard >= 0.999
 
 
+def test_star_capped_bucket_same_clusters(spark, docs):
+    """An inflated band bucket (N near-copies of one doc) makes the
+    all-pairs bucket join quadratic; max_bucket_size switches oversized
+    buckets to a star pattern. The emitted PAIR set shrinks to O(N), but
+    the verified connected components must be identical — the clones all
+    link through the bucket representative."""
+    from football_lakehouse_spark.operators.dedup import neardup_clusters
+
+    base = docs.where(F.col("doc_id") == 1).select("text").collect()[0][0]
+    clones = spark.range(1, 61).select(
+        (F.col("id") + 1000000).alias("doc_id"),
+        F.concat(F.lit(base), F.lit(" clonemark"), F.col("id")).alias("text"),
+    )
+    corpus = docs.limit(40).select("doc_id", "text").unionByName(clones)
+
+    full = minhash_lsh_neardups(corpus, threshold=0.5, hash_impl="xxhash64")
+    capped = minhash_lsh_neardups(
+        corpus, threshold=0.5, hash_impl="xxhash64", max_bucket_size=8
+    )
+    n_full, n_capped = full.count(), capped.count()
+    # 60 clones → ~C(60,2)=1770 full pairs; star gives ~59 + small-bucket noise
+    assert n_full > 1000
+    assert n_capped < n_full / 5
+    cf = {(r.doc_id, r.cluster_id) for r in neardup_clusters(full).collect()}
+    cc = {(r.doc_id, r.cluster_id) for r in neardup_clusters(capped).collect()}
+    assert cf == cc
+
+
 def test_neardup_clusters_transitive(spark):
     """A~B and B~C must land in ONE cluster even without an A~C pair;
     canonical = min doc_id; isolated nodes never appear."""
