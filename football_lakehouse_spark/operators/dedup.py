@@ -233,13 +233,16 @@ def verified_jaccard(
     cands: DataFrame, pairs: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only. Candidates
-    are dimension-sized post-LSH → broadcast both semi-join filters."""
+    are normally dimension-sized post-LSH; the joins are left unhinted
+    so AQE broadcasts them when small and shuffle-joins when an
+    inflated cluster blows the candidate count up (see
+    :func:`verified_jaccard_profiles` for the measured rationale)."""
     sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     sa = pairs.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = pairs.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
-        sa.join(F.broadcast(cands), "doc_a")
+        sa.join(cands, "doc_a")
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -247,8 +250,8 @@ def verified_jaccard(
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     jac = (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
         .withColumn(
             "jaccard",
             F.floor(
@@ -268,16 +271,24 @@ def verified_jaccard_profiles(
     cands: DataFrame, profiles: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs from cached per-doc
-    profiles — NO corpus-sized shuffle. Candidates are LSH-output-sized,
-    so both probes are broadcast hash joins against the profile table
-    (streamed once per side from cache); only candidate-pair rows (with
-    their two shingle arrays) meet in the final equi-join."""
+    profiles — NO corpus-sized shuffle. Candidates are normally
+    LSH-output-sized, so AQE turns both probes into broadcast hash
+    joins against the profile table at runtime (streamed once per side
+    from cache); only candidate-pair rows (with their two shingle
+    arrays) meet in the final equi-join. The broadcast is deliberately
+    NOT forced with a hint: an inflated near-dup cluster (N copies of a
+    boilerplate page) makes the candidate table O(N²) — 27M pairs in
+    the sf10 soak — and a forced broadcast of that is a driver OOM /
+    stall at scale, while AQE simply falls back to a shuffle join
+    (measured in scripts/soak_sf10.py; the max_bucket_size star cap is
+    the companion defence that keeps candidates small in the first
+    place)."""
     a_side = profiles.select(
         F.col(id_col).alias("doc_a"), F.col("shset").alias("sh_a"), F.col("n_shingles").alias("n_a")
-    ).join(F.broadcast(cands), "doc_a")
+    ).join(cands, "doc_a")
     b_side = profiles.select(
         F.col(id_col).alias("doc_b"), F.col("shset").alias("sh_b"), F.col("n_shingles").alias("n_b")
-    ).join(F.broadcast(cands), "doc_b")
+    ).join(cands, "doc_b")
     common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
     jac = (
         a_side.join(b_side, ["doc_a", "doc_b"])
@@ -323,9 +334,8 @@ def minhash_lsh_neardups(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = profiles.select(id_col, *[f"mh{k}" for k in range(N_MINHASH)])
-    # candidates are broadcast twice downstream (one per verify probe) —
-    # persist so each broadcast reads the cached handful of rows instead
-    # of re-running the banding join
+    # candidates feed two downstream probes — persist so each reads the
+    # cached rows instead of re-running the banding join
     cands = candidate_pairs(
         band_buckets(sigs, id_col, hash_impl), id_col, max_bucket_size
     ).persist(StorageLevel.MEMORY_AND_DISK)

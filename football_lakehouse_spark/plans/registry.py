@@ -71,6 +71,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q71_minhash_neardup_fast",
     "q92_multimodal_decode",
     "q93_capped_neardup",
+    "q94_stream_stream_join",
     # --- no round-3 driver row → fresh rows wanted ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

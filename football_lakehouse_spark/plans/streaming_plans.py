@@ -18,6 +18,7 @@ from football_lakehouse_spark.streaming.ingest import (
     ingest_available_now,
     land_json_files,
 )
+from football_lakehouse_spark.streaming.state import attribution_stream_join
 
 
 @query(
@@ -216,6 +217,52 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q94_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    doc="Watermarked stream-stream interval self-join (engine addition per "
+    "SURVEY §2.9 — the reference has no stream joins): land events as JSON "
+    "→ one file-source stream split into a purchases side and a clicks "
+    "side, both watermarked 1 hour → inner join on user within "
+    "[p.ts - 30 min, p.ts] → append sink, availableNow drain → pairs read "
+    "back lazily. Join state is bounded by the watermark+range condition "
+    "(clicks evict once older than watermark - 30 min), i.e. O(events in "
+    "the horizon), not O(stream). The oracle is the equivalent batch "
+    "interval join, so the streaming machinery must reproduce the exact "
+    "batch pair set. The drain is a single micro-batch here because "
+    "landing mtimes within one write job carry no chronological order — "
+    "a tight watermark over multi-batch unordered files would drop rows "
+    "nondeterministically; the multi-batch cross-chunk state path is "
+    "exercised in tests/test_streaming.py with chronologically landed "
+    "chunks.",
+    tags=("streaming",),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("q94_stream_stream_join")
+    landing = os.path.join(root, "landing")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    land_json_files(ev, landing)
+    joined = attribution_stream_join(spark, landing)
+    (
+        joined.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select("purchase_id", "click_id", "gap_s")
 
 
 @query(

@@ -73,17 +73,27 @@ def land_json_files(events: DataFrame, landing_dir: str, files_per_day: int = 1)
 
 
 def read_landing_stream(
-    spark: SparkSession, landing_dir: str, schema: str | None = None
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """S8: incremental file-source stream with explicit schema (no
     inference on trusted paths — reference §1.3), source-file lineage
-    column, and a rescue column for corrupt records."""
-    return (
+    column, and a rescue column for corrupt records.
+    ``max_files_per_trigger`` caps files per micro-batch (availableNow
+    honours it too, splitting the drain into several batches — files
+    are ordered by modification time, not path)."""
+    reader = (
         spark.readStream.format("json")
         .schema(schema or (EVENT_SCHEMA_WITH_RESCUE + ", snapshot_date DATE"))
         .option("columnNameOfCorruptRecord", "_rescue")
         .option("basePath", landing_dir)
-        .load(landing_dir)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.load(landing_dir)
         .withColumn("source_file", F.col("_metadata.file_path"))
         .withColumn("ingest_ts", F.current_timestamp())
     )

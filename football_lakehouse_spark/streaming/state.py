@@ -119,6 +119,70 @@ def land_flush_sentinel(
         land_json_files(sentinel, landing_dir)
 
 
+def attribution_stream_join(
+    spark: SparkSession,
+    landing_dir: str,
+    watermark: str = "1 hour",
+    lookback: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream interval self-join: each ``purchase``
+    event matched to the same user's ``click`` events within
+    ``[purchase.ts - lookback, purchase.ts]`` — the classic attribution
+    join, and a shape the reference engine cannot express at all
+    (SURVEY.md §2.9).
+
+    One file-source stream is split into two sides (Spark plans a true
+    stream-stream join over the shared source), both watermarked. The
+    range condition plus the watermark bound the join state: a buffered
+    click evicts once the purchase-side watermark passes
+    ``click.ts + lookback``, so state is O(events inside the horizon),
+    never O(stream history). Returns (purchase_id, click_id, gap_s);
+    gap_s is an exact integer so results hash identically cross-engine.
+
+    ``max_files_per_trigger`` splits the drain into multiple
+    micro-batches; file-source ordering is by modification time, so only
+    use it when landing mtimes are chronological (the cross-batch test
+    lands chunks sequentially for exactly this reason)."""
+    stream = read_landing_stream(
+        spark, landing_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {lookback} AND c_ts <= p_ts"
+        ),
+    )
+    from football_lakehouse_spark.functions.scalars import epoch_micros
+
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.floor(
+            (epoch_micros(F.col("p_ts")) - epoch_micros(F.col("c_ts")))
+            / F.lit(1000000)
+        ).alias("gap_s"),
+    )
+
+
 def streaming_dedup(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Watermark + dropDuplicates on the deterministic event key — the
     Spark-native late/duplicate handling (engine offers both this and

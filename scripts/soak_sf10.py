@@ -5,9 +5,15 @@ Synthesises sf10 = 100x the sf0.1 documents (500k docs) and events
 (10M rows) tables — the only inputs those three queries read — via a
 single crossJoin with a replica-index range (NOT 100 unions, which
 would make Catalyst plan 100 scan branches). Keys shift by
-replica*stride; document text gets a per-replica marker so near-dup
-structure scales linearly (100x the clusters), mirroring
-scripts/gen_scale.py semantics.
+replica*stride; document text gets a per-replica marker token.
+
+NOTE (measured, kept deliberately): one marker token out of ~100 does
+NOT break near-dup similarity — replicas of the same doc keep Jaccard
+≈ 0.96, so the corpus contains 5,000 TRUE 100-member near-dup
+clusters (C(100,2)·5k ≈ 24.8M real pairs). That makes this soak the
+adversarial inflated-cluster workload for q71, not a uniform scale-up
+— exactly the case the max_bucket_size star cap exists for. See the
+sf10 section of SCALING.md for both measurements.
 
 Then times each query (min over `passes` runs) and prints one JSON
 line per query for the SCALING.md table, next to the recorded sf0.1

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.functions.scalars import epoch_micros
 from football_lakehouse_spark.lakehouse.tables import LakehouseTable
 from football_lakehouse_spark.streaming.ingest import (
     ingest_available_now,
@@ -19,6 +20,7 @@ from football_lakehouse_spark.streaming.ingest import (
 )
 from football_lakehouse_spark.streaming.state import (
     FLUSH_MARKER,
+    attribution_stream_join,
     flush_sentinel,
     read_windowed_counts,
     run_windowed_counts_available_now,
@@ -98,6 +100,71 @@ def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
         )
     )
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_stream_join_cross_batch(spark, events, tmp_path):
+    """The watermarked stream-stream interval join must find pairs that
+    SPAN micro-batch boundaries (purchase arrives batches after its
+    click was buffered). Six 5-day chunks land sequentially so file
+    mtimes are chronological across chunks; maxFilesPerTrigger=5 makes
+    each chunk ≈ one micro-batch; the 6-day watermark exceeds any
+    within-chunk mtime disorder so nothing is dropped. Expected = the
+    equivalent batch interval join."""
+    landing, ckpt, out = (str(tmp_path / d) for d in ("landing", "ckpt", "out"))
+    for lo, hi in ((1, 5), (6, 10), (11, 15), (16, 20), (21, 25), (26, 31)):
+        land_json_files(events.where(F.dayofmonth("ts").between(lo, hi)), landing)
+
+    joined = attribution_stream_join(
+        spark, landing, watermark="6 days", lookback="12 hours",
+        max_files_per_trigger=5,
+    )
+    (
+        joined.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    expected_df = p.join(
+        c,
+        F.expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 12 hours AND c_ts <= p_ts"),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.floor(
+            (epoch_micros(F.col("p_ts")) - epoch_micros(F.col("c_ts")))
+            / F.lit(1000000)
+        ).alias("gap_s"),
+    )
+    expected = sorted(map(tuple, expected_df.collect()))
+    assert len(expected) > 0
+    assert got == expected
+    # at least one pair genuinely crosses a chunk/batch boundary
+    days = {
+        r.purchase_id: r.p_day
+        for r in events.select(
+            F.col("event_id").alias("purchase_id"), F.dayofmonth("ts").alias("p_day")
+        ).collect()
+    }
+    cross = [
+        (pid, cid)
+        for pid, cid, _ in expected
+        if (days[pid] - 1) // 5 != (days[cid] - 1) // 5
+    ]
+    assert cross, "fixture produced no cross-chunk pair; widen lookback"
 
 
 def test_flush_sentinel_exact_max(spark, events):
