@@ -72,6 +72,76 @@ def brute_force_topk(
     )
 
 
+def quantize_int8(vec: F.Column) -> F.Column:
+    """Symmetric per-vector int8 quantisation: scale = max|x|, each
+    component rounds half-up to ``floor(x·127/scale + 0.5)`` ∈ [-127,
+    127]. This is the 100 TB embedding STORAGE path — 4-8× smaller than
+    float32/64 arrays, and because quantised components are small
+    integers, dot products are exactly representable in doubles, so
+    scoring is order-independent and bit-identical cross-engine (unlike
+    raw float cosines, which are only oracle-exact under matched
+    summation order). Cosine is scale-invariant, so the per-vector
+    scale never needs to be applied back for ranking."""
+    d = F.transform(vec, lambda x: x.cast("double"))
+    s = F.array_max(F.transform(d, lambda x: F.abs(x)))
+    return F.transform(
+        d, lambda x: F.floor(x * F.lit(127.0) / s + F.lit(0.5)).cast("bigint")
+    )
+
+
+def _qdot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over int8-quantised vectors — the storage-compressed
+    variant of :func:`brute_force_topk`. Output carries the exact
+    integer dot product (``qdot``) alongside the quantised cosine;
+    ranking ties break on match_id so results are deterministic even if
+    two candidates quantise identically."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_int8(F.col(vec_col)).alias("query_vec"),
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
+        F.col(id_col).alias("match_id"),
+        quantize_int8(F.col(vec_col)).alias("match_vec"),
+    )
+    qv, mv = F.col("query_vec"), F.col("match_vec")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            _qdot(qv, mv).alias("qdot"),
+            (
+                _qdot(qv, mv).cast("double")
+                / (
+                    F.sqrt(_qdot(qv, qv).cast("double"))
+                    * F.sqrt(_qdot(mv, mv).cast("double"))
+                )
+            ).alias("cos_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "qdot", "cos_q", "rank")
+    )
+
+
 def hyperplane(seed: int, dim: int = DIM) -> list[float]:
     """Deterministic pseudo-random hyperplane from sha256 — reproducible
     everywhere, no RNG state."""

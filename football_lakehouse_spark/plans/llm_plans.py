@@ -20,11 +20,15 @@ from football_lakehouse_spark.functions.text import (
     ws_tokens,
 )
 from football_lakehouse_spark.operators.dedup import (
+    N_MINHASH,
+    band_buckets,
+    doc_profiles,
     exact_dedup,
     minhash_lsh_neardups,
     neardup_clusters,
     shingles_from_tokens,
     simhash64,
+    verified_jaccard_profiles,
 )
 from football_lakehouse_spark.operators.multimodal import bundle_assets, extract_features
 from football_lakehouse_spark.operators.similarity import brute_force_topk, lsh_topk
@@ -194,7 +198,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_ctes(
-    threshold: float, corpus: str = "documents", max_bucket_size: int | None = None
+    threshold: float,
+    corpus: str = "documents",
+    max_bucket_size: int | None = None,
+    pair_condition: str = "a.doc_id < b.doc_id",
 ) -> str:
     """The minhash near-dup pipeline as a reusable CTE chain ending in
     ``neardup(doc_a, doc_b, n_common, jaccard)`` — shared by q41 (pair
@@ -217,10 +224,10 @@ def _sql_minhash_ctes(
         )
     bands = "\n        UNION ALL ".join(band_selects)
     if max_bucket_size is None:
-        cand = """cand AS (
+        cand = f"""cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND {pair_condition}
     )"""
     else:
         cand = f"""sized AS (
@@ -383,6 +390,59 @@ def capped_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(clones)
     return minhash_lsh_neardups(corpus, threshold=0.5, max_bucket_size=_Q93_CAP)
+
+
+@query(
+    "q95_fuzzy_decontamination",
+    oracle=f"""
+    WITH {_sql_minhash_ctes(0.5, pair_condition="a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0")}
+    SELECT doc_a AS doc_id, doc_b AS eval_doc_id, n_common, jaccard FROM neardup
+    """,
+    doc="FUZZY benchmark decontamination: q59's exact shared-n-gram check "
+    "misses lightly paraphrased eval leaks, so this flags training docs "
+    "that are NEAR-duplicates (exact Jaccard >= 0.5 after LSH candidate "
+    "generation) of any eval doc (doc_id % 10 == 0 stands in for the "
+    "benchmark corpus). Same topology as incremental near-dup: both sides "
+    "band once, candidates come from the band join restricted to "
+    "train x eval (never train x train), and only candidates pay the exact "
+    "verify — the eval side is benchmark-sized at any corpus scale, so "
+    "candidates stay bounded by eval bucket occupancy (north star: "
+    "training-data hygiene).",
+    tags=("llm", "dedup", "text"),
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    profiles = doc_profiles(docs, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    mh_cols = [f"mh{k}" for k in range(N_MINHASH)]
+    is_eval = F.col("doc_id") % 10 == 0
+    train_b = band_buckets(
+        profiles.where(~is_eval).select("doc_id", *mh_cols), "doc_id"
+    )
+    eval_b = band_buckets(
+        profiles.where(is_eval).select("doc_id", *mh_cols), "doc_id"
+    )
+    cands = (
+        train_b.select("band_id", "band_key", F.col("doc_id").alias("doc_a"))
+        .join(
+            F.broadcast(
+                eval_b.select("band_id", "band_key", F.col("doc_id").alias("doc_b"))
+            ),
+            ["band_id", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return verified_jaccard_profiles(cands, profiles, 0.5).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("eval_doc_id"),
+        "n_common",
+        "jaccard",
+    )
 
 
 @query(
@@ -798,6 +858,51 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return brute_force_topk(queries, emb, k=3)
+
+
+@query(
+    "q96_quantized_ann",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS sc FROM v),
+    qz AS (
+        SELECT vec_id,
+               list_transform(e, x -> CAST(floor(x * 127.0 / sc + 0.5) AS DOUBLE)) AS q
+        FROM s
+    ),
+    qq AS (SELECT vec_id AS query_id, q AS qv FROM qz WHERE vec_id < 5),
+    c AS (SELECT vec_id AS match_id, q AS mv FROM qz),
+    scored AS (
+        SELECT query_id, match_id,
+               CAST(list_dot_product(qv, mv) AS BIGINT) AS qdot,
+               list_dot_product(qv, mv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv)))
+                   AS cos_q
+        FROM c, qq WHERE match_id <> query_id
+    )
+    SELECT query_id, match_id, qdot, cos_q, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_q DESC, match_id ASC
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Int8-quantised cosine top-k (north star: ANN at storage scale). "
+    "Symmetric per-vector quantisation (scale = max|x|, round-half-up to "
+    "[-127,127]) cuts embedding storage 4-8x; dot products over small "
+    "integers are exactly representable in doubles, so scores are "
+    "order-independent and bit-identical cross-engine — stronger than the "
+    "float path, which is only exact under matched summation order. "
+    "Cosine is scale-invariant so the quantisation scale cancels out of "
+    "the ranking entirely.",
+    tags=("llm", "similarity"),
+)
+def quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return quantized_topk(queries, emb, k=3)
 
 
 def _lsh_planes_values(n_planes: int) -> str:

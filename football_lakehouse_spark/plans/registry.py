@@ -72,6 +72,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q92_multimodal_decode",
     "q93_capped_neardup",
     "q94_stream_stream_join",
+    "q95_fuzzy_decontamination",
+    "q96_quantized_ann",
     # --- no round-3 driver row → fresh rows wanted ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -125,6 +125,50 @@ def test_star_capped_bucket_same_clusters(spark, docs):
     assert cf == cc
 
 
+def test_quantized_ann_close_to_exact(spark, emb):
+    """Int8 quantisation must preserve most of the exact top-3 (64-dim
+    vectors lose <1% relative precision at 127 levels), and the integer
+    dot products must respect the 64·127² bound."""
+    from football_lakehouse_spark.operators.similarity import quantized_topk
+
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.match_id) for r in brute_force_topk(queries, emb, k=3).collect()
+    }
+    got = quantized_topk(queries, emb, k=3).collect()
+    assert all(abs(r.qdot) <= 64 * 127 * 127 for r in got)
+    assert all(-1.0001 <= r.cos_q <= 1.0001 for r in got)
+    quant = {(r.query_id, r.match_id) for r in got}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantisation lost too much ranking fidelity: {recall}"
+
+
+def test_fuzzy_decontamination_finds_planted_paraphrase(spark, docs):
+    """A train doc that is a light paraphrase of an eval doc (one token
+    changed — defeats q59-style exact n-gram matching for the edited
+    span) must be flagged with high jaccard."""
+    from football_lakehouse_spark.plans.llm_plans import fuzzy_decontamination
+
+    # doc_id 940 (train: 940 % 10 != 0... 940 % 10 == 0 → eval). Use 941.
+    base = docs.where(F.col("doc_id") == 10).select("text").collect()[0][0]
+    toks = base.split(" ")
+    toks[len(toks) // 2] = "PARAPHRASED"
+    leaked = spark.createDataFrame(
+        [(99941, " ".join(toks))], "doc_id bigint, text string"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(leaked)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        corpus.coalesce(1).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = fuzzy_decontamination(spark, td).collect()
+    flagged = {(r.doc_id, r.eval_doc_id): r.jaccard for r in got}
+    assert (99941, 10) in flagged
+    # one changed token costs ~3 of the doc's 3-gram shingles
+    assert flagged[(99941, 10)] >= 0.8
+
+
 def test_neardup_clusters_transitive(spark):
     """A~B and B~C must land in ONE cluster even without an A~C pair;
     canonical = min doc_id; isolated nodes never appear."""
