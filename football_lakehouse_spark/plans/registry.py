@@ -74,6 +74,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q94_stream_stream_join",
     "q95_fuzzy_decontamination",
     "q96_quantized_ann",
+    "q97_resample_ffill",
     # --- no round-3 driver row → fresh rows wanted ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

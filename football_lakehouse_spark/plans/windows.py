@@ -182,3 +182,87 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+@query(
+    "q97_resample_ffill",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, value, event_id, date_trunc('hour', ts) AS h
+        FROM events WHERE user_id <= 30
+    ),
+    cells AS (
+        SELECT user_id, h, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC
+            ) AS rn FROM e
+        ) WHERE rn = 1
+    ),
+    counts AS (SELECT user_id, h, count(*) AS n FROM e GROUP BY 1, 2),
+    bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM e GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           last_value(c.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill,
+           COALESCE(n.n, 0) AS n_events
+    FROM grid g
+    LEFT JOIN cells c ON c.user_id = g.user_id AND c.h = g.h
+    LEFT JOIN counts n ON n.user_id = g.user_id AND n.h = g.h
+    """,
+    doc="Time-series resample to a regular hourly grid with forward fill "
+    "(engine addition; the gap-fill/LOCF primitive of timeseries stores). "
+    "Per user: hourly cells from first to last event, each cell carrying "
+    "the latest event value of that hour (ties broken by event_id) "
+    "forward-filled across empty cells via last(ignorenulls) — plus the "
+    "per-cell event count. Plan: grid generation is a narrow per-user "
+    "sequence() explode (no shuffle), then ONE exchange on user_id for "
+    "the fill window. Known cliff (same as sessionize): one entity "
+    "spanning years of hours serialises into one task's sort — "
+    "range-bucket the grid per (user, month) before the window if that "
+    "ever bites. user_id <= 30 keeps the driver-collected result "
+    "bounded; the operator itself has no such limit.",
+    tags=("window",),
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 30)
+        .withColumn("h", F.date_trunc("hour", F.col("ts")))
+    )
+    rn = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cells = (
+        ev.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    counts = ev.groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    fill = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(cells, ["user_id", "h"], "left")
+        .join(counts, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            F.last("value", ignorenulls=True).over(fill).alias("value_ffill"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
