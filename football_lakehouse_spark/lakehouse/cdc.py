@@ -1,0 +1,71 @@
+"""Change data capture over versioned lakehouse tables — the open
+analogue of Delta's Change Data Feed (`table_changes`), derived by
+DIFFING two committed versions instead of reading a persisted feed.
+
+The reference declares its Silver layer as MERGE-maintained
+(docs/backlog.md:77); downstream incremental consumers need the row
+delta between two table versions, which this provides for ANY pair of
+versions of the manifest-log table layer (lakehouse/tables.py) without
+requiring the writer to have logged changes at commit time.
+
+Plan shape: ONE full-outer join on the key (single shuffle), then each
+joined row emits 0-2 change entries through an exploded literal array —
+insert / delete / update_preimage / update_postimage — so the diff is
+one pass with no re-scan per change type. At 100 TB the join is
+key-partitioned and AQE-handled like any fact-fact join; the alternative
+(four separate anti/semi-joins) would scan both versions four times.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def change_feed(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Row-level changes that turn ``old`` into ``new``, keyed by
+    ``keys``: ``insert`` rows (key only in new), ``delete`` rows (key
+    only in old), and ``update_preimage``/``update_postimage`` pairs
+    (key in both, any non-key column differing null-safely). Payload
+    columns carry the new image for insert/update_postimage and the old
+    image for delete/update_preimage — Delta CDF semantics."""
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, F.struct(*val_cols).alias("__old"), F.lit(1).alias("__ino")
+    )
+    n = new.select(
+        *keys, F.struct(*val_cols).alias("__new"), F.lit(1).alias("__inn")
+    )
+    j = o.join(n, list(keys), "full_outer")
+
+    changed: Column = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"__old.{c}").eqNullSafe(F.col(f"__new.{c}"))
+            for c in val_cols
+        ],
+    )
+    both = F.col("__ino").isNotNull() & F.col("__inn").isNotNull()
+
+    def entry(change_type: str, payload: Column) -> Column:
+        return F.struct(
+            F.lit(change_type).alias("change_type"), payload.alias("payload")
+        )
+
+    entries = F.array(
+        F.when(F.col("__ino").isNull(), entry("insert", F.col("__new"))),
+        F.when(F.col("__inn").isNull(), entry("delete", F.col("__old"))),
+        F.when(both & changed, entry("update_preimage", F.col("__old"))),
+        F.when(both & changed, entry("update_postimage", F.col("__new"))),
+    )
+    ex = j.select(
+        *keys,
+        F.explode(F.filter(entries, lambda e: e.isNotNull())).alias("__e"),
+    )
+    return ex.select(
+        F.col("__e.change_type").alias("change_type"),
+        *keys,
+        *[F.col(f"__e.payload.{c}").alias(c) for c in val_cols],
+    )

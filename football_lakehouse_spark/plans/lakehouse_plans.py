@@ -133,6 +133,89 @@ def delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q98_cdc_feed",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}), upd AS ({_UPD_SQL}),
+    v1 AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.event_id = b.event_id)
+    ),
+    v2 AS (
+        SELECT * FROM v1 WHERE NOT (event_type = 'updated' AND value < 50)
+    ),
+    c01 AS (
+        SELECT 'insert' AS change_type, n.* FROM v1 n
+        WHERE NOT EXISTS (SELECT 1 FROM base o WHERE o.event_id = n.event_id)
+        UNION ALL
+        SELECT 'delete', o.* FROM base o
+        WHERE NOT EXISTS (SELECT 1 FROM v1 n WHERE n.event_id = o.event_id)
+        UNION ALL
+        SELECT 'update_preimage', o.* FROM base o JOIN v1 n USING (event_id)
+        WHERE o.event_type IS DISTINCT FROM n.event_type
+           OR o.value IS DISTINCT FROM n.value
+        UNION ALL
+        SELECT 'update_postimage', n.event_id, n.event_type, n.value
+        FROM base o JOIN v1 n USING (event_id)
+        WHERE o.event_type IS DISTINCT FROM n.event_type
+           OR o.value IS DISTINCT FROM n.value
+    ),
+    c12 AS (
+        SELECT 'insert' AS change_type, n.* FROM v2 n
+        WHERE NOT EXISTS (SELECT 1 FROM v1 o WHERE o.event_id = n.event_id)
+        UNION ALL
+        SELECT 'delete', o.* FROM v1 o
+        WHERE NOT EXISTS (SELECT 1 FROM v2 n WHERE n.event_id = o.event_id)
+        UNION ALL
+        SELECT 'update_preimage', o.* FROM v1 o JOIN v2 n USING (event_id)
+        WHERE o.event_type IS DISTINCT FROM n.event_type
+           OR o.value IS DISTINCT FROM n.value
+        UNION ALL
+        SELECT 'update_postimage', n.event_id, n.event_type, n.value
+        FROM v1 o JOIN v2 n USING (event_id)
+        WHERE o.event_type IS DISTINCT FROM n.event_type
+           OR o.value IS DISTINCT FROM n.value
+    )
+    SELECT CAST(1 AS BIGINT) AS version, change_type, event_id, event_type, value
+    FROM c01
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), change_type, event_id, event_type, value FROM c12
+    """,
+    doc="Change data feed between table versions (Delta CDF / "
+    "table_changes analogue): base appended as v0, MERGE to v1, "
+    "predicate DELETE to v2, then the row-level delta for each "
+    "transition — insert / delete / update_preimage / update_postimage "
+    "with Delta CDF payload semantics — derived by diffing committed "
+    "versions. One full-outer join per transition (single shuffle); each "
+    "joined row emits its 0-2 change entries through one exploded array, "
+    "so no per-change-type re-scan. Feeds incremental downstream "
+    "consumers without requiring the writer to log changes at commit "
+    "time.",
+    tags=("lakehouse", "cdc"),
+)
+def cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.lakehouse.cdc import change_feed
+
+    base, upd = _base_updates(spark, sf_dir)
+    root = scratch_dir("q98_cdc_feed")
+    t = LakehouseTable(spark, root, "silver", "event_cdc")
+    t.append(base)
+    t.merge(upd, ["event_id"])
+    t.delete((F.col("event_type") == "updated") & (F.col("value") < 50))
+    v0, v1, v2 = t.read(version=0), t.read(version=1), t.read(version=2)
+    f01 = change_feed(v0, v1, ["event_id"]).withColumn(
+        "version", F.lit(1).cast("bigint")
+    )
+    f12 = change_feed(v1, v2, ["event_id"]).withColumn(
+        "version", F.lit(2).cast("bigint")
+    )
+    return f01.unionByName(f12).select(
+        "version", "change_type", "event_id", "event_type", "value"
+    )
+
+
+@query(
     "q55_rollup_cascade",
     oracle="""
     WITH hourly AS (

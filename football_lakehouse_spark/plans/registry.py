@@ -75,6 +75,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q95_fuzzy_decontamination",
     "q96_quantized_ann",
     "q97_resample_ffill",
+    "q98_cdc_feed",
     # --- no round-3 driver row → fresh rows wanted ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -182,3 +182,39 @@ def test_silver_build_aborts_on_corrupt_bronze(spark, tmp_path):
     with pytest.raises((ValueError, DataQualityError)):
         build_silver(spark, bronze, silver)
     assert not silver.exists()  # nothing was written
+
+
+def test_change_feed_classifies_all_transitions(spark):
+    """insert/delete/update pre+post in one diff, with NULL-safe value
+    comparison: NULL -> NULL is NOT a change; NULL -> value and
+    value -> NULL are."""
+    from football_lakehouse_spark.lakehouse.cdc import change_feed
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", None)],
+        "id bigint, t string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (5, "e", 5.0), (4, "d", None)],
+        "id bigint, t string, v double",
+    )
+    got = {(r.change_type, r.id): (r.t, r.v) for r in change_feed(old, new, ["id"]).collect()}
+    assert got == {
+        ("update_preimage", 2): ("b", None),
+        ("update_postimage", 2): ("b", 2.0),
+        ("update_preimage", 3): ("c", 3.0),
+        ("update_postimage", 3): ("c", None),
+        ("insert", 5): ("e", 5.0),
+    }  # ids 1 (unchanged) and 4 (NULL==NULL) emit nothing
+
+
+def test_change_feed_empty_and_identical(spark):
+    from football_lakehouse_spark.lakehouse.cdc import change_feed
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, t string")
+    assert change_feed(df, df, ["id"]).count() == 0
+    empty = df.where(F.lit(False))
+    feed = change_feed(empty, df, ["id"]).collect()
+    assert [(r.change_type, r.id) for r in feed] == [("insert", 1)]
+    feed = change_feed(df, empty, ["id"]).collect()
+    assert [(r.change_type, r.id) for r in feed] == [("delete", 1)]
