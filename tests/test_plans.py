@@ -106,3 +106,39 @@ def test_chunking_has_no_shuffle(spark):
     # q81: pure per-row chunk arithmetic + explode — zero exchanges
     plan = plan_of(spark, "q81_doc_chunking")
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_cdc_feed_single_join_per_transition(spark):
+    """q98's diff must be ONE full-outer join per version pair — the
+    4-anti-join decomposition would show 8 joins and re-scan both
+    versions four times."""
+    plan = plan_of(spark, "q98_cdc_feed")
+    assert plan.count("FullOuter") == 2
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 2, f"expected 2 joins (one per transition), saw {n_joins}"
+
+
+def test_resample_grid_single_exchange_for_fill(spark):
+    """q97: grid explode is narrow; only the per-user fill window (and
+    the cell/bounds aggs feeding it) exchange on user keys — no
+    grid-sized cartesian anywhere."""
+    plan = plan_of(spark, "q97_resample_ffill")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # sequence() grid, map-side
+
+
+def test_quantized_ann_broadcasts_queries(spark):
+    """q96 scans the corpus once with queries broadcast — same contract
+    as the float brute-force path."""
+    plan = plan_of(spark, "q96_quantized_ann")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # corpus side must be scanned exactly once
+    assert plan.count("FileScan parquet") == 2  # queries scan + corpus scan
+
+
+def test_fuzzy_decontamination_no_train_self_join(spark):
+    """q95's candidates come from train x eval only: the eval banding
+    side broadcasts; there must be no train x train join path (which
+    would show a second non-broadcast band join)."""
+    plan = plan_of(spark, "q95_fuzzy_decontamination")
+    assert "BroadcastExchange" in plan
