@@ -608,6 +608,124 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q99_W = 10  # duplicated-span window length in tokens
+
+
+@query(
+    "q99_dup_span_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    w AS (
+        SELECT doc_id, i AS s, array_to_string(toks[i:i+{_Q99_W - 1}], ' ') AS g
+        FROM t, UNNEST(range(1, greatest(len(toks) - {_Q99_W - 1}, 0) + 1)) AS r(i)
+    ),
+    spans AS (
+        SELECT doc_id, s, s + {_Q99_W} AS e FROM (
+            SELECT *, count(*) OVER (PARTITION BY g) AS cnt FROM w
+        ) WHERE cnt >= 2
+    ),
+    m AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rme
+        FROM spans
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN rme IS NULL OR s > rme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        FROM m
+    ),
+    cov AS (
+        SELECT doc_id, CAST(sum(mx - mn) AS BIGINT) AS covered FROM (
+            SELECT doc_id, isl_id, min(s) AS mn, max(e) AS mx
+            FROM isl GROUP BY doc_id, isl_id
+        ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           COALESCE(covered, 0) AS covered_tokens,
+           floor(COALESCE(covered, 0) * 10000 / len(toks)) / 10000 AS dup_span_ratio
+    FROM t LEFT JOIN cov USING (doc_id)
+    WHERE len(toks) > 0
+    """,
+    doc="Exact duplicated-span coverage (the substring-level dedup metric of "
+    "'Deduplicating Training Data Makes Language Models Better', Lee et "
+    "al.): fraction of each doc's tokens covered by any 10-token window "
+    "whose exact text appears more than once in the corpus (cross-doc or "
+    "internal). Windows are a narrow per-row transform; duplication is one "
+    "count-over-gram exchange (content-uniform keys); overlapping dup "
+    "spans merge per doc via the gaps-and-islands running-max idiom, all "
+    "in exact integer arithmetic. Complements q40/q41: exact-hash dedup "
+    "sees only whole-doc copies, MinHash sees whole-doc near-copies — "
+    "this catches the long verbatim quote inside an otherwise-unique doc "
+    "(north star: dedup).",
+    tags=("llm", "dedup", "text"),
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    W = _Q99_W
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    base = docs.where(n > 0).select("doc_id", "toks", n.alias("n_tokens"))
+    grams = F.when(
+        F.col("n_tokens") >= W,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (W - 1)),
+            lambda i: F.struct(
+                i.alias("s"), F.array_join(F.slice("toks", i, W), " ").alias("g")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:int,g:string>>"))
+    wins = base.select(
+        "doc_id", F.explode(grams).alias("w")
+    ).select("doc_id", F.col("w.s").alias("s"), F.col("w.g").alias("g"))
+
+    cnt_w = Window.partitionBy("g")
+    spans = (
+        wins.withColumn("cnt", F.count(F.lit(1)).over(cnt_w))
+        .where(F.col("cnt") >= 2)
+        .select("doc_id", "s", (F.col("s") + W).alias("e"))
+    )
+    prev = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    isl = (
+        spans.withColumn("rme", F.max("e").over(prev))
+        .withColumn(
+            "new",
+            F.when(F.col("rme").isNull() | (F.col("s") > F.col("rme")), 1).otherwise(0),
+        )
+        .withColumn("isl_id", F.sum("new").over(run))
+    )
+    cov = (
+        isl.groupBy("doc_id", "isl_id")
+        .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mx") - F.col("mn")).cast("bigint").alias("covered"))
+    )
+    covered = F.coalesce(F.col("covered"), F.lit(0)).cast("bigint")
+    return (
+        base.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+        .join(cov, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            covered.alias("covered_tokens"),
+            (
+                F.floor(covered * 10000 / F.col("n_tokens")).cast("double") / 10000
+            ).alias("dup_span_ratio"),
+        )
+    )
+
+
 @query(
     "q61_vocab_df",
     oracle=f"""

@@ -473,3 +473,32 @@ def test_incremental_neardup_equals_filtered_full(spark):
     assert inc == want
     assert want, "fixture produced no cross pairs — weaken the threshold"
     assert n_batch_internal, "fixture produced no batch-internal pairs"
+
+
+def test_dup_span_coverage_detects_embedded_quote(spark, tmp_path):
+    """A doc embedding a verbatim 12-token quote from another doc gets
+    partial coverage; a full copy gets ratio 1.0; unique docs get 0."""
+    from football_lakehouse_spark.plans.llm_plans import dup_span_coverage
+
+    uniq_a = " ".join(f"alpha{i}" for i in range(30))
+    uniq_b = " ".join(f"beta{i}" for i in range(30))
+    quote = " ".join(f"quoted{i}" for i in range(12))
+    source = uniq_a + " " + quote                      # doc 1: 42 tokens
+    quoting = quote + " " + uniq_b                     # doc 2: 42 tokens
+    lonely = " ".join(f"gamma{i}" for i in range(25))  # doc 4: unique
+    twin = " ".join(f"delta{i}" for i in range(20))    # docs 5/6: exact copies
+    corpus = spark.createDataFrame(
+        [(1, source), (2, quoting), (4, lonely), (5, twin), (6, twin)],
+        "doc_id bigint, text string",
+    )
+    corpus.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.doc_id: r for r in dup_span_coverage(spark, str(tmp_path)).collect()}
+    assert got[4].covered_tokens == 0
+    assert got[5].dup_span_ratio == 1.0 and got[6].dup_span_ratio == 1.0
+    # docs 1 and 2 share exactly the 12-token quote (spans of 10-token
+    # windows inside it), nothing else
+    assert got[1].covered_tokens == 12
+    assert got[2].covered_tokens == 12
+    assert 0 < got[1].dup_span_ratio < 1
