@@ -727,6 +727,128 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q100_dedup_report",
+    oracle=f"""
+    WITH {_sql_minhash_ctes(0.5)},
+    rawpre AS (
+        SELECT doc_id, source,
+               sha256(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h
+        FROM documents
+    ),
+    exact_dup AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM rawpre
+        ) WHERE rn > 1
+    ),
+    nd_docs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM neardup
+            UNION ALL SELECT doc_b FROM neardup
+        )
+    ),
+    w AS (
+        SELECT doc_id, i AS s, array_to_string(toks[i:i+{_Q99_W - 1}], ' ') AS g
+        FROM t, UNNEST(range(1, greatest(len(toks) - {_Q99_W - 1}, 0) + 1)) AS r(i)
+    ),
+    spans AS (
+        SELECT doc_id, s, s + {_Q99_W} AS e FROM (
+            SELECT *, count(*) OVER (PARTITION BY g) AS cnt FROM w
+        ) WHERE cnt >= 2
+    ),
+    m AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rme
+        FROM spans
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN rme IS NULL OR s > rme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        FROM m
+    ),
+    cov AS (
+        SELECT doc_id, CAST(sum(mx - mn) AS BIGINT) AS covered FROM (
+            SELECT doc_id, isl_id, min(s) AS mn, max(e) AS mx
+            FROM isl GROUP BY doc_id, isl_id
+        ) GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ed.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dups,
+           CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neardup_docs,
+           CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
+           CAST(sum(COALESCE(cov.covered, 0)) AS BIGINT) AS covered_tokens,
+           floor(sum(COALESCE(cov.covered, 0)) * 10000 / sum(len(t.toks))) / 10000
+               AS dup_span_ratio
+    FROM documents d
+    JOIN t USING (doc_id)
+    LEFT JOIN exact_dup ed ON ed.doc_id = d.doc_id
+    LEFT JOIN nd_docs nd ON nd.doc_id = d.doc_id
+    LEFT JOIN cov ON cov.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    doc="Corpus dedup health report, per source: exact-duplicate count "
+    "(content-hash keep-first losers, q40 semantics), docs implicated in "
+    "any verified near-dup pair (q41 pipeline), and aggregate "
+    "duplicated-span coverage (q99 metric) — the one-job audit a curation "
+    "pipeline runs before choosing dedup thresholds. Composes the three "
+    "already-verified dedup families into a single plan (no intermediate "
+    "materialisation); per-source rollup keys are source-cardinality-"
+    "bounded so the final agg is tiny at any corpus scale.",
+    tags=("llm", "dedup"),
+)
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    # exact-dup losers (q40 semantics: raw 8-token prefix hash, min doc wins)
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    hw = Window.partitionBy(F.sha2(prefix, 256)).orderBy("doc_id")
+    exact_dups = (
+        docs.withColumn("rn", F.row_number().over(hw))
+        .where(F.col("rn") > 1)
+        .select("doc_id", F.lit(1).alias("is_exact_dup"))
+    )
+
+    # docs implicated in any verified near-dup pair
+    pairs = minhash_lsh_neardups(docs.select("doc_id", "text"), threshold=0.5)
+    nd_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("is_neardup"))
+    )
+
+    # per-doc duplicated-span coverage (q99)
+    per_doc = dup_span_coverage(spark, sf_dir).select(
+        "doc_id", "n_tokens", "covered_tokens"
+    )
+
+    joined = (
+        docs.select("doc_id", "source")
+        .join(per_doc, ["doc_id"])
+        .join(F.broadcast(exact_dups), ["doc_id"], "left")
+        .join(nd_docs, ["doc_id"], "left")
+    )
+    cov_sum = F.sum("covered_tokens").cast("bigint")
+    tok_sum = F.sum("n_tokens").cast("bigint")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("is_exact_dup"), F.lit(0))).cast("bigint").alias("n_exact_dups"),
+        F.sum(F.coalesce(F.col("is_neardup"), F.lit(0))).cast("bigint").alias("n_neardup_docs"),
+        tok_sum.alias("n_tokens"),
+        cov_sum.alias("covered_tokens"),
+        (F.floor(cov_sum * 10000 / tok_sum).cast("double") / 10000).alias("dup_span_ratio"),
+    )
+
+
+@query(
     "q61_vocab_df",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),

@@ -61,10 +61,10 @@ def query(
 #: round-3 driver row (r3's prefix covered the other 50) move to the
 #: front, plus q28_sessionize (r3's one red row — NTZ epoch fix needs
 #: re-attestation) and q47_multimodal_features (extract_features gained
-#: the mime switch this round), plus the eight queries ADDED in round 4
-#: (q92-q99 — never driver-attested). Everything else was hash-green in
-#: CORRECTNESS_r03 with an unchanged plan. 54 candidates > 50 slots: the
-#: final four (q80/q86/q89/q90 — stable since round 2, r2 hash-green,
+#: the mime switch this round), plus the nine queries ADDED in round 4
+#: (q92-q100 — never driver-attested). Everything else was hash-green in
+#: CORRECTNESS_r03 with an unchanged plan. 55 candidates > 50 slots: the
+#: final five (q79/q80/q86/q89/q90 — stable since round 2, r2 hash-green,
 #: pytest-oracle-green today) yield their slots to the new queries and
 #: rotate back in round 5.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
@@ -81,6 +81,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q97_resample_ffill",
     "q98_cdc_feed",
     "q99_dup_span_coverage",
+    "q100_dedup_report",
     # --- no round-3 driver row → fresh rows wanted ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
