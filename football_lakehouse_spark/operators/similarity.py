@@ -165,64 +165,74 @@ def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
     return acc
 
 
-def _quantized_components(df: DataFrame, id_out: str, id_col: str, vec_col: str) -> DataFrame:
+def _quantized_components(
+    df: DataFrame, id_out: str, id_col: str, vec_col: str,
+    normalize: bool = False,
+) -> DataFrame:
     """(id, pos, qx) rows with each component floor-quantised to integer
     micro-units — the exact arithmetic space the deterministic k-means
-    runs in (float sums are order-dependent; integer sums are not)."""
+    runs in (float sums are order-dependent; integer sums are not).
+
+    ``normalize=True`` divides by the L2 norm BEFORE quantising, so
+    Euclidean cells become direction (cosine) cells — what semantic
+    dedup wants (scaled copies of a vector must land together). The
+    norm is the element-order dot — the same expression shape as the
+    SQL oracle, so quantisation stays bit-identical cross-engine.
+    Zero vectors are undefined under normalisation (NaN components) —
+    callers own filtering them."""
+    vd = as_double(F.col(vec_col))
+    if normalize:
+        nrm = F.sqrt(dot(vd, vd))
+        vd = F.transform(vd, lambda x: x / nrm)
     return df.select(
         F.col(id_col).alias(id_out),
-        F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+        F.posexplode(vd).alias("pos", "x"),
     ).select(
         id_out, "pos", F.floor(F.col("x") * 1000000).cast("bigint").alias("qx")
     )
 
 
-def ivf_topk(
-    queries: DataFrame, corpus: DataFrame, k: int = 3, n_cells: int = 16,
-    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-    iters: int = 2,
-) -> DataFrame:
-    """IVF-style ANN: a DETERMINISTIC k-means coarse quantiser assigns
-    every corpus vector to a cell; each query probes its ``n_probe``
-    nearest cells (by centroid distance) and scores only those members
-    exactly.
+def kmeans_cells(
+    corpus: DataFrame, n_cells: int = 16, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding", id_out: str = "vec_id",
+    normalize: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """DETERMINISTIC k-means coarse quantiser shared by IVF ANN (q51)
+    and semantic dedup (q101): returns ``(assignments, centroids)``
+    where assignments is ``(id_out, cell)`` over the whole corpus and
+    centroids is ``(cell, pos, cq)`` in micro-quantised integer space.
 
-    The quantiser is Lloyd's algorithm run entirely in micro-quantised
-    INTEGER space: components are ``floor(x·1e6)`` bigints, distances
-    are exact integer sums, centroid updates are
-    ``floor(sum/count)``, init is the ``n_cells`` lowest-id vectors,
-    and ties break on the lower cell id. Every step is therefore
-    partition-invariant and reproducible in plain SQL — unlike
-    ``pyspark.ml`` KMeans, whose k-means|| init samples per-partition
-    RNG streams and yields different centers under different input
-    partitionings. (In production, train on a deterministic hash-gated
-    sample instead of the full corpus; the refinement topology is
-    identical.)
+    Lloyd's algorithm run entirely in integer space: components are
+    ``floor(x·1e6)`` bigints, distances are exact integer sums,
+    centroid updates are ``floor(sum/count)``, init is the ``n_cells``
+    lowest-id vectors, and ties break on the lower cell id. Every step
+    is therefore partition-invariant and reproducible in plain SQL —
+    unlike ``pyspark.ml`` KMeans, whose k-means|| init samples
+    per-partition RNG streams and yields different centers under
+    different input partitionings. (In production, train on a
+    deterministic hash-gated sample instead of the full corpus; the
+    refinement topology is identical.)
 
     Scale contract: each Lloyd round is one exploded-corpus shuffle;
-    cell assignment is one narrow pass; the probe table is
-    queries×n_cells (tiny, centroids broadcast); exact scoring touches
-    ≈ corpus·(n_probe/n_cells). Recall vs brute force is asserted in
-    tests. Centroid sums stay exact below 2^53 (qx ≤ 1e6 per
-    component → safe past 1e9 members per cell).
+    cell assignment is one narrow pass with broadcast centroids
+    (centroid table is n_cells×dim — tiny at any corpus scale).
+    Centroid sums stay exact below 2^53 (qx ≤ 1e6 per component →
+    safe past 1e9 members per cell).
     """
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
-    )
-    qx = _quantized_components(corpus, "match_id", id_col, vec_col)
+    qx = _quantized_components(corpus, id_out, id_col, vec_col, normalize=normalize)
 
     # init: the n_cells lowest-id vectors, cell = 0..n_cells-1 in id order
-    w_init = Window.orderBy(F.col("match_id").asc())
+    w_init = Window.orderBy(F.col(id_out).asc())
     init = (
-        c.select("match_id").orderBy("match_id").limit(n_cells)
-        .select("match_id", (F.row_number().over(w_init) - 1).cast("int").alias("cell"))
+        corpus.select(F.col(id_col).alias(id_out)).orderBy(id_out).limit(n_cells)
+        .select(id_out, (F.row_number().over(w_init) - 1).cast("int").alias("cell"))
     )
     cent = (
-        qx.join(F.broadcast(init), "match_id")
+        qx.join(F.broadcast(init), id_out)
         .select("cell", "pos", F.col("qx").alias("cq"))
     )
 
-    w_assign = Window.partitionBy("match_id").orderBy(
+    w_assign = Window.partitionBy(id_out).orderBy(
         F.col("d2").asc(), F.col("cell").asc()
     )
 
@@ -230,25 +240,49 @@ def ivf_topk(
         diff = F.col("qx") - F.col("cq")
         d2 = (
             qx.join(F.broadcast(centroids), "pos")
-            .groupBy("match_id", "cell")
+            .groupBy(id_out, "cell")
             .agg(F.sum(diff * diff).alias("d2"))
         )
         return (
             d2.withColumn("rn", F.row_number().over(w_assign))
             .where(F.col("rn") == 1)
-            .select("match_id", "cell")
+            .select(id_out, "cell")
         )
 
     for _ in range(iters):
         assigned = assign(cent)
         cent = (
-            qx.join(assigned, "match_id")
+            qx.join(assigned, id_out)
             .groupBy("cell", "pos")
             .agg(
                 F.floor(F.sum("qx") / F.count(F.lit(1))).cast("bigint").alias("cq")
             )
         )
-    assigned = assign(cent)
+    return assign(cent), cent
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 3, n_cells: int = 16,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: the :func:`kmeans_cells` deterministic coarse
+    quantiser assigns every corpus vector to a cell; each query probes
+    its ``n_probe`` nearest cells (by centroid distance) and scores
+    only those members exactly.
+
+    Scale contract: quantiser per :func:`kmeans_cells`; the probe
+    table is queries×n_cells (tiny, centroids broadcast); exact
+    scoring touches ≈ corpus·(n_probe/n_cells). Recall vs brute force
+    is asserted in tests.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
+    )
+    assigned, cent = kmeans_cells(
+        corpus, n_cells=n_cells, iters=iters,
+        id_col=id_col, vec_col=vec_col, id_out="match_id",
+    )
 
     # probe: each query ranks the final centroids by exact integer d2
     qqx = _quantized_components(queries, "query_id", id_col, vec_col)
@@ -339,4 +373,70 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cos_sim", "rank")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame, threshold: float = 0.4, n_cells: int = 16,
+    iters: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the
+    deterministic :func:`kmeans_cells` quantiser over L2-NORMALISED
+    vectors (direction cells — scaled copies of a vector must land in
+    the same cell, which raw Euclidean cells do not guarantee), then
+    within each cell drop every vector that is cosine-similar
+    (≥ ``threshold``) to ANY lower-id vector in the same cell. The keep rule is the
+    parallel-friendly "earlier-id wins" variant: a vector's fate
+    depends only on its predecessors, never on whether those
+    predecessors were themselves kept — one self-join, no iteration.
+
+    Returns ``(id, cell, max_sim_earlier, is_kept)`` — one row per
+    corpus vector; ``max_sim_earlier`` is the floor-quantised maximum
+    cosine against lower-id cell-mates (NULL for each cell's first
+    vector by id).
+
+    Scale contract: quantiser per :func:`kmeans_cells` (rounds are
+    corpus shuffles, centroids broadcast); the candidate join is
+    cell-blocked — O(Σ cell_size²) with cells sized corpus/n_cells, so
+    n_cells grows with the corpus to bound cell populations exactly
+    like IVF. Cliff: an adversarial corpus that collapses into one
+    cell re-creates the quadratic — the q93 star-cap pattern (cap
+    pairs per oversized block) is the documented defence.
+
+    Reference parity note: the reference lakehouse has no embedding
+    ops at all (SURVEY.md §2.14) — this is north-star surface.
+    """
+    assigned, _ = kmeans_cells(
+        corpus, n_cells=n_cells, iters=iters,
+        id_col=id_col, vec_col=vec_col, id_out=id_col, normalize=True,
+    )
+    members = assigned.join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    a = members.select(
+        "cell", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = members.select(
+        "cell", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
+    earlier = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("cos"))
+        .groupBy("b_id")
+        .agg(F.max("cos").alias("mx"))
+        .withColumnRenamed("b_id", id_col)
+    )
+    return (
+        members.select(id_col, "cell")
+        .join(earlier, [id_col], "left")
+        .select(
+            id_col,
+            "cell",
+            (F.floor(F.col("mx") * 10000).cast("double") / 10000).alias(
+                "max_sim_earlier"
+            ),
+            F.coalesce(F.col("mx") < F.lit(threshold), F.lit(True)).alias("is_kept"),
+        )
     )

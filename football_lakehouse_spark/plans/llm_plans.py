@@ -1216,10 +1216,62 @@ def _ivf_oracle_sql(n_cells: int, n_probe: int, k: int, iters: int, dim: int = 6
     runs in floor-quantised integer space with lowest-id init and
     lowest-cell tie-breaks (operators/similarity.ivf_topk), so every
     Lloyd round is exactly reproducible as a pair of CTEs."""
+    ctes, prev = _lloyd_sql_ctes(n_cells, iters, dim)
+    ctes.append(f"""probes AS (
+        SELECT query_id, cell FROM (
+            SELECT qx.vec_id AS query_id, c.cell,
+                   sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2,
+                   row_number() OVER (
+                       PARTITION BY qx.vec_id
+                       ORDER BY sum((qx.qx - c.cq) * (qx.qx - c.cq)) ASC, c.cell ASC
+                   ) AS pr
+            FROM qx JOIN {prev} c ON qx.pos = c.pos
+            WHERE qx.vec_id < 5
+            GROUP BY qx.vec_id, c.cell
+        ) WHERE pr <= {n_probe}
+    )""")
+    ctes.append("""scored AS (
+        SELECT p.query_id, af.vec_id AS match_id,
+               list_dot_product(qv.e, cv.e)
+                 / (sqrt(list_dot_product(qv.e, qv.e))
+                    * sqrt(list_dot_product(cv.e, cv.e))) AS cos_sim
+        FROM af
+        JOIN probes p USING (cell)
+        JOIN v cv ON cv.vec_id = af.vec_id
+        JOIN v qv ON qv.vec_id = p.query_id
+        WHERE af.vec_id <> p.query_id
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, match_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+        ) AS BIGINT) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+    )
+
+
+def _lloyd_sql_ctes(
+    n_cells: int, iters: int, dim: int = 64, normalize: bool = False
+) -> tuple[list[str], str]:
+    """Shared deterministic-Lloyd CTE block (operators/similarity.
+    kmeans_cells twin): returns ``(ctes, final_centroid_cte)`` where the
+    list defines ``qx`` (quantised components), ``v`` (double vectors),
+    the unrolled rounds, and ``af(vec_id, cell)`` — the final cell
+    assignment. ``normalize`` mirrors kmeans_cells: L2-normalise before
+    quantising (direction cells for semantic dedup). Consumed by the
+    IVF (q51) and semantic-dedup (q101) oracles."""
+    comp = "CAST(embedding[i + 1] AS DOUBLE)"
+    if normalize:
+        comp = (
+            f"({comp} / sqrt(list_dot_product(embedding::DOUBLE[],"
+            " embedding::DOUBLE[])))"
+        )
     ctes = [
         f"""qx AS (
         SELECT vec_id, i AS pos,
-               CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qx
+               CAST(floor({comp} * 1000000) AS BIGINT) AS qx
         FROM embeddings, range({dim}) r(i)
     )""",
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
@@ -1262,39 +1314,7 @@ def _ivf_oracle_sql(n_cells: int, n_probe: int, k: int, iters: int, dim: int = 6
             ) AS rn FROM df
         ) WHERE rn = 1
     )""")
-    ctes.append(f"""probes AS (
-        SELECT query_id, cell FROM (
-            SELECT qx.vec_id AS query_id, c.cell,
-                   sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2,
-                   row_number() OVER (
-                       PARTITION BY qx.vec_id
-                       ORDER BY sum((qx.qx - c.cq) * (qx.qx - c.cq)) ASC, c.cell ASC
-                   ) AS pr
-            FROM qx JOIN {prev} c ON qx.pos = c.pos
-            WHERE qx.vec_id < 5
-            GROUP BY qx.vec_id, c.cell
-        ) WHERE pr <= {n_probe}
-    )""")
-    ctes.append("""scored AS (
-        SELECT p.query_id, af.vec_id AS match_id,
-               list_dot_product(qv.e, cv.e)
-                 / (sqrt(list_dot_product(qv.e, qv.e))
-                    * sqrt(list_dot_product(cv.e, cv.e))) AS cos_sim
-        FROM af
-        JOIN probes p USING (cell)
-        JOIN v cv ON cv.vec_id = af.vec_id
-        JOIN v qv ON qv.vec_id = p.query_id
-        WHERE af.vec_id <> p.query_id
-    )""")
-    return (
-        "WITH " + ",\n    ".join(ctes) + f"""
-    SELECT query_id, match_id, cos_sim, rank FROM (
-        SELECT *, CAST(row_number() OVER (
-            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
-        ) AS BIGINT) AS rank FROM scored
-    ) WHERE rank <= {k}
-    """
-    )
+    return ctes, prev
 
 
 @query(
@@ -1349,6 +1369,52 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.4)
     )
+
+
+def _semantic_dedup_oracle_sql(threshold: float, n_cells: int, iters: int) -> str:
+    ctes, _ = _lloyd_sql_ctes(n_cells, iters, normalize=True)
+    ctes.append("""m AS (
+        SELECT af.vec_id, af.cell, v.e FROM af JOIN v USING (vec_id)
+    )""")
+    ctes.append("""sims AS (
+        SELECT b.vec_id,
+               max(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e)))) AS mx
+        FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        GROUP BY b.vec_id
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT m.vec_id, m.cell,
+           floor(mx * 10000) / 10000 AS max_sim_earlier,
+           COALESCE(mx < {threshold}, TRUE) AS is_kept
+    FROM m LEFT JOIN sims USING (vec_id)
+    """
+    )
+
+
+@query(
+    "q101_semantic_dedup",
+    oracle=_semantic_dedup_oracle_sql(threshold=0.4, n_cells=16, iters=2),
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): the "
+    "deterministic integer-space Lloyd quantiser (shared with q51 IVF) "
+    "blocks the embedding space into cells; within each cell a vector is "
+    "dropped when it is cosine-similar (≥0.4) to ANY lower-id cell-mate — "
+    "the parallel-friendly earlier-id-wins keep rule (one cell-blocked "
+    "self-join, no iteration; a vector's fate never depends on whether "
+    "its predecessors were kept). The ORACLE unrolls the identical Lloyd "
+    "rounds in SQL, so the cell assignment AND the keep decision are "
+    "full value-level cross-engine matches. The candidate join is "
+    "O(Σ cell²), never corpus² — n_cells scales with the corpus exactly "
+    "like IVF (north star: semantic dedup).",
+    tags=("llm", "dedup", "similarity"),
+)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_cells=16, iters=2)
 
 
 @query(

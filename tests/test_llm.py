@@ -502,3 +502,52 @@ def test_dup_span_coverage_detects_embedded_quote(spark, tmp_path):
     assert got[1].covered_tokens == 12
     assert got[2].covered_tokens == 12
     assert 0 < got[1].dup_span_ratio < 1
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Hand-built corpus: two clone groups plus unique vectors. Each
+    clone group's lowest-id member is kept, every later clone dropped;
+    unique vectors are all kept; each cell's first vector (no earlier
+    cell-mate) has NULL max_sim_earlier."""
+    from football_lakehouse_spark.operators.similarity import (
+        hyperplane,
+        semantic_dedup,
+    )
+
+    dim = 8
+
+    def vec(seed, scale=1.0):
+        # sha256-derived pseudo-random direction — distinct seeds give
+        # far-apart directions (8-dim random cosines cluster near 0)
+        return [x * scale for x in hyperplane(seed, dim)]
+
+    rows = []
+    # clone group A: ids 10, 11, 12 (11/12 are power-of-two-scaled
+    # copies — bit-exact through normalisation, cosine 1.0)
+    rows += [(10, vec(1)), (11, vec(1, 2.0)), (12, vec(1, 0.5))]
+    # clone group B: ids 20, 21
+    rows += [(20, vec(2)), (21, vec(2, 4.0))]
+    # unique vectors far apart
+    rows += [(i, vec(i)) for i in range(30, 40)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(emb, threshold=0.999, n_cells=4, iters=2).collect()
+    }
+    assert len(out) == len(rows)  # one verdict per vector
+    assert out[10].is_kept and not out[11].is_kept and not out[12].is_kept
+    assert out[20].is_kept and not out[21].is_kept
+    for i in range(30, 40):
+        assert out[i].is_kept, f"unique vec {i} wrongly dropped"
+    # scaled copies land in the same cell and score cosine 1.0
+    assert out[11].max_sim_earlier == 1.0
+    # each cell's lowest-id member has no earlier cell-mate
+    by_cell = {}
+    for r in out.values():
+        by_cell.setdefault(r.cell, []).append(r)
+    for members in by_cell.values():
+        first = min(members, key=lambda r: r.vec_id)
+        assert first.max_sim_earlier is None and first.is_kept
