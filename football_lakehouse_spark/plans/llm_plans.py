@@ -1061,6 +1061,75 @@ def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(pairs)
 
 
+@query(
+    "q102_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_ctes(0.5)},
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM neardup
+        UNION
+        SELECT doc_b, doc_a FROM neardup
+    ),
+    reach(node, m) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.m
+    ),
+    cl AS (
+        SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    everydoc AS (
+        SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN cl USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           (row_number() OVER (
+                PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+            ) = 1) AS is_kept
+    FROM everydoc
+    """,
+    doc="Fuzzy-dedup RETENTION stage (the step after q57's components): "
+    "every document gets a cluster verdict — near-dup cluster members "
+    "keep only the best document (longest by n_chars, ties to the lowest "
+    "doc_id; 'keep the most complete copy' rather than keep-first), "
+    "singletons keep themselves. One left join against the cluster map "
+    "plus one window over cluster_id; cluster populations are small by "
+    "construction (near-dup groups), so the window never sees a hot key. "
+    "Oracle: q57's recursive-CTE reachability extended with the same "
+    "quality argmax (north star: dedup retention policy).",
+    tags=("llm", "dedup"),
+)
+def cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardups(docs, threshold=0.5)
+    cl = neardup_clusters(pairs).select("doc_id", "cluster_id")
+    everydoc = (
+        docs.select("doc_id", "n_chars")
+        .join(cl, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w_size = Window.partitionBy("cluster_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return everydoc.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w_size).cast("bigint").alias("cluster_size"),
+        (F.row_number().over(w_rank) == 1).alias("is_kept"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -1415,6 +1484,158 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.4, n_cells=16, iters=2)
+
+
+@query(
+    "q103_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, score, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               ORDER BY score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens,
+           (CAST(sum(n_tokens) OVER (
+               ORDER BY score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) <= 12000) AS selected
+    FROM t
+    """,
+    doc="Quality-ranked selection under a global token budget: take the "
+    "best documents (score = n_chars here; any bigint quality signal "
+    "works) until 12k cumulative tokens. The ORACLE is the textbook "
+    "single global window cumsum; the ENGINE computes the identical "
+    "prefix distributed — per-score-bucket windows plus a broadcast "
+    "bucket-prefix table, so no task ever sorts more than one bucket "
+    "(operators/selection.token_budget_select; the global-window plan "
+    "would serialise the corpus through one task at 100 TB). Full "
+    "value-level cross-engine match including the running totals "
+    "(north star: data selection).",
+    tags=("llm", "text"),
+)
+def token_budget_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.selection import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.size(ws_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return token_budget_select(docs, budget=12000, bucket_width=16)
+
+
+@query(
+    "q104_global_shuffle",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256('shuffle§' || CAST(doc_id AS VARCHAR)),
+                                    1, 12)) AS BIGINT) AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(shuffle_key % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY shuffle_key % 8
+               ORDER BY shuffle_key ASC, doc_id ASC
+           ) AS BIGINT) AS pos
+    FROM t
+    """,
+    doc="Deterministic global training shuffle: every document gets a "
+    "sha256 shuffle key, a shard (key mod 8), and its position within "
+    "the shard (ordered by key) — the 'randomize example order, then "
+    "write N shard files' step before training. Seeded-RNG shuffles "
+    "change under re-runs and re-partitionings; the hash order is a "
+    "pure per-row expression, reproducible on any engine, and "
+    "incremental arrivals slot into a stable global order. ONE shuffle "
+    "(the per-shard window); at 100 TB shards are written with "
+    "partitionBy(shard) + sortWithinPartitions(shuffle_key) — the same "
+    "order, zero extra exchanges (north star: training-data ops).",
+    tags=("llm", "sampling"),
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("shuffle§"), F.col("doc_id").cast("string")), 256),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("shard", (F.col("shuffle_key") % 8).cast("bigint"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+    )
+
+
+@query(
+    "q105_length_bucket_batches",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS nt FROM documents
+        WHERE len({_SQL_TOKS}) > 0
+    ),
+    b AS (
+        SELECT doc_id, nt, CAST(nt // 32 AS BIGINT) AS bucket,
+               CAST((row_number() OVER (PARTITION BY nt // 32 ORDER BY doc_id)
+                     - 1) // 16 AS BIGINT) AS batch_id
+        FROM t
+    )
+    SELECT bucket, batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(nt) AS BIGINT) AS max_tokens,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens,
+           floor(CAST(sum(nt) AS DOUBLE) * 10000
+                 / (max(nt) * count(*))) / 10000 AS pack_efficiency
+    FROM b GROUP BY bucket, batch_id
+    """,
+    doc="Length-bucketed batching: group documents into 32-token-wide "
+    "length buckets, cut fixed-size batches of 16 inside each bucket "
+    "(ordered by doc_id), and report per-batch padding efficiency "
+    "(sum/(max·count) — the fraction of a padded batch tensor that is "
+    "real tokens). Batching similar lengths together is the standard "
+    "fix for padding waste when sequence packing (q78) isn't wanted. "
+    "Bucket assignment is a pure map expression; the only exchange is "
+    "the per-bucket window + the batch rollup, both partitioned by "
+    "bucket — no global sort (north star: training-data ops).",
+    tags=("llm", "text"),
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(ws_tokens(F.col("text"))).cast("bigint")
+    t = docs.select("doc_id", nt.alias("nt")).where(F.col("nt") > 0)
+    w = Window.partitionBy("bucket").orderBy(F.col("doc_id").asc())
+    b = t.withColumn("bucket", F.floor(F.col("nt") / 32).cast("bigint")).withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / 16).cast("bigint")
+    )
+    return b.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("nt").cast("bigint").alias("max_tokens"),
+        F.sum("nt").cast("bigint").alias("sum_tokens"),
+        (
+            F.floor(
+                F.sum("nt").cast("double") * 10000 / (F.max("nt") * F.count(F.lit(1)))
+            )
+            / 10000
+        ).alias("pack_efficiency"),
+    )
 
 
 @query(

@@ -61,18 +61,28 @@ def query(
 #: round-3 driver row (r3's prefix covered the other 50) move to the
 #: front, plus q28_sessionize (r3's one red row — NTZ epoch fix needs
 #: re-attestation) and q47_multimodal_features (extract_features gained
-#: the mime switch this round), plus the nine queries ADDED in round 4
-#: (q92-q100 — never driver-attested). Everything else was hash-green in
-#: CORRECTNESS_r03 with an unchanged plan. 55 candidates > 50 slots: the
-#: final five (q79/q80/q86/q89/q90 — stable since round 2, r2 hash-green,
-#: pytest-oracle-green today) yield their slots to the new queries and
-#: rotate back in round 5.
+#: the mime switch this round), plus the FIFTEEN queries added or
+#: replanned in round 4 (q92-q100 early-round; q101-q106 plus the
+#: Lloyd-refactored q51 late-round — never/not-re driver-attested).
+#: Everything else was hash-green in CORRECTNESS_r03 with an unchanged
+#: plan. More candidates than 50 slots: the tail of the
+#: no-round-3-row block (stable since round 2, r2 hash-green,
+#: pytest-oracle-green today) yields slots to the new queries and
+#: rotates back in round 5.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",
     "q47_multimodal_features",
     "q71_minhash_neardup_fast",
+    # --- added in round 4 (never driver-attested) ---
+    "q101_semantic_dedup",
+    "q102_cluster_canonical",
+    "q103_token_budget_select",
+    "q104_global_shuffle",
+    "q105_length_bucket_batches",
+    "q106_streaming_dedup",
+    "q51_ann_ivf",  # shares the refactored Lloyd quantiser with q101
     "q92_multimodal_decode",
     "q93_capped_neardup",
     "q94_stream_stream_join",

@@ -356,3 +356,56 @@ def stateful_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("total_micros") / 10000).cast("double") / 100).alias("total_value"),
         )
     )
+
+
+@query(
+    "q106_streaming_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    """,
+    doc="Streaming exact deduplication (engine addition — the reference "
+    "dedups only in batch MERGE): the landed corpus carries injected "
+    "duplicates (every event_id % 10 == 0 row landed twice) → "
+    "availableNow file stream → dropDuplicatesWithinWatermark on "
+    "event_id drops the replays in-flight → append sink. Oracle = the "
+    "ORIGINAL events table: the stream must emit each event exactly "
+    "once despite the duplicated landing. Dedup state is keyed by "
+    "event_id and EVICTED once the watermark passes the key's event "
+    "time + delay — O(keys in the horizon), never O(stream history), "
+    "which unkeyed dropDuplicates cannot guarantee on an unbounded "
+    "stream. Cross-micro-batch dedup state is exercised in "
+    "tests/test_streaming.py with chronologically landed chunks.",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.streaming.ingest import read_landing_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    corpus = ev.unionByName(ev.where(F.col("event_id") % 10 == 0))
+    root = scratch_dir("q106_streaming_dedup")
+    landing = os.path.join(root, "landing")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    land_json_files(corpus, landing)
+    deduped = (
+        read_landing_stream(spark, landing)
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    (
+        deduped.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )

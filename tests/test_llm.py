@@ -551,3 +551,35 @@ def test_semantic_dedup_keep_rule(spark):
     for members in by_cell.values():
         first = min(members, key=lambda r: r.vec_id)
         assert first.max_sim_earlier is None and first.is_kept
+
+
+def test_token_budget_select_equals_global_window(spark):
+    """The bucket-decomposed running total must equal the naive global
+    window cumsum exactly, including duplicate scores straddling bucket
+    boundaries, and the selected set must be the exact budget prefix."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from football_lakehouse_spark.operators.selection import token_budget_select
+
+    rows = [(i, (i * 37) % 100, 5 + (i * 11) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score bigint, n_tokens bigint")
+
+    got = {
+        r.doc_id: r
+        for r in token_budget_select(df, budget=500, bucket_width=8).collect()
+    }
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = {
+        r.doc_id: r
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    }
+    assert len(got) == len(naive) == 200
+    for doc_id, n in naive.items():
+        g = got[doc_id]
+        assert g.cum_tokens == n.cum, f"doc {doc_id}: {g.cum_tokens} != {n.cum}"
+        assert g.selected == (n.cum <= 500)
+    n_sel = sum(1 for g in got.values() if g.selected)
+    assert 0 < n_sel < 200  # budget actually bites

@@ -324,3 +324,43 @@ def test_stateful_state_query_rerun_deterministic(spark):
     r2 = sorted(map(tuple, build(spark, SF_SMOKE).collect()))
     assert r1 == r2
     assert r1
+
+
+def test_streaming_dedup_cross_batch(spark, events, tmp_path):
+    """dropDuplicatesWithinWatermark must drop a replay that arrives
+    micro-batches AFTER the original was emitted (dedup state survives
+    batch boundaries), and must keep genuinely new events. Chunks land
+    chronologically; the replays of chunk-1 events ride along in
+    chunk 2."""
+    from football_lakehouse_spark.streaming.ingest import (
+        land_json_files,
+        read_landing_stream,
+    )
+
+    landing, ckpt, out = (str(tmp_path / d) for d in ("landing", "ckpt", "out"))
+    chunk1 = events.where(F.dayofmonth("ts").between(1, 10))
+    chunk2 = events.where(F.dayofmonth("ts").between(11, 20))
+    replays = chunk1.where(F.col("event_id") % 3 == 0)
+    assert replays.count() > 0
+    land_json_files(chunk1, landing)
+    land_json_files(chunk2.unionByName(replays), landing)
+
+    deduped = (
+        read_landing_stream(spark, landing, max_files_per_trigger=5)
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    (
+        deduped.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r.event_id for r in chunk1.unionByName(chunk2).select("event_id").collect()
+    )
+    assert got == want
