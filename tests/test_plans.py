@@ -142,3 +142,37 @@ def test_fuzzy_decontamination_no_train_self_join(spark):
     would show a second non-broadcast band join)."""
     plan = plan_of(spark, "q95_fuzzy_decontamination")
     assert "BroadcastExchange" in plan
+
+
+def test_token_budget_select_no_global_sort(spark):
+    """q103's whole point: the budget prefix must NOT be computed with a
+    corpus-wide single-partition window. The only unpartitioned window
+    allowed is over the bucket-totals table (n_buckets rows); the
+    doc-level window must be partitioned by bucket, and the bucket
+    prefix must arrive via broadcast."""
+    plan = plan_of(spark, "q103_token_budget_select")
+    assert "BroadcastExchange" in plan  # bucket-prefix table
+    # doc-level running sum partitioned by bucket
+    assert "Window" in plan and "bucket" in plan
+
+
+def test_global_shuffle_single_exchange(spark):
+    """q104: one hash exchange (the per-shard window); the shuffle key
+    and shard are map-side expressions on the scan."""
+    plan = plan_of(spark, "q104_global_shuffle")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_length_bucket_batches_no_global_window(spark):
+    """q105: bucket assignment map-side; windows and rollup partitioned
+    by bucket — never a single-partition corpus sort."""
+    plan = plan_of(spark, "q105_length_bucket_batches")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_semantic_dedup_cell_blocked_join(spark):
+    """q101's candidate join must be an equi-join on the cell key —
+    never a cartesian/nested-loop over the corpus."""
+    plan = plan_of(spark, "q101_semantic_dedup")
+    assert "CartesianProduct" not in plan
