@@ -1639,6 +1639,205 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q107_context_windows",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256('shuffle§' || CAST(doc_id AS VARCHAR)),
+                                    1, 12)) AS BIGINT) AS shuffle_key,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS nt
+        FROM documents
+        WHERE len({_SQL_TOKS}) > 0
+    ),
+    o AS (
+        SELECT doc_id, CAST(shuffle_key % 8 AS BIGINT) AS shard, nt,
+               CAST(COALESCE(sum(nt) OVER (
+                   PARTITION BY shuffle_key % 8
+                   ORDER BY shuffle_key ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_tok
+        FROM t
+    )
+    SELECT doc_id, shard, nt AS n_tokens, start_tok,
+           start_tok + nt AS end_tok,
+           start_tok // 128 AS first_window,
+           (start_tok + nt - 1) // 128 AS last_window,
+           (start_tok + nt - 1) // 128 - start_tok // 128 + 1 AS n_windows
+    FROM o
+    """,
+    doc="Pretraining example-index construction ('concat then split'): "
+    "documents are concatenated in the deterministic q104 shuffle order "
+    "within each shard and cut into fixed 128-token context windows "
+    "that CROSS document boundaries — each doc gets its global token "
+    "offset span and the window ids it lands in. This is the step that "
+    "turns a curated corpus into fixed-length training examples (q78 "
+    "packs without splitting; q81 chunks within docs; this is the "
+    "GPT-style third layout). The offsets are per-shard exclusive "
+    "cumsums — windows partitioned by shard, distributed, no global "
+    "sort; writing examples then needs only the already-computed "
+    "(shard, window) keys (north star: training-data ops).",
+    tags=("llm", "text"),
+)
+def context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ctx = 128
+    docs = load_table(spark, sf_dir, "documents")
+    key = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("shuffle§"), F.col("doc_id").cast("string")), 256),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    nt = F.size(ws_tokens(F.col("text"))).cast("bigint")
+    t = (
+        docs.select("doc_id", key.alias("shuffle_key"), nt.alias("nt"))
+        .where(F.col("nt") > 0)
+        .withColumn("shard", (F.col("shuffle_key") % 8).cast("bigint"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.withColumn(
+        "start_tok", F.coalesce(F.sum("nt").over(w), F.lit(0)).cast("bigint")
+    )
+    end = F.col("start_tok") + F.col("nt")
+    first_w = F.floor(F.col("start_tok") / ctx).cast("bigint")
+    last_w = F.floor((end - 1) / ctx).cast("bigint")
+    return o.select(
+        "doc_id",
+        "shard",
+        F.col("nt").alias("n_tokens"),
+        "start_tok",
+        end.alias("end_tok"),
+        first_w.alias("first_window"),
+        last_w.alias("last_window"),
+        (last_w - first_w + 1).alias("n_windows"),
+    )
+
+
+@query(
+    "q108_mixture_apply",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS nt
+        FROM documents
+    ),
+    s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS corpus_tokens
+          FROM t GROUP BY source),
+    w AS (
+        SELECT source, corpus_tokens,
+               CAST(floor(sqrt(CAST(corpus_tokens AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS weight_micros
+        FROM s
+    ),
+    tot AS (SELECT CAST(sum(weight_micros) AS BIGINT) AS w_total FROM w),
+    r AS (
+        SELECT source, corpus_tokens, weight_micros,
+               least(CAST(1000000 AS BIGINT),
+                     ((15000 * weight_micros) // w_total) * 1000000
+                        // corpus_tokens) AS rate_micros
+        FROM w, tot
+    ),
+    kept AS (
+        SELECT t.source, t.nt
+        FROM t JOIN r USING (source)
+        WHERE CAST(('0x' || substr(sha256('mix§' || CAST(t.doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 1000000 < r.rate_micros
+    )
+    SELECT r.source, r.corpus_tokens, r.weight_micros, r.rate_micros,
+           CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(k.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+    FROM r LEFT JOIN (
+        SELECT source, count(*) AS n_sampled, sum(nt) AS sampled_tokens
+        FROM kept GROUP BY source
+    ) k USING (source)
+    """,
+    doc="Temperature-resampled corpus mixture, APPLIED: per-source token "
+    "totals → temperature-0.5 weights (sqrt — IEEE-exact cross-engine, "
+    "unlike arbitrary pow/ln) quantised to integer micro-units → "
+    "per-source keep rate toward a 15k-token target, capped at 1.0 → "
+    "sha256 hash-gate applied per document. Completes the q62 "
+    "(weights) / q83 (fixed upsample) pair with the data-dependent "
+    "rate computation every mixture pipeline actually runs. ALL "
+    "arithmetic after the sqrt is integer (weight sums, rate "
+    "divisions, gates), so the sampled set is bit-reproducible on any "
+    "engine, partitioning, or re-run. One corpus agg + broadcast rate "
+    "table + map-side gate — the corpus shuffles once (north star: "
+    "mixture construction).",
+    tags=("llm", "sampling"),
+)
+def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("nt"),
+    )
+    s = t.groupBy("source").agg(F.sum("nt").cast("bigint").alias("corpus_tokens"))
+    w = s.withColumn(
+        "weight_micros",
+        F.floor(F.sqrt(F.col("corpus_tokens").cast("double")) * 1000000).cast(
+            "bigint"
+        ),
+    )
+    tot = w.agg(F.sum("weight_micros").cast("bigint").alias("w_total"))
+    r = (
+        w.crossJoin(F.broadcast(tot))  # 1-row total — provably tiny
+        .withColumn(
+            "rate_micros",
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr(
+                    "((15000 * weight_micros) div w_total) * 1000000"
+                    " div corpus_tokens"
+                ),
+            ),
+        )
+        .select("source", "corpus_tokens", "weight_micros", "rate_micros")
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("mix§"), F.col("doc_id").cast("string")), 256),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    kept = (
+        t.join(F.broadcast(r.select("source", "rate_micros")), "source")
+        .where(gate < F.col("rate_micros"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("nt").alias("sampled_tokens"),
+        )
+    )
+    return r.join(kept, ["source"], "left").select(
+        "source",
+        "corpus_tokens",
+        "weight_micros",
+        "rate_micros",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        F.coalesce(F.col("sampled_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+    )
+
+
+@query(
     "q48_embedding_stats",
     oracle="""
     WITH n AS (

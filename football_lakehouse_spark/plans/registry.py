@@ -82,6 +82,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q104_global_shuffle",
     "q105_length_bucket_batches",
     "q106_streaming_dedup",
+    "q107_context_windows",
+    "q108_mixture_apply",
     "q51_ann_ivf",  # shares the refactored Lloyd quantiser with q101
     "q92_multimodal_decode",
     "q93_capped_neardup",
