@@ -219,7 +219,26 @@ def kmeans_cells(
     Centroid sums stay exact below 2^53 (qx ≤ 1e6 per component →
     safe past 1e9 members per cell).
     """
+    # embedding tables pack many rows per file split and every Lloyd
+    # stage is CPU-bound → spread the corpus across executors first
+    # (same rationale as brute_force_topk)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(par)
     qx = _quantized_components(corpus, id_out, id_col, vec_col, normalize=normalize)
+
+    # whole-vector quantised form for ASSIGNMENT: identical per-component
+    # expression to qx, kept as an array so the distance-to-every-centroid
+    # step is a codegen fold instead of a corpus×dims×n_cells exploded
+    # join (the exploded form materialises n_cells rows per component —
+    # the dominant cost once n_cells scales with the corpus)
+    vd = as_double(F.col(vec_col))
+    if normalize:
+        nrm = F.sqrt(dot(vd, vd))
+        vd = F.transform(vd, lambda x: x / nrm)
+    qvecs = corpus.select(
+        F.col(id_col).alias(id_out),
+        F.transform(vd, lambda x: F.floor(x * 1000000).cast("bigint")).alias("qvec"),
+    )
 
     # init: the n_cells lowest-id vectors, cell = 0..n_cells-1 in id order
     w_init = Window.orderBy(F.col(id_out).asc())
@@ -232,23 +251,40 @@ def kmeans_cells(
         .select("cell", "pos", F.col("qx").alias("cq"))
     )
 
-    w_assign = Window.partitionBy(id_out).orderBy(
-        F.col("d2").asc(), F.col("cell").asc()
-    )
+    def as_arrays(centroids: DataFrame) -> DataFrame:
+        # (cell, pos, cq) → (cell, cvec) with components in pos order
+        return centroids.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                lambda s: s["cq"],
+            ).alias("cvec")
+        )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        diff = F.col("qx") - F.col("cq")
-        d2 = (
-            qx.join(F.broadcast(centroids), "pos")
-            .groupBy(id_out, "cell")
-            .agg(F.sum(diff * diff).alias("d2"))
+        # integer d² per (vector, cell) via a fold over the zipped arrays;
+        # argmin via min(struct(d2, cell)) — exact sums, ties to the lower
+        # cell id, partial-aggregated map-side (no window). The crossJoin
+        # broadcasts a provably tiny side: n_cells rows.
+        d2 = F.aggregate(
+            F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
         )
         return (
-            d2.withColumn("rn", F.row_number().over(w_assign))
-            .where(F.col("rn") == 1)
-            .select(id_out, "cell")
+            qvecs.crossJoin(F.broadcast(as_arrays(centroids)))
+            .select(id_out, "cell", d2.alias("d2"))
+            .groupBy(id_out)
+            .agg(F.min(F.struct("d2", "cell")).alias("m"))
+            .select(id_out, F.col("m.cell").alias("cell"))
         )
 
+    # each round's centroid table is consumed by BOTH the next assignment
+    # (as a broadcast) and the next update — without truncation every
+    # consumer re-executes the whole Lloyd prefix, turning k rounds into
+    # O(k²) corpus passes. The table is n_cells×dim rows, so an eager
+    # localCheckpoint per round costs ~nothing (same pattern as the
+    # connected-components rounds in operators/dedup.py).
+    cent = cent.localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = assign(cent)
         cent = (
@@ -257,6 +293,7 @@ def kmeans_cells(
             .agg(
                 F.floor(F.sum("qx") / F.count(F.lit(1))).cast("bigint").alias("cq")
             )
+            .localCheckpoint(eager=True)
         )
     return assign(cent), cent
 
@@ -411,19 +448,32 @@ def semantic_dedup(
         corpus, n_cells=n_cells, iters=iters,
         id_col=id_col, vec_col=vec_col, id_out=id_col, normalize=True,
     )
-    members = assigned.join(
-        corpus.select(id_col, vec_col), id_col
+    # the a/b self-join consumes the assignment twice — materialise the
+    # narrow (id, cell) map once instead of re-running the quantiser per
+    # side (the "persist profiles once" pattern from the minhash path)
+    assigned = assigned.localCheckpoint(eager=True)
+    # precompute each vector's norm ONCE: pair scoring then folds the
+    # zipped arrays a single time (dot) instead of three times
+    # (dot + both self-dots) — the pair join is the dominant cost and
+    # this is a ~3× cut. sqrt(dot(v,v)) is the exact expression the
+    # oracle uses per pair, so the floats stay bit-identical.
+    vd = as_double(F.col(vec_col))
+    members = assigned.join(corpus.select(id_col, vec_col), id_col).select(
+        id_col, "cell", vd.alias("v"), F.sqrt(dot(vd, vd)).alias("nrm")
     )
     a = members.select(
-        "cell", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+        "cell", F.col(id_col).alias("a_id"),
+        F.col("v").alias("a_vec"), F.col("nrm").alias("a_nrm"),
     )
     b = members.select(
-        "cell", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+        "cell", F.col(id_col).alias("b_id"),
+        F.col("v").alias("b_vec"), F.col("nrm").alias("b_nrm"),
     )
+    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
     earlier = (
         a.join(b, "cell")
         .where(F.col("a_id") < F.col("b_id"))
-        .select("b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("cos"))
+        .select("b_id", cos.alias("cos"))
         .groupBy("b_id")
         .agg(F.max("cos").alias("mx"))
         .withColumnRenamed("b_id", id_col)

@@ -610,11 +610,11 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q99_W = 10  # duplicated-span window length in tokens
 
-
-@query(
-    "q99_dup_span_coverage",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+#: Shared CTE chain for the duplicated-span family (q99 coverage, q109
+#: removal): tokens → 10-token windows → windows whose text repeats in
+#: the corpus → merged per-doc islands (gaps-and-islands running max)
+#: → one (doc_id, mn, mx) row per maximal duplicated span.
+_DUP_SPAN_CTES = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     w AS (
         SELECT doc_id, i AS s, array_to_string(toks[i:i+{_Q99_W - 1}], ' ') AS g
         FROM t, UNNEST(range(1, greatest(len(toks) - {_Q99_W - 1}, 0) + 1)) AS r(i)
@@ -637,11 +637,19 @@ _Q99_W = 10  # duplicated-span window length in tokens
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
         FROM m
     ),
+    ic AS (
+        SELECT doc_id, isl_id, min(s) AS mn, max(e) AS mx
+        FROM isl GROUP BY doc_id, isl_id
+    )"""
+
+
+@query(
+    "q99_dup_span_coverage",
+    oracle=f"""
+    WITH {_DUP_SPAN_CTES},
     cov AS (
-        SELECT doc_id, CAST(sum(mx - mn) AS BIGINT) AS covered FROM (
-            SELECT doc_id, isl_id, min(s) AS mn, max(e) AS mx
-            FROM isl GROUP BY doc_id, isl_id
-        ) GROUP BY doc_id
+        SELECT doc_id, CAST(sum(mx - mn) AS BIGINT) AS covered
+        FROM ic GROUP BY doc_id
     )
     SELECT t.doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -664,6 +672,31 @@ _Q99_W = 10  # duplicated-span window length in tokens
     tags=("llm", "dedup", "text"),
 )
 def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, islands = _dup_span_islands(spark, sf_dir)
+    cov = islands.groupBy("doc_id").agg(
+        F.sum(F.col("mx") - F.col("mn")).cast("bigint").alias("covered")
+    )
+    covered = F.coalesce(F.col("covered"), F.lit(0)).cast("bigint")
+    return (
+        base.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+        .join(cov, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            covered.alias("covered_tokens"),
+            (
+                F.floor(covered * 10000 / F.col("n_tokens")).cast("double") / 10000
+            ).alias("dup_span_ratio"),
+        )
+    )
+
+
+def _dup_span_islands(spark: SparkSession, sf_dir: str):
+    """Shared engine for the duplicated-span family (SQL twin:
+    ``_DUP_SPAN_CTES``): returns ``(base, islands)`` where base is
+    (doc_id, toks, n_tokens) over non-empty docs and islands is one
+    (doc_id, mn, mx) row per maximal merged duplicated span (token
+    positions are 1-based, mx exclusive)."""
     from pyspark.sql import Window
 
     W = _Q99_W
@@ -705,23 +738,68 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("isl_id", F.sum("new").over(run))
     )
-    cov = (
-        isl.groupBy("doc_id", "isl_id")
-        .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("mx") - F.col("mn")).cast("bigint").alias("covered"))
+    islands = isl.groupBy("doc_id", "isl_id").agg(
+        F.min("s").alias("mn"), F.max("e").alias("mx")
     )
-    covered = F.coalesce(F.col("covered"), F.lit(0)).cast("bigint")
+    return base, islands
+
+
+@query(
+    "q109_dup_span_removal",
+    oracle=f"""
+    WITH {_DUP_SPAN_CTES},
+    ia AS (
+        SELECT doc_id, list({{'mn': mn, 'mx': mx}}) AS isls
+        FROM ic GROUP BY doc_id
+    ),
+    k AS (
+        SELECT t.doc_id, t.toks,
+               list_filter(range(1, len(t.toks) + 1),
+                           p -> len(list_filter(COALESCE(ia.isls, []),
+                                                i -> p >= i.mn AND p < i.mx)) = 0)
+                   AS kept
+        FROM t LEFT JOIN ia USING (doc_id)
+        WHERE len(t.toks) > 0
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           COALESCE(array_to_string(list_transform(kept, p -> toks[p]), ' '), '')
+               AS cleaned_text
+    FROM k
+    """,
+    doc="Exact duplicated-span REMOVAL — the action q99 only measures "
+    "(Lee et al. excise the duplicated substrings before training): "
+    "every token position inside a merged duplicated island is dropped "
+    "and the document is re-emitted as cleaned text. The islands reuse "
+    "q99's machinery (one gram-count exchange + per-doc windows); the "
+    "removal itself is a narrow per-row array filter against the doc's "
+    "own island list (islands per doc are few), so the rewrite adds "
+    "ZERO exchanges beyond q99. The oracle rebuilds the identical "
+    "cleaned strings, making this a byte-exact cross-engine check of "
+    "both the span detection AND the text surgery (north star: dedup).",
+    tags=("llm", "dedup", "text"),
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, islands = _dup_span_islands(spark, sf_dir)
+    ia = islands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("mn", "mx")).alias("isls")
+    )
+    empty = F.array().cast("array<struct<mn:int,mx:int>>")
+    isls = F.coalesce(F.col("isls"), empty)
+    kept = F.filter(
+        F.sequence(F.lit(1).cast("bigint"), F.col("n_tokens").cast("bigint")),
+        lambda p: ~F.exists(isls, lambda i: (p >= i["mn"]) & (p < i["mx"])),
+    )
     return (
-        base.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
-        .join(cov, ["doc_id"], "left")
+        base.join(ia, ["doc_id"], "left")
         .select(
             "doc_id",
-            "n_tokens",
-            covered.alias("covered_tokens"),
-            (
-                F.floor(covered * 10000 / F.col("n_tokens")).cast("double") / 10000
-            ).alias("dup_span_ratio"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.size(kept).cast("bigint").alias("kept_tokens"),
+            F.array_join(
+                F.transform(kept, lambda p: F.element_at("toks", p.cast("int"))), " "
+            ).alias("cleaned_text"),
         )
     )
 

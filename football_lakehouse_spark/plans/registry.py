@@ -84,6 +84,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q106_streaming_dedup",
     "q107_context_windows",
     "q108_mixture_apply",
+    "q109_dup_span_removal",
     "q51_ann_ivf",  # shares the refactored Lloyd quantiser with q101
     "q92_multimodal_decode",
     "q93_capped_neardup",

@@ -583,3 +583,30 @@ def test_token_budget_select_equals_global_window(spark):
         assert g.selected == (n.cum <= 500)
     n_sel = sum(1 for g in got.values() if g.selected)
     assert 0 < n_sel < 200  # budget actually bites
+
+
+def test_dup_span_removal_excises_quote(spark, tmp_path):
+    """Removal must excise exactly the duplicated island: the embedded
+    12-token quote vanishes from both docs carrying it, unique docs
+    survive byte-identical, and exact twins are emptied entirely."""
+    from football_lakehouse_spark.plans.llm_plans import dup_span_removal
+
+    uniq_a = " ".join(f"alpha{i}" for i in range(30))
+    uniq_b = " ".join(f"beta{i}" for i in range(30))
+    quote = " ".join(f"quoted{i}" for i in range(12))
+    lonely = " ".join(f"gamma{i}" for i in range(25))
+    twin = " ".join(f"delta{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(1, uniq_a + " " + quote), (2, quote + " " + uniq_b),
+         (4, lonely), (5, twin), (6, twin)],
+        "doc_id bigint, text string",
+    )
+    corpus.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.doc_id: r for r in dup_span_removal(spark, str(tmp_path)).collect()}
+    assert got[4].cleaned_text == lonely            # untouched
+    assert got[5].cleaned_text == "" and got[6].cleaned_text == ""
+    assert got[1].cleaned_text == uniq_a            # quote cut from the tail
+    assert got[2].cleaned_text == uniq_b            # quote cut from the head
+    assert got[1].kept_tokens == 30 and got[2].kept_tokens == 30
