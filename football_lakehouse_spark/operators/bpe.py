@@ -1,0 +1,117 @@
+"""Distributed BPE tokenizer training (the first N merges).
+
+Byte-pair encoding (Sennrich et al. 2016) is how most LLM tokenizers
+are trained; each round finds the most frequent adjacent symbol pair in
+the corpus and merges it into a new symbol. This module runs the rounds
+on Spark with ZERO Python UDFs:
+
+- The corpus collapses to its WORD VOCABULARY first (one shuffle:
+  word → count). Every later round operates on the vocab table weighted
+  by counts — vocabulary-sized work, never corpus-sized, exactly like
+  the classic fast-BPE implementations.
+- Pair counting is an explode over adjacent symbol positions plus one
+  aggregation (standard BPE counts overlapping adjacencies — ``aaa``
+  contributes (a,a) twice).
+- The winning pair (max weight, ties to the lexicographically smallest
+  (left, right)) broadcasts as a 1×3 table.
+- The merge APPLICATION is greedy left-to-right non-overlapping — a
+  sequential walk — expressed as an ``F.aggregate`` fold over the
+  symbol array: replace the accumulator's last element when (last,
+  current) equals the winning pair. No flag is needed to stop a fresh
+  merge from chaining: the merged symbol's text ``left||right`` can
+  never equal ``left`` (right is non-empty), so ``aaa`` folds to
+  ``[aa, a]`` by construction.
+
+Each round's outputs (winner, rewritten vocab) are tiny/vocab-sized and
+consumed by multiple later stages, so they are eagerly
+localCheckpoint-ed — the same O(rounds²)-lineage defence as the Lloyd
+quantiser and connected components.
+
+At 100 TB the corpus→vocab collapse is the only corpus-scale stage;
+vocabularies are bounded (natural-language vocabularies grow ~Heaps'
+law), so the rounds run on a table that fits comfortably whatever the
+corpus size. The oracle unrolls the identical rounds in SQL with a
+``list_reduce`` fold (separator-encoded accumulator), making every
+winner AND every rewritten symbol sequence value-checked cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from football_lakehouse_spark.functions.text import ws_tokens
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 4, text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the whitespace-word
+    vocabulary of ``docs``. Returns one row per round:
+    (round, left_sym, right_sym, merged, pair_weight)."""
+    words = (
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = words.select("word", "cnt", chars.alias("syms")).localCheckpoint(
+        eager=True
+    )
+
+    out: list[DataFrame] = []
+    for rnd in range(1, n_merges + 1):
+        # adjacent pairs (guard single-symbol words: sequence(1, 0) would
+        # generate a DESCENDING range, not an empty one)
+        adj = F.when(
+            F.size("syms") > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        pairs = vocab.select("cnt", F.explode(adj).alias("p")).select(
+            "cnt", F.col("p.l").alias("l"), F.col("p.r").alias("r")
+        )
+        win = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").cast("bigint").alias("w"))
+            .orderBy(F.col("w").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            win.select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged"),
+                F.col("w").alias("pair_weight"),
+            )
+        )
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, cur: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("l"))
+                & (cur == F.col("r")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("l"), F.col("r"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(cur))),
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(win.select("l", "r")))  # 1-row winner
+            .select("word", "cnt", fold.alias("syms"))
+            .localCheckpoint(eager=True)
+        )
+
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

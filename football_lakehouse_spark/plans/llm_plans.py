@@ -1916,6 +1916,117 @@ def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q110_inverted_index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    p AS (
+        SELECT doc_id, toks[i] AS term, i AS pos
+        FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)
+    )
+    SELECT term,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS tf,
+           list_sort(list(doc_id * 1000000 + pos)) AS postings
+    FROM p
+    GROUP BY term
+    HAVING count(DISTINCT doc_id) >= 5
+    """,
+    doc="Inverted-index construction: term → document frequency, corpus "
+    "term frequency, and the sorted posting list of (doc, position) "
+    "occurrences packed into bigints (doc_id·1e6 + pos — packing makes "
+    "the list a flat sortable integer array, identical cross-engine, "
+    "and at serving time unpacks with div/mod). The HAVING ≥5 docs cut "
+    "keeps the demo output bounded; a real index keeps everything. One "
+    "position explode + one term-key shuffle — term keys are "
+    "content-distributed (stopword skew absorbed the q61 way if needed); "
+    "posting lists are per-term, so the index shards naturally by term "
+    "hash at any scale (north star: corpus search/lookup).",
+    tags=("llm", "text"),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos0", "term")
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    return (
+        p.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.array_sort(
+                F.collect_list(F.col("doc_id") * 1000000 + F.col("pos"))
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= 5)
+    )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled BPE rounds (operators/bpe.bpe_merges twin): pair counts,
+    lexicographic-tie-break argmax, and a greedy left-to-right merge via
+    a list_reduce fold over a chr(31)-separator-encoded accumulator."""
+    ctes = [
+        f"""v0 AS (
+        SELECT word, cnt,
+               list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+        FROM (
+            SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+            FROM documents, UNNEST({_SQL_TOKS}) u(t)
+            GROUP BY t
+        )
+    )"""
+    ]
+    sels = []
+    for r in range(1, n_merges + 1):
+        prev = f"v{r - 1}"
+        ctes.append(f"""p{r} AS (
+        SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS w
+        FROM {prev}, UNNEST(range(1, len(syms))) rr(i)
+        GROUP BY 1, 2
+    )""")
+        ctes.append(
+            f"w{r} AS (SELECT l, r, w FROM p{r} ORDER BY w DESC, l, r LIMIT 1)"
+        )
+        ctes.append(f"""v{r} AS (
+        SELECT word, cnt,
+               string_split(list_reduce(syms,
+                 (acc, x) -> CASE
+                   WHEN regexp_extract(acc, '[^\\x1f]*$') = w{r}.l AND x = w{r}.r
+                   THEN regexp_replace(acc, '[^\\x1f]*$', '') || (w{r}.l || w{r}.r)
+                   ELSE acc || chr(31) || x END), chr(31)) AS syms
+        FROM {prev}, w{r}
+    )""")
+        sels.append(
+            f"SELECT {r} AS round, l AS left_sym, r AS right_sym,"
+            f" l || r AS merged, w AS pair_weight FROM w{r}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@query(
+    "q111_bpe_merges",
+    oracle=_bpe_oracle_sql(4),
+    doc="Distributed BPE tokenizer training — the first 4 merges "
+    "(Sennrich et al. 2016, the algorithm behind most LLM tokenizers). "
+    "The corpus collapses to its weighted word vocabulary ONCE (the "
+    "only corpus-scale stage at any size); each round then counts "
+    "adjacent symbol pairs on the vocab table, broadcasts the argmax "
+    "pair (ties to the lexicographically smallest), and applies the "
+    "greedy left-to-right merge as an F.aggregate fold over the symbol "
+    "arrays — a sequential-walk semantics expressed with zero UDFs. "
+    "The ORACLE unrolls identical rounds in SQL (list_reduce fold), so "
+    "every winner and weight is a full value-level cross-engine match "
+    "(north star: tokenizer construction).",
+    tags=("llm", "text"),
+)
+def bpe_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.bpe import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=4)
+
+
+@query(
     "q48_embedding_stats",
     oracle="""
     WITH n AS (
