@@ -42,10 +42,13 @@ from pyspark.sql import DataFrame, functions as F
 from football_lakehouse_spark.functions.text import ws_tokens
 
 
-def bpe_merges(docs: DataFrame, n_merges: int = 4, text_col: str = "text") -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges over the whitespace-word
-    vocabulary of ``docs``. Returns one row per round:
-    (round, left_sym, right_sym, merged, pair_weight)."""
+def bpe_rounds(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run ``n_merges`` BPE rounds; returns (per-round winner frames,
+    final rewritten vocab ``(word, cnt, syms)``). Shared core of
+    :func:`bpe_merges` (training log) and :func:`bpe_encode_tokens`
+    (applying the learned merges — the encode side)."""
     words = (
         docs.select(F.explode(ws_tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -111,7 +114,42 @@ def bpe_merges(docs: DataFrame, n_merges: int = 4, text_col: str = "text") -> Da
             .localCheckpoint(eager=True)
         )
 
+    return out, vocab
+
+
+def bpe_merges(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the whitespace-word
+    vocabulary of ``docs``. Returns one row per round:
+    (round, left_sym, right_sym, merged, pair_weight)."""
+    out, _ = bpe_rounds(docs, n_merges, text_col)
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def bpe_encode_tokens(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Apply the learned merges: the corpus encoded with the trained
+    subword inventory, reported as the token table
+    ``(token, token_len, n_words, freq)`` — corpus frequency is
+    count-weighted over the vocab (vocab-sized work; the corpus is
+    touched once, in the word-count collapse)."""
+    _, vocab = bpe_rounds(docs, n_merges, text_col)
+    return (
+        vocab.select("word", "cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+            F.sum("cnt").cast("bigint").alias("freq"),
+        )
+        .select(
+            "token",
+            F.length("token").cast("int").alias("token_len"),
+            "n_words",
+            "freq",
+        )
+    )

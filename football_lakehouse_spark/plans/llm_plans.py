@@ -1961,10 +1961,11 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Unrolled BPE rounds (operators/bpe.bpe_merges twin): pair counts,
+def _bpe_ctes(n_merges: int) -> tuple[list[str], list[str]]:
+    """Unrolled BPE rounds (operators/bpe twin): pair counts,
     lexicographic-tie-break argmax, and a greedy left-to-right merge via
-    a list_reduce fold over a chr(31)-separator-encoded accumulator."""
+    a list_reduce fold over a chr(31)-separator-encoded accumulator.
+    Returns (CTE definitions, per-round winner projections)."""
     ctes = [
         f"""v0 AS (
         SELECT word, cnt,
@@ -2000,7 +2001,29 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             f"SELECT {r} AS round, l AS left_sym, r AS right_sym,"
             f" l || r AS merged, w AS pair_weight FROM w{r}"
         )
+    return ctes, sels
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """q111 oracle: the per-round merge log."""
+    ctes, sels = _bpe_ctes(n_merges)
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Twin of operators/bpe.bpe_encode_tokens: reuse the unrolled-round
+    CTEs, then aggregate the FINAL rewritten vocab's symbol occurrences
+    into the subword token table."""
+    ctes, _ = _bpe_ctes(n_merges)
+    joined = ",\n    ".join(ctes)
+    return f"""WITH {joined}
+    SELECT u.sym AS token,
+           CAST(len(u.sym) AS INT) AS token_len,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(sum(cnt) AS BIGINT) AS freq
+    FROM v{n_merges}, UNNEST(syms) u(sym)
+    GROUP BY u.sym
+    """
 
 
 @query(
@@ -2024,6 +2047,28 @@ def bpe_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merges(docs, n_merges=4)
+
+
+@query(
+    "q113_bpe_encode",
+    oracle=_bpe_encode_oracle_sql(4),
+    doc="BPE ENCODE — apply the q111-trained merges to the corpus and "
+    "report the resulting subword inventory: every token the encoded "
+    "corpus actually uses, its length, how many distinct vocabulary "
+    "words contain it, and its count-weighted corpus frequency. "
+    "Train+apply makes the tokenizer component round-trip complete. "
+    "Work after the one corpus→vocab collapse is vocabulary-sized; "
+    "the oracle re-runs the identical greedy folds in SQL and "
+    "aggregates the same final symbol table, so every encoded "
+    "occurrence is value-checked cross-engine (north star: tokenizer "
+    "application before packing/batching).",
+    tags=("llm", "text"),
+)
+def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.bpe import bpe_encode_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_tokens(docs, n_merges=4)
 
 
 @query(
@@ -2989,4 +3034,282 @@ def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_chars, 0.5D)").alias("p50"),
         F.expr("percentile(n_chars, 0.75D)").alias("p75"),
         F.expr("percentile(n_chars, 0.95D)").alias("p95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Retrieval / language-model statistics (round 4: search + LM scoring on
+# the corpus — the serving/quality counterparts of the q110 inverted index
+# and q111 BPE trainer)
+# --------------------------------------------------------------------------
+_SQL_BM25 = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(toks) AS term
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l
+           FROM dl),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q AS (SELECT term FROM tf GROUP BY term
+          ORDER BY sum(tf) DESC, term LIMIT 5),
+    sc AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ((2.0 * (st.n - dft.df) + 1.0) / (2.0 * dft.df + 1.0))
+                   * ((22.0 * tf.tf * st.l)
+                      / (10.0 * tf.tf * st.l + 3.0 * st.l + 9.0 * dl.dl * st.n))
+                   * 100000000.0 + 0.5) AS BIGINT) AS s
+        FROM tf
+        JOIN q USING (term)
+        JOIN dft USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN st
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_query_terms,
+           CAST(sum(s) AS DOUBLE) / 100000000 AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT 20
+"""
+
+
+@query(
+    "q112_bm25_topk",
+    oracle=_SQL_BM25,
+    doc="BM25 top-k retrieval (k1=1.2, b=0.75) for the corpus's 5 "
+    "heaviest terms as the standing query. Cross-engine exactness "
+    "trick: the tf-normalisation is cleared of fractions "
+    "(num=22·tf·L, den=10·tf·L+3·L+9·dl·N — exact bigints), the IDF "
+    "uses the rational odds form (2(N−df)+1)/(2df+1) instead of its "
+    "ln (rank-equivalent per term; ln is not bit-reproducible across "
+    "engines), and each per-term score quantises to 1e-8 before the "
+    "exact integer sum — so ranking and scores hash-match DuckDB "
+    "bit-for-bit. Topology: one corpus tokenize→(doc,term) shuffle; "
+    "df/query/corpus-stats tables are vocab-sized broadcasts; top-k "
+    "is a TakeOrdered, no global sort (north star: retrieval "
+    "serving off curated corpora).",
+    tags=("llm", "text", "similarity"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    )
+    # ONE corpus aggregation; every derived table below re-reads the tf
+    # exchange (AQE ReusedExchange), never the corpus: termstats/st are
+    # partial-agg rollups of tf, dl is a window over the doc_id
+    # re-exchange the scoring groupBy needs anyway.
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    tfw = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
+    )
+    termstats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("g"),
+    )
+    qdf = (
+        termstats.orderBy(F.col("g").desc(), F.col("term"))
+        .limit(5)
+        .select("term", "df")
+    )
+    st = tf.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n"),
+        F.sum("tf").cast("bigint").alias("l"),
+    )
+    idf = (2.0 * (F.col("n") - F.col("df")) + 1.0) / (2.0 * F.col("df") + 1.0)
+    tfn = (22.0 * F.col("tf") * F.col("l")) / (
+        10.0 * F.col("tf") * F.col("l")
+        + 3.0 * F.col("l")
+        + 9.0 * F.col("dl") * F.col("n")
+    )
+    s = F.floor(idf * tfn * 100000000.0 + 0.5).cast("bigint")
+    return (
+        tfw.join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_query_terms"),
+            F.sum("s").alias("ss"),
+        )
+        .orderBy(F.col("ss").desc(), F.col("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_query_terms",
+            (F.col("ss").cast("double") / 100000000).alias("bm25"),
+        )
+    )
+
+
+_SQL_BIGRAMS = f"""
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    b AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, UNNEST(range(1, len(toks))) r(i)
+    )
+"""
+
+
+def _bigram_structs(toks):
+    """Adjacent-pair struct array from a token array — pure array ops
+    (zip of the two offset slices), no explode-then-self-join."""
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return F.when(n > 1, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+@query(
+    "q114_lm_transition_score",
+    oracle=f"""
+    WITH {_SQL_BIGRAMS},
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT u.t) AS BIGINT) AS v
+          FROM t, UNNEST(toks) u(t)),
+    s AS (
+        SELECT b.doc_id,
+               CAST(floor((CAST(c2.c2 AS DOUBLE) + 1.0)
+                          / CAST(c1.c1 + v.v AS DOUBLE)
+                          * 1000000000.0 + 0.5) AS BIGINT) AS q
+        FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(q) // count(*) AS DOUBLE) / 1000000000
+               AS mean_transition_prob
+    FROM s GROUP BY doc_id
+    """,
+    doc="Language-model quality scoring: a word-bigram model with "
+    "add-one smoothing is trained on the corpus and every document is "
+    "scored by its mean transition probability mean(P(w2|w1)) — the "
+    "fluency signal LM-perplexity filters use (perplexity's geometric "
+    "mean needs ln, which is not bit-reproducible cross-engine; the "
+    "arithmetic mean ranks fluency the same way and stays exact: each "
+    "smoothed probability is one IEEE division of exact integers, "
+    "quantised to 1e-9 and averaged with the repo's exact integer "
+    "floor-div idiom). Topology: bigrams come from zip-of-offset-"
+    "slices (no self-join); model tables are n-gram-vocab-sized; the "
+    "unigram table broadcasts (Heaps-bounded) while the bigram join "
+    "shuffles on (w1,w2) — the pair vocabulary is NOT bounded at 100 "
+    "TB (north star: model-based quality filtering).",
+    tags=("llm", "text"),
+)
+def lm_transition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", F.explode(_bigram_structs(ws_tokens(F.col("text")))).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    # left-context totals roll up from c2 (pair-vocab-sized, reuses its
+    # exchange) instead of re-counting the corpus bigram table
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    v = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t").cast("bigint").alias("v"))
+    )
+    q = F.floor(
+        (F.col("c2").cast("double") + 1.0)
+        / (F.col("c1") + F.col("v")).cast("double")
+        * 1000000000.0
+        + 0.5
+    ).cast("bigint")
+    return (
+        b.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", q.alias("q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (
+                F.floor(F.sum("q") / F.count(F.lit(1))).cast("double")
+                / 1000000000
+            ).alias("mean_transition_prob"),
+        )
+    )
+
+
+@query(
+    "q115_collocation_lift",
+    oracle=f"""
+    WITH {_SQL_BIGRAMS},
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1, 2),
+    cu AS (
+        SELECT u.t AS w, CAST(count(*) AS BIGINT) AS cu
+        FROM t, UNNEST(toks) u(t) GROUP BY 1
+    ),
+    n AS (
+        SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n2,
+               CAST((SELECT sum(len(toks)) FROM t) AS BIGINT) AS n1
+    )
+    SELECT w1, w2, c2,
+           CAST(floor(
+               (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / ((CAST(ca.cu AS DOUBLE) / CAST(n1 AS DOUBLE))
+                  * (CAST(cb.cu AS DOUBLE) / CAST(n1 AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+    FROM c2
+    JOIN cu ca ON c2.w1 = ca.w
+    JOIN cu cb ON c2.w2 = cb.w
+    CROSS JOIN n
+    WHERE c2 >= 5
+    ORDER BY lift_micro DESC, w1, w2 LIMIT 30
+    """,
+    doc="Collocation mining: adjacent word pairs ranked by PMI-rank-"
+    "equivalent lift P(a,b)/(P(a)·P(b)) (min support 5, top 30). PMI "
+    "itself is ln(lift) — strictly monotone, so ranking by the "
+    "rational lift is identical while staying bit-reproducible: three "
+    "exact-integer IEEE divisions, one multiply, quantised to 1e-6. "
+    "Unigram table joins twice (both sides of the pair); at scale "
+    "both probe joins broadcast the Heaps-bounded unigram vocab and "
+    "the only large shuffle is the bigram count (north star: phrase "
+    "/ tokenizer-merge candidate mining).",
+    tags=("llm", "text"),
+)
+def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+    b = docs.select(
+        F.explode(_bigram_structs(ws_tokens(F.col("text")))).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    cu = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    # corpus totals roll up from the two count tables (vocab-sized,
+    # exchange-reused) — the corpus is scanned exactly twice (tokens +
+    # bigrams), never a third time for the totals
+    n = c2.agg(F.sum("c2").cast("bigint").alias("n2")).crossJoin(
+        cu.agg(F.sum("cu").cast("bigint").alias("n1"))
+    )
+    lift = F.floor(
+        (F.col("c2").cast("double") / F.col("n2").cast("double"))
+        / (
+            (F.col("ca").cast("double") / F.col("n1").cast("double"))
+            * (F.col("cb").cast("double") / F.col("n1").cast("double"))
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("bigint")
+    return (
+        c2.join(F.broadcast(cu.select(F.col("t").alias("w1"), F.col("cu").alias("ca"))), "w1")
+        .join(F.broadcast(cu.select(F.col("t").alias("w2"), F.col("cu").alias("cb"))), "w2")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("c2") >= 5)
+        .select("w1", "w2", "c2", lift.alias("lift_micro"))
+        .orderBy(F.col("lift_micro").desc(), "w1", "w2")
+        .limit(30)
     )

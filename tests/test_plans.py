@@ -176,3 +176,40 @@ def test_semantic_dedup_cell_blocked_join(spark):
     never a cartesian/nested-loop over the corpus."""
     plan = plan_of(spark, "q101_semantic_dedup")
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_query_terms(spark):
+    """q112: the 5-term query and corpus stats must broadcast; doc
+    ranking is TakeOrdered (no global sort); no cartesian product."""
+    plan = plan_of(spark, "q112_bm25_topk")
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_two_shuffles(spark):
+    """q113: after the corpus→vocab collapse, the token rollup is the
+    only other exchange — everything between is vocab-sized array ops
+    (the 4 merge rounds live behind the localCheckpoint cut, so the
+    visible plan is exactly collapse + rollup)."""
+    plan = plan_of(spark, "q113_bpe_encode")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_lm_score_unigram_broadcast(spark):
+    """q114: the smoothed-probability join must broadcast the unigram
+    context table; the (w1,w2) model join may shuffle (pair vocab is
+    unbounded); never a cartesian product."""
+    plan = plan_of(spark, "q114_lm_transition_score")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collocation_lift_topk_no_global_sort(spark):
+    """q115: top-30 collocations via TakeOrdered, unigram sides
+    broadcast, corpus totals folded from the count tables."""
+    plan = plan_of(spark, "q115_collocation_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
