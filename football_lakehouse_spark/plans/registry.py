@@ -85,6 +85,12 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q107_context_windows",
     "q108_mixture_apply",
     "q109_dup_span_removal",
+    "q110_inverted_index",
+    "q111_bpe_merges",
+    "q112_bm25_topk",
+    "q113_bpe_encode",
+    "q114_lm_transition_score",
+    "q115_collocation_lift",
     "q51_ann_ivf",  # shares the refactored Lloyd quantiser with q101
     "q92_multimodal_decode",
     "q93_capped_neardup",
