@@ -91,6 +91,11 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q113_bpe_encode",
     "q114_lm_transition_score",
     "q115_collocation_lift",
+    "q116_small_qty_revenue",
+    "q117_cheapest_supplier_per_part",
+    "q118_order_count_distribution",
+    "q119_idle_rich_customers",
+    "q120_top_revenue_suppliers",
     "q51_ann_ivf",  # shares the refactored Lloyd quantiser with q101
     "q92_multimodal_decode",
     "q93_capped_neardup",

@@ -725,3 +725,256 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             y97.exceptAll(y96).select("o_custkey", F.lit("new").alias("cohort"))
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped composites (round 4): the classic decision-support shapes
+# the fixture tables support — correlated-subquery decorrelation,
+# argmin-per-group enrichment, outer-join histograms, global-threshold
+# anti-joins, max-of-aggregate selection. These widen the RELATIONAL
+# surface beyond the reference's own query list (SURVEY.md §2 P/A/JN/O
+# families) with the plan shapes any 100 TB warehouse workload hits.
+# --------------------------------------------------------------------------
+_SQL_MONEY_SUM_SPARK = (
+    "CAST(floor(sum(CAST(floor({expr} * 1000000.0 + 0.5) AS DECIMAL(38,0)))"
+    " / 10000) AS DOUBLE) / 100"
+)
+
+
+@query(
+    "q116_small_qty_revenue",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+           {sql_money_sum('l_extendedprice')} AS small_qty_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+    doc="TPC-H Q17 shape: revenue from below-half-average-quantity "
+    "lines, written as a CORRELATED scalar subquery and submitted "
+    "through the SQL front-end so Catalyst's DecorrelateInnerQuery "
+    "rewrites it into the aggregate+join — the plan a hand decorrelation "
+    "would produce, with zero per-row subquery execution (the contract "
+    "test pins the decorrelated shape). Numeric exactness: quantities "
+    "are integral doubles (exact under any summation order), so the "
+    "correlated AVG is bit-stable cross-engine; revenue uses the "
+    "micro-unit exact-sum idiom (reference parity: horizon filters in "
+    "notebooks/04_features/41_build_fixture_horizons.py compute "
+    "per-group means the same declarative way).",
+    tags=("relational",),
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    rev = _SQL_MONEY_SUM_SPARK.format(expr="l_extendedprice")
+    return spark.sql(f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+               {rev} AS small_qty_revenue
+        FROM lineitem l
+        WHERE l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+    """)
+
+
+@query(
+    "q117_cheapest_supplier_per_part",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(min(CAST(floor(l_extendedprice / l_quantity * 1000000.0
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS cost_micro
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT l_partkey, l_suppkey, cost_micro,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY cost_micro, l_suppkey) AS rn
+        FROM cost
+    )
+    SELECT r.l_partkey AS p_partkey, r.l_suppkey AS s_suppkey, s.s_name,
+           CAST(r.cost_micro AS DOUBLE) / 1000000 AS unit_cost
+    FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rn = 1
+    """,
+    doc="TPC-H Q2 shape (no partsupp table in the fixtures, so unit "
+    "cost derives from lineitem): per (part, supplier) minimum unit "
+    "price, then the argmin supplier per part (ties to the lowest "
+    "suppkey) enriched with the supplier dim via broadcast. Unit cost "
+    "is one IEEE division micro-quantised BEFORE the min, so min/argmin "
+    "run on exact integers cross-engine. Plan: one (part,supp) "
+    "aggregation shuffle, WindowGroupLimit-eligible rank, broadcast "
+    "dim join — no correlated re-scan per part.",
+    tags=("relational",),
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    cost_micro = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 1000000.0 + 0.5
+    ).cast("bigint")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cost_micro).cast("bigint").alias("cost_micro")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("cost_micro", "l_suppkey")
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            (F.col("cost_micro").cast("double") / 1000000).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "q118_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q13: the customer order-count histogram — LEFT OUTER "
+    "join so order-less customers land in the zero bucket (COUNT of a "
+    "nullable join-side column, not COUNT(*)), then a second tiny "
+    "aggregation over the counts. Plan: one shuffle join on custkey + "
+    "one per-customer aggregate that reuses its partitioning; the "
+    "histogram agg is distribution-sized.",
+    tags=("relational",),
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@query(
+    "q119_idle_rich_customers",
+    oracle="""
+    WITH thr AS (
+        SELECT CAST(sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS HUGEINT))
+                // 10000 AS DOUBLE) / 100 AS total_bal
+    FROM customer c CROSS JOIN thr
+    WHERE CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT) * thr.n > thr.s
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: customers with above-average positive balance "
+    "and NO RECENT orders (none since 2001-01-01 — every fixture "
+    "customer has some order, so recency is what makes them idle), "
+    "rolled up by market segment. The global-average "
+    "threshold compares by exact-integer cross-multiplication "
+    "(micro(bal)·N > Σmicro — no division anywhere), the no-orders "
+    "probe is a LEFT ANTI join (never a per-row EXISTS), and the "
+    "one-row threshold table broadcasts. Plan: anti-join shuffle on "
+    "custkey + segment-sized aggregate.",
+    tags=("relational",),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    micro = F.floor(F.col("c_acctbal") * 1000000.0 + 0.5).cast("bigint")
+    thr = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(micro).cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .where(micro * F.col("n") > F.col("s"))
+        .join(
+            orders.where(
+                F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+            ).select(F.col("o_custkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            money_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q120_top_revenue_suppliers",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000.0 + 0.5) AS HUGEINT))
+                    AS HUGEINT) AS rev_micro
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT r.l_suppkey AS s_suppkey, s.s_name,
+           CAST(floor(r.rev_micro // 10000) AS DOUBLE) / 100 AS total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rev_micro = (SELECT max(rev_micro) FROM rev)
+    """,
+    doc="TPC-H Q15: the top-revenue supplier(s) for 1996Q1 — revenue "
+    "per supplier as an exact micro-unit integer, the maximum folded "
+    "to one row and broadcast back (never a single-partition window "
+    "over all suppliers), equality keeps ALL tied suppliers (exact "
+    "integers make the tie well-defined cross-engine), supplier dim "
+    "broadcast-joined for names. Plan: one filtered+pruned scan, one "
+    "supplier-key shuffle, two broadcasts.",
+    tags=("relational",),
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    micro = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
+    ).cast("decimal(38,0)")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(micro).alias("rev_micro"))
+    )
+    mx = rev.agg(F.max("rev_micro").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_micro") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            (F.floor(F.col("rev_micro") / 10000).cast("double") / 100).alias(
+                "total_revenue"
+            ),
+        )
+    )

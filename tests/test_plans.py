@@ -213,3 +213,38 @@ def test_collocation_lift_topk_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """q116 is SUBMITTED as a correlated scalar subquery; Catalyst must
+    rewrite it to the aggregate+join form — one lineitem shuffle, no
+    nested-loop / cartesian re-scan per outer row."""
+    plan = plan_of(spark, "q116_small_qty_revenue")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cheapest_supplier_group_limit_and_dim_broadcast(spark):
+    """q117: the per-part argmin must run as a WindowGroupLimit (rank
+    pushed into the shuffle) and the supplier dim must broadcast."""
+    plan = plan_of(spark, "q117_cheapest_supplier_per_part")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_idle_rich_customers_anti_join(spark):
+    """q119: the no-orders probe must be a LEFT ANTI hash join, and the
+    one-row global threshold must broadcast."""
+    plan = plan_of(spark, "q119_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_top_revenue_no_global_window(spark):
+    """q120: the max-revenue selection must come from a broadcast
+    one-row aggregate, never a single-partition window/sort over all
+    suppliers."""
+    plan = plan_of(spark, "q120_top_revenue_suppliers")
+    assert "Exchange SinglePartition" not in plan or "partial" in plan.lower()
+    assert "BroadcastHashJoin" in plan
