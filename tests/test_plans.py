@@ -248,3 +248,11 @@ def test_top_revenue_no_global_window(spark):
     plan = plan_of(spark, "q120_top_revenue_suppliers")
     assert "Exchange SinglePartition" not in plan or "partial" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_partition_pruned_join_has_dpp(spark):
+    """q121: the fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — the dim filter reaches the directory listing at
+    runtime, not after the scan."""
+    plan = plan_of(spark, "q121_partition_pruned_join")
+    assert "dynamicpruning" in plan
