@@ -610,3 +610,92 @@ def test_dup_span_removal_excises_quote(spark, tmp_path):
     assert got[1].cleaned_text == uniq_a            # quote cut from the tail
     assert got[2].cleaned_text == uniq_b            # quote cut from the head
     assert got[1].kept_tokens == 30 and got[2].kept_tokens == 30
+
+
+# --------------------------------------------------------------------------
+# Round-4 retrieval / LM invariants (beyond oracle parity)
+# --------------------------------------------------------------------------
+def test_bpe_encoding_reconstructs_every_word(spark):
+    """After any number of merge rounds, concatenating a word's symbols
+    must reproduce the word exactly (merges only ever fuse adjacent
+    symbols), and the per-word token count must never increase across
+    rounds."""
+    from football_lakehouse_spark.operators.bpe import bpe_rounds
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    _, vocab = bpe_rounds(docs, n_merges=4)
+    bad = vocab.where(
+        F.concat_ws("", F.col("syms")) != F.col("word")
+    ).count()
+    assert bad == 0
+    # every word's symbol count is at most its character count and >= 1
+    bounds = vocab.agg(
+        F.max(F.size("syms") - F.length("word")).alias("over"),
+        F.min(F.size("syms")).alias("mn"),
+    ).collect()[0]
+    assert bounds["over"] <= 0 and bounds["mn"] >= 1
+
+
+def test_bpe_merge_weights_monotone_data(spark):
+    """Round-r winner weight can never exceed round-(r-1)'s: the argmax
+    pool only loses mass as pairs are merged away. (Data-level guard for
+    the greedy argmax — catches a broken fold re-inflating pairs.)"""
+    from football_lakehouse_spark.operators.bpe import bpe_merges
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = sorted(bpe_merges(docs, n_merges=4).collect(), key=lambda r: r["round"])
+    weights = [r["pair_weight"] for r in rows]
+    assert weights == sorted(weights, reverse=True)
+
+
+def test_order_count_distribution_conserves_totals(spark):
+    """q118 invariants: Σ custdist == |customer| (every customer lands in
+    exactly one bucket) and Σ c_count·custdist == |orders| (every order
+    counted exactly once)."""
+    from football_lakehouse_spark.plans import registry
+
+    hist = registry.REGISTRY["q118_order_count_distribution"].builder(
+        spark, SF_SMOKE
+    )
+    tot = hist.agg(
+        F.sum("custdist").alias("nc"),
+        F.sum(F.col("c_count") * F.col("custdist")).alias("no"),
+    ).collect()[0]
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    n_ord = load_table(spark, SF_SMOKE, "orders").count()
+    assert tot["nc"] == n_cust and tot["no"] == n_ord
+
+
+def test_bm25_topk_scores_positive_and_ranked(spark):
+    """q112: every returned doc matched >=1 query term, scores are
+    positive (rational IDF is always > 0, unlike ln-IDF which goes
+    negative past df > N/2), and rows arrive rank-ordered."""
+    from football_lakehouse_spark.plans import registry
+
+    rows = registry.REGISTRY["q112_bm25_topk"].builder(spark, SF_SMOKE).collect()
+    assert rows, "top-k empty"
+    assert all(r["n_query_terms"] >= 1 and r["bm25"] > 0 for r in rows)
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lm_transition_score_bounds(spark):
+    """q114: smoothed probabilities live in (0, 1], so every doc's mean
+    must too; every multi-token doc gets n_tokens - 1 bigrams."""
+    from football_lakehouse_spark.plans import registry
+    from football_lakehouse_spark.functions.text import ws_tokens
+
+    scores = registry.REGISTRY["q114_lm_transition_score"].builder(spark, SF_SMOKE)
+    bad = scores.where(
+        (F.col("mean_transition_prob") <= 0) | (F.col("mean_transition_prob") > 1)
+    ).count()
+    assert bad == 0
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", (F.size(ws_tokens(F.col("text"))) - 1).alias("want")
+    )
+    mism = (
+        scores.join(docs, "doc_id")
+        .where(F.col("n_bigrams") != F.col("want"))
+        .count()
+    )
+    assert mism == 0
