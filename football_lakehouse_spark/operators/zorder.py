@@ -1,0 +1,89 @@
+"""Z-order (Morton-curve) clustering — multi-dimensional data layout
+for file-level skipping.
+
+The reference maintains its tables with Databricks auto-compaction
+(``delta.autoOptimize.*``, resources/uc/objects.sql:25-28); the
+companion maintenance command on that platform is ``OPTIMIZE ... ZORDER
+BY (c1, c2)``, which rewrites files so that BOTH clustering columns
+have narrow min/max ranges per file — a single-column sort bounds one
+column's span and leaves every other column full-range, so two-column
+predicates can never skip files. This module re-expresses that as
+plain Spark:
+
+- :func:`z_value` — the 32-bit Morton interleave of two 16-bit keys,
+  built from shift/mask "magic number" bit spreading (Morton 1966; the
+  standard branchless construction, e.g. Graphics Gems / Bit Twiddling
+  Hacks). Pure integer ops → bit-identical in any engine, so the
+  transform itself is DuckDB-oracle-checkable.
+- :func:`zorder_write` — cluster a DataFrame by the z-value and write
+  parquet with one file per z-bucket. Bucketing is EXPLICIT
+  (``z div 2^shift``) rather than ``repartitionByRange`` because range
+  boundaries come from reservoir sampling — nondeterministic file
+  contents would break layout tests and rerun-stable maintenance jobs.
+
+At 100 TB: the z-value is a narrow per-row expression (no shuffle);
+the clustering write is one hash exchange on the z-bucket — the same
+cost OPTIMIZE pays — and the payoff is file skipping on every
+subsequent 2-D predicate scan. Skew note: z-buckets inherit the key
+distribution; a hot (part, supp) pair concentrates its bucket exactly
+like it would concentrate a ZORDER output file, and AQE coalescing
+handles the empty tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _spread_bits(v: Column) -> Column:
+    """Spread a 16-bit value's bits to the even positions of 32 bits."""
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
+    return v
+
+
+def z_value(x: Column, y: Column) -> Column:
+    """32-bit Morton code: x's bits at even positions, y's at odd."""
+    return _spread_bits(x.cast("bigint")).bitwiseOR(
+        F.shiftleft(_spread_bits(y.cast("bigint")), 1)
+    )
+
+
+def sql_z_value(x: str, y: str) -> str:
+    """DuckDB twin of :func:`z_value` (same spreading network)."""
+
+    def spread(e: str) -> str:
+        v = f"({e} & 65535)"
+        v = f"(({v} | ({v} << 8)) & 16711935)"
+        v = f"(({v} | ({v} << 4)) & 252645135)"
+        v = f"(({v} | ({v} << 2)) & 858993459)"
+        return f"(({v} | ({v} << 1)) & 1431655765)"
+
+    return f"({spread(x)} | ({spread(y)} << 1))"
+
+
+def zorder_write(
+    df: DataFrame, c1: str, c2: str, path: str, bucket_shift: int = 24
+) -> None:
+    """Cluster ``df`` along the (c1, c2) Morton curve and write parquet
+    with ONE deterministic file set per z-bucket (bucket = z >>
+    bucket_shift): buckets are directory partitions — hash-partitioning
+    buckets into shared files would scatter non-adjacent curve segments
+    into one file and destroy its min/max bounds. The repartition
+    co-locates each bucket into a single task so the write emits one
+    file per bucket; rows sort by z within the file for tight page
+    stats."""
+    z = z_value(F.col(c1), F.col(c2))
+    (
+        df.withColumn("__z", z)
+        .withColumn("__zb", F.shiftright(F.col("__z"), bucket_shift))
+        .repartition(F.col("__zb"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .partitionBy("__zb")
+        .parquet(path)
+    )

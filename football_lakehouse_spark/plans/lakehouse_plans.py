@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from football_lakehouse_spark.catalog import load_table
 from football_lakehouse_spark.lakehouse.tables import LakehouseTable
 from football_lakehouse_spark.operators.merge import merge_upsert
+from football_lakehouse_spark.operators.zorder import sql_z_value
 from football_lakehouse_spark.plans.registry import query
 from football_lakehouse_spark.scratch import scratch_dir
 
@@ -408,5 +409,53 @@ def partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.sum(micro) / 10000).cast("double") / 100).alias(
                 "total_price"
             ),
+        )
+    )
+
+
+@query(
+    "q122_zorder_locality",
+    oracle=f"""
+    SELECT zb, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(px) - min(px) AS BIGINT) AS part_span,
+           CAST(max(sx) - min(sx) AS BIGINT) AS supp_span
+    FROM (
+        SELECT ({{z}}) >> 16 AS zb, px, sx
+        FROM (
+            SELECT l_partkey & 65535 AS px, l_suppkey & 65535 AS sx
+            FROM lineitem
+        )
+    )
+    GROUP BY zb
+    """.format(z=sql_z_value("px", "sx")),
+    doc="Z-order locality profile: every lineitem row mapped to its "
+    "32-bit Morton code over (l_partkey, l_suppkey), rolled up by "
+    "curve bucket (z >> 16) with each bucket's span in BOTH "
+    "dimensions — the property OPTIMIZE ZORDER buys (a single-column "
+    "sort bounds one dimension and leaves the other full-range; the "
+    "Morton curve bounds both, which is what makes 2-D predicate file "
+    "skipping work — the companion layout test writes the files and "
+    "measures real per-file min/max spans plus the skip ratio). The "
+    "interleave is the branchless shift/mask spreading network — pure "
+    "integer ops, bit-identical in DuckDB, so the whole transform is "
+    "value-checked. Reference parity: delta.autoOptimize table "
+    "properties (resources/uc/objects.sql:25-28) are the platform's "
+    "half of this maintenance pair.",
+    tags=("lakehouse", "layout"),
+)
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.zorder import z_value
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").bitwiseAND(F.lit(65535)).alias("px"),
+        F.col("l_suppkey").bitwiseAND(F.lit(65535)).alias("sx"),
+    )
+    return (
+        li.withColumn("zb", F.shiftright(z_value(F.col("px"), F.col("sx")), 16))
+        .groupBy("zb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.max("px") - F.min("px")).cast("bigint").alias("part_span"),
+            (F.max("sx") - F.min("sx")).cast("bigint").alias("supp_span"),
         )
     )

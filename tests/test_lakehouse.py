@@ -218,3 +218,69 @@ def test_change_feed_empty_and_identical(spark):
     assert [(r.change_type, r.id) for r in feed] == [("insert", 1)]
     feed = change_feed(df, empty, ["id"]).collect()
     assert [(r.change_type, r.id) for r in feed] == [("delete", 1)]
+
+
+def test_zorder_layout_skips_2d_predicates(spark, tmp_path):
+    """zorder_write must produce files whose min/max bounds let a 2-D
+    predicate skip most files, where a single-column sort cannot: under
+    partkey-sort every file spans (almost) the full suppkey range, so a
+    suppkey predicate can skip nothing; under z-order both spans are
+    bounded, and the file-level skip ratio for a narrow 2-D box must
+    beat the sorted layout."""
+    from football_lakehouse_spark.catalog import load_table
+    from football_lakehouse_spark.operators.zorder import zorder_write
+    from tests.conftest import SF_SMOKE
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "sorted")
+    zorder_write(li, "l_partkey", "l_suppkey", zpath, bucket_shift=6)
+
+    def file_bounds(path):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("l_partkey").alias("p0"), F.max("l_partkey").alias("p1"),
+                F.min("l_suppkey").alias("s0"), F.max("l_suppkey").alias("s1"),
+            )
+            .collect()
+        )
+
+    zb = file_bounds(zpath)
+    assert len(zb) > 4, "need multiple z files for skipping to mean anything"
+    # single-column-sorted comparison layout with the SAME file count
+    (
+        li.repartitionByRange(len(zb), "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(spath)
+    )
+    sb = file_bounds(spath)
+
+    # 2-D box predicates: narrow part range x narrow supp range
+    boxes = [(10, 40, 3, 6), (50, 150, 2, 3), (20, 60, 8, 9)]
+
+    def rows_scanned(bounds, p_lo, p_hi, s_lo, s_hi):
+        return sum(
+            r["n"] for r in bounds
+            if r["p1"] >= p_lo and r["p0"] <= p_hi
+            and r["s1"] >= s_lo and r["s0"] <= s_hi
+        )
+
+    total = sum(r["n"] for r in zb)
+    z_frac = sum(rows_scanned(zb, *b) for b in boxes) / (total * len(boxes))
+    s_frac = sum(rows_scanned(sb, *b) for b in boxes) / (total * len(boxes))
+    # sorted-by-partkey layout: suppkey bounds are useless -> every file
+    # overlapping the part range is scanned in full; z-order must scan
+    # strictly fewer rows across the predicate set
+    assert z_frac < s_frac, (z_frac, s_frac)
+    # and the z files must bound BOTH dimensions: average supp span well
+    # under the full range
+    full_supp = li.agg(F.max("l_suppkey") - F.min("l_suppkey")).collect()[0][0]
+    avg_supp_span = sum(r["s1"] - r["s0"] for r in zb) / len(zb)
+    sorted_avg = sum(r["s1"] - r["s0"] for r in sb) / len(sb)
+    assert avg_supp_span < 0.8 * full_supp
+    assert avg_supp_span < sorted_avg
