@@ -3360,3 +3360,119 @@ def incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 5)
     )
+
+
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000_000  # rank fixed-point scale (1.0 == 1e9)
+_PR_MIN_EDGE = 2
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled fixed-point weighted PageRank twin (operators-free SQL):
+    identical integer arithmetic per round — contributions are exact
+    integer floor-divisions, damping is (x*17)//20 + 0.15·scale."""
+    ctes = [
+        f"""e AS (
+        SELECT w1 AS src, w2 AS dst, CAST(count(*) AS BIGINT) AS w
+        FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT {_SQL_TOKS} AS toks FROM documents) t,
+                 UNNEST(range(1, len(toks))) r(i)
+        )
+        GROUP BY 1, 2 HAVING count(*) >= {_PR_MIN_EDGE}
+    )""",
+        """nodes AS (SELECT src AS term FROM e UNION SELECT dst FROM e)""",
+        """ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1)""",
+        f"""r0 AS (SELECT term, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes)""",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        ctes.append(f"""c{k} AS (
+        SELECT e.dst AS term,
+               CAST(sum(({prev}.rank * e.w) // ow.outw) AS BIGINT) AS contrib
+        FROM e
+        JOIN {prev} ON e.src = {prev}.term
+        JOIN ow ON e.src = ow.src
+        GROUP BY 1
+    )""")
+        ctes.append(f"""r{k} AS (
+        SELECT nodes.term,
+               CAST({_PR_SCALE * 3 // 20} + (COALESCE(c{k}.contrib, 0) * 17) // 20
+                    AS BIGINT) AS rank
+        FROM nodes LEFT JOIN c{k} ON nodes.term = c{k}.term
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT term, CAST(rank AS DOUBLE) / {_PR_SCALE} AS pagerank
+    FROM r{iters}
+    ORDER BY rank DESC, term LIMIT 20
+    """
+    )
+
+
+@query(
+    "q124_term_pagerank",
+    oracle=_pagerank_oracle_sql(_PR_ITERS),
+    doc="Iterative distributed PageRank (weighted, damping 0.85, 3 "
+    "rounds) over the term-transition graph (bigram edges with count "
+    "weights, min support 2) — the iterative-algorithm family beyond "
+    "connected components. Determinism trick: ranks live in 1e-9 "
+    "FIXED-POINT integers and every round uses only integer multiply / "
+    "floor-div / sum, so the result is bit-identical under any "
+    "partitioning and any engine — float PageRank would drift with "
+    "summation order. Per round: one edge⋈rank join + one dst-key "
+    "aggregation, rank lineage truncated via eager localCheckpoint "
+    "(the O(rounds²) Catalyst-plan defence shared with Lloyd/CC). "
+    "Dangling mass is not redistributed (documented choice; ranks "
+    "stay comparable, not normalised). Top-20 via TakeOrdered.",
+    tags=("llm", "text", "graph"),
+)
+def term_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        docs.select(
+            F.explode(_bigram_structs(ws_tokens(F.col("text")))).alias("p")
+        )
+        .select(F.col("p.w1").alias("src"), F.col("p.w2").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .where(F.col("w") >= _PR_MIN_EDGE)
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("term"))
+        .union(e.select(F.col("dst").alias("term")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ow = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("outw"))
+    ranks = nodes.withColumn("rank", F.lit(_PR_SCALE).cast("bigint"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("term", "src"), "src")
+            .join(ow, "src")
+            .select(
+                F.col("dst").alias("term"),
+                F.expr("(rank * w) div outw").alias("part"),
+            )
+            .groupBy("term")
+            .agg(F.sum("part").cast("bigint").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "term", "left")
+            .select(
+                "term",
+                (
+                    F.lit(_PR_SCALE * 3 // 20)
+                    + F.expr("(coalesce(contrib, 0) * 17) div 20")
+                ).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.col("rank").desc(), "term")
+        .limit(20)
+        .select("term", (F.col("rank").cast("double") / _PR_SCALE).alias("pagerank"))
+    )

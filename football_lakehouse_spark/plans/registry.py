@@ -99,6 +99,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q121_partition_pruned_join",
     "q122_zorder_locality",
     "q123_incremental_index",
+    "q124_term_pagerank",
     "q51_ann_ivf",  # shares the refactored Lloyd quantiser with q101
     "q92_multimodal_decode",
     "q93_capped_neardup",

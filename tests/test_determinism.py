@@ -30,3 +30,25 @@ def test_ml_pinned_eval_matches_oracle(spark, duck):
 
     spec = registry.REGISTRY["q69_ml_pinned_eval"]
     compare_with_oracle(spec.builder(spark, SF_ORACLE), spec.oracle, duck[SF_ORACLE])
+
+
+def test_pagerank_partition_invariant(spark):
+    """q124's whole point: fixed-point integer ranks are bit-identical
+    under any partitioning. Re-run with a different shuffle-partition
+    count and compare exact values."""
+    spec = registry.REGISTRY["q124_term_pagerank"]
+    base = sorted(
+        tuple(str(x) for x in r) for r in spec.builder(spark, SF_SMOKE).collect()
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = sorted(
+            tuple(str(x) for x in r)
+            for r in spec.builder(spark, SF_SMOKE).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
+    # damping floor: every rank >= 0.15
+    assert all(float(r[1]) >= 0.15 for r in base)
