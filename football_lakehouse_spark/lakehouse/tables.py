@@ -318,6 +318,24 @@ class LakehouseTable:
         new_files = self._stage(base.where(kept_pred))
         return self._commit("delete", new_files, self.current_files(), rows=None)
 
+    def restore(self, version: int) -> int:
+        """Delta-style ``RESTORE TABLE … TO VERSION AS OF v`` (delta.io
+        RESTORE; reference stub 45_time_travel_debug.sql): commit a NEW
+        version whose live file set equals the live set at ``version``.
+
+        Metadata-only — no data file is copied or rewritten, so the cost
+        is O(log tail), independent of table size (the at-scale contract:
+        restoring a 100 TB table is a single JSON commit). History is
+        preserved: the bad versions stay time-travellable, exactly like
+        Delta. Files already vacuumed away cannot be restored — the same
+        retention trade-off as :meth:`read`, surfaced on the next read.
+        """
+        target = set(self._live_at(version))
+        current = set(self.current_files())
+        return self._commit(
+            "restore", sorted(target - current), sorted(current - target), rows=None
+        )
+
     # ------------------------------------------------------------------- read
     def exists(self) -> bool:
         commits, _ = self._log_entries()

@@ -81,3 +81,52 @@ def token_budget_select(
             ((F.col("cum_before") + F.col("cum_in")) <= budget).alias("selected"),
         )
     )
+
+
+def dsir_scores(
+    docs: DataFrame, target: F.Column, n_buckets: int = 64,
+    id_col: str = "doc_id", tokens_col: str = "tokens",
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023): score every
+    document by how much its hashed-unigram profile resembles the
+    TARGET slice (rows where ``target`` is true) vs the RAW corpus.
+
+    ``docs`` must carry ``(id_col, tokens_col: array<string>)``; tokens
+    hash into ``n_buckets`` sha-prefix buckets (cross-engine portable).
+    Per-token evidence is the exact-integer discriminant
+    ``ct[b]·N_raw − cr[b]·N_tgt`` — the sign pattern of the DSIR
+    log-ratio without transcendental log, so results are reproducible
+    bit-for-bit on any engine (at petabyte token counts switch the
+    per-bucket term to log-space doubles; the topology is identical).
+
+    Scale contract: ONE corpus explode; the bucket table (n_buckets
+    rows) and the 1-row totals broadcast; the per-doc score is a
+    map-side join + one groupBy on ``id_col``. Returns
+    ``(id_col, n_tokens, score, selected)``.
+    """
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    u = docs.select(
+        F.col(id_col), target.alias("__tgt"),
+        F.explode(F.col(tokens_col)).alias("token"),
+    ).withColumn("b", portable_hash(F.col("token"), seed="dsir") % n_buckets)
+    raw = u.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = u.where(F.col("__tgt")).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    buckets = raw.join(tgt, "b", "left").select(
+        "b", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct")
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("nt"),
+    )
+    evidence = F.col("ct") * F.col("nr") - F.col("cr") * F.col("nt")
+    return (
+        u.join(F.broadcast(buckets), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(evidence).cast("bigint").alias("score"),
+        )
+        .withColumn("selected", F.col("score") > 0)
+    )

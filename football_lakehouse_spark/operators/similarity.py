@@ -192,6 +192,58 @@ def _quantized_components(
     )
 
 
+def assign_cells(
+    vectors: DataFrame, centroids: DataFrame, *,
+    id_col: str = "vec_id", vec_col: str = "embedding", id_out: str = "vec_id",
+    normalize: bool = False, with_d2: bool = False,
+) -> DataFrame:
+    """Assign every vector to its nearest FROZEN centroid — the shared
+    assignment kernel of :func:`kmeans_cells` (each Lloyd round) and the
+    incremental-index append path (q128: new vectors slot into an
+    already-trained IVF without retraining).
+
+    Integer d² per (vector, cell) via a codegen fold over the zipped
+    quantised arrays; argmin via ``min(struct(d2, cell))`` — exact sums,
+    ties to the lower cell id, partial-aggregated map-side (no window).
+    The crossJoin broadcasts a provably tiny side (n_cells rows), so the
+    cost is one narrow pass over ``vectors`` regardless of corpus size —
+    the property that makes incremental append O(batch), not O(corpus).
+    """
+    vd = as_double(F.col(vec_col))
+    if normalize:
+        nrm = F.sqrt(dot(vd, vd))
+        vd = F.transform(vd, lambda x: x / nrm)
+    qvecs = vectors.select(
+        F.col(id_col).alias(id_out),
+        F.transform(vd, lambda x: F.floor(x * 1000000).cast("bigint")).alias("qvec"),
+    )
+    # (cell, pos, cq) → (cell, cvec) with components in pos order, so the
+    # distance step is a zip_with fold instead of a corpus×dims×n_cells
+    # exploded join (the exploded form materialises n_cells rows per
+    # component — the dominant cost once n_cells scales with the corpus)
+    cvecs = centroids.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+            lambda s: s["cq"],
+        ).alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        qvecs.crossJoin(F.broadcast(cvecs))
+        .select(id_out, "cell", d2.alias("d2"))
+        .groupBy(id_out)
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+    )
+    cols = [F.col(id_out), F.col("m.cell").alias("cell")]
+    if with_d2:
+        cols.append(F.col("m.d2").alias("d2"))
+    return scored.select(*cols)
+
+
 def kmeans_cells(
     corpus: DataFrame, n_cells: int = 16, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding", id_out: str = "vec_id",
@@ -226,20 +278,6 @@ def kmeans_cells(
     corpus = corpus.repartition(par)
     qx = _quantized_components(corpus, id_out, id_col, vec_col, normalize=normalize)
 
-    # whole-vector quantised form for ASSIGNMENT: identical per-component
-    # expression to qx, kept as an array so the distance-to-every-centroid
-    # step is a codegen fold instead of a corpus×dims×n_cells exploded
-    # join (the exploded form materialises n_cells rows per component —
-    # the dominant cost once n_cells scales with the corpus)
-    vd = as_double(F.col(vec_col))
-    if normalize:
-        nrm = F.sqrt(dot(vd, vd))
-        vd = F.transform(vd, lambda x: x / nrm)
-    qvecs = corpus.select(
-        F.col(id_col).alias(id_out),
-        F.transform(vd, lambda x: F.floor(x * 1000000).cast("bigint")).alias("qvec"),
-    )
-
     # init: the n_cells lowest-id vectors, cell = 0..n_cells-1 in id order
     w_init = Window.orderBy(F.col(id_out).asc())
     init = (
@@ -251,31 +289,11 @@ def kmeans_cells(
         .select("cell", "pos", F.col("qx").alias("cq"))
     )
 
-    def as_arrays(centroids: DataFrame) -> DataFrame:
-        # (cell, pos, cq) → (cell, cvec) with components in pos order
-        return centroids.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
-                lambda s: s["cq"],
-            ).alias("cvec")
-        )
-
     def assign(centroids: DataFrame) -> DataFrame:
-        # integer d² per (vector, cell) via a fold over the zipped arrays;
-        # argmin via min(struct(d2, cell)) — exact sums, ties to the lower
-        # cell id, partial-aggregated map-side (no window). The crossJoin
-        # broadcasts a provably tiny side: n_cells rows.
-        d2 = F.aggregate(
-            F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        return (
-            qvecs.crossJoin(F.broadcast(as_arrays(centroids)))
-            .select(id_out, "cell", d2.alias("d2"))
-            .groupBy(id_out)
-            .agg(F.min(F.struct("d2", "cell")).alias("m"))
-            .select(id_out, F.col("m.cell").alias("cell"))
+        # assignment kernel shared with the incremental append path
+        return assign_cells(
+            corpus, centroids,
+            id_col=id_col, vec_col=vec_col, id_out=id_out, normalize=normalize,
         )
 
     # each round's centroid table is consumed by BOTH the next assignment

@@ -134,6 +134,57 @@ def delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q125_table_restore",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    survived AS (
+        SELECT * FROM base WHERE NOT (event_type = 'purchase' AND value < 50)
+    )
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS operation,
+           count(*) AS n_rows, round(sum(value), 2) AS sum_value
+    FROM base
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'delete', count(*), round(sum(value), 2)
+    FROM survived
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'restore', count(*), round(sum(value), 2)
+    FROM base
+    """,
+    doc="RESTORE TABLE … TO VERSION AS OF (delta.io RESTORE; §2.13 family "
+    "with q30 time travel / q98 CDC; reference stub "
+    "45_time_travel_debug.sql): v0 append, v1 accidental DELETE, then a "
+    "metadata-only restore commits v2 whose live file set equals v0's — "
+    "no data rewritten, O(log-tail) cost at any table size. The query "
+    "reads all three versions back and summarises; the oracle proves v2 "
+    "is byte-identical to v0 (row count AND value checksum) while v1 "
+    "stays time-travellable.",
+    tags=("lakehouse", "time-travel"),
+)
+def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, _ = _base_updates(spark, sf_dir)
+    root = scratch_dir("q125_table_restore")
+    t = LakehouseTable(spark, root, "silver", "event_restore")
+    t.append(base)
+    t.delete((F.col("event_type") == "purchase") & (F.col("value") < 50))
+    t.restore(0)
+    outs = []
+    for h in t.describe_history():
+        df = t.read(version=h["version"])
+        outs.append(
+            df.agg(
+                F.lit(h["version"]).cast("bigint").alias("version"),
+                F.lit(h["operation"]).alias("operation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+@query(
     "q98_cdc_feed",
     oracle=f"""
     WITH base AS ({_BASE_SQL}), upd AS ({_UPD_SQL}),

@@ -15,6 +15,7 @@ from football_lakehouse_spark.functions.text import (
     LANG_PROFILES,
     STOPWORDS,
     TOKEN_RE,
+    portable_hash,
     predicted_lang,
     re_tokens,
     ws_tokens,
@@ -1400,15 +1401,22 @@ def _ivf_oracle_sql(n_cells: int, n_probe: int, k: int, iters: int, dim: int = 6
 
 
 def _lloyd_sql_ctes(
-    n_cells: int, iters: int, dim: int = 64, normalize: bool = False
+    n_cells: int, iters: int, dim: int = 64, normalize: bool = False,
+    train_where: str = "",
 ) -> tuple[list[str], str]:
     """Shared deterministic-Lloyd CTE block (operators/similarity.
     kmeans_cells twin): returns ``(ctes, final_centroid_cte)`` where the
     list defines ``qx`` (quantised components), ``v`` (double vectors),
     the unrolled rounds, and ``af(vec_id, cell)`` — the final cell
     assignment. ``normalize`` mirrors kmeans_cells: L2-normalise before
-    quantising (direction cells for semantic dedup). Consumed by the
-    IVF (q51) and semantic-dedup (q101) oracles."""
+    quantising (direction cells for semantic dedup). ``train_where``
+    (a predicate over ``vec_id``) restricts the Lloyd TRAINING rounds —
+    init, per-round assignment, centroid updates — to a subset while
+    ``df``/``af`` still assign EVERY vector to the frozen final
+    centroids, which is exactly the incremental-append semantics (q128).
+    Consumed by the IVF (q51), semantic-dedup (q101) and
+    incremental-append (q128) oracles."""
+    tw = f"WHERE {train_where}" if train_where else ""
     comp = "CAST(embedding[i + 1] AS DOUBLE)"
     if normalize:
         comp = (
@@ -1424,7 +1432,7 @@ def _lloyd_sql_ctes(
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         f"""init AS (
         SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells})
+        FROM (SELECT vec_id FROM embeddings {tw} ORDER BY vec_id LIMIT {n_cells})
     )""",
         "cent0 AS (SELECT init.cell, qx.pos, qx.qx AS cq FROM init JOIN qx USING (vec_id))",
     ]
@@ -1433,6 +1441,7 @@ def _lloyd_sql_ctes(
         ctes.append(f"""d{i} AS (
         SELECT qx.vec_id, c.cell, sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2
         FROM qx JOIN {prev} c ON qx.pos = c.pos
+        {tw}
         GROUP BY qx.vec_id, c.cell
     )""")
         ctes.append(f"""a{i} AS (
@@ -3475,4 +3484,238 @@ def term_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.orderBy(F.col("rank").desc(), "term")
         .limit(20)
         .select("term", (F.col("rank").cast("double") / _PR_SCALE).alias("pagerank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-4 late additions: leakage-safe split, DSIR selection, incremental
+# IVF append, OOV coverage
+
+
+@query(
+    "q126_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_ctes(0.5)},
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM neardup
+        UNION
+        SELECT doc_b, doc_a FROM neardup
+    ),
+    reach(node, m) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.m
+    ),
+    cl AS (
+        SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS group_id
+        FROM reach GROUP BY node
+    ),
+    g AS (
+        SELECT d.doc_id, COALESCE(cl.group_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN cl USING (doc_id)
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN b < 18 THEN 'train' WHEN b = 18 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, group_id,
+               {_sql_hash("CAST(group_id AS VARCHAR)", "lsplit")} % 20 AS b
+        FROM g
+    )
+    """,
+    doc="LEAKAGE-SAFE train/val/test split: q56's per-doc hash split lets "
+    "two near-duplicate documents land on opposite sides — silent "
+    "train→eval contamination. Here the split key is the near-dup "
+    "GROUP (connected component over the verified MinHash+LSH pair "
+    "graph, q57's machinery; singletons group with themselves), so a "
+    "whole duplicate cluster always moves together. The hash gate stays "
+    "a pure expression of group_id — stable under re-runs and "
+    "incremental arrivals (a new near-dup of a train doc joins train). "
+    "Scale: pair graph + components are the q41/q57 at-scale paths; the "
+    "final join ships only the cluster-member table (≤ corpus, usually "
+    "≪) and the gate is map-side (north star: decontamination).",
+    tags=("llm", "sampling", "dedup"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardups(docs, threshold=0.5)
+    cl = neardup_clusters(pairs).select(
+        "doc_id", F.col("cluster_id").alias("group_id")
+    )
+    g = (
+        docs.select("doc_id")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("group_id"), F.col("doc_id")).alias("group_id"),
+        )
+    )
+    bucket = portable_hash(F.col("group_id").cast("string"), seed="lsplit") % 20
+    return g.select(
+        "doc_id",
+        "group_id",
+        F.when(bucket < 18, F.lit("train"))
+        .when(bucket == 18, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@query(
+    "q127_dsir_weights",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, lang,
+               {_sql_hash("tok", "dsir")} % 64 AS b
+        FROM (SELECT doc_id, lang, unnest({_SQL_TOKS}) AS tok FROM documents)
+    ),
+    raw AS (SELECT b, count(*) AS cr FROM u GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM u WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT count(*) AS nr,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+        FROM u
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(COALESCE(tgt.ct, 0) * tot.nr - raw.cr * tot.nt) AS BIGINT)
+               AS score,
+           (sum(COALESCE(tgt.ct, 0) * tot.nr - raw.cr * tot.nt) > 0)
+               AS selected
+    FROM u
+    JOIN raw USING (b)
+    LEFT JOIN tgt USING (b)
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="DSIR-style importance weighting (Xie et al. 2023, Data Selection "
+    "via Importance Resampling): documents are scored by how much their "
+    "hashed-unigram profile resembles a TARGET distribution (here: the "
+    "lang='en' slice) vs the RAW corpus. Tokens hash into 64 buckets "
+    "(sha-prefix, cross-engine); per-token evidence is the exact-integer "
+    "discriminant ct[b]·N_raw − cr[b]·N_tgt (positive ⇔ the bucket is "
+    "over-represented in the target — the sign pattern of the DSIR "
+    "log-ratio without transcendental log, so the oracle is a full "
+    "value-level match; at petabyte token counts the same pipeline "
+    "switches the per-bucket term to log-space doubles). Scale: ONE "
+    "corpus explode; the bucket table (64 rows) and the totals row "
+    "broadcast; per-doc score is a map-side join + one groupBy "
+    "(north star: data selection).",
+    tags=("llm", "sampling", "text"),
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.selection import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", ws_tokens(F.col("text")).alias("tokens")
+    )
+    return dsir_scores(toks, target=F.col("lang") == "en", n_buckets=64)
+
+
+def _ivf_append_oracle_sql(n_cells: int, iters: int) -> str:
+    """Unrolled frozen-centroid assignment: Lloyd trains on the 80%
+    vec_id % 5 <> 0 slice only; the final df CTE then assigns EVERY
+    vector to the frozen centroids, and the query keeps the held-out
+    batch — exactly operators/similarity.assign_cells over
+    kmeans_cells(train) centroids."""
+    ctes, _ = _lloyd_sql_ctes(16, iters, train_where="vec_id % 5 <> 0")
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT vec_id, cell, CAST(d2 AS BIGINT) AS d2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2 ASC, cell ASC
+        ) AS rn FROM df
+    ) WHERE rn = 1 AND vec_id % 5 = 0
+    """
+    )
+
+
+@query(
+    "q128_ivf_append",
+    oracle=_ivf_append_oracle_sql(n_cells=16, iters=2),
+    doc="INCREMENTAL ANN index append (the q85/q123 incremental story for "
+    "the IVF index): the deterministic Lloyd quantiser trains on the "
+    "existing corpus (four of five vec_id residue classes), then a NEW batch of "
+    "vectors is assigned to the FROZEN centroids — one narrow pass over "
+    "the batch with the n_cells-row centroid table broadcast, O(batch) "
+    "not O(corpus), no retrain, no corpus re-shuffle. Returns (vec_id, "
+    "cell, d2-to-centroid) for the appended batch; the oracle unrolls "
+    "the identical filtered Lloyd rounds in SQL, full value-level match "
+    "(north star: similarity search at streaming ingest).",
+    tags=("llm", "similarity"),
+)
+def ivf_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.similarity import (
+        assign_cells,
+        kmeans_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    _, cent = kmeans_cells(train, n_cells=16, iters=2)
+    return assign_cells(batch, cent, with_d2=True)
+
+
+@query(
+    "q129_oov_rate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    per_doc AS (SELECT token, doc_id FROM u GROUP BY token, doc_id),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token,
+                   row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+            FROM per_doc GROUP BY token
+        ) WHERE rn <= 12
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(floor(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                      * 1000000.0 / count(*)) AS BIGINT) AS oov_pm
+    FROM u LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+    doc="Vocabulary-coverage / OOV-rate scoring: the in-vocab set is the "
+    "top-K tokens by document frequency (K=12 against the fixtures' "
+    "31-token synthetic vocab; production K = the tokenizer vocab size), "
+    "ties broken lexically; each document reports its token count, "
+    "out-of-vocab token count, and floor-quantised OOV rate per million "
+    "— the 'is this document mostly tokenizer-unknown junk' gate of a "
+    "training-data pipeline. Scale: DF table via the q61 two-phase agg; "
+    "top-K via orderBy+limit (tree-reduce takeOrdered, never a "
+    "single-partition global window); the K-row vocab broadcasts so the "
+    "per-token membership probe is map-side (north star: text "
+    "analysis).",
+    tags=("llm", "text"),
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    df_tab = (
+        u.groupBy("token", "doc_id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab = (
+        df_tab.orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(12)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        u.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            oov.cast("bigint").alias("n_oov"),
+            F.floor(oov * 1000000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("oov_pm"),
+        )
     )

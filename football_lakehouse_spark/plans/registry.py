@@ -70,6 +70,12 @@ def query(
 #: pytest-oracle-green today) yields slots to the new queries and
 #: rotates back in round 5.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
+    # --- added latest (never driver-attested) ---
+    "q125_table_restore",
+    "q126_leakage_safe_split",
+    "q127_dsir_weights",
+    "q128_ivf_append",
+    "q129_oov_rate",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

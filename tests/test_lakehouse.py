@@ -284,3 +284,42 @@ def test_zorder_layout_skips_2d_predicates(spark, tmp_path):
     sorted_avg = sum(r["s1"] - r["s0"] for r in sb) / len(sb)
     assert avg_supp_span < 0.8 * full_supp
     assert avg_supp_span < sorted_avg
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, events, tmp_path):
+    """RESTORE commits a new version pointing at the OLD files — no data
+    file is written, the bad version stays time-travellable, and a
+    restore of a restore works (it is just another commit)."""
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_restore")
+    t.append(events.limit(100))
+    t.overwrite(events.limit(50))
+
+    def data_files():
+        return sorted(
+            os.path.join(dp, fn)
+            for dp, _d, fns in os.walk(t.data_root)
+            for fn in fns
+        )
+
+    before = data_files()
+    v = t.restore(0)
+    assert v == 2
+    assert data_files() == before, "restore must not write any data file"
+    assert t.read().count() == 100  # v0 content is current again
+    assert t.read(version=1).count() == 50  # the bad version still travels
+    assert [h["operation"] for h in t.describe_history()] == [
+        "append", "overwrite", "restore",
+    ]
+    # restore forward to the overwrite: also metadata-only
+    t.restore(1)
+    assert t.read().count() == 50
+    assert data_files() == before
+
+
+def test_restore_noop_when_already_at_version(spark, events, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_restore2")
+    t.append(events.limit(10))
+    t.restore(0)
+    c = t._read_commit(1)
+    assert c["add"] == [] and c["remove"] == []
+    assert t.read().count() == 10

@@ -699,3 +699,78 @@ def test_lm_transition_score_bounds(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_leakage_safe_split_keeps_neardup_groups_together(spark, docs):
+    """The q126 invariant that motivates the operator: two documents the
+    near-dup detector pairs NEVER land in different splits (q56's
+    per-doc hash gives no such guarantee)."""
+    from football_lakehouse_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["q126_leakage_safe_split"].builder(spark, SF_SMOKE)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    assert len(split_of) == docs.count(), "every document gets exactly one split"
+    pairs = minhash_lsh_neardups(docs, threshold=0.5).collect()
+    assert pairs, "fixture must contain near-dup pairs for this test to bite"
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b], (
+            f"pair ({p.doc_a},{p.doc_b}) split across "
+            f"{split_of[p.doc_a]}/{split_of[p.doc_b]}"
+        )
+
+
+def test_ivf_append_kernel_matches_training_assignment(spark, emb):
+    """assign_cells over frozen centroids must reproduce kmeans_cells'
+    own final assignment for the vectors it was trained on — the
+    refactor guard tying the incremental path to the training path."""
+    from football_lakehouse_spark.operators.similarity import (
+        assign_cells,
+        kmeans_cells,
+    )
+
+    train = emb.where(F.col("vec_id") < 200)
+    assigned, cent = kmeans_cells(train, n_cells=8, iters=2)
+    via_loop = {r.vec_id: r.cell for r in assigned.collect()}
+    via_kernel = {r.vec_id: r.cell for r in assign_cells(train, cent).collect()}
+    assert via_loop == via_kernel
+
+
+def test_dsir_scores_hand_computed(spark):
+    """dsir_scores on a 5-doc corpus with hand-computed discriminants:
+    'alpha' is target-heavy (evidence +9 per occurrence), 'omega' is
+    raw-only (−9); the score is a pure function of the token multiset,
+    so the raw doc with t1's exact tokens scores identically to t1.
+    (Buckets 9 and 4 of 64 — no collision, pinned by the sha prefix.)"""
+    from football_lakehouse_spark.operators.selection import dsir_scores
+
+    rows = [
+        (1, True, ["alpha", "alpha"]),   # target
+        (2, True, ["alpha"]),            # target
+        (3, False, ["omega", "omega"]),  # raw-only token
+        (4, False, ["alpha", "omega"]),  # balanced → score 0, not selected
+        (5, False, ["alpha", "alpha"]),  # same multiset as doc 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, is_t boolean, tokens array<string>")
+    out = {r.doc_id: r for r in dsir_scores(docs, target=F.col("is_t")).collect()}
+    # N_raw=9 tokens, N_tgt=3; ct[alpha]=3, cr[alpha]=6 → +9; omega → −9
+    assert out[1].score == 18 and out[1].selected
+    assert out[2].score == 9 and out[2].selected
+    assert out[3].score == -18 and not out[3].selected
+    assert out[4].score == 0 and not out[4].selected
+    assert out[5].score == out[1].score, "score depends only on the tokens"
+
+
+def test_oov_rate_bounds_and_vocab_docs(spark):
+    from football_lakehouse_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["q129_oov_rate"].builder(spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0 <= r.oov_pm <= 1000000
+    # the 12-term vocab covers only the head of the 31-token synthetic
+    # vocab: OOV mass must exist, vary across docs, and never be total
+    assert any(r.n_oov > 0 for r in out)
+    assert min(r.oov_pm for r in out) < max(r.oov_pm for r in out)
+    assert sum(r.n_oov for r in out) < sum(r.n_tokens for r in out)
