@@ -67,3 +67,34 @@ def salted_aggregate(
         )
     partial = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str, n_salt: int) -> DataFrame:
+    """Skew-proof equi-join WITHOUT broadcast: replicate the dim side
+    ``n_salt``× (one copy per salt value) and spread fact rows across
+    salts by a content-derived hash, so a hot join key lands on
+    ``n_salt`` reducers instead of one.
+
+    Where it sits among the skew tools: AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``) rebalances most skewed sort-merge
+    joins at runtime and should be the default; explicit salting is for
+    the cases it does not cover — a downstream same-key aggregation
+    that wants the (key, salt) partials (compose with
+    :func:`salted_aggregate`'s merge phase), AQE disabled, or skew so
+    extreme one key exceeds a single task's feasible input. The dim
+    side pays an ``n_salt``× shuffle volume: use when dim ≪ fact but
+    is too large (or too wide) to broadcast — if the dim broadcasts,
+    you don't need salt at all, so the join is merge-hinted on purpose.
+
+    INNER joins only — a replicated dim would emit ``n_salt`` NULL
+    rows per unmatched outer key. The salt is content-derived (not
+    RNG), so the plan is deterministic under retries and re-runs.
+    """
+    fsalt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt)
+    ).cast("int")
+    fact_s = fact.withColumn("__salt", fsalt)
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).hint("merge")
+    return fact_s.join(dim_s, [key, "__salt"], "inner").drop("__salt")

@@ -254,6 +254,37 @@ def bucketed_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q130_salted_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           o_orderstatus, o_totalprice
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    """,
+    doc="Hot-key JOIN via explicit salting (operators/bucketing."
+    "salted_join), completing the skew toolbox beside q79 (salted agg) "
+    "and q80 (bucketed layout): the dim side replicates n_salt=8 times, "
+    "fact rows spread by a content-derived salt, so the worst join key "
+    "occupies 8 reducers instead of 1 — the fallback when AQE skew "
+    "split can't engage (same-key downstream partials, AQE off, or one "
+    "key larger than a feasible task). Result set is identical to the "
+    "plain inner join (the oracle) — salting is pure physical "
+    "rebalancing. Plan contract: merge join on (key, salt), no "
+    "broadcast, salt in the exchange partitioning.",
+    tags=("advanced", "skew"),
+)
+def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.bucketing import salted_join
+
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    dim = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus", "o_totalprice"
+    )
+    return salted_join(fact, dim, key="l_orderkey", n_salt=8)
+
+
+@query(
     "q86_table_profile",
     oracle="""
     WITH a AS (

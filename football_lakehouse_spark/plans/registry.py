@@ -76,6 +76,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q127_dsir_weights",
     "q128_ivf_append",
     "q129_oov_rate",
+    "q130_salted_join",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

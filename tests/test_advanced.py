@@ -100,3 +100,31 @@ def test_stateful_running_user_state(spark, tmp_path):
     for u in t:
         assert f[u][0] == t[u][0]
         assert abs(f[u][1] - t[u][1]) < 0.05
+
+
+def test_salted_join_equals_plain_join_under_adversarial_skew(spark):
+    """One key owns 80% of a constructed fact table; the salted join
+    must return the exact plain-join multiset AND spread the hot key
+    over most of the salt space."""
+    from football_lakehouse_spark.operators.bucketing import salted_join
+
+    n_salt = 8
+    fact = spark.range(0, 5000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(7)).otherwise(F.col("id") % 40).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim_val")
+    )
+    salted = salted_join(fact, dim, key="k", n_salt=n_salt)
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # hot-key spread: content-derived salts cover most of the salt space
+    fsalt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    spread = (
+        fact.where(F.col("k") == 7)
+        .select(fsalt.alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread >= n_salt - 1

@@ -256,3 +256,41 @@ def test_partition_pruned_join_has_dpp(spark):
     runtime, not after the scan."""
     plan = plan_of(spark, "q121_partition_pruned_join")
     assert "dynamicpruning" in plan
+
+
+def test_dsir_weights_broadcast_stats(spark):
+    """q127: the 64-row bucket table and 1-row totals must broadcast —
+    the corpus-sized token stream is never shuffle-joined."""
+    plan = plan_of(spark, "q127_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_oov_vocab_topk_broadcast(spark):
+    """q129: top-K vocab via TakeOrderedAndProject (tree-reduce, no
+    global sort / single-partition window) and a broadcast membership
+    probe on the token stream."""
+    plan = plan_of(spark, "q129_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_append_broadcasts_centroids(spark):
+    """q128: the frozen centroid table reaches the batch as a broadcast
+    nested-loop (n_cells rows) — appending never re-shuffles a corpus."""
+    plan = plan_of(spark, "q128_ivf_append")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_spreads_key_no_broadcast(spark):
+    """q130: merge join keyed on (key, __salt); the exchange
+    partitioning carries the salt (a hot key spans n_salt reducers)
+    and nothing broadcasts."""
+    plan = plan_of(spark, "q130_salted_join")
+    assert "SortMergeJoin" in plan
+    assert "__salt" in plan
+    assert "BroadcastHashJoin" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert any("__salt" in l for l in ex)
