@@ -294,3 +294,43 @@ def test_salted_join_spreads_key_no_broadcast(spark):
     assert "BroadcastHashJoin" not in plan
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert any("__salt" in l for l in ex)
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """Scale contract for big fact ⋈ filtered fact joins: when neither
+    side broadcasts (the 100 TB case — simulated by disabling auto
+    broadcast) and the application-side scan clears the size threshold
+    (lowered to 0 at test scale; production default 10 GB), Catalyst
+    injects a runtime BLOOM filter — the fact scan probes
+    might_contain(xxhash64(key)) built from the filtered side, pruning
+    shuffle input before the exchange. Pins that our join shapes stay
+    eligible (plain attribute keys, selective dim predicate)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").where(
+            F.col("o_totalprice") > 99000
+        )
+        plan = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
