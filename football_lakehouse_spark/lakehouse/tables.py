@@ -349,10 +349,32 @@ class LakehouseTable:
         commits, _ = self._log_entries()
         return self._live_at(commits[-1]) if commits else []
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Read the table at the current (or a time-travelled) version.
-        basePath keeps partition-column inference + pruning alive even
-        though we hand Spark an explicit file list."""
+    def version_at_timestamp(self, ts: float) -> int:
+        """``TIMESTAMP AS OF`` resolution (Delta semantics, reference
+        stub 45_time_travel_debug.sql): the newest version whose commit
+        time is ≤ ``ts``. Raises if ``ts`` predates the first commit —
+        same as Delta's 'timestamp before earliest version' error."""
+        candidates = [
+            h.version for h in self.describe_history_versions() if h.ts <= ts
+        ]
+        if not candidates:
+            raise ValueError(
+                f"timestamp {ts} predates the earliest version of {self.base}"
+            )
+        return max(candidates)
+
+    def read(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> DataFrame:
+        """Read the table at the current (or a time-travelled) version —
+        ``version`` is ``VERSION AS OF``, ``timestamp`` is ``TIMESTAMP
+        AS OF`` (mutually exclusive). basePath keeps partition-column
+        inference + pruning alive even though we hand Spark an explicit
+        file list."""
+        if version is not None and timestamp is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        if timestamp is not None:
+            version = self.version_at_timestamp(timestamp)
         commits, _ = self._log_entries()
         if not commits:
             raise FileNotFoundError(f"table {self.base} has no committed version")

@@ -323,3 +323,23 @@ def test_restore_noop_when_already_at_version(spark, events, tmp_path):
     c = t._read_commit(1)
     assert c["add"] == [] and c["remove"] == []
     assert t.read().count() == 10
+
+
+def test_timestamp_as_of_time_travel(spark, events, tmp_path):
+    """TIMESTAMP AS OF resolves to the newest version committed at or
+    before the given time; predating timestamps raise (Delta parity)."""
+    import time as _time
+
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_ts")
+    t.append(events.limit(10))
+    between = _time.time()
+    _time.sleep(0.01)
+    t.append(events.limit(10))
+    hist = t.describe_history()
+    assert t.version_at_timestamp(between) == 0
+    assert t.read(timestamp=between).count() == 10
+    assert t.read(timestamp=hist[-1]["ts"]).count() == 20
+    with pytest.raises(ValueError):
+        t.read(timestamp=hist[0]["ts"] - 10)
+    with pytest.raises(ValueError):
+        t.read(version=0, timestamp=between)
