@@ -359,18 +359,24 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     For adversarial long-chain components use
     :func:`neardup_clusters_star` (large-star/small-star, Kiveris et
     al.) — O(log n) rounds regardless of diameter; property-tested
-    equivalent on the fixture corpus."""
-    from pyspark import StorageLevel
+    equivalent on the fixture corpus.
 
+    Iteration state is eagerly localCheckpoint-ed (same as the star
+    variant and the Lloyd/PageRank loops): a mere persist leaves the
+    full LSH lineage in every round's plan, and the multi-MiB task
+    binaries + re-optimisation made each round cost seconds regardless
+    of data size (measured: 7–12 s/round persisted vs 0.4 s
+    checkpointed at sf0.1). Non-replayable on executor loss — the
+    standard iterative-algorithm trade-off, worth it."""
     half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         nbr = (
@@ -390,16 +396,14 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         n_changed = stepped.where(F.col("label") < F.col("old_label")).count()
-        labels.unpersist()
         labels = stepped.select("node", "label")
         if n_changed == 0:
             break
     else:
         raise RuntimeError(f"neardup_clusters did not converge in {max_iters} rounds")
-    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
