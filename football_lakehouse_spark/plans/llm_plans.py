@@ -3719,3 +3719,105 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oov_pm"),
         )
     )
+
+
+@query(
+    "q131_split_leakage_audit",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_ctes(0.5)},
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM neardup
+        UNION
+        SELECT doc_b, doc_a FROM neardup
+    ),
+    reach(node, m) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.m
+    ),
+    cl AS (
+        SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS group_id
+        FROM reach GROUP BY node
+    ),
+    g AS (
+        SELECT d.doc_id, COALESCE(cl.group_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN cl USING (doc_id)
+    ),
+    splits AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 20 AS nb,
+               {_sql_hash("CAST(group_id AS VARCHAR)", "lsplit")} % 20 AS gb
+        FROM g
+    ),
+    j AS (
+        SELECT count(*) AS n_pairs,
+               CAST(sum(CASE WHEN (a.nb < 18) <> (b.nb < 18)
+                              OR (a.nb = 18) <> (b.nb = 18)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS leak_naive,
+               CAST(sum(CASE WHEN (a.gb < 18) <> (b.gb < 18)
+                              OR (a.gb = 18) <> (b.gb = 18)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS leak_group
+        FROM neardup p
+        JOIN splits a ON a.doc_id = p.doc_a
+        JOIN splits b ON b.doc_id = p.doc_b
+    )
+    SELECT 'doc_hash' AS method, n_pairs, leak_naive AS n_leaked FROM j
+    UNION ALL
+    SELECT 'group', n_pairs, leak_group FROM j
+    """,
+    doc="Split-leakage AUDIT — the measurement that motivates q126: for "
+    "every verified near-dup pair, do the two documents land in the "
+    "same train/val/test split? Row 'doc_hash' audits q56's naive "
+    "per-doc hash split (expected: leaked pairs ≈ pairs × P(different "
+    "split)); row 'group' audits q126's component-keyed split "
+    "(guaranteed 0 — pinned by test). The audit is the standard "
+    "pre-training contamination report. Scale: the pair table is tiny "
+    "relative to the corpus; the two split-probe joins ship only "
+    "(doc_id, bucket) — column-pruned — and the final agg is one row "
+    "(north star: decontamination).",
+    tags=("llm", "sampling", "dedup"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardups(docs, threshold=0.5).select("doc_a", "doc_b")
+    cl = neardup_clusters(pairs).select(
+        "doc_id", F.col("cluster_id").alias("group_id")
+    )
+    g = (
+        docs.select("doc_id")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("group_id"), F.col("doc_id")).alias("group_id"),
+        )
+    )
+    nb = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10)
+        .cast("bigint") % 20
+    )
+    gb = portable_hash(F.col("group_id").cast("string"), seed="lsplit") % 20
+    def to_split(b):
+        return F.when(b < 18, "train").when(b == 18, "val").otherwise("test")
+    splits = g.select("doc_id", to_split(nb).alias("ns"), to_split(gb).alias("gs"))
+    j = (
+        pairs.join(splits.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnsRenamed({"ns": "ns_a", "gs": "gs_a"})
+        .join(splits.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("ns_a") != F.col("ns")).cast("int"))
+            .cast("bigint")
+            .alias("leak_naive"),
+            F.sum((F.col("gs_a") != F.col("gs")).cast("int"))
+            .cast("bigint")
+            .alias("leak_group"),
+        )
+    )
+    return j.select(
+        F.lit("doc_hash").alias("method"), "n_pairs",
+        F.col("leak_naive").alias("n_leaked"),
+    ).unionByName(
+        j.select(F.lit("group").alias("method"), "n_pairs",
+                 F.col("leak_group").alias("n_leaked"))
+    )

@@ -77,6 +77,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q128_ivf_append",
     "q129_oov_rate",
     "q130_salted_join",
+    "q131_split_leakage_audit",
+    "q132_funnel_conversion",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

@@ -266,3 +266,66 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+@query(
+    "q132_funnel_conversion",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, CAST(floor(min(epoch(ts))) AS BIGINT) AS signup_s
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+        SELECT e.user_id, CAST(floor(min(epoch(e.ts))) AS BIGINT) AS purchase_s
+        FROM events e JOIN su USING (user_id)
+        WHERE e.event_type = 'purchase' AND floor(epoch(e.ts)) >= su.signup_s
+        GROUP BY e.user_id
+    )
+    SELECT su.user_id, su.signup_s, pu.purchase_s,
+           COALESCE(pu.purchase_s - su.signup_s <= 7 * 86400, FALSE)
+               AS converted,
+           CASE WHEN pu.purchase_s - su.signup_s <= 7 * 86400
+                THEN (pu.purchase_s - su.signup_s) // 3600 END AS hours_to_convert
+    FROM su LEFT JOIN pu USING (user_id)
+    """,
+    doc="Funnel / conversion analysis (the complex-event companion to "
+    "q28 sessionize and q94 attribution): per user, the FIRST signup, "
+    "the first purchase AT OR AFTER that signup, and whether conversion "
+    "happened within the 7-day window — the signup→purchase funnel cut "
+    "every product-analytics stack runs. Two conditional-min aggs keyed "
+    "on user_id plus one co-partitioned join (the signup agg's "
+    "partitioning is reused — no extra exchange); epochs via the "
+    "NTZ-safe helper. Nulls/FALSE for users who never purchase "
+    "post-signup keep the funnel denominators honest.",
+    tags=("windows", "events"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_seconds(F.col("ts"))).alias("signup_s"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", epoch_seconds(F.col("ts")).alias("es"))
+        .join(su, "user_id")
+        .where(F.col("es") >= F.col("signup_s"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("purchase_s"))
+    )
+    delta = F.col("purchase_s") - F.col("signup_s")
+    return (
+        su.join(pu, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_s",
+            "purchase_s",
+            F.coalesce(delta <= 7 * 86400, F.lit(False)).alias("converted"),
+            F.when(delta <= 7 * 86400, F.floor(delta / 3600).cast("bigint")).alias(
+                "hours_to_convert"
+            ),
+        )
+    )

@@ -774,3 +774,18 @@ def test_oov_rate_bounds_and_vocab_docs(spark):
     assert any(r.n_oov > 0 for r in out)
     assert min(r.oov_pm for r in out) < max(r.oov_pm for r in out)
     assert sum(r.n_oov for r in out) < sum(r.n_tokens for r in out)
+
+
+def test_split_leakage_audit_group_split_is_tight(spark):
+    """q131's point: the group-keyed split leaks ZERO near-dup pairs
+    while the naive per-doc hash split leaks some (at fixture scale
+    ~10% of pairs land astride a split boundary)."""
+    from football_lakehouse_spark.plans.registry import REGISTRY
+
+    rows = {
+        r.method: r
+        for r in REGISTRY["q131_split_leakage_audit"].builder(spark, SF_SMOKE).collect()
+    }
+    assert rows["group"].n_leaked == 0
+    assert rows["doc_hash"].n_leaked > 0
+    assert rows["doc_hash"].n_pairs == rows["group"].n_pairs > 0
