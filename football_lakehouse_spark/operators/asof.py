@@ -31,10 +31,20 @@ def asof_join(
     right_ts: str,
     payload: Sequence[str],
     strictly_before: bool = True,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row
     with ``right.ts < left.ts`` (or <= when not strict) and the same
     key. Left rows with no prior right row keep NULL payload.
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)`` parity): when
+    set, the match is kept only if ``left.ts - matched.ts <=
+    tolerance`` in the ts columns' own units (seconds for timestamps,
+    raw difference for numerics) — the latest prior row IS the nearest,
+    so an out-of-tolerance latest means no match. Implemented by
+    forward-filling the matched timestamp alongside the payload and
+    null-gating in the same projection: zero extra shuffles, the
+    staleness test rides the existing window pass.
 
     Ties inside the right table resolve to the later-sorted row
     (deterministic given a unique right_ts per key; pass a composite
@@ -71,17 +81,45 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = lt.unionByName(rt)
-    filled = unioned.select(
-        "__is_left",
-        *[f"__l_{c}" for c in left.columns],
-        *[
-            F.last(F.when(F.col("__is_left") == 0, F.col(f"__p_{c}")), ignorenulls=True)
+    fill_cols = [
+        F.last(F.when(F.col("__is_left") == 0, F.col(f"__p_{c}")), ignorenulls=True)
+        .over(w)
+        .alias(f"__f_{c}")
+        for c in payload
+    ]
+    keep = ["__is_left", *[f"__l_{c}" for c in left.columns]]
+    if tolerance is not None:
+        # forward-fill the MATCHED right ts too; comparisons below need a
+        # numeric difference, so timestamps go through NTZ-safe epochs
+        fill_cols.append(
+            F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True)
             .over(w)
-            .alias(f"__f_{c}")
-            for c in payload
-        ],
-    )
-    out = filled.where(F.col("__is_left") == 1).select(
+            .alias("__f_ts")
+        )
+        keep.append("__ts")
+    filled = unioned.select(*keep, *fill_cols)
+    filled = filled.where(F.col("__is_left") == 1)
+    if tolerance is not None:
+        from football_lakehouse_spark.functions.scalars import epoch_micros
+
+        def as_num(c: F.Column, dtype: str) -> F.Column:
+            if "timestamp" in dtype:
+                return epoch_micros(c).cast("double") / 1000000.0
+            return c.cast("double")
+
+        lag = as_num(F.col("__ts"), ltypes[left_ts]) - as_num(
+            F.col("__f_ts"), rtypes[right_ts]
+        )
+        in_tol = lag <= F.lit(float(tolerance))
+        out = filled.select(
+            *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+            *[
+                F.when(in_tol, F.col(f"__f_{c}")).alias(f"asof_{c}")
+                for c in payload
+            ],
+        )
+        return out
+    out = filled.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col(f"__f_{c}").alias(f"asof_{c}") for c in payload],
     )

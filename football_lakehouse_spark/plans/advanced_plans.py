@@ -56,6 +56,47 @@ def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q133_asof_tolerance",
+    oracle="""
+    SELECT a.event_id, a.user_id,
+           CASE WHEN epoch(a.ts) - epoch(b.ts) <= 3600
+                THEN b.event_id END AS asof_event_id,
+           CASE WHEN epoch(a.ts) - epoch(b.ts) <= 3600
+                THEN b.value END AS asof_value
+    FROM events a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND a.ts > b.ts
+    """,
+    doc="As-of join with a TOLERANCE bound (pandas merge_asof tolerance "
+    "parity; q49's operator with staleness gating): each event gets the "
+    "latest strictly-prior purchase of the same user ONLY if it is at "
+    "most 1 hour old — the 'join the latest quote unless it has gone "
+    "stale' semantics of market-data and feature-freshness pipelines. "
+    "The matched timestamp forward-fills alongside the payload and the "
+    "gate rides the same single-shuffle window pass (zero extra "
+    "exchanges vs q49). Oracle: DuckDB native ASOF JOIN + the identical "
+    "staleness CASE — two different algorithms, one result.",
+    tags=("advanced", "join"),
+)
+def asof_tolerance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = asof_join(
+        ev,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "value"],
+        strictly_before=True,
+        tolerance=3600,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("asof_event_id"), F.col("asof_value")
+    )
+
+
+@query(
     "q50_approx_stats",
     # Sketch VALUES are engine-specific (Spark HLL++ / QuantileSummaries
     # vs DuckDB's HLL / t-digest) and percentile_approx is not even

@@ -79,6 +79,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q130_salted_join",
     "q131_split_leakage_audit",
     "q132_funnel_conversion",
+    "q133_asof_tolerance",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

@@ -128,3 +128,29 @@ def test_salted_join_equals_plain_join_under_adversarial_skew(spark):
         .count()
     )
     assert spread >= n_salt - 1
+
+
+def test_asof_tolerance_gates_stale_matches(spark):
+    """q133 must null exactly the matches older than the bound, and
+    agree with the ungated q49 operator on every in-tolerance row."""
+    from football_lakehouse_spark.catalog import load_table
+    from football_lakehouse_spark.operators.asof import asof_join
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    kw = dict(key="user_id", left_ts="ts", right_ts="ts",
+              payload=["event_id", "value"], strictly_before=True)
+    free = {r.event_id: r for r in asof_join(ev, purchases, **kw).collect()}
+    tol = {r.event_id: r for r in
+           asof_join(ev, purchases, tolerance=3600, **kw).collect()}
+    assert free.keys() == tol.keys()
+    kept = nulled = 0
+    for eid, t in tol.items():
+        f = free[eid]
+        if t.asof_event_id is not None:
+            kept += 1
+            assert (t.asof_event_id, t.asof_value) == (f.asof_event_id, f.asof_value)
+        elif f.asof_event_id is not None:
+            nulled += 1  # had a match, too stale under the bound
+    assert kept > 0 and nulled > 0, "tolerance must actually bite both ways"
