@@ -62,6 +62,11 @@ LOG_DIR = "_log"
 CHECKPOINT_EVERY = 10
 _V_WIDTH = 20
 
+
+class ConstraintViolationError(ValueError):
+    """A write (or ADD CONSTRAINT over existing data) violated a
+    declared CHECK constraint; nothing was committed."""
+
 #: Spark/Hive's on-disk name for a NULL partition value
 _DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
 #: chars Spark escapes in partition dir names (ExternalCatalogUtils:
@@ -126,6 +131,8 @@ class LakehouseTable:
         """(sorted commit versions, sorted checkpoint versions)."""
         commits, checkpoints = [], []
         for fn in os.listdir(self.log_root):
+            if fn.startswith("_"):  # _properties.json and friends
+                continue
             if fn.endswith(".checkpoint.json"):
                 checkpoints.append(int(fn[:_V_WIDTH]))
             elif fn.endswith(".json"):
@@ -177,10 +184,66 @@ class LakehouseTable:
             os.replace(tmp, self._checkpoint_path(v))
         return v
 
+    # ------------------------------------------------------------ constraints
+    def _properties_path(self) -> str:
+        return os.path.join(self.log_root, "_properties.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Declared CHECK constraints: name → SQL predicate."""
+        try:
+            with open(self._properties_path()) as f:
+                return json.load(f).get("constraints", {})
+        except FileNotFoundError:
+            return {}
+
+    def _write_constraints(self, cons: dict[str, str]) -> None:
+        tmp = self._properties_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"constraints": cons}, f)
+        os.replace(tmp, self._properties_path())
+
+    def add_constraint(self, name: str, predicate_sql: str) -> None:
+        """``ALTER TABLE … ADD CONSTRAINT name CHECK (predicate)``
+        (Delta parity): existing rows are validated first — adding a
+        constraint the current data violates fails, like Delta — and
+        every subsequent write (append/overwrite/merge/delete rewrite)
+        enforces it. Delta's NULL semantics: a row violates unless the
+        predicate evaluates to TRUE (NULL violates; add an explicit
+        ``OR col IS NULL`` to relax). The existing-data scan pushes the
+        negated predicate down to parquet and short-circuits limit-1."""
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        if self.exists():
+            self._enforce({name: predicate_sql}, self.read(),
+                          context="existing data")
+        cons = dict(self.constraints())
+        cons[name] = predicate_sql
+        self._write_constraints(cons)
+
+    def drop_constraint(self, name: str) -> None:
+        cons = dict(self.constraints())
+        cons.pop(name, None)
+        self._write_constraints(cons)
+
+    def _enforce(self, cons: dict[str, str], df: DataFrame, context: str) -> None:
+        for cname, pred in cons.items():
+            bad = df.where(~F.expr(pred).eqNullSafe(F.lit(True))).limit(1)
+            rows = bad.collect()
+            if rows:
+                raise ConstraintViolationError(
+                    f"{self.base}: CHECK constraint {cname!r} ({pred}) "
+                    f"violated by {context}; first bad row: {rows[0]}"
+                )
+
     # ------------------------------------------------------------------ write
     def _stage(self, df: DataFrame) -> list[str]:
         """Write df to a staging dir, move files under data/ with
-        version-unique names, return relative paths."""
+        version-unique names, return relative paths; CHECK constraints
+        are enforced on the STAGED files (a column-pruned, predicate-
+        pushed scan of what was just written — no recompute of the
+        input plan, and nothing is visible to readers until the commit
+        that follows). On violation the staged files are removed and no
+        commit happens — the Delta failed-write contract."""
         txid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.base, f"_staging-{txid}")
         writer = df.write.mode("overwrite")
@@ -201,7 +264,22 @@ class LakehouseTable:
                 shutil.move(os.path.join(dirpath, fn), os.path.join(target_dir, new_name))
                 moved.append(os.path.join(rel_dir, new_name) if rel_dir else new_name)
         shutil.rmtree(staging, ignore_errors=True)
-        return sorted(moved)
+        moved = sorted(moved)
+        cons = self.constraints()
+        if cons and moved:
+            staged = self.spark.read.option("basePath", self.data_root).parquet(
+                *[os.path.join(self.data_root, f) for f in moved]
+            )
+            try:
+                self._enforce(cons, staged, context="write")
+            except ConstraintViolationError:
+                for f in moved:
+                    try:
+                        os.remove(os.path.join(self.data_root, f))
+                    except FileNotFoundError:
+                        pass
+                raise
+        return moved
 
     def append(self, df: DataFrame) -> int:
         return self._commit("append", self._stage(df), [], rows=None)

@@ -510,3 +510,46 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("sx") - F.min("sx")).cast("bigint").alias("supp_span"),
         )
     )
+
+
+@query(
+    "q134_check_constraint_gate",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, event_type, value FROM events
+    WHERE event_id % 2 = 1 AND event_id % 7 = 0
+    """,
+    doc="Table-level CHECK constraint enforcement end to end (Delta "
+    "ALTER TABLE ADD CONSTRAINT; §2.8/§2.13 bridge): append a base "
+    "slice, declare CHECK (value >= 0) — validated against existing "
+    "rows first — then attempt a violating append (rows with value "
+    "-1), which must be REJECTED with no version committed and no "
+    "staged files leaked, then land a conforming second slice. The "
+    "oracle is exactly base ∪ second-slice: if enforcement ever "
+    "leaked the bad write, its rows appear and the hash breaks. "
+    "Enforcement scans the staged parquet (column-pruned, predicate "
+    "pushed, limit-1 short-circuit) — never recomputes the input plan.",
+    tags=("lakehouse", "quality"),
+)
+def check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.lakehouse.tables import ConstraintViolationError
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = scratch_dir("q134_check_constraint_gate")
+    t = LakehouseTable(spark, root, "silver", "event_checked")
+    t.append(ev.where(F.col("event_id") % 2 == 0))
+    t.add_constraint("nonneg_value", "value >= 0")
+    bad = (
+        ev.where((F.col("event_id") % 2 == 1) & (F.col("event_id") % 5 == 0))
+        .withColumn("value", F.lit(-1.0))
+    )
+    try:
+        t.append(bad)
+        raise AssertionError("violating append must be rejected")
+    except ConstraintViolationError:
+        pass
+    t.append(ev.where((F.col("event_id") % 2 == 1) & (F.col("event_id") % 7 == 0)))
+    return t.read().select("event_id", "event_type", "value")

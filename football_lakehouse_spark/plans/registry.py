@@ -80,6 +80,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q131_split_leakage_audit",
     "q132_funnel_conversion",
     "q133_asof_tolerance",
+    "q134_check_constraint_gate",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

@@ -343,3 +343,46 @@ def test_timestamp_as_of_time_travel(spark, events, tmp_path):
         t.read(timestamp=hist[0]["ts"] - 10)
     with pytest.raises(ValueError):
         t.read(version=0, timestamp=between)
+
+
+def test_check_constraints_enforced_on_every_write(spark, events, tmp_path):
+    """Delta ADD CONSTRAINT parity: existing-data validation, write-time
+    enforcement across append/merge/overwrite, NULL-violates semantics,
+    and the failed write leaves NO new version and NO stray files."""
+    from football_lakehouse_spark.lakehouse.tables import ConstraintViolationError
+
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_check")
+    base = events.select("event_id", "event_type", "value")
+    t.append(base.where(F.col("value") >= 0))
+    t.add_constraint("nonneg_value", "value >= 0")
+    with pytest.raises(ValueError):
+        t.add_constraint("nonneg_value", "value >= 0")  # duplicate name
+    # adding a constraint the current data violates must fail
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint("impossible", "value > 1e12")
+    assert set(t.constraints()) == {"nonneg_value"}
+
+    v_before = t.current_version()
+    files_before = set(t.current_files())
+    bad = base.limit(5).withColumn("value", F.lit(-1.0))
+    with pytest.raises(ConstraintViolationError):
+        t.append(bad)
+    with pytest.raises(ConstraintViolationError):
+        t.merge(bad, ["event_id"])
+    with pytest.raises(ConstraintViolationError):
+        t.overwrite(bad)
+    # NULL violates unless the predicate says otherwise (Delta semantics)
+    with pytest.raises(ConstraintViolationError):
+        t.append(base.limit(3).withColumn("value", F.lit(None).cast("double")))
+    assert t.current_version() == v_before
+    assert set(t.current_files()) == files_before
+    on_disk = {
+        os.path.relpath(os.path.join(dp, fn), t.data_root)
+        for dp, _d, fns in os.walk(t.data_root) for fn in fns
+    }
+    assert on_disk == files_before, "failed writes must not leak staged files"
+
+    # a conforming write still goes through; drop lifts enforcement
+    t.append(base.where(F.col("value") >= 0).limit(10))
+    t.drop_constraint("nonneg_value")
+    t.append(bad)  # now allowed
