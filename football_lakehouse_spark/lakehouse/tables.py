@@ -396,6 +396,49 @@ class LakehouseTable:
         new_files = self._stage(base.where(kept_pred))
         return self._commit("delete", new_files, self.current_files(), rows=None)
 
+    def shallow_clone(
+        self, root: str, schema: str, name: str, version: int | None = None
+    ) -> "LakehouseTable":
+        """Delta ``CREATE TABLE … SHALLOW CLONE src [VERSION AS OF v]``:
+        a NEW table whose first commit references the source's live data
+        files by ABSOLUTE path — zero data copied, O(files) metadata, so
+        cloning a 100 TB table costs one JSON commit (the dev/test-
+        against-prod-data workflow).
+
+        Copy-on-write divergence is automatic: writes to the clone stage
+        files under the clone's own data_root (``read`` resolves
+        absolute references as-is — ``os.path.join`` returns an absolute
+        second argument unchanged — and relative ones against the
+        clone); the source never sees them, and the clone's MERGE/DELETE
+        rewrites simply drop the absolute references they supersede.
+        ``vacuum`` on the clone walks only the clone's data_root, so it
+        can never delete source files; conversely VACUUM on the SOURCE
+        can invalidate a clone's references — exactly Delta's documented
+        shallow-clone caveat, surfaced on read like any vacuumed
+        time-travel. Declared CHECK constraints carry over."""
+        if self.partition_by:
+            # partitioned files carry their partition values only in the
+            # directory name; reading them needs ONE basePath, and a
+            # clone mixes two data roots — a per-group read+union is
+            # possible but not worth it until a user needs it
+            raise ValueError(
+                "shallow_clone of a partitioned table is not supported; "
+                "use compact() into an unpartitioned copy first"
+            )
+        commits, _ = self._log_entries()
+        v = commits[-1] if version is None else version
+        clone = LakehouseTable(
+            self.spark, root, schema, name, partition_by=self.partition_by
+        )
+        if clone.exists():
+            raise ValueError(f"clone target {clone.base} already exists")
+        files = [os.path.join(self.data_root, f) for f in self._live_at(v)]
+        clone._commit("clone", files, [], rows=None)
+        cons = self.constraints()
+        if cons:
+            clone._write_constraints(dict(cons))
+        return clone
+
     def restore(self, version: int) -> int:
         """Delta-style ``RESTORE TABLE … TO VERSION AS OF v`` (delta.io
         RESTORE; reference stub 45_time_travel_debug.sql): commit a NEW
@@ -468,7 +511,14 @@ class LakehouseTable:
                 f"(e.g. {missing[0]}); time travel beyond the retention "
                 f"horizon is not possible"
             )
-        return self.spark.read.option("basePath", self.data_root).parquet(*paths)
+        reader = self.spark.read
+        if not any(os.path.isabs(f) for f in files):
+            # basePath keeps dir-derived partition columns alive; a
+            # shallow clone references ABSOLUTE paths outside this
+            # table's root (unpartitioned by construction), where a
+            # basePath would be wrong
+            reader = reader.option("basePath", self.data_root)
+        return reader.parquet(*paths)
 
     def describe_history_versions(self) -> list[Version]:
         commits, checkpoints = self._log_entries()

@@ -553,3 +553,58 @@ def check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     t.append(ev.where((F.col("event_id") % 2 == 1) & (F.col("event_id") % 7 == 0)))
     return t.read().select("event_id", "event_type", "value")
+
+
+@query(
+    "q135_shallow_clone",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}), upd AS ({_UPD_SQL}),
+    cloned AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.event_id = b.event_id)
+    )
+    SELECT 'source' AS side, count(*) AS n_rows,
+           CAST(sum(CASE WHEN event_type = 'updated' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated,
+           round(sum(value), 2) AS sum_value
+    FROM base
+    UNION ALL
+    SELECT 'clone', count(*),
+           CAST(sum(CASE WHEN event_type = 'updated' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(sum(value), 2)
+    FROM cloned
+    """,
+    doc="SHALLOW CLONE (delta.io CREATE TABLE … SHALLOW CLONE): the dev "
+    "table is created as a zero-copy reference to the source's live "
+    "files — one JSON commit at ANY table size — then a MERGE lands on "
+    "the CLONE only; the query reads both tables back and summarises. "
+    "The oracle proves copy-on-write isolation: the source row set is "
+    "bit-identical to its pre-clone state (count, update-count, value "
+    "checksum) while the clone shows the merge. Completes the Delta "
+    "maintenance family: restore q125, CDC q98, constraints q134, time "
+    "travel q30, vacuum/compact/Z-order q72/q122.",
+    tags=("lakehouse", "time-travel"),
+)
+def shallow_clone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, upd = _base_updates(spark, sf_dir)
+    root = scratch_dir("q135_shallow_clone")
+    src = LakehouseTable(spark, root, "silver", "event_src")
+    src.append(base)
+    clone = src.shallow_clone(root, "silver", "event_dev")
+    clone.merge(upd, ["event_id"])
+    outs = []
+    for side, t in (("source", src), ("clone", clone)):
+        outs.append(
+            t.read().agg(
+                F.lit(side).alias("side"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("event_type") == "updated", 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_updated"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+    return outs[0].unionByName(outs[1])

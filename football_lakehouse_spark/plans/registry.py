@@ -81,6 +81,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q132_funnel_conversion",
     "q133_asof_tolerance",
     "q134_check_constraint_gate",
+    "q135_shallow_clone",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

@@ -386,3 +386,49 @@ def test_check_constraints_enforced_on_every_write(spark, events, tmp_path):
     t.append(base.where(F.col("value") >= 0).limit(10))
     t.drop_constraint("nonneg_value")
     t.append(bad)  # now allowed
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, events, tmp_path):
+    """SHALLOW CLONE: metadata-only (no file under the clone's data
+    root), reads equal the source, writes diverge copy-on-write in both
+    directions, clone vacuum never touches source files, and declared
+    constraints carry over."""
+    from football_lakehouse_spark.lakehouse.tables import ConstraintViolationError
+
+    src = LakehouseTable(spark, str(tmp_path / "src"), "silver", "ev")
+    base = events.select("event_id", "event_type", "value")
+    src.append(base.limit(200))
+    src.add_constraint("nonneg_value", "value >= 0")
+
+    clone = src.shallow_clone(str(tmp_path / "dev"), "silver", "ev_dev")
+    assert clone.read().count() == 200
+    assert not any(
+        fns for _dp, _d, fns in os.walk(clone.data_root)
+    ), "clone must copy no data file"
+    assert clone.constraints() == {"nonneg_value": "value >= 0"}
+
+    # divergence: clone merge doesn't touch source; source append doesn't
+    # appear in the clone
+    upd = base.limit(10).withColumn("event_type", F.lit("updated"))
+    clone.merge(upd, ["event_id"])
+    assert clone.read().where(F.col("event_type") == "updated").count() == 10
+    assert src.read().where(F.col("event_type") == "updated").count() == 0
+    src.append(base.limit(50))
+    assert src.read().count() == 250
+    assert clone.read().count() == 200
+
+    # constraints enforce on the clone too
+    with pytest.raises(ConstraintViolationError):
+        clone.append(base.limit(3).withColumn("value", F.lit(-5.0)))
+
+    # clone vacuum walks only the clone's root — source files survive
+    clone.vacuum(retain_last=1)
+    assert src.read().count() == 250
+
+    # partitioned sources refuse (documented basePath limitation)
+    part = LakehouseTable(
+        spark, str(tmp_path / "p"), "silver", "evp", partition_by=["event_type"]
+    )
+    part.append(base.limit(20))
+    with pytest.raises(ValueError):
+        part.shallow_clone(str(tmp_path / "pc"), "silver", "evp_c")
