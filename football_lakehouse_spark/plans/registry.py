@@ -82,6 +82,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q133_asof_tolerance",
     "q134_check_constraint_gate",
     "q135_shallow_clone",
+    "q136_referential_integrity_audit",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

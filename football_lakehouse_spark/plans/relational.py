@@ -978,3 +978,67 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q136_referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    """,
+    doc="Referential-integrity audit across the star schema: for each "
+    "FK relationship, the child row count and the orphan count "
+    "(children whose parent key has no match — NOT EXISTS semantics, "
+    "so NULL FKs count as orphans like a strict FK would reject). The "
+    "fixture star is consistent, so every orphan count is pinned 0 — "
+    "any generator or ingest regression breaks the hash. Scale: each "
+    "probe is a LEFT ANTI join; parent key sides are dims (broadcast) "
+    "except orders, which AQE plans; counts partial-aggregate "
+    "map-side. The standard nightly FK-contract report of a warehouse "
+    "without enforced foreign keys.",
+    tags=("relational", "quality"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    outs = []
+    for name, child, ck, parent, pk in rels:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias(ck)).distinct()
+        orphans = c.select(ck).join(p, ck, "left_anti")
+        outs.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
