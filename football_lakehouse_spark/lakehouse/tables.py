@@ -67,6 +67,12 @@ class ConstraintViolationError(ValueError):
     """A write (or ADD CONSTRAINT over existing data) violated a
     declared CHECK constraint; nothing was committed."""
 
+
+class SchemaMismatchError(ValueError):
+    """An append's schema conflicts with the table schema (extra column
+    without mergeSchema, or a column type change); nothing was
+    committed. Delta schema-enforcement parity."""
+
 #: Spark/Hive's on-disk name for a NULL partition value
 _DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
 #: chars Spark escapes in partition dir names (ExternalCatalogUtils:
@@ -161,13 +167,15 @@ class LakehouseTable:
         return sorted(live)
 
     def _commit(self, operation: str, add: list[str], remove: list[str],
-                rows: int | None) -> int:
+                rows: int | None, schema_json: str | None = None) -> int:
         commits, _ = self._log_entries()
         v = (commits[-1] + 1) if commits else 0
         entry = {
             "version": v, "operation": operation, "ts": time.time(),
             "rows": rows, "add": sorted(add), "remove": sorted(remove),
         }
+        if schema_json is not None:
+            entry["schema"] = schema_json
         tmp = self._commit_path(v) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f)
@@ -183,6 +191,75 @@ class LakehouseTable:
                 json.dump(cp, f)
             os.replace(tmp, self._checkpoint_path(v))
         return v
+
+    # ----------------------------------------------------------------- schema
+    def _schema_at(self, v: int) -> str | None:
+        """The table schema AT version ``v``: the newest commit ≤ v that
+        recorded one (every data-writing commit does; tables written
+        before schema tracking return None and fall back to footer
+        inference). Log files are tiny, so the backward scan is cheap;
+        it usually stops at the commit itself."""
+        commits, _ = self._log_entries()
+        for cv in reversed([c for c in commits if c <= v]):
+            c = self._read_commit(cv)
+            if "schema" in c:
+                return c["schema"]
+        return None
+
+    def schema(self) -> "StructType | None":
+        """Current logged table schema (Delta: schema lives in the log,
+        not in data-file footers)."""
+        from pyspark.sql.types import StructType
+
+        commits, _ = self._log_entries()
+        if not commits:
+            return None
+        sj = self._schema_at(commits[-1])
+        return StructType.fromJson(json.loads(sj)) if sj else None
+
+    @staticmethod
+    def _nullable_schema(df: DataFrame) -> str:
+        """Schema JSON with every field relaxed to nullable — appended
+        files may legitimately null-fill evolved columns, and parquet
+        nullability varies by writer."""
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+        ).json()
+
+    def _align_schema(self, df: DataFrame, merge_schema: bool) -> DataFrame:
+        """Delta schema enforcement for appends: a column TYPE change
+        always rejects; an EXTRA column rejects unless ``merge_schema``
+        (which appends it to the table schema — existing rows read NULL
+        for it); a MISSING column is allowed and null-filled. Returns
+        df aligned to the final column order."""
+        cur = self.schema()
+        if cur is None:
+            return df
+        cur_types = {f.name: f.dataType for f in cur.fields}
+        in_types = {f.name: f.dataType for f in df.schema.fields}
+        for name, dt in in_types.items():
+            if name in cur_types and cur_types[name].simpleString() != dt.simpleString():
+                raise SchemaMismatchError(
+                    f"{self.base}: column {name!r} is "
+                    f"{cur_types[name].simpleString()} but incoming data has "
+                    f"{dt.simpleString()}"
+                )
+        extra = [n for n in in_types if n not in cur_types]
+        if extra and not merge_schema:
+            raise SchemaMismatchError(
+                f"{self.base}: incoming columns {extra} not in table schema; "
+                f"pass merge_schema=True to evolve"
+            )
+        ordered = [f.name for f in cur.fields] + extra
+        return df.select(
+            *[
+                F.col(n) if n in in_types
+                else F.lit(None).cast(cur_types[n]).alias(n)
+                for n in ordered
+            ]
+        )
 
     # ------------------------------------------------------------ constraints
     def _properties_path(self) -> str:
@@ -279,10 +356,15 @@ class LakehouseTable:
                     except FileNotFoundError:
                         pass
                 raise
+        self._staged_schema = self._nullable_schema(df)
         return moved
 
-    def append(self, df: DataFrame) -> int:
-        return self._commit("append", self._stage(df), [], rows=None)
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        df = self._align_schema(df, merge_schema)
+        return self._commit(
+            "append", self._stage(df), [], rows=None,
+            schema_json=self._staged_schema,
+        )
 
     def append_if_new(self, df: DataFrame, hash_col: str) -> int | None:
         """Content-hash idempotent append (reference D2: skip the write
@@ -299,7 +381,10 @@ class LakehouseTable:
 
     def overwrite(self, df: DataFrame) -> int:
         live = self.current_files()
-        return self._commit("overwrite", self._stage(df), live, rows=None)
+        return self._commit(
+            "overwrite", self._stage(df), live, rows=None,
+            schema_json=self._staged_schema,
+        )
 
     def merge(self, updates: DataFrame, keys: Sequence[str]) -> int:
         """Delta-style MERGE: upsert by key, copy-on-write.
@@ -355,10 +440,12 @@ class LakehouseTable:
                 f for f in self.current_files()
                 if any(f.startswith(d + "/") for d in touched_dirs)
             ]
-            return self._commit("merge", new_files, removed, rows=None)
+            return self._commit("merge", new_files, removed, rows=None,
+                                schema_json=self._staged_schema)
         merged = merge_upsert(base, updates, keys)
         new_files = self._stage(merged)
-        return self._commit("merge", new_files, self.current_files(), rows=None)
+        return self._commit("merge", new_files, self.current_files(), rows=None,
+                            schema_json=self._staged_schema)
 
     def delete(self, predicate: Column) -> int:
         """Delta-style DELETE: copy-on-write removal of rows matching
@@ -392,9 +479,11 @@ class LakehouseTable:
                 f for f in self.current_files()
                 if any(f.startswith(d + "/") for d in touched_dirs)
             ]
-            return self._commit("delete", new_files, removed, rows=None)
+            return self._commit("delete", new_files, removed, rows=None,
+                                schema_json=self._staged_schema)
         new_files = self._stage(base.where(kept_pred))
-        return self._commit("delete", new_files, self.current_files(), rows=None)
+        return self._commit("delete", new_files, self.current_files(), rows=None,
+                            schema_json=self._staged_schema)
 
     def shallow_clone(
         self, root: str, schema: str, name: str, version: int | None = None
@@ -433,7 +522,8 @@ class LakehouseTable:
         if clone.exists():
             raise ValueError(f"clone target {clone.base} already exists")
         files = [os.path.join(self.data_root, f) for f in self._live_at(v)]
-        clone._commit("clone", files, [], rows=None)
+        clone._commit("clone", files, [], rows=None,
+                      schema_json=self._schema_at(v))
         cons = self.constraints()
         if cons:
             clone._write_constraints(dict(cons))
@@ -454,7 +544,8 @@ class LakehouseTable:
         target = set(self._live_at(version))
         current = set(self.current_files())
         return self._commit(
-            "restore", sorted(target - current), sorted(current - target), rows=None
+            "restore", sorted(target - current), sorted(current - target),
+            rows=None, schema_json=self._schema_at(version),
         )
 
     # ------------------------------------------------------------------- read
@@ -512,6 +603,14 @@ class LakehouseTable:
                 f"horizon is not possible"
             )
         reader = self.spark.read
+        sj = self._schema_at(v)
+        if sj is not None:
+            # Delta parity: the schema of record is the LOG's, not the
+            # data-file footers — old files simply lack evolved columns
+            # and read them as NULL; no footer merging at any file count
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(sj)))
         if not any(os.path.isabs(f) for f in files):
             # basePath keeps dir-derived partition columns alive; a
             # shallow clone references ABSOLUTE paths outside this
@@ -575,4 +674,5 @@ class LakehouseTable:
         else:
             df = df.coalesce(target_partitions)
         new_files = self._stage(df)
-        return self._commit("optimize", new_files, self.current_files(), rows=None)
+        return self._commit("optimize", new_files, self.current_files(), rows=None,
+                            schema_json=self._staged_schema)

@@ -608,3 +608,45 @@ def shallow_clone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "q137_table_schema_evolution",
+    oracle="""
+    SELECT event_id, event_type, value, CAST(NULL AS VARCHAR) AS source
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, event_type, value, 'backfill'
+    FROM events WHERE event_id % 2 = 1
+    """,
+    doc="Batch-table schema evolution (Delta mergeSchema parity; the "
+    "table-layer sibling of q70's streaming addNewColumns): v0 appends "
+    "the 3-column slice, then an append carrying a NEW 'source' column "
+    "lands with merge_schema=True — the LOG schema evolves, v0's files "
+    "are untouched, and the read nulls the new column for old rows "
+    "because the schema of record comes from the log, never from "
+    "footer merging (which would scan every footer at 10⁶ files). A "
+    "same-shape append WITHOUT merge_schema is first proven to reject. "
+    "Time travel to v0 still reads the original 3 columns.",
+    tags=("lakehouse", "schema"),
+)
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.lakehouse.tables import SchemaMismatchError
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = scratch_dir("q137_table_schema_evolution")
+    t = LakehouseTable(spark, root, "silver", "event_evolved")
+    t.append(ev.where(F.col("event_id") % 2 == 0))
+    evolved = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "source", F.lit("backfill")
+    )
+    try:
+        t.append(evolved)
+        raise AssertionError("un-merged schema append must be rejected")
+    except SchemaMismatchError:
+        pass
+    t.append(evolved, merge_schema=True)
+    assert t.read(version=0).columns == ["event_id", "event_type", "value"]
+    return t.read().select("event_id", "event_type", "value", "source")

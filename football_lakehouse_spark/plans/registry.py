@@ -83,6 +83,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q134_check_constraint_gate",
     "q135_shallow_clone",
     "q136_referential_integrity_audit",
+    "q137_table_schema_evolution",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

@@ -432,3 +432,44 @@ def test_shallow_clone_zero_copy_and_divergence(spark, events, tmp_path):
     part.append(base.limit(20))
     with pytest.raises(ValueError):
         part.shallow_clone(str(tmp_path / "pc"), "silver", "evp_c")
+
+
+def test_schema_enforcement_and_evolution(spark, events, tmp_path):
+    """Delta schema parity on the table layer: type changes always
+    reject; extra columns reject unless merge_schema=True (which
+    evolves the LOG schema — old rows read NULL for the new column);
+    missing columns null-fill; time travel reads each version under
+    ITS schema; overwrite replaces the schema."""
+    from football_lakehouse_spark.lakehouse.tables import SchemaMismatchError
+
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_schema")
+    base = events.select("event_id", "event_type", "value")
+    t.append(base.limit(50))
+    assert [f.name for f in t.schema().fields] == ["event_id", "event_type", "value"]
+
+    # type change rejects
+    with pytest.raises(SchemaMismatchError):
+        t.append(base.limit(5).withColumn("value", F.col("value").cast("string")))
+    # extra column rejects without merge_schema
+    extra = base.limit(5).withColumn("source", F.lit("api"))
+    with pytest.raises(SchemaMismatchError):
+        t.append(extra)
+    # ...and evolves with it
+    t.append(extra, merge_schema=True)
+    cur = t.read()
+    assert cur.columns == ["event_id", "event_type", "value", "source"]
+    assert cur.where(F.col("source").isNull()).count() == 50
+    assert cur.where(F.col("source") == "api").count() == 5
+
+    # missing column null-fills under the evolved schema
+    t.append(base.limit(3))
+    assert t.read().where(F.col("source").isNull()).count() == 53
+
+    # time travel: v0 still reads under the ORIGINAL 3-column schema
+    assert t.read(version=0).columns == ["event_id", "event_type", "value"]
+
+    # overwrite replaces the schema outright
+    t.overwrite(events.select("event_id", "user_id"))
+    assert t.read().columns == ["event_id", "user_id"]
+    with pytest.raises(SchemaMismatchError):
+        t.append(base.limit(2))  # event_type/value are now extra columns
