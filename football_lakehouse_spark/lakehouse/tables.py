@@ -261,23 +261,95 @@ class LakehouseTable:
             ]
         )
 
-    # ------------------------------------------------------------ constraints
+    # ------------------------------------------------------------- properties
     def _properties_path(self) -> str:
         return os.path.join(self.log_root, "_properties.json")
 
-    def constraints(self) -> dict[str, str]:
-        """Declared CHECK constraints: name → SQL predicate."""
+    def _props(self) -> dict:
         try:
             with open(self._properties_path()) as f:
-                return json.load(f).get("constraints", {})
+                return json.load(f)
         except FileNotFoundError:
             return {}
 
-    def _write_constraints(self, cons: dict[str, str]) -> None:
+    def _write_props(self, props: dict) -> None:
         tmp = self._properties_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"constraints": cons}, f)
+            json.dump(props, f)
         os.replace(tmp, self._properties_path())
+
+    # --------------------------------------------------------- column mapping
+    def _mapping(self) -> dict[str, str]:
+        """logical column name → PHYSICAL name (the name inside the
+        parquet files). Empty until the first rename; a column's
+        physical name is frozen at its first write and never changes —
+        renames only remap the logical layer (Delta column mapping)."""
+        return self._props().get("column_mapping", {})
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE … RENAME COLUMN old TO new`` without rewriting
+        a single data file (Delta column-mapping parity): the logical
+        schema in the log changes; the physical parquet name stays what
+        it always was, and reads alias physical→logical. Metadata-only
+        — O(1) at any table size. Time travel still reads pre-rename
+        versions under their own (old) logical schema. CHECK
+        constraints referencing the old name must be dropped first."""
+        cur = self.schema()
+        if cur is None:
+            raise ValueError(f"{self.base}: no schema logged yet")
+        names = [f.name for f in cur.fields]
+        if old not in names:
+            raise ValueError(f"{self.base}: no column {old!r}")
+        if new in names:
+            raise ValueError(f"{self.base}: column {new!r} already exists")
+        if old in self.partition_by:
+            raise ValueError("renaming a partition column is not supported")
+        import re as _re
+
+        for cname, pred in self.constraints().items():
+            if _re.search(rf"\b{_re.escape(old)}\b", pred):
+                raise ValueError(
+                    f"constraint {cname!r} references {old!r}; drop it first"
+                )
+        from pyspark.sql.types import StructField, StructType
+
+        m = dict(self._mapping())
+        phys = m.pop(old, old)
+        m[new] = phys
+        props = self._props()
+        props["column_mapping"] = m
+        self._write_props(props)
+        new_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, True)
+                for f in cur.fields
+            ]
+        )
+        return self._commit(
+            "rename_column", [], [], rows=None, schema_json=new_schema.json()
+        )
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        m = self._mapping()
+        if not m:
+            return df
+        return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
+
+    def _to_logical(self, df: DataFrame) -> DataFrame:
+        m = self._mapping()
+        if not m:
+            return df
+        inv = {p: l for l, p in m.items()}
+        return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+    def constraints(self) -> dict[str, str]:
+        """Declared CHECK constraints: name → SQL predicate."""
+        return self._props().get("constraints", {})
+
+    def _write_constraints(self, cons: dict[str, str]) -> None:
+        props = self._props()
+        props["constraints"] = cons
+        self._write_props(props)
 
     def add_constraint(self, name: str, predicate_sql: str) -> None:
         """``ALTER TABLE … ADD CONSTRAINT name CHECK (predicate)``
@@ -320,7 +392,15 @@ class LakehouseTable:
         pushed scan of what was just written — no recompute of the
         input plan, and nothing is visible to readers until the commit
         that follows). On violation the staged files are removed and no
-        commit happens — the Delta failed-write contract."""
+        commit happens — the Delta failed-write contract.
+
+        Files are written under PHYSICAL column names (column mapping):
+        a renamed column keeps its original on-disk name forever, so
+        old and new files stay schema-compatible without rewrites. The
+        staged-file constraint scan aliases back to logical names first
+        so predicates keep working after renames."""
+        self._staged_schema = self._nullable_schema(df)
+        df = self._to_physical(df)
         txid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.base, f"_staging-{txid}")
         writer = df.write.mode("overwrite")
@@ -348,7 +428,7 @@ class LakehouseTable:
                 *[os.path.join(self.data_root, f) for f in moved]
             )
             try:
-                self._enforce(cons, staged, context="write")
+                self._enforce(cons, self._to_logical(staged), context="write")
             except ConstraintViolationError:
                 for f in moved:
                     try:
@@ -356,7 +436,6 @@ class LakehouseTable:
                     except FileNotFoundError:
                         pass
                 raise
-        self._staged_schema = self._nullable_schema(df)
         return moved
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
@@ -524,9 +603,13 @@ class LakehouseTable:
         files = [os.path.join(self.data_root, f) for f in self._live_at(v)]
         clone._commit("clone", files, [], rows=None,
                       schema_json=self._schema_at(v))
-        cons = self.constraints()
-        if cons:
-            clone._write_constraints(dict(cons))
+        carried = {
+            k: dict(val)
+            for k, val in self._props().items()
+            if k in ("constraints", "column_mapping") and val
+        }
+        if carried:
+            clone._write_props(carried)
         return clone
 
     def restore(self, version: int) -> int:
@@ -604,20 +687,40 @@ class LakehouseTable:
             )
         reader = self.spark.read
         sj = self._schema_at(v)
+        logical = None
         if sj is not None:
             # Delta parity: the schema of record is the LOG's, not the
             # data-file footers — old files simply lack evolved columns
-            # and read them as NULL; no footer merging at any file count
-            from pyspark.sql.types import StructType
+            # and read them as NULL; no footer merging at any file count.
+            # Column mapping: scan under PHYSICAL names, alias back to
+            # this version's logical names.
+            from pyspark.sql.types import StructField, StructType
 
-            reader = reader.schema(StructType.fromJson(json.loads(sj)))
+            logical = StructType.fromJson(json.loads(sj))
+            m = self._mapping()
+            physical = StructType(
+                [
+                    StructField(m.get(f.name, f.name), f.dataType, True)
+                    for f in logical.fields
+                ]
+            )
+            reader = reader.schema(physical)
         if not any(os.path.isabs(f) for f in files):
             # basePath keeps dir-derived partition columns alive; a
             # shallow clone references ABSOLUTE paths outside this
             # table's root (unpartitioned by construction), where a
             # basePath would be wrong
             reader = reader.option("basePath", self.data_root)
-        return reader.parquet(*paths)
+        df = reader.parquet(*paths)
+        if logical is not None:
+            m = self._mapping()
+            df = df.select(
+                *[
+                    F.col(m.get(f.name, f.name)).alias(f.name)
+                    for f in logical.fields
+                ]
+            )
+        return df
 
     def describe_history_versions(self) -> list[Version]:
         commits, checkpoints = self._log_entries()

@@ -650,3 +650,41 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(evolved, merge_schema=True)
     assert t.read(version=0).columns == ["event_id", "event_type", "value"]
     return t.read().select("event_id", "event_type", "value", "source")
+
+
+@query(
+    "q138_rename_column",
+    oracle="""
+    SELECT event_id, event_type, value AS points FROM events
+    WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, event_type, round(value * 2, 2) FROM events
+    WHERE event_id % 2 = 1 AND event_id % 3 = 0
+    """,
+    doc="ALTER TABLE RENAME COLUMN via column mapping (Delta "
+    "columnMapping parity): v0 lands under the old name, the rename is "
+    "a METADATA-ONLY commit (zero files rewritten at any table size — "
+    "the physical parquet name is frozen at first write; reads alias "
+    "physical→logical), and a post-rename append writes under the NEW "
+    "logical name yet stays byte-compatible with the old files. The "
+    "oracle reads the union through the renamed column; time travel to "
+    "v0 still shows the old name (asserted inline).",
+    tags=("lakehouse", "schema"),
+)
+def rename_column_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = scratch_dir("q138_rename_column")
+    t = LakehouseTable(spark, root, "silver", "event_renamed")
+    t.append(ev.where(F.col("event_id") % 2 == 0))
+    t.rename_column("value", "points")
+    assert t.read(version=0).columns == ["event_id", "event_type", "value"]
+    t.append(
+        ev.where((F.col("event_id") % 2 == 1) & (F.col("event_id") % 3 == 0))
+        .select(
+            "event_id", "event_type",
+            F.round(F.col("value") * 2, 2).alias("points"),
+        )
+    )
+    return t.read().select("event_id", "event_type", "points")

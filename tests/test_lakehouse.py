@@ -473,3 +473,53 @@ def test_schema_enforcement_and_evolution(spark, events, tmp_path):
     assert t.read().columns == ["event_id", "user_id"]
     with pytest.raises(SchemaMismatchError):
         t.append(base.limit(2))  # event_type/value are now extra columns
+
+
+def test_rename_column_is_metadata_only(spark, events, tmp_path):
+    """Delta column-mapping parity: RENAME COLUMN rewrites nothing,
+    later writes and constraint checks use the new name, old files read
+    under the frozen physical name, and time travel shows each
+    version's own logical schema."""
+    from football_lakehouse_spark.lakehouse.tables import ConstraintViolationError
+
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_ren")
+    base = events.select("event_id", "event_type", "value")
+    t.append(base.limit(50))
+
+    def data_files():
+        return sorted(
+            os.path.join(dp, fn) for dp, _d, fns in os.walk(t.data_root) for fn in fns
+        )
+
+    before = data_files()
+    with pytest.raises(ValueError):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        t.rename_column("value", "event_id")  # collision
+    t.rename_column("value", "points")
+    assert data_files() == before, "rename must not touch data files"
+    assert t.read().columns == ["event_id", "event_type", "points"]
+    assert t.read(version=0).columns == ["event_id", "event_type", "value"]
+    assert t.read().agg(F.sum("points")).collect()[0][0] is not None
+
+    # writes after the rename use the new logical name; mixed files agree
+    t.append(base.limit(20).withColumnRenamed("value", "points"))
+    assert t.read().count() == 70
+    assert t.read().where(F.col("points").isNull()).count() == 0
+
+    # constraints work against the new name, and a constraint on a
+    # name about to be renamed blocks the rename
+    t.add_constraint("nonneg_points", "points >= 0")
+    with pytest.raises(ConstraintViolationError):
+        t.append(
+            base.limit(2).withColumnRenamed("value", "points")
+            .withColumn("points", F.lit(-1.0))
+        )
+    with pytest.raises(ValueError):
+        t.rename_column("points", "score")
+
+    # a second rename of a never-renamed column composes
+    t.drop_constraint("nonneg_points")
+    t.rename_column("points", "score")
+    assert t.read().columns == ["event_id", "event_type", "score"]
+    assert t.read().where(F.col("score").isNull()).count() == 0
