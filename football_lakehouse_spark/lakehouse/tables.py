@@ -217,17 +217,6 @@ class LakehouseTable:
         sj = self._schema_at(commits[-1])
         return StructType.fromJson(json.loads(sj)) if sj else None
 
-    @staticmethod
-    def _nullable_schema(df: DataFrame) -> str:
-        """Schema JSON with every field relaxed to nullable — appended
-        files may legitimately null-fill evolved columns, and parquet
-        nullability varies by writer."""
-        from pyspark.sql.types import StructField, StructType
-
-        return StructType(
-            [StructField(f.name, f.dataType, True) for f in df.schema.fields]
-        ).json()
-
     def _align_schema(self, df: DataFrame, merge_schema: bool) -> DataFrame:
         """Delta schema enforcement for appends: a column TYPE change
         always rejects; an EXTRA column rejects unless ``merge_schema``
@@ -279,20 +268,50 @@ class LakehouseTable:
         os.replace(tmp, self._properties_path())
 
     # --------------------------------------------------------- column mapping
-    def _mapping(self) -> dict[str, str]:
-        """logical column name → PHYSICAL name (the name inside the
-        parquet files). Empty until the first rename; a column's
-        physical name is frozen at its first write and never changes —
-        renames only remap the logical layer (Delta column mapping)."""
-        return self._props().get("column_mapping", {})
+    # Physical (on-disk parquet) column names are bound PER VERSION, in
+    # each logged StructField's metadata {"physical": ...} — absent
+    # means physical == logical (every column's initial state). This is
+    # Delta's columnMapping design: renames/drops are metadata edits,
+    # time travel reads every version under ITS binding, and a
+    # re-added column can never alias a dropped column's stale bytes
+    # because its physical identity is freshly claimed.
+
+    @staticmethod
+    def _phys(field) -> str:
+        return field.metadata.get("physical", field.name)
+
+    def _committed_schema_json(self, df: DataFrame) -> str:
+        """Schema JSON to log for a write of ``df``: existing columns
+        carry their current physical binding forward; columns new to
+        the table claim physical == logical unless that identity is
+        taken (tombstoned by a drop, or bound to another column), in
+        which case a fresh suffixed physical name is claimed."""
+        from pyspark.sql.types import StructField, StructType
+
+        cur = self.schema()
+        cur_meta = {f.name: dict(f.metadata) for f in cur.fields} if cur else {}
+        taken = set(self._props().get("dropped_physical", []))
+        if cur:
+            taken |= {self._phys(f) for f in cur.fields}
+        fields = []
+        for f in df.schema.fields:
+            if f.name in cur_meta:
+                md = cur_meta[f.name]
+            else:
+                md = {}
+                if f.name in taken:
+                    md["physical"] = f"{f.name}_{uuid.uuid4().hex[:8]}"
+                taken.add(md.get("physical", f.name))
+            fields.append(StructField(f.name, f.dataType, True, md))
+        return StructType(fields).json()
 
     def rename_column(self, old: str, new: str) -> int:
         """``ALTER TABLE … RENAME COLUMN old TO new`` without rewriting
         a single data file (Delta column-mapping parity): the logical
-        schema in the log changes; the physical parquet name stays what
-        it always was, and reads alias physical→logical. Metadata-only
-        — O(1) at any table size. Time travel still reads pre-rename
-        versions under their own (old) logical schema. CHECK
+        name changes in the log; the field keeps its physical binding,
+        so reads alias physical→logical and every existing file stays
+        valid. Metadata-only — O(1) at any table size. Time travel
+        still reads pre-rename versions under their own names. CHECK
         constraints referencing the old name must be dropped first."""
         cur = self.schema()
         if cur is None:
@@ -313,34 +332,53 @@ class LakehouseTable:
                 )
         from pyspark.sql.types import StructField, StructType
 
-        m = dict(self._mapping())
-        phys = m.pop(old, old)
-        m[new] = phys
-        props = self._props()
-        props["column_mapping"] = m
-        self._write_props(props)
-        new_schema = StructType(
-            [
-                StructField(new if f.name == old else f.name, f.dataType, True)
-                for f in cur.fields
-            ]
-        )
+        fields = []
+        for f in cur.fields:
+            if f.name == old:
+                md = dict(f.metadata)
+                md["physical"] = self._phys(f)  # freeze the on-disk name
+                fields.append(StructField(new, f.dataType, True, md))
+            else:
+                fields.append(f)
         return self._commit(
-            "rename_column", [], [], rows=None, schema_json=new_schema.json()
+            "rename_column", [], [], rows=None,
+            schema_json=StructType(fields).json(),
         )
 
-    def _to_physical(self, df: DataFrame) -> DataFrame:
-        m = self._mapping()
-        if not m:
-            return df
-        return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE … DROP COLUMN`` without rewriting data (Delta
+        column-mapping parity): metadata-only — the column leaves the
+        logical schema; its bytes stay in old files, invisible, and are
+        reclaimed file-by-file as rewrites happen. The physical
+        identity is TOMBSTONED so a later re-add of the same name
+        claims a fresh physical name and can never resurrect stale
+        values. Time travel before the drop still shows the column."""
+        cur = self.schema()
+        if cur is None:
+            raise ValueError(f"{self.base}: no schema logged yet")
+        if name not in [f.name for f in cur.fields]:
+            raise ValueError(f"{self.base}: no column {name!r}")
+        if len(cur.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        if name in self.partition_by:
+            raise ValueError("dropping a partition column is not supported")
+        import re as _re
 
-    def _to_logical(self, df: DataFrame) -> DataFrame:
-        m = self._mapping()
-        if not m:
-            return df
-        inv = {p: l for l, p in m.items()}
-        return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+        for cname, pred in self.constraints().items():
+            if _re.search(rf"\b{_re.escape(name)}\b", pred):
+                raise ValueError(
+                    f"constraint {cname!r} references {name!r}; drop it first"
+                )
+        from pyspark.sql.types import StructType
+
+        dropped = next(f for f in cur.fields if f.name == name)
+        props = self._props()
+        props.setdefault("dropped_physical", []).append(self._phys(dropped))
+        self._write_props(props)
+        new_schema = StructType([f for f in cur.fields if f.name != name])
+        return self._commit(
+            "drop_column", [], [], rows=None, schema_json=new_schema.json()
+        )
 
     def constraints(self) -> dict[str, str]:
         """Declared CHECK constraints: name → SQL predicate."""
@@ -399,8 +437,13 @@ class LakehouseTable:
         old and new files stay schema-compatible without rewrites. The
         staged-file constraint scan aliases back to logical names first
         so predicates keep working after renames."""
-        self._staged_schema = self._nullable_schema(df)
-        df = self._to_physical(df)
+        self._staged_schema = self._committed_schema_json(df)
+        from pyspark.sql.types import StructType
+
+        sch = StructType.fromJson(json.loads(self._staged_schema))
+        phys = {f.name: self._phys(f) for f in sch.fields}
+        if any(phys[c] != c for c in df.columns):
+            df = df.select(*[F.col(c).alias(phys[c]) for c in df.columns])
         txid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.base, f"_staging-{txid}")
         writer = df.write.mode("overwrite")
@@ -428,7 +471,11 @@ class LakehouseTable:
                 *[os.path.join(self.data_root, f) for f in moved]
             )
             try:
-                self._enforce(cons, self._to_logical(staged), context="write")
+                inv = {p: l for l, p in phys.items()}
+                logical_staged = staged.select(
+                    *[F.col(c).alias(inv.get(c, c)) for c in staged.columns]
+                )
+                self._enforce(cons, logical_staged, context="write")
             except ConstraintViolationError:
                 for f in moved:
                     try:
@@ -697,10 +744,9 @@ class LakehouseTable:
             from pyspark.sql.types import StructField, StructType
 
             logical = StructType.fromJson(json.loads(sj))
-            m = self._mapping()
             physical = StructType(
                 [
-                    StructField(m.get(f.name, f.name), f.dataType, True)
+                    StructField(self._phys(f), f.dataType, True)
                     for f in logical.fields
                 ]
             )
@@ -713,12 +759,8 @@ class LakehouseTable:
             reader = reader.option("basePath", self.data_root)
         df = reader.parquet(*paths)
         if logical is not None:
-            m = self._mapping()
             df = df.select(
-                *[
-                    F.col(m.get(f.name, f.name)).alias(f.name)
-                    for f in logical.fields
-                ]
+                *[F.col(self._phys(f)).alias(f.name) for f in logical.fields]
             )
         return df
 

@@ -688,3 +688,39 @@ def rename_column_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t.read().select("event_id", "event_type", "points")
+
+
+@query(
+    "q139_drop_column",
+    oracle="""
+    SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, event_type, 123.0
+    FROM events WHERE event_id % 2 = 1 AND event_id % 3 = 0
+    """,
+    doc="ALTER TABLE DROP COLUMN + same-name re-add (the hardest "
+    "column-mapping case): v0 lands with 'value', the drop is a "
+    "metadata-only commit (old bytes stay in v0's files, invisible), "
+    "then a mergeSchema append RE-ADDS a column named 'value' — which "
+    "claims a FRESH physical identity, so v0's rows read NULL and the "
+    "dropped column's stale bytes can never resurrect (the oracle "
+    "pins exactly that: NULL for every old row, 123.0 for the new "
+    "slice). Completes ADD/RENAME/DROP, all O(1) metadata at any "
+    "table size.",
+    tags=("lakehouse", "schema"),
+)
+def drop_column_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = scratch_dir("q139_drop_column")
+    t = LakehouseTable(spark, root, "silver", "event_dropped")
+    t.append(ev.where(F.col("event_id") % 2 == 0))
+    t.drop_column("value")
+    t.append(
+        ev.where((F.col("event_id") % 2 == 1) & (F.col("event_id") % 3 == 0))
+        .withColumn("value", F.lit(123.0)),
+        merge_schema=True,
+    )
+    return t.read().select("event_id", "event_type", "value")

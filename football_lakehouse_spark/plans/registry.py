@@ -85,6 +85,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q136_referential_integrity_audit",
     "q137_table_schema_evolution",
     "q138_rename_column",
+    "q139_drop_column",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

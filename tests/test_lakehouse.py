@@ -523,3 +523,49 @@ def test_rename_column_is_metadata_only(spark, events, tmp_path):
     t.rename_column("points", "score")
     assert t.read().columns == ["event_id", "event_type", "score"]
     assert t.read().where(F.col("score").isNull()).count() == 0
+
+
+def test_drop_column_tombstones_physical_identity(spark, events, tmp_path):
+    """DROP COLUMN is metadata-only, time travel still shows it, and a
+    later re-add of the same name claims a FRESH physical identity —
+    old rows read NULL, never the dropped column's stale bytes."""
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_drop")
+    base = events.select("event_id", "event_type", "value")
+    t.append(base.limit(40))
+
+    def data_files():
+        return sorted(
+            os.path.join(dp, fn) for dp, _d, fns in os.walk(t.data_root) for fn in fns
+        )
+
+    before = data_files()
+    t.drop_column("value")
+    assert data_files() == before
+    assert t.read().columns == ["event_id", "event_type"]
+    assert t.read(version=0).columns == ["event_id", "event_type", "value"]
+
+    # re-add 'value' via evolution: old rows MUST be NULL (stale bytes
+    # from the dropped column still sit in v0's files under 'value')
+    readd = base.limit(10).withColumn("value", F.lit(123.0))
+    t.append(readd, merge_schema=True)
+    cur = t.read()
+    assert cur.columns == ["event_id", "event_type", "value"]
+    assert cur.where(F.col("value") == 123.0).count() == 10
+    assert cur.where(F.col("value").isNull()).count() == 40, (
+        "dropped column's old bytes resurrected"
+    )
+
+    # rename-then-drop-then-travel: every version under its own binding
+    t.rename_column("value", "points")
+    assert t.read().where(F.col("points") == 123.0).count() == 10
+    t.drop_column("points")
+    assert t.read().columns == ["event_id", "event_type"]
+    # the version just before the drop still reads the renamed column
+    v = t.current_version() - 1
+    assert t.read(version=v).where(F.col("points") == 123.0).count() == 10
+
+    with pytest.raises(ValueError):
+        t.drop_column("missing_col")
+    t.drop_column("event_type")
+    with pytest.raises(ValueError):
+        t.drop_column("event_id")  # cannot drop the only column
