@@ -167,7 +167,9 @@ class LakehouseTable:
         return sorted(live)
 
     def _commit(self, operation: str, add: list[str], remove: list[str],
-                rows: int | None, schema_json: str | None = None) -> int:
+                rows: int | None, schema_json: str | None = None,
+                dv_add: list[str] | None = None,
+                dv_remove: list[str] | None = None) -> int:
         commits, _ = self._log_entries()
         v = (commits[-1] + 1) if commits else 0
         entry = {
@@ -176,6 +178,10 @@ class LakehouseTable:
         }
         if schema_json is not None:
             entry["schema"] = schema_json
+        if dv_add:
+            entry["dv_add"] = sorted(dv_add)
+        if dv_remove:
+            entry["dv_remove"] = sorted(dv_remove)
         tmp = self._commit_path(v) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f)
@@ -191,6 +197,21 @@ class LakehouseTable:
                 json.dump(cp, f)
             os.replace(tmp, self._checkpoint_path(v))
         return v
+
+    # ------------------------------------------------------- deletion vectors
+    def _dv_names_at(self, v: int) -> list[str]:
+        """Active deletion-vector sidecars at version ``v`` (commit
+        replay of dv_add/dv_remove, mirroring the file actions)."""
+        commits, _ = self._log_entries()
+        active: set[str] = set()
+        for cv in (c for c in commits if c <= v):
+            c = self._read_commit(cv)
+            active -= set(c.get("dv_remove", ()))
+            active |= set(c.get("dv_add", ()))
+        return sorted(active)
+
+    def _dv_paths_at(self, v: int) -> list[str]:
+        return [os.path.join(self.base, "_dv", n) for n in self._dv_names_at(v)]
 
     # ----------------------------------------------------------------- schema
     def _schema_at(self, v: int) -> str | None:
@@ -510,6 +531,7 @@ class LakehouseTable:
         return self._commit(
             "overwrite", self._stage(df), live, rows=None,
             schema_json=self._staged_schema,
+            dv_remove=self._dv_names_at(self.current_version()) if live else None,
         )
 
     def merge(self, updates: DataFrame, keys: Sequence[str]) -> int:
@@ -573,11 +595,21 @@ class LakehouseTable:
         return self._commit("merge", new_files, self.current_files(), rows=None,
                             schema_json=self._staged_schema)
 
-    def delete(self, predicate: Column) -> int:
+    def delete(self, predicate: Column, deletion_vectors: bool = False) -> int:
         """Delta-style DELETE: copy-on-write removal of rows matching
         ``predicate``. Only partitions that CONTAIN matches are
         rewritten (file-level pruning via the partition dirs); a delete
         that matches nothing commits no version and returns -1.
+
+        ``deletion_vectors=True`` switches to MERGE-ON-READ (Delta
+        deletion vectors): instead of rewriting files, the matching
+        (file, row_index) pairs are written as a tiny parquet sidecar
+        and every read anti-joins them away — delete cost is O(matched
+        rows), not O(files containing them), the right trade when a few
+        rows die inside 100 TB of files (GDPR point-deletes). Readers
+        pay the anti-join until ``compact()`` or ``overwrite`` rewrites
+        the data and purges the vectors. Time travel before the delete
+        sees the rows; after, it doesn't — the DV is itself versioned.
 
         SQL DELETE semantics: only rows where the predicate evaluates
         TRUE are removed — rows where it evaluates NULL (e.g. a NULL in
@@ -585,6 +617,18 @@ class LakehouseTable:
         would silently drop (three-valued logic: NOT NULL is NULL).
         The kept-rows filter is therefore ``NOT (pred <=> TRUE)``.
         """
+        if deletion_vectors:
+            lineage = self._read(None, with_lineage=True)
+            matches = lineage.where(predicate).select(
+                F.col("__file").alias("file"), F.col("__ri").alias("row_index")
+            )
+            if matches.limit(1).isEmpty():
+                return -1
+            dvname = uuid.uuid4().hex[:12]
+            matches.write.mode("overwrite").parquet(
+                os.path.join(self.base, "_dv", dvname)
+            )
+            return self._commit("delete_dv", [], [], rows=None, dv_add=[dvname])
         base = self.read()
         matches = base.where(predicate)
         if matches.limit(1).isEmpty():
@@ -642,6 +686,12 @@ class LakehouseTable:
             )
         commits, _ = self._log_entries()
         v = commits[-1] if version is None else version
+        if self._dv_names_at(v):
+            raise ValueError(
+                "shallow_clone of a table with active deletion vectors is "
+                "not supported (the sidecars live under the source); run "
+                "compact() first to purge them"
+            )
         clone = LakehouseTable(
             self.spark, root, schema, name, partition_by=self.partition_by
         )
@@ -651,9 +701,9 @@ class LakehouseTable:
         clone._commit("clone", files, [], rows=None,
                       schema_json=self._schema_at(v))
         carried = {
-            k: dict(val)
+            k: (dict(val) if isinstance(val, dict) else list(val))
             for k, val in self._props().items()
-            if k in ("constraints", "column_mapping") and val
+            if k in ("constraints", "dropped_physical") and val
         }
         if carried:
             clone._write_props(carried)
@@ -717,6 +767,12 @@ class LakehouseTable:
             raise ValueError("pass version OR timestamp, not both")
         if timestamp is not None:
             version = self.version_at_timestamp(timestamp)
+        return self._read(version)
+
+    def _read(self, version: int | None, with_lineage: bool = False) -> DataFrame:
+        """Internal read. ``with_lineage`` keeps the per-row provenance
+        columns ``__file``/``__ri`` (``_metadata.file_path`` /
+        ``row_index``) that deletion vectors key on."""
         commits, _ = self._log_entries()
         if not commits:
             raise FileNotFoundError(f"table {self.base} has no committed version")
@@ -758,10 +814,29 @@ class LakehouseTable:
             # basePath would be wrong
             reader = reader.option("basePath", self.data_root)
         df = reader.parquet(*paths)
-        if logical is not None:
+        dvs = self._dv_paths_at(v)
+        need_lineage = with_lineage or bool(dvs)
+        if need_lineage:
             df = df.select(
-                *[F.col(self._phys(f)).alias(f.name) for f in logical.fields]
+                "*",
+                F.col("_metadata.file_path").alias("__file"),
+                F.col("_metadata.row_index").alias("__ri"),
             )
+        if dvs:
+            # merge-on-read: anti-join away soft-deleted (file, row)
+            # pairs. The DV table is O(deleted rows); its partitioning
+            # is left to AQE (broadcast when small, shuffle when not).
+            dv = self.spark.read.parquet(*dvs).select(
+                F.col("file").alias("__file"), F.col("row_index").alias("__ri")
+            )
+            df = df.join(dv, ["__file", "__ri"], "left_anti")
+        if logical is not None:
+            keep = [F.col(self._phys(f)).alias(f.name) for f in logical.fields]
+            if with_lineage:
+                keep += [F.col("__file"), F.col("__ri")]
+            df = df.select(*keep)
+        elif need_lineage and not with_lineage:
+            df = df.drop("__file", "__ri")
         return df
 
     def describe_history_versions(self) -> list[Version]:
@@ -820,4 +895,5 @@ class LakehouseTable:
             df = df.coalesce(target_partitions)
         new_files = self._stage(df)
         return self._commit("optimize", new_files, self.current_files(), rows=None,
-                            schema_json=self._staged_schema)
+                            schema_json=self._staged_schema,
+                            dv_remove=self._dv_names_at(self.current_version()))

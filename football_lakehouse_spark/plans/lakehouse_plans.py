@@ -724,3 +724,34 @@ def drop_column_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_schema=True,
     )
     return t.read().select("event_id", "event_type", "value")
+
+
+@query(
+    "q140_deletion_vectors",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT event_id, event_type, value FROM base
+    WHERE NOT (event_type = 'purchase' AND value < 50)
+       OR event_type IS NULL OR value IS NULL
+    """,
+    doc="Merge-on-read DELETE via deletion vectors (Delta DVs; the "
+    "modern sibling of q72's copy-on-write): the matching (file, "
+    "row_index) pairs land in a parquet sidecar — O(matched rows), no "
+    "file rewritten, the right trade for point-deletes inside 100 TB "
+    "(GDPR erasure) — and every read anti-joins them away until "
+    "OPTIMIZE materialises and purges. Same SQL DELETE three-valued "
+    "semantics as q72 (NULL predicate rows retained), same oracle "
+    "row set: two delete implementations, one answer. v0 still "
+    "time-travels to the full data.",
+    tags=("lakehouse",),
+)
+def deletion_vectors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, _ = _base_updates(spark, sf_dir)
+    root = scratch_dir("q140_deletion_vectors")
+    t = LakehouseTable(spark, root, "silver", "event_dv")
+    t.append(base)
+    t.delete(
+        (F.col("event_type") == "purchase") & (F.col("value") < 50),
+        deletion_vectors=True,
+    )
+    return t.read().select("event_id", "event_type", "value")

@@ -86,6 +86,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q137_table_schema_evolution",
     "q138_rename_column",
     "q139_drop_column",
+    "q140_deletion_vectors",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

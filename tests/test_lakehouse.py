@@ -569,3 +569,45 @@ def test_drop_column_tombstones_physical_identity(spark, events, tmp_path):
     t.drop_column("event_type")
     with pytest.raises(ValueError):
         t.drop_column("event_id")  # cannot drop the only column
+
+
+def test_deletion_vectors_merge_on_read(spark, events, tmp_path):
+    """DV delete is metadata+sidecar only: no data file changes, reads
+    hide the rows, time travel before the delete shows them, DVs
+    compose across deletes, and compact() materialises + purges them."""
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_dv")
+    base = events.select("event_id", "event_type", "value")
+    t.append(base)
+    n0 = t.read().count()
+    n_purch = t.read().where(F.col("event_type") == "purchase").count()
+    assert n_purch > 0
+
+    def data_files():
+        return sorted(
+            os.path.join(dp, fn) for dp, _d, fns in os.walk(t.data_root) for fn in fns
+        )
+
+    before = data_files()
+    v = t.delete(F.col("event_type") == "purchase", deletion_vectors=True)
+    assert v == 1
+    assert data_files() == before, "DV delete must rewrite no data file"
+    assert t.read().count() == n0 - n_purch
+    assert t.read().where(F.col("event_type") == "purchase").count() == 0
+    assert t.read(version=0).count() == n0, "pre-DV version sees all rows"
+
+    # second DV composes with the first
+    n_click = t.read().where(F.col("event_type") == "click").count()
+    t.delete(F.col("event_type") == "click", deletion_vectors=True)
+    assert t.read().count() == n0 - n_purch - n_click
+    # no-match DV commits nothing
+    assert t.delete(F.col("event_type") == "nope", deletion_vectors=True) == -1
+
+    # compact materialises the filtered state and purges the vectors
+    expect = t.read().count()
+    t.compact(target_partitions=1)
+    assert t._dv_names_at(t.current_version()) == []
+    assert t.read().count() == expect
+    assert t.read().where(F.col("event_type") == "purchase").count() == 0
+
+    # a DV-bearing version remains time-travellable AFTER the purge
+    assert t.read(version=2).count() == n0 - n_purch - n_click
