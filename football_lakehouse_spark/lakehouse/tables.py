@@ -655,6 +655,63 @@ class LakehouseTable:
         return self._commit("delete", new_files, self.current_files(), rows=None,
                             schema_json=self._staged_schema)
 
+    def update(self, predicate: Column, assignments: dict[str, Column]) -> int:
+        """Delta-style ``UPDATE … SET`` : copy-on-write rewrite of rows
+        matching ``predicate`` with ``assignments`` (column → new-value
+        expression; expressions may reference the old row). Partitioned
+        tables rewrite only partitions CONTAINING matches — including,
+        when an assignment moves a row's partition value, the partition
+        it lands in staying correct because the whole touched set is
+        restaged. A no-match update commits nothing and returns -1.
+
+        Three-valued semantics match SQL UPDATE: only predicate-TRUE
+        rows change; NULL-predicate rows pass through untouched. CHECK
+        constraints and the logged schema apply to the rewritten data
+        like any write (an update cannot change a column's type)."""
+        base = self.read()
+        matches = base.where(predicate)
+        if matches.limit(1).isEmpty():
+            return -1
+        hit = predicate.eqNullSafe(F.lit(True))
+        for col in assignments:
+            if col not in base.columns:
+                raise ValueError(f"{self.base}: no column {col!r}")
+        if self.partition_by:
+            parts = matches.select(*self.partition_by).distinct()
+            touched = _null_safe_semi(base, parts, self.partition_by)
+            updated = touched.select(
+                *[
+                    F.when(hit, assignments[c]).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in base.columns
+                ]
+            )
+            new_files = self._stage(updated)
+            touched_dirs = [
+                "/".join(
+                    f"{c}={_escape_partition_value(r[c])}" for c in self.partition_by
+                )
+                for r in parts.collect()
+            ]
+            removed = [
+                f for f in self.current_files()
+                if any(f.startswith(d + "/") for d in touched_dirs)
+            ]
+            return self._commit("update", new_files, removed, rows=None,
+                                schema_json=self._staged_schema)
+        updated = base.select(
+            *[
+                F.when(hit, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in base.columns
+            ]
+        )
+        new_files = self._stage(updated)
+        return self._commit("update", new_files, self.current_files(), rows=None,
+                            schema_json=self._staged_schema)
+
     def shallow_clone(
         self, root: str, schema: str, name: str, version: int | None = None
     ) -> "LakehouseTable":

@@ -755,3 +755,33 @@ def deletion_vectors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         deletion_vectors=True,
     )
     return t.read().select("event_id", "event_type", "value")
+
+
+@query(
+    "q141_update_rows",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL})
+    SELECT event_id, event_type,
+           CASE WHEN event_type = 'purchase' AND value < 50
+                THEN round(value * 10, 2) ELSE value END AS value
+    FROM base
+    """,
+    doc="Delta-style UPDATE … SET (completing the DML verbs beside "
+    "MERGE q29, DELETE q72/q140): cheap purchases get their value "
+    "multiplied in place via copy-on-write — assignments see the OLD "
+    "row, non-matching and NULL-predicate rows pass through untouched, "
+    "and on partitioned tables only partitions containing matches are "
+    "rewritten (file-level pruning, the at-scale behaviour). The CASE "
+    "oracle is the relational meaning of the statement.",
+    tags=("lakehouse", "merge"),
+)
+def update_rows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, _ = _base_updates(spark, sf_dir)
+    root = scratch_dir("q141_update_rows")
+    t = LakehouseTable(spark, root, "silver", "event_upd")
+    t.append(base)
+    t.update(
+        (F.col("event_type") == "purchase") & (F.col("value") < 50),
+        {"value": F.round(F.col("value") * 10, 2)},
+    )
+    return t.read().select("event_id", "event_type", "value")

@@ -87,6 +87,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q138_rename_column",
     "q139_drop_column",
     "q140_deletion_vectors",
+    "q141_update_rows",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

@@ -611,3 +611,53 @@ def test_deletion_vectors_merge_on_read(spark, events, tmp_path):
 
     # a DV-bearing version remains time-travellable AFTER the purge
     assert t.read(version=2).count() == n0 - n_purch - n_click
+
+
+def test_update_rows_copy_on_write(spark, events, tmp_path):
+    """UPDATE … SET: only predicate-TRUE rows change; expressions see
+    the old row; partitioned tables rewrite only touched partitions;
+    constraints gate the rewritten data."""
+    from football_lakehouse_spark.lakehouse.tables import ConstraintViolationError
+
+    t = LakehouseTable(
+        spark, str(tmp_path), "silver", "ev_upd", partition_by=["event_type"]
+    )
+    base = events.select("event_id", "event_type", "value")
+    t.append(base)
+    n0 = t.read().count()
+    old_sum = t.read().where(F.col("event_type") == "view").agg(
+        F.sum("value")
+    ).collect()[0][0]
+
+    files_before = set(t.current_files())
+    v = t.update(
+        F.col("event_type") == "purchase",
+        {"value": F.col("value") * 2},
+    )
+    assert v == 1
+    assert t.read().count() == n0
+    # untouched partitions keep their files
+    kept = set(t.current_files()) & files_before
+    assert any(f.startswith("event_type=view/") for f in kept)
+    assert not any(f.startswith("event_type=purchase/") for f in files_before
+                   if f in set(t.current_files()))
+    new_sum = t.read().where(F.col("event_type") == "view").agg(
+        F.sum("value")
+    ).collect()[0][0]
+    assert new_sum == old_sum, "non-matching rows must be untouched"
+    # doubled values equal 2x the v0 purchase sum
+    v0p = t.read(version=0).where(F.col("event_type") == "purchase").agg(
+        F.sum(F.col("value") * 2)
+    ).collect()[0][0]
+    v1p = t.read().where(F.col("event_type") == "purchase").agg(
+        F.sum("value")
+    ).collect()[0][0]
+    assert abs(v0p - v1p) < 1e-6
+
+    assert t.update(F.col("event_type") == "nope", {"value": F.lit(0.0)}) == -1
+    with pytest.raises(ValueError):
+        t.update(F.lit(True), {"missing": F.lit(1)})
+
+    t.add_constraint("nonneg_value", "value >= 0")
+    with pytest.raises(ConstraintViolationError):
+        t.update(F.col("event_type") == "click", {"value": F.lit(-1.0)})
