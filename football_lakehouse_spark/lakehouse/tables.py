@@ -32,12 +32,22 @@ Semantics matched to the reference:
                     partition-scoped rewrite when the table is
                     partitioned — including partitions a matched key
                     is MOVING OUT of
-- ``delete``      → Delta DELETE (predicate-scoped copy-on-write)
-- ``time_travel`` → VERSION AS OF / DESCRIBE HISTORY (§2.13)
+- ``delete``      → Delta DELETE (predicate-scoped copy-on-write, or
+                    merge-on-read via ``deletion_vectors=True``)
+- ``update``      → Delta UPDATE … SET (copy-on-write, partition-scoped)
+- ``time_travel`` → VERSION AS OF / TIMESTAMP AS OF / DESCRIBE HISTORY
+- ``restore``     → RESTORE TABLE … TO VERSION AS OF (metadata-only)
+- ``shallow_clone`` → CREATE TABLE … SHALLOW CLONE (zero-copy)
 - ``vacuum``      → VACUUM (delete files unreachable from retained versions)
 - ``compact``     → OPTIMIZE / autoCompact (rewrite current version into
                     right-sized files; optional sort_by ≈ ZORDER
-                    clustering for scan locality)
+                    clustering for scan locality; purges deletion vectors)
+- ``add_constraint`` → ALTER TABLE ADD CONSTRAINT CHECK (write-enforced)
+- schema tracking → schema lives in the log (enforced appends,
+                    ``merge_schema`` evolution, per-version reads)
+- ``rename_column`` / ``drop_column`` → metadata-only ALTER TABLE via
+                    column mapping (physical names bound per version in
+                    schema-field metadata; dropped identities tombstoned)
 
 Single-writer by design — the reference runs every pipeline with
 ``max_concurrent_runs: 1`` (slice_v1_fpl_bootstrap.yml:5), so atomic

@@ -1,0 +1,66 @@
+"""Slowly-changing-dimension maintenance (SCD Type 2) on the versioned
+table layer — the consumer side of a change feed (the reference's CDC
+surface ends at q98's feed generation; this is what a warehouse DOES
+with such a feed: dimension history with effective-time validity).
+
+Equivalent of Delta Live Tables ``APPLY CHANGES INTO … STORED AS SCD
+TYPE 2``, built from the engine's own primitives: change records merge
+into the dimension keyed on (business key, eff_from); a new change
+closes the previously-current row (its ``eff_to`` becomes the new
+row's ``eff_from``) and inserts the new current row.
+
+Scale contract: the merge ships only AFFECTED keys' rows (left-semi on
+the batch's key set, broadcast when small); history recompute windows
+run per key over (existing rows of affected keys + batch) — O(batch ·
+avg history), never the whole dimension. Re-applying the same batch is
+a no-op (dropDuplicates on (key, ts) makes the apply idempotent — the
+rerun-safety every CDC consumer needs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+
+
+def scd2_apply(
+    table: LakehouseTable,
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    attrs: Sequence[str],
+) -> int:
+    """Apply ``changes`` (``key``, ``*attrs``, ``ts_col``: bigint event
+    time) into ``table`` as SCD Type 2 rows
+    ``(key, *attrs, eff_from, eff_to, is_current)``.
+
+    Incremental application over any batch split is EXACTLY equal to a
+    batch recompute over the concatenated change stream (oracle-checked
+    in q142): affected keys' existing rows are folded back into change
+    form, unioned with the batch, de-duplicated on (key, ts), and their
+    validity windows recomputed; unaffected keys are untouched.
+    """
+    cols = [key, *attrs, ts_col]
+    incoming = changes.select(*cols).dropDuplicates([key, ts_col])
+    if table.exists():
+        aff = incoming.select(key).distinct()
+        existing = table.read().join(F.broadcast(aff), key, "left_semi")
+        folded = existing.select(
+            key, *attrs, F.col("eff_from").alias(ts_col)
+        )
+        allc = folded.unionByName(incoming).dropDuplicates([key, ts_col])
+    else:
+        allc = incoming
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    recomputed = allc.select(
+        key,
+        *attrs,
+        F.col(ts_col).alias("eff_from"),
+        F.lead(ts_col).over(w).alias("eff_to"),
+    ).withColumn("is_current", F.col("eff_to").isNull())
+    if table.exists():
+        return table.merge(recomputed, [key, "eff_from"])
+    return table.append(recomputed)

@@ -785,3 +785,43 @@ def update_rows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"value": F.round(F.col("value") * 10, 2)},
     )
     return t.read().select("event_id", "event_type", "value")
+
+
+@query(
+    "q142_scd2_history",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, value, es AS eff_from,
+           lead(es) OVER (PARTITION BY user_id ORDER BY es) AS eff_to,
+           (lead(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL)
+               AS is_current
+    FROM c
+    """,
+    doc="SCD Type 2 dimension maintenance (operators/scd.scd2_apply; "
+    "DLT APPLY CHANGES … SCD TYPE 2 equivalent — the consumer side of "
+    "q98's change feed): purchase events stream in as change records "
+    "in TWO batches split mid-month; each apply closes the previously-"
+    "current row and inserts the new one, touching only affected keys. "
+    "The ORACLE is the batch recompute over the full change stream — "
+    "hash equality proves incremental apply ≡ batch rebuild, the "
+    "correctness contract of every CDC consumer. Epochs via the "
+    "NTZ-safe helper.",
+    tags=("lakehouse", "merge", "cdc"),
+)
+def scd2_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+    from football_lakehouse_spark.operators.scd import scd2_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "value", epoch_seconds(F.col("ts")).alias("es")
+    )
+    cutoff = 1705276800  # 2024-01-15 00:00:00 UTC, mid-fixture-window
+    root = scratch_dir("q142_scd2_history")
+    t = LakehouseTable(spark, root, "silver", "user_value_scd2")
+    scd2_apply(t, changes.where(F.col("es") < cutoff), "user_id", "es", ["value"])
+    scd2_apply(t, changes.where(F.col("es") >= cutoff), "user_id", "es", ["value"])
+    return t.read().select("user_id", "value", "eff_from", "eff_to", "is_current")

@@ -88,6 +88,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q139_drop_column",
     "q140_deletion_vectors",
     "q141_update_rows",
+    "q142_scd2_history",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

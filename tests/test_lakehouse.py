@@ -661,3 +661,32 @@ def test_update_rows_copy_on_write(spark, events, tmp_path):
     t.add_constraint("nonneg_value", "value >= 0")
     with pytest.raises(ConstraintViolationError):
         t.update(F.col("event_type") == "click", {"value": F.lit(-1.0)})
+
+
+def test_scd2_apply_incremental_equals_batch_and_idempotent(spark, events, tmp_path):
+    """Applying the change stream in 3 arbitrary batches equals one
+    batch apply; re-applying the last batch is a no-op (CDC consumer
+    rerun-safety); exactly one current row per key."""
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+    from football_lakehouse_spark.operators.scd import scd2_apply
+
+    changes = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", "value", epoch_seconds(F.col("ts")).alias("es"))
+    )
+    inc = LakehouseTable(spark, str(tmp_path / "i"), "silver", "scd_i")
+    one = LakehouseTable(spark, str(tmp_path / "b"), "silver", "scd_b")
+    for m in range(3):
+        scd2_apply(inc, changes.where(F.col("user_id") % 3 == m), "user_id", "es", ["value"])
+    scd2_apply(one, changes, "user_id", "es", ["value"])
+
+    def rows(t):
+        return sorted(map(tuple, t.read().collect()))
+
+    assert rows(inc) == rows(one)
+    # rerun the last batch: no logical change
+    before = rows(inc)
+    scd2_apply(inc, changes.where(F.col("user_id") % 3 == 2), "user_id", "es", ["value"])
+    assert rows(inc) == before
+    cur = inc.read().where(F.col("is_current"))
+    assert cur.count() == inc.read().select("user_id").distinct().count()
