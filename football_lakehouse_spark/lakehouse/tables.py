@@ -179,7 +179,8 @@ class LakehouseTable:
     def _commit(self, operation: str, add: list[str], remove: list[str],
                 rows: int | None, schema_json: str | None = None,
                 dv_add: list[str] | None = None,
-                dv_remove: list[str] | None = None) -> int:
+                dv_remove: list[str] | None = None,
+                txn: dict | None = None) -> int:
         commits, _ = self._log_entries()
         v = (commits[-1] + 1) if commits else 0
         entry = {
@@ -192,6 +193,8 @@ class LakehouseTable:
             entry["dv_add"] = sorted(dv_add)
         if dv_remove:
             entry["dv_remove"] = sorted(dv_remove)
+        if txn:
+            entry["txn"] = txn
         tmp = self._commit_path(v) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f)
@@ -521,6 +524,43 @@ class LakehouseTable:
         return self._commit(
             "append", self._stage(df), [], rows=None,
             schema_json=self._staged_schema,
+        )
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest transaction version committed for ``app_id`` (Delta
+        ``txnAppId``/``txnVersion`` parity). O(log tail) scan of the
+        commit files — the newest txn for an app is almost always in
+        the tail."""
+        commits, _ = self._log_entries()
+        best: int | None = None
+        for cv in commits:
+            txn = self._read_commit(cv).get("txn")
+            if txn and txn.get("app_id") == app_id:
+                v = int(txn["version"])
+                best = v if best is None or v > best else best
+        return best
+
+    def append_txn(
+        self, df: DataFrame, app_id: str, txn_version: int,
+        merge_schema: bool = False,
+    ) -> int | None:
+        """Transactionally-idempotent append (Delta's
+        ``option("txnAppId", …).option("txnVersion", …)``): the commit
+        records (app_id, txn_version); a replay of an
+        already-committed version is SKIPPED and returns None. This is
+        the exactly-once primitive for Structured Streaming
+        ``foreachBatch`` sinks — pass the epoch id as ``txn_version``
+        and a failed-then-replayed micro-batch can never double-append,
+        even though the data write itself is not atomic with the
+        checkpoint."""
+        last = self.last_txn_version(app_id)
+        if last is not None and txn_version <= last:
+            return None
+        df = self._align_schema(df, merge_schema)
+        return self._commit(
+            "append", self._stage(df), [], rows=None,
+            schema_json=self._staged_schema,
+            txn={"app_id": app_id, "version": int(txn_version)},
         )
 
     def append_if_new(self, df: DataFrame, hash_col: str) -> int | None:

@@ -89,6 +89,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q140_deletion_vectors",
     "q141_update_rows",
     "q142_scd2_history",
+    "q143_exactly_once_capture",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

@@ -409,3 +409,52 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
     )
+
+
+@query(
+    "q143_exactly_once_capture",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    """,
+    doc="Exactly-once RAW CAPTURE into the versioned table via txn "
+    "markers (Delta txnAppId/txnVersion; streaming/ingest."
+    "append_stream_exactly_once): foreachBatch is at-least-once, so "
+    "the sink records (app_id, epoch) in each commit and a replayed "
+    "batch is skipped TABLE-side — the non-keyed sibling of ST4's "
+    "MERGE dedupe, for rows with no business key. The query lands "
+    "events as JSON, streams them in, FORCE-REPLAYS the committed "
+    "epoch (must be a no-op), reruns the whole stream (checkpoint "
+    "no-op), and reads the table back: the oracle proves zero loss "
+    "and zero duplication through capture + two replay paths.",
+    tags=("streaming", "lakehouse"),
+)
+def exactly_once_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+    from football_lakehouse_spark.streaming.ingest import (
+        append_stream_exactly_once,
+        read_landing_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("q143_exactly_once_capture")
+    landing = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    t = LakehouseTable(spark, root, "bronze", "event_capture")
+    land_json_files(ev, landing)
+    stream = read_landing_stream(spark, landing).drop("ingest_ts")
+    append_stream_exactly_once(stream, t, ckpt, app_id="q143")
+    # forced replay of the last committed epoch: table-side skip
+    assert t.append_txn(t.read(), "q143", t.last_txn_version("q143")) is None
+    # full stream rerun: checkpoint-side no-op
+    append_stream_exactly_once(
+        read_landing_stream(spark, landing).drop("ingest_ts"), t, ckpt, "q143"
+    )
+    return t.read().select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )

@@ -233,3 +233,32 @@ def merge_stream_into_table(
         .start()
     )
     q.awaitTermination()
+
+
+def append_stream_exactly_once(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    app_id: str,
+) -> None:
+    """Exactly-once streaming APPEND into a :class:`LakehouseTable` via
+    ``foreachBatch`` + transactional idempotence (Delta's
+    txnAppId/txnVersion pattern): every micro-batch commits with
+    (app_id, epoch_id) recorded in the table's log, so when a batch is
+    REPLAYED after a sink failure (foreachBatch is at-least-once — the
+    checkpoint advances only after the batch function returns), the
+    duplicate application is detected table-side and skipped. This is
+    the non-keyed sibling of :func:`merge_stream_into_table` (ST4):
+    MERGE dedupes by business key, txn markers dedupe by batch — the
+    right tool when rows have no key (raw event capture)."""
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        table.append_txn(batch, app_id=app_id, txn_version=int(epoch_id))
+
+    (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -364,3 +364,47 @@ def test_streaming_dedup_cross_batch(spark, events, tmp_path):
         r.event_id for r in chunk1.unionByName(chunk2).select("event_id").collect()
     )
     assert got == want
+
+
+def test_exactly_once_append_survives_batch_replay(spark, tmp_path):
+    """foreachBatch is at-least-once; the txn marker makes the sink
+    exactly-once: a forced replay of an already-committed epoch
+    changes nothing, and a second incremental run appends only the
+    NEW files' rows."""
+    from football_lakehouse_spark.catalog import load_table
+    from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+    from football_lakehouse_spark.streaming.ingest import (
+        append_stream_exactly_once,
+        land_json_files,
+        read_landing_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    t = LakehouseTable(spark, str(tmp_path / "tbl"), "bronze", "ev_txn")
+
+    first = events.where(F.col("event_id") % 2 == 0)
+    land_json_files(first, landing)
+    stream = read_landing_stream(spark, landing).drop("ingest_ts")
+    append_stream_exactly_once(stream, t, ckpt, app_id="ev_capture")
+    n1 = t.read().count()
+    assert n1 == first.count()
+
+    # forced replay of the committed epoch: skipped, no duplicates
+    last_v = t.last_txn_version("ev_capture")
+    replay = t.append_txn(
+        t.read(), app_id="ev_capture", txn_version=last_v
+    )
+    assert replay is None
+    assert t.read().count() == n1
+
+    # incremental second run picks up only the newly landed files
+    second = events.where(F.col("event_id") % 2 == 1)
+    land_json_files(second, landing)
+    stream2 = read_landing_stream(spark, landing).drop("ingest_ts")
+    append_stream_exactly_once(stream2, t, ckpt, app_id="ev_capture")
+    assert t.read().count() == events.count()
