@@ -49,3 +49,55 @@ def assert_not_empty(df: DataFrame, name: str = "df") -> None:
     """Empty-input guard (reference Q5) — limit-1 probe, not a count."""
     if df.limit(1).isEmpty():
         raise DataQualityError(f"{name}: expected at least one row")
+
+
+def failed_expectations(df: DataFrame, expectations: dict[str, str]):
+    """Column: array of expectation names the row VIOLATES (predicate
+    false or NULL — the enforcement semantics of table CHECK
+    constraints). Empty array = row passes everything."""
+    return F.filter(
+        F.array(
+            *[
+                F.when(~F.expr(pred).eqNullSafe(F.lit(True)), F.lit(name))
+                for name, pred in sorted(expectations.items())
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def append_with_expectations(
+    table,
+    quarantine,
+    df: DataFrame,
+    expectations: dict[str, str],
+) -> dict[str, int]:
+    """DLT-style ``expect_or_quarantine``: rows passing EVERY
+    expectation append to ``table``; violating rows land in
+    ``quarantine`` with a ``failed_expectations`` array naming what
+    they broke — the triage queue of a production pipeline (vs the
+    CHECK-constraint gate, which rejects the whole batch). Returns
+    ``{"valid": n, "quarantined": n}``.
+
+    Scale: the expectation array is a pure map-side expression; the
+    batch is evaluated twice (one write per destination) — at 100 TB
+    persist the marked batch or land it once and split from storage,
+    same as any dual-sink foreachBatch."""
+    marked = df.withColumn("__failed", failed_expectations(df, expectations))
+    good = marked.where(F.size("__failed") == 0).drop("__failed")
+    bad = marked.where(F.size("__failed") > 0).withColumnRenamed(
+        "__failed", "failed_expectations"
+    )
+    stats = {"valid": 0, "quarantined": 0}
+    if not good.limit(1).isEmpty():
+        table.append(good)
+        stats["valid"] = good.count()
+    if not bad.limit(1).isEmpty():
+        quarantine.append(
+            bad.withColumn(
+                "failed_expectations",
+                F.concat_ws(",", F.col("failed_expectations")),
+            )
+        )
+        stats["quarantined"] = bad.count()
+    return stats

@@ -825,3 +825,73 @@ def scd2_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd2_apply(t, changes.where(F.col("es") < cutoff), "user_id", "es", ["value"])
     scd2_apply(t, changes.where(F.col("es") >= cutoff), "user_id", "es", ["value"])
     return t.read().select("user_id", "value", "eff_from", "eff_to", "is_current")
+
+
+@query(
+    "q144_expectations_quarantine",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+    mutated AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN 'mystery' ELSE event_type END
+                   AS event_type,
+               CASE WHEN event_id % 11 = 0 THEN -value ELSE value END AS value
+        FROM base
+    )
+    SELECT event_id, event_type, value, 'valid' AS disposition,
+           '' AS failed_expectations
+    FROM mutated
+    WHERE NOT (event_id % 7 = 0) AND NOT (event_id % 11 = 0)
+    UNION ALL
+    SELECT event_id, event_type, value, 'quarantined',
+           concat_ws(',',
+               CASE WHEN event_id % 7 = 0 THEN 'known_type' END,
+               CASE WHEN event_id % 11 = 0 THEN 'nonneg_value' END)
+    FROM mutated
+    WHERE event_id % 7 = 0 OR event_id % 11 = 0
+    """,
+    doc="DLT-style expectations with QUARANTINE (expect_or_quarantine; "
+    "operators/quality.append_with_expectations): a batch with injected "
+    "defects (unknown event types, negated values) splits row-wise — "
+    "clean rows land in the target table, violating rows land in a "
+    "quarantine table carrying the NAMES of every expectation they "
+    "broke (the triage queue), vs the CHECK-constraint gate (q134) "
+    "which rejects whole batches. The expectation array is a pure "
+    "map-side expression. Oracle reproduces the split and the "
+    "failure-name lists exactly.",
+    tags=("lakehouse", "quality"),
+)
+def expectations_quarantine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.quality import append_with_expectations
+
+    base, _ = _base_updates(spark, sf_dir)
+    mutated = base.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit("mystery"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 11 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    root = scratch_dir("q144_expectations_quarantine")
+    t = LakehouseTable(spark, root, "silver", "event_clean")
+    q = LakehouseTable(spark, root, "silver", "event_quarantine")
+    append_with_expectations(
+        t, q, mutated,
+        {
+            "known_type": "event_type IN ('click','error','purchase','signup','view','updated')",
+            "nonneg_value": "value >= 0",
+        },
+    )
+    valid = t.read().select(
+        "event_id", "event_type", "value",
+        F.lit("valid").alias("disposition"),
+        F.lit("").alias("failed_expectations"),
+    )
+    quar = q.read().select(
+        "event_id", "event_type", "value",
+        F.lit("quarantined").alias("disposition"),
+        "failed_expectations",
+    )
+    return valid.unionByName(quar)

@@ -90,6 +90,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q141_update_rows",
     "q142_scd2_history",
     "q143_exactly_once_capture",
+    "q144_expectations_quarantine",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

@@ -690,3 +690,29 @@ def test_scd2_apply_incremental_equals_batch_and_idempotent(spark, events, tmp_p
     assert rows(inc) == before
     cur = inc.read().where(F.col("is_current"))
     assert cur.count() == inc.read().select("user_id").distinct().count()
+
+
+def test_append_with_expectations_stats_and_split(spark, events, tmp_path):
+    from football_lakehouse_spark.operators.quality import append_with_expectations
+
+    base = events.select("event_id", "event_type", "value").limit(100)
+    t = LakehouseTable(spark, str(tmp_path), "silver", "clean")
+    q = LakehouseTable(spark, str(tmp_path), "silver", "quar")
+    stats = append_with_expectations(
+        t, q,
+        base.withColumn(
+            "value", F.when(F.col("event_id") % 4 == 0, -1.0).otherwise(F.col("value"))
+        ),
+        {"nonneg_value": "value >= 0"},
+    )
+    assert stats["valid"] + stats["quarantined"] == 100
+    assert stats["quarantined"] == t.spark.createDataFrame([], "x int") .count() + base.where(F.col("event_id") % 4 == 0).count()
+    assert t.read().where(F.col("value") < 0).count() == 0
+    assert q.read().where(F.col("failed_expectations") != "nonneg_value").count() == 0
+    # an all-clean batch touches only the target table
+    v_before = q.current_version()
+    stats2 = append_with_expectations(
+        t, q, base.withColumn("value", F.abs("value")), {"nonneg_value": "value >= 0"}
+    )
+    assert stats2["quarantined"] == 0
+    assert q.current_version() == v_before
