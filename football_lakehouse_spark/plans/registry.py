@@ -91,6 +91,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q142_scd2_history",
     "q143_exactly_once_capture",
     "q144_expectations_quarantine",
+    "q145_rank_family",
+    "q146_relational_division",
+    "q147_grouping_sets",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

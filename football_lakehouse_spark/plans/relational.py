@@ -1042,3 +1042,114 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+@query(
+    "q145_rank_family",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    doc="The complete ranking-window family in one pass — ntile "
+    "(deciles), rank, dense_rank, percent_rank, cume_dist — per market "
+    "segment over account balance (completing O1-O3/q117's "
+    "row_number-only coverage). percent_rank/cume_dist are exact "
+    "rationals of integer ranks (single correctly-rounded division — "
+    "bit-identical cross-engine); all five share ONE window spec, so "
+    "the plan is one shuffle + one in-partition sort for the whole "
+    "family.",
+    tags=("relational", "window"),
+)
+def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "q146_relational_division",
+    oracle="""
+    WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+    per_cust AS (
+        SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_pr
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, CAST(p.n_pr AS BIGINT) AS n_priorities
+    FROM customer c
+    JOIN per_cust p ON p.o_custkey = c.c_custkey
+    WHERE p.n_pr = (SELECT count(*) FROM pr)
+    """,
+    doc="RELATIONAL DIVISION — 'customers whose orders span EVERY "
+    "order priority' (the for-all quantifier SQL lacks natively; the "
+    "classic suppliers-who-supply-all-parts shape). Implemented as the "
+    "count-distinct-equals-universe decomposition: one grouped "
+    "distinct-count per customer against the broadcast 1-row universe "
+    "count — no double-anti-join, no per-customer set ops; the "
+    "distinct-agg is two-phase partial-aggregated.",
+    tags=("relational", "join"),
+)
+def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    universe = orders.agg(
+        F.countDistinct("o_orderpriority").alias("n_all")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(universe))
+        .where(F.col("n_priorities") == F.col("n_all"))
+        .join(cust, per_cust.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", F.col("n_priorities").cast("bigint"))
+    )
+
+
+@query(
+    "q147_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS — the per-dimension marginals WITHOUT "
+    "the cross-product cells (completing q21 ROLLUP / q63 CUBE: "
+    "grouping sets is the construct the other two desugar to). "
+    "grouping() flags disambiguate a NULL group value from a "
+    "marginalised dimension. One expand + one shuffle; the expand "
+    "multiplies rows by the number of SETS (3), not 2^dims.",
+    tags=("relational", "agg"),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("q147_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM q147_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
