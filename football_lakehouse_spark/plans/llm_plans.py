@@ -3821,3 +3821,80 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(F.lit("group").alias("method"), "n_pairs",
                  F.col("leak_group").alias("n_leaked"))
     )
+
+
+@query(
+    "q148_neardup_triangles",
+    oracle=f"""
+    WITH {_sql_minhash_ctes(0.5)},
+    e AS (
+        SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+        FROM neardup GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY v
+    ),
+    tri AS (
+        SELECT count(*) AS n_tri
+        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+          ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles
+    """,
+    doc="Distributed TRIANGLE COUNTING + wedge census over the verified "
+    "near-dup graph (the graph-analytics sibling of q57 components and "
+    "q124 PageRank): canonical a<b edge orientation makes each "
+    "triangle match exactly once in the two-join enumeration (e1=(a,b) "
+    "⋈ e2=(b,c) ⋈ closing edge (a,c)); wedges come from the degree "
+    "table. 3·triangles/wedges is the global clustering coefficient — "
+    "near 1 for near-dup graphs (clusters are quasi-cliques), which is "
+    "itself a dedup-quality diagnostic. All-integer outputs, exact "
+    "cross-engine. Scale: the join is edge×edge on node keys — the "
+    "standard MR triangle enumeration; high-degree skew is bounded "
+    "upstream by the q93 star cap.",
+    tags=("llm", "dedup", "graph"),
+)
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardups(docs, threshold=0.5)
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_tri")
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("n_wedges")
+    )
+    return (
+        nodes.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_nodes").cast("bigint"),
+            F.col("n_edges").cast("bigint"),
+            F.col("n_wedges").cast("bigint"),
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+        )
+    )

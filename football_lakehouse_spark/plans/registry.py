@@ -94,6 +94,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q145_rank_family",
     "q146_relational_division",
     "q147_grouping_sets",
+    "q148_neardup_triangles",
+    "q149_activity_gaps",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

@@ -329,3 +329,47 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q149_activity_gaps",
+    oracle="""
+    SELECT user_id,
+           CAST(min(h) AS BIGINT) AS first_h,
+           CAST(max(h) AS BIGINT) AS last_h,
+           CAST(count(DISTINCT h) AS BIGINT) AS active_hours,
+           CAST(max(h) - min(h) + 1 - count(DISTINCT h) AS BIGINT)
+               AS gap_hours
+    FROM (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+        FROM events
+    )
+    GROUP BY user_id
+    """,
+    doc="Activity-GAP detection per user: bucket events into hours, "
+    "then dead hours inside the activity span = span − distinct active "
+    "hours — the missing-data / sensor-outage report of any telemetry "
+    "pipeline, computed WITHOUT generating the dense hour range (a "
+    "sequence-explode would materialise span×users rows; the "
+    "count-distinct identity needs only the events that exist). One "
+    "grouped distinct-agg, partial-aggregated; all-integer outputs via "
+    "the NTZ-safe epoch helper.",
+    tags=("windows", "events"),
+)
+def activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.floor(epoch_seconds(F.col("ts")) / 3600).cast("bigint")
+    return (
+        ev.select("user_id", h.alias("h"))
+        .groupBy("user_id")
+        .agg(
+            F.min("h").cast("bigint").alias("first_h"),
+            F.max("h").cast("bigint").alias("last_h"),
+            F.countDistinct("h").cast("bigint").alias("active_hours"),
+            (F.max("h") - F.min("h") + 1 - F.countDistinct("h"))
+            .cast("bigint")
+            .alias("gap_hours"),
+        )
+    )
