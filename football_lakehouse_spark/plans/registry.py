@@ -96,6 +96,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q147_grouping_sets",
     "q148_neardup_triangles",
     "q149_activity_gaps",
+    "q150_ewma",
     # --- broken or changed this round → re-attest first ---
     "q28_sessionize",
     "q64_range_join",

@@ -373,3 +373,59 @@ def activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_hours"),
         )
     )
+
+
+@query(
+    "q150_ewma",
+    oracle="""
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n,
+           list_reduce(vals, (acc, x) -> x * 0.5 + acc * 0.5) AS ewma
+    FROM (
+        SELECT user_id,
+               list(value ORDER BY floor(epoch(ts)), event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    """,
+    doc="Exponentially-weighted moving average per user (α=0.5): the "
+    "recursive s_i = α·x_i + (1−α)·s_{i−1} that no window frame can "
+    "express — computed as a codegen FOLD over the event-time-ordered "
+    "value array (collect, sort, aggregate — one shuffle; the "
+    "recurrence itself never leaves the JVM). α is exactly "
+    "representable in binary and both engines evaluate the identical "
+    "IEEE operation sequence in the identical order, so the doubles "
+    "match BITWISE — the strongest form of cross-engine agreement for "
+    "an inherently sequential float recurrence. At scale per-user "
+    "series fit in an executor (bounded-array caveat as q78 packing); "
+    "unbounded series would move to applyInPandasWithState.",
+    tags=("windows", "events"),
+)
+def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    epoch_seconds(F.col("ts")).alias("es"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.lit(0), F.size("vals") - 1)),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: x * F.lit(0.5) + acc * F.lit(0.5),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(vals.alias("vals"))
+        .select(
+            "user_id",
+            F.size("vals").cast("bigint").alias("n"),
+            ewma.alias("ewma"),
+        )
+    )
