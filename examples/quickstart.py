@@ -53,6 +53,21 @@ def main() -> None:
           t.read().where("event_type = 'corrected'").count())
     print("   history:", [(h["version"], h["operation"]) for h in t.describe_history()])
 
+    print("== ALTER TABLE family (all metadata-only) + constraints + DVs")
+    t.add_constraint("nonneg_value", "value >= 0")
+    try:
+        t.append(t.read().limit(1).withColumn("value", F.lit(-1.0)))
+    except Exception as ex:
+        print("   violating append rejected:", type(ex).__name__)
+    t.drop_constraint("nonneg_value")  # it references the old name
+    t.rename_column("value", "points")
+    t.add_constraint("nonneg_points", "points >= 0")
+    t.delete(F.col("points") > 300, deletion_vectors=True)
+    print("   after rename + DV delete:", t.read().columns,
+          "rows:", t.read().count())
+    t.restore(0)
+    print("   restored to v0:", t.read().columns, t.read().count())
+
     print("== LLM-data: near-duplicates + similarity search")
     docs = load_table(spark, SF, "documents")
     pairs = minhash_lsh_neardups(docs, threshold=0.5)

@@ -830,9 +830,16 @@ class LakehouseTable:
         """
         target = set(self._live_at(version))
         current = set(self.current_files())
+        # deletion vectors are part of a version's logical content:
+        # restoring past a DV delete must resurrect the rows (and
+        # restoring TO a DV-bearing version must re-apply its vectors)
+        dv_target = set(self._dv_names_at(version))
+        dv_current = set(self._dv_names_at(self.current_version()))
         return self._commit(
             "restore", sorted(target - current), sorted(current - target),
             rows=None, schema_json=self._schema_at(version),
+            dv_add=sorted(dv_target - dv_current),
+            dv_remove=sorted(dv_current - dv_target),
         )
 
     # ------------------------------------------------------------------- read

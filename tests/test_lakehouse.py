@@ -716,3 +716,19 @@ def test_append_with_expectations_stats_and_split(spark, events, tmp_path):
     )
     assert stats2["quarantined"] == 0
     assert q.current_version() == v_before
+
+
+def test_restore_reconciles_deletion_vectors(spark, events, tmp_path):
+    """RESTORE past a DV delete resurrects the rows; restoring forward
+    to the DV-bearing version re-applies the vectors."""
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_dv_restore")
+    base = events.select("event_id", "event_type", "value")
+    t.append(base.limit(200))
+    n0 = 200
+    t.delete(F.col("event_type") == "purchase", deletion_vectors=True)
+    n1 = t.read().count()
+    assert n1 < n0
+    t.restore(0)
+    assert t.read().count() == n0, "restore must undo the DV delete"
+    t.restore(1)
+    assert t.read().count() == n1, "restore must re-apply the DV"
