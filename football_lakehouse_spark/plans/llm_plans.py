@@ -3898,3 +3898,66 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tri").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+@query(
+    "q151_gram_matrix",
+    oracle="""
+    WITH qx AS (
+        SELECT vec_id, i AS pos,
+               CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+                   AS q
+        FROM embeddings, range(64) r(i)
+        WHERE i < 16
+    )
+    SELECT a.pos AS pos_i, b.pos AS pos_j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS DECIMAL(38, 0)) AS sum_xy,
+           CAST(sum(a.q) AS BIGINT) AS sum_x,
+           CAST(sum(b.q) AS BIGINT) AS sum_y
+    FROM qx a JOIN qx b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+    GROUP BY a.pos, b.pos
+    """,
+    doc="Distributed GRAM / covariance-sufficient-statistics matrix over "
+    "the first 16 embedding dimensions (the whitening / PCA-prep input "
+    "of an embedding pipeline): for every dimension pair (i ≤ j), the "
+    "exact-integer Σxy (128-bit safe: DECIMAL(38,0) ↔ HUGEINT), Σx, Σy "
+    "and n — covariance = (n·Σxy − Σx·Σy)/n² is a pure post-step, so "
+    "the cross-engine match is exact. Scale: ONE self-join per vector "
+    "on vec_id of the exploded components — shipped rows = corpus·d, "
+    "pair products computed inside the join (never materialised wider "
+    "than d²·partitions partials); d² output cells are partial-"
+    "aggregated map-side. At d=4096 you'd block the pair space the "
+    "same way (pos_i ≤ pos_j halves it).",
+    tags=("llm", "similarity", "ml"),
+)
+def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qx = emb.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding"), 1, 16)).alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1000000).cast("bigint").alias("q"),
+    )
+    a = qx.alias("a")
+    b = qx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.pos") <= F.col("b.pos")),
+        )
+        .groupBy(
+            F.col("a.pos").alias("pos_i"), F.col("b.pos").alias("pos_j")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("a.q").cast("decimal(38,0)") * F.col("b.q").cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("sum_xy"),
+            F.sum("a.q").cast("bigint").alias("sum_x"),
+            F.sum("b.q").cast("bigint").alias("sum_y"),
+        )
+    )

@@ -429,3 +429,66 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ewma.alias("ewma"),
         )
     )
+
+
+@query(
+    "q152_cohort_retention",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+        FROM events
+    ),
+    firstw AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id),
+    act AS (
+        SELECT DISTINCT f.cw, w.wk - f.cw AS off, w.user_id
+        FROM w JOIN firstw f USING (user_id)
+    ),
+    ret AS (SELECT cw, off, count(*) AS n_active FROM act GROUP BY cw, off),
+    csize AS (SELECT cw, count(*) AS n_cohort FROM firstw GROUP BY cw)
+    SELECT r.cw AS cohort_week, r.off AS week_offset,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           CAST(floor(r.n_active * 1000000.0 / s.n_cohort) AS BIGINT)
+               AS retention_pm
+    FROM ret r JOIN csize s USING (cw)
+    """,
+    doc="COHORT RETENTION matrix (the other canonical product-analytics "
+    "cut beside q132's funnel): users cohorted by first-activity week "
+    "(epoch-week buckets — no calendar/locale ambiguity cross-engine); "
+    "each (cohort, week-offset) cell counts distinct still-active "
+    "users, with cohort size and a floor-quantised retention rate per "
+    "million. Two grouped aggs + one join on the user's cohort key "
+    "(reusing the user_id partitioning from the first-week agg — AQE "
+    "elides the re-exchange); the distinct is per-(user, week) partial "
+    "rows, never raw events, and the final matrix is weeks×offsets "
+    "tiny. All-integer, exact.",
+    tags=("windows", "events"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id",
+        F.floor(epoch_seconds(F.col("ts")) / 604800).cast("bigint").alias("wk"),
+    )
+    firstw = w.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    act = (
+        w.join(firstw, "user_id")
+        .select("cw", (F.col("wk") - F.col("cw")).alias("off"), "user_id")
+        .distinct()
+    )
+    ret = act.groupBy("cw", "off").agg(F.count(F.lit(1)).alias("n_active"))
+    csize = firstw.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        ret.join(csize, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("off").alias("week_offset"),
+            F.col("n_active").cast("bigint"),
+            F.col("n_cohort").cast("bigint"),
+            F.floor(F.col("n_active") * 1000000.0 / F.col("n_cohort"))
+            .cast("bigint")
+            .alias("retention_pm"),
+        )
+    )
