@@ -334,3 +334,36 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_rank_family_single_sort(spark):
+    """q145: five ranking functions over ONE window spec must plan a
+    single exchange + single Window node — no per-function re-sort."""
+    plan = plan_of(spark, "q145_rank_family")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window ") + plan.count("Window\n") <= 2  # Window + WindowGroupLimit-free
+
+
+def test_relational_division_broadcasts_universe(spark):
+    """q146: Catalyst folds the crossJoin+equality into a broadcast
+    HASH join on the universe count (better than the nested-loop a
+    naive cross would plan), and the customer dim broadcasts too —
+    no sort-merge anywhere."""
+    plan = plan_of(spark, "q146_relational_division")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gram_matrix_partial_aggregation(spark):
+    """q151: the d² cells partial-aggregate map-side before the single
+    exchange on (pos_i, pos_j)."""
+    plan = plan_of(spark, "q151_gram_matrix")
+    assert "partial_" in plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """q132: signup agg, purchase agg and final join all key on
+    user_id — at most two hash exchanges of the events table feed the
+    whole funnel (no third shuffle for the join)."""
+    plan = plan_of(spark, "q132_funnel_conversion")
+    assert plan.count("Exchange hashpartitioning") <= 3
