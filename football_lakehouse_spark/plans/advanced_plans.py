@@ -522,3 +522,60 @@ def props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").cast("bigint").alias("min_val"),
         F.max("val").cast("bigint").alias("max_val"),
     )
+
+
+@query(
+    "q153_pit_join",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS eff_from
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT v.event_id, v.user_id, v.es,
+           b.value AS value_asof, b.eff_from
+    FROM v
+    ASOF LEFT JOIN dim b
+      ON v.user_id = b.user_id AND v.es >= b.eff_from
+    """,
+    doc="POINT-IN-TIME join to dimension history (the read side of "
+    "q142's SCD2: 'which version of the user's value was in effect "
+    "when this view happened' — the temporal-correctness join every "
+    "feature-store and reporting stack needs to avoid leakage from "
+    "future dimension versions). Composition of existing primitives: "
+    "the SCD2 change stream is exactly an as-of join's right side "
+    "keyed on eff_from, so the single-shuffle union+window asof "
+    "operator (q49) answers it with no interval explosion; the oracle "
+    "is DuckDB's native ASOF with the inclusive bound. Facts before "
+    "any version keep NULLs (honest nulls, not a default row).",
+    tags=("advanced", "join", "cdc"),
+)
+def pit_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value",
+        epoch_seconds(F.col("ts")).alias("eff_from"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", epoch_seconds(F.col("ts")).alias("es")
+    )
+    joined = asof_join(
+        views,
+        dim,
+        key="user_id",
+        left_ts="es",
+        right_ts="eff_from",
+        payload=["value", "eff_from"],
+        strictly_before=False,
+    )
+    return joined.select(
+        "event_id", "user_id", "es",
+        F.col("asof_value").alias("value_asof"),
+        F.col("asof_eff_from").alias("eff_from"),
+    )

@@ -99,6 +99,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q150_ewma",
     "q151_gram_matrix",
     "q152_cohort_retention",
+    "q153_pit_join",
     # --- plans changed in round 4 → re-attest (Lloyd refactor: q51;
     #     CC lineage truncation: q57; codec wiring: q47; NTZ: q71) ---
     "q51_ann_ivf",
