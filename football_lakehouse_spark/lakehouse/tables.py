@@ -970,6 +970,34 @@ class LakehouseTable:
                 )
         return hist
 
+    def describe_detail(self) -> dict:
+        """``DESCRIBE DETAIL`` equivalent: current-version file count,
+        total bytes, size distribution and maintenance signals (active
+        deletion vectors, declared constraints, schema column count) —
+        the numbers an OPTIMIZE/VACUUM policy decides on. Control-plane
+        only: O(files) stat calls, no data read."""
+        files = self.current_files()
+        sizes = []
+        for f in files:
+            p = f if os.path.isabs(f) else os.path.join(self.data_root, f)
+            try:
+                sizes.append(os.path.getsize(p))
+            except OSError:
+                sizes.append(0)
+        v = self.current_version()
+        sch = self.schema()
+        return {
+            "version": v,
+            "num_files": len(files),
+            "size_bytes": sum(sizes),
+            "min_file_bytes": min(sizes) if sizes else 0,
+            "max_file_bytes": max(sizes) if sizes else 0,
+            "num_deletion_vectors": len(self._dv_names_at(v)),
+            "num_constraints": len(self.constraints()),
+            "num_columns": len(sch.fields) if sch else None,
+            "partition_columns": list(self.partition_by),
+        }
+
     def describe_history(self) -> list[dict]:
         """DESCRIBE HISTORY equivalent (compact entries; file lists live
         in the per-commit log, not the history)."""

@@ -492,3 +492,64 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_pm"),
         )
     )
+
+
+@query(
+    "q154_distribution_drift",
+    oracle="""
+    WITH halves AS (
+        SELECT event_type,
+               CASE WHEN floor(epoch(ts)) < 1705276800 THEN 0 ELSE 1 END AS half
+        FROM events
+    ),
+    c AS (
+        SELECT event_type,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+        FROM halves GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM c)
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           (CAST(n1 AS DOUBLE) / t1) - (CAST(n2 AS DOUBLE) / t2) AS share_delta,
+           ((CAST(n1 AS DOUBLE) / t1) - (CAST(n2 AS DOUBLE) / t2))
+             * ((CAST(n1 AS DOUBLE) / t1) - (CAST(n2 AS DOUBLE) / t2))
+             / ((CAST(n1 AS DOUBLE) / t1) + (CAST(n2 AS DOUBLE) / t2))
+               AS drift_contrib
+    FROM c CROSS JOIN tot
+    """,
+    doc="DISTRIBUTION DRIFT monitor between two corpus snapshots (the "
+    "data-quality sibling of PSI/chi-square, here between the first and "
+    "second half of the event window): per category, counts in each "
+    "half, the share delta, and the symmetric drift contribution "
+    "(Δshare²/(s1+s2) — summing the column gives the triangular-"
+    "discrimination statistic; a pure function of the same IEEE "
+    "operation sequence on both engines, so doubles match bitwise). "
+    "Two passes collapse to ONE conditional agg per category + a "
+    "broadcast totals row — the shape that monitors a 100 TB daily "
+    "snapshot against yesterday's at the cost of one scan "
+    "(north star: corpus monitoring).",
+    tags=("windows", "events", "quality"),
+)
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = 1705276800  # mid-window
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(epoch_seconds(F.col("ts")) < cutoff, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(epoch_seconds(F.col("ts")) >= cutoff, 1).otherwise(0)).alias("n2"),
+    )
+    tot = c.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    s1 = F.col("n1").cast("double") / F.col("t1")
+    s2 = F.col("n2").cast("double") / F.col("t2")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n1").cast("bigint"),
+            F.col("n2").cast("bigint"),
+            (s1 - s2).alias("share_delta"),
+            ((s1 - s2) * (s1 - s2) / (s1 + s2)).alias("drift_contrib"),
+        )
+    )

@@ -732,3 +732,20 @@ def test_restore_reconciles_deletion_vectors(spark, events, tmp_path):
     assert t.read().count() == n0, "restore must undo the DV delete"
     t.restore(1)
     assert t.read().count() == n1, "restore must re-apply the DV"
+
+
+def test_describe_detail(spark, events, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_detail")
+    base = events.select("event_id", "event_type", "value")
+    t.append(base.limit(100))
+    t.add_constraint("nonneg_value", "value >= 0")
+    t.delete(F.col("event_type") == "purchase", deletion_vectors=True)
+    d = t.describe_detail()
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["min_file_bytes"] <= d["max_file_bytes"]
+    assert d["num_deletion_vectors"] == 1
+    assert d["num_constraints"] == 1
+    assert d["num_columns"] == 3
+    t.compact(target_partitions=1)
+    d2 = t.describe_detail()
+    assert d2["num_files"] == 1 and d2["num_deletion_vectors"] == 0
