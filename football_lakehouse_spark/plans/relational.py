@@ -1153,3 +1153,85 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q147_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+@query(
+    "q155_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS modal_type, CAST(cnt AS BIGINT) AS n
+    FROM (
+        SELECT user_id, event_type, count(*) AS cnt,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY count(*) DESC, event_type ASC
+               ) AS rn
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+    doc="MODE per group with a DETERMINISTIC tie-break (most frequent "
+    "event type per user; ties to the lexically-first type) — the "
+    "aggregate Spark's built-in mode() answers nondeterministically "
+    "under ties, re-expressed as count + argmax-by-struct so the "
+    "result is partition-invariant and cross-engine exact. Two-phase: "
+    "per-(user, type) partial counts shuffle once; the argmax is "
+    "min(struct(-cnt, type)) — no second exchange, no window over raw "
+    "rows.",
+    tags=("relational", "agg"),
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # argmax via min(struct(-cnt, type, cnt)): highest count, ties to the
+    # lexically smallest type — one partial-aggregated pass, no window
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"),
+                    F.col("event_type").alias("t"),
+                    F.col("cnt").alias("c"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.t").alias("modal_type"),
+            F.col("m.c").cast("bigint").alias("n"),
+        )
+    )
+
+
+@query(
+    "q156_value_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT least(CAST(floor(value / 25.0) AS BIGINT), 13) AS bin
+        FROM events
+    )
+    SELECT bin,
+           CAST(bin * 25.0 AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bin
+    """,
+    doc="Equi-width HISTOGRAM of the value column (25-unit bins, last "
+    "bin open-ended) — the profiling primitive behind every column "
+    "drill-down UI. Binning is a pure map expression (floor of one "
+    "correctly-rounded division — deterministic cross-engine); the agg "
+    "ships one row per bin per partition. Fixed bin edges, NOT "
+    "data-dependent quantile edges, so incremental snapshots are "
+    "comparable bin-for-bin (the property a drift monitor like q154 "
+    "needs).",
+    tags=("relational", "agg", "quality"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 25.0).cast("bigint"), F.lit(13))
+    return (
+        ev.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", (F.col("bin") * 25.0).alias("bin_lo"), "n")
+    )
