@@ -83,6 +83,12 @@ class SchemaMismatchError(ValueError):
     without mergeSchema, or a column type change); nothing was
     committed. Delta schema-enforcement parity."""
 
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency, Delta ConcurrentModificationException parity): nothing
+    was committed; re-read and retry."""
+
 #: Spark/Hive's on-disk name for a NULL partition value
 _DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
 #: chars Spark escapes in partition dir names (ExternalCatalogUtils:
@@ -198,7 +204,20 @@ class LakehouseTable:
         tmp = self._commit_path(v) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f)
-        os.replace(tmp, self._commit_path(v))  # atomic (single-writer CAS)
+        # TRUE compare-and-swap: os.link fails with EEXIST if another
+        # writer already committed this version (os.replace would
+        # silently clobber their commit — lost update). This is the
+        # put-if-absent every log-structured table format needs; on
+        # object stores it maps to conditional PUT.
+        try:
+            os.link(tmp, self._commit_path(v))
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                f"{self.base}: version {v} was committed by another writer; "
+                f"re-read the table and retry the operation"
+            ) from None
+        os.unlink(tmp)
         if v % CHECKPOINT_EVERY == 0 and v > 0:
             cp = {
                 "version": v,

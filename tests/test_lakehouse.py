@@ -749,3 +749,34 @@ def test_describe_detail(spark, events, tmp_path):
     t.compact(target_partitions=1)
     d2 = t.describe_detail()
     assert d2["num_files"] == 1 and d2["num_deletion_vectors"] == 0
+
+
+def test_concurrent_commit_detected_not_clobbered(spark, events, tmp_path):
+    """Optimistic concurrency: a writer acting on a STALE view of the
+    log (the race window between listing and committing) must get
+    ConcurrentWriteError, and the winner's commit survives
+    byte-for-byte — os.replace would have silently clobbered it."""
+    import json as _json
+
+    from football_lakehouse_spark.lakehouse.tables import ConcurrentWriteError
+
+    t = LakehouseTable(spark, str(tmp_path), "silver", "ev_cas")
+    base = events.select("event_id", "event_type", "value")
+    t.append(base.limit(10))
+    # the racing writer lands version 1 first...
+    winner = {"version": 1, "operation": "append", "ts": 0.0,
+              "rows": None, "add": [], "remove": []}
+    with open(t._commit_path(1), "w") as f:
+        _json.dump(winner, f)
+    # ...while OUR writer still holds the pre-race log listing
+    stale = t._log_entries()  # includes v1 — so fake the stale view:
+    t._log_entries = lambda: ([0], [])  # type: ignore[method-assign]
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t._commit("append", [], [], rows=None)
+    finally:
+        del t.__dict__["_log_entries"]
+    with open(t._commit_path(1)) as f:
+        assert _json.load(f) == winner, "winner's commit must survive"
+    # a fresh read of the log resolves the conflict: retry lands as v2
+    assert t.append(base.limit(5)) == 2
