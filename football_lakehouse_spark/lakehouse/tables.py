@@ -50,8 +50,10 @@ Semantics matched to the reference:
                     schema-field metadata; dropped identities tombstoned)
 
 Single-writer by design — the reference runs every pipeline with
-``max_concurrent_runs: 1`` (slice_v1_fpl_bootstrap.yml:5), so atomic
-rename of one commit file is a sufficient CAS.
+``max_concurrent_runs: 1`` (slice_v1_fpl_bootstrap.yml:5) — but commit
+publication is nevertheless a true put-if-absent CAS (os.link fails on
+an existing version → ConcurrentWriteError), so an accidental second
+writer is DETECTED, never silently clobbered.
 """
 
 from __future__ import annotations
