@@ -103,6 +103,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q154_distribution_drift",
     "q155_mode_per_group",
     "q156_value_histogram",
+    "q157_cumulative_distinct",
+    "q158_rolling_distinct",
     # --- plans changed in round 4 → re-attest (Lloyd refactor: q51;
     #     CC lineage truncation: q57; codec wiring: q47; NTZ: q71) ---
     "q51_ann_ivf",

@@ -553,3 +553,107 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((s1 - s2) * (s1 - s2) / (s1 + s2)).alias("drift_contrib"),
         )
     )
+
+
+@query(
+    "q157_cumulative_distinct",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id,
+               min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0
+        FROM events GROUP BY user_id
+    ),
+    perday AS (SELECT d0 AS d, count(*) AS new_users FROM firstday GROUP BY d0),
+    days AS (
+        SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        FROM events
+    )
+    SELECT days.d AS day,
+           CAST(COALESCE(p.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(COALESCE(p.new_users, 0)) OVER (
+               ORDER BY days.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM days LEFT JOIN perday p ON p.d = days.d
+    """,
+    doc="CUMULATIVE DISTINCT users per day — the growth curve every "
+    "product dashboard opens with, and a window shape Spark cannot "
+    "express directly (COUNT(DISTINCT) over a running frame is "
+    "unsupported): rewritten as first-seen-day per user → daily "
+    "new-user counts → running SUM, which is exactly equivalent and "
+    "touches one row per user instead of re-scanning every prefix. "
+    "The final window runs over the ~n_days aggregate, never the "
+    "corpus (the global-window trap q103's docstring warns about is "
+    "bounded here by the day count).",
+    tags=("windows", "events"),
+)
+def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(epoch_seconds(F.col("ts")) / 86400).cast("bigint")
+    firstday = ev.select("user_id", day.alias("d")).groupBy("user_id").agg(
+        F.min("d").alias("d0")
+    )
+    perday = firstday.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = ev.select(day.alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(perday, "day", "left")
+        .select("day", F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"))
+        .select(
+            "day",
+            F.col("new_users").cast("bigint"),
+            F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+        )
+    )
+
+
+@query(
+    "q158_rolling_distinct",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM active),
+    contrib AS (
+        SELECT a.user_id, a.d + i AS d
+        FROM active a, range(7) r(i)
+    )
+    SELECT days.d AS day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau7
+    FROM days JOIN contrib c ON c.d = days.d
+    GROUP BY days.d
+    """,
+    doc="ROLLING 7-day distinct users (WAU) per day — rolling "
+    "COUNT(DISTINCT) is inexpressible as a window in either engine; "
+    "the exact scalable rewrite EXPLODES each (user, active-day) row "
+    "into the ≤7 future days it keeps the user 'active' for, then "
+    "counts distinct per day: shipped rows = active-days × window/day "
+    "(bounded, uniform), versus the self-join-per-day form whose skew "
+    "follows the busiest week. Count-distinct is two-phase "
+    "partial-aggregated; days outside the corpus clip naturally via "
+    "the inner join.",
+    tags=("windows", "events"),
+)
+def rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(epoch_seconds(F.col("ts")) / 86400).cast("bigint")
+    active = ev.select("user_id", day.alias("d")).distinct()
+    days = active.select("d").distinct().withColumnRenamed("d", "day")
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day"),
+    )
+    return (
+        days.join(contrib, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau7"))
+    )
