@@ -154,3 +154,36 @@ def test_asof_tolerance_gates_stale_matches(spark):
         elif f.asof_event_id is not None:
             nulled += 1  # had a match, too stale under the bound
     assert kept > 0 and nulled > 0, "tolerance must actually bite both ways"
+
+
+def test_user_curve_queries_mutually_consistent(spark):
+    """q157/q158/q149 agree on the underlying activity sets: the WAU
+    curve dominates each single day's distinct actives, never exceeds
+    the cumulative total, and the cumulative curve is non-decreasing
+    and ends at the total distinct-user count."""
+    from football_lakehouse_spark.catalog import load_table
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+    from football_lakehouse_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    day = F.floor(epoch_seconds(F.col("ts")) / 86400).cast("bigint")
+    dau = {
+        r.day: r.n
+        for r in ev.select("user_id", day.alias("day"))
+        .distinct().groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cum = sorted(
+        (r.day, r.new_users, r.cumulative_users)
+        for r in REGISTRY["q157_cumulative_distinct"].builder(spark, SF_SMOKE).collect()
+    )
+    wau = {r.day: r.wau7
+           for r in REGISTRY["q158_rolling_distinct"].builder(spark, SF_SMOKE).collect()}
+    total_users = ev.select("user_id").distinct().count()
+    assert cum[-1][2] == total_users
+    prev = 0
+    for d, new, c in cum:
+        assert c == prev + new and new >= 0
+        prev = c
+        assert wau[d] >= dau[d], "7-day uniques must dominate 1-day uniques"
+        assert wau[d] <= total_users
