@@ -187,3 +187,67 @@ def test_user_curve_queries_mutually_consistent(spark):
         prev = c
         assert wau[d] >= dau[d], "7-day uniques must dominate 1-day uniques"
         assert wau[d] <= total_users
+
+
+def test_gram_matrix_shape_and_diagonal(spark):
+    """q151: exactly d(d+1)/2 upper-triangle cells, every diagonal
+    Σx² non-negative and equal to its own Σxy, and n constant."""
+    from football_lakehouse_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q151_gram_matrix"].builder(spark, SF_SMOKE).collect()
+    d = 16
+    assert len(rows) == d * (d + 1) // 2
+    ns = {r.n for r in rows}
+    assert len(ns) == 1
+    for r in rows:
+        if r.pos_i == r.pos_j:
+            assert int(r.sum_xy) >= 0
+            assert r.sum_x == r.sum_y
+
+
+def test_distribution_drift_conserves_totals(spark):
+    """q154: category counts add to the half totals and every drift
+    contribution is non-negative."""
+    from football_lakehouse_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["q154_distribution_drift"].builder(spark, SF_SMOKE).collect()
+    assert sum(r.n1 for r in rows) > 0 and sum(r.n2 for r in rows) > 0
+    for r in rows:
+        assert r.drift_contrib >= 0
+    assert abs(sum(r.share_delta * 1 for r in rows)) < 1e-9, (
+        "share deltas over all categories must cancel"
+    )
+
+
+def test_mode_per_group_is_true_argmax(spark):
+    """q155: the reported modal count equals the true per-user maximum
+    and the reported type actually attains it."""
+    from football_lakehouse_spark.catalog import load_table
+    from football_lakehouse_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    counts = {
+        (r.user_id, r.event_type): r.n
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    best = {}
+    for (u, _t), n in counts.items():
+        best[u] = max(best.get(u, 0), n)
+    for r in REGISTRY["q155_mode_per_group"].builder(spark, SF_SMOKE).collect():
+        assert r.n == best[r.user_id]
+        assert counts[(r.user_id, r.modal_type)] == r.n
+
+
+def test_value_histogram_conserves_rows(spark):
+    from football_lakehouse_spark.catalog import load_table
+    from football_lakehouse_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = REGISTRY["q156_value_histogram"].builder(spark, SF_SMOKE).collect()
+    assert sum(r.n for r in rows) == ev.count()
+    assert all(0 <= r.bin <= 13 for r in rows)
