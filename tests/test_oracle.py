@@ -54,3 +54,16 @@ def test_contract_shape():
     os_ = e.oracle_sql()
     assert qs, "queries() empty"
     assert set(os_).issubset(set(qs)), "oracle_sql keys must be subset of queries"
+
+
+def test_registry_completeness_contract():
+    """End-of-round-4 registry contract: every registered query is
+    oracle-bearing (no rows-only tail), the driver prefix is
+    duplicate-free and covers the full registry, and accidental
+    deregistration fails loudly here before the driver sees it."""
+    names = registry._driver_ordered()
+    assert len(names) == len(set(names))
+    assert set(names) == set(registry.REGISTRY)
+    assert len(registry.REGISTRY) >= 157
+    rows_only = [s.name for s in registry.REGISTRY.values() if s.oracle is None]
+    assert rows_only == [], f"rows-only queries crept in: {rows_only}"
