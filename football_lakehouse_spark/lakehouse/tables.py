@@ -188,7 +188,8 @@ class LakehouseTable:
                 rows: int | None, schema_json: str | None = None,
                 dv_add: list[str] | None = None,
                 dv_remove: list[str] | None = None,
-                txn: dict | None = None) -> int:
+                txn: dict | None = None,
+                props: dict | None = None) -> int:
         commits, _ = self._log_entries()
         v = (commits[-1] + 1) if commits else 0
         entry = {
@@ -203,6 +204,8 @@ class LakehouseTable:
             entry["dv_remove"] = sorted(dv_remove)
         if txn:
             entry["txn"] = txn
+        if props is not None:
+            entry["props"] = props
         tmp = self._commit_path(v) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f)
@@ -322,6 +325,41 @@ class LakehouseTable:
             json.dump(props, f)
         os.replace(tmp, self._properties_path())
 
+    def _props_at(self, v: int) -> dict:
+        """Properties (constraints, column-mapping tombstones) AS OF
+        version ``v``: the newest commit ≤ v carrying a ``props``
+        snapshot. Property changes on an existing table go through the
+        CAS'd commit log (see :meth:`_set_props`), so this is exact for
+        them. Versions predating the first props-bearing commit had no
+        versioned properties — they resolve to ``{}``. Tables whose
+        properties were ONLY ever file-written (pre-first-commit
+        bootstrap, or logs from before props were versioned) fall back
+        to the live file — for those, history is unknowable and the
+        current state is the best answer."""
+        commits, _ = self._log_entries()
+        later_props = False
+        for cv in reversed(commits):
+            c = self._read_commit(cv)
+            if "props" not in c:
+                continue
+            if cv <= v:
+                return c["props"]
+            later_props = True
+        return {} if later_props else self._props()
+
+    def _set_props(self, props: dict) -> None:
+        """Durably update table properties. On an existing table this is
+        a metadata COMMIT (CAS-protected — concurrent add/drop raise
+        ``ConcurrentWriteError`` instead of losing an update, and the
+        change is versioned so RESTORE / time travel can see historical
+        constraint state); the ``_properties.json`` file is kept in sync
+        as the fast current-state read path. Before the first commit
+        (constraints declared on a not-yet-written table) only the file
+        is written — the first data commit has nothing to race with."""
+        if self.exists():
+            self._commit("set_properties", [], [], rows=None, props=props)
+        self._write_props(props)
+
     # --------------------------------------------------------- column mapping
     # Physical (on-disk parquet) column names are bound PER VERSION, in
     # each logged StructField's metadata {"physical": ...} — absent
@@ -429,20 +467,29 @@ class LakehouseTable:
         dropped = next(f for f in cur.fields if f.name == name)
         props = self._props()
         props.setdefault("dropped_physical", []).append(self._phys(dropped))
-        self._write_props(props)
         new_schema = StructType([f for f in cur.fields if f.name != name])
-        return self._commit(
-            "drop_column", [], [], rows=None, schema_json=new_schema.json()
+        # tombstone rides the drop commit itself (atomic with the schema
+        # change, CAS-protected); the file is synced after for fast reads
+        v = self._commit(
+            "drop_column", [], [], rows=None, schema_json=new_schema.json(),
+            props=props,
         )
+        self._write_props(props)
+        return v
 
-    def constraints(self) -> dict[str, str]:
-        """Declared CHECK constraints: name → SQL predicate."""
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Declared CHECK constraints: name → SQL predicate. Pass
+        ``version`` to see the constraint set AS OF that version
+        (changes made through add/drop_constraint on an existing table
+        are versioned in the commit log)."""
+        if version is not None:
+            return self._props_at(version).get("constraints", {})
         return self._props().get("constraints", {})
 
     def _write_constraints(self, cons: dict[str, str]) -> None:
         props = self._props()
         props["constraints"] = cons
-        self._write_props(props)
+        self._set_props(props)
 
     def add_constraint(self, name: str, predicate_sql: str) -> None:
         """``ALTER TABLE … ADD CONSTRAINT name CHECK (predicate)``
@@ -738,7 +785,13 @@ class LakehouseTable:
         Three-valued semantics match SQL UPDATE: only predicate-TRUE
         rows change; NULL-predicate rows pass through untouched. CHECK
         constraints and the logged schema apply to the rewritten data
-        like any write (an update cannot change a column's type)."""
+        like any write. An update cannot change a column's type: each
+        assignment's RESOLVED type (after the when/otherwise coercion)
+        is validated against the logged schema and a mismatch raises
+        ``SchemaMismatchError`` before anything is staged — otherwise a
+        partitioned table would rewrite only touched partitions with
+        the coerced type while untouched partitions' files keep the old
+        physical type, corrupting the table."""
         base = self.read()
         matches = base.where(predicate)
         if matches.limit(1).isEmpty():
@@ -747,6 +800,24 @@ class LakehouseTable:
         for col in assignments:
             if col not in base.columns:
                 raise ValueError(f"{self.base}: no column {col!r}")
+        logged = self.schema()
+        if logged is not None:
+            logged_types = {f.name: f.dataType for f in logged.fields}
+            probe = base.select(
+                *[
+                    F.when(hit, assignments[c]).otherwise(F.col(c)).alias(c)
+                    for c in assignments
+                ]
+            )
+            for f in probe.schema.fields:
+                want = logged_types.get(f.name)
+                if want is not None and want.simpleString() != f.dataType.simpleString():
+                    raise SchemaMismatchError(
+                        f"{self.base}: UPDATE assignment to {f.name!r} resolves "
+                        f"to {f.dataType.simpleString()} but the table schema "
+                        f"has {want.simpleString()}; cast the expression "
+                        f"explicitly"
+                    )
         if self.partition_by:
             parts = matches.select(*self.partition_by).distinct()
             touched = _null_safe_semi(base, parts, self.partition_by)
@@ -856,12 +927,26 @@ class LakehouseTable:
         # restoring TO a DV-bearing version must re-apply its vectors)
         dv_target = set(self._dv_names_at(version))
         dv_current = set(self._dv_names_at(self.current_version()))
-        return self._commit(
+        # properties: constraints roll back WITH the data (Delta
+        # semantics — RESTORE restores table metadata), but column-
+        # mapping tombstones are monotone: a physical name claimed at
+        # ANY point must stay claimed forever, or a post-restore re-add
+        # could alias stale bytes in still-time-travellable files
+        props = dict(self._props_at(version))
+        tombs = set(props.get("dropped_physical", [])) | set(
+            self._props().get("dropped_physical", [])
+        )
+        if tombs:
+            props["dropped_physical"] = sorted(tombs)
+        v_new = self._commit(
             "restore", sorted(target - current), sorted(current - target),
             rows=None, schema_json=self._schema_at(version),
             dv_add=sorted(dv_target - dv_current),
             dv_remove=sorted(dv_current - dv_target),
+            props=props,
         )
+        self._write_props(props)
+        return v_new
 
     # ------------------------------------------------------------------- read
     def exists(self) -> bool:
@@ -1029,17 +1114,30 @@ class LakehouseTable:
         """Delete data files unreachable from the last ``retain_last``
         versions (VACUUM with retention awareness, docs/backlog.md:106).
         Returns number of files deleted. Time travel older than the
-        retention horizon stops working — same trade-off as Delta."""
+        retention horizon stops working — same trade-off as Delta.
+
+        Deletion-vector sidecars under ``base/_dv`` are reclaimed by the
+        same rule: a DV dir survives only if some retained version still
+        references it. This also sweeps orphans whose commit lost the
+        CAS race (the dir was written but the dv_add never landed)."""
         commits, _ = self._log_entries()
         keep: set[str] = set()
+        keep_dv: set[str] = set()
         for v in commits[-retain_last:]:
             keep.update(self._live_at(v))
+            keep_dv.update(self._dv_names_at(v))
         deleted = 0
         for dirpath, _dirs, files in os.walk(self.data_root):
             for fn in files:
                 rel = os.path.relpath(os.path.join(dirpath, fn), self.data_root)
                 if rel not in keep:
                     os.remove(os.path.join(dirpath, fn))
+                    deleted += 1
+        dv_root = os.path.join(self.base, "_dv")
+        if os.path.isdir(dv_root):
+            for name in os.listdir(dv_root):
+                if name not in keep_dv:
+                    shutil.rmtree(os.path.join(dv_root, name), ignore_errors=True)
                     deleted += 1
         return deleted
 

@@ -40,8 +40,12 @@ def scd2_apply(
     Incremental application over any batch split is EXACTLY equal to a
     batch recompute over the concatenated change stream (oracle-checked
     in q142): affected keys' existing rows are folded back into change
-    form, unioned with the batch, de-duplicated on (key, ts), and their
-    validity windows recomputed; unaffected keys are untouched.
+    form, unioned with the batch, de-duplicated on (key, ts) with the
+    INCOMING row winning deterministically (an incoming change carrying
+    the same (key, ts) as an existing row is a correction and must
+    replace it — a bare dropDuplicates would keep an arbitrary side),
+    and their validity windows recomputed; unaffected keys are
+    untouched.
     """
     cols = [key, *attrs, ts_col]
     incoming = changes.select(*cols).dropDuplicates([key, ts_col])
@@ -51,7 +55,17 @@ def scd2_apply(
         folded = existing.select(
             key, *attrs, F.col("eff_from").alias(ts_col)
         )
-        allc = folded.unionByName(incoming).dropDuplicates([key, ts_col])
+        # each side is unique on (key, ts), so ranking by priority is a
+        # total order within every (key, ts) group: incoming (1) beats
+        # folded-existing (0)
+        w_dedup = Window.partitionBy(key, ts_col).orderBy(F.col("_prio").desc())
+        allc = (
+            folded.withColumn("_prio", F.lit(0))
+            .unionByName(incoming.withColumn("_prio", F.lit(1)))
+            .withColumn("_rn", F.row_number().over(w_dedup))
+            .where(F.col("_rn") == 1)
+            .drop("_prio", "_rn")
+        )
     else:
         allc = incoming
     w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())

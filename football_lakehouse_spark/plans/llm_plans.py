@@ -1132,6 +1132,7 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(large-star/small-star at adversarial scale); oracle: DuckDB "
     "recursive-CTE reachability. cluster_id = min doc_id; is_canonical "
     "marks the kept representative (north star: near-dup dedup).",
+    bench=True,
     tags=("llm", "dedup"),
 )
 def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1564,6 +1565,7 @@ def _semantic_dedup_oracle_sql(threshold: float, n_cells: int, iters: int) -> st
     "full value-level cross-engine matches. The candidate join is "
     "O(Σ cell²), never corpus² — n_cells scales with the corpus exactly "
     "like IVF (north star: semantic dedup).",
+    bench=True,
     tags=("llm", "dedup", "similarity"),
 )
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:

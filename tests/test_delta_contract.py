@@ -264,3 +264,54 @@ def test_c11_optimize_sort_clusters_rows(spark, make_table):
     for f in t.current_files():
         col = pq.read_table(f"{t.data_root}/{f}", columns=["k"])["k"].to_pylist()
         assert col == sorted(col)
+
+
+def test_c14_constraints_versioned_and_restored(spark, make_table):
+    """ADVICE r4: constraint add/drop on an existing table are CAS'd
+    metadata commits — RESTORE restores constraint state, and
+    constraints(version=...) sees history."""
+    from football_lakehouse_spark.lakehouse.tables import (
+        ConstraintViolationError,
+    )
+
+    t = make_table("cons_hist")
+    t.append(_df(spark, [(1, "a")]))           # v0
+    v_clean = t.current_version()
+    t.add_constraint("pos_k", "k > 0")         # v1 (set_properties commit)
+    assert t.describe_history()[-1]["operation"] == "set_properties"
+    v_with = t.current_version()
+    assert t.constraints(version=v_clean) == {}
+    assert t.constraints(version=v_with) == {"pos_k": "k > 0"}
+    # enforcement active now
+    with pytest.raises(ConstraintViolationError):
+        t.append(_df(spark, [(-5, "bad")]))
+    # restore to the pre-constraint version: data AND constraint state
+    t.restore(v_clean)
+    assert t.constraints() == {}
+    t.append(_df(spark, [(-5, "ok now")]))     # constraint gone → accepted
+    # roll forward again to the constrained version's props
+    t.restore(v_with)
+    assert t.constraints() == {"pos_k": "k > 0"}
+
+
+def test_c15_vacuum_reclaims_deletion_vector_sidecars(spark, make_table):
+    """ADVICE r4: DV sidecar dirs purged by compact (and orphans) are
+    reclaimed by vacuum; a still-referenced DV survives."""
+    import os
+
+    t = make_table("dv_vac")
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    t.delete(F.col("k") < 3, deletion_vectors=True)
+    dv_root = os.path.join(t.base, "_dv")
+    assert len(os.listdir(dv_root)) == 1
+    # live DV referenced by the current version: retained
+    t.vacuum(retain_last=1)
+    assert len(os.listdir(dv_root)) == 1
+    assert t.read().count() == 7
+    # compact purges the DV from the log; an orphan dir (lost-CAS
+    # leftovers) appears alongside
+    t.compact()
+    os.makedirs(os.path.join(dv_root, "deadbeef0000"))
+    t.vacuum(retain_last=1)
+    assert os.listdir(dv_root) == []
+    assert t.read().count() == 7

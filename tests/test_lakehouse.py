@@ -692,6 +692,58 @@ def test_scd2_apply_incremental_equals_batch_and_idempotent(spark, events, tmp_p
     assert cur.count() == inc.read().select("user_id").distinct().count()
 
 
+def test_scd2_same_timestamp_correction_incoming_wins(spark, tmp_path):
+    """An incoming change carrying the same (key, ts) as an existing row
+    but different attribute values is a correction: it must replace the
+    existing row deterministically, not lose a coin-flip dedup."""
+    from football_lakehouse_spark.operators.scd import scd2_apply
+
+    t = LakehouseTable(spark, str(tmp_path), "silver", "scd_corr")
+    first = spark.createDataFrame(
+        [(1, 10.0, 100), (1, 20.0, 200)], "user_id int, value double, es long"
+    )
+    scd2_apply(t, first, "user_id", "es", ["value"])
+    # correction: same key and ts=200, new value
+    fix = spark.createDataFrame([(1, 99.0, 200)], "user_id int, value double, es long")
+    scd2_apply(t, fix, "user_id", "es", ["value"])
+    got = sorted(
+        (r.eff_from, r.value, r.is_current) for r in t.read().collect()
+    )
+    assert got == [(100, 10.0, False), (200, 99.0, True)]
+    # re-applying the correction is still a no-op
+    scd2_apply(t, fix, "user_id", "es", ["value"])
+    got2 = sorted((r.eff_from, r.value, r.is_current) for r in t.read().collect())
+    assert got2 == [(100, 10.0, False), (200, 99.0, True)]
+
+
+def test_update_type_change_rejected(spark, events, tmp_path):
+    """ADVICE r4: an UPDATE whose assignment resolves to a different type
+    than the logged schema must raise before staging — on a partitioned
+    table a silent coercion would rewrite only touched partitions and
+    desync the physical schema."""
+    from football_lakehouse_spark.lakehouse.tables import SchemaMismatchError
+
+    t = LakehouseTable(
+        spark, str(tmp_path), "silver", "upd_types", partition_by=["grp"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [("a", 1, 10), ("b", 2, 20)], "grp string, n int, m int"
+        )
+    )
+    # double assigned to an int column: when/otherwise coerces the whole
+    # branch to double — exactly the silent widening the guard must stop
+    with pytest.raises(SchemaMismatchError):
+        t.update(F.col("grp") == "a", {"n": F.col("n") * 0.5})
+    # bigint assigned to an int column widens too
+    with pytest.raises(SchemaMismatchError):
+        t.update(F.col("grp") == "a", {"n": F.col("m").cast("bigint")})
+    # the table is untouched and a correctly-typed update still works
+    assert t.read().schema["n"].dataType.simpleString() == "int"
+    assert t.update(F.col("grp") == "a", {"n": F.col("n") + 1}) >= 0
+    assert sorted((r.grp, r.n) for r in t.read().collect()) == [("a", 2), ("b", 2)]
+
+
 def test_append_with_expectations_stats_and_split(spark, events, tmp_path):
     from football_lakehouse_spark.operators.quality import append_with_expectations
 
