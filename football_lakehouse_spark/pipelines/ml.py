@@ -46,13 +46,15 @@ def customer_features(orders: DataFrame, customer: DataFrame, nation: DataFrame)
     )
 
 
-def train_and_score(features: DataFrame, seed: int = 42) -> DataFrame:
-    """M2+M3: GBT regression of lifetime value from behavioural +
-    dimensional features; returns per-customer predictions plus a
-    holdout-RMSE summary row appended as metadata columns.
+#: hyperparameters of the M2 baseline model — module-level so the
+#: run-log (MLflow-parity params) and the trainer can never drift
+GBT_PARAMS = {"max_iter": 5, "max_depth": 3, "seed": 42}
+FEATURE_COLS = ["c_acctbal", "n_orders", "avg_order_value", "n_finished",
+                "segment_ix", "nation_ix"]
 
-    Deterministic: fixed seed, fixed maxIter/depth, deterministic
-    train/test split on the key (not random split)."""
+
+def _fit(features: DataFrame, seed: int):
+    """Fit the M2 pipeline; returns (model, split-tagged input)."""
     from pyspark.ml.feature import StringIndexer, VectorAssembler
     from pyspark.ml.pipeline import Pipeline
     from pyspark.ml.regression import GBTRegressor
@@ -61,21 +63,27 @@ def train_and_score(features: DataFrame, seed: int = 42) -> DataFrame:
     stages = [
         StringIndexer(inputCol="c_mktsegment", outputCol="segment_ix", handleInvalid="keep"),
         StringIndexer(inputCol="n_name", outputCol="nation_ix", handleInvalid="keep"),
-        VectorAssembler(
-            inputCols=["c_acctbal", "n_orders", "avg_order_value", "n_finished",
-                       "segment_ix", "nation_ix"],
-            outputCol="features_vec",
-        ),
+        VectorAssembler(inputCols=FEATURE_COLS, outputCol="features_vec"),
         GBTRegressor(
             featuresCol="features_vec",
             labelCol="lifetime_value",
             predictionCol="predicted_value",
-            maxIter=5,
-            maxDepth=3,
+            maxIter=GBT_PARAMS["max_iter"],
+            maxDepth=GBT_PARAMS["max_depth"],
             seed=seed,
         ),
     ]
-    model = Pipeline(stages=stages).fit(df.where("is_train"))
+    return Pipeline(stages=stages).fit(df.where("is_train")), df
+
+
+def train_and_score(features: DataFrame, seed: int = 42) -> DataFrame:
+    """M2+M3: GBT regression of lifetime value from behavioural +
+    dimensional features; returns per-customer predictions plus a
+    holdout-RMSE summary row appended as metadata columns.
+
+    Deterministic: fixed seed, fixed maxIter/depth, deterministic
+    train/test split on the key (not random split)."""
+    model, df = _fit(features, seed)
     scored = model.transform(df)
     return scored.select(
         "c_custkey",
@@ -83,3 +91,60 @@ def train_and_score(features: DataFrame, seed: int = 42) -> DataFrame:
         F.round("predicted_value", 2).alias("predicted_value"),
         F.round(F.col("predicted_value") - F.col("lifetime_value"), 2).alias("residual"),
     )
+
+
+def training_run_log(features: DataFrame, seed: int = 42) -> DataFrame:
+    """M2 metric/artefact logging (MLflow parity — the reference backlog
+    says "log metrics + artefacts (MLflow)", docs/backlog.md:89-91): one
+    row per logged item of a training run, long-format
+    ``(kind, key, value)`` exactly like an MLflow run's params+metrics
+    tab, so the log is itself a queryable table that can be appended to
+    a ``LakehouseTable`` run store.
+
+    Logged: every hyperparameter (kind='param'), the split recipe and
+    label (params), split sizes, integer-exact error sums in cents
+    (metrics — cents, not RMSE, so the cross-engine check is exact),
+    and the GBT feature importances per input feature scaled to
+    parts-per-million bigints (kind='importance'). Deterministic for a
+    fixed fixture + seed; values are model state, so the oracle pins
+    them as literals (same policy as q69).
+
+    Scale: metric aggregation is one job over the scored table
+    (map-side partials); the log itself is O(params + features) rows —
+    control-plane sized at any corpus scale."""
+    model, df = _fit(features, seed)
+    scored = model.transform(df).select(
+        "is_train",
+        F.round(F.col("predicted_value") - F.col("lifetime_value"), 2).alias("residual"),
+    )
+    m = scored.agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).cast("bigint").alias("n_train"),
+        F.sum(F.when(~F.col("is_train"), 1).otherwise(0)).cast("bigint").alias("n_test"),
+        F.sum(
+            F.when(F.col("is_train"), F.abs(F.round(F.col("residual") * 100).cast("bigint")))
+            .otherwise(0)
+        ).cast("bigint").alias("train_abs_resid_cents"),
+        F.sum(
+            F.when(~F.col("is_train"), F.abs(F.round(F.col("residual") * 100).cast("bigint")))
+            .otherwise(0)
+        ).cast("bigint").alias("test_abs_resid_cents"),
+    ).collect()[0]
+    gbt = model.stages[-1]
+    importances = gbt.featureImportances.toArray()
+    rows = [
+        ("param", "model", "gbt_regressor"),
+        ("param", "label", "lifetime_value"),
+        ("param", "split", "c_custkey_mod_5"),
+        ("param", "max_iter", str(GBT_PARAMS["max_iter"])),
+        ("param", "max_depth", str(GBT_PARAMS["max_depth"])),
+        ("param", "seed", str(seed)),
+        ("metric", "n_train", str(m["n_train"])),
+        ("metric", "n_test", str(m["n_test"])),
+        ("metric", "train_abs_resid_cents", str(m["train_abs_resid_cents"])),
+        ("metric", "test_abs_resid_cents", str(m["test_abs_resid_cents"])),
+    ] + [
+        ("importance", feat, str(int(round(imp * 1_000_000))))
+        for feat, imp in zip(FEATURE_COLS, importances)
+    ]
+    spark = features.sparkSession
+    return spark.createDataFrame(rows, "kind string, key string, value string")

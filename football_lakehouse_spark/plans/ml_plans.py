@@ -111,6 +111,55 @@ def ml_pinned_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q159_training_run_log",
+    # Like q69: model-state values are not SQL-derivable, so the oracle
+    # is the PINNED run log for the sf0.01 fixture — every value is
+    # integer-exact (counts, cents, ppm importances) and was verified
+    # bit-stable across partitioning (local[8]/32 shuffle partitions vs
+    # local[4]/7 + repartition(13) → identical rows). Changing the
+    # model, seed, split, features, or hyperparams is SUPPOSED to break
+    # this row. test_abs_resid_cents cross-checks q69's pinned value.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('param', 'model', 'gbt_regressor'),
+        ('param', 'label', 'lifetime_value'),
+        ('param', 'split', 'c_custkey_mod_5'),
+        ('param', 'max_iter', '5'),
+        ('param', 'max_depth', '3'),
+        ('param', 'seed', '42'),
+        ('metric', 'n_train', '1200'),
+        ('metric', 'n_test', '300'),
+        ('metric', 'train_abs_resid_cents', '29221507374'),
+        ('metric', 'test_abs_resid_cents', '7693800908'),
+        ('importance', 'c_acctbal', '0'),
+        ('importance', 'n_orders', '693781'),
+        ('importance', 'avg_order_value', '302032'),
+        ('importance', 'n_finished', '0'),
+        ('importance', 'segment_ix', '0'),
+        ('importance', 'nation_ix', '4187')
+    ) AS t(kind, key, value)
+    """,
+    doc="M2 training-run metric/artefact log (MLflow parity, reference "
+    "docs/backlog.md:89-91 'log metrics + artefacts (MLflow)'): the "
+    "fixed-seed GBT run's params, split sizes, integer-exact error "
+    "sums, and per-feature importances as a long-format "
+    "(kind, key, value) table — the queryable equivalent of an MLflow "
+    "run page, appendable to a LakehouseTable run store.",
+    tags=("ml",),
+    oracle_sf="sf0.01",
+)
+def training_run_log_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.pipelines.ml import training_run_log
+
+    feats = customer_features(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    return training_run_log(feats)
+
+
+@query(
     "q53_publish_gold_dim",
     oracle="""
     SELECT c.c_custkey AS customer_id,

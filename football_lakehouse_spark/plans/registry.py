@@ -100,7 +100,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q123_incremental_index",
     "q124_term_pagerank",
     # --- added in round 5 (never driver-attested) ---
-    # (new queries are appended here as they land)
+    "q159_training_run_log",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -31,13 +31,24 @@ import pytest
 from pyspark.sql import functions as F
 
 from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+from football_lakehouse_spark.sources import connectors
 
 
-@pytest.fixture()
-def make_table(spark, tmp_path):
+@pytest.fixture(params=["parquet", "delta"])
+def make_table(request, spark, tmp_path):
+    """Every contract clause runs against the FACTORY surface
+    (connectors.open_table), parameterised over formats: the parquet
+    branch is the always-available LakehouseTable; the delta branch
+    skips cleanly while no delta-spark jar is on the classpath, and the
+    day one is, the identical assertions run against the native binding
+    — no semantic drift can slip in unnoticed."""
+    fmt = request.param
+    if fmt == "delta" and not connectors.delta_available():
+        pytest.skip("delta-spark not on classpath; parquet branch covers the contract")
+
     def make(name: str, partition_by=()):
-        return LakehouseTable(spark, str(tmp_path), "contract", name,
-                              partition_by=partition_by)
+        return connectors.open_table(spark, str(tmp_path), "contract", name,
+                                     partition_by=partition_by, prefer=fmt)
 
     return make
 
