@@ -316,37 +316,150 @@ def kmeans_cells(
     return assign(cent), cent
 
 
-def ivf_topk(
-    queries: DataFrame, corpus: DataFrame, k: int = 3, n_cells: int = 16,
-    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-    iters: int = 2,
-) -> DataFrame:
-    """IVF-style ANN: the :func:`kmeans_cells` deterministic coarse
-    quantiser assigns every corpus vector to a cell; each query probes
-    its ``n_probe`` nearest cells (by centroid distance) and scores
-    only those members exactly.
+def refine_hot_cells(
+    corpus: DataFrame, centroids: DataFrame, *,
+    max_cell_frac: float = 0.1, n_split: int = 4, iters: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    normalize: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index maintenance under drift: split every OVERSIZED cell
+    (> ``max_cell_frac`` of the corpus) into ``n_split`` sub-cells via
+    a nested deterministic Lloyd run, returning the rebalanced
+    ``(assignment, centroids)``.
 
-    Scale contract: quantiser per :func:`kmeans_cells`; the probe
-    table is queries×n_cells (tiny, centroids broadcast); exact
-    scoring touches ≈ corpus·(n_probe/n_cells). Recall vs brute force
-    is asserted in tests.
+    Why it exists: the static quantiser's lowest-id init adapts cells
+    to training density, but the incremental-append path (q128 /
+    ``assign_cells``) freezes centroids — a post-training hot cluster
+    (today's viral boilerplate page, a new content source) lands
+    ENTIRELY in its one nearest cell, and every query probing that cell
+    degrades toward brute-force cost (measured in
+    ``scripts/soak_ivf_skew.py``). This is the OPTIMIZE-style
+    maintenance op an IVF index needs, exactly like compaction for
+    small files.
+
+    Determinism: hot cells are detected by exact counts; sub-Lloyd
+    inits on the ``n_split`` lowest-id members of EACH hot cell, runs
+    the same integer-space rounds GROUPED by parent cell (one
+    distributed pass for all hot cells, not one job per cell), and
+    ties break low. New cell ids are ``n_base + hot_index·n_split +
+    sub`` with ``n_base = max existing cell + 1`` and hot cells ranked
+    ascending — reproducible in plain SQL (oracle: q160).
+
+    Scale: detection is one count per cell (map-side partials); the
+    nested rounds touch only hot-cell members (≤ corpus, usually a
+    small multiple of max_cell_frac); the per-(parent,pos) joins ride
+    the exploded component form — fine while n_split·iters is small
+    (the maintenance-op regime). The hot set and n_base are the only
+    driver-side scalars (control-plane, ≤ 1/max_cell_frac rows).
+    """
+    assigned = assign_cells(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, normalize=normalize,
+    )
+    total = corpus.count()
+    hot_rows = (
+        assigned.groupBy("cell").count()
+        .where(F.col("count") > max_cell_frac * total)
+        .select("cell").orderBy("cell").collect()
+    )
+    if not hot_rows:
+        return assigned, centroids
+    n_base = centroids.agg(F.max("cell")).collect()[0][0] + 1
+    hot = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(r["cell"], i) for i, r in enumerate(hot_rows)], "cell int, hix int"
+        )
+    )
+
+    members = assigned.join(hot, "cell").select(
+        F.col(id_col), F.col("cell").alias("parent"), "hix"
+    )
+    qx = _quantized_components(corpus, id_col, id_col, vec_col, normalize=normalize)
+    mqx = qx.join(members, id_col)  # (id, pos, qx, parent, hix)
+
+    # init: per parent, the n_split lowest-id members seed sub 0..n_split-1
+    w_init = Window.partitionBy("parent").orderBy(F.col(id_col).asc())
+    init = (
+        members.withColumn("rn", F.row_number().over(w_init))
+        .where(F.col("rn") <= n_split)
+        .select(id_col, "parent", (F.col("rn") - 1).cast("int").alias("sub"))
+    )
+    scent = (
+        mqx.join(init, [id_col, "parent"])
+        .select("parent", "sub", "pos", F.col("qx").alias("cq"))
+        .localCheckpoint(eager=True)
+    )
+
+    def sub_assign(sc: DataFrame) -> DataFrame:
+        d2 = (
+            mqx.join(sc, ["parent", "pos"])
+            .groupBy(id_col, "parent", "sub")
+            .agg(F.sum((F.col("qx") - F.col("cq")) * (F.col("qx") - F.col("cq"))).alias("d2"))
+        )
+        return (
+            d2.groupBy(id_col, "parent")
+            .agg(F.min(F.struct("d2", "sub")).alias("m"))
+            .select(id_col, "parent", F.col("m.sub").alias("sub"))
+        )
+
+    for _ in range(iters):
+        sa = sub_assign(scent)
+        scent = (
+            mqx.join(sa, [id_col, "parent"])
+            .groupBy("parent", "sub", "pos")
+            .agg(F.floor(F.sum("qx") / F.count(F.lit(1))).cast("bigint").alias("cq"))
+            .localCheckpoint(eager=True)
+        )
+    final_sub = sub_assign(scent)
+
+    new_cell = (F.lit(n_base) + F.col("hix") * n_split + F.col("sub")).cast("int")
+    refined_assign = (
+        assigned.join(hot.select("cell"), "cell", "left_anti")
+        .unionByName(
+            final_sub.join(members.select(id_col, "parent", "hix"),
+                           [id_col, "parent"])
+            .select(id_col, new_cell.alias("cell"))
+        )
+    )
+    refined_cent = (
+        centroids.join(hot.select("cell"), "cell", "left_anti")
+        .unionByName(
+            scent.join(hot.withColumnRenamed("cell", "parent"), ["parent"])
+            .select(new_cell.alias("cell"), "pos", "cq")
+        )
+    )
+    return refined_assign, refined_cent
+
+
+def ivf_search(
+    queries: DataFrame, corpus: DataFrame,
+    assigned: DataFrame, centroids: DataFrame,
+    k: int = 3, n_probe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a PREBUILT IVF index: each query ranks the (broadcast)
+    centroids by exact integer d², probes its ``n_probe`` nearest
+    cells, and scores only those members exactly. Shared by
+    :func:`ivf_topk` (fresh index), the incremental-append flow
+    (assign a batch, search immediately) and post-:func:`refine_hot_cells`
+    search — index build and search are separate lifecycles at scale,
+    exactly like a table and its queries.
+
+    ``assigned`` is ``(id→match side, cell)``; ``centroids`` is
+    ``(cell, pos, cq)``. The probe table is queries×n_cells (tiny);
+    the candidate join is broadcast-side on ``cell`` (the big
+    ``assigned`` side never shuffles on the possibly-skewed cell key);
+    the final top-k window is WindowGroupLimit-bounded map-side.
     """
     c = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
     )
-    assigned, cent = kmeans_cells(
-        corpus, n_cells=n_cells, iters=iters,
-        id_col=id_col, vec_col=vec_col, id_out="match_id",
-    )
-
-    # probe: each query ranks the final centroids by exact integer d2
     qqx = _quantized_components(queries, "query_id", id_col, vec_col)
     diff = F.col("qx") - F.col("cq")
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("cell").asc()
     )
     probes = (
-        qqx.join(F.broadcast(cent), "pos")
+        qqx.join(F.broadcast(centroids), "pos")
         .groupBy("query_id", "cell")
         .agg(F.sum(diff * diff).alias("d2"))
         .withColumn("pr", F.row_number().over(probe_w))
@@ -374,6 +487,31 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cos_sim", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 3, n_cells: int = 16,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: the :func:`kmeans_cells` deterministic coarse
+    quantiser assigns every corpus vector to a cell; each query probes
+    its ``n_probe`` nearest cells (by centroid distance) and scores
+    only those members exactly (:func:`ivf_search`).
+
+    Scale contract: quantiser per :func:`kmeans_cells`; the probe
+    table is queries×n_cells (tiny, centroids broadcast); exact
+    scoring touches ≈ corpus·(n_probe/n_cells). Recall vs brute force
+    is asserted in tests.
+    """
+    assigned, cent = kmeans_cells(
+        corpus, n_cells=n_cells, iters=iters,
+        id_col=id_col, vec_col=vec_col, id_out="match_id",
+    )
+    return ivf_search(
+        queries, corpus, assigned, cent, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
     )
 
 

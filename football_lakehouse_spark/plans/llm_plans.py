@@ -3633,6 +3633,124 @@ def _ivf_append_oracle_sql(n_cells: int, iters: int) -> str:
     )
 
 
+def _ivf_refine_oracle_sql(
+    n_cells: int, iters: int, train_where: str,
+    max_frac: float, n_split: int, sub_iters: int,
+) -> str:
+    """Unrolled twin of operators/similarity.refine_hot_cells over a
+    DRIFTED index (Lloyd trained on ``train_where``, every vector
+    assigned to the frozen centroids): detect cells holding more than
+    ``max_frac`` of the corpus, re-run ``sub_iters`` grouped Lloyd
+    rounds over each hot cell's members (init = the n_split lowest-id
+    members per cell), and emit the rebalanced assignment with new ids
+    ``n_base + hot_rank·n_split + sub``."""
+    ctes, cent_final = _lloyd_sql_ctes(n_cells, iters, train_where=train_where)
+    ctes.append(f"""hot AS (
+        SELECT cell, CAST(row_number() OVER (ORDER BY cell) - 1 AS INT) AS hix
+        FROM (SELECT cell, count(*) AS c FROM af GROUP BY cell)
+        WHERE c > {max_frac} * (SELECT count(*) FROM embeddings)
+    )""")
+    ctes.append("""mem AS (
+        SELECT af.vec_id, af.cell AS parent, hot.hix
+        FROM af JOIN hot ON af.cell = hot.cell
+    )""")
+    ctes.append(f"""sinit AS (
+        SELECT vec_id, parent, CAST(rn - 1 AS INT) AS sub FROM (
+            SELECT vec_id, parent, row_number() OVER (
+                PARTITION BY parent ORDER BY vec_id ASC
+            ) AS rn FROM mem
+        ) WHERE rn <= {n_split}
+    )""")
+    ctes.append("""scent0 AS (
+        SELECT s.parent, s.sub, qx.pos, qx.qx AS cq
+        FROM sinit s JOIN qx USING (vec_id)
+    )""")
+    prev = "scent0"
+    for i in range(1, sub_iters + 1):
+        ctes.append(f"""sd{i} AS (
+        SELECT m.vec_id, m.parent, c.sub,
+               sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2
+        FROM mem m JOIN qx USING (vec_id)
+        JOIN {prev} c ON c.parent = m.parent AND c.pos = qx.pos
+        GROUP BY m.vec_id, m.parent, c.sub
+    )""")
+        ctes.append(f"""sa{i} AS (
+        SELECT vec_id, parent, sub FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, parent ORDER BY d2 ASC, sub ASC
+            ) AS rn FROM sd{i}
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""scent{i} AS (
+        SELECT a.parent, a.sub, qx.pos,
+               CAST(floor(CAST(sum(qx.qx) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+        FROM sa{i} a JOIN qx USING (vec_id)
+        GROUP BY a.parent, a.sub, qx.pos
+    )""")
+        prev = f"scent{i}"
+    ctes.append(f"""sdf AS (
+        SELECT m.vec_id, m.parent, m.hix, c.sub,
+               sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2
+        FROM mem m JOIN qx USING (vec_id)
+        JOIN {prev} c ON c.parent = m.parent AND c.pos = qx.pos
+        GROUP BY m.vec_id, m.parent, m.hix, c.sub
+    )""")
+    ctes.append("""saf AS (
+        SELECT vec_id, hix, sub FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, parent ORDER BY d2 ASC, sub ASC
+            ) AS rn FROM sdf
+        ) WHERE rn = 1
+    )""")
+    ctes.append(f"nbase AS (SELECT max(cell) + 1 AS b FROM {cent_final})")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT af.vec_id, CAST(af.cell AS INT) AS cell FROM af
+    WHERE af.cell NOT IN (SELECT cell FROM hot)
+    UNION ALL
+    SELECT saf.vec_id,
+           CAST((SELECT b FROM nbase) + saf.hix * {n_split} + saf.sub AS INT)
+               AS cell
+    FROM saf
+    """
+    )
+
+
+@query(
+    "q160_ivf_rebalance",
+    oracle=_ivf_refine_oracle_sql(
+        n_cells=16, iters=2, train_where="vec_id % 5 = 0",
+        max_frac=0.1, n_split=4, sub_iters=1,
+    ),
+    doc="IVF index REBALANCE under drift (operators/similarity."
+    "refine_hot_cells): the quantiser trains on one residue class only "
+    "(the drifted-index setup — q128's frozen-centroid append means "
+    "post-training hot clusters crowd into single cells, measured in "
+    "scripts/soak_ivf_skew.py), every vector is assigned to the frozen "
+    "centroids, and cells holding >10% of the corpus are split into 4 "
+    "sub-cells by a nested deterministic Lloyd grouped by parent cell "
+    "— one distributed pass for ALL hot cells, not a job per cell. "
+    "Output is the full rebalanced (vec_id, cell) assignment; the "
+    "oracle unrolls base Lloyd + hot detection + nested Lloyd in SQL "
+    "for a full value-level match. This is the OPTIMIZE-equivalent "
+    "maintenance op for the ANN index family (north star: similarity "
+    "search at 100 TB, where append-heavy corpora drift).",
+    tags=("llm", "similarity"),
+)
+def ivf_rebalance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.similarity import (
+        kmeans_cells,
+        refine_hot_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cent = kmeans_cells(emb.where(F.col("vec_id") % 5 == 0), n_cells=16, iters=2)
+    assigned, _ = refine_hot_cells(
+        emb, cent, max_cell_frac=0.1, n_split=4, iters=1
+    )
+    return assigned.select("vec_id", F.col("cell").cast("int").alias("cell"))
+
+
 @query(
     "q128_ivf_append",
     oracle=_ivf_append_oracle_sql(n_cells=16, iters=2),

@@ -101,6 +101,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q124_term_pagerank",
     # --- added in round 5 (never driver-attested) ---
     "q159_training_run_log",
+    "q160_ivf_rebalance",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

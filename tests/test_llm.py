@@ -789,3 +789,65 @@ def test_split_leakage_audit_group_split_is_tight(spark):
     assert rows["group"].n_leaked == 0
     assert rows["doc_hash"].n_leaked > 0
     assert rows["doc_hash"].n_pairs == rows["group"].n_pairs > 0
+
+
+def test_refine_hot_cells_invariants(spark, emb):
+    """Rebalance contract (q160 operator): row set preserved, hot cells
+    gone from the refined assignment, non-hot assignments untouched,
+    no-op when nothing is hot, and deterministic under repartitioning."""
+    from football_lakehouse_spark.operators.similarity import (
+        kmeans_cells,
+        refine_hot_cells,
+    )
+
+    # drifted index: train on one residue class, assign everything
+    _, cent = kmeans_cells(emb.where(F.col("vec_id") % 5 == 0), n_cells=16, iters=2)
+    assigned, cent_out = refine_hot_cells(emb, cent, max_cell_frac=0.1, n_split=4, iters=1)
+    n = emb.count()
+    rows = assigned.collect()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    sizes = {r["cell"]: r["count"] for r in assigned.groupBy("cell").count().collect()}
+    # every pre-refine hot cell was split below the threshold … eventually;
+    # one split round guarantees no ORIGINAL hot cell id survives
+    from football_lakehouse_spark.operators.similarity import assign_cells
+
+    pre = assign_cells(emb, cent)
+    pre_sizes = {r["cell"]: r["count"] for r in pre.groupBy("cell").count().collect()}
+    hot = {c for c, s in pre_sizes.items() if s > 0.1 * n}
+    assert hot, "fixture should produce hot cells under drift training"
+    assert not (hot & set(sizes)), "hot cell ids must be replaced by sub-cells"
+    # non-hot vectors keep their cells
+    pre_map = {r.vec_id: r.cell for r in pre.collect()}
+    post_map = {r.vec_id: r.cell for r in rows}
+    for vid, c in pre_map.items():
+        if c not in hot:
+            assert post_map[vid] == c
+    # centroid table matches the surviving + new cells
+    cent_cells = {r["cell"] for r in cent_out.select("cell").distinct().collect()}
+    assert cent_cells == set(sizes)
+    # determinism under different partitioning
+    a2, _ = refine_hot_cells(
+        emb.repartition(7), cent, max_cell_frac=0.1, n_split=4, iters=1
+    )
+    assert post_map == {r.vec_id: r.cell for r in a2.collect()}
+    # no-op when nothing is hot
+    a3, c3 = refine_hot_cells(emb, cent, max_cell_frac=0.99, n_split=4, iters=1)
+    assert {r.vec_id: r.cell for r in a3.collect()} == pre_map
+    assert c3 is cent
+
+
+def test_ivf_search_prebuilt_matches_ivf_topk(spark, emb):
+    """ivf_topk == kmeans_cells + ivf_search — the factor guard tying
+    fresh-index search to prebuilt-index search."""
+    from football_lakehouse_spark.operators.similarity import (
+        ivf_search,
+        ivf_topk,
+        kmeans_cells,
+    )
+
+    queries = emb.where(F.col("vec_id") < 10)
+    via_topk = sorted(map(tuple, ivf_topk(queries, emb, k=3, n_cells=16, n_probe=4).collect()))
+    assigned, cent = kmeans_cells(emb, n_cells=16, iters=2, id_out="match_id")
+    via_search = sorted(map(tuple, ivf_search(queries, emb, assigned, cent, k=3, n_probe=4).collect()))
+    assert via_topk == via_search

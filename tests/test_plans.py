@@ -367,3 +367,14 @@ def test_funnel_reuses_user_partitioning(spark):
     whole funnel (no third shuffle for the join)."""
     plan = plan_of(spark, "q132_funnel_conversion")
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_ivf_rebalance_no_cartesian_assign_broadcast(spark):
+    """q160: every centroid-side join is broadcast (the assign kernel's
+    BroadcastNestedLoopJoin over the packed n_cells-row table, the
+    sub-Lloyd's broadcast hash joins); the only shuffled joins key on
+    the uniform vec_id — no CartesianProduct anywhere, so no stage's
+    cost scales with corpus × cells."""
+    plan = plan_of(spark, "q160_ivf_rebalance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
