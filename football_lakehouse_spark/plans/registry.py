@@ -102,6 +102,11 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # --- added in round 5 (never driver-attested) ---
     "q159_training_run_log",
     "q160_ivf_rebalance",
+    "q161_volume_shipping",
+    "q162_market_share",
+    "q163_promo_revenue_share",
+    "q164_sole_late_supplier",
+    "q165_priority_late_orders",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

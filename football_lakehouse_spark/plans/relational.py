@@ -1235,3 +1235,306 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select("bin", (F.col("bin") * 25.0).alias("bin_lo"), "n")
     )
+
+
+@query(
+    "q161_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+    """,
+    doc="TPC-H Q7 shape (volume shipping): bilateral trade revenue "
+    "between two nations per ship year. Plan: the two nation dims and "
+    "supplier/customer broadcast; the only big-table shuffle is "
+    "lineitem⋈orders on orderkey; the nation filter applies BEFORE the "
+    "fact join via the broadcast hash lookups, so non-matching rows die "
+    "at the scan side of the pipeline, and the final agg is "
+    "(2 nations × years)-sized — KBs at any corpus scale.",
+    tags=("relational", "join"),
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q162_market_share",
+    oracle="""
+    WITH flat AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                          * 1000000.0 + 0.5) AS BIGINT) AS rev_micro,
+               n1.n_name = 'NATION_5' AS is_target
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN is_target THEN rev_micro ELSE 0 END)
+                AS BIGINT) AS target_rev_micro,
+           CAST(sum(rev_micro) AS BIGINT) AS total_rev_micro,
+           CAST(floor(sum(CASE WHEN is_target THEN rev_micro ELSE 0 END)
+                      * CAST(1000000 AS HUGEINT) / sum(rev_micro))
+                AS BIGINT) AS share_ppm
+    FROM flat GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): the share of one "
+    "nation's suppliers in a region's customer revenue per order year. "
+    "The share is exact cross-engine: numerator/denominator are "
+    "integer micro-sums and the ratio is a floored parts-per-million "
+    "over 128-bit intermediates (never a float division of floats). "
+    "Plan: all five dims broadcast; one fact shuffle "
+    "(lineitem⋈orders); conditional aggregation computes both sums in "
+    "ONE pass (no second scan, no self-join) — the A2 conditional-agg "
+    "pattern applied to the classic share query.",
+    tags=("relational", "join", "agg"),
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev_micro = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
+    ).cast("bigint")
+    target_micro = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("rev_micro")).otherwise(0)
+    ).cast("bigint")
+    total_micro = F.sum("rev_micro").cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")
+                          .select("r_regionkey")),
+              F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev_micro.alias("rev_micro"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            target_micro.alias("target_rev_micro"),
+            total_micro.alias("total_rev_micro"),
+            F.floor(
+                target_micro.cast("decimal(38,0)") * 1000000 / total_micro
+            ).cast("bigint").alias("share_ppm"),
+        )
+    )
+
+
+@query(
+    "q163_promo_revenue_share",
+    oracle="""
+    WITH flat AS (
+        SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                          * 1000000.0 + 0.5) AS BIGINT) AS rev_micro,
+               p.p_type = 'PROMO' AS is_promo
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT ship_month,
+           CAST(sum(CASE WHEN is_promo THEN rev_micro ELSE 0 END)
+                AS BIGINT) AS promo_rev_micro,
+           CAST(sum(rev_micro) AS BIGINT) AS total_rev_micro,
+           CAST(floor(sum(CASE WHEN is_promo THEN rev_micro ELSE 0 END)
+                      * CAST(1000000 AS HUGEINT) / sum(rev_micro))
+                AS BIGINT) AS promo_ppm
+    FROM flat GROUP BY ship_month
+    """,
+    doc="TPC-H Q14 shape (promotion effect): promo-type parts' share of "
+    "monthly revenue. Part is the only dim and broadcasts; revenue and "
+    "promo revenue come from one conditional aggregation pass; the "
+    "share is the exact floored-ppm-over-128-bit pattern (q162). "
+    "Months arrive as 'YYYY-MM' strings so the grouping key is "
+    "engine-portable (no timestamp hashing).",
+    tags=("relational", "agg"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_micro = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
+    ).cast("bigint")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev_micro")).otherwise(0)
+    ).cast("bigint")
+    total = F.sum("rev_micro").cast("bigint")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .select(
+            F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM")
+            .alias("ship_month"),
+            rev_micro.alias("rev_micro"),
+            "p_type",
+        )
+        .groupBy("ship_month")
+        .agg(
+            promo.alias("promo_rev_micro"),
+            total.alias("total_rev_micro"),
+            F.floor(promo.cast("decimal(38,0)") * 1000000 / total)
+            .cast("bigint").alias("promo_ppm"),
+        )
+    )
+
+
+@query(
+    "q164_sole_late_supplier",
+    oracle="""
+    WITH li AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late,
+               max(CASE WHEN is_late THEN l_suppkey END) AS late_supp
+        FROM li GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_order p JOIN supplier s ON p.late_supp = s.s_suppkey
+    WHERE p.n_supp >= 2 AND p.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): in "
+    "multi-supplier orders, the supplier who was the ONLY one to ship "
+    "late (>60 days after the order date), counted per supplier, top "
+    "10. The classic formulation is a doubly-correlated "
+    "EXISTS/NOT-EXISTS; this plan DECORRELATES it into one grouped "
+    "pass per order (distinct-supplier and distinct-late-supplier "
+    "counts + max-late-supplier, which IS the sole late supplier "
+    "whenever n_late=1) — one shuffle on orderkey instead of two "
+    "correlated re-scans of lineitem. Supplier dim broadcasts; the "
+    "top-10 is orderBy+limit (tree-reduce takeOrdered, no global "
+    "sort).",
+    tags=("relational", "join", "agg"),
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    flat = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("is_late"),
+        )
+    )
+    per_order = flat.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q165_priority_late_orders",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking): orders from one year "
+    "with at least one line shipped after the order date, counted per "
+    "priority. The EXISTS probe is a LEFT SEMI join on orderkey with "
+    "the shipdate predicate as a join condition — one shuffle, "
+    "short-circuiting per key, never a per-row subquery; the year "
+    "filter pushes to the orders scan (PushedFilters) so the semi "
+    "join's build side is one year of orders, not all of them.",
+    tags=("relational", "join"),
+)
+def priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        o.join(
+            li.select("l_orderkey", "l_shipdate"),
+            (o.o_orderkey == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )

@@ -378,3 +378,33 @@ def test_ivf_rebalance_no_cartesian_assign_broadcast(spark):
     plan = plan_of(spark, "q160_ivf_rebalance")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_volume_shipping_one_fact_shuffle(spark):
+    """q161/q162 (TPC-H Q7/Q8 shapes): every dim reaches the fact
+    pipeline as a broadcast; the plan carries at most the one
+    fact-side exchange plus the final agg — never a shuffle per dim."""
+    for name in ("q161_volume_shipping", "q162_market_share"):
+        plan = plan_of(spark, name)
+        assert plan.count("BroadcastHashJoin") >= 4, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 2, name
+
+
+def test_sole_late_supplier_decorrelated_topk(spark):
+    """q164 (Q21 shape): the doubly-correlated EXISTS/NOT-EXISTS is
+    decorrelated into one grouped pass — no per-row subquery artifacts,
+    and the top-10 is TakeOrdered (tree-reduce), not a global sort."""
+    plan = plan_of(spark, "q164_sole_late_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_late_orders_semi_join_pushdown(spark):
+    """q165 (Q4 shape): the EXISTS probe is a semi join and the year
+    filter reaches the orders scan."""
+    plan = plan_of(spark, "q165_priority_late_orders")
+    assert "LeftSemi" in plan
+    scan = [l for l in plan.splitlines()
+            if "FileScan parquet" in l and "orders" in l]
+    assert scan and "PushedFilters" in scan[0] and "o_orderdate" in scan[0]
