@@ -72,6 +72,10 @@ from football_lakehouse_spark.operators.merge import merge_upsert
 
 LOG_DIR = "_log"
 CHECKPOINT_EVERY = 10
+#: how many times a losing append re-attempts its commit at the new log
+#: head before surfacing ConcurrentWriteError (Delta parity: blind
+#: appends never logically conflict, so the loser rebases)
+APPEND_REBASE_RETRIES = 5
 _V_WIDTH = 20
 
 
@@ -587,12 +591,61 @@ class LakehouseTable:
                 raise
         return moved
 
+    def _rebase_append_schema(self, staged_schema_json: str, props_before: dict) -> str:
+        """After losing a commit CAS, decide whether the staged append
+        can REBASE onto the new log head (Delta conflict resolution:
+        blind appends never logically conflict) and return the schema
+        to commit. Safe iff (a) table properties are unchanged — a
+        concurrent constraint add would bypass enforcement on our
+        staged files, a concurrent drop_column tombstone would
+        invalidate our physical-name claims — and (b) every column the
+        winner's schema shares with ours kept its type. The committed
+        schema becomes head ∪ our-new-columns so a winner's evolved
+        column is never erased from the log (lost schema update)."""
+        from pyspark.sql.types import StructType
+
+        if self._props() != props_before:
+            raise ConcurrentWriteError(
+                f"{self.base}: table properties changed concurrently "
+                f"(constraints / column mapping); cannot rebase the append — "
+                f"re-run it against the new table state"
+            )
+        head = self.schema()
+        if head is None:
+            return staged_schema_json
+        ours = StructType.fromJson(json.loads(staged_schema_json))
+        head_types = {f.name: f.dataType.simpleString() for f in head.fields}
+        for f in ours.fields:
+            if f.name in head_types and head_types[f.name] != f.dataType.simpleString():
+                raise SchemaMismatchError(
+                    f"{self.base}: column {f.name!r} became "
+                    f"{head_types[f.name]} in a concurrent commit but staged "
+                    f"data has {f.dataType.simpleString()}"
+                )
+        extra = [f for f in ours.fields if f.name not in head_types]
+        return StructType(list(head.fields) + extra).json()
+
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append with Delta-parity conflict resolution: the data is
+        staged ONCE; if another writer wins the version CAS, the append
+        rebases — re-commits the same staged files at the new head —
+        because blind appends commute with any committed operation.
+        Operations that READ the table (overwrite/delete/update/merge)
+        still surface ConcurrentWriteError immediately: their result
+        may depend on state the winner changed."""
         df = self._align_schema(df, merge_schema)
-        return self._commit(
-            "append", self._stage(df), [], rows=None,
-            schema_json=self._staged_schema,
-        )
+        props_before = self._props()
+        files = self._stage(df)
+        schema_json = self._staged_schema
+        for attempt in range(APPEND_REBASE_RETRIES + 1):
+            try:
+                return self._commit(
+                    "append", files, [], rows=None, schema_json=schema_json
+                )
+            except ConcurrentWriteError:
+                if attempt == APPEND_REBASE_RETRIES:
+                    raise
+                schema_json = self._rebase_append_schema(schema_json, props_before)
 
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest transaction version committed for ``app_id`` (Delta
@@ -625,11 +678,30 @@ class LakehouseTable:
         if last is not None and txn_version <= last:
             return None
         df = self._align_schema(df, merge_schema)
-        return self._commit(
-            "append", self._stage(df), [], rows=None,
-            schema_json=self._staged_schema,
-            txn={"app_id": app_id, "version": int(txn_version)},
-        )
+        props_before = self._props()
+        files = self._stage(df)
+        schema_json = self._staged_schema
+        for attempt in range(APPEND_REBASE_RETRIES + 1):
+            try:
+                return self._commit(
+                    "append", files, [], rows=None, schema_json=schema_json,
+                    txn={"app_id": app_id, "version": int(txn_version)},
+                )
+            except ConcurrentWriteError:
+                # a concurrent REPLICA may have committed this very txn:
+                # re-probe before rebasing, and drop our staged files so
+                # the duplicate data can never be referenced
+                last = self.last_txn_version(app_id)
+                if last is not None and txn_version <= last:
+                    for f in files:
+                        try:
+                            os.remove(os.path.join(self.data_root, f))
+                        except FileNotFoundError:
+                            pass
+                    return None
+                if attempt == APPEND_REBASE_RETRIES:
+                    raise
+                schema_json = self._rebase_append_schema(schema_json, props_before)
 
     def append_if_new(self, df: DataFrame, hash_col: str) -> int | None:
         """Content-hash idempotent append (reference D2: skip the write

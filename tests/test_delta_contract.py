@@ -23,6 +23,14 @@ Contract clauses covered:
       the horizon fails loudly, never silently returns partial data
   C8  OPTIMIZE (compaction) rewrites files without changing rows, as
       its own commit
+  C14 constraint add/drop are versioned commits; RESTORE restores
+      constraint state; constraints(version=) sees history
+  C15 VACUUM reclaims deletion-vector sidecars (incl. lost-CAS orphans)
+  C16 concurrent blind appends both commit (loser rebases onto the new
+      head — Delta logical conflict resolution)
+  C17 the append rebase is refused when table properties changed
+      concurrently (staged files were never checked against the new
+      constraints)
 """
 
 from __future__ import annotations
@@ -326,3 +334,63 @@ def test_c15_vacuum_reclaims_deletion_vector_sidecars(spark, make_table):
     t.vacuum(retain_last=1)
     assert os.listdir(dv_root) == []
     assert t.read().count() == 7
+
+
+def test_c16_concurrent_appends_both_commit(spark, make_table):
+    """Delta conflict-resolution parity: blind appends never logically
+    conflict — a writer that loses the version CAS (the true race:
+    both writers read the same head and link the same commit number)
+    rebases its already-staged files onto the new head instead of
+    failing. The race is reproduced deterministically by serving writer
+    A ONE stale log listing: its first commit attempt targets a version
+    writer B already took, the put-if-absent link refuses, and the
+    public append() retry loop must absorb it."""
+    t = make_table("conc_app")
+    t.append(_df(spark, [(1, "base")]))
+
+    real = t._log_entries
+    stale_tail = real()            # the head writer A believes in
+    t.append(_df(spark, [(3, "from_b")]))   # writer B takes version 1
+
+    # writer A sees the stale head for its WHOLE first attempt (schema
+    # reads and the commit's own version computation), so its commit
+    # targets the version B already took and the put-if-absent link
+    # refuses; the healing is keyed to the rebase hook so the test
+    # fails if the conflict path never ran
+    state = {"stale": True, "rebased": 0}
+    orig_rebase = t._rebase_append_schema
+
+    def racing_log_entries():
+        return stale_tail if state["stale"] else real()
+
+    def rebase_and_heal(*a, **k):
+        state["stale"] = False
+        state["rebased"] += 1
+        return orig_rebase(*a, **k)
+
+    t._log_entries = racing_log_entries
+    t._rebase_append_schema = rebase_and_heal
+    try:
+        t.append(_df(spark, [(2, "from_a")]))   # loses CAS once, rebases
+    finally:
+        t._log_entries = real
+        t._rebase_append_schema = orig_rebase
+    assert state["rebased"] == 1, "the CAS conflict must have been hit exactly once"
+    assert _rows(t.read()) == [(1, "base"), (2, "from_a"), (3, "from_b")]
+    assert [h["version"] for h in t.describe_history()] == [0, 1, 2]
+
+
+def test_c17_concurrent_append_conflicts_on_property_change(spark, make_table):
+    """The rebase is refused when table properties changed concurrently
+    (a new CHECK constraint was never enforced on the staged files)."""
+    from football_lakehouse_spark.lakehouse.tables import ConcurrentWriteError
+
+    t = make_table("conc_cons")
+    t.append(_df(spark, [(1, "a")]))
+    props_before = t._props()
+    a_df = t._align_schema(_df(spark, [(-2, "bad")]), False)
+    t._stage(a_df)
+    a_schema = t._staged_schema
+    t.add_constraint("pos_k", "k > 0")  # property change wins the race
+    with pytest.raises(ConcurrentWriteError):
+        t._rebase_append_schema(a_schema, props_before)
