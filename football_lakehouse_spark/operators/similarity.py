@@ -490,6 +490,75 @@ def ivf_search(
     )
 
 
+def ivf_search_budget(
+    queries: DataFrame, corpus: DataFrame,
+    assigned: DataFrame, centroids: DataFrame,
+    k: int = 3, candidate_budget: int = 100,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ADAPTIVE-probe IVF search: instead of a fixed ``n_probe``, each
+    query probes cells in ascending centroid-d² order until the
+    CUMULATIVE member count reaches ``candidate_budget`` (the cell that
+    crosses the budget is included; empty cells cost nothing).
+
+    Why: fixed n_probe tunes per-query cost in CELLS, but cells are not
+    equal — after a :func:`refine_hot_cells` split (or on any skewed
+    corpus) a dense region's cells hold many more members than a sparse
+    region's, so fixed n_probe over-probes sparse queries and
+    under-probes dense ones (the recall cliff measured in
+    ``scripts/soak_ivf_skew.py``, SCALING.md round-5 soak finding 4).
+    A row budget equalises per-query WORK: every query scores
+    ≈ candidate_budget candidates regardless of where it lands — which
+    also makes the scoring stage's per-task cost uniform, i.e. the
+    straggler-free shape you want on a cluster.
+
+    Plan: identical to :func:`ivf_search` except the probe ranking
+    carries a running member-count window (per query — the probe table
+    is queries×cells, tiny) before the broadcast candidate join.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
+    )
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_sz"))
+    qqx = _quantized_components(queries, "query_id", id_col, vec_col)
+    diff = F.col("qx") - F.col("cq")
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    cum_w = probe_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes = (
+        qqx.join(F.broadcast(centroids), "pos")
+        .groupBy("query_id", "cell")
+        .agg(F.sum(diff * diff).alias("d2"))
+        .join(F.broadcast(sizes), "cell")
+        .withColumn("_cum", F.sum("_sz").over(cum_w))
+        .where(F.col("_cum") - F.col("_sz") < candidate_budget)
+        .select("query_id", "cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .join(c, "match_id")
+        .join(F.broadcast(q), "query_id")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos_sim", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 3, n_cells: int = 16,
     n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",

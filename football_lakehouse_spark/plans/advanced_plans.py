@@ -579,3 +579,125 @@ def pit_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_value").alias("value_asof"),
         F.col("asof_eff_from").alias("eff_from"),
     )
+
+
+@query(
+    "q167_distinct_sketch",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1024 AS bucket,
+               user_id
+        FROM events
+    )
+    SELECT event_type,
+           CAST(1024 AS BIGINT) AS n_buckets,
+           CAST(count(DISTINCT bucket) AS BIGINT) AS n_occupied,
+           CAST(floor(count(DISTINCT bucket) * 1000000.0 / 1024) AS BIGINT)
+               AS occupancy_ppm,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM b GROUP BY event_type
+    """,
+    doc="Mergeable DISTINCT-COUNT SKETCH (linear counting / Whang et "
+    "al.): per group, the occupied-bucket count of a 1024-bucket hash "
+    "bitmap over user_id — sha256-bucketed so the sketch is "
+    "bit-identical in any engine. The at-scale point is the aggregation "
+    "STATE BOUND: exact count-distinct state grows O(distinct values) "
+    "per group, the sketch's is ≤ m buckets per group no matter how "
+    "many distinct users exist — per-partition partial bitmaps merge "
+    "by set union (associative+commutative, verified by the merge "
+    "invariant test), the same contract HLL sketches ship under. The "
+    "cardinality estimate m·ln(m/(m−z)) is a driver-side scalar "
+    "post-step (ln is not bit-portable across libm builds, so it "
+    "stays OUT of the cross-engine-checked columns; z and the exact "
+    "count are emitted for direct comparison).",
+    tags=("relational", "agg", "approx"),
+)
+def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    m = 1024
+    bucket = portable_hash(F.col("user_id").cast("string")) % m
+    return (
+        ev.select("event_type", bucket.alias("bucket"), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.lit(m).cast("bigint").alias("n_buckets"),
+            F.countDistinct("bucket").alias("n_occupied"),
+            F.floor(F.countDistinct("bucket") * 1000000.0 / m)
+            .cast("bigint").alias("occupancy_ppm"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+    )
+
+
+@query(
+    "q169_max_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type, event_id,
+               epoch(ts) AS t0, epoch(ts) + 300 AS t1
+        FROM events
+    ),
+    deltas AS (
+        SELECT event_type, t0 AS t, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT event_type, t1 AS t, -1 AS delta, event_id FROM iv
+    ),
+    swept AS (
+        SELECT event_type,
+               sum(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY t ASC, delta ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS open_now
+        FROM deltas
+    )
+    SELECT event_type, CAST(max(open_now) AS BIGINT) AS max_concurrent
+    FROM swept GROUP BY event_type
+    """,
+    doc="SWEEP-LINE maximum interval concurrency: each event opens a "
+    "300 s interval; the peak number of simultaneously-open intervals "
+    "per event type is the classic capacity/peak-load question "
+    "(concurrent sessions, GPU-slot demand, connection peaks). The "
+    "naive forms die at scale — a self-join on overlap is O(n²), a "
+    "per-second dense explode is O(n·duration); the sweep is "
+    "O(n log n): explode each interval to a +1/−1 delta (2n rows), one "
+    "shuffle+sort per group key, a running sum, and a max. Closed-open "
+    "semantics: an interval ending exactly when another starts does "
+    "NOT overlap it (delta −1 sorts before +1 at equal t; event_id "
+    "completes the total order so the running sum is identical in any "
+    "engine).",
+    tags=("relational", "window"),
+)
+def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type", "event_id",
+        epoch_seconds(F.col("ts")).alias("t0"),
+        (epoch_seconds(F.col("ts")) + 300).alias("t1"),
+    )
+    deltas = iv.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(
+            "event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn("open_now", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("open_now").cast("bigint").alias("max_concurrent"))
+    )

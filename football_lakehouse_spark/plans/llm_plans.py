@@ -3633,6 +3633,84 @@ def _ivf_append_oracle_sql(n_cells: int, iters: int) -> str:
     )
 
 
+def _ivf_budget_oracle_sql(
+    n_cells: int, candidate_budget: int, k: int, iters: int,
+) -> str:
+    """Unrolled twin of operators/similarity.ivf_search_budget: probe
+    cells in ascending centroid-d² order until the running member count
+    reaches the budget (crossing cell included), then exact-cosine the
+    probed members."""
+    ctes, prev = _lloyd_sql_ctes(n_cells, iters)
+    ctes.append("""csz AS (
+        SELECT cell, count(*) AS sz FROM af GROUP BY cell
+    )""")
+    ctes.append(f"""probes AS (
+        SELECT query_id, cell FROM (
+            SELECT d.query_id, d.cell, csz.sz,
+                   sum(csz.sz) OVER (
+                       PARTITION BY d.query_id
+                       ORDER BY d.d2 ASC, d.cell ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM (
+                SELECT qx.vec_id AS query_id, c.cell,
+                       sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2
+                FROM qx JOIN {prev} c ON qx.pos = c.pos
+                WHERE qx.vec_id < 5
+                GROUP BY qx.vec_id, c.cell
+            ) d JOIN csz USING (cell)
+        ) WHERE cum - sz < {candidate_budget}
+    )""")
+    ctes.append("""scored AS (
+        SELECT p.query_id, af.vec_id AS match_id,
+               list_dot_product(qv.e, cv.e)
+                 / (sqrt(list_dot_product(qv.e, qv.e))
+                    * sqrt(list_dot_product(cv.e, cv.e))) AS cos_sim
+        FROM af
+        JOIN probes p USING (cell)
+        JOIN v cv ON cv.vec_id = af.vec_id
+        JOIN v qv ON qv.vec_id = p.query_id
+        WHERE af.vec_id <> p.query_id
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, match_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+        ) AS BIGINT) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+    )
+
+
+@query(
+    "q166_ivf_budget_probe",
+    oracle=_ivf_budget_oracle_sql(n_cells=16, candidate_budget=60, k=3, iters=2),
+    doc="ADAPTIVE-probe IVF ANN (operators/similarity.ivf_search_budget): "
+    "each query probes cells in ascending centroid-d² order until the "
+    "running member count reaches a CANDIDATE BUDGET (60 rows here) "
+    "instead of a fixed n_probe — fixed n_probe tunes cost in cells, "
+    "but cells are not equal-sized on skewed or refine-split corpora "
+    "(SCALING.md round-5 soak finding 4), so a row budget equalises "
+    "per-query work and makes scoring tasks uniform (straggler-free). "
+    "The oracle unrolls Lloyd + the running-count window + exact "
+    "cosine; full value-level match (north star: similarity search).",
+    tags=("llm", "similarity"),
+)
+def ivf_budget_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.similarity import (
+        ivf_search_budget,
+        kmeans_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    assigned, cent = kmeans_cells(emb, n_cells=16, iters=2, id_out="match_id")
+    return ivf_search_budget(
+        queries, emb, assigned, cent, k=3, candidate_budget=60
+    )
+
+
 def _ivf_refine_oracle_sql(
     n_cells: int, iters: int, train_where: str,
     max_frac: float, n_split: int, sub_iters: int,
@@ -4085,5 +4163,128 @@ def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("sum_xy"),
             F.sum("a.q").cast("bigint").alias("sum_x"),
             F.sum("b.q").cast("bigint").alias("sum_y"),
+        )
+    )
+
+
+@query(
+    "q168_setsim_prefix_join",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    df_tab AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+    ranked AS (
+        SELECT token, row_number() OVER (ORDER BY df ASC, token ASC) AS gr
+        FROM df_tab
+    ),
+    dtr AS (
+        SELECT dt.doc_id, dt.token, r.gr,
+               count(*) OVER (PARTITION BY dt.doc_id) AS set_len,
+               row_number() OVER (
+                   PARTITION BY dt.doc_id ORDER BY r.gr ASC
+               ) AS pos
+        FROM dt JOIN ranked r USING (token)
+    ),
+    prefix AS (
+        SELECT doc_id, token, set_len FROM dtr
+        WHERE pos <= set_len - ((set_len + 1) // 2) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b USING (token)
+        WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               count(*) AS inter,
+               any_value(la.set_len) + any_value(lb.set_len) - count(*) AS uni
+        FROM cand c
+        JOIN dt ta ON ta.doc_id = c.doc_a
+        JOIN dt tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        JOIN (SELECT DISTINCT doc_id, set_len FROM dtr) la ON la.doc_id = c.doc_a
+        JOIN (SELECT DISTINCT doc_id, set_len FROM dtr) lb ON lb.doc_id = c.doc_b
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(inter * 1000000.0 / uni) AS BIGINT) AS jaccard_ppm
+    FROM verified
+    WHERE inter * 2 >= uni
+    """,
+    doc="PREFIX-FILTERING set-similarity join (PPJoin-family, Chaudhuri "
+    "et al. / Xiao et al.): the third candidate-generation algorithm in "
+    "the dedup family beside MinHash banding (q41) and SimHash (q42) — "
+    "and unlike those, EXACT: order every document's distinct tokens by "
+    "ascending global document frequency (rarest first), keep only the "
+    "first L − ⌈t·L⌉ + 1 tokens as the PREFIX, and join docs on shared "
+    "prefix tokens; the pigeonhole guarantee is that any pair with "
+    "Jaccard ≥ t=0.5 MUST collide on some prefix token, so "
+    "verification (exact set intersection over candidates only) "
+    "recovers every true pair — zero false negatives, no probabilistic "
+    "recall bound. Scale: rare-token-first ordering makes prefix "
+    "postings short (the frequent tokens that would explode the join "
+    "live at the END of the ordering, outside every prefix); all "
+    "integer arithmetic (⌈t·L⌉ = (L+1)//2), floored-ppm Jaccard "
+    "(north star: near-dup dedup).",
+    tags=("llm", "dedup"),
+)
+def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("token")
+    ).distinct()
+    df_tab = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = df_tab.select(
+        "token",
+        F.row_number().over(
+            Window.orderBy(F.col("df").asc(), F.col("token").asc())
+        ).alias("gr"),
+    )
+    w_len = Window.partitionBy("doc_id")
+    w_pos = Window.partitionBy("doc_id").orderBy(F.col("gr").asc())
+    dtr = (
+        dt.join(F.broadcast(ranked), "token")
+        .withColumn("set_len", F.count(F.lit(1)).over(w_len))
+        .withColumn("pos", F.row_number().over(w_pos))
+    )
+    prefix_len = (
+        F.col("set_len") - F.floor((F.col("set_len") + 1) / 2) + 1
+    )
+    prefix = dtr.where(F.col("pos") <= prefix_len).select(
+        "doc_id", "token", "set_len"
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "token",
+        F.col("set_len").alias("len_a"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "token",
+        F.col("set_len").alias("len_b"),
+    )
+    cand = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "len_a", "len_b")
+        .distinct()
+    )
+    ta = dt.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = dt.select(F.col("doc_id").alias("doc_b"), "token")
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            (F.first("len_a") + F.first("len_b") - F.count(F.lit(1))).alias("uni"),
+        )
+    )
+    return (
+        verified.where(F.col("inter") * 2 >= F.col("uni"))
+        .select(
+            "doc_a", "doc_b",
+            F.floor(F.col("inter") * 1000000.0 / F.col("uni"))
+            .cast("bigint").alias("jaccard_ppm"),
         )
     )

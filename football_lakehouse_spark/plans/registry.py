@@ -107,6 +107,10 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q163_promo_revenue_share",
     "q164_sole_late_supplier",
     "q165_priority_late_orders",
+    "q166_ivf_budget_probe",
+    "q167_distinct_sketch",
+    "q168_setsim_prefix_join",
+    "q169_max_concurrency",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -851,3 +851,57 @@ def test_ivf_search_prebuilt_matches_ivf_topk(spark, emb):
     assigned, cent = kmeans_cells(emb, n_cells=16, iters=2, id_out="match_id")
     via_search = sorted(map(tuple, ivf_search(queries, emb, assigned, cent, k=3, n_probe=4).collect()))
     assert via_topk == via_search
+
+
+def test_distinct_sketch_merges_by_union(spark):
+    """q167's scale contract: per-partition partial sketches merge by
+    set union — the sketch over the full data equals the union of
+    sketches over any split (the associativity HLL-family sketches
+    ship under, here exact because the sketch IS the bucket set)."""
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    bucket = portable_hash(F.col("user_id").cast("string")) % 1024
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+
+    def sketch(df):
+        return {
+            r["event_type"]: set(r["s"])
+            for r in df.select("event_type", bucket.alias("b"))
+            .groupBy("event_type")
+            .agg(F.collect_set("b").alias("s"))
+            .collect()
+        }
+
+    whole, s1, s2 = sketch(ev), sketch(half1), sketch(half2)
+    merged = {k: s1.get(k, set()) | s2.get(k, set()) for k in whole}
+    assert merged == whole
+
+
+def test_setsim_prefix_join_no_false_negatives(spark):
+    """q168's pigeonhole guarantee: prefix filtering loses NO pair with
+    Jaccard >= 0.5 — compare against brute-force all-pairs exact
+    Jaccard on the fixture corpus."""
+    from football_lakehouse_spark.plans import registry
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_ppm
+        for r in registry.REGISTRY["q168_setsim_prefix_join"]
+        .builder(spark, "/root/testdata/sf0.001").collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = {
+        r.doc_id: set((r.text or "").split()) - {""}
+        for r in docs.select("doc_id", "text").collect()
+    }
+    ids = sorted(toks)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(toks[a] & toks[b])
+            uni = len(toks[a] | toks[b])
+            if uni and 2 * inter >= uni:
+                truth[(a, b)] = inter * 1_000_000 // uni
+    assert got == truth
+    assert truth, "fixture should contain at least one true near-dup pair"

@@ -408,3 +408,21 @@ def test_priority_late_orders_semi_join_pushdown(spark):
     scan = [l for l in plan.splitlines()
             if "FileScan parquet" in l and "orders" in l]
     assert scan and "PushedFilters" in scan[0] and "o_orderdate" in scan[0]
+
+
+def test_setsim_prefix_ranked_broadcast(spark):
+    """q168: the global token ranking (vocab-sized) reaches the posting
+    assembly as a broadcast; no cartesian anywhere — the candidate join
+    is an equi-join on prefix tokens."""
+    plan = plan_of(spark, "q168_setsim_prefix_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_max_concurrency_single_sweep_exchange(spark):
+    """q169: the sweep is one shuffle on the group key feeding the
+    running-sum window, then a partial-aggregated max — the +1/-1 delta
+    union must NOT introduce a second exchange of the data."""
+    plan = plan_of(spark, "q169_max_concurrency")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    assert "CartesianProduct" not in plan
