@@ -273,10 +273,17 @@ def kmeans_cells(
     """
     # embedding tables pack many rows per file split and every Lloyd
     # stage is CPU-bound → spread the corpus across executors first
-    # (same rationale as brute_force_topk)
+    # (same rationale as brute_force_topk). The corpus is then the
+    # working set of EVERY Lloyd round (iters+1 assignment passes +
+    # iters centroid updates) — persist it once so each round reads the
+    # cached rows instead of re-scanning and re-decoding the source
+    # parquet; at 100 TB this is the difference between k passes over
+    # the cache tier and k passes over object storage.
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    corpus = corpus.repartition(par)
-    qx = _quantized_components(corpus, id_out, id_col, vec_col, normalize=normalize)
+    corpus = corpus.repartition(par).persist()
+    qx = _quantized_components(
+        corpus, id_out, id_col, vec_col, normalize=normalize
+    ).persist()
 
     # init: the n_cells lowest-id vectors, cell = 0..n_cells-1 in id order
     w_init = Window.orderBy(F.col(id_out).asc())

@@ -1538,3 +1538,74 @@ def priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     )
+
+
+@query(
+    "q170_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    item_cnt AS (
+        SELECT l_partkey, count(*) AS cnt FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS pair_cnt
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.part_a, p.part_b, CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(floor(p.pair_cnt * CAST(n.n_orders AS HUGEINT) * 1000000
+                      / (ca.cnt * cb.cnt)) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN item_cnt ca ON ca.l_partkey = p.part_a
+    JOIN item_cnt cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    WHERE p.pair_cnt >= 2
+    """,
+    doc="MARKET-BASKET co-occurrence with lift: part pairs bought in the "
+    "same order, with lift = P(a,b)/(P(a)·P(b)) as an exact floored ppm "
+    "over 128-bit integer products (no float probability anywhere). "
+    "Plan: pair generation is a self-join co-partitioned on orderkey — "
+    "per-order cost is C(k,2) with k = basket size, so the shuffle "
+    "carries the item list once and pairs never leave their reducer "
+    "until aggregated. The scale hazard is a PATHOLOGICAL basket (one "
+    "order with 10^5 items → 10^10 pairs on one key); the defence is "
+    "the same hot-group cap as q93's near-dup star cap — truncate or "
+    "sample baskets above a size bound before pairing (fixture baskets "
+    "are ≤7 items, so the cap is not wired here; see SCALING.md). "
+    "Support floor (pair_cnt ≥ 2) prunes the singleton tail early.",
+    tags=("relational", "join", "agg"),
+)
+def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 2)
+    )
+    item_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    ca = item_cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+            F.floor(
+                F.col("pair_cnt").cast("decimal(38,0)")
+                * F.col("n_orders") * 1000000
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).cast("bigint").alias("lift_ppm"),
+        )
+    )
