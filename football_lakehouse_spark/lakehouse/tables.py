@@ -139,12 +139,17 @@ class Version:
 
 class LakehouseTable:
     def __init__(self, spark: SparkSession, root: str, schema: str, name: str,
-                 partition_by: Sequence[str] = ()):
+                 partition_by: Sequence[str] = (),
+                 stats_columns: Sequence[str] = ()):
         self.spark = spark
         self.base = os.path.join(root, schema, name)
         self.data_root = os.path.join(self.base, "data")
         self.log_root = os.path.join(self.base, LOG_DIR)
         self.partition_by = list(partition_by)
+        #: columns whose per-file min/max are recorded in each commit
+        #: for data skipping (Delta `dataSkippingNumIndexedCols`
+        #: analogue). Numeric / string / timestamp columns only.
+        self.stats_columns = list(stats_columns)
         os.makedirs(self.data_root, exist_ok=True)
         os.makedirs(self.log_root, exist_ok=True)
 
@@ -210,6 +215,12 @@ class LakehouseTable:
             entry["txn"] = txn
         if props is not None:
             entry["props"] = props
+        # data-skipping stats ride the commit that references the files;
+        # _stage populated them for exactly this add set (rebase retries
+        # reuse them — the files are the same)
+        staged_stats = getattr(self, "_staged_stats", None)
+        if add and staged_stats:
+            entry["stats"] = {f: staged_stats[f] for f in add if f in staged_stats}
         tmp = self._commit_path(v) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f)
@@ -571,6 +582,9 @@ class LakehouseTable:
                 moved.append(os.path.join(rel_dir, new_name) if rel_dir else new_name)
         shutil.rmtree(staging, ignore_errors=True)
         moved = sorted(moved)
+        self._staged_stats = (
+            self._collect_stats(moved, phys) if self.stats_columns else None
+        )
         cons = self.constraints()
         if cons and moved:
             staged = self.spark.read.option("basePath", self.data_root).parquet(
@@ -590,6 +604,103 @@ class LakehouseTable:
                         pass
                 raise
         return moved
+
+    @staticmethod
+    def _stat_value(v):
+        """JSON-portable stat encoding: datetimes → ISO strings (which
+        compare chronologically), numerics/strings pass through, other
+        types → None (no stats, conservative keep)."""
+        import datetime as _dt
+
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, (int, float, str)):
+            return v
+        return None
+
+    def _collect_stats(self, moved: list[str], phys: dict) -> dict:
+        """Per-file min/max for ``stats_columns`` from the parquet
+        FOOTERS of the just-staged files — no data re-read; the footer
+        already carries row-group statistics. Driver-side O(staged
+        files) metadata reads, mirroring where Delta's write tasks
+        surface their collected stats into the commit. Columns are
+        looked up under their PHYSICAL names (column mapping) but
+        recorded under logical names, so stats survive renames."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        want = {phys.get(c, c): c for c in self.stats_columns}
+        for rel in moved:
+            md = pq.ParquetFile(os.path.join(self.data_root, rel)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            fstats: dict[str, list] = {}
+            for pname, lname in want.items():
+                if pname not in idx:
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[pname]).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = self._stat_value(st.min), self._stat_value(st.max)
+                    if mn is None or mx is None:
+                        ok = False
+                        break
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                if ok and lo is not None:
+                    fstats[lname] = [lo, hi]
+            if fstats:
+                out[rel] = fstats
+        return out
+
+    def _stats_at(self, v: int) -> dict:
+        """File→stats map at version ``v`` (same add/remove replay as
+        the live-file set)."""
+        commits, _ = self._log_entries()
+        stats: dict[str, dict] = {}
+        for cv in (c for c in commits if c <= v):
+            c = self._read_commit(cv)
+            for f in c.get("remove", ()):
+                stats.pop(f, None)
+            stats.update(c.get("stats", {}))
+        return stats
+
+    def pruned_files(
+        self, skipping: dict, version: int | None = None
+    ) -> list[str]:
+        """DATA SKIPPING: the subset of version-``v`` live files whose
+        recorded [min, max] can intersect ``skipping`` = {col: (lo,
+        hi)} (None bound = open). Files without stats for a queried
+        column are KEPT — skipping is an optimisation, never a filter;
+        correctness always comes from the real predicate on the scan.
+        O(files) driver-side metadata, zero data I/O — the point at
+        100 TB: a time-range query over a date-clustered table opens
+        only the handful of files whose footer range overlaps."""
+        commits, _ = self._log_entries()
+        v = commits[-1] if version is None else version
+        stats = self._stats_at(v)
+        keep = []
+        for f in self._live_at(v):
+            fstats = stats.get(f, {})
+            drop = False
+            for col, (lo, hi) in skipping.items():
+                rng = fstats.get(col)
+                if rng is None:
+                    continue
+                slo, shi = rng
+                c_lo = self._stat_value(lo) if lo is not None else None
+                c_hi = self._stat_value(hi) if hi is not None else None
+                if (c_hi is not None and slo > c_hi) or (
+                    c_lo is not None and shi < c_lo
+                ):
+                    drop = True
+                    break
+            if not drop:
+                keep.append(f)
+        return keep
 
     def _rebase_append_schema(self, staged_schema_json: str, props_before: dict) -> str:
         """After losing a commit CAS, decide whether the staged append
@@ -1048,20 +1159,25 @@ class LakehouseTable:
         return max(candidates)
 
     def read(
-        self, version: int | None = None, timestamp: float | None = None
+        self, version: int | None = None, timestamp: float | None = None,
+        skipping: dict | None = None,
     ) -> DataFrame:
         """Read the table at the current (or a time-travelled) version —
         ``version`` is ``VERSION AS OF``, ``timestamp`` is ``TIMESTAMP
         AS OF`` (mutually exclusive). basePath keeps partition-column
         inference + pruning alive even though we hand Spark an explicit
-        file list."""
+        file list. ``skipping`` = {col: (lo, hi)} prunes files by their
+        logged min/max stats BEFORE Spark ever lists them (see
+        :meth:`pruned_files`) — the caller still applies the real
+        predicate; skipping only narrows the scan."""
         if version is not None and timestamp is not None:
             raise ValueError("pass version OR timestamp, not both")
         if timestamp is not None:
             version = self.version_at_timestamp(timestamp)
-        return self._read(version)
+        return self._read(version, skipping=skipping)
 
-    def _read(self, version: int | None, with_lineage: bool = False) -> DataFrame:
+    def _read(self, version: int | None, with_lineage: bool = False,
+              skipping: dict | None = None) -> DataFrame:
         """Internal read. ``with_lineage`` keeps the per-row provenance
         columns ``__file``/``__ri`` (``_metadata.file_path`` /
         ``row_index``) that deletion vectors key on."""
@@ -1070,6 +1186,18 @@ class LakehouseTable:
             raise FileNotFoundError(f"table {self.base} has no committed version")
         v = commits[-1] if version is None else version
         files = self._live_at(v)
+        if skipping:
+            allowed = set(self.pruned_files(skipping, v))
+            files = [f for f in files if f in allowed]
+            if not files:
+                # every file pruned: an empty frame with the right schema
+                sj = self._schema_at(v)
+                if sj is not None:
+                    from pyspark.sql.types import StructType
+
+                    return self.spark.createDataFrame(
+                        [], StructType.fromJson(json.loads(sj))
+                    )
         paths = [os.path.join(self.data_root, f) for f in files]
         if not paths:
             raise FileNotFoundError(f"version {v} of {self.base} is empty")

@@ -895,3 +895,57 @@ def expectations_quarantine_query(spark: SparkSession, sf_dir: str) -> DataFrame
         "failed_expectations",
     )
     return valid.unionByName(quar)
+
+
+@query(
+    "q171_data_skipping",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_micro
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o_orderdate <= TIMESTAMP '1999-06-30'
+    GROUP BY o_orderpriority
+    """,
+    doc="FILE-LEVEL DATA SKIPPING (Delta min/max stats parity): orders "
+    "are written range-clustered on o_orderdate into a stats-indexed "
+    "table (per-file [min,max] harvested from the parquet FOOTERS at "
+    "stage time and recorded in the commit log); a six-month window "
+    "query then opens only the files whose logged range intersects — "
+    "measured 2 of 8 files at fixture scale, and at 100 TB the "
+    "difference between listing a handful of objects and listing the "
+    "table. Skipping is an optimisation, never a filter: the real "
+    "predicate still applies on the scan, files without stats are "
+    "conservatively kept, and stats replay add/remove like the live "
+    "set so DELETE/OPTIMIZE stay consistent (contract-tested). The "
+    "oracle is the plain filtered aggregate — values must be identical "
+    "with pruning on.",
+    tags=("lakehouse",),
+)
+def data_skipping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = LakehouseTable(
+        spark, scratch_dir("q171"), "silver", "orders_clustered",
+        stats_columns=["o_orderdate"],
+    )
+    t.append(orders.repartitionByRange(8, "o_orderdate"))
+    lo = datetime.datetime(1999, 1, 1)
+    hi = datetime.datetime(1999, 6, 30)
+    pruned = t.read(skipping={"o_orderdate": (lo, hi)})
+    return (
+        pruned.where(
+            (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit("1999-06-30").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint")
+            ).cast("bigint").alias("revenue_micro"),
+        )
+    )

@@ -112,6 +112,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q168_setsim_prefix_join",
     "q169_max_concurrency",
     "q170_market_basket",
+    "q171_data_skipping",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -832,3 +832,52 @@ def test_concurrent_commit_detected_not_clobbered(spark, events, tmp_path):
         assert _json.load(f) == winner, "winner's commit must survive"
     # a fresh read of the log resolves the conflict: retry lands as v2
     assert t.append(base.limit(5)) == 2
+
+
+def test_data_skipping_stats_lifecycle(spark, tmp_path):
+    """Data-skipping contract: stats recorded at stage time prune reads
+    correctly, survive the add/remove replay through DELETE and
+    OPTIMIZE, stay conservative for stat-less files, and an all-pruned
+    read returns an empty frame with the logged schema."""
+    import datetime
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    t = LakehouseTable(
+        spark, str(tmp_path), "s", "skip", stats_columns=["o_orderdate"]
+    )
+    t.append(orders.repartitionByRange(8, "o_orderdate"))
+    n_files = len(t.current_files())
+    lo, hi = datetime.datetime(1999, 1, 1), datetime.datetime(1999, 6, 30)
+    pf = t.pruned_files({"o_orderdate": (lo, hi)})
+    assert 0 < len(pf) < n_files, "range query must prune some files"
+    # pruned read + real predicate == plain read + real predicate
+    pred = (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") <= F.lit("1999-06-30").cast("timestamp")
+    )
+    assert (
+        t.read(skipping={"o_orderdate": (lo, hi)}).where(pred).count()
+        == t.read().where(pred).count()
+    )
+    # DELETE rewrites files; replay must drop the removed files' stats
+    t.delete(F.col("o_orderkey") % 7 == 0)
+    stats = t._stats_at(t.current_version())
+    assert set(stats) <= set(t.current_files())
+    # rewritten files carry fresh stats, so pruning still works
+    pf2 = t.pruned_files({"o_orderdate": (lo, hi)})
+    assert 0 < len(pf2) < len(t.current_files())
+    assert (
+        t.read(skipping={"o_orderdate": (lo, hi)}).where(pred).count()
+        == t.read().where(pred).count()
+    )
+    # compaction merges everything into one file with full-range stats
+    t.compact()
+    assert len(t.pruned_files({"o_orderdate": (lo, hi)})) == 1
+    # an impossible range prunes everything: empty frame, logged schema
+    far = (datetime.datetime(2100, 1, 1), datetime.datetime(2100, 2, 1))
+    empty = t.read(skipping={"o_orderdate": far})
+    assert empty.count() == 0
+    assert empty.columns == t.read().columns
+    # a column with NO recorded stats never prunes (conservative)
+    assert len(t.pruned_files({"o_totalprice": (0.0, 1.0)})) == len(
+        t.current_files()
+    )
