@@ -113,6 +113,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q169_max_concurrency",
     "q170_market_basket",
     "q171_data_skipping",
+    "q172_stream_static_enrich",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -458,3 +458,83 @@ def exactly_once_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
     )
+
+
+@query(
+    "q172_stream_static_enrich",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    v0 AS (
+        SELECT user_id,
+               CASE WHEN user_id % 5 = 0 THEN 'gold' ELSE 'bronze' END AS tier
+        FROM users
+    ),
+    v1 AS (
+        SELECT user_id,
+               CASE WHEN user_id % 3 = 0 THEN 'silver' ELSE tier END AS tier
+        FROM v0
+    )
+    SELECT e.event_id, e.user_id, v0.tier
+    FROM events e JOIN v0 ON e.user_id = v0.user_id
+    WHERE e.event_id % 2 = 0
+    UNION ALL
+    SELECT e.event_id, e.user_id, v1.tier
+    FROM events e JOIN v1 ON e.user_id = v1.user_id
+    WHERE e.event_id % 2 = 1
+    """,
+    doc="STREAM-STATIC ENRICHMENT against an EVOLVING dimension (the "
+    "foreachBatch pattern every CDC-fed gold pipeline uses): events "
+    "stream in through a checkpointed availableNow file source and "
+    "each micro-batch joins the CURRENT version of a versioned "
+    "dimension table — re-resolved at batch time, exactly like Spark's "
+    "stream-static join re-lists the static side per batch. Between "
+    "the two landed chunks the dimension is UPDATED (tier promotion), "
+    "so chunk-1 events carry the v0 tier and chunk-2 events the v1 "
+    "tier; the checkpoint proves chunk 1 is not reprocessed under the "
+    "new dim (no retro-enrichment — that would need an SCD2 "
+    "point-in-time join, q153). Dim broadcast per batch; stream side "
+    "never shuffles.",
+    tags=("streaming", "lakehouse", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+    from football_lakehouse_spark.streaming.ingest import read_landing_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("q172_stream_static_enrich")
+    landing = os.path.join(root, "landing")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    dim = LakehouseTable(spark, root, "silver", "user_tier")
+    dim.overwrite(
+        ev.select("user_id").distinct().select(
+            "user_id",
+            F.when(F.col("user_id") % 5 == 0, "gold")
+            .otherwise("bronze").alias("tier"),
+        )
+    )
+
+    def _enrich(batch: DataFrame, _epoch: int) -> None:
+        (
+            batch.join(F.broadcast(dim.read()), "user_id", "left")
+            .select("event_id", "user_id", "tier")
+            .write.mode("append").parquet(out)
+        )
+
+    def _drain() -> None:
+        (
+            read_landing_stream(spark, landing)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(_enrich)
+            .start()
+            .awaitTermination()
+        )
+
+    land_json_files(ev.where(F.col("event_id") % 2 == 0), landing)
+    _drain()
+    dim.update(F.col("user_id") % 3 == 0, {"tier": F.lit("silver")})
+    land_json_files(ev.where(F.col("event_id") % 2 == 1), landing)
+    _drain()
+    return spark.read.parquet(out)
