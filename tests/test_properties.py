@@ -178,3 +178,67 @@ def test_greedy_pack_matches_reference_fold(spark, toks, cap):
         by_pack.setdefault((i % 2, want[i]), []).append(n)
     for members in by_pack.values():
         assert sum(members) <= cap or len(members) == 1
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 10)),  # (start, dur)
+        min_size=1, max_size=30,
+    )
+)
+@SLOW
+def test_sweep_line_concurrency_matches_naive(spark, intervals):
+    """q169's sweep must equal the brute-force point-wise maximum of
+    open intervals under closed-open semantics, for arbitrary
+    (overlapping, nested, touching) interval sets."""
+    from pyspark.sql import Window
+
+    rows_ = [(i, s, s + d) for i, (s, d) in enumerate(intervals)]
+    df = spark.createDataFrame(rows_, "iid int, t0 int, t1 int")
+    deltas = df.select(
+        F.col("t0").alias("t"), F.lit(1).alias("delta"), "iid"
+    ).unionByName(
+        df.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"), "iid")
+    )
+    w = Window.orderBy(
+        F.col("t").asc(), F.col("delta").asc(), F.col("iid").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = (
+        deltas.withColumn("open_now", F.sum("delta").over(w))
+        .agg(F.max("open_now")).collect()[0][0]
+    )
+    # naive: at every start point, count intervals covering it ([t0, t1))
+    want = max(
+        sum(1 for (_, a, b) in rows_ if a <= s < b)
+        for (_, s, _b) in rows_
+    )
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.sets(st.integers(0, 12), min_size=1, max_size=8),
+        min_size=2, max_size=12,
+    )
+)
+@SLOW
+def test_prefix_filter_blocking_complete(spark, docs):
+    """q168's pigeonhole law on arbitrary token sets: every pair with
+    Jaccard >= 0.5 shares at least one PREFIX token under ANY fixed
+    global token order, where prefix length = L - ceil(L/2) + 1."""
+    order = sorted({t for s in docs for t in s})  # any fixed total order
+    rank = {t: i for i, t in enumerate(order)}
+    prefixes = []
+    for s in docs:
+        toks = sorted(s, key=lambda t: rank[t])
+        L = len(toks)
+        p = L - (L + 1) // 2 + 1
+        prefixes.append(set(toks[:p]))
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(docs[i] & docs[j])
+            uni = len(docs[i] | docs[j])
+            if 2 * inter >= uni:
+                assert prefixes[i] & prefixes[j], (
+                    f"pair {i},{j} with J>=0.5 missed by prefix blocking"
+                )
