@@ -114,6 +114,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q170_market_basket",
     "q171_data_skipping",
     "q172_stream_static_enrich",
+    "q173_resample_interp",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

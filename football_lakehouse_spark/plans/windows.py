@@ -657,3 +657,121 @@ def rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau7"))
     )
+
+
+@query(
+    "q173_resample_interp",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, value, event_id, date_trunc('hour', ts) AS h
+        FROM events WHERE user_id <= 30
+    ),
+    cells AS (
+        SELECT user_id, h, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC
+            ) AS rn FROM e
+        ) WHERE rn = 1
+    ),
+    bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM e GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    j AS (
+        SELECT g.user_id, g.h, c.value,
+               epoch(g.h) AS t,
+               last_value(c.value IGNORE NULLS) OVER w_prev AS v0,
+               last_value(CASE WHEN c.value IS NOT NULL
+                          THEN epoch(g.h) END IGNORE NULLS) OVER w_prev AS t0,
+               first_value(c.value IGNORE NULLS) OVER w_next AS v1,
+               first_value(CASE WHEN c.value IS NOT NULL
+                           THEN epoch(g.h) END IGNORE NULLS) OVER w_next AS t1
+        FROM grid g LEFT JOIN cells c ON c.user_id = g.user_id AND c.h = g.h
+        WINDOW w_prev AS (
+            PARTITION BY g.user_id ORDER BY g.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ),
+        w_next AS (
+            PARTITION BY g.user_id ORDER BY g.h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(floor((CASE
+               WHEN value IS NOT NULL THEN value
+               WHEN t0 IS NULL THEN v1
+               WHEN t1 IS NULL THEN v0
+               ELSE v0 + (v1 - v0) * ((t - t0) / (t1 - t0))
+           END) * 1000000) AS BIGINT) AS value_interp_micro
+    FROM j
+    """,
+    doc="Time-series resample with LINEAR INTERPOLATION (the gap-fill "
+    "sibling of q97's forward fill — what sensor/finance pipelines use "
+    "when LOCF would bias a downstream integral): per user, hourly "
+    "cells from first to last event; a cell with an observation keeps "
+    "it, an interior gap takes v0 + (v1−v0)·(t−t0)/(t1−t0) between the "
+    "surrounding observations, and the edges hold the nearest value. "
+    "Both engines evaluate the IDENTICAL IEEE expression shape on "
+    "identical doubles, so the floor-quantised micro output matches "
+    "bitwise (same contract as q150's EWMA fold). Plan: narrow grid "
+    "explode + ONE exchange on user_id shared by both fill windows "
+    "(prev/next are frame variants of the same window spec).",
+    tags=("window",),
+)
+def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 30)
+        .withColumn("h", F.date_trunc("hour", F.col("ts")))
+    )
+    rn = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cells = (
+        ev.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w_prev = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    t = epoch_seconds(F.col("h")).cast("double")
+    known_t = F.when(F.col("value").isNotNull(), t)
+    j = (
+        grid.join(cells, ["user_id", "h"], "left")
+        .withColumn("t", t)
+        .withColumn("v0", F.last("value", ignorenulls=True).over(w_prev))
+        .withColumn("t0", F.last(known_t, ignorenulls=True).over(w_prev))
+        .withColumn("v1", F.first("value", ignorenulls=True).over(w_next))
+        .withColumn("t1", F.first(known_t, ignorenulls=True).over(w_next))
+    )
+    interp = (
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .when(F.col("t0").isNull(), F.col("v1"))
+        .when(F.col("t1").isNull(), F.col("v0"))
+        .otherwise(
+            F.col("v0")
+            + (F.col("v1") - F.col("v0"))
+            * ((F.col("t") - F.col("t0")) / (F.col("t1") - F.col("t0")))
+        )
+    )
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.floor(interp * 1000000).cast("bigint").alias("value_interp_micro"),
+    )
