@@ -115,6 +115,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q171_data_skipping",
     "q172_stream_static_enrich",
     "q173_resample_interp",
+    "q174_range_frame_sum",
+    "q175_exact_percentiles",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

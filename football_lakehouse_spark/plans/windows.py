@@ -775,3 +775,148 @@ def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
         F.floor(interp * 1000000).cast("bigint").alias("value_interp_micro"),
     )
+
+
+@query(
+    "q174_range_frame_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS w7d_value_micro,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS w7d_events
+    FROM events
+    """,
+    doc="TIME-RANGE window frames (RANGE BETWEEN INTERVAL, not ROWS): "
+    "per user, the trailing-7-day value sum and event count AT EVERY "
+    "event — the rolling-window feature ROWS frames cannot express "
+    "when events are irregularly spaced (a ROWS frame counts rows, "
+    "not time; q25's rolling form is the ROWS sibling). Values "
+    "micro-quantised so the sliding sum is exact integer arithmetic — "
+    "RANGE frames make float sums order-sensitive within the frame "
+    "boundary, which integers are immune to. Plan: one exchange on "
+    "user_id; the range frame is evaluated by the same sorted pass as "
+    "a ROWS frame (Spark WindowExec handles range bounds on the sort "
+    "key) — no self-join, no explode. Scale cliff and cure are q169's: "
+    "a single user with years of events serialises; two-phase "
+    "prefix-sum decomposition applies identically if it bites.",
+    tags=("window",),
+)
+def range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_seconds(F.col("ts")))
+        .rangeBetween(-604800, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(micro).over(w).cast("bigint").alias("w7d_value_micro"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("w7d_events"),
+    )
+
+
+@query(
+    "q175_exact_percentiles",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value ASC, event_id ASC
+               ) - 1 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    marks AS (
+        SELECT event_type, n, p, (n - 1) * p / 100 AS pos
+        FROM (SELECT DISTINCT event_type, n FROM v), (VALUES (50), (90), (99)) q(p)
+    ),
+    picked AS (
+        SELECT m.event_type, m.p,
+               max(CASE WHEN v.rn = CAST(floor(m.pos) AS BIGINT)
+                   THEN v.value END) AS lo,
+               max(CASE WHEN v.rn = least(CAST(floor(m.pos) AS BIGINT) + 1,
+                                          m.n - 1)
+                   THEN v.value END) AS hi,
+               any_value(m.pos - floor(m.pos)) AS frac
+        FROM marks m JOIN v ON v.event_type = m.event_type
+        AND v.rn IN (CAST(floor(m.pos) AS BIGINT),
+                     least(CAST(floor(m.pos) AS BIGINT) + 1, m.n - 1))
+        GROUP BY m.event_type, m.p
+    )
+    SELECT event_type, CAST(p AS BIGINT) AS pct,
+           CAST(floor((lo + (hi - lo) * frac) * 1000000) AS BIGINT)
+               AS value_micro
+    FROM picked
+    """,
+    doc="EXACT distributed percentiles (p50/p90/p99 per group) via "
+    "ORDER STATISTICS, not a sketch and not an engine-builtin "
+    "percentile UDAF (whose interpolation internals differ between "
+    "engines): rank every value once, compute the fractional position "
+    "(n−1)·p for each mark, pick the two bracketing order statistics "
+    "by rank equality, and interpolate with the IDENTICAL IEEE "
+    "expression on both engines (floor-micro output, the q150/q173 "
+    "contract). Plan: ONE sort per group for the ranking window, then "
+    "the mark join touches exactly 2 rows per (group, percentile) — "
+    "the rank-equality filter prunes before the join ships anything. "
+    "The SQL-standard tie-break (value, event_id) makes the ranking a "
+    "total order, so the picked brackets are deterministic under any "
+    "partitioning.",
+    tags=("window", "agg"),
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    w_n = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type", "value",
+        (F.row_number().over(w_rn) - 1).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    marks = (
+        v.select("event_type", "n").distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.createDataFrame([(50,), (90,), (99,)], "p int")
+            )
+        )
+        .withColumn("pos", (F.col("n") - 1) * F.col("p") / 100)
+        .withColumn("lo_rn", F.floor("pos").cast("bigint"))
+        .withColumn(
+            "hi_rn", F.least(F.col("lo_rn") + 1, F.col("n") - 1).cast("bigint")
+        )
+    )
+    picked = (
+        marks.join(
+            v.select("event_type", "value", "rn"),
+            (marks.event_type == v.event_type)
+            & ((F.col("rn") == F.col("lo_rn")) | (F.col("rn") == F.col("hi_rn"))),
+        )
+        .groupBy(marks.event_type, "p")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("lo_rn"), F.col("value"))).alias("lo"),
+            F.max(F.when(F.col("rn") == F.col("hi_rn"), F.col("value"))).alias("hi"),
+            F.first(F.col("pos") - F.floor("pos")).alias("frac"),
+        )
+    )
+    return picked.select(
+        "event_type",
+        F.col("p").cast("bigint").alias("pct"),
+        F.floor(
+            (F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("frac")) * 1000000
+        ).cast("bigint").alias("value_micro"),
+    )
