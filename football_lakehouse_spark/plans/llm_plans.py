@@ -4304,3 +4304,81 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("jaccard_ppm"),
         )
     )
+
+
+@query(
+    "q176_symspell_fuzzy_join",
+    oracle="""
+    WITH names AS (SELECT c_custkey, c_name FROM customer),
+    variants AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN i = 0 THEN c_name
+                    ELSE substr(c_name, 1, i - 1)
+                         || substr(c_name, i + 1, length(c_name))
+               END AS variant
+        FROM names, range(0, 19) r(i)
+        WHERE i <= length(c_name)
+    ),
+    cand AS (
+        SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.c_name AS name_a, b.c_name AS name_b
+        FROM variants a JOIN variants b USING (variant)
+        WHERE a.c_custkey < b.c_custkey
+    )
+    SELECT key_a, key_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+    doc="SYMSPELL-style fuzzy string join (Garbe's symmetric-delete "
+    "blocking — the entity-resolution / spell-correction candidate "
+    "generator): every name emits itself plus each single-character "
+    "DELETION variant; two strings within edit distance 1 MUST share a "
+    "variant (delete the differing position — substitutions meet at "
+    "the mutual deletion, insertions at the deleted insertion), so the "
+    "variant equi-join is a complete blocker and exact levenshtein "
+    "verifies candidates only. Scale: variants per string = L+1 "
+    "(linear, vs the quadratic q41-style shingle space); the join key "
+    "is near-unique for real name distributions, and the verify stage "
+    "touches candidate pairs, never the cross product. Distance-2 "
+    "needs C(L,2) variants per side — the standard SymSpell trade, "
+    "noted not wired. Everything is engine-portable: substr deletes + "
+    "levenshtein exist identically in both engines.",
+    tags=("llm", "dedup", "text"),
+)
+def symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    names = cust.select("c_custkey", "c_name")
+    variants = names.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.sequence(F.lit(0), F.length("c_name"))).alias("i"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("i") == 0, F.col("c_name")).otherwise(
+            F.concat(
+                F.expr("substr(c_name, 1, i - 1)"),
+                F.expr("substr(c_name, i + 1, length(c_name))"),
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"),
+        "variant",
+    )
+    b = variants.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"),
+        "variant",
+    )
+    cand = (
+        a.join(b, "variant")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        cand.where(dist <= 1)
+        .select("key_a", "key_b", dist.cast("bigint").alias("edit_distance"))
+    )

@@ -117,6 +117,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q173_resample_interp",
     "q174_range_frame_sum",
     "q175_exact_percentiles",
+    "q176_symspell_fuzzy_join",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -242,3 +242,40 @@ def test_prefix_filter_blocking_complete(spark, docs):
                 assert prefixes[i] & prefixes[j], (
                     f"pair {i},{j} with J>=0.5 missed by prefix blocking"
                 )
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=2, max_size=10, unique=True,
+    )
+)
+@SLOW
+def test_symspell_delete_blocking_complete(spark, words):
+    """q176's blocking law on arbitrary strings: any pair within edit
+    distance 1 shares a deletion variant (the string itself or a
+    single-character delete)."""
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1, d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+        return d(len(a), len(b))
+
+    def variants(w):
+        return {w} | {w[:i] + w[i + 1:] for i in range(len(w))}
+
+    vs = {w: variants(w) for w in words}
+    for i, a in enumerate(words):
+        for b in words[i + 1:]:
+            if lev(a, b) <= 1:
+                assert vs[a] & vs[b], f"lev<=1 pair {a!r},{b!r} missed"
