@@ -426,3 +426,19 @@ def test_max_concurrency_single_sweep_exchange(spark):
     plan = plan_of(spark, "q169_max_concurrency")
     assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
     assert "CartesianProduct" not in plan
+
+
+def test_range_frame_single_exchange(spark):
+    """q174: the trailing-time-range frame rides ONE exchange on
+    user_id — no self-join, no interval explode."""
+    plan = plan_of(spark, "q174_range_frame_sum")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_exact_percentiles_prunes_to_marks(spark):
+    """q175: one ranking sort per group; the bracketing join is an
+    equi/filter join, never a cartesian over the ranked data (the only
+    nested-loop is the 3-row percentile literal broadcast)."""
+    plan = plan_of(spark, "q175_exact_percentiles")
+    assert "CartesianProduct" not in plan
