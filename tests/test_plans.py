@@ -419,13 +419,18 @@ def test_setsim_prefix_ranked_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_max_concurrency_single_sweep_exchange(spark):
-    """q169: the sweep is one shuffle on the group key feeding the
-    running-sum window, then a partial-aggregated max — the +1/-1 delta
-    union must NOT introduce a second exchange of the data."""
+def test_max_concurrency_two_phase_shape(spark):
+    """q169 (two-phase distributed prefix sum): the local running-sum
+    window partitions on (group, bucket) — never on the low-cardinality
+    group key alone, which is the single-task-sort cliff the rewrite
+    removed — and the bucket-offset table reaches the deltas as a
+    broadcast, not a shuffle of the data."""
     plan = plan_of(spark, "q169_max_concurrency")
-    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
     assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # offsets broadcast back
+    # the big-side window sort must include the bucket column
+    win_lines = [l for l in plan.splitlines() if "Sort [" in l and "bucket" in l]
+    assert win_lines, "local window must sort within (group, bucket)"
 
 
 def test_range_frame_single_exchange(spark):
