@@ -4382,3 +4382,56 @@ def symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.where(dist <= 1)
         .select("key_a", "key_b", dist.cast("bigint").alias("edit_distance"))
     )
+
+
+@query(
+    "q177_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS weight
+        FROM documents
+        WHERE len({_SQL_TOKS}) > 0
+    )
+    SELECT doc_id, source, weight FROM (
+        SELECT *,
+               CAST(floor({_sql_hash("CAST(doc_id AS VARCHAR)", "wsamp")}
+                          * 1000000 / weight) AS BIGINT) AS priority
+        FROM w
+    )
+    ORDER BY priority ASC, doc_id ASC
+    LIMIT 200
+    """,
+    doc="DETERMINISTIC weight-proportional sampling (the data-mixing "
+    "primitive behind 'sample documents ∝ quality/length weight'): "
+    "each doc draws a reproducible uniform from its sha-hash and takes "
+    "priority = floor(h·10⁶ / weight) — the keyed variant of "
+    "priority/bottom-k sampling (Cohen & Kaplan; A-ES with the hash as "
+    "the uniform), so P(selected) grows with weight, the same corpus "
+    "always yields the same sample (replayable curation runs), and "
+    "the arithmetic is exact integers — no float pow, no RNG state, "
+    "no cross-engine drift. The sample is the global bottom-k of "
+    "priority: orderBy+limit = tree-reduce takeOrdered, k rows per "
+    "partition then k global — never a full sort. Weight here is "
+    "token count; any positive score column drops in.",
+    tags=("llm", "curation"),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("weight"),
+    ).where(F.col("weight") > 0)
+    priority = F.floor(
+        portable_hash(F.col("doc_id").cast("string"), seed="wsamp")
+        * 1000000 / F.col("weight")
+    ).cast("bigint")
+    return (
+        w.withColumn("priority", priority)
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(200)
+        .select("doc_id", "source", "weight")
+    )

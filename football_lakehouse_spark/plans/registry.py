@@ -118,6 +118,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q174_range_frame_sum",
     "q175_exact_percentiles",
     "q176_symspell_fuzzy_join",
+    "q177_weighted_sample",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
