@@ -727,3 +727,79 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("open_now").cast("bigint").alias("max_concurrent"))
     )
+
+
+@query(
+    "q178_countmin_heavy_hitters",
+    oracle="""
+    WITH seeds AS (SELECT unnest([0, 1, 2]) AS r),
+    hashed AS (
+        SELECT s.r, e.user_id,
+               CAST(('0x' || substr(sha256(CAST(s.r AS VARCHAR) || '§'
+                     || CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+                   AS bucket
+        FROM events e CROSS JOIN seeds s
+    ),
+    sketch AS (
+        SELECT r, bucket, count(*) AS cell FROM hashed GROUP BY r, bucket
+    ),
+    truth AS (
+        SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id
+        ORDER BY true_cnt DESC, user_id ASC LIMIT 10
+    )
+    SELECT t.user_id, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(min(s.cell) AS BIGINT) AS est_cnt
+    FROM truth t
+    JOIN hashed h ON h.user_id = t.user_id
+    JOIN sketch s ON s.r = h.r AND s.bucket = h.bucket
+    GROUP BY t.user_id, t.true_cnt
+    """,
+    doc="COUNT-MIN SKETCH heavy-hitter estimation (Cormode & "
+    "Muthukrishnan), the frequency sibling of q167's cardinality "
+    "sketch: a 3×64 counter matrix over sha-bucketed user ids — "
+    "BOUNDED aggregation state (d·w cells, merge = cell-wise ADD, the "
+    "associative contract streaming/windowed frequency tracking "
+    "needs) — then est(x) = min over rows of x's cell, always ≥ the "
+    "true count (one-sided error, pure integers, so the cross-engine "
+    "match is exact — no float estimate anywhere). The query reports "
+    "the true top-10 users' exact counts beside their sketch "
+    "estimates; the overestimate gap IS the collision noise at 64 "
+    "buckets, visible and checkable. Plan: one 3×-explode pass builds "
+    "the sketch (192-row table, broadcast back), truth is a "
+    "WindowGroupLimit-free orderBy+limit top-k.",
+    tags=("relational", "agg", "approx"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    seeds = F.broadcast(
+        ev.sparkSession.createDataFrame([(0,), (1,), (2,)], "r int")
+    )
+    hashed = ev.select("user_id").crossJoin(seeds).select(
+        "r",
+        "user_id",
+        (
+            portable_hash(
+                F.concat(
+                    F.col("r").cast("string"), F.lit("§"),
+                    F.col("user_id").cast("string"),
+                )
+            ) % 64
+        ).alias("bucket"),
+    )
+    sketch = hashed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    probe = hashed.select("r", "user_id", "bucket").distinct()
+    return (
+        truth.join(probe, "user_id")
+        .join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cell").cast("bigint").alias("est_cnt"))
+        .select("user_id", F.col("true_cnt").cast("bigint").alias("true_cnt"), "est_cnt")
+    )

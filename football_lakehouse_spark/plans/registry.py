@@ -119,6 +119,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q175_exact_percentiles",
     "q176_symspell_fuzzy_join",
     "q177_weighted_sample",
+    "q178_countmin_heavy_hitters",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
