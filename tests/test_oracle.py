@@ -57,8 +57,8 @@ def test_contract_shape():
 
 
 def test_registry_completeness_contract():
-    """End-of-round-4 registry contract: every registered query is
-    oracle-bearing (no rows-only tail), the driver prefix is
+    """Registry contract (pinned each round-end): every registered query
+    is oracle-bearing (no rows-only tail), the driver prefix is
     duplicate-free and covers the full registry, and accidental
     deregistration fails loudly here before the driver sees it."""
     names = registry._driver_ordered()

@@ -129,7 +129,12 @@ def test_resample_grid_single_exchange_for_fill(spark):
 
 def test_quantized_ann_broadcasts_queries(spark):
     """q96 scans the corpus once with queries broadcast — same contract
-    as the float brute-force path."""
+    as the float brute-force path. Cleared cache first: a warm
+    kmeans_cells working-set cache (similarity.py persists the
+    repartitioned corpus) substitutes InMemoryTableScan for the
+    FileScan via plan-fragment matching, which is fine at runtime but
+    makes the scan-count assertion order-dependent."""
+    spark.catalog.clearCache()
     plan = plan_of(spark, "q96_quantized_ann")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # corpus side must be scanned exactly once
