@@ -538,3 +538,46 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     land_json_files(ev.where(F.col("event_id") % 2 == 1), landing)
     _drain()
     return spark.read.parquet(out)
+
+
+@query(
+    "q179_streaming_windowed_agg",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="END-TO-END STREAMING watermarked window aggregation (the "
+    "streaming execution of q33's batch form, registered so the driver "
+    "attests the streaming run itself, not just the window() "
+    "expression): land events as day-partitioned JSON → availableNow "
+    "file stream → withWatermark('1 day') + 6-hour tumbling windows + "
+    "APPEND mode (only watermark-closed windows emit — the "
+    "bounded-state contract an unbounded stream needs) → parquet sink. "
+    "A watermark-advancing flush SENTINEL is landed with the final "
+    "batch so every real window finalises in the finite run; its own "
+    "aggregate rows carry a marker and are stripped on the BATCH read "
+    "(stripping in-stream is unsafe: the group-key filter pushes below "
+    "the EventTimeWatermark node and cancels the flush — observed, "
+    "documented in streaming/state.py). Oracle = the plain batch "
+    "tumbling aggregate: the stream must reproduce it exactly.",
+    tags=("streaming", "window"),
+)
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.streaming.state import (
+        read_windowed_counts,
+        run_windowed_counts_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("q179_streaming_windowed_agg")
+    landing = os.path.join(root, "landing")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    land_json_files(ev, landing)
+    run_windowed_counts_available_now(spark, landing, ckpt, out, flush_all=True)
+    return read_windowed_counts(spark, out)
