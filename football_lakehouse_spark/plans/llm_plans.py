@@ -4343,7 +4343,16 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "touches candidate pairs, never the cross product. Distance-2 "
     "needs C(L,2) variants per side — the standard SymSpell trade, "
     "noted not wired. Everything is engine-portable: substr deletes + "
-    "levenshtein exist identically in both engines.",
+    "levenshtein exist identically in both engines. KNOWN DEGENERATE "
+    "CASE (measured, SCALING.md round-5 table): the fixture's "
+    "SEQUENTIAL zero-padded names are a dense numeric space where "
+    "nearly every id has many edit-distance-≤2 neighbours, so shared "
+    "variants (and thus candidates) grow superlinearly — 5.8 s at "
+    "sf0.1 → 225 s at sf1 (38× at 10× names). Real name/word "
+    "distributions are sparse in edit space and variant postings stay "
+    "near-unique; for dense keyspaces, exact-match or range semantics "
+    "are the right tool, not fuzzy matching — the same "
+    "regime-boundary honesty as q168.",
     tags=("llm", "dedup", "text"),
 )
 def symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
