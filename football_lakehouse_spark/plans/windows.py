@@ -12,8 +12,6 @@ from football_lakehouse_spark.catalog import load_table
 from football_lakehouse_spark.operators.rolling import (
     lag_delta,
     latest_per_key,
-    rolling_mean,
-    sessionize,
 )
 from football_lakehouse_spark.plans.registry import query
 
