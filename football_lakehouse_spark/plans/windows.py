@@ -12,6 +12,7 @@ from football_lakehouse_spark.catalog import load_table
 from football_lakehouse_spark.operators.rolling import (
     lag_delta,
     latest_per_key,
+    sessionize,
 )
 from football_lakehouse_spark.plans.registry import query
 
