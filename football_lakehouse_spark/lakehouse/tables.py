@@ -1358,3 +1358,23 @@ class LakehouseTable:
         return self._commit("optimize", new_files, self.current_files(), rows=None,
                             schema_json=self._staged_schema,
                             dv_remove=self._dv_names_at(self.current_version()))
+
+    def compact_to_size(self, target_file_bytes: int = 128 << 20,
+                        sort_by: Sequence[str] = ()) -> int:
+        """OPTIMIZE with a TARGET FILE SIZE (Delta's
+        ``optimize.targetFileSize`` UX) instead of a caller-guessed
+        partition count: the output file count is ceil(current live
+        bytes / target), floored at 1. The sizing scan is O(files)
+        driver-side metadata (the same stat calls the manifest already
+        makes); compressed-size ≈ output-size is the standard OPTIMIZE
+        assumption since compaction re-encodes the same rows with the
+        same codec."""
+        import math
+
+        total = sum(
+            os.path.getsize(f if os.path.isabs(f)
+                            else os.path.join(self.data_root, f))
+            for f in self.current_files()
+        )
+        n = max(1, math.ceil(total / target_file_bytes))
+        return self.compact(target_partitions=n, sort_by=sort_by)

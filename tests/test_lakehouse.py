@@ -881,3 +881,23 @@ def test_data_skipping_stats_lifecycle(spark, tmp_path):
     assert len(t.pruned_files({"o_totalprice": (0.0, 1.0)})) == len(
         t.current_files()
     )
+
+
+def test_compact_to_size_targets_file_bytes(spark, events, tmp_path):
+    """OPTIMIZE by target file size: output file count tracks
+    ceil(live bytes / target), rows unchanged, DVs purged like any
+    compaction."""
+    t = LakehouseTable(spark, str(tmp_path), "silver", "sized")
+    t.append(events.repartition(16))
+    total = sum(
+        os.path.getsize(os.path.join(t.data_root, f)) for f in t.current_files()
+    )
+    n_before = t.read().count()
+    # target = ~half the data → expect 2 files (ceil)
+    t.compact_to_size(target_file_bytes=(total + 1) // 2)
+    assert len(t.current_files()) == 2
+    assert t.read().count() == n_before
+    # huge target → single file
+    t.compact_to_size(target_file_bytes=10 << 30)
+    assert len(t.current_files()) == 1
+    assert t.read().count() == n_before
