@@ -121,6 +121,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q177_weighted_sample",
     "q178_countmin_heavy_hitters",
     "q179_streaming_windowed_agg",
+    "q180_frequent_triples",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -1617,3 +1617,77 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "q180_frequent_triples",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    fp AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS c
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    cand AS (
+        SELECT x.p1, x.p2, y.p2 AS p3
+        FROM fp x JOIN fp y ON x.p1 = y.p1 AND x.p2 < y.p2
+        WHERE EXISTS (SELECT 1 FROM fp z WHERE z.p1 = x.p2 AND z.p2 = y.p2)
+    )
+    SELECT c.p1, c.p2, c.p3, CAST(count(*) AS BIGINT) AS support
+    FROM cand c
+    JOIN items i1 ON i1.l_partkey = c.p1
+    JOIN items i2 ON i2.l_orderkey = i1.l_orderkey AND i2.l_partkey = c.p2
+    JOIN items i3 ON i3.l_orderkey = i1.l_orderkey AND i3.l_partkey = c.p3
+    GROUP BY c.p1, c.p2, c.p3
+    HAVING count(*) >= 2
+    """,
+    doc="A-PRIORI frequent-triple mining (Agrawal & Srikant level-wise "
+    "pruning — the q170 pair analysis extended one level): candidate "
+    "triples are generated ONLY from frequent pairs sharing a first "
+    "item AND are kept only if their third face (p2,p3) is itself a "
+    "frequent pair (the downward-closure prune), then counted against "
+    "the baskets. The prune is the entire scale story: counting all "
+    "C(parts,3) triples is hopeless, counting candidates whose every "
+    "2-subset is frequent is tiny (fixture: 3,445 frequent pairs → 12 "
+    "frequent triples). Plan: the pair table is the self-join scaffold "
+    "(its own cost was paid in q170); candidates are a few thousand "
+    "rows → broadcast into the basket probe; the probe joins stay on "
+    "orderkey (uniform). Support floor 2 at fixture scale; production "
+    "sets it as a fraction of basket count.",
+    tags=("relational", "join", "agg"),
+)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    fp = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    x = fp
+    y = fp.select(F.col("p1").alias("p1"), F.col("p2").alias("p3"))
+    face = fp.select(F.col("p1").alias("p2"), F.col("p2").alias("p3"))
+    cand = (
+        x.join(y, "p1")
+        .where(F.col("p2") < F.col("p3"))
+        .join(face, ["p2", "p3"], "left_semi")
+    )
+    i1 = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    i2 = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    i3 = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p3"))
+    return (
+        i1.join(F.broadcast(cand), "p1")
+        .join(i2, ["l_orderkey", "p2"])
+        .join(i3, ["l_orderkey", "p3"])
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= 2)
+    )
