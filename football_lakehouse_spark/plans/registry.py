@@ -122,6 +122,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q178_countmin_heavy_hitters",
     "q179_streaming_windowed_agg",
     "q180_frequent_triples",
+    "q181_mad_outliers",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -919,3 +919,117 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lo") + (F.col("hi") - F.col("lo")) * F.col("frac")) * 1000000
         ).cast("bigint").alias("value_micro"),
     )
+
+
+@query(
+    "q181_mad_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value ASC, event_id ASC
+               ) - 1 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               avg(value) AS median
+        FROM v
+        WHERE rn IN (CAST(floor((n - 1) / 2.0) AS BIGINT),
+                     CAST(ceil((n - 1) / 2.0) AS BIGINT))
+        GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.median) AS d, e.event_id,
+               m.median
+        FROM events e JOIN med m USING (event_type)
+    ),
+    dv AS (
+        SELECT event_type, d, median,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY d ASC, event_id ASC
+               ) - 1 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, any_value(median) AS median, avg(d) AS mad
+        FROM dv
+        WHERE rn IN (CAST(floor((n - 1) / 2.0) AS BIGINT),
+                     CAST(ceil((n - 1) / 2.0) AS BIGINT))
+        GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(floor(any_value(m.median) * 1000000) AS BIGINT) AS median_micro,
+           CAST(floor(any_value(m.mad) * 1000000) AS BIGINT) AS mad_micro,
+           CAST(sum(CASE WHEN abs(e.value - m.median) > 5 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="ROBUST outlier detection via MEDIAN ABSOLUTE DEVIATION (the "
+    "profiling statistic mean/stddev z-scores cannot provide — one "
+    "wild value corrupts a stddev threshold, while MAD has a 50% "
+    "breakdown point): per group, the exact median (q175's "
+    "order-statistics machinery — the two middle ranks averaged), the "
+    "exact median of absolute deviations from it (a SECOND "
+    "order-statistics pass — composition of the same operator), and "
+    "the count of values beyond 5·MAD. All interpolation is the "
+    "averaged-bracket IEEE expression both engines evaluate "
+    "identically; floor-micro outputs. Plan: two rank sorts per group "
+    "(value, then deviation) + two broadcast joins of the "
+    "groups-sized statistics — never a per-row subquery.",
+    tags=("window", "agg", "quality"),
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def exact_median(df, col, order_tiebreak):
+        w_rn = Window.partitionBy("event_type").orderBy(
+            F.col(col).asc(), F.col(order_tiebreak).asc()
+        )
+        w_n = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type", col,
+            (F.row_number().over(w_rn) - 1).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+        mid_lo = F.floor((F.col("n") - 1) / 2.0).cast("bigint")
+        mid_hi = F.ceil((F.col("n") - 1) / 2.0).cast("bigint")
+        return (
+            ranked.where((F.col("rn") == mid_lo) | (F.col("rn") == mid_hi))
+            .groupBy("event_type")
+            .agg(F.avg(col).alias(f"median_{col}"))
+        )
+
+    med = exact_median(ev.select("event_type", "value", "event_id"), "value", "event_id")
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", "event_id", "value",
+            F.col("median_value").alias("median"),
+            F.abs(F.col("value") - F.col("median_value")).alias("d"),
+        )
+    )
+    mad = (
+        exact_median(dev.select("event_type", "d", "event_id"), "d", "event_id")
+        .withColumnRenamed("median_d", "mad")
+    )
+    stats = med.join(mad, "event_type").select(
+        "event_type", F.col("median_value").alias("median"), "mad"
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.floor(F.first("median") * 1000000).cast("bigint").alias("median_micro"),
+            F.floor(F.first("mad") * 1000000).cast("bigint").alias("mad_micro"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("median")) > 5 * F.col("mad"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
