@@ -803,3 +803,95 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cell").cast("bigint").alias("est_cnt"))
         .select("user_id", F.col("true_cnt").cast("bigint").alias("true_cnt"), "est_cnt")
     )
+
+
+@query(
+    "q182_group_trend",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               epoch_us(ts) // 1000000
+                   - min(epoch_us(ts) // 1000000)
+                     OVER (PARTITION BY event_type) AS x,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vmicro
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(vmicro AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * vmicro) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(floor(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * 86400 * 1000000
+           ) AS BIGINT) AS slope_micro_per_day,
+           CAST(floor(
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE)
+           ) AS BIGINT) AS intercept_micro
+    FROM sums
+    """,
+    doc="GROUPWISE OLS TREND (per-entity linear regression without "
+    "MLlib): value ~ a + b·t fitted per event type from the "
+    "closed-form normal equations — n, Σx, Σy, Σxy, Σx² accumulated as "
+    "EXACT 128-bit integers (x = seconds since the group's first "
+    "event, y = micro-quantised value; float sums would be "
+    "order-dependent and partition-unstable), then slope/intercept "
+    "evaluated once per group as the identical IEEE expression on both "
+    "engines, floor-quantised out. This is THE at-scale regression "
+    "shape: one map-side-partial aggregation pass, group-count output "
+    "rows, no iteration, no driver round-trips — trend monitoring "
+    "over a million entities costs the same shuffle as a count. "
+    "Plan: window for the per-group epoch offset shares the exchange "
+    "with the aggregation.",
+    tags=("advanced", "agg", "ml"),
+)
+def group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    base = ev.select(
+        "event_type",
+        (epoch_seconds(F.col("ts"))
+         - F.min(epoch_seconds(F.col("ts"))).over(w)).alias("x"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("vmicro"),
+    )
+    dec = "decimal(38,0)"
+    sums = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("vmicro").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("vmicro")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    slope = (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+    intercept = (sy_d - slope * sx_d) / n_d
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(slope * 86400 * 1000000).cast("bigint")
+        .alias("slope_micro_per_day"),
+        F.floor(intercept).cast("bigint").alias("intercept_micro"),
+    )
