@@ -895,3 +895,84 @@ def group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slope_micro_per_day"),
         F.floor(intercept).cast("bigint").alias("intercept_micro"),
     )
+
+
+@query(
+    "q183_ks_statistic",
+    oracle="""
+    WITH pooled AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    tot AS (
+        SELECT sum(is_a) AS n1, sum(1 - is_a) AS n2 FROM pooled
+    ),
+    cum AS (
+        SELECT value,
+               max(c1) AS c1, max(c2) AS c2
+        FROM (
+            SELECT value,
+                   sum(is_a) OVER (ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS c1,
+                   sum(1 - is_a) OVER (ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS c2
+            FROM pooled
+        )
+        GROUP BY value
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT)
+               AS ks_numerator
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.n1, t.n2
+    """,
+    doc="EXACT two-sample KOLMOGOROV-SMIRNOV statistic between the "
+    "click and view value distributions — the distribution-drift test "
+    "q154's PSI binning approximates, computed without bins, floats, "
+    "or sampling: D = max|F1(v) − F2(v)| over the pooled values "
+    "equals max|c1(v)·n2 − c2(v)·n1| / (n1·n2), and the NUMERATOR is "
+    "an exact integer (the caller divides by n1·n2 for D and applies "
+    "the (n1+n2)/(n1·n2) asymptotic threshold — one scalar post-step, "
+    "so the cross-engine check is exact). Ties are handled the "
+    "standard way: the ECDF gap is evaluated AFTER all rows of each "
+    "distinct value (max cumulative per value). Scale note: the "
+    "pooled cumulative window is a single global sort here (two "
+    "distributions = one timeline); sharding by value range with the "
+    "q169 two-phase offset trick parallelises it identically if one "
+    "comparison ever carries billions of rows — per-GROUP drift "
+    "monitoring (the common case) is already partition-parallel.",
+    tags=("advanced", "agg", "quality"),
+)
+def ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pooled = ev.where(F.col("event_type").isin("click", "view")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        pooled.withColumn("c1", F.sum("is_a").over(w))
+        .withColumn("c2", F.sum(1 - F.col("is_a")).over(w))
+        .groupBy("value")
+        .agg(F.max("c1").alias("c1"), F.max("c2").alias("c2"))
+    )
+    tot = pooled.agg(
+        F.sum("is_a").alias("n1"), F.sum(1 - F.col("is_a")).alias("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("bigint").alias("ks_numerator")
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            "ks_numerator",
+        )
+    )

@@ -124,6 +124,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q180_frequent_triples",
     "q181_mad_outliers",
     "q182_group_trend",
+    "q183_ks_statistic",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
