@@ -279,3 +279,34 @@ def test_symspell_delete_blocking_complete(spark, words):
         for b in words[i + 1:]:
             if lev(a, b) <= 1:
                 assert vs[a] & vs[b], f"lev<=1 pair {a!r},{b!r} missed"
+
+
+@given(
+    a=st.lists(st.integers(0, 10), min_size=1, max_size=25),
+    b=st.lists(st.integers(0, 10), min_size=1, max_size=25),
+)
+@SLOW
+def test_ks_numerator_matches_naive(spark, a, b):
+    """q183's integer ECDF-gap form must equal the naive two-sample KS
+    numerator max|c1(v)·n2 − c2(v)·n1| over all thresholds, with the
+    standard after-ties evaluation, for arbitrary integer samples."""
+    from pyspark.sql import Window
+
+    rows_ = [(float(v), 1) for v in a] + [(float(v), 0) for v in b]
+    df = spark.createDataFrame(rows_, "value double, is_a int")
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        df.withColumn("c1", F.sum("is_a").over(w))
+        .withColumn("c2", F.sum(1 - F.col("is_a")).over(w))
+        .groupBy("value")
+        .agg(F.max("c1").alias("c1"), F.max("c2").alias("c2"))
+    )
+    n1, n2 = len(a), len(b)
+    got = cum.select(
+        F.max(F.abs(F.col("c1") * n2 - F.col("c2") * n1)).alias("d")
+    ).collect()[0]["d"]
+    want = max(
+        abs(sum(1 for x in a if x <= v) * n2 - sum(1 for x in b if x <= v) * n1)
+        for v in set(a) | set(b)
+    )
+    assert got == want
