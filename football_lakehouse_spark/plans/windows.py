@@ -1033,3 +1033,81 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@query(
+    "q184_percentile_normalize",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value ASC, event_id ASC
+               ) - 1 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    marks AS (
+        SELECT DISTINCT g.event_type,
+               CAST(floor((g.n - 1) * r.p / 100.0) AS BIGINT) AS rn
+        FROM (SELECT DISTINCT event_type, n FROM v) g,
+             (SELECT unnest(range(1, 100)) AS p) r
+    ),
+    edges AS (
+        SELECT v.event_type, list_sort(list(v.value)) AS es
+        FROM v JOIN marks m ON v.event_type = m.event_type AND v.rn = m.rn
+        GROUP BY v.event_type
+    )
+    SELECT e.event_type,
+           CAST(len(list_filter(d.es, x -> x < e.value)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events e JOIN edges d USING (event_type)
+    GROUP BY 1, 2
+    """,
+    doc="PERCENTILE-RANK NORMALISATION (equi-depth score bucketing — "
+    "the 'learn the stats once, broadcast, normalise every row' "
+    "pattern of feature pipelines, and the equi-depth sibling of "
+    "q156's equi-width histogram): per group, the 99 exact percentile "
+    "edges come from one ranking pass (q175's order-statistics "
+    "machinery), collect into a sorted array (99 values per group — "
+    "broadcast-sized at ANY corpus scale), and every row's bucket is "
+    "the count of edges strictly below its value — a pure array "
+    "expression, no per-row join, no second shuffle of the data. "
+    "Ties-below semantics make the bucket deterministic; output is "
+    "the per-(group, bucket) occupancy, which equi-depth guarantees "
+    "is near-uniform — the verification the bucketing is actually "
+    "balanced. Duplicate marks (small groups where several "
+    "percentiles share a rank) deduplicate, so edge arrays can be "
+    "shorter than 99 — bucket ids stay dense either way.",
+    tags=("window", "agg"),
+)
+def percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    w_n = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        (F.row_number().over(w_rn) - 1).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    marks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(99)),
+            lambda p: F.floor((F.col("n") - 1) * p / 100.0).cast("bigint"),
+        )
+    )
+    edges = (
+        ranked.where(F.array_contains(marks, F.col("rn")))
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("value")).alias("es"))
+    )
+    bucket = F.size(F.filter(F.col("es"), lambda x: x < F.col("value")))
+    return (
+        ev.join(F.broadcast(edges), "event_type")
+        .select("event_type", bucket.cast("bigint").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
