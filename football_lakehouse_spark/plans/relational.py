@@ -1691,3 +1691,90 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .where(F.col("support") >= 2)
     )
+
+
+@query(
+    "q185_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS r
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey, r,
+               row_number() OVER (
+                   PARTITION BY c_nationkey ORDER BY r ASC, o_custkey ASC
+               ) AS i,
+               count(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM rev
+    )
+    SELECT n2.n_name AS nation,
+           CAST(any_value(n) AS BIGINT) AS n_customers,
+           CAST(floor(
+               (2 * sum(CAST(i AS HUGEINT) * r)
+                - (any_value(n) + 1) * CAST(sum(CAST(r AS HUGEINT)) AS HUGEINT))
+               * 1000000
+               / (CAST(any_value(n) AS HUGEINT) * sum(CAST(r AS HUGEINT)))
+           ) AS BIGINT) AS gini_ppm
+    FROM ranked JOIN nation n2 ON ranked.c_nationkey = n2.n_nationkey
+    GROUP BY n2.n_name
+    """,
+    doc="EXACT GINI concentration of customer revenue per nation (the "
+    "'how dependent is this market on its top customers' BI metric): "
+    "G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-ranked revenues "
+    "— rank sums and revenue micro-sums accumulate as exact 128-bit "
+    "integers and the ratio floors to ppm, so the cross-engine match "
+    "is exact with no float summation anywhere (the same discipline "
+    "as the q162 market-share ratios). Plan: one shuffle to the "
+    "(nation, customer) revenue grain, one ranking sort per nation, "
+    "one partial-aggregated reduction; the nation dim broadcasts.",
+    tags=("relational", "agg", "window"),
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint")
+            ).cast("bigint").alias("r")
+        )
+    )
+    w_i = Window.partitionBy("c_nationkey").orderBy(
+        F.col("r").asc(), F.col("o_custkey").asc()
+    )
+    w_n = Window.partitionBy("c_nationkey")
+    ranked = rev.select(
+        "c_nationkey", "r",
+        F.row_number().over(w_i).alias("i"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    dec = "decimal(38,0)"
+    s1 = F.sum(F.col("i").cast(dec) * F.col("r"))
+    s0 = F.sum(F.col("r").cast(dec))
+    n_ = F.first("n").cast(dec)
+    return (
+        ranked.join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("nation"),
+            )),
+            "c_nationkey",
+        )
+        .groupBy("nation")
+        .agg(
+            F.first("n").cast("bigint").alias("n_customers"),
+            F.floor(
+                (2 * s1 - (n_ + 1) * s0) * 1000000 / (n_ * s0)
+            ).cast("bigint").alias("gini_ppm"),
+        )
+    )
