@@ -949,3 +949,126 @@ def data_skipping_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("revenue_micro"),
         )
     )
+
+
+@query(
+    "q186_table_diff_merkle",
+    oracle="""
+    WITH a AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vmicro
+        FROM events
+    ),
+    b AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_id % 997 = 0 THEN vmicro + 1 ELSE vmicro END
+                   AS vmicro
+        FROM a
+        WHERE event_id % 1009 <> 0
+    ),
+    ah AS (
+        SELECT *,
+               CAST(('0x' || substr(sha256(
+                   CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+                   || '|' || event_type || '|' || CAST(vmicro AS VARCHAR)
+               ), 1, 8)) AS BIGINT) AS rh,
+               CAST(('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 256 AS bucket
+        FROM a
+    ),
+    bh AS (
+        SELECT *,
+               CAST(('0x' || substr(sha256(
+                   CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+                   || '|' || event_type || '|' || CAST(vmicro AS VARCHAR)
+               ), 1, 8)) AS BIGINT) AS rh,
+               CAST(('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 256 AS bucket
+        FROM b
+    ),
+    acs AS (SELECT bucket, sum(CAST(rh AS HUGEINT)) AS cs, count(*) AS n
+            FROM ah GROUP BY bucket),
+    bcs AS (SELECT bucket, sum(CAST(rh AS HUGEINT)) AS cs, count(*) AS n
+            FROM bh GROUP BY bucket),
+    bad AS (
+        SELECT coalesce(acs.bucket, bcs.bucket) AS bucket
+        FROM acs FULL OUTER JOIN bcs ON acs.bucket = bcs.bucket
+        WHERE acs.cs IS DISTINCT FROM bcs.cs OR acs.n IS DISTINCT FROM bcs.n
+    )
+    SELECT ah.event_id, 'only_or_changed_in_a' AS side
+    FROM ah JOIN bad USING (bucket)
+    WHERE NOT EXISTS (SELECT 1 FROM bh WHERE bh.event_id = ah.event_id
+                      AND bh.rh = ah.rh)
+    UNION ALL
+    SELECT bh.event_id, 'only_or_changed_in_b' AS side
+    FROM bh JOIN bad USING (bucket)
+    WHERE NOT EXISTS (SELECT 1 FROM ah WHERE ah.event_id = bh.event_id
+                      AND ah.rh = bh.rh)
+    """,
+    doc="MERKLE-STYLE TABLE DIFF (anti-entropy reconciliation between "
+    "replicas — how you compare two 100 TB copies without shipping "
+    "either): each side aggregates an ORDER-INDEPENDENT per-bucket "
+    "checksum (sum of sha-derived row hashes over 256 hash buckets; "
+    "integer sums, so partitioning cannot change them), the two "
+    "256-row summaries compare for pennies, and row-level anti-joins "
+    "run ONLY inside mismatched buckets — cost proportional to the "
+    "DIVERGENCE, not the table. The fixture's replica B drops every "
+    "1009th row and perturbs every 997th value; the diff reports "
+    "exactly those. At real scale the bucket count scales with the "
+    "expected divergence (65k buckets → row scans touch ~1/65k of "
+    "the table per corrupt bucket) and levels stack into a proper "
+    "Merkle tree; one level is the engine-shaped core of it.",
+    tags=("lakehouse", "quality", "dedup"),
+)
+def table_diff_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("vmicro"),
+    )
+    b = a.where(F.col("event_id") % 1009 != 0).withColumn(
+        "vmicro",
+        F.when(F.col("event_id") % 997 == 0, F.col("vmicro") + 1)
+        .otherwise(F.col("vmicro")),
+    )
+
+    def hashed(df):
+        row_str = F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"), F.col("user_id").cast("string"),
+            F.col("event_type"), F.col("vmicro").cast("string"),
+        )
+        return df.withColumn("rh", portable_hash(row_str)).withColumn(
+            "bucket", portable_hash(F.col("event_id").cast("string")) % 256
+        )
+
+    ah, bh = hashed(a), hashed(b)
+    dec = "decimal(38,0)"
+
+    def summary(df):
+        return df.groupBy("bucket").agg(
+            F.sum(F.col("rh").cast(dec)).alias("cs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    acs = summary(ah).select("bucket", F.col("cs").alias("a_cs"), F.col("n").alias("a_n"))
+    bcs = summary(bh).select("bucket", F.col("cs").alias("b_cs"), F.col("n").alias("b_n"))
+    bad = (
+        acs.join(bcs, "bucket", "full_outer")
+        .where(
+            ~F.col("a_cs").eqNullSafe(F.col("b_cs"))
+            | ~F.col("a_n").eqNullSafe(F.col("b_n"))
+        )
+        .select("bucket")
+    )
+    a_bad = ah.join(F.broadcast(bad), "bucket")
+    b_bad = bh.join(F.broadcast(bad), "bucket")
+    only_a = a_bad.join(
+        b_bad.select("event_id", "rh"), ["event_id", "rh"], "left_anti"
+    ).select("event_id", F.lit("only_or_changed_in_a").alias("side"))
+    only_b = b_bad.join(
+        a_bad.select("event_id", "rh"), ["event_id", "rh"], "left_anti"
+    ).select("event_id", F.lit("only_or_changed_in_b").alias("side"))
+    return only_a.unionByName(only_b)
