@@ -1111,3 +1111,93 @@ def percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+@query(
+    "q187_rolling_regression",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) // 1000000
+                   - min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id)
+                   AS x,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS y
+        FROM events WHERE user_id <= 30
+    ),
+    s AS (
+        SELECT user_id, event_id,
+               count(*) OVER w AS n,
+               sum(CAST(x AS HUGEINT)) OVER w AS sx,
+               sum(CAST(y AS HUGEINT)) OVER w AS sy,
+               sum(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+               sum(CAST(x AS HUGEINT) * x) OVER w AS sxx
+        FROM base
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY x ASC, event_id ASC
+            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT user_id, event_id, CAST(n AS BIGINT) AS n_window,
+           CAST(floor(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+               * 86400
+           ) AS BIGINT) AS slope_micro_per_day
+    FROM s
+    """,
+    doc="ROLLING REGRESSION slope per entity (the windowed form of "
+    "q182's groupwise OLS — 'is this user's value trending up over "
+    "their last 10 events', the rolling-beta feature of financial and "
+    "engagement pipelines): the five normal-equation sums accumulate "
+    "as exact 128-bit integers OVER A ROWS FRAME, so every window's "
+    "sums are partition-invariant, and the slope evaluates per row "
+    "with the identical IEEE expression both engines run "
+    "(floor-quantised; NULL where the frame's x-variance is zero — "
+    "same-timestamp bursts). One exchange on user_id; five window "
+    "aggregates share one frame spec, hence one sorted pass.",
+    tags=("window", "ml"),
+)
+def rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 30)
+    w_user = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id", "event_id",
+        (epoch_seconds(F.col("ts"))
+         - F.min(epoch_seconds(F.col("ts"))).over(w_user)).alias("x"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("x").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, 0)
+    )
+    s = base.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("x").cast(dec)).over(w).alias("sx"),
+        F.sum(F.col("y").cast(dec)).over(w).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).over(w).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    denom = F.nullif(
+        n_d * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
+    )
+    slope = (
+        n_d * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / denom
+    return s.select(
+        "user_id", "event_id",
+        F.col("n").cast("bigint").alias("n_window"),
+        F.floor(slope * 86400).cast("bigint").alias("slope_micro_per_day"),
+    )
