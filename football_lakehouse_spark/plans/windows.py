@@ -1201,3 +1201,67 @@ def rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_window"),
         F.floor(slope * 86400).cast("bigint").alias("slope_micro_per_day"),
     )
+
+
+@query(
+    "q188_capped_balance",
+    oracle="""
+    SELECT user_id, CAST(len(ds) AS BIGINT) AS n,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT), ds),
+               (acc, d) -> greatest(CAST(0 AS BIGINT), acc + d)
+           ) AS BIGINT) AS final_balance_micro
+    FROM (
+        SELECT user_id,
+               list(CASE WHEN event_type = 'purchase'
+                         THEN -CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                         ELSE CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                    END ORDER BY floor(epoch(ts)), event_id) AS ds
+        FROM events GROUP BY user_id
+    )
+    """,
+    doc="CAPPED RUNNING BALANCE per user (credits minus purchase "
+    "debits, floored at zero — inventory with no backorders, prepaid "
+    "wallets, rate-limiter tokens): balanceᵢ = max(0, balanceᵢ₋₁ + Δᵢ) "
+    "is NON-ASSOCIATIVE, so no window frame and no partial aggregation "
+    "can express it — the q150 EWMA treatment applies: collect each "
+    "user's event-time-ordered deltas (exact integer micros) and FOLD "
+    "the clamp recurrence inside codegen; one shuffle, the sequential "
+    "scan never leaves the JVM, and the integers make the cross-engine "
+    "match exact. Same bounded-series caveat as q150: per-user "
+    "timelines fit an executor; unbounded ones move to "
+    "applyInPandasWithState (streaming/stateful.py).",
+    tags=("window", "events"),
+)
+def capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+    delta = F.when(F.col("event_type") == "purchase", -micro).otherwise(micro)
+    ds = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    epoch_seconds(F.col("ts")).alias("es"),
+                    F.col("event_id").alias("eid"),
+                    delta.alias("d"),
+                )
+            )
+        ),
+        lambda s: s["d"],
+    )
+    fold = F.aggregate(
+        F.col("ds"),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: F.greatest(F.lit(0).cast("bigint"), acc + d),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(ds.alias("ds"))
+        .select(
+            "user_id",
+            F.size("ds").cast("bigint").alias("n"),
+            fold.cast("bigint").alias("final_balance_micro"),
+        )
+    )
