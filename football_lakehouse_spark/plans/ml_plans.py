@@ -269,3 +269,67 @@ def transfer_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         bank=_BANK,
         top_n=10,
     )
+
+
+@query(
+    "q189_decile_lift",
+    # Pinned like q69/q159: model outputs are not SQL-derivable; every
+    # cell is integer-exact cents over the bit-stable GBT pipeline, and
+    # the decile assignment is an ntile over a deterministic total
+    # order (predicted desc, custkey asc). Monotone pred_cents down the
+    # deciles = the model ranks the holdout correctly — this table IS
+    # the evaluation artefact.
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 30, 12504230945, 12457881608),
+        (2, 30, 10537074618, 10405993936),
+        (3, 30, 8501078072, 9014306060),
+        (4, 30, 8163446340, 8003410096),
+        (5, 30, 7952208446, 7847498829),
+        (6, 30, 7517635890, 7258405104),
+        (7, 30, 6205853054, 6421040190),
+        (8, 30, 5400247193, 5466176215),
+        (9, 30, 5002649212, 4931616286),
+        (10, 30, 3558318161, 3563060101)
+    ) AS t(decile, n, pred_cents, actual_cents)
+    """,
+    doc="DECILE LIFT table for the M2 model (the model-quality artefact "
+    "every scoring pipeline publishes): holdout customers ranked by "
+    "prediction, cut into ntile(10) deciles over a deterministic total "
+    "order, each reporting exact-cent predicted and actual sums. "
+    "Monotone actuals down the deciles = the ranking works; the "
+    "top-decile/bottom-decile actual ratio IS the lift. Pinned oracle "
+    "at sf0.01 (q69/q159 policy — changing model, seed, or split is "
+    "supposed to break it). Scale: the global ntile is a single-sort "
+    "cliff at billions of holdout rows — there, cut deciles by the "
+    "q175 order-statistics edges instead; at evaluation-set sizes the "
+    "sort is free.",
+    tags=("ml",),
+    oracle_sf="sf0.01",
+)
+def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.pipelines.ml import train_and_score
+
+    feats = customer_features(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    scored = train_and_score(feats)
+    hold = scored.where(~F.col("is_train")).join(
+        feats.select("c_custkey", "lifetime_value"), "c_custkey"
+    )
+    w = Window.orderBy(F.col("predicted_value").desc(), F.col("c_custkey").asc())
+    return (
+        hold.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n"),
+            F.sum(F.floor(F.col("predicted_value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").alias("pred_cents"),
+            F.sum(F.floor(F.col("lifetime_value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").alias("actual_cents"),
+        )
+    )
