@@ -1778,3 +1778,82 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("gini_ppm"),
         )
     )
+
+
+@query(
+    "q190_copurchase_recs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item_cnt AS (
+        SELECT l_partkey, count(*) AS cnt FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+               count(*) AS pair_cnt
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT antecedent, consequent,
+           CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(floor(pair_cnt * CAST(1000000 AS HUGEINT) / ca.cnt) AS BIGINT)
+               AS confidence_ppm
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY antecedent
+            ORDER BY pair_cnt DESC, consequent ASC
+        ) AS rk
+        FROM pairs
+    ) p
+    JOIN item_cnt ca ON ca.l_partkey = p.antecedent
+    WHERE rk <= 3
+    """,
+    doc="CO-PURCHASE RECOMMENDATIONS ('customers who bought X also "
+    "bought Y'): DIRECTIONAL association rules from the q170 pair "
+    "machinery — per antecedent part, the top-3 consequents by "
+    "co-occurrence with exact floored-ppm CONFIDENCE "
+    "P(consequent|antecedent) over 128-bit integer ratios. The top-3 "
+    "cut is a per-antecedent window that WindowGroupLimit prunes "
+    "map-side (asserted pattern, q03/q117), so the rec table ships "
+    "3 rows per catalog item no matter how many pairs exist. Same "
+    "orderkey-co-partitioned pairing and hot-basket-cap story as "
+    "q170.",
+    tags=("relational", "join", "agg"),
+)
+def copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("antecedent"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("consequent"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 2)
+    )
+    w = Window.partitionBy("antecedent").orderBy(
+        F.col("pair_cnt").desc(), F.col("consequent").asc()
+    )
+    item_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .join(
+            F.broadcast(item_cnt.select(
+                F.col("l_partkey").alias("antecedent"), "cnt"
+            )),
+            "antecedent",
+        )
+        .select(
+            "antecedent", "consequent",
+            F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+            F.floor(
+                F.col("pair_cnt").cast("decimal(38,0)") * 1000000 / F.col("cnt")
+            ).cast("bigint").alias("confidence_ppm"),
+        )
+    )
