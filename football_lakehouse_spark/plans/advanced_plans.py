@@ -976,3 +976,78 @@ def ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_numerator",
         )
     )
+
+
+@query(
+    "q191_linear_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vmicro
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT p.event_id AS purchase_id, p.vmicro,
+               e.event_type AS channel
+        FROM p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touch
+        FROM touch
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(vmicro // n_touch) AS BIGINT) AS credit_micro
+    FROM sized GROUP BY channel
+    """,
+    doc="LINEAR MULTI-TOUCH ATTRIBUTION (the marketing-analytics "
+    "counterpart of q94's last-touch stream join): every purchase's "
+    "value splits EQUALLY across the user's touches in the preceding "
+    "hour, credited to each touch's channel. Credit per touch is the "
+    "floored integer division value_micro // n_touch — exact "
+    "cross-engine, and deliberately conservative (the remainder "
+    "cents stay unattributed rather than being assigned by an "
+    "arbitrary tie-break). Plan: the purchase×touch pairing is the "
+    "q64 BANDED range join (time buckets of the window span as a "
+    "second equi-key — plain equi-shuffle, never per-key cross "
+    "products); the per-purchase touch count is one window over the "
+    "pair table; the final channel rollup is a handful of groups.",
+    tags=("advanced", "join", "window"),
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.operators.range_join import (
+        banded_prior_window_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("vmicro"),
+    )
+    paired = banded_prior_window_join(
+        purchases,
+        ev.select("user_id", "ts", "event_type"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_micros=3600 * 1000000,
+        payload=["event_type"],
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "vmicro",
+        F.col("__p_event_type").alias("channel"),
+    )
+    w = Window.partitionBy("purchase_id")
+    return (
+        paired.withColumn("n_touch", F.count(F.lit(1)).over(w))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.floor(F.col("vmicro") / F.col("n_touch")))
+            .cast("bigint").alias("credit_micro"),
+        )
+    )

@@ -132,6 +132,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q188_capped_balance",
     "q189_decile_lift",
     "q190_copurchase_recs",
+    "q191_linear_attribution",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
