@@ -4444,3 +4444,57 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select("doc_id", "source", "weight")
     )
+
+
+@query(
+    "q192_negative_sampling",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    anchors AS (SELECT doc_id, source FROM documents),
+    cand AS (
+        SELECT a.doc_id AS anchor_id, a.source AS anchor_source, k.k,
+               CAST((a.doc_id * 2654435761 + k.k * 40503) % n.n AS BIGINT)
+                   AS neg_id
+        FROM anchors a, (SELECT unnest([1, 2, 3, 4]) AS k) k, n
+    )
+    SELECT c.anchor_id, c.k, c.neg_id, d.source AS neg_source
+    FROM cand c JOIN documents d ON d.doc_id = c.neg_id
+    WHERE c.neg_id <> c.anchor_id
+    """,
+    doc="DETERMINISTIC NEGATIVE SAMPLING for contrastive training pairs "
+    "(the in-batch-negatives alternative when you need REPLAYABLE "
+    "negatives — re-running the pipeline must yield the same pairs, "
+    "or resumed training sees a different dataset): each anchor draws "
+    "K=4 pseudo-random partners via Knuth multiplicative hashing over "
+    "the dense doc-id space — pure modular arithmetic, no RNG state, "
+    "identical in any engine — and self-collisions are dropped rather "
+    "than re-rolled (deterministic beats exactly-K). The join back to "
+    "the corpus fetches the negatives' columns; both sides shuffle on "
+    "the uniform doc_id. Production refinement (documented, not "
+    "fixture-relevant): filter sampled pairs against the q57 "
+    "near-dup clusters so a 'negative' is never a near-duplicate of "
+    "its anchor — one broadcast anti-join on cluster id.",
+    tags=("llm", "curation", "ml"),
+)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    ks = F.broadcast(
+        docs.sparkSession.createDataFrame([(1,), (2,), (3,), (4,)], "k int")
+    )
+    cand = (
+        docs.select(F.col("doc_id").alias("anchor_id"))
+        .crossJoin(ks)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id", "k",
+            ((F.col("anchor_id") * F.lit(2654435761) + F.col("k") * 40503)
+             % F.col("n")).cast("bigint").alias("neg_id"),
+        )
+        .where(F.col("neg_id") != F.col("anchor_id"))
+    )
+    return cand.join(
+        docs.select(F.col("doc_id").alias("neg_id"),
+                    F.col("source").alias("neg_source")),
+        "neg_id",
+    ).select("anchor_id", "k", "neg_id", "neg_source")

@@ -133,6 +133,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q189_decile_lift",
     "q190_copurchase_recs",
     "q191_linear_attribution",
+    "q192_negative_sampling",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
