@@ -1051,3 +1051,70 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("credit_micro"),
         )
     )
+
+
+@query(
+    "q193_multi_window_touches",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    pair AS (
+        SELECT e.event_type AS channel,
+               epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+        FROM p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL 6 HOUR AND e.ts < p.ts
+    )
+    SELECT channel,
+           CAST(sum(CASE WHEN gap_us <= 600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS touches_10m,
+           CAST(sum(CASE WHEN gap_us <= 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS touches_1h,
+           CAST(count(*) AS BIGINT) AS touches_6h
+    FROM pair GROUP BY channel
+    """,
+    doc="MULTI-WINDOW attribution touch counts (10 min / 1 h / 6 h) in "
+    "ONE banded join pass: the band spans the WIDEST window, so every "
+    "narrower window's pairs are a subset of the candidates already in "
+    "hand, and the per-window counts fall out of conditional sums on "
+    "the exact microsecond gap — one shuffle where the naive form "
+    "joins once per window (3× the shuffle for 3 windows, k× for the "
+    "window sweeps attribution analyses actually run). Same banded "
+    "equi-join scale contract as q64/q191.",
+    tags=("advanced", "join", "agg"),
+)
+def multi_window_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.range_join import (
+        banded_prior_window_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    paired = banded_prior_window_join(
+        purchases,
+        ev.select("user_id", "ts", "event_type"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_micros=6 * 3600 * 1000000,
+        payload=["event_type", "ts"],
+    )
+    from football_lakehouse_spark.functions.scalars import epoch_micros
+
+    gap = epoch_micros(F.col("ts")) - epoch_micros(F.col("__p_ts"))
+    return (
+        paired.select(
+            F.col("__p_event_type").alias("channel"), gap.alias("gap_us")
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("gap_us") <= 600000000, 1).otherwise(0))
+            .cast("bigint").alias("touches_10m"),
+            F.sum(F.when(F.col("gap_us") <= 3600000000, 1).otherwise(0))
+            .cast("bigint").alias("touches_1h"),
+            F.count(F.lit(1)).cast("bigint").alias("touches_6h"),
+        )
+    )

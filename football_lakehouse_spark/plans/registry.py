@@ -134,6 +134,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q190_copurchase_recs",
     "q191_linear_attribution",
     "q192_negative_sampling",
+    "q193_multi_window_touches",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
