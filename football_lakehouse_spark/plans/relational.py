@@ -1857,3 +1857,72 @@ def copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("confidence_ppm"),
         )
     )
+
+
+@query(
+    "q194_lorenz_curve",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT r,
+               row_number() OVER (ORDER BY r ASC, o_custkey ASC) AS i,
+               count(*) OVER () AS n,
+               sum(CAST(r AS HUGEINT)) OVER () AS total,
+               sum(CAST(r AS HUGEINT)) OVER (
+                   ORDER BY r ASC, o_custkey ASC ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM rev
+    )
+    SELECT CAST(ceil(i * 10.0 / n) AS BIGINT) AS decile,
+           CAST(max(i) AS BIGINT) AS n_customers_cum,
+           CAST(floor(max(cum) * CAST(1000000 AS HUGEINT) / max(total))
+                AS BIGINT) AS cum_revenue_ppm
+    FROM ranked GROUP BY 1
+    """,
+    doc="LORENZ CURVE of customer revenue (the chartable companion of "
+    "q185's Gini scalar — 'the bottom 50% of customers hold X% of "
+    "revenue'): customers ranked ascending by revenue, cumulative "
+    "revenue share at each population decile as exact floored ppm "
+    "over 128-bit running sums. Plan note: the global ranking window "
+    "is a single sort at this grain (one row per customer after the "
+    "grain aggregation — already 1000× smaller than orders); a "
+    "per-nation partitioned variant parallelises exactly like q185, "
+    "and q169's two-phase prefix sum applies to the cumulative if a "
+    "single curve ever spans billions of grain rows.",
+    tags=("relational", "agg", "window"),
+)
+def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint")
+        ).cast("bigint").alias("r")
+    )
+    dec = "decimal(38,0)"
+    w_rank = Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc())
+    w_all = Window.partitionBy()
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(F.col("r").cast(dec)).over(w_all).alias("total"),
+        F.sum(F.col("r").cast(dec)).over(w_cum).alias("cum"),
+    )
+    return (
+        ranked.groupBy(
+            F.ceil(F.col("i") * 10.0 / F.col("n")).cast("bigint").alias("decile")
+        )
+        .agg(
+            F.max("i").cast("bigint").alias("n_customers_cum"),
+            F.floor(F.max("cum") * 1000000 / F.max("total"))
+            .cast("bigint").alias("cum_revenue_ppm"),
+        )
+    )
