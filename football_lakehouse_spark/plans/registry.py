@@ -136,6 +136,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q192_negative_sampling",
     "q193_multi_window_touches",
     "q194_lorenz_curve",
+    "q195_skyline",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

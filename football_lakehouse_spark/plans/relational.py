@@ -1926,3 +1926,73 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("cum_revenue_ppm"),
         )
     )
+
+
+@query(
+    "q195_skyline",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 1000000.0 + 0.5) AS BIGINT)
+                   AS price_micro,
+               p_size
+        FROM part
+    ),
+    m AS (
+        SELECT *,
+               max(p_size) OVER (
+                   ORDER BY price_micro
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS max_cheaper,
+               max(p_size) OVER (PARTITION BY price_micro) AS max_same
+        FROM p
+    )
+    SELECT p_partkey, price_micro, CAST(p_size AS BIGINT) AS p_size
+    FROM m
+    WHERE (max_cheaper IS NULL OR p_size > max_cheaper)
+      AND p_size = max_same
+    """,
+    doc="SKYLINE (Pareto front) of parts on (cheaper price, larger "
+    "size) — the multi-criteria 'no other part is at least as cheap "
+    "AND at least as big, better in one' query. The naive form is an "
+    "O(n²) dominance self-join; in 2-D it REWRITES to a sorted scan: "
+    "a part is on the skyline iff its size beats the running maximum "
+    "over all STRICTLY cheaper parts (RANGE frame to 1 PRECEDING on "
+    "integer micro-price, so price ties stay out of their own "
+    "maximum) and ties the maximum within its own price point "
+    "(equal-price-larger-size dominates; identical pairs co-exist). "
+    "One sort, two frame variants of the same window — and the "
+    "running max distributes by the q169 two-phase trick (bucket "
+    "maxima prefix-max) if one skyline ever spans billions of rows. "
+    "Higher dimensions need the block-nested-loop or divide-and-"
+    "conquer forms — documented, not wired.",
+    tags=("relational", "window"),
+)
+def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 1000000.0 + 0.5).cast("bigint")
+        .alias("price_micro"),
+        "p_size",
+    )
+    w_cheaper = (
+        Window.orderBy("price_micro")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_micro")
+    m = p.select(
+        "*",
+        F.max("p_size").over(w_cheaper).alias("max_cheaper"),
+        F.max("p_size").over(w_same).alias("max_same"),
+    )
+    return (
+        m.where(
+            (F.col("max_cheaper").isNull()
+             | (F.col("p_size") > F.col("max_cheaper")))
+            & (F.col("p_size") == F.col("max_same"))
+        )
+        .select("p_partkey", "price_micro", F.col("p_size").cast("bigint").alias("p_size"))
+    )

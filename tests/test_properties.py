@@ -310,3 +310,44 @@ def test_ks_numerator_matches_naive(spark, a, b):
         for v in set(a) | set(b)
     )
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),  # (price, size)
+        min_size=1, max_size=25,
+    )
+)
+@SLOW
+def test_skyline_sorted_scan_matches_dominance_definition(spark, pts):
+    """q195's sorted-scan rewrite must equal the O(n²) dominance
+    definition (no q with price<=, size>=, one strict) on arbitrary
+    point sets including duplicates and price ties."""
+    from pyspark.sql import Window
+
+    rows_ = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows_, "pid int, price long, size int")
+    w_cheaper = Window.orderBy("price").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("price")
+    m = df.select(
+        "*",
+        F.max("size").over(w_cheaper).alias("mc"),
+        F.max("size").over(w_same).alias("ms"),
+    )
+    got = {
+        r.pid
+        for r in m.where(
+            (F.col("mc").isNull() | (F.col("size") > F.col("mc")))
+            & (F.col("size") == F.col("ms"))
+        ).collect()
+    }
+    want = {
+        i for i, (p, s) in enumerate(pts)
+        if not any(
+            (q <= p and t >= s and (q < p or t > s))
+            for j, (q, t) in enumerate(pts) if j != i
+        )
+    }
+    assert got == want
