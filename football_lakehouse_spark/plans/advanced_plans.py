@@ -1118,3 +1118,98 @@ def multi_window_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("touches_6h"),
         )
     )
+
+
+@query(
+    "q196_spearman",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               epoch_us(ts) // 1000000 AS x,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    rk AS (
+        SELECT event_type,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                   + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                   + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+        FROM base
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(rx AS HUGEINT)) AS sx,
+               sum(CAST(ry AS HUGEINT)) AS sy,
+               sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+               sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+               sum(CAST(ry AS HUGEINT) * ry) AS syy
+        FROM rk GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(floor(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000
+           ) AS BIGINT) AS spearman_ppm
+    FROM s
+    """,
+    doc="EXACT Spearman rank correlation between event time and value "
+    "per group ('is this metric drifting with time' — the monotone-"
+    "association test Pearson misses): both variables rank-transform "
+    "with MIDRANK tie handling kept integer by doubling (2·midrank = "
+    "min_rank + max_rank = 2·rank() + tiecount − 1), the five "
+    "correlation sums accumulate as exact 128-bit integers, and ρ "
+    "evaluates once per group as the identical IEEE expression "
+    "(sqrt of exact integers), floored to ppm. Plan: two ranking "
+    "windows per group + one aggregation — the same "
+    "one-sort-per-variable cost as any rank statistic; no sampling, "
+    "no approximation.",
+    tags=("advanced", "agg", "quality"),
+)
+def spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("x"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("y"),
+    )
+    wx = Window.partitionBy("event_type").orderBy("x")
+    wxt = Window.partitionBy("event_type", "x")
+    wy = Window.partitionBy("event_type").orderBy("y")
+    wyt = Window.partitionBy("event_type", "y")
+    rk = base.select(
+        "event_type",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyt) - 1).alias("ry"),
+    )
+    dec = "decimal(38,0)"
+    s = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("rx").cast(dec)).alias("sx"),
+        F.sum(F.col("ry").cast(dec)).alias("sy"),
+        F.sum(F.col("rx").cast(dec) * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx").cast(dec) * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry").cast(dec) * F.col("ry")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    sxx_d, syy_d = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (n_d * sxy_d - sx_d * sy_d) / F.sqrt(
+        (n_d * sxx_d - sx_d * sx_d) * (n_d * syy_d - sy_d * sy_d)
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(rho * 1000000).cast("bigint").alias("spearman_ppm"),
+    )
