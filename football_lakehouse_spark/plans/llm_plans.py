@@ -4498,3 +4498,64 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("source").alias("neg_source")),
         "neg_id",
     ).select("anchor_id", "k", "neg_id", "neg_source")
+
+
+@query(
+    "q197_bloom_export",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT user_id FROM events),
+    pos AS (
+        SELECT CAST(('0x' || substr(sha256(CAST(r.r AS VARCHAR) || '§'
+                   || CAST(i.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1024
+               AS p
+        FROM ids i, (SELECT unnest([0, 1, 2]) AS r) r
+    )
+    SELECT CAST(p // 63 AS BIGINT) AS word_idx,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS BIGINT)
+               AS word,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)))
+                AS BIGINT) AS bits_set
+    FROM pos GROUP BY 1
+    """,
+    doc="EXPORTABLE BLOOM FILTER built in-engine (ship the membership "
+    "structure, not the data: an edge service asking 'might this user "
+    "exist' downloads ~140 bytes instead of the user table): k=3 "
+    "sha-derived bit positions per distinct id over m=1024 bits, "
+    "materialised as 17 63-bit words via the BIT_OR aggregate (63 "
+    "bits per word keeps every shift under the signed-overflow check "
+    "both engines apply to 1<<63) — "
+    "bitwise OR is associative/commutative/idempotent, so partial "
+    "filters from every partition (or every daily increment) merge "
+    "into the same words regardless of order or duplication: the "
+    "mergeable-sketch contract (q167/q178 family) for MEMBERSHIP. "
+    "All-integer output (words + popcounts) = exact cross-engine "
+    "match, including the sign bit (two's-complement bit 63 behaves "
+    "identically in both engines). Spark's own runtime bloom "
+    "pushdown (asserted in test_plans) consumes such filters "
+    "internally; this query EXPORTS one as data.",
+    tags=("llm", "approx", "quality"),
+)
+def bloom_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    ids = ev.select("user_id").distinct()
+    seeds = F.broadcast(
+        ev.sparkSession.createDataFrame([(0,), (1,), (2,)], "r int")
+    )
+    pos = ids.crossJoin(seeds).select(
+        (
+            portable_hash(
+                F.concat(F.col("r").cast("string"), F.lit("§"),
+                         F.col("user_id").cast("string"))
+            ) % 1024
+        ).alias("p")
+    )
+    word = F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))"))
+    return (
+        pos.groupBy(F.floor(F.col("p") / 63).cast("bigint").alias("word_idx"))
+        .agg(
+            word.cast("bigint").alias("word"),
+            F.bit_count(word).cast("bigint").alias("bits_set"),
+        )
+    )
