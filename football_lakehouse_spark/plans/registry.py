@@ -139,6 +139,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q195_skyline",
     "q196_spearman",
     "q197_bloom_export",
+    "q198_purchase_gap_hazard",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

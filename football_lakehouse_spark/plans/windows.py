@@ -1265,3 +1265,55 @@ def capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             fold.cast("bigint").alias("final_balance_micro"),
         )
     )
+
+
+@query(
+    "q198_purchase_gap_hazard",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS t, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT t - lag(t) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+               ) AS gap_s
+        FROM p
+    )
+    SELECT CAST(least(gap_s // 86400, 14) AS BIGINT) AS gap_days,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="REPURCHASE-GAP hazard histogram (the 'how long until a "
+    "customer buys again' curve that drives churn-risk windows and "
+    "win-back timing): per user, the gaps between consecutive "
+    "purchases (one lag window over the purchase timeline) bucketed "
+    "into days with a 14-day open tail — fixed integer bin edges, so "
+    "snapshots compare bin-for-bin like q156. Everything is integer "
+    "seconds and floored division; one exchange on user_id, then a "
+    "bins-sized aggregate. The empirical hazard h(d) = n_gaps(d) / "
+    "Σ_{d'≥d} n_gaps(d') is a driver-side post-step over the 15-row "
+    "result.",
+    tags=("window", "agg"),
+)
+def purchase_gap_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", epoch_seconds(F.col("ts")).alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    gaps = p.select((F.col("t") - F.lag("t").over(w)).alias("gap_s")).where(
+        F.col("gap_s").isNotNull()
+    )
+    return (
+        gaps.groupBy(
+            F.least(F.floor(F.col("gap_s") / 86400), F.lit(14))
+            .cast("bigint").alias("gap_days")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+    )
