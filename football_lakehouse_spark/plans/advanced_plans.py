@@ -1213,3 +1213,84 @@ def spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.floor(rho * 1000000).cast("bigint").alias("spearman_ppm"),
     )
+
+
+@query(
+    "q200_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS t, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    a AS (
+        SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t FROM events
+    )
+    SELECT a.event_id, a.user_id,
+           CASE WHEN nx.event_id IS NULL THEN pv.event_id
+                WHEN pv.event_id IS NULL THEN nx.event_id
+                WHEN a.t - pv.t <= nx.t - a.t THEN pv.event_id
+                ELSE nx.event_id END AS nearest_purchase_id,
+           CASE WHEN nx.event_id IS NULL THEN a.t - pv.t
+                WHEN pv.event_id IS NULL THEN nx.t - a.t
+                WHEN a.t - pv.t <= nx.t - a.t THEN a.t - pv.t
+                ELSE nx.t - a.t END AS gap_s
+    FROM a
+    ASOF LEFT JOIN p pv ON a.user_id = pv.user_id AND a.t > pv.t
+    ASOF LEFT JOIN p nx ON a.user_id = nx.user_id AND a.t < nx.t
+    """,
+    doc="NEAREST-NEIGHBOR as-of join (pandas merge_asof "
+    "direction='nearest' parity — completing the as-of family after "
+    "q49 backward and q133 tolerance): each event matches the CLOSEST "
+    "purchase of the same user in either time direction, ties to the "
+    "earlier one, strict inequality both ways so a purchase never "
+    "matches itself. Implemented as TWO single-shuffle as-of passes "
+    "sharing the operator — the forward pass as-is, the backward pass "
+    "on NEGATED epoch seconds (prev-of-negated-time IS "
+    "next-of-time — the operator is direction-agnostic because it "
+    "only ever sorts) — then a per-row choose; nearest costs exactly "
+    "2× the one-sided as-of, never a range explosion. Oracle: "
+    "DuckDB's native ASOF in both directions + the identical choose.",
+    tags=("advanced", "join"),
+)
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("event_id", "user_id", epoch_seconds(F.col("ts")).alias("t"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        epoch_seconds(F.col("ts")).alias("t"),
+        F.col("event_id").alias("p_id"),
+        epoch_seconds(F.col("ts")).alias("p_t"),
+    )
+    prev = asof_join(
+        a, p, key="user_id", left_ts="t", right_ts="t",
+        payload=["p_id", "p_t"], strictly_before=True,
+    ).select(
+        "event_id",
+        F.col("asof_p_id").alias("pv_id"),
+        F.col("asof_p_t").alias("pv_t"),
+    )
+    a_neg = a.withColumn("tn", -F.col("t"))
+    p_neg = p.withColumn("tn", -F.col("t"))
+    nxt = asof_join(
+        a_neg, p_neg, key="user_id", left_ts="tn", right_ts="tn",
+        payload=["p_id", "p_t"], strictly_before=True,
+    ).select(
+        "event_id",
+        F.col("asof_p_id").alias("nx_id"),
+        F.col("asof_p_t").alias("nx_t"),
+    )
+    j = a.join(prev, "event_id").join(nxt, "event_id")
+    prev_wins = (
+        F.col("nx_id").isNull()
+        | (F.col("pv_id").isNotNull()
+           & ((F.col("t") - F.col("pv_t")) <= (F.col("nx_t") - F.col("t"))))
+    )
+    return j.select(
+        "event_id", "user_id",
+        F.when(prev_wins, F.col("pv_id")).otherwise(F.col("nx_id"))
+        .alias("nearest_purchase_id"),
+        F.when(prev_wins, F.col("t") - F.col("pv_t"))
+        .otherwise(F.col("nx_t") - F.col("t")).alias("gap_s"),
+    )

@@ -140,6 +140,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q196_spearman",
     "q197_bloom_export",
     "q198_purchase_gap_hazard",
+    "q199_cohort_ltv_curve",
+    "q200_asof_nearest",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -1317,3 +1317,75 @@ def purchase_gap_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
     )
+
+
+@query(
+    "q199_cohort_ltv_curve",
+    oracle="""
+    WITH w AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vmicro
+        FROM events
+    ),
+    firstw AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id),
+    csize AS (SELECT cw, count(*) AS n_cohort FROM firstw GROUP BY cw),
+    spend AS (
+        SELECT f.cw, w.wk - f.cw AS age, w.user_id,
+               sum(w.vmicro) AS v
+        FROM w JOIN firstw f USING (user_id)
+        GROUP BY 1, 2, 3
+    ),
+    weekly AS (
+        SELECT cw, age, sum(v) AS wv FROM spend GROUP BY cw, age
+    )
+    SELECT cw AS cohort_week, age AS week_age,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           CAST(sum(wv) OVER (
+               PARTITION BY cw ORDER BY age ROWS UNBOUNDED PRECEDING
+           ) // s.n_cohort AS BIGINT) AS cum_ltv_micro_per_user
+    FROM weekly JOIN csize s USING (cw)
+    """,
+    doc="COHORT LTV CURVES (cumulative value per user by cohort age — "
+    "the growth-analytics artefact next to q152's retention matrix: "
+    "'how much has the average week-N user spent by week-offset K'): "
+    "users cohort by first-activity epoch-week, weekly cohort value "
+    "sums accumulate through a running window, and the per-user "
+    "normalisation is floored integer division by cohort size — all "
+    "integer micros, exact cross-engine. Plan: two grouped aggs on "
+    "user_id then (cohort, age), a cohort-count broadcast, and a "
+    "running sum over the tiny (cohort × age) matrix — the raw fact "
+    "table is touched exactly once.",
+    tags=("window", "agg"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id",
+        F.floor(epoch_seconds(F.col("ts")) / 604800).cast("bigint").alias("wk"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("vmicro"),
+    )
+    firstw = w.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    csize = firstw.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    weekly = (
+        w.join(firstw, "user_id")
+        .groupBy("cw", (F.col("wk") - F.col("cw")).alias("age"))
+        .agg(F.sum("vmicro").alias("wv"))
+    )
+    run = Window.partitionBy("cw").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        weekly.join(F.broadcast(csize), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("age").alias("week_age"),
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.floor(F.sum("wv").over(run) / F.col("n_cohort"))
+            .cast("bigint").alias("cum_ltv_micro_per_user"),
+        )
+    )
