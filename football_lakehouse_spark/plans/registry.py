@@ -142,6 +142,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q198_purchase_gap_hazard",
     "q199_cohort_ltv_curve",
     "q200_asof_nearest",
+    "q201_hierarchy_rollup",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -1996,3 +1996,81 @@ def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price_micro", F.col("p_size").cast("bigint").alias("p_size"))
     )
+
+
+@query(
+    "q201_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE parts AS (
+        SELECT p_partkey AS id,
+               CASE WHEN p_partkey = 0 THEN NULL
+                    ELSE p_partkey // 10 END AS parent,
+               CAST(floor(p_retailprice * 1000000.0 + 0.5) AS BIGINT)
+                   AS vmicro
+        FROM part
+    ),
+    closure AS (
+        SELECT id AS anc, id AS node FROM parts
+        UNION ALL
+        SELECT c.anc, p.id AS node
+        FROM closure c JOIN parts p ON p.parent = c.node
+    )
+    SELECT c.anc AS node_id,
+           CAST(count(*) AS BIGINT) AS subtree_size,
+           CAST(sum(p.vmicro) AS BIGINT) AS subtree_value_micro
+    FROM closure c JOIN parts p ON p.id = c.node
+    GROUP BY c.anc
+    """,
+    doc="RECURSIVE HIERARCHY ROLLUP (BOM costing / org-chart totals — "
+    "the transitive aggregate GROUP BY cannot express): parts form a "
+    "synthetic tree (parent = id // 10, so depth = digits of the key "
+    "space) and every node reports its SUBTREE size and value. Spark "
+    "has no recursive CTE; the engine computes it LEVEL-WISE BOTTOM-"
+    "UP: each round folds the current accumulated totals one parent "
+    "step up (children's totals join their parent and add), so rounds "
+    "= tree DEPTH (log-bounded, ~4 here; an org chart is ≤ ~10) and "
+    "each round is one uniform-key shuffle + a localCheckpoint for "
+    "lineage truncation — the q57/q124 iterative discipline. NOT the "
+    "closure materialisation the oracle uses: closure rows = Σ node "
+    "depths (quadratic on deep chains); the level-wise fold carries "
+    "one row per node per round. Oracle: DuckDB recursive CTE over "
+    "the identical tree, full value-level match.",
+    tags=("relational", "agg", "graph"),
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    parts = part.select(
+        F.col("p_partkey").alias("id"),
+        F.when(F.col("p_partkey") == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("p_partkey") / 10).cast("long")).alias("parent"),
+        F.floor(F.col("p_retailprice") * 1000000.0 + 0.5).cast("bigint")
+        .alias("vmicro"),
+    )
+    edges = parts.select("id", "parent").where(F.col("parent").isNotNull())
+    # acc: per node, totals accumulated from levels folded so far
+    acc = parts.select(
+        "id", F.lit(1).cast("bigint").alias("sz"), F.col("vmicro").alias("v")
+    ).localCheckpoint(eager=True)
+    # frontier: totals attributed to each node from its subtree at the
+    # current fold depth; push one parent step per round until empty
+    frontier = acc
+    for _ in range(12):  # > max tree depth for any bigint key space
+        pushed = (
+            frontier.join(edges, "id")
+            .groupBy(F.col("parent").alias("id"))
+            .agg(F.sum("sz").alias("sz"), F.sum("v").alias("v"))
+        )
+        if pushed.limit(1).isEmpty():
+            break
+        acc = (
+            acc.unionByName(pushed)
+            .groupBy("id")
+            .agg(F.sum("sz").alias("sz"), F.sum("v").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = pushed.localCheckpoint(eager=True)
+    return acc.select(
+        F.col("id").alias("node_id"),
+        F.col("sz").cast("bigint").alias("subtree_size"),
+        F.col("v").cast("bigint").alias("subtree_value_micro"),
+    )
