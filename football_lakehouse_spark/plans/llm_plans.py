@@ -4559,3 +4559,72 @@ def bloom_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(word).cast("bigint").alias("bits_set"),
         )
     )
+
+
+@query(
+    "q202_filter_agreement",
+    oracle=f"""
+    WITH lab AS (
+        SELECT doc_id,
+               CASE WHEN len({_SQL_TOKS}) BETWEEN 5 AND 60
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN length(text) BETWEEN 30 AND 400
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS agree,
+               CAST(sum(a) AS HUGEINT) AS a1,
+               CAST(sum(b) AS HUGEINT) AS b1
+        FROM lab
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(agree AS BIGINT) AS n_agree,
+           CAST(floor(
+               (n * agree - (a1 * b1 + (n - a1) * (n - b1))) * 1000000
+               / (n * n - (a1 * b1 + (n - a1) * (n - b1)))
+           ) AS BIGINT) AS kappa_ppm
+    FROM c
+    """,
+    doc="INTER-FILTER AGREEMENT via exact Cohen's kappa — 'do my two "
+    "quality gates agree beyond what their acceptance rates force?', "
+    "the question every curation pipeline with stacked heuristic "
+    "filters should ask before multiplying them (two filters that "
+    "agree at chance level are independent evidence; two with high "
+    "kappa are redundant): rater A = token-count gate, rater B = "
+    "character-length gate, and κ = (n·agree − Σ marginal products) / "
+    "(n² − Σ marginal products) — every term an exact 128-bit integer "
+    "from one aggregation pass, floored to ppm, so the cross-engine "
+    "match is exact with no probability floats anywhere. "
+    "Generalises to any pair of boolean gate columns.",
+    tags=("llm", "quality", "agg"),
+)
+def filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntoks = F.size(ws_tokens(F.col("text")))
+    a = F.when((ntoks >= 5) & (ntoks <= 60), 1).otherwise(0)
+    b = F.when(
+        (F.length("text") >= 30) & (F.length("text") <= 400), 1
+    ).otherwise(0)
+    dec = "decimal(38,0)"
+    c = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast(dec).alias("agree"),
+        F.sum("a").cast(dec).alias("a1"),
+        F.sum("b").cast(dec).alias("b1"),
+    )
+    pe_num = (
+        F.col("a1") * F.col("b1")
+        + (F.col("n") - F.col("a1")) * (F.col("n") - F.col("b1"))
+    )
+    return c.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        F.floor(
+            (F.col("n") * F.col("agree") - pe_num) * 1000000
+            / (F.col("n") * F.col("n") - pe_num)
+        ).cast("bigint").alias("kappa_ppm"),
+    )

@@ -143,6 +143,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q199_cohort_ltv_curve",
     "q200_asof_nearest",
     "q201_hierarchy_rollup",
+    "q202_filter_agreement",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
