@@ -2074,3 +2074,72 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sz").cast("bigint").alias("subtree_size"),
         F.col("v").cast("bigint").alias("subtree_value_micro"),
     )
+
+
+@query(
+    "q203_trending_parts",
+    oracle="""
+    WITH w AS (
+        SELECT l_partkey,
+               CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01' THEN 1 ELSE 0
+               END AS cur
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-02-01'
+    ),
+    c AS (
+        SELECT l_partkey,
+               sum(cur) AS cur_n,
+               sum(1 - cur) AS prior_n
+        FROM w GROUP BY l_partkey
+        HAVING sum(cur) >= 5
+    )
+    SELECT l_partkey,
+           CAST(cur_n AS BIGINT) AS cur_n,
+           CAST(prior_n AS BIGINT) AS prior_n,
+           CAST(floor(cur_n * CAST(1000000 AS HUGEINT) / (prior_n + 1))
+                AS BIGINT) AS growth_ppm
+    FROM c
+    ORDER BY growth_ppm DESC, l_partkey ASC
+    LIMIT 20
+    """,
+    doc="TRENDING ITEMS (growth ranking — 'what is taking off', not "
+    "'what is big'): per part, shipment counts in the current window "
+    "vs the PRIOR window of equal length (fixed calendar edges, so "
+    "snapshots compare run-to-run), a minimum-support floor to keep "
+    "noise items from topping the board on 0→1 jumps, and growth as "
+    "exact floored ppm with Laplace +1 smoothing on the prior (new "
+    "items rank by raw current volume instead of dividing by zero). "
+    "ONE scan with a conditional aggregation covers both windows — "
+    "never two scans joined — and the scan-level date filter prunes "
+    "everything older than the prior window; top-20 is tree-reduce "
+    "takeOrdered.",
+    tags=("relational", "agg"),
+)
+def trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cur = F.when(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"), 1
+    ).otherwise(0)
+    c = (
+        li.where(F.col("l_shipdate") >= F.lit("2000-02-01").cast("timestamp"))
+        .select("l_partkey", cur.alias("cur"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("cur").alias("cur_n"),
+            F.sum(1 - F.col("cur")).alias("prior_n"),
+        )
+        .where(F.col("cur_n") >= 5)
+    )
+    return (
+        c.select(
+            "l_partkey",
+            F.col("cur_n").cast("bigint").alias("cur_n"),
+            F.col("prior_n").cast("bigint").alias("prior_n"),
+            F.floor(
+                F.col("cur_n").cast("decimal(38,0)") * 1000000
+                / (F.col("prior_n") + 1)
+            ).cast("bigint").alias("growth_ppm"),
+        )
+        .orderBy(F.col("growth_ppm").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
