@@ -145,6 +145,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q201_hierarchy_rollup",
     "q202_filter_agreement",
     "q203_trending_parts",
+    "q204_revenue_bridge",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

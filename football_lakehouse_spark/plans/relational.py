@@ -2143,3 +2143,96 @@ def trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("growth_ppm").desc(), F.col("l_partkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "q204_revenue_bridge",
+    oracle="""
+    WITH y AS (
+        SELECT l_partkey,
+               CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01'
+                         AND l_shipdate < TIMESTAMP '2001-01-01' THEN 0
+                    WHEN l_shipdate >= TIMESTAMP '2001-01-01'
+                         AND l_shipdate < TIMESTAMP '2002-01-01' THEN 1
+               END AS yr,
+               CAST(l_quantity AS BIGINT) AS l_quantity,
+               CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)
+                   AS ext_micro
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+          AND l_shipdate < TIMESTAMP '2002-01-01'
+    ),
+    per AS (
+        SELECT l_partkey,
+               sum(CASE WHEN yr = 0 THEN l_quantity ELSE 0 END) AS q0,
+               sum(CASE WHEN yr = 1 THEN l_quantity ELSE 0 END) AS q1,
+               sum(CASE WHEN yr = 0 THEN ext_micro ELSE 0 END) AS r0,
+               sum(CASE WHEN yr = 1 THEN ext_micro ELSE 0 END) AS r1
+        FROM y GROUP BY l_partkey
+        HAVING sum(CASE WHEN yr = 0 THEN l_quantity ELSE 0 END) > 0
+           AND sum(CASE WHEN yr = 1 THEN l_quantity ELSE 0 END) > 0
+    )
+    SELECT CAST(sum(r1 - r0) AS BIGINT) AS delta_rev_micro,
+           CAST(sum((q1 - q0) * (r0 // q0)) AS BIGINT)
+               AS volume_effect_micro,
+           CAST(sum(q1 * (r1 // q1 - r0 // q0)) AS BIGINT)
+               AS price_effect_micro,
+           CAST(sum((r1 - r0) - (q1 - q0) * (r0 // q0)
+                    - q1 * (r1 // q1 - r0 // q0)) AS BIGINT)
+               AS residual_micro
+    FROM per
+    """,
+    doc="REVENUE BRIDGE (Laspeyres price/volume decomposition — the "
+    "'why did revenue move' waterfall every finance review wants): "
+    "per part present in BOTH years, Δrev splits into a VOLUME effect "
+    "((q1−q0) at the base-year unit price) and a PRICE effect (q1 "
+    "times the unit-price change), plus the exactly-accounted "
+    "RESIDUAL from floored integer unit prices — the books balance to "
+    "the micro because every term is integer arithmetic (unit price = "
+    "floored integer division of micro revenue by quantity; the "
+    "rounding goes to the residual line instead of silently "
+    "vanishing). ONE conditional-aggregation scan covers both years; "
+    "the date filter prunes at the scan; output is a single audit "
+    "row.",
+    tags=("relational", "agg"),
+)
+def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.when(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp")), 0
+    ).when(
+        (F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2002-01-01").cast("timestamp")), 1
+    )
+    ext = F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast("bigint")
+    per = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2002-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_partkey", yr.alias("yr"),
+            F.col("l_quantity").cast("bigint").alias("l_quantity"),
+            ext.alias("ext_micro"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("yr") == 0, F.col("l_quantity")).otherwise(0)).alias("q0"),
+            F.sum(F.when(F.col("yr") == 1, F.col("l_quantity")).otherwise(0)).alias("q1"),
+            F.sum(F.when(F.col("yr") == 0, F.col("ext_micro")).otherwise(0)).alias("r0"),
+            F.sum(F.when(F.col("yr") == 1, F.col("ext_micro")).otherwise(0)).alias("r1"),
+        )
+        .where((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    u0 = F.floor(F.col("r0") / F.col("q0")).cast("bigint")
+    u1 = F.floor(F.col("r1") / F.col("q1")).cast("bigint")
+    vol = (F.col("q1") - F.col("q0")) * u0
+    prc = F.col("q1") * (u1 - u0)
+    return per.agg(
+        F.sum(F.col("r1") - F.col("r0")).cast("bigint").alias("delta_rev_micro"),
+        F.sum(vol).cast("bigint").alias("volume_effect_micro"),
+        F.sum(prc).cast("bigint").alias("price_effect_micro"),
+        F.sum((F.col("r1") - F.col("r0")) - vol - prc)
+        .cast("bigint").alias("residual_micro"),
+    )
