@@ -146,6 +146,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q202_filter_agreement",
     "q203_trending_parts",
     "q204_revenue_bridge",
+    "q205_abc_classification",
+    "q206_simpson_diversity",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -2236,3 +2236,150 @@ def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("r1") - F.col("r0")) - vol - prc)
         .cast("bigint").alias("residual_micro"),
     )
+
+
+@query(
+    "q205_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, r,
+               sum(CAST(r AS HUGEINT)) OVER (
+                   ORDER BY r DESC, l_partkey ASC ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               sum(CAST(r AS HUGEINT)) OVER () AS total
+        FROM rev
+    ),
+    classed AS (
+        SELECT l_partkey, r,
+               CASE WHEN (cum - r) * 100 < total * 80 THEN 'A'
+                    WHEN (cum - r) * 100 < total * 95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(r AS HUGEINT)) AS BIGINT) AS class_rev_micro
+    FROM classed GROUP BY abc
+    """,
+    doc="ABC / PARETO CLASSIFICATION of parts by revenue (the inventory "
+    "policy artefact: A = the head up to 80% of cumulative revenue, "
+    "B = to 95%, C = the tail): descending running revenue share "
+    "decides the class by INTEGER CROSS-MULTIPLICATION ((cum−r)·100 < "
+    "total·80 — no percentage floats, exact boundaries, and the "
+    "boundary item goes to the richer class because its PRE-cumulative "
+    "share is what's tested). Part-grain input (already aggregated), "
+    "one ranking sort, class-sized output; the q169 two-phase prefix "
+    "sum applies if one ranking ever spans billions of grain rows.",
+    tags=("relational", "agg", "window"),
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast("bigint")
+        ).cast("bigint").alias("r")
+    )
+    dec = "decimal(38,0)"
+    w_cum = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey", "r",
+        F.sum(F.col("r").cast(dec)).over(w_cum).alias("cum"),
+        F.sum(F.col("r").cast(dec)).over(w_all).alias("total"),
+    )
+    pre = (F.col("cum") - F.col("r")) * 100
+    abc = (
+        F.when(pre < F.col("total") * 80, "A")
+        .when(pre < F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("r", abc.alias("abc"))
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.col("r").cast(dec)).cast("bigint").alias("class_rev_micro"),
+        )
+    )
+
+
+@query(
+    "q206_simpson_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT c.c_nationkey, p.p_type, count(*) AS n
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT c_nationkey,
+               CAST(sum(n) AS HUGEINT) AS total,
+               CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sq
+        FROM c GROUP BY c_nationkey
+    )
+    SELECT n2.n_name AS nation,
+           CAST(s.total AS BIGINT) AS n_lineitems,
+           CAST(floor((s.total * s.total - s.sq) * 1000000
+                      / (s.total * s.total)) AS BIGINT) AS simpson_ppm
+    FROM s JOIN nation n2 ON s.c_nationkey = n2.n_nationkey
+    """,
+    doc="SIMPSON DIVERSITY of purchased part types per nation (the "
+    "assortment-breadth metric: 1 − Σpᵢ² — the probability two random "
+    "purchases are of DIFFERENT types; entropy's sibling that needs "
+    "no logarithm, so it stays exact): computed as "
+    "(N² − Σnᵢ²)·10⁶ / N² over 128-bit integer counts — no "
+    "probability floats anywhere. One fact shuffle with the three "
+    "dims broadcast, then two tiny aggregations.",
+    tags=("relational", "agg"),
+)
+def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    c = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("c_nationkey", "p_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = c.groupBy("c_nationkey").agg(
+        F.sum(F.col("n").cast(dec)).alias("total"),
+        F.sum(F.col("n").cast(dec) * F.col("n")).alias("sq"),
+    )
+    return (
+        s.join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("nation"),
+            )),
+            "c_nationkey",
+        )
+        .select(
+            "nation",
+            F.col("total").cast("bigint").alias("n_lineitems"),
+            F.floor(
+                (F.col("total") * F.col("total") - F.col("sq")) * 1000000
+                / (F.col("total") * F.col("total"))
+            ).cast("bigint").alias("simpson_ppm"),
+        )
+    )
