@@ -4628,3 +4628,61 @@ def filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n") - pe_num)
         ).cast("bigint").alias("kappa_ppm"),
     )
+
+
+@query(
+    "q207_dedup_savings",
+    oracle="""
+    WITH h AS (
+        SELECT source, sha256(text) AS hash,
+               CAST(length(text) AS BIGINT) AS bytes
+        FROM documents
+    ),
+    g AS (
+        SELECT source, hash, count(*) AS copies,
+               CAST(sum(bytes) AS BIGINT) AS grp_bytes,
+               CAST(min(bytes) AS BIGINT) AS keep_bytes
+        FROM h GROUP BY source, hash
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(copies) AS BIGINT) AS n_docs,
+           CAST(sum(grp_bytes) AS BIGINT) AS bytes_total,
+           CAST(sum(grp_bytes - keep_bytes) AS BIGINT) AS bytes_saved,
+           CAST(floor(sum(grp_bytes - keep_bytes) * 1000000.0
+                      / sum(grp_bytes)) AS BIGINT) AS savings_ppm
+    FROM g GROUP BY source
+    """,
+    doc="EXACT-DEDUP STORAGE ROI by source ('what does deduplication "
+    "actually buy us, and from which feed') — the report that "
+    "prioritises which ingest to clean first: documents group by "
+    "content hash within each source, each group keeps one canonical "
+    "copy, and the saved bytes (duplicate copies' lengths) report as "
+    "totals and exact floored ppm. One shuffle on the uniform "
+    "(source, sha) key — the q40 exact-dedup plan with an accounting "
+    "head; extending the grouping to the q57 NEAR-dup clusters gives "
+    "the near-dup ROI the same way (the cluster id replaces the "
+    "hash).",
+    tags=("llm", "dedup", "quality"),
+)
+def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        F.sha2(F.col("text"), 256).alias("hash"),
+        F.length("text").cast("bigint").alias("bytes"),
+    )
+    g = h.groupBy("source", "hash").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.sum("bytes").cast("bigint").alias("grp_bytes"),
+        F.min("bytes").cast("bigint").alias("keep_bytes"),
+    )
+    saved = F.sum(F.col("grp_bytes") - F.col("keep_bytes"))
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("copies").cast("bigint").alias("n_docs"),
+        F.sum("grp_bytes").cast("bigint").alias("bytes_total"),
+        saved.cast("bigint").alias("bytes_saved"),
+        F.floor(saved * 1000000.0 / F.sum("grp_bytes"))
+        .cast("bigint").alias("savings_ppm"),
+    )

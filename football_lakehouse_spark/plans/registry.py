@@ -148,6 +148,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q204_revenue_bridge",
     "q205_abc_classification",
     "q206_simpson_diversity",
+    "q207_dedup_savings",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
