@@ -149,6 +149,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q205_abc_classification",
     "q206_simpson_diversity",
     "q207_dedup_savings",
+    "q208_ship_latency_sla",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -2383,3 +2383,79 @@ def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("simpson_ppm"),
         )
     )
+
+
+@query(
+    "q208_ship_latency_sla",
+    oracle="""
+    WITH lag AS (
+        SELECT o.o_orderpriority,
+               CAST(floor((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                    / 86400000000) AS BIGINT) AS lag_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    v AS (
+        SELECT o_orderpriority, lag_days,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority ORDER BY lag_days ASC
+               ) - 1 AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM lag
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(max(CASE WHEN rn = (n - 1) // 2 THEN lag_days END)
+                AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = (n - 1) * 95 // 100 THEN lag_days END)
+                AS BIGINT) AS p95_days,
+           CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_breaches_90d
+    FROM v GROUP BY o_orderpriority
+    """,
+    doc="SHIPMENT-LATENCY SLA report per order priority (does '1-URGENT' "
+    "actually ship faster, and how many lines breach the 90-day SLA): "
+    "integer lag days from order to ship, exact p50/p95 as LOWER order "
+    "statistics (rank = floor((n−1)·q) — no interpolation needed for "
+    "integer-day SLAs, and the rank-equality pick ships one row per "
+    "mark like q175), plus the breach count. Ties inside a lag value "
+    "don't matter for the picked value (any row at the mark rank "
+    "carries the same lag_days after ordering by it). One fact "
+    "shuffle + one ranking sort per priority.",
+    tags=("relational", "window", "agg"),
+)
+def ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_micros
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = (
+        li.join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.floor(
+                (epoch_micros(F.col("l_shipdate"))
+                 - epoch_micros(F.col("o_orderdate"))) / 86400000000
+            ).cast("bigint").alias("lag_days"),
+        )
+    )
+    w_rn = Window.partitionBy("o_orderpriority").orderBy(F.col("lag_days").asc())
+    w_n = Window.partitionBy("o_orderpriority")
+    v = lag.select(
+        "o_orderpriority", "lag_days",
+        (F.row_number().over(w_rn) - 1).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    p50_rn = F.floor((F.col("n") - 1) / 2).cast("bigint")
+    p95_rn = F.floor((F.col("n") - 1) * 95 / 100).cast("bigint")
+    return v.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        F.max(F.when(F.col("rn") == p50_rn, F.col("lag_days")))
+        .cast("bigint").alias("p50_days"),
+        F.max(F.when(F.col("rn") == p95_rn, F.col("lag_days")))
+        .cast("bigint").alias("p95_days"),
+        F.sum(F.when(F.col("lag_days") > 90, 1).otherwise(0))
+        .cast("bigint").alias("n_breaches_90d"),
+    )
