@@ -150,6 +150,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q206_simpson_diversity",
     "q207_dedup_savings",
     "q208_ship_latency_sla",
+    "q209_cusum_changepoint",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

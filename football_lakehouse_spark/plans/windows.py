@@ -1389,3 +1389,83 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("cum_ltv_micro_per_user"),
         )
     )
+
+
+@query(
+    "q209_cusum_changepoint",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) // 1000000 AS t,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS y
+        FROM events WHERE user_id <= 30
+    ),
+    s AS (
+        SELECT user_id, event_id, t, y,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               sum(CAST(y AS HUGEINT)) OVER (PARTITION BY user_id) AS tot,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+               ) AS i,
+               sum(CAST(y AS HUGEINT)) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM base
+    ),
+    c AS (
+        SELECT user_id, i,
+               abs(cum * n - CAST(i AS HUGEINT) * tot) AS excursion
+        FROM s
+    )
+    SELECT user_id,
+           CAST(max(excursion) AS BIGINT) AS max_excursion_scaled,
+           CAST(min(CASE WHEN excursion = m THEN i END) AS BIGINT)
+               AS changepoint_pos
+    FROM (SELECT *, max(excursion) OVER (PARTITION BY user_id) AS m FROM c)
+    GROUP BY user_id
+    """,
+    doc="CUSUM CHANGE-POINT detection per entity (where did this "
+    "user's value level SHIFT — the monitoring primitive behind "
+    "'something changed on day X' alerts): the classic statistic "
+    "max_i |Σ_{j≤i}(y_j − ȳ)| rescaled by n to stay in EXACT integers "
+    "— |cum_i·n − i·total| needs no mean, no division, no floats — "
+    "and the argmax position (earliest on ties) marks the most likely "
+    "change point. One exchange on user_id; the running sum, total, "
+    "and argmax are frame variants over the same sort. Alarm "
+    "thresholding (compare the excursion against a noise estimate, "
+    "e.g. q181's MAD) is a composition step.",
+    tags=("window", "quality"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 30)
+    dec = "decimal(38,0)"
+    base = ev.select(
+        "user_id", "event_id",
+        epoch_seconds(F.col("ts")).alias("t"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("y"),
+    )
+    w_all = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    s = base.select(
+        "user_id",
+        F.count(F.lit(1)).over(w_all).cast(dec).alias("n"),
+        F.sum(F.col("y").cast(dec)).over(w_all).alias("tot"),
+        F.row_number().over(w_ord).cast(dec).alias("i"),
+        F.sum(F.col("y").cast(dec)).over(w_cum).alias("cum"),
+    )
+    exc = F.abs(F.col("cum") * F.col("n") - F.col("i") * F.col("tot"))
+    c = s.select("user_id", F.col("i"), exc.alias("excursion"))
+    m = c.withColumn(
+        "m", F.max("excursion").over(Window.partitionBy("user_id"))
+    )
+    return m.groupBy("user_id").agg(
+        F.max("excursion").cast("bigint").alias("max_excursion_scaled"),
+        F.min(F.when(F.col("excursion") == F.col("m"), F.col("i")))
+        .cast("bigint").alias("changepoint_pos"),
+    )
