@@ -4686,3 +4686,107 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(saved * 1000000.0 / F.sum("grp_bytes"))
         .cast("bigint").alias("savings_ppm"),
     )
+
+
+@query(
+    "q210_temporal_split",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000 AS tick
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN tick < 700 THEN 'train'
+                WHEN tick < 750 THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM d
+    """,
+    doc="TEMPORAL SPLIT WITH EMBARGO (the leakage defence q126's "
+    "group-disjoint split doesn't cover: when examples are ordered in "
+    "time, training on the minutes right before a test example leaks "
+    "through autocorrelation — finance backtests and news corpora "
+    "both die of this): documents order by a deterministic pseudo-"
+    "time (sha tick over the id — the fixture has no doc timestamps; "
+    "a real corpus uses its crawl date), train takes the first 70%, "
+    "an EMBARGO band (5%) is assigned to neither side and simply "
+    "dropped from training sets, test takes the rest. Pure per-row "
+    "expressions — no shuffle at all; the split is reproducible "
+    "run-to-run and engine-to-engine, the property every replayable "
+    "training pipeline needs (q177/q192 discipline).",
+    tags=("llm", "curation"),
+)
+def temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    tick = portable_hash(F.col("doc_id").cast("string")) % 1000
+    split = (
+        F.when(tick < 700, "train")
+        .when(tick < 750, "embargo")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
+@query(
+    "q211_tail_expectation",
+    oracle="""
+    WITH v AS (
+        SELECT c_mktsegment,
+               CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS p,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rk,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN rk * 20 <= n THEN CAST(p AS HUGEINT)
+                    ELSE 0 END) AS BIGINT) AS tail_sum_micro,
+           CAST(sum(CASE WHEN rk * 20 <= n THEN 1 ELSE 0 END) AS BIGINT)
+               AS tail_n
+    FROM v GROUP BY c_mktsegment
+    """,
+    doc="TAIL EXPECTATION (expected-shortfall shape: the exact sum and "
+    "count of the TOP 5% of order values per market segment — 'how "
+    "much revenue rides on the whale orders', the tail MEAN a p95 "
+    "point statistic can't give you): membership in the tail is the "
+    "integer test rk·20 ≤ n (no percentage floats, deterministic "
+    "ties by orderkey), the sums are exact micro integers, and the "
+    "tail mean is one driver-side division of the two reported exact "
+    "numbers. One ranking sort per segment — WindowGroupLimit does "
+    "NOT apply (the cut depends on n), which is exactly why the "
+    "rank-vs-n form matters: it still needs only the one sorted "
+    "pass.",
+    tags=("relational", "window", "agg"),
+)
+def tail_expectation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    v = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint").alias("p"),
+            F.row_number().over(
+                Window.partitionBy("c_mktsegment")
+                .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            ).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+        )
+    )
+    in_tail = F.col("rk") * 20 <= F.col("n")
+    return v.groupBy("c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.sum(F.when(in_tail, F.col("p").cast(dec)).otherwise(0))
+        .cast("bigint").alias("tail_sum_micro"),
+        F.sum(F.when(in_tail, 1).otherwise(0)).cast("bigint").alias("tail_n"),
+    )

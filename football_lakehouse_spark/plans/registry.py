@@ -151,6 +151,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q207_dedup_savings",
     "q208_ship_latency_sla",
     "q209_cusum_changepoint",
+    "q210_temporal_split",
+    "q211_tail_expectation",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
