@@ -4790,3 +4790,105 @@ def tail_expectation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("tail_sum_micro"),
         F.sum(F.when(in_tail, 1).otherwise(0)).cast("bigint").alias("tail_n"),
     )
+
+
+@query(
+    "q212_keyness_odds_ratio",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, source, unnest({_SQL_TOKS}) AS token
+        FROM documents
+    ),
+    tot AS (
+        SELECT source, count(DISTINCT doc_id) AS n_docs FROM dt GROUP BY source
+    ),
+    df_tab AS (
+        SELECT token, source, count(DISTINCT doc_id) AS df
+        FROM dt GROUP BY token, source
+    ),
+    wide AS (
+        SELECT d.token, d.source,
+               CAST(d.df AS HUGEINT) AS a,
+               CAST(t.n_docs - d.df AS HUGEINT) AS b,
+               CAST((SELECT sum(df) FROM df_tab x WHERE x.token = d.token)
+                    - d.df AS HUGEINT) AS c,
+               CAST((SELECT sum(n_docs) FROM tot) - t.n_docs
+                    - ((SELECT sum(df) FROM df_tab x WHERE x.token = d.token)
+                       - d.df) AS HUGEINT) AS dd
+        FROM df_tab d JOIN tot t USING (source)
+    )
+    SELECT source, token,
+           CAST(a AS BIGINT) AS df_in,
+           CAST(c AS BIGINT) AS df_out,
+           CAST(floor((a + 1) * (dd + 1) * 1000000 / ((b + 1) * (c + 1)))
+                AS BIGINT) AS odds_ppm
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source
+            ORDER BY floor((a + 1) * (dd + 1) * 1000000
+                           / ((b + 1) * (c + 1))) DESC, token ASC
+        ) AS rk
+        FROM wide
+    )
+    WHERE rk <= 5
+    """,
+    doc="KEYNESS / DISTINCTIVE TERMS per source via the exact ODDS "
+    "RATIO ('what vocabulary characterises feed X against the rest of "
+    "the corpus' — the corpus-comparison primitive behind contamination "
+    "forensics and source fingerprinting; q77's plain top-terms ranks "
+    "by frequency, which surfaces stopwords): per (token, source), the "
+    "2×2 document-frequency table (in-source with/without × "
+    "out-of-source with/without) gives OR = a·d/(b·c), computed as an "
+    "exact 128-bit integer ratio with +1 Haldane smoothing floored to "
+    "ppm — the log-odds ORDERING without the log (monotone transform, "
+    "same ranking, zero float risk). Top-5 per source by "
+    "(odds, token) total order. Plan: the DF table is the q61 "
+    "two-phase agg; per-token out-of-source counts come from one "
+    "token-level aggregate joined back (broadcast — vocab-sized).",
+    tags=("llm", "text", "agg"),
+)
+def keyness_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", "source", F.explode(ws_tokens(F.col("text"))).alias("token")
+    ).distinct()
+    tot = dt.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_tab = dt.groupBy("token", "source").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tok_tot = df_tab.groupBy("token").agg(F.sum("df").alias("tok_df"))
+    n_all = tot.agg(F.sum("n_docs").alias("n_all"))
+    dec = "decimal(38,0)"
+    wide = (
+        df_tab.join(F.broadcast(tot), "source")
+        .join(F.broadcast(tok_tot), "token")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "token", "source",
+            F.col("df").cast(dec).alias("a"),
+            (F.col("n_docs") - F.col("df")).cast(dec).alias("b"),
+            (F.col("tok_df") - F.col("df")).cast(dec).alias("c"),
+            (F.col("n_all") - F.col("n_docs")
+             - (F.col("tok_df") - F.col("df"))).cast(dec).alias("dd"),
+        )
+    )
+    odds = F.floor(
+        (F.col("a") + 1) * (F.col("dd") + 1) * 1000000
+        / ((F.col("b") + 1) * (F.col("c") + 1))
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(
+        odds.desc(), F.col("token").asc()
+    )
+    return (
+        wide.withColumn("odds_ppm", odds)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "source", "token",
+            F.col("a").cast("bigint").alias("df_in"),
+            F.col("c").cast("bigint").alias("df_out"),
+            "odds_ppm",
+        )
+    )

@@ -153,6 +153,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q209_cusum_changepoint",
     "q210_temporal_split",
     "q211_tail_expectation",
+    "q212_keyness_odds_ratio",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
