@@ -154,6 +154,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q210_temporal_split",
     "q211_tail_expectation",
     "q212_keyness_odds_ratio",
+    "q213_journey_transitions",
     # --- stale: last driver-attested in r1/r2 → refresh ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -1469,3 +1469,67 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("excursion") == F.col("m"), F.col("i")))
         .cast("bigint").alias("changepoint_pos"),
     )
+
+
+@query(
+    "q213_journey_transitions",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS next_type
+        FROM events
+    ),
+    t AS (
+        SELECT event_type AS from_type,
+               coalesce(next_type, '__exit__') AS to_type,
+               count(*) AS n
+        FROM o GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(floor(n * CAST(1000000 AS HUGEINT)
+                      / sum(n) OVER (PARTITION BY from_type)) AS BIGINT)
+               AS prob_ppm
+    FROM t
+    """,
+    doc="USER-JOURNEY TRANSITION MATRIX with an explicit EXIT state "
+    "(the product-analytics Markov map: 'after a view, what happens "
+    "next — and how often is the answer nothing'): each user's "
+    "event-time-ordered timeline yields (state → next-state) pairs "
+    "via one lead() window, a user's final event transitions to "
+    "__exit__ (absorbing state — without it the matrix rows don't "
+    "sum to 1 and exit-prone states look healthy), and transition "
+    "probabilities are exact floored ppm over the from-state "
+    "marginals. One exchange on user_id + a states²-sized aggregate; "
+    "the q114 token-bigram machinery applied to behavioural "
+    "sequences.",
+    tags=("window", "agg"),
+)
+def journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_micros(F.col("ts")).asc(), F.col("event_id").asc()
+    )
+    o = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    t = o.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.coalesce(F.col("next_type"), F.lit("__exit__")).alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return t.select(
+        "from_type", "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(
+            F.col("n").cast("decimal(38,0)") * 1000000
+            / F.sum("n").over(w_from)
+        ).cast("bigint").alias("prob_ppm"),
+    )
