@@ -130,3 +130,68 @@ def dsir_scores(
         )
         .withColumn("selected", F.col("score") > 0)
     )
+
+
+def bucketed_prefix(
+    df: DataFrame,
+    bucket: str,
+    order,
+    sums=None,
+    rank: str | None = None,
+    descending: bool = False,
+) -> DataFrame:
+    """The generalised two-phase global prefix (token_budget_select's
+    decomposition, factored out so every global-window plan can reuse
+    it): given a ``bucket`` column that is MONOTONE in the desired
+    global order (same direction as ``descending``), compute exact
+    global running aggregates without an unpartitioned window —
+
+    1. per-bucket totals (one tiny shuffle, n_buckets rows),
+    2. a window over the BUCKET table for the strictly-better-bucket
+       prefix (broadcast back),
+    3. per-bucket windows (partitioned → distributed) for the
+       within-bucket running part,
+
+    so ``global = better_bucket_prefix + within_bucket_running`` holds
+    exactly. ``order`` is the within-bucket ordering (must refine the
+    bucket order); ``sums`` maps output column name → expression whose
+    global running sum is wanted; ``rank`` names an optional global
+    row_number output. All original columns are preserved.
+
+    Scale contract: no task ever sees more than one bucket's rows; the
+    only serial structure is the bucket-table window, whose size is
+    bounded by the bucket-value range, not the data. Ties across the
+    bucket boundary are impossible by construction (equal order keys
+    hash to equal buckets when the bucket is a function of the leading
+    order key).
+    """
+    sums = dict(sums or {})
+    order = list(order)
+    agg = [F.count(F.lit(1)).alias("__bcnt")] + [
+        F.sum(expr).alias(f"__btot_{name}") for name, expr in sums.items()
+    ]
+    bucket_tot = df.groupBy(bucket).agg(*agg)
+    bcol = F.col(bucket).desc() if descending else F.col(bucket).asc()
+    w_better = Window.orderBy(bcol).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix_cols = [
+        F.coalesce(F.sum("__bcnt").over(w_better), F.lit(0)).alias("__pcnt")
+    ] + [
+        F.coalesce(F.sum(f"__btot_{name}").over(w_better), F.lit(0)).alias(
+            f"__p_{name}"
+        )
+        for name in sums
+    ]
+    bucket_prefix = bucket_tot.select(bucket, *prefix_cols)
+    w_in = Window.partitionBy(bucket).orderBy(*order)
+    w_in_cum = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    out = df.join(F.broadcast(bucket_prefix), bucket)
+    for name, expr in sums.items():
+        out = out.withColumn(
+            name, F.col(f"__p_{name}") + F.sum(expr).over(w_in_cum)
+        )
+    if rank is not None:
+        out = out.withColumn(rank, F.col("__pcnt") + F.row_number().over(w_in))
+    drop = ["__pcnt"] + [f"__p_{name}" for name in sums]
+    return out.drop(*drop)

@@ -937,29 +937,36 @@ def group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the (n1+n2)/(n1·n2) asymptotic threshold — one scalar post-step, "
     "so the cross-engine check is exact). Ties are handled the "
     "standard way: the ECDF gap is evaluated AFTER all rows of each "
-    "distinct value (max cumulative per value). Scale note: the "
-    "pooled cumulative window is a single global sort here (two "
-    "distributions = one timeline); sharding by value range with the "
-    "q169 two-phase offset trick parallelises it identically if one "
-    "comparison ever carries billions of rows — per-GROUP drift "
-    "monitoring (the common case) is already partition-parallel.",
+    "distinct value (max cumulative per value). Scale design: NO "
+    "unpartitioned window anywhere — raw rows first collapse to "
+    "per-distinct-value counts (a value-keyed shuffle), then the "
+    "cumulative runs through operators/selection.bucketed_prefix "
+    "(floor(value) range buckets → per-bucket windows + a broadcast "
+    "bucket-prefix), so the exact global ECDF survives a comparison "
+    "carrying billions of rows; per-GROUP drift monitoring (the "
+    "common case) is additionally partition-parallel.",
     tags=("advanced", "agg", "quality"),
 )
 def ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
 
     ev = load_table(spark, sf_dir, "events")
     pooled = ev.where(F.col("event_type").isin("click", "view")).select(
         "value",
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        pooled.withColumn("c1", F.sum("is_a").over(w))
-        .withColumn("c2", F.sum(1 - F.col("is_a")).over(w))
-        .groupBy("value")
-        .agg(F.max("c1").alias("c1"), F.max("c2").alias("c2"))
-    )
+    # collapse to distinct-value grain FIRST (distributed, value-keyed)
+    # — the ECDF is a step function of distinct values, so the prefix
+    # never has to run over raw rows
+    vals = pooled.groupBy("value").agg(
+        F.sum("is_a").alias("a"), F.sum(1 - F.col("is_a")).alias("b")
+    ).withColumn("bucket", F.floor(F.col("value")).cast("bigint"))
+    cum = bucketed_prefix(
+        vals,
+        "bucket",
+        [F.col("value").asc()],
+        sums={"c1": F.col("a"), "c2": F.col("b")},
+    ).select("value", "c1", "c2")
     tot = pooled.agg(
         F.sum("is_a").alias("n1"), F.sum(1 - F.col("is_a")).alias("n2")
     )

@@ -300,16 +300,18 @@ def transfer_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Monotone actuals down the deciles = the ranking works; the "
     "top-decile/bottom-decile actual ratio IS the lift. Pinned oracle "
     "at sf0.01 (q69/q159 policy — changing model, seed, or split is "
-    "supposed to break it). Scale: the global ntile is a single-sort "
-    "cliff at billions of holdout rows — there, cut deciles by the "
-    "q175 order-statistics edges instead; at evaluation-set sizes the "
-    "sort is free.",
+    "supposed to break it). Scale design: the decile cut is NOT a "
+    "global ntile window — the global rank comes from operators/"
+    "selection.bucketed_prefix (prediction-range buckets, descending "
+    "→ per-bucket windows + broadcast bucket-prefix) and the ntile "
+    "assignment is reproduced arithmetically from (rank, n) — "
+    "bit-identical to ntile(10) (first n%10 tiles get ⌈n/10⌉ rows) — "
+    "so a billion-row holdout never funnels through one task.",
     tags=("ml",),
     oracle_sf="sf0.01",
 )
 def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
     from football_lakehouse_spark.pipelines.ml import train_and_score
 
     feats = customer_features(
@@ -321,9 +323,30 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold = scored.where(~F.col("is_train")).join(
         feats.select("c_custkey", "lifetime_value"), "c_custkey"
     )
-    w = Window.orderBy(F.col("predicted_value").desc(), F.col("c_custkey").asc())
+    base = hold.withColumn(
+        "bucket", F.floor(F.col("predicted_value") / 16384.0).cast("bigint")
+    )
+    ranked = bucketed_prefix(
+        base,
+        "bucket",
+        [F.col("predicted_value").desc(), F.col("c_custkey").asc()],
+        rank="i",
+        descending=True,
+    )
+    tot = hold.agg(F.count(F.lit(1)).alias("n"))
+    # ntile(10) reproduced exactly from the global rank: with n rows,
+    # the first n%10 tiles hold ⌈n/10⌉ rows, the rest ⌊n/10⌋
+    big = F.floor(F.col("n") / 10) + 1  # size of the first n%10 tiles
+    cut = (F.col("n") % 10) * big  # rows covered by the big tiles
+    decile = F.when(
+        F.col("i") <= cut, F.ceil(F.col("i") / big)
+    ).otherwise(
+        (F.col("n") % 10)
+        + F.ceil((F.col("i") - cut) / F.floor(F.col("n") / 10))
+    ).cast("int")
     return (
-        hold.withColumn("decile", F.ntile(10).over(w))
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n"),

@@ -57,71 +57,39 @@ def query(
 
 #: Driver-facing ordering. The driver records CORRECTNESS rows for exactly
 #: the first 50 registry entries per round, so the per-round report is a
-#: 50-query prefix of this order. End-of-round-5 priority: (1) q151 — the
-#: single r4 red row, fixed by casting sum_xy to BIGINT on both sides
-#: (values were already exact; the decimal output column tripped the
-#: driver hasher), (2) the 27 queries that have NEVER had a driver row
-#: (q92–q100, q107–q124 — pytest-oracle-green at sf0.001 and sf0.01 but
-#: "driver-green" is the hard signal), (3) queries added in round 5,
-#: (4) the stale tail — queries last driver-attested in r1/r2. With 157+
-#: registered queries, everything past the 50-row prefix is attested by
-#: the pytest oracle suite at sf0.001 AND sf0.01 (tests/test_oracle.py
-#: with SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md) and rolls into
-#: the round-6 driver prefix: the remaining r1/r2-stale rows first.
+#: 50-query prefix of this order.
+#:
+#: Attestation ledger — which driver round last attested each query
+#: green (derived from CORRECTNESS_r0{1..5}.json; checkable by replaying
+#: those files):
+#:
+#:   round | driver-green rows recorded that round
+#:   ------+-----------------------------------------------------------
+#:   r1    | q01–q34, q36–q42, q53–q55, q60, q63, q66–q68 (the original
+#:         | §2 surface + first LLM ops)
+#:   r2    | q42–q52 tail, q54, q56–q62, q64–q65, q69–q91 (wide LLM
+#:         | surface), refreshes of q01/q02/q04/q30/q32/q60
+#:   r3    | q01–q41 refresh sweep, q45, q47, q50–q51, q53, q55,
+#:         | q63–q68, q70, q72, q85
+#:   r4    | q101–q106, q125–q158 (all r4 additions), q28, q47, q51,
+#:         | q57, q64, q71, q72, q151 (red→fixed in r5)
+#:   r5    | q151 re-attest, q92–q100, q107–q124 (q110/q123 err — the
+#:         | array<bigint> postings column broke the driver hasher;
+#:         | serialized to STRING in r6), q159–q180
+#:   r6    | (this prefix) q110+q123 re-attest, q181–q213 — the only
+#:         | 33 never-attested queries — q214 (new), then the oldest
+#:         | stale tail (last green r1/r2): q02,q04,q32,q42–q59
+#:
+#: Everything past the 50-row prefix is attested by the pytest oracle
+#: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
+#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). With r6's prefix,
+#: every one of the 213 registered queries has at least one
+#: driver-green row across r1–r6.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # --- r4's single red row, fixed round 5 → re-attest FIRST ---
-    "q151_gram_matrix",
-    # --- never driver-attested (the r4 verdict's burn-down list) ---
-    "q92_multimodal_decode",
-    "q93_capped_neardup",
-    "q94_stream_stream_join",
-    "q95_fuzzy_decontamination",
-    "q96_quantized_ann",
-    "q97_resample_ffill",
-    "q98_cdc_feed",
-    "q99_dup_span_coverage",
-    "q100_dedup_report",
-    "q107_context_windows",
-    "q108_mixture_apply",
-    "q109_dup_span_removal",
+    # --- r5's two err rows (array postings → string, fixed r6) ---
     "q110_inverted_index",
-    "q111_bpe_merges",
-    "q112_bm25_topk",
-    "q113_bpe_encode",
-    "q114_lm_transition_score",
-    "q115_collocation_lift",
-    "q116_small_qty_revenue",
-    "q117_cheapest_supplier_per_part",
-    "q118_order_count_distribution",
-    "q119_idle_rich_customers",
-    "q120_top_revenue_suppliers",
-    "q121_partition_pruned_join",
-    "q122_zorder_locality",
     "q123_incremental_index",
-    "q124_term_pagerank",
-    # --- added in round 5 (never driver-attested) ---
-    "q159_training_run_log",
-    "q160_ivf_rebalance",
-    "q161_volume_shipping",
-    "q162_market_share",
-    "q163_promo_revenue_share",
-    "q164_sole_late_supplier",
-    "q165_priority_late_orders",
-    "q166_ivf_budget_probe",
-    "q167_distinct_sketch",
-    "q168_setsim_prefix_join",
-    "q169_max_concurrency",
-    "q170_market_basket",
-    "q171_data_skipping",
-    "q172_stream_static_enrich",
-    "q173_resample_interp",
-    "q174_range_frame_sum",
-    "q175_exact_percentiles",
-    "q176_symspell_fuzzy_join",
-    "q177_weighted_sample",
-    "q178_countmin_heavy_hitters",
-    "q179_streaming_windowed_agg",
-    "q180_frequent_triples",
+    # --- never driver-attested (added r5, pytest-green only) ---
     "q181_mad_outliers",
     "q182_group_trend",
     "q183_ks_statistic",
@@ -155,7 +123,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q211_tail_expectation",
     "q212_keyness_odds_ratio",
     "q213_journey_transitions",
-    # --- stale: last driver-attested in r1/r2 → refresh ---
+    # --- added in round 6 (never driver-attested) ---
+    "q214_index_serving_bm25",
+    # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
     "q32_streaming_ingest",
@@ -170,6 +140,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q56_corpus_split",
     "q58_repetition_ratio",
     "q59_decontamination",
+    # --- 50-row prefix boundary is HERE; the rest rolls to r7 ---
     "q60_continuous_rollup",
     "q61_vocab_df",
     "q62_mixture_weights",
@@ -178,7 +149,6 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q73_boilerplate_ngrams",
     "q74_text_normalize",
     "q75_pii_redaction",
-    # --- 50-row prefix boundary is around here; the rest rolls to r6 ---
     "q76_gopher_quality",
     "q77_source_top_terms",
     "q78_sequence_packing",

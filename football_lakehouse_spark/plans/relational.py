@@ -1888,16 +1888,18 @@ def copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q185's Gini scalar — 'the bottom 50% of customers hold X% of "
     "revenue'): customers ranked ascending by revenue, cumulative "
     "revenue share at each population decile as exact floored ppm "
-    "over 128-bit running sums. Plan note: the global ranking window "
-    "is a single sort at this grain (one row per customer after the "
-    "grain aggregation — already 1000× smaller than orders); a "
-    "per-nation partitioned variant parallelises exactly like q185, "
-    "and q169's two-phase prefix sum applies to the cumulative if a "
-    "single curve ever spans billions of grain rows.",
+    "over 128-bit running sums. Scale design: NO unpartitioned window "
+    "— rank and running revenue come from operators/selection."
+    "bucketed_prefix (revenue-range buckets ~1e9 micro wide → "
+    "per-bucket windows + a broadcast bucket-prefix), and n/total are "
+    "a 1-row broadcast aggregate, so one curve over billions of "
+    "customers still never funnels through a single task; a "
+    "per-nation partitioned variant additionally parallelises like "
+    "q185.",
     tags=("relational", "agg", "window"),
 )
 def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
 
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
@@ -1906,18 +1908,23 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("r")
     )
     dec = "decimal(38,0)"
-    w_rank = Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc())
-    w_all = Window.partitionBy()
-    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w_rank).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum(F.col("r").cast(dec)).over(w_all).alias("total"),
-        F.sum(F.col("r").cast(dec)).over(w_cum).alias("cum"),
+    base = rev.withColumn(
+        "bucket", F.floor(F.col("r") / F.lit(1000000000)).cast("bigint")
+    )
+    ranked = bucketed_prefix(
+        base,
+        "bucket",
+        [F.col("r").asc(), F.col("o_custkey").asc()],
+        sums={"cum": F.col("r").cast(dec)},
+        rank="i",
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r").cast(dec)).alias("total"),
     )
     return (
-        ranked.groupBy(
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
             F.ceil(F.col("i") * 10.0 / F.col("n")).cast("bigint").alias("decile")
         )
         .agg(

@@ -905,3 +905,47 @@ def test_setsim_prefix_join_no_false_negatives(spark):
                 truth[(a, b)] = inter * 1_000_000 // uni
     assert got == truth
     assert truth, "fixture should contain at least one true near-dup pair"
+
+
+def test_bucketed_prefix_equals_global_window(spark):
+    """bucketed_prefix (the generalised two-phase prefix q183/q189/q194
+    route through) must reproduce the naive global window's running sum
+    AND row_number exactly — both directions, ties straddling bucket
+    boundaries, and a degenerate single-bucket input."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
+
+    rows = [(i, (i * 37) % 50, 1 + (i * 13) % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint, w bigint")
+
+    for descending, width in [(False, 8), (True, 8), (False, 10_000)]:
+        base = df.withColumn(
+            "bucket", F.floor(F.col("v") / width).cast("bigint")
+        )
+        order = [
+            F.col("v").desc() if descending else F.col("v").asc(),
+            F.col("k").asc(),
+        ]
+        got = {
+            r.k: r
+            for r in bucketed_prefix(
+                base, "bucket", order, sums={"cum": F.col("w")}, rank="i",
+                descending=descending,
+            ).collect()
+        }
+        w_g = Window.orderBy(*order)
+        naive = {
+            r.k: r
+            for r in df.withColumn(
+                "cum",
+                F.sum("w").over(
+                    w_g.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            ).withColumn("i", F.row_number().over(w_g)).collect()
+        }
+        assert len(got) == len(naive) == 300
+        for k, n in naive.items():
+            assert got[k].cum == n.cum, (descending, width, k)
+            assert got[k].i == n.i, (descending, width, k)
