@@ -147,8 +147,14 @@ def bucketed_prefix(
     global running aggregates without an unpartitioned window —
 
     1. per-bucket totals (one tiny shuffle, n_buckets rows),
-    2. a window over the BUCKET table for the strictly-better-bucket
-       prefix (broadcast back),
+    2. a triangular broadcast self-join over the BUCKET table for the
+       strictly-better-bucket prefix (NO window at all — a windowless
+       O(n_buckets²) aggregation whose cost is bounded by the
+       bucket-value range, never the data; at hundreds of buckets this
+       is microseconds, and it keeps the plan free of unpartitioned
+       WindowExec nodes, which Spark 4's EliminateWindowPartitions
+       would otherwise reintroduce by folding any constant partition
+       key),
     3. per-bucket windows (partitioned → distributed) for the
        within-bucket running part,
 
@@ -159,11 +165,11 @@ def bucketed_prefix(
     row_number output. All original columns are preserved.
 
     Scale contract: no task ever sees more than one bucket's rows; the
-    only serial structure is the bucket-table window, whose size is
-    bounded by the bucket-value range, not the data. Ties across the
-    bucket boundary are impossible by construction (equal order keys
-    hash to equal buckets when the bucket is a function of the leading
-    order key).
+    only super-linear structure is the bucket² prefix join, bounded by
+    the bucket-value range, not the data (keep bucket_width sized for
+    ~10²–10³ buckets). Ties across the bucket boundary are impossible
+    by construction (equal order keys hash to equal buckets when the
+    bucket is a function of the leading order key).
     """
     sums = dict(sums or {})
     order = list(order)
@@ -171,19 +177,29 @@ def bucketed_prefix(
         F.sum(expr).alias(f"__btot_{name}") for name, expr in sums.items()
     ]
     bucket_tot = df.groupBy(bucket).agg(*agg)
-    bcol = F.col(bucket).desc() if descending else F.col(bucket).asc()
-    w_better = Window.orderBy(bcol).rowsBetween(
-        Window.unboundedPreceding, -1
+    other = bucket_tot.select(
+        F.col(bucket).alias("__ob"),
+        F.col("__bcnt").alias("__ocnt"),
+        *[F.col(f"__btot_{name}").alias(f"__otot_{name}") for name in sums],
     )
-    prefix_cols = [
-        F.coalesce(F.sum("__bcnt").over(w_better), F.lit(0)).alias("__pcnt")
-    ] + [
-        F.coalesce(F.sum(f"__btot_{name}").over(w_better), F.lit(0)).alias(
-            f"__p_{name}"
+    better = (
+        F.col("__ob") > F.col(bucket)
+        if descending
+        else F.col("__ob") < F.col(bucket)
+    )
+    bucket_prefix = (
+        bucket_tot.join(F.broadcast(other), better, "left")
+        .groupBy(bucket)
+        .agg(
+            F.coalesce(F.sum("__ocnt"), F.lit(0)).alias("__pcnt"),
+            *[
+                F.coalesce(F.sum(f"__otot_{name}"), F.lit(0)).alias(
+                    f"__p_{name}"
+                )
+                for name in sums
+            ],
         )
-        for name in sums
-    ]
-    bucket_prefix = bucket_tot.select(bucket, *prefix_cols)
+    )
     w_in = Window.partitionBy(bucket).orderBy(*order)
     w_in_cum = w_in.rowsBetween(Window.unboundedPreceding, 0)
     out = df.join(F.broadcast(bucket_prefix), bucket)
