@@ -211,3 +211,19 @@ def bucketed_prefix(
         out = out.withColumn(rank, F.col("__pcnt") + F.row_number().over(w_in))
     drop = ["__pcnt"] + [f"__p_{name}" for name in sums]
     return out.drop(*drop)
+
+
+def ntile_expr(i, n, k: int):
+    """ntile(k) reproduced arithmetically from a global rank: with n
+    rows, the first n % k tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋ —
+    bit-identical to the SQL window function, but computable from the
+    (rank, n) pair `bucketed_prefix` produces, so the tile cut never
+    needs an unpartitioned window. ``i`` is the 1-based global rank
+    column, ``n`` the total-row-count column (broadcast 1-row agg)."""
+    big = F.floor(n / k) + 1
+    cut = (n % k) * big
+    return (
+        F.when(i <= cut, F.ceil(i / big))
+        .otherwise((n % k) + F.ceil((i - cut) / F.floor(n / k)))
+        .cast("int")
+    )

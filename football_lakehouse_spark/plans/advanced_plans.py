@@ -1301,3 +1301,139 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(prev_wins, F.col("t") - F.col("pv_t"))
         .otherwise(F.col("nx_t") - F.col("t")).alias("gap_s"),
     )
+
+
+@query(
+    "q220_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS dow,
+               CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_micro
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    seasonal AS (
+        SELECT dow,
+               CAST(sum(CAST(rev_micro AS HUGEINT)) // count(*) AS BIGINT)
+                   AS expected_micro
+        FROM daily GROUP BY 1
+    )
+    SELECT d.day, d.dow, d.rev_micro, s.expected_micro,
+           CAST(abs(d.rev_micro - s.expected_micro) * CAST(1000000 AS HUGEINT)
+                // s.expected_micro AS BIGINT) AS dev_ppm
+    FROM daily d JOIN seasonal s USING (dow)
+    WHERE abs(d.rev_micro - s.expected_micro) * CAST(1000000 AS HUGEINT)
+          // s.expected_micro > 100000
+    """,
+    doc="WEEKDAY-SEASONAL REVENUE ANOMALY detection (the ops-dashboard "
+    "alarm that does not page every Saturday: raw daily-revenue "
+    "thresholds fire on normal weekly rhythm, so the expectation is "
+    "conditioned on day-of-week): daily purchase revenue → per-dow "
+    "expected value (floored integer mean over a 7-row broadcast "
+    "table) → days deviating >10 % from THEIR weekday's expectation "
+    "(daily sums concentrate as volume grows, so the gate is tight "
+    "by design), "
+    "with the exact floored-ppm deviation. All integer arithmetic "
+    "over 128-bit intermediates — no floats, no ln, bit-identical "
+    "cross-engine. Scale: the day grain is calendar-bounded; raw "
+    "events collapse in ONE partial-aggregated groupBy; everything "
+    "after is dimension-table-sized. Spark dayofweek is 1-based "
+    "(Sunday=1), DuckDB 0-based — aligned by subtracting 1 on the "
+    "Spark side.",
+    tags=("advanced", "agg", "quality"),
+)
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day"),
+            (F.dayofweek(F.date_trunc("day", F.col("ts"))) - 1)
+            .cast("bigint").alias("dow"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+            ).cast("bigint").alias("rev_micro")
+        )
+    )
+    dec = "decimal(38,0)"
+    seasonal = daily.groupBy("dow").agg(
+        F.floor(F.sum(F.col("rev_micro").cast(dec)) / F.count(F.lit(1)))
+        .cast("bigint").alias("expected_micro")
+    )
+    dev = F.floor(
+        F.abs(F.col("rev_micro") - F.col("expected_micro")).cast(dec)
+        * 1000000
+        / F.col("expected_micro")
+    ).cast("bigint")
+    return (
+        daily.join(F.broadcast(seasonal), "dow")
+        .withColumn("dev_ppm", dev)
+        .where(F.col("dev_ppm") > 100000)
+        .select("day", "dow", "rev_micro", "expected_micro", "dev_ppm")
+    )
+
+
+@query(
+    "q222_debounce_events",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 5000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 5000000
+                         THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+               AS drop_ppm
+    FROM g GROUP BY 1
+    """,
+    doc="EVENT DEBOUNCE audit (telemetry dedup — double-clicks, retry "
+    "storms, SDK re-sends): within each (user, event_type) timeline, "
+    "an event arriving ≤5 s after its predecessor is a bounce; the "
+    "report gives per-type keep/drop counts and the exact floored-ppm "
+    "drop rate — the number that decides whether the ingest pipeline "
+    "needs a debounce stage at all. Gap semantics are "
+    "previous-RAW-event (lag), the associative form every engine "
+    "computes in one partitioned window; the stricter "
+    "previous-ACCEPTED-event recurrence is non-associative and lives "
+    "in the streaming path (q106 / applyInPandasWithState) where "
+    "state is explicit. Timestamps compare as exact epoch "
+    "microseconds; windows are (user,type)-partitioned — distributed "
+    "at any fan-out, no global sort.",
+    tags=("advanced", "window", "quality"),
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    g = ev.select(
+        "event_type",
+        (
+            epoch_micros(F.col("ts"))
+            - F.lag(epoch_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    )
+    bounced = F.col("gap_us").isNotNull() & (F.col("gap_us") <= 5000000)
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(~bounced, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.floor(
+            F.sum(F.when(bounced, 1).otherwise(0)) * 1000000 / F.count(F.lit(1))
+        ).cast("bigint").alias("drop_ppm"),
+    )

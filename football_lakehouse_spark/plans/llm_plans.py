@@ -1365,11 +1365,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, k=3, n_planes=6, multiprobe=2)
 
 
-def _ivf_oracle_sql(n_cells: int, n_probe: int, k: int, iters: int, dim: int = 64) -> str:
-    """Unrolled deterministic-k-means IVF in DuckDB SQL: the quantiser
-    runs in floor-quantised integer space with lowest-id init and
-    lowest-cell tie-breaks (operators/similarity.ivf_topk), so every
-    Lloyd round is exactly reproducible as a pair of CTEs."""
+def _ivf_scored_ctes(n_cells: int, n_probe: int, iters: int, dim: int = 64) -> list[str]:
+    """CTE chain ending in ``scored(query_id, match_id, cos_sim)`` —
+    the IVF probe+score pipeline, shared by q51 (ranked output) and
+    q223 (recall evaluation against the exact ranking)."""
     ctes, prev = _lloyd_sql_ctes(n_cells, iters, dim)
     ctes.append(f"""probes AS (
         SELECT query_id, cell FROM (
@@ -1395,6 +1394,15 @@ def _ivf_oracle_sql(n_cells: int, n_probe: int, k: int, iters: int, dim: int = 6
         JOIN v qv ON qv.vec_id = p.query_id
         WHERE af.vec_id <> p.query_id
     )""")
+    return ctes
+
+
+def _ivf_oracle_sql(n_cells: int, n_probe: int, k: int, iters: int, dim: int = 64) -> str:
+    """Unrolled deterministic-k-means IVF in DuckDB SQL: the quantiser
+    runs in floor-quantised integer space with lowest-id init and
+    lowest-cell tie-breaks (operators/similarity.ivf_topk), so every
+    Lloyd round is exactly reproducible as a pair of CTEs."""
+    ctes = _ivf_scored_ctes(n_cells, n_probe, iters, dim)
     return (
         "WITH " + ",\n    ".join(ctes) + f"""
     SELECT query_id, match_id, cos_sim, rank FROM (
@@ -5024,5 +5032,200 @@ def index_serving_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_query_terms",
             (F.col("ss").cast("double") / 100000000).alias("bm25"),
+        )
+    )
+
+
+@query(
+    "q216_tfidf_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM u GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    s AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+               CAST((CAST(tf.tf AS HUGEINT) * nn.n * 1000000)
+                    // (CAST(dl.dl AS HUGEINT) * dft.df) AS BIGINT)
+                   AS tfidf_ppm
+        FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN nn
+    )
+    SELECT doc_id, term, tf, df, tfidf_ppm
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf_ppm DESC, term ASC
+        ) AS rk FROM s
+    ) WHERE rk <= 3
+    """,
+    doc="TF-IDF TOP TERMS per document (the keyword-extraction / "
+    "doc-representation primitive; complements corpus-level q61 df "
+    "and q77 per-source top terms): score = (tf/dl)·(N/df) cleared of "
+    "fractions into ONE exact floored-ppm integer division over "
+    "128-bit intermediates — the rational N/df replaces log(N/df) "
+    "(rank-equivalent per term; ln is not bit-reproducible "
+    "cross-engine, q112's BM25 trick). Topology: one corpus "
+    "tokenize→(doc,term) shuffle; dl rides the doc-keyed re-exchange, "
+    "df is a vocab-sized broadcast, top-3 is a per-doc "
+    "WindowGroupLimit (rank pushed into the shuffle) — never a "
+    "global sort.",
+    tags=("llm", "text"),
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    tfw = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dec = "decimal(38,0)"
+    score = F.floor(
+        (F.col("tf").cast(dec) * F.col("n") * 1000000)
+        / (F.col("dl").cast(dec) * F.col("df"))
+    ).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        tfw.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("tfidf_ppm", score)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_ppm")
+    )
+
+
+@query(
+    "q219_neardup_degree_profile",
+    oracle=f"""
+    WITH {_sql_minhash_ctes(0.5)},
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+        FROM (
+            SELECT doc_a AS doc_id FROM neardup
+            UNION ALL
+            SELECT doc_b FROM neardup
+        ) GROUP BY 1
+    ),
+    everydoc AS (
+        SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree
+        FROM documents d LEFT JOIN deg USING (doc_id)
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM everydoc GROUP BY 1
+    """,
+    doc="NEAR-DUP GRAPH DEGREE PROFILE — the dedup-health diagnostic "
+    "run BEFORE clustering: the degree histogram of the verified "
+    "MinHash pair graph (degree 0 = unique docs included via the "
+    "corpus left join) reveals whether components are shallow chains "
+    "(degree ≤2 — label propagation is optimal), dense cliques "
+    "(degree ≈ cluster size — the q93 star-cap regime), or a "
+    "pathological hub (one template quoted everywhere — fix the "
+    "shingling before clustering). Cost: the pair generator q41 "
+    "already runs + two degree-keyed aggregations; the histogram is "
+    "degree-cardinality-sized, trivially collectable at any corpus "
+    "scale.",
+    tags=("llm", "dedup"),
+)
+def neardup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardups(docs, threshold=0.5)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def _ann_recall_oracle_sql(n_cells: int, n_probe: int, k: int, iters: int) -> str:
+    ctes = _ivf_scored_ctes(n_cells, n_probe, iters)
+    ctes.append(f"""ivf_top AS (
+        SELECT query_id, match_id, 1 AS hit FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= {k}
+    )""")
+    ctes.append("""exact_scored AS (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS match_id,
+               list_dot_product(qv.e, cv.e)
+                 / (sqrt(list_dot_product(qv.e, qv.e))
+                    * sqrt(list_dot_product(cv.e, cv.e))) AS cos_sim
+        FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id
+        WHERE qv.vec_id < 5
+    )""")
+    ctes.append(f"""exact_top AS (
+        SELECT query_id, match_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+            ) AS rank FROM exact_scored
+        ) WHERE rank <= {k}
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id,
+           CAST(count(hit) AS BIGINT) AS n_hit,
+           CAST(count(hit) * 1000000 // {k} AS BIGINT) AS recall_ppm
+    FROM exact_top LEFT JOIN ivf_top USING (query_id, match_id)
+    GROUP BY query_id
+    """
+    )
+
+
+@query(
+    "q223_ann_recall_eval",
+    oracle=_ann_recall_oracle_sql(n_cells=16, n_probe=4, k=3, iters=2),
+    doc="ANN RECALL@k EVALUATION — the index-quality gate every "
+    "approximate-similarity deployment needs before trusting the "
+    "approximate path (the eval loop FAISS users run offline, here "
+    "in-engine over the same tables): the q51 IVF top-3 is joined "
+    "against the q44 exact top-3 per query and scored as exact "
+    "recall ppm. An IVF rebalance (q160) or probe-budget change "
+    "(q166) is validated by re-running THIS query — recall below "
+    "target means probe more cells, not ship a worse index. Scale: "
+    "the exact side runs on a SAMPLE of queries (here the fixed "
+    "eval set) — recall eval never needs the full corpus² — and "
+    "both rankings come from per-query WindowGroupLimit top-k, no "
+    "global sorts.",
+    tags=("llm", "similarity"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(queries, emb, k=3).select("query_id", "match_id")
+    approx = (
+        ivf_topk(queries, emb, k=3, n_cells=16, n_probe=4)
+        .select("query_id", "match_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.floor(F.count("hit") * 1000000 / 3).cast("bigint")
+            .alias("recall_ppm"),
         )
     )

@@ -311,7 +311,10 @@ def transfer_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_sf="sf0.01",
 )
 def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from football_lakehouse_spark.operators.selection import bucketed_prefix
+    from football_lakehouse_spark.operators.selection import (
+        bucketed_prefix,
+        ntile_expr,
+    )
     from football_lakehouse_spark.pipelines.ml import train_and_score
 
     feats = customer_features(
@@ -334,20 +337,78 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         descending=True,
     )
     tot = hold.agg(F.count(F.lit(1)).alias("n"))
-    # ntile(10) reproduced exactly from the global rank: with n rows,
-    # the first n%10 tiles hold ⌈n/10⌉ rows, the rest ⌊n/10⌋
-    big = F.floor(F.col("n") / 10) + 1  # size of the first n%10 tiles
-    cut = (F.col("n") % 10) * big  # rows covered by the big tiles
-    decile = F.when(
-        F.col("i") <= cut, F.ceil(F.col("i") / big)
-    ).otherwise(
-        (F.col("n") % 10)
-        + F.ceil((F.col("i") - cut) / F.floor(F.col("n") / 10))
-    ).cast("int")
     return (
         ranked.crossJoin(F.broadcast(tot))
-        .withColumn("decile", decile)
+        .withColumn("decile", ntile_expr(F.col("i"), F.col("n"), 10))
         .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n"),
+            F.sum(F.floor(F.col("predicted_value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").alias("pred_cents"),
+            F.sum(F.floor(F.col("lifetime_value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").alias("actual_cents"),
+        )
+    )
+
+
+@query(
+    "q218_calibration_bins",
+    # Pinned like q69/q159/q189: model outputs are not SQL-derivable.
+    # Values captured at sf0.01 from the bit-stable GBT pipeline;
+    # changing model, seed, or split is SUPPOSED to break this row set.
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 17, 1551933149, 1968004276),
+        (1, 29, 4624499572, 4220377346),
+        (2, 64, 11486866973, 11759787528),
+        (4, 131, 34921717280, 34909202104),
+        (6, 36, 12860043062, 12676443225),
+        (7, 7, 2687518460, 2891530258),
+        (8, 14, 6237871716, 5798468854),
+        (9, 2, 972291719, 1145574834)
+    ) AS t(bin, n, pred_cents, actual_cents)
+    """,
+    doc="MODEL CALIBRATION TABLE for the M2 model (the companion "
+    "artefact to q189's decile lift: lift proves the RANKING works, "
+    "calibration proves the MAGNITUDES do): holdout predictions cut "
+    "into 10 equal-width bins between the holdout min/max prediction "
+    "(a broadcast 1-row min/max — bin assignment is a map-side "
+    "expression, no rank, no window, no sort at any holdout size), "
+    "each bin reporting exact-cent predicted and actual sums. "
+    "pred_cents ≈ actual_cents per bin = well calibrated; a "
+    "systematic gap = the model needs recalibration (Platt/isotonic) "
+    "before its scores are used as dollar forecasts. Pinned oracle "
+    "at sf0.01 (q69/q159/q189 policy).",
+    tags=("ml",),
+    oracle_sf="sf0.01",
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.pipelines.ml import train_and_score
+
+    feats = customer_features(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    scored = train_and_score(feats)
+    hold = scored.where(~F.col("is_train")).join(
+        feats.select("c_custkey", "lifetime_value"), "c_custkey"
+    )
+    edges = hold.agg(
+        F.min("predicted_value").alias("mn"),
+        F.max("predicted_value").alias("mx"),
+    )
+    bin_ = F.least(
+        F.lit(9),
+        F.floor(
+            (F.col("predicted_value") - F.col("mn"))
+            * 10.0
+            / (F.col("mx") - F.col("mn"))
+        ),
+    ).cast("int")
+    return (
+        hold.crossJoin(F.broadcast(edges))
+        .groupBy(bin_.alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("int").alias("n"),
             F.sum(F.floor(F.col("predicted_value") * 100 + 0.5).cast("bigint"))

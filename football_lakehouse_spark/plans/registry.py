@@ -77,14 +77,14 @@ def query(
 #:         | array<bigint> postings column broke the driver hasher;
 #:         | serialized to STRING in r6), q159–q180
 #:   r6    | (this prefix) q110+q123 re-attest, q181–q213 — the only
-#:         | 33 never-attested queries — q214 (new), then the oldest
-#:         | stale tail (last green r1/r2): q02,q04,q32,q42–q59
+#:         | 33 never-attested queries — the r6 additions
+#:         | q214–q223, then the oldest stale tail (last green r1/r2)
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
 #: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). With r6's prefix,
-#: every one of the 213 registered queries has at least one
-#: driver-green row across r1–r6.
+#: every registered query has at least one driver-green row across
+#: r1–r6.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # --- r5's two err rows (array postings → string, fixed r6) ---
     "q110_inverted_index",
@@ -125,6 +125,14 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q213_journey_transitions",
     # --- added in round 6 (never driver-attested) ---
     "q214_index_serving_bm25",
+    "q215_equidepth_histogram",
+    "q216_tfidf_topk",
+    "q217_rfm_segments",
+    "q218_calibration_bins",
+    "q219_neardup_degree_profile",
+    "q220_seasonal_anomaly",
+    "q222_debounce_events",
+    "q223_ann_recall_eval",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
@@ -132,6 +140,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q42_simhash",
     "q43_ngram_jaccard",
     "q44_ann_bruteforce",
+    # --- 50-row prefix boundary is HERE; the rest rolls to r7 ---
     "q46_multimodal_meta",
     "q48_embedding_stats",
     "q49_asof_join",
@@ -140,7 +149,6 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q56_corpus_split",
     "q58_repetition_ratio",
     "q59_decontamination",
-    # --- 50-row prefix boundary is HERE; the rest rolls to r7 ---
     "q60_continuous_rollup",
     "q61_vocab_df",
     "q62_mixture_weights",

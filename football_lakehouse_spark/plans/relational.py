@@ -2466,3 +2466,196 @@ def ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lag_days") > 90, 1).otherwise(0))
         .cast("bigint").alias("n_breaches_90d"),
     )
+
+
+@query(
+    "q215_equidepth_histogram",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)
+                   AS price_micro,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT price_micro,
+               row_number() OVER (
+                   ORDER BY price_micro ASC, l_orderkey ASC, l_linenumber ASC
+               ) AS i,
+               count(*) OVER () AS n
+        FROM p
+    )
+    SELECT CAST(ceil(i * 20.0 / n) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(price_micro) AS BIGINT) AS lo_micro,
+           CAST(max(price_micro) AS BIGINT) AS hi_micro,
+           CAST(sum(CAST(price_micro AS HUGEINT)) // count(*) AS BIGINT)
+               AS avg_micro
+    FROM r GROUP BY 1
+    """,
+    doc="EXACT EQUI-DEPTH HISTOGRAM of line-item prices (20 bins, each "
+    "holding an equal share of rows — the optimizer-statistics / "
+    "data-profiling primitive equi-WIDTH histograms (q156) cannot "
+    "give on skewed distributions): the global rank comes from "
+    "operators/selection.bucketed_prefix (price-range buckets → "
+    "per-bucket windows + windowless broadcast bucket-prefix), the "
+    "bin from ceil(i·B/n), then one per-bin aggregation for "
+    "occupancy, exact bounds, and the floored integer mean. No "
+    "unpartitioned window anywhere — a 100-billion-row fact table "
+    "histograms with no single-task sort. Ties are total-ordered by "
+    "(price, orderkey, linenumber) identically on both engines.",
+    tags=("relational", "agg", "window"),
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.select(
+        F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5)
+        .cast("bigint").alias("price_micro"),
+        "l_orderkey",
+        "l_linenumber",
+    ).withColumn(
+        "bucket", F.floor(F.col("price_micro") / F.lit(1000000000)).cast("bigint")
+    )
+    ranked = bucketed_prefix(
+        p,
+        "bucket",
+        [
+            F.col("price_micro").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        rank="i",
+    )
+    tot = p.agg(F.count(F.lit(1)).alias("n"))
+    dec = "decimal(38,0)"
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.ceil(F.col("i") * 20.0 / F.col("n")).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("price_micro").cast("bigint").alias("lo_micro"),
+            F.max("price_micro").cast("bigint").alias("hi_micro"),
+            F.floor(
+                F.sum(F.col("price_micro").cast(dec)) / F.count(F.lit(1))
+            ).cast("bigint").alias("avg_micro"),
+        )
+    )
+
+
+@query(
+    "q217_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                         (SELECT max(o_orderdate) FROM orders))
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS monetary_micro
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                   AS r_score,
+               ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC)
+                   AS f_score,
+               ntile(5) OVER (ORDER BY monetary_micro ASC, o_custkey ASC)
+                   AS m_score
+        FROM rfm
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                ELSE 'regular' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3, 4
+    """,
+    doc="RFM SEGMENTATION (recency / frequency / monetary quintile "
+    "scores — the standard customer-base health cube): one grain "
+    "aggregation of orders, then THREE independent exact quintile "
+    "cuts, each a bucketed_prefix global rank (value-range buckets, "
+    "windowless bucket-prefix) + the arithmetic ntile_expr — zero "
+    "unpartitioned windows for a segmentation that is classically "
+    "written as three global ntile sorts. Segment labels are a "
+    "deterministic CASE over the scores (champion / at_risk / new / "
+    "regular); output is the (r,f,m,segment) occupancy cube. Recency "
+    "score is inverted (6−ntile) so 5 always means best.",
+    tags=("relational", "agg", "window"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.selection import (
+        bucketed_prefix,
+        ntile_expr,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint")
+            ).cast("bigint").alias("monetary_micro"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd"), F.col("last_order"))
+            .cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_micro",
+        )
+    )
+    tot = rfm.agg(F.count(F.lit(1)).alias("n"))
+
+    def quintile(df, metric, bucket_expr, out):
+        ranked = bucketed_prefix(
+            df.withColumn("bucket", bucket_expr.cast("bigint")),
+            "bucket",
+            [F.col(metric).asc(), F.col("o_custkey").asc()],
+            rank="__i",
+        )
+        return (
+            ranked.crossJoin(F.broadcast(tot))
+            .withColumn(out, ntile_expr(F.col("__i"), F.col("n"), 5))
+            .drop("__i", "bucket", "n")
+        )
+
+    scored = quintile(
+        rfm, "recency_days", F.floor(F.col("recency_days") / 16), "__rt"
+    )
+    scored = quintile(scored, "frequency", F.col("frequency"), "f_score")
+    scored = quintile(
+        scored,
+        "monetary_micro",
+        F.floor(F.col("monetary_micro") / F.lit(1000000000)),
+        "m_score",
+    )
+    scored = scored.withColumn("r_score", (6 - F.col("__rt")).cast("int"))
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("r_score", "f_score", "m_score", "segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
