@@ -5229,3 +5229,62 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+@query(
+    "q221_curriculum_order",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(CASE WHEN n_chars < 200 THEN 0
+                         WHEN n_chars < 400 THEN 1
+                         WHEN n_chars < 800 THEN 2
+                         ELSE 3 END AS BIGINT) AS band,
+               CAST(('0x' || substr(sha256('curriculum§' ||
+                                           CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id, band, shuffle_key,
+           CAST(row_number() OVER (
+               ORDER BY band ASC, shuffle_key ASC, doc_id ASC
+           ) AS BIGINT) AS pos
+    FROM t
+    """,
+    doc="CURRICULUM ORDERING for training (sequence-length curriculum: "
+    "short documents first, a standard warm-up schedule — with a "
+    "deterministic hash shuffle WITHIN each difficulty band so the "
+    "model never sees a sorted-by-anything-meaningful stream): every "
+    "doc gets a length band, a sha-derived shuffle key, and its exact "
+    "global curriculum position. The band IS the bucket, so the "
+    "global position falls straight out of bucketed_prefix — "
+    "per-band windows + the windowless bucket-prefix — and a "
+    "trillion-token corpus orders itself with no single-task sort; "
+    "writing is partitionBy(band) + sortWithinPartitions(shuffle_key) "
+    "with zero extra exchanges (q104's shard-write contract). "
+    "Hash-keyed order is replayable and incremental arrivals slot in "
+    "stably — seeded-RNG shuffles give neither.",
+    tags=("llm", "sampling"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import portable_hash
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .when(F.col("n_chars") < 800, 2)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("band"),
+        portable_hash(F.col("doc_id").cast("string"), seed="curriculum")
+        .alias("shuffle_key"),
+    ).withColumn("bucket", F.col("band"))
+    return bucketed_prefix(
+        t,
+        "bucket",
+        [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        rank="pos",
+    ).select("doc_id", "band", "shuffle_key", "pos")

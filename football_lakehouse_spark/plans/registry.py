@@ -131,16 +131,19 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q218_calibration_bins",
     "q219_neardup_degree_profile",
     "q220_seasonal_anomaly",
+    "q221_curriculum_order",
     "q222_debounce_events",
     "q223_ann_recall_eval",
+    "q224_revenue_concentrated_parts",
+    "q226_winsorized_stats",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
     "q32_streaming_ingest",
+    # --- 50-row prefix boundary is HERE; the rest rolls to r7 ---
     "q42_simhash",
     "q43_ngram_jaccard",
     "q44_ann_bruteforce",
-    # --- 50-row prefix boundary is HERE; the rest rolls to r7 ---
     "q46_multimodal_meta",
     "q48_embedding_stats",
     "q49_asof_join",

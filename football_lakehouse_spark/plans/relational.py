@@ -2659,3 +2659,163 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_score", "f_score", "m_score", "segment")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+@query(
+    "q224_revenue_concentrated_parts",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000.0 + 0.5) AS HUGEINT))
+                    AS HUGEINT) AS rev_micro
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(rev_micro) AS total, count(*) AS np FROM rev)
+    SELECT l_partkey,
+           CAST(rev_micro AS BIGINT) AS rev_micro,
+           CAST(rev_micro * 1000000 // tot.total AS BIGINT) AS share_ppm
+    FROM rev CROSS JOIN tot
+    WHERE rev_micro * np * 3 > 4 * tot.total
+    """,
+    doc="REVENUE-CONCENTRATED PARTS — the TPC-H Q11 'important stock' "
+    "shape (group-level sum filtered against a FRACTION OF THE GLOBAL "
+    "sum) over the lineitem star: parts whose discounted revenue "
+    "exceeds 4/3 of the MEAN part revenue, with their exact "
+    "floored-ppm share — the threshold is mean-relative (Q11's own "
+    "0.0001/SF constant is scale-adjusted for the same reason), so "
+    "the selection stays meaningful at any part cardinality. "
+    "The textbook formulation is a correlated HAVING against a scalar "
+    "subquery; the Spark plan decorrelates it the way AQE wishes you "
+    "would — the global total is a 1-row aggregate of the SAME "
+    "per-part table (exchange reuse, corpus scanned once) broadcast "
+    "into a map-side filter. All integer micro arithmetic over "
+    "128-bit intermediates; no second scan, no join shuffle.",
+    tags=("relational", "agg"),
+)
+def revenue_concentrated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                * 1000000.0 + 0.5
+            ).cast(dec)
+        ).alias("rev_micro")
+    )
+    tot = rev.agg(
+        F.sum("rev_micro").alias("total"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .where(F.col("rev_micro") * F.col("np") * 3 > 4 * F.col("total"))
+        .select(
+            "l_partkey",
+            F.col("rev_micro").cast("bigint").alias("rev_micro"),
+            F.floor(F.col("rev_micro") * 1000000 / F.col("total"))
+            .cast("bigint").alias("share_ppm"),
+        )
+    )
+
+
+@query(
+    "q226_winsorized_stats",
+    oracle="""
+    WITH p AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)
+                   AS price_micro
+        FROM orders
+    ),
+    r AS (
+        SELECT price_micro,
+               row_number() OVER (
+                   ORDER BY price_micro ASC, o_orderkey ASC
+               ) AS i,
+               count(*) OVER () AS n
+        FROM p
+    ),
+    edges AS (
+        SELECT min(CASE WHEN i = (n - 1) // 100 + 1
+                        THEN price_micro END) AS lo,
+               min(CASE WHEN i = ((n - 1) * 99) // 100 + 1
+                        THEN price_micro END) AS hi
+        FROM r
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(price_micro AS HUGEINT)) // count(*) AS BIGINT)
+               AS raw_mean_micro,
+           CAST(sum(CAST(least(greatest(price_micro, e.lo), e.hi)
+                         AS HUGEINT)) // count(*) AS BIGINT)
+               AS winsor_mean_micro,
+           CAST(sum(CASE WHEN price_micro < e.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN price_micro > e.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high
+    FROM p CROSS JOIN edges e
+    GROUP BY 1
+    """,
+    doc="WINSORIZED STATISTICS (robust feature aggregation — clamp the "
+    "tails at the exact p1/p99 order statistics before averaging, so "
+    "one fat-finger order cannot move a group mean): the p1/p99 "
+    "edges come from the exact global rank (bucketed_prefix — "
+    "price-range buckets, windowless bucket-prefix; the q175 "
+    "order-statistics convention rank = (n−1)·p//100 + 1), collapse "
+    "to a 1-row broadcast, and winsorization is a map-side "
+    "least/greatest clamp — the data is scanned once for the rank "
+    "and once for the grouped report, with no per-row join. Exact "
+    "integer micro means via 128-bit floored division; clipped-row "
+    "counts make the clamping auditable.",
+    tags=("relational", "agg", "window"),
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 1000000.0 + 0.5)
+        .cast("bigint").alias("price_micro"),
+    )
+    ranked = bucketed_prefix(
+        p.withColumn(
+            "bucket",
+            F.floor(F.col("price_micro") / F.lit(1000000000)).cast("bigint"),
+        ),
+        "bucket",
+        [F.col("price_micro").asc(), F.col("o_orderkey").asc()],
+        rank="i",
+    )
+    tot = p.agg(F.count(F.lit(1)).alias("n"))
+    lo_rank = F.floor((F.col("n") - 1) / 100) + 1
+    hi_rank = F.floor((F.col("n") - 1) * 99 / 100) + 1
+    edges = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.min(F.when(F.col("i") == lo_rank, F.col("price_micro")))
+            .alias("lo"),
+            F.min(F.when(F.col("i") == hi_rank, F.col("price_micro")))
+            .alias("hi"),
+        )
+    )
+    dec = "decimal(38,0)"
+    clamped = F.least(F.greatest(F.col("price_micro"), F.col("lo")), F.col("hi"))
+    return (
+        p.crossJoin(F.broadcast(edges))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.floor(F.sum(F.col("price_micro").cast(dec)) / F.count(F.lit(1)))
+            .cast("bigint").alias("raw_mean_micro"),
+            F.floor(F.sum(clamped.cast(dec)) / F.count(F.lit(1)))
+            .cast("bigint").alias("winsor_mean_micro"),
+            F.sum(F.when(F.col("price_micro") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint").alias("n_clipped_low"),
+            F.sum(F.when(F.col("price_micro") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint").alias("n_clipped_high"),
+        )
+    )
