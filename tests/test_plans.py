@@ -452,3 +452,52 @@ def test_exact_percentiles_prunes_to_marks(spark):
     nested-loop is the 3-row percentile literal broadcast)."""
     plan = plan_of(spark, "q175_exact_percentiles")
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_prefix_plans_have_no_unpartitioned_window(spark):
+    """The r6 bucketed_prefix consumers (q183/q194/q215/q217/q221/q226)
+    must contain ZERO unpartitioned WindowExec nodes — the bucket
+    prefix is a windowless broadcast self-join, and every remaining
+    window is partitioned (Spark 4's EliminateWindowPartitions folds
+    constant partition keys, so a lit() partition would not survive to
+    count as partitioned). A partitioned Window node prints as
+    ``Window [fns], [part cols], [order]`` (two ``], [`` separators);
+    an unpartitioned one has only one."""
+    for q in (
+        "q183_ks_statistic",
+        "q194_lorenz_curve",
+        "q215_equidepth_histogram",
+        "q217_rfm_segments",
+        "q221_curriculum_order",
+        "q226_winsorized_stats",
+    ):
+        plan = plan_of(spark, q)
+        for line in plan.splitlines():
+            stripped = line.lstrip(" +-:*()0123456789")
+            if stripped.startswith("Window "):
+                assert stripped.count("], [") >= 2, (q, line)
+
+
+def test_index_serving_consumes_persisted_index(spark):
+    """q214: the serving sub-plan must read the persisted index
+    (InMemoryTableScan), proving the BM25 ranking consumes the
+    artefact rather than re-scanning the corpus lineage."""
+    plan = plan_of(spark, "q214_index_serving_bm25")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_q224_decorrelates_to_broadcast_scalar(spark):
+    """q224 (Q11 shape): the global-total comparison must arrive as a
+    broadcast of a 1-row aggregate — no sort-merge join, no second
+    lineitem scan pair beyond the reused exchange."""
+    plan = plan_of(spark, "q224_revenue_concentrated_parts")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q226_edges_broadcast_clamp_mapside(spark):
+    """q226: the p1/p99 edge table must broadcast (the clamp is a
+    map-side expression over the orders scan, not a join shuffle)."""
+    plan = plan_of(spark, "q226_winsorized_stats")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
