@@ -5288,3 +5288,279 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("shuffle_key").asc(), F.col("doc_id").asc()],
         rank="pos",
     ).select("doc_id", "band", "shuffle_key", "pos")
+
+
+@query(
+    "q225_zipf_head_share",
+    oracle=f"""
+    WITH u AS (
+        SELECT t AS term FROM documents, UNNEST({_SQL_TOKS}) u(t)
+    ),
+    cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+    head AS (
+        SELECT c FROM cnt ORDER BY c DESC, term ASC LIMIT 100
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM cnt
+    )
+    SELECT tot.n_types, tot.n_tokens,
+           CAST(sum(head.c) AS BIGINT) AS head_tokens,
+           CAST(sum(head.c) * 1000000 // tot.n_tokens AS BIGINT)
+               AS head_share_ppm
+    FROM head CROSS JOIN tot
+    GROUP BY tot.n_types, tot.n_tokens
+    """,
+    doc="ZIPF HEAD CONCENTRATION — what fraction of the token stream "
+    "the 100 most frequent terms carry (the corpus-shape number that "
+    "decides stopword policy, vocabulary truncation, and whether "
+    "term-keyed shuffles need the q79 salting treatment: natural "
+    "language runs 40–60 %; near 100 % means boilerplate, near 0 % "
+    "means ids/noise): one tokenize→term count shuffle, top-100 via "
+    "TakeOrdered (tree-reduce, never a global sort), 1-row totals, "
+    "exact floored-ppm share. Vocab table is Heaps-bounded; "
+    "everything after the count is broadcast-sized at any corpus "
+    "scale.",
+    tags=("llm", "text"),
+)
+def zipf_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    head = cnt.orderBy(F.col("c").desc(), F.col("term").asc()).limit(100)
+    tot = cnt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        head.crossJoin(F.broadcast(tot))
+        .groupBy("n_types", "n_tokens")
+        .agg(
+            F.sum("c").cast("bigint").alias("head_tokens"),
+            F.floor(F.sum("c") * 1000000 / F.first("n_tokens"))
+            .cast("bigint").alias("head_share_ppm"),
+        )
+    )
+
+
+@query(
+    "q229_source_length_drift",
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               CAST(least(7, n_chars // 128) AS BIGINT) AS bin
+        FROM documents
+    ),
+    src AS (
+        SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+        FROM b GROUP BY 1, 2
+    ),
+    srctot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM src GROUP BY 1),
+    corpus AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cc FROM src GROUP BY 1),
+    corptot AS (SELECT CAST(sum(cc) AS BIGINT) AS cn FROM corpus),
+    grid AS (
+        SELECT st.source, st.n, c.bin, c.cc, ct.cn,
+               COALESCE(s.c, 0) AS c
+        FROM srctot st CROSS JOIN corpus c CROSS JOIN corptot ct
+        LEFT JOIN src s ON s.source = st.source AND s.bin = c.bin
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(sum(abs(c * 1000000 // n - cc * 1000000 // cn))
+                AS BIGINT) AS l1_drift_ppm
+    FROM grid GROUP BY source
+    """,
+    doc="SOURCE LENGTH-DISTRIBUTION DRIFT — per-source L1 distance "
+    "(total variation ×2, in exact floored ppm) between the source's "
+    "document-length histogram (8 fixed 128-char bins) and the "
+    "corpus-wide profile. The data-mixture monitoring number: a "
+    "source whose shape diverges from the corpus it feeds is either "
+    "mis-parsed, truncated, or genuinely different-register — all "
+    "worth a look before it trains anything (complements q154's "
+    "value-distribution PSI and q82's content overlap). Topology: "
+    "docs collapse to (source, bin) counts in one shuffle; the "
+    "source×bin grid (sources × 8 rows) is dimension-sized; every "
+    "division is exact integer floor.",
+    tags=("llm", "text", "quality"),
+)
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.least(F.lit(7), F.floor(F.col("n_chars") / 128))
+        .cast("bigint").alias("bin"),
+    )
+    src = b.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    srctot = src.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    corpus = src.groupBy("bin").agg(F.sum("c").cast("bigint").alias("cc"))
+    corptot = corpus.agg(F.sum("cc").cast("bigint").alias("cn"))
+    grid = (
+        srctot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(corptot))
+        .join(src, ["source", "bin"], "left")
+        .select(
+            "source", "n", "bin", "cc", "cn",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    term = F.abs(
+        F.floor(F.col("c") * 1000000 / F.col("n"))
+        - F.floor(F.col("cc") * 1000000 / F.col("cn"))
+    )
+    return grid.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum(term).cast("bigint").alias("l1_drift_ppm"),
+    )
+
+
+@query(
+    "q227_join_explosion_audit",
+    oracle="""
+    WITH cnt AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, n_rows,
+           CAST(n_rows * (n_rows - 1) // 2 AS BIGINT) AS predicted_pairs
+    FROM cnt
+    ORDER BY predicted_pairs DESC, l_partkey ASC
+    LIMIT 20
+    """,
+    doc="JOIN-EXPLOSION AUDIT — predict a self-join's fanout WITHOUT "
+    "running it: per-key row counts give the exact pair count "
+    "n·(n−1)/2 each key would contribute to a partkey self-join "
+    "(q190/q148's shape); the top-20 keys by predicted pairs are the "
+    "ones that need the q79 salt or the q93 cap BEFORE the join is "
+    "attempted. This is the 5-second query you run before committing "
+    "a 100 TB many-to-many join — cost is ONE partial-aggregated "
+    "count shuffle + a TakeOrdered, vs discovering the skew from a "
+    "straggler task 4 hours in. (The per-key count table is also "
+    "exactly what AQE's skew-join statistics see — this surfaces "
+    "them as data.)",
+    tags=("llm", "quality", "join"),
+)
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    return (
+        cnt.withColumn(
+            "predicted_pairs",
+            (F.col("n_rows") * (F.col("n_rows") - 1) / 2)
+            .cast("bigint"),
+        )
+        .orderBy(F.col("predicted_pairs").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q228_preference_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sc AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+                    AS BIGINT) AS score_ppm
+        FROM t WHERE len(toks) > 0
+    ),
+    r AS (
+        SELECT doc_id, source, score_ppm,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY score_ppm DESC, doc_id ASC
+               ) AS rb,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY score_ppm ASC, doc_id DESC
+               ) AS rw,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM sc
+    )
+    SELECT b.source,
+           b.doc_id AS chosen_doc,
+           w.doc_id AS rejected_doc,
+           b.score_ppm AS chosen_ppm,
+           w.score_ppm AS rejected_ppm,
+           CAST(b.score_ppm - w.score_ppm AS BIGINT) AS margin_ppm
+    FROM r b JOIN r w ON b.source = w.source AND b.rb = w.rw
+    WHERE b.rb <= b.n // 2 AND b.score_ppm > w.score_ppm
+    """,
+    doc="PREFERENCE-PAIR CONSTRUCTION (reward-model / DPO training "
+    "data from quality signals): within each source, documents are "
+    "scored by type-token ratio (distinct/total terms in exact ppm — "
+    "the repetition-quality signal q58 uses, self-contained here), "
+    "and the i-th best is paired with the i-th worst while their "
+    "scores strictly differ — deterministic, replayable, and "
+    "margin-annotated so downstream can weight pairs by confidence. "
+    "Topology: one tokenize pass for scores; ranking windows are "
+    "source-partitioned (distributed); the pairing is a source-local "
+    "equi-join on rank — no cross-source traffic at any corpus "
+    "scale.",
+    tags=("llm", "sampling"),
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    sc = docs.select(
+        "doc_id",
+        "source",
+        F.floor(
+            F.size(F.array_distinct(toks)) * F.lit(1000000) / F.size(toks)
+        ).cast("bigint").alias("score_ppm"),
+    ).where(F.size(toks) > 0)
+    wb = Window.partitionBy("source").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    )
+    ww = Window.partitionBy("source").orderBy(
+        F.col("score_ppm").asc(), F.col("doc_id").desc()
+    )
+    wn = Window.partitionBy("source")
+    r = sc.select(
+        "doc_id",
+        "source",
+        "score_ppm",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = r.select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score_ppm").alias("chosen_ppm"),
+        "rb",
+        "n",
+    )
+    w = r.select(
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score_ppm").alias("rejected_ppm"),
+        F.col("rw").alias("rb"),
+    )
+    return (
+        b.join(w, ["source", "rb"])
+        .where(
+            (F.col("rb") <= F.floor(F.col("n") / 2))
+            & (F.col("chosen_ppm") > F.col("rejected_ppm"))
+        )
+        .select(
+            "source",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_ppm",
+            "rejected_ppm",
+            (F.col("chosen_ppm") - F.col("rejected_ppm"))
+            .cast("bigint").alias("margin_ppm"),
+        )
+    )

@@ -135,12 +135,16 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q222_debounce_events",
     "q223_ann_recall_eval",
     "q224_revenue_concentrated_parts",
+    "q225_zipf_head_share",
     "q226_winsorized_stats",
+    "q227_join_explosion_audit",
+    "q228_preference_pairs",
+    # --- 50-row prefix boundary is HERE; the rest rolls to r7 ---
+    "q229_source_length_drift",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
     "q32_streaming_ingest",
-    # --- 50-row prefix boundary is HERE; the rest rolls to r7 ---
     "q42_simhash",
     "q43_ngram_jaccard",
     "q44_ann_bruteforce",
