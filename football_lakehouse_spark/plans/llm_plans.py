@@ -5073,6 +5073,7 @@ def index_serving_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "df is a vocab-sized broadcast, top-3 is a per-doc "
     "WindowGroupLimit (rank pushed into the shuffle) — never a "
     "global sort.",
+    bench=True,
     tags=("llm", "text"),
 )
 def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2504,6 +2504,7 @@ def ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpartitioned window anywhere — a 100-billion-row fact table "
     "histograms with no single-task sort. Ties are total-ordered by "
     "(price, orderkey, linenumber) identically on both engines.",
+    bench=True,
     tags=("relational", "agg", "window"),
 )
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
