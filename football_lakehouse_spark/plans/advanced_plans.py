@@ -1437,3 +1437,120 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(bounced, 1).otherwise(0)) * 1000000 / F.count(F.lit(1))
         ).cast("bigint").alias("drop_ppm"),
     )
+
+
+@query(
+    "q230_sequence_transition_audit",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (prev_type || '->' || event_type) IN
+               ('signup->view', 'view->view', 'view->click',
+                'click->view', 'click->purchase', 'purchase->view',
+                'error->view', 'view->error', 'click->error')
+               AS is_allowed
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="EVENT-SEQUENCE TRANSITION AUDIT — validate per-user event "
+    "streams against an allowed state machine (signup precedes "
+    "browsing, purchases come from clicks, errors bound to views/"
+    "clicks): every adjacent transition is counted and flagged "
+    "against the whitelist, so instrumentation bugs (purchase with "
+    "no preceding click, activity before signup) surface as "
+    "is_allowed=false rows WITH their frequencies — the "
+    "sequence-level data-quality check q136's referential audit "
+    "cannot express (complements q213's descriptive transition "
+    "matrix with a normative one). Lag windows are user-partitioned "
+    "(distributed); the transition cube is |types|²-bounded.",
+    tags=("advanced", "window", "quality"),
+)
+def sequence_transition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    allowed = [
+        "signup->view", "view->view", "view->click",
+        "click->view", "click->purchase", "purchase->view",
+        "error->view", "view->error", "click->error",
+    ]
+    return (
+        s.groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "is_allowed",
+            F.concat_ws("->", F.col("prev_type"), F.col("event_type"))
+            .isin(allowed),
+        )
+    )
+
+
+@query(
+    "q231_repeat_purchase_curve",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS nth
+        FROM events WHERE event_type = 'purchase'
+    ),
+    per_n AS (
+        SELECT nth, CAST(count(*) AS BIGINT) AS n_users
+        FROM p GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM p)
+    SELECT nth AS purchase_n,
+           n_users,
+           CAST(n_users * 1000000 // tot.u AS BIGINT) AS survival_ppm
+    FROM per_n CROSS JOIN tot
+    WHERE nth <= 10
+    """,
+    doc="REPEAT-PURCHASE SURVIVAL CURVE — how many buyers reach their "
+    "n-th purchase (the engagement-depth number behind LTV models "
+    "and the discrete companion of q198's gap-hazard): each user's "
+    "purchases are ranked in their own timeline, n_users(nth) counts "
+    "survivors at depth n (monotone non-increasing by construction), "
+    "and survival_ppm normalises by the buyer population in exact "
+    "floored ppm. One user-partitioned rank window + an "
+    "n-bounded aggregation; the curve table is depth-bounded "
+    "(≤10 rows) at any event volume.",
+    tags=("advanced", "window", "agg"),
+)
+def repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.row_number().over(w).alias("nth")
+    )
+    per_n = p.groupBy("nth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    tot = p.agg(F.countDistinct("user_id").cast("bigint").alias("u"))
+    return (
+        per_n.crossJoin(F.broadcast(tot))
+        .where(F.col("nth") <= 10)
+        .select(
+            F.col("nth").alias("purchase_n"),
+            "n_users",
+            F.floor(F.col("n_users") * 1000000 / F.col("u"))
+            .cast("bigint").alias("survival_ppm"),
+        )
+    )

@@ -141,6 +141,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q228_preference_pairs",
     # --- 50-row prefix boundary is HERE; the rest rolls to r7 ---
     "q229_source_length_drift",
+    "q230_sequence_transition_audit",
+    "q231_repeat_purchase_curve",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
