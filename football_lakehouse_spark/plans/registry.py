@@ -77,8 +77,8 @@ def query(
 #:         | array<bigint> postings column broke the driver hasher;
 #:         | serialized to STRING in r6), q159–q180
 #:   r6    | (this prefix) q110+q123 re-attest, q181–q213 — the only
-#:         | 33 never-attested queries — the r6 additions
-#:         | q214–q223, then the oldest stale tail (last green r1/r2)
+#:         | 33 never-attested queries — then the r6 additions through
+#:         | q228 (q229+ and the r1/r2-stale tail roll to r7)
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
@@ -143,6 +143,10 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q229_source_length_drift",
     "q230_sequence_transition_audit",
     "q231_repeat_purchase_curve",
+    "q232_value_window_family",
+    "q233_max_drawdown",
+    "q234_histogram_2d",
+    "q235_ordered_listagg",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

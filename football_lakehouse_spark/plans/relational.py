@@ -2820,3 +2820,124 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("n_clipped_high"),
         )
     )
+
+
+@query(
+    "q234_histogram_2d",
+    oracle="""
+    SELECT CAST(least(4, CAST(l_quantity AS BIGINT) // 10) AS BIGINT)
+               AS qty_bin,
+           CAST(least(9, CAST(floor(l_extendedprice) AS BIGINT) // 10000)
+               AS BIGINT) AS price_bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 1000000.0 + 0.5) AS HUGEINT))
+                AS BIGINT) AS rev_micro
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="2-D EQUI-WIDTH HISTOGRAM over (quantity, price) — the "
+    "heatmap/joint-distribution feed (q156's 1-D histogram lifted to "
+    "two dimensions; the density grid behind 'do big orders get big "
+    "discounts?'): fixed 5×10 bin grid with top bins clamped, per-cell "
+    "occupancy and exact discounted-revenue micro sums. Pure "
+    "map-side bin expressions + ONE partial-aggregated groupBy; the "
+    "output is grid-bounded (≤50 rows) at any fact volume — the "
+    "definition of a scale-free report.",
+    tags=("relational", "agg"),
+)
+def histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    return (
+        li.groupBy(
+            F.least(F.lit(4), F.floor(F.col("l_quantity").cast("bigint") / 10))
+            .cast("bigint").alias("qty_bin"),
+            F.least(
+                F.lit(9),
+                F.floor(F.floor(F.col("l_extendedprice")).cast("bigint") / 10000),
+            ).cast("bigint").alias("price_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 1000000.0 + 0.5
+                ).cast(dec)
+            ).cast("bigint").alias("rev_micro"),
+        )
+    )
+
+
+@query(
+    "q235_ordered_listagg",
+    oracle="""
+    WITH spend AS (
+        SELECT o.o_orderpriority, c.c_name,
+               CAST(sum(CAST(floor(o.o_totalprice * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS s
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderpriority ORDER BY s DESC, c_name ASC
+        ) AS rk
+        FROM spend
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_listed,
+           string_agg(c_name, ',' ORDER BY rk ASC) AS top_customers
+    FROM ranked WHERE rk <= 5
+    GROUP BY o_orderpriority
+    """,
+    doc="ORDERED LISTAGG / string_agg parity — the 'top-5 names, "
+    "comma-joined, in rank order' report cell every BI export wants, "
+    "and an ordered-aggregation semantic engines implement "
+    "differently: Spark's collect_list has NO deterministic order "
+    "across partitions, so the plan collects (rank, name) structs, "
+    "array_sorts by rank, projects the name, and array_joins — "
+    "deterministic by construction; DuckDB writes it natively as "
+    "string_agg(... ORDER BY). Rank is a per-priority "
+    "WindowGroupLimit (pushed into the shuffle); the listagg "
+    "operates on ≤5 rows per group.",
+    tags=("relational", "agg", "window"),
+)
+def ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("o_orderpriority", "c_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint")
+            ).cast("bigint").alias("s")
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("s").desc(), F.col("c_name").asc()
+    )
+    return (
+        spend.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_listed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "c_name"))
+                    ),
+                    lambda x: x["c_name"],
+                ),
+                ",",
+            ).alias("top_customers"),
+        )
+    )

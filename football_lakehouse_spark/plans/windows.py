@@ -1533,3 +1533,152 @@ def journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(w_from)
         ).cast("bigint").alias("prob_ppm"),
     )
+
+
+@query(
+    "q232_value_window_family",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN value < 1.0 THEN NULL
+                    ELSE CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+               END AS val_micro
+        FROM events
+    ),
+    w AS (
+        SELECT user_id,
+               row_number() OVER ord AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               first_value(val_micro) OVER frame AS first_micro,
+               last_value(val_micro IGNORE NULLS) OVER frame
+                   AS last_nonnull_micro,
+               nth_value(val_micro, 2) OVER frame AS second_micro,
+               lag(val_micro, 1, CAST(-1 AS BIGINT)) OVER ord
+                   AS prev_or_neg1
+        FROM v
+        WINDOW ord AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+               frame AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           first_micro, last_nonnull_micro, second_micro, prev_or_neg1
+    FROM w WHERE rn = n AND user_id <= 50
+    """,
+    doc="VALUE-WINDOW FUNCTION FAMILY parity check (the q145 "
+    "rank-family sibling for value functions): first_value, "
+    "last_value IGNORE NULLS (Spark spells it last(col, "
+    "ignorenulls=True) — the semantic corner engines disagree on "
+    "most), nth_value, and lag with an explicit default, all under "
+    "an explicit ROWS UNBOUNDED PRECEDING..CURRENT ROW frame "
+    "(default frames differ cross-engine — RANGE vs ROWS matters "
+    "with ties — so the frame is pinned). Values below 1.0 become "
+    "NULL to make the ignore-nulls path load-bearing. Evaluated at "
+    "each user's final row; user-partitioned windows, distributed.",
+    tags=("window",),
+)
+def value_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    val = F.when(
+        F.col("value") < 1.0, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint"))
+    v = ev.select(
+        "user_id", "event_id", "ts", val.alias("val_micro")
+    )
+    ord_ = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    frame = ord_.rowsBetween(Window.unboundedPreceding, 0)
+    w = v.select(
+        "user_id",
+        F.row_number().over(ord_).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+        F.first("val_micro").over(frame).alias("first_micro"),
+        F.last("val_micro", ignorenulls=True).over(frame)
+        .alias("last_nonnull_micro"),
+        F.nth_value("val_micro", 2).over(frame).alias("second_micro"),
+        F.lag("val_micro", 1, -1).over(ord_).cast("bigint")
+        .alias("prev_or_neg1"),
+    )
+    return (
+        w.where((F.col("rn") == F.col("n")) & (F.col("user_id") <= 50))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            "first_micro",
+            "last_nonnull_micro",
+            "second_micro",
+            "prev_or_neg1",
+        )
+    )
+
+
+@query(
+    "q233_max_drawdown",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, ts,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS val_micro
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, val_micro,
+               max(val_micro) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS peak_micro
+        FROM v
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(peak_micro) AS BIGINT) AS peak_max_micro,
+           CAST(max(peak_micro - val_micro) AS BIGINT)
+               AS max_drawdown_micro
+    FROM r GROUP BY user_id
+    HAVING count(*) >= 5
+    """,
+    doc="MAXIMUM DRAWDOWN per user timeline (the largest "
+    "peak-to-trough drop of the purchase-value series — the "
+    "risk/volatility statistic that needs a RUNNING max, not a "
+    "global one): running peak via a user-partitioned cumulative "
+    "max window, drawdown = peak − current, then one aggregation "
+    "for the max. The recurrence LOOKS non-associative but the "
+    "cummax decomposition makes it a plain window + agg — the same "
+    "trick q195's skyline uses; only genuinely state-carrying "
+    "recurrences (q188's clamp) need the fold. ≥5-point timelines "
+    "only, so the statistic is non-degenerate. All exact integer "
+    "micro.",
+    tags=("window", "agg"),
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+        .alias("val_micro"),
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = v.select(
+        "user_id",
+        "val_micro",
+        F.max("val_micro").over(frame).alias("peak_micro"),
+    )
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.max("peak_micro").cast("bigint").alias("peak_max_micro"),
+            F.max(F.col("peak_micro") - F.col("val_micro"))
+            .cast("bigint").alias("max_drawdown_micro"),
+        )
+        .where(F.col("n_points") >= 5)
+    )
