@@ -351,3 +351,84 @@ def test_skyline_sorted_scan_matches_dominance_definition(spark, pts):
         )
     }
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 1_000_000),   # key (unique-ified below)
+            st.integers(-50, 50),        # order value (negatives cross 0)
+            st.integers(1, 9),           # weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.sampled_from([1, 3, 8, 1000]),
+    descending=st.booleans(),
+)
+@SLOW
+def test_bucketed_prefix_matches_naive_window(spark, data, width, descending):
+    """bucketed_prefix law: for ANY bucket width (including the
+    degenerate one-bucket case) and either direction, the global rank
+    and running sum equal the naive unpartitioned window's — including
+    duplicate order values straddling bucket boundaries and negative
+    values (floor-division bucketing must stay monotone below zero)."""
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
+
+    uniq = [(i, v, w) for i, (_, v, w) in enumerate(data)]
+    df = spark.createDataFrame(uniq, "k bigint, v bigint, w bigint")
+    base = df.withColumn(
+        "bucket", F.floor(F.col("v") / width).cast("bigint")
+    )
+    order = [
+        F.col("v").desc() if descending else F.col("v").asc(),
+        F.col("k").asc(),
+    ]
+    got = {
+        r.k: (r.i, r.cum)
+        for r in bucketed_prefix(
+            base, "bucket", order, sums={"cum": F.col("w")}, rank="i",
+            descending=descending,
+        ).collect()
+    }
+    w_g = Window.orderBy(*order)
+    naive = {
+        r.k: (r.i, r.cum)
+        for r in df.withColumn("i", F.row_number().over(w_g))
+        .withColumn(
+            "cum",
+            F.sum("w").over(w_g.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .collect()
+    }
+    assert got == naive
+
+
+@given(
+    n=st.integers(1, 97),
+    k=st.sampled_from([2, 5, 10]),
+)
+@SLOW
+def test_ntile_expr_matches_window_ntile(spark, n, k):
+    """ntile_expr law: the arithmetic tile cut from (rank, n) is
+    bit-identical to the ntile(k) window function for every population
+    size, including n < k and n not divisible by k."""
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.operators.selection import ntile_expr
+
+    df = spark.range(1, n + 1).withColumnRenamed("id", "i")
+    w = Window.orderBy("i")
+    naive = {
+        r.i: r.t
+        for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+    }
+    got = {
+        r.i: r.t
+        for r in df.withColumn(
+            "t", ntile_expr(F.col("i"), F.lit(n), k)
+        ).collect()
+    }
+    assert got == naive
