@@ -147,6 +147,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q233_max_drawdown",
     "q234_histogram_2d",
     "q235_ordered_listagg",
+    "q236_python_datasource_roundtrip",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -1,0 +1,217 @@
+"""Custom Python Data Source (Spark 4 DataSource V2 Python API) for the
+event landing directory — the S7/S8 file-landing surface re-expressed
+as a REGISTERED source: ``spark.read.format("landing_events")`` and
+``spark.readStream.format("landing_events")`` after one
+:func:`register_landing_source` call.
+
+Why this exists when ``spark.read.json`` already works: the reference's
+landing contract (SURVEY.md §2 S7/S8) includes per-file lineage, a
+rescue column for corrupt lines, and partition-dir date recovery — the
+native JSON reader needs a wrapper for each; a custom source bakes the
+contract into the format itself, and the STREAM reader gives exact
+file-granularity offsets (the resume log is the sorted file list — the
+same idea as the file-stream source's commit log, but inspectable).
+
+Scale design: one InputPartition per landing file → Spark schedules
+file parses across executors exactly like the built-in source; no
+driver-side data movement (the driver only lists the directory).
+Listing is O(files) on the driver — the same contract as Spark's own
+file index; at 10⁶+ files you compact the landing zone (RUNBOOK §7)
+regardless of which reader is used.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date, datetime
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+    DateType,
+)
+
+#: EVENT_SCHEMA (streaming/ingest.py) + lineage + rescue + partition date
+LANDING_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+        StructField("snapshot_date", DateType()),
+        StructField("source_file", StringType()),
+        StructField("_rescue", StringType()),
+    ]
+)
+
+
+def _list_landing_files(path: str) -> list[str]:
+    """Deterministic sorted listing of data files under the landing dir
+    (recurses into snapshot_date=... partition dirs; skips hidden and
+    _SUCCESS-style marker files)."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            if f.endswith(".json"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _date_from_path(fp: str) -> date | None:
+    for part in fp.split(os.sep):
+        if part.startswith("snapshot_date="):
+            try:
+                return date.fromisoformat(part.split("=", 1)[1])
+            except ValueError:
+                return None
+    return None
+
+
+def _parse_ts(v):
+    if v is None:
+        return None
+    try:
+        return datetime.fromisoformat(str(v).replace("Z", "+00:00")).replace(
+            tzinfo=None
+        )
+    except ValueError:
+        return None
+
+
+def _parse_line(line: str, fp: str, pdate: date | None):
+    """One landing line → LANDING_SCHEMA tuple; unparseable lines land
+    in _rescue with every typed column null (ST3's contract)."""
+    line = line.strip()
+    if not line:
+        return None
+    try:
+        o = json.loads(line)
+        if not isinstance(o, dict):
+            raise ValueError("non-object line")
+        return (
+            int(o["event_id"]) if o.get("event_id") is not None else None,
+            _parse_ts(o.get("ts")),
+            int(o["user_id"]) if o.get("user_id") is not None else None,
+            o.get("event_type"),
+            float(o["value"]) if o.get("value") is not None else None,
+            o.get("props"),
+            pdate,
+            fp,
+            None,
+        )
+    except (ValueError, KeyError, TypeError):
+        return (None, None, None, None, None, None, pdate, fp, line)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, fp: str):
+        self.fp = fp
+
+
+class LandingReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("landing_events: option 'path' is required")
+
+    def partitions(self):
+        return [_FilePartition(fp) for fp in _list_landing_files(self.path)]
+
+    def read(self, partition):
+        pdate = _date_from_path(partition.fp)
+        with open(partition.fp, encoding="utf-8") as fh:
+            for line in fh:
+                row = _parse_line(line, partition.fp, pdate)
+                if row is not None:
+                    yield row
+
+
+class LandingStreamReader(SimpleDataSourceStreamReader):
+    """File-granularity incremental stream: the offset is
+    ``{"files": n}`` over the SORTED file list, so each micro-batch is
+    exactly the files that arrived since the last one — replayable
+    from any offset, and the commit log is human-readable."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("landing_events: option 'path' is required")
+
+    def initialOffset(self):
+        return {"files": 0}
+
+    def read(self, start):
+        files = _list_landing_files(self.path)
+        n0 = int(start.get("files", 0))
+        rows = []
+        for fp in files[n0:]:
+            pdate = _date_from_path(fp)
+            with open(fp, encoding="utf-8") as fh:
+                for line in fh:
+                    row = _parse_line(line, fp, pdate)
+                    if row is not None:
+                        rows.append(row)
+        return (iter(rows), {"files": len(files)})
+
+    def readBetweenOffsets(self, start, end):
+        files = _list_landing_files(self.path)
+        n0, n1 = int(start.get("files", 0)), int(end.get("files", 0))
+        rows = []
+        for fp in files[n0:n1]:
+            pdate = _date_from_path(fp)
+            with open(fp, encoding="utf-8") as fh:
+                for line in fh:
+                    row = _parse_line(line, fp, pdate)
+                    if row is not None:
+                        rows.append(row)
+        return iter(rows)
+
+
+class LandingEventsDataSource(DataSource):
+    """``format("landing_events")`` — batch + streaming reads of the
+    event landing zone with the S7/S8 contract built in."""
+
+    @classmethod
+    def name(cls):
+        return "landing_events"
+
+    def schema(self):
+        return LANDING_SCHEMA
+
+    def reader(self, schema):
+        return LandingReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return LandingStreamReader(self.options)
+
+
+def register_landing_source(spark) -> None:
+    """Idempotently register the custom source on this session.
+
+    The DataSource class is shipped to Python workers BY VALUE
+    (cloudpickle.register_pickle_by_value on this module): the driver
+    contract runs the engine from an injected sys.path the workers do
+    not inherit, so by-reference pickling would die with
+    ModuleNotFoundError on the first partition read. The module is
+    stdlib-only, so the by-value payload is small and dependency-free."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(LandingEventsDataSource)

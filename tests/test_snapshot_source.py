@@ -49,3 +49,78 @@ def test_snapshot_lift_and_idempotent_append(spark, tmp_path):
     row2 = fetch_snapshot(fake_fetcher, "fake://bootstrap", "run2", now=NOW)
     assert t.append_if_new(snapshot_dataframe(spark, row2), "payload_sha256") is None
     assert t.read().count() == 1
+
+
+def test_landing_events_python_datasource_batch(spark, tmp_path):
+    """The registered custom source must read the landing zone with the
+    S7 contract (typed columns, partition-date recovery, per-file
+    lineage) and quarantine corrupt lines into _rescue instead of
+    failing the read."""
+    from football_lakehouse_spark.sources.pyds import register_landing_source
+
+    d = tmp_path / "landing" / "snapshot_date=2026-02-01"
+    d.mkdir(parents=True)
+    (d / "part-0.json").write_text(
+        '{"event_id":1,"ts":"2026-02-01T10:00:00","user_id":7,'
+        '"event_type":"click","value":1.5,"props":"{}"}\n'
+        "THIS IS NOT JSON\n"
+        '{"event_id":2,"ts":"2026-02-01T11:00:00","user_id":8,'
+        '"event_type":"view","value":null,"props":null}\n'
+    )
+    register_landing_source(spark)
+    df = (
+        spark.read.format("landing_events")
+        .option("path", str(tmp_path / "landing"))
+        .load()
+    )
+    rows = {r.event_id: r for r in df.collect()}
+    assert rows[1].event_type == "click" and rows[1].value == 1.5
+    assert rows[1].snapshot_date.isoformat() == "2026-02-01"
+    assert rows[1].source_file.endswith("part-0.json")
+    assert rows[2].value is None
+    bad = [r for r in rows.values() if r._rescue is not None]
+    assert len(bad) == 1 and bad[0]._rescue == "THIS IS NOT JSON"
+    assert df.count() == 3
+
+
+def test_landing_events_python_datasource_stream(spark, tmp_path):
+    """The stream reader's offsets are file-granular: a first availableNow
+    drain reads the initial file; files landing afterwards are exactly
+    the delta of the next drain (resume from checkpoint)."""
+    from football_lakehouse_spark.sources.pyds import register_landing_source
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.json").write_text(
+        '{"event_id":1,"ts":"2026-02-01T10:00:00","user_id":7,'
+        '"event_type":"click","value":1.0,"props":null}\n'
+    )
+    register_landing_source(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("landing_events")
+            .option("path", str(land))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 1
+    (land / "b.json").write_text(
+        '{"event_id":2,"ts":"2026-02-01T11:00:00","user_id":8,'
+        '"event_type":"view","value":2.0,"props":null}\n'
+        '{"event_id":3,"ts":"2026-02-01T12:00:00","user_id":9,'
+        '"event_type":"purchase","value":3.0,"props":null}\n'
+    )
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r.event_id for r in got.collect()} == {1, 2, 3}
