@@ -5565,3 +5565,58 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("margin_ppm"),
         )
     )
+
+
+@query(
+    "q238_udtf_chunk_expand",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_ix,
+               CAST(least(32, len(toks) - i * 32) AS BIGINT) AS chunk_len
+        FROM t, UNNEST(range(0, (len(toks) + 31) // 32)) r(i)
+        WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_len) AS BIGINT) AS n_tokens,
+           CAST(max(chunk_len) AS BIGINT) AS max_chunk_len
+    FROM chunks GROUP BY doc_id
+    """,
+    doc="PYTHON UDTF surface (SURVEY §2.10; Spark 4 @udtf API): a "
+    "table function expands each document into fixed-size token "
+    "chunks via LATERAL correlation in SQL — the §2.10 API-parity "
+    "demo for logic that genuinely returns MULTIPLE rows per input "
+    "with imperative structure. The UDTF class is defined in the "
+    "builder's closure so cloudpickle ships it by value (same "
+    "driver-contract constraint as sources/pyds.py). Deliberately "
+    "NOT the perf path: q81 does this chunking with built-in array "
+    "expressions (JVM-side, whole-stage codegen) — the docstring "
+    "contract is 'UDTF when the operator model demands a table "
+    "function, built-ins when it does not'; the oracle pins both to "
+    "the same chunk arithmetic.",
+    tags=("llm", "text", "udf"),
+)
+def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_ix: bigint, chunk_len: bigint")
+    class ChunkExpand:
+        def eval(self, doc_id, text: str, size: int):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(0, (len(toks) + size - 1) // size):
+                yield doc_id, i, min(size, len(toks) - i * size)
+
+    spark.udtf.register("chunk_expand", ChunkExpand)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("q238_docs")
+    chunks = spark.sql(
+        "SELECT c.doc_id, c.chunk_ix, c.chunk_len "
+        "FROM q238_docs d, LATERAL chunk_expand(d.doc_id, d.text, 32) c"
+    )
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("chunk_len").cast("bigint").alias("n_tokens"),
+        F.max("chunk_len").cast("bigint").alias("max_chunk_len"),
+    )

@@ -148,6 +148,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q234_histogram_2d",
     "q235_ordered_listagg",
     "q236_python_datasource_roundtrip",
+    "q237_variant_props",
+    "q238_udtf_chunk_expand",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -2941,3 +2941,43 @@ def ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_customers"),
         )
     )
+
+
+@query(
+    "q237_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(count(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_with_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="VARIANT semi-structured path (Spark 4's open-variant type — "
+    "the successor to schema-on-read JSON strings): props parses ONCE "
+    "into a VARIANT column (binary-encoded, no per-access re-parse), "
+    "typed fields come out via try_variant_get with path expressions "
+    "(NULL on missing/mistyped — the safe extraction q09 does for "
+    "scalars), and the aggregate runs on the extracted bigints. "
+    "Versus q90's from_json map: VARIANT needs no declared schema, "
+    "tolerates heterogeneous shapes per row, and keeps extraction "
+    "JVM-side. DuckDB twin reads the same payloads with "
+    "json_extract. At 100 TB the parse cost is paid once at ingest "
+    "(store the VARIANT column), not per query.",
+    tags=("relational", "json"),
+)
+def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
