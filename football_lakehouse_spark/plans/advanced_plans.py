@@ -1554,3 +1554,77 @@ def repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("survival_ppm"),
         )
     )
+
+
+@query(
+    "q241_interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(count(gap_us) AS BIGINT) AS n_gaps,
+               CAST(sum(CAST(gap_us AS HUGEINT)) AS HUGEINT) AS sg,
+               CAST(sum(CAST(gap_us AS HUGEINT) * gap_us) AS HUGEINT) AS sg2
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY user_id HAVING count(gap_us) >= 5
+    )
+    SELECT user_id, n_gaps,
+           CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+           CAST((n_gaps * sg2 - sg * sg) * 1000000 // (sg * sg)
+                AS BIGINT) AS cv2_ppm
+    FROM s
+    """,
+    doc="INTER-ARRIVAL BURSTINESS per user — the squared coefficient "
+    "of variation CV² = n·Σg²/(Σg)² − 1 of event gaps, the standard "
+    "burstiness index (CV²≈1 Poisson/random, ≪1 metronomic bots, "
+    "≫1 bursty humans — the behavioural-fingerprint feature bot "
+    "detection and traffic modelling both want): computed ENTIRELY "
+    "from three exact per-user sums (n, Σg, Σg²) over 128-bit "
+    "intermediates — no stddev/sqrt, no floats, bit-identical "
+    "cross-engine; ≥5 gaps so the ratio is meaningful. One "
+    "user-partitioned lag window + one aggregation.",
+    tags=("advanced", "window", "agg"),
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    g = ev.select(
+        "user_id",
+        (
+            epoch_micros(F.col("ts"))
+            - F.lag(epoch_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    dec = "decimal(38,0)"
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("bigint").alias("n_gaps"),
+            F.sum(F.col("gap_us").cast(dec)).alias("sg"),
+            F.sum(F.col("gap_us").cast(dec) * F.col("gap_us")).alias("sg2"),
+        )
+        .where(F.col("n_gaps") >= 5)
+    )
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.floor(F.col("sg") / F.col("n_gaps")).cast("bigint")
+        .alias("mean_gap_us"),
+        F.floor(
+            (F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg"))
+            * 1000000
+            / (F.col("sg") * F.col("sg"))
+        ).cast("bigint").alias("cv2_ppm"),
+    )

@@ -150,6 +150,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q236_python_datasource_roundtrip",
     "q237_variant_props",
     "q238_udtf_chunk_expand",
+    "q239_weighted_median",
+    "q240_benford_audit",
+    "q241_interarrival_burstiness",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -2981,3 +2981,142 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+@query(
+    "q239_weighted_median",
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)
+                   AS price_micro,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT l_returnflag, price_micro, w,
+               sum(w) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY price_micro ASC, l_orderkey ASC, l_linenumber ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM p
+    )
+    SELECT l_returnflag,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN price_micro END) AS BIGINT)
+               AS weighted_median_micro
+    FROM r GROUP BY l_returnflag
+    """,
+    doc="EXACT WEIGHTED MEDIAN per group (quantity-weighted price — "
+    "'the price at which half the VOLUME trades', which the "
+    "row-median q175 cannot give): the first value whose running "
+    "weight reaches half the group's total weight, computed from a "
+    "group-partitioned running sum — and for a SINGLE giant group "
+    "the same statistic routes through bucketed_prefix (q215's "
+    "rank machinery with sums= instead of rank=), so the operator "
+    "has no single-task regime at any grain. Integer micro prices, "
+    "integer weights, 2·cw ≥ tw avoids division entirely.",
+    tags=("relational", "agg", "window"),
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5)
+        .cast("bigint").alias("price_micro"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(
+            F.col("price_micro").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    r = p.select(
+        "l_returnflag",
+        "price_micro",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.min("tw").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_micro"))
+        ).cast("bigint").alias("weighted_median_micro"),
+    )
+
+
+@query(
+    "q240_benford_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+    benford(digit, exp_ppm) AS (
+        VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+               (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+    )
+    SELECT b.digit,
+           COALESCE(o.n, 0) AS n,
+           CAST(COALESCE(o.n, 0) * 1000000 // tot.t AS BIGINT) AS obs_ppm,
+           CAST(b.exp_ppm AS BIGINT) AS benford_ppm,
+           CAST(abs(COALESCE(o.n, 0) * 1000000 // tot.t - b.exp_ppm)
+                AS BIGINT) AS dev_ppm
+    FROM benford b LEFT JOIN obs o USING (digit) CROSS JOIN tot
+    """,
+    doc="BENFORD FIRST-DIGIT AUDIT of order totals — the classic "
+    "fabricated-numbers screen (organic monetary amounts follow "
+    "P(d)=log10(1+1/d); invented ones cluster on 1–5 or go uniform): "
+    "observed leading-digit frequencies in exact floored ppm against "
+    "the pinned Benford constants (log10 values quantised once to "
+    "ppm — the only irrationals, frozen as literals on BOTH engines "
+    "so no transcendental evaluation happens anywhere), with "
+    "per-digit absolute deviation. One digit-extraction groupBy (9 "
+    "groups), a 1-row total, a 9-row broadcast constant table — "
+    "scale-free by construction. (Synthetic uniform prices WILL "
+    "deviate — the audit reporting that honestly is the point.)",
+    tags=("relational", "agg", "quality"),
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") >= 1.0).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).cast("bigint").alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    benford = orders.sparkSession.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        "digit bigint, benford_ppm bigint",
+    )
+    obs_ppm = F.floor(F.col("n") * 1000000 / F.col("t")).cast("bigint")
+    return (
+        benford.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(obs_ppm, F.lit(0)).cast("bigint").alias("obs_ppm"),
+            F.col("benford_ppm").cast("bigint").alias("benford_ppm"),
+            F.abs(
+                F.coalesce(obs_ppm, F.lit(0)) - F.col("benford_ppm")
+            ).cast("bigint").alias("dev_ppm"),
+        )
+    )
