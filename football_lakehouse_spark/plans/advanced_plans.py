@@ -1628,3 +1628,53 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sg") * F.col("sg"))
         ).cast("bigint").alias("cv2_ppm"),
     )
+
+
+@query(
+    "q242_top_user_paths",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path ASC
+    LIMIT 20
+    """,
+    doc="TOP 3-STEP USER PATHS — the clickstream trigram report (the "
+    "sequence-level extension of q213's one-step transition matrix: "
+    "'view>click>purchase vs view>view>view' is where UX funnels "
+    "actually live): per-user sliding window of three consecutive "
+    "events via two leads on ONE window spec (a single sort per "
+    "user partition — never a self-join on adjacency), then a "
+    "path-string count and TakeOrdered top-20. Path cardinality is "
+    "|types|³-bounded, so the aggregation output stays tiny at any "
+    "event volume.",
+    tags=("advanced", "window", "agg"),
+)
+def top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        s.groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(20)
+    )

@@ -5620,3 +5620,82 @@ def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chunk_len").cast("bigint").alias("n_tokens"),
         F.max("chunk_len").cast("bigint").alias("max_chunk_len"),
     )
+
+
+@query(
+    "q245_centroid_separation",
+    oracle="""
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (
+        SELECT label, r.pos,
+               CAST(sum(CAST(floor(e[r.pos] * 1000000.0 + 0.5) AS HUGEINT))
+                    AS HUGEINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v, UNNEST(range(1, len(e) + 1)) r(pos)
+        GROUP BY label, r.pos
+    ),
+    c AS (
+        SELECT label, pos,
+               CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS cq
+        FROM q
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) // 1000000 AS BIGINT)
+               AS dist2_micro
+    FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+    doc="INTER-LABEL CENTROID SEPARATION — the embedding-space "
+    "separability audit (before trusting labels for stratified "
+    "training, semantic dedup cells, or classifier heads, check the "
+    "classes are actually apart): per-label centroids in the "
+    "deterministic quantised-integer space (per-dimension sums of "
+    "floor(x·1e6) — exact and order-independent where float means "
+    "are not; the q101/q51 Lloyd convention), then all label-pair "
+    "squared distances. The centroid table is labels×dims rows — "
+    "broadcast-sized — so the pair join is label²-bounded however "
+    "many vectors feed it; ONE corpus-sized stage (the posexplode "
+    "partial-agg). Near-zero dist2 for a pair = those labels are "
+    "not separable in this embedding.",
+    tags=("llm", "similarity", "quality"),
+)
+def centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>"))
+            .alias("pos0", "x"),
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.sum(
+                F.floor(F.col("x") * 1000000.0 + 0.5).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    c = q.select(
+        "label",
+        "pos",
+        F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint")
+        .alias("cq"),
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), "pos", F.col("cq").alias("ca")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "pos", F.col("cq").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.floor(
+                F.sum(
+                    (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+                ) / 1000000
+            ).cast("bigint").alias("dist2_micro")
+        )
+    )

@@ -153,6 +153,10 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q239_weighted_median",
     "q240_benford_audit",
     "q241_interarrival_burstiness",
+    "q242_top_user_paths",
+    "q243_basket_size_value_curve",
+    "q244_discount_band_effectiveness",
+    "q245_centroid_separation",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -3120,3 +3120,104 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("dev_ppm"),
         )
     )
+
+
+@query(
+    "q243_basket_size_value_curve",
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000.0 + 0.5) AS HUGEINT))
+                    AS HUGEINT) AS rev
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_items,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(rev) // count(*) AS BIGINT) AS avg_order_micro,
+           CAST(sum(rev) // sum(n_items) AS BIGINT) AS avg_item_micro
+    FROM b GROUP BY n_items
+    """,
+    doc="BASKET-SIZE VALUE CURVE — how order value and per-item value "
+    "move with basket size (the merchandising curve behind bundle "
+    "and free-shipping thresholds; also the quantitative answer to "
+    "'do bigger baskets buy cheaper items?'): orders collapse to "
+    "(n_items, revenue) at the order grain, then one n_items-keyed "
+    "aggregation gives exact floored-micro averages per basket "
+    "size. Two partial-aggregated shuffles; output bounded by max "
+    "basket size (≤7 in TPC-H shape) at any volume.",
+    tags=("relational", "agg"),
+)
+def basket_size_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    b = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                * 1000000.0 + 0.5
+            ).cast(dec)
+        ).alias("rev"),
+    )
+    return b.groupBy("n_items").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.floor(F.sum("rev") / F.count(F.lit(1))).cast("bigint")
+        .alias("avg_order_micro"),
+        F.floor(F.sum("rev") / F.sum("n_items")).cast("bigint")
+        .alias("avg_item_micro"),
+    )
+
+
+@query(
+    "q244_discount_band_effectiveness",
+    oracle="""
+    SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS discount_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 1000000.0 + 0.5) AS HUGEINT))
+                // count(*) AS BIGINT) AS avg_net_micro,
+           CAST(sum(CAST(floor(l_extendedprice * l_discount
+                               * 1000000.0 + 0.5) AS HUGEINT))
+                AS BIGINT) AS discount_cost_micro
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="DISCOUNT-BAND EFFECTIVENESS — per discount percentage: line "
+    "volume, quantity moved, average net line value, and the exact "
+    "cost of the discount (the margin-giveaway number TPC-H Q19's "
+    "predicate hints at but never reports): one map-side band "
+    "expression + one partial-aggregated groupBy, output bounded by "
+    "the 11 discount levels. Every money figure is floored-micro "
+    "exact over 128-bit sums — a finance-auditable report, not a "
+    "float approximation.",
+    tags=("relational", "agg"),
+)
+def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    return li.groupBy(
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint")
+        .alias("discount_pct")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+        .alias("total_qty"),
+        F.floor(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 1000000.0 + 0.5
+                ).cast(dec)
+            )
+            / F.count(F.lit(1))
+        ).cast("bigint").alias("avg_net_micro"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * F.col("l_discount")
+                * 1000000.0 + 0.5
+            ).cast(dec)
+        ).cast("bigint").alias("discount_cost_micro"),
+    )
