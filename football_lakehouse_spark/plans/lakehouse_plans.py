@@ -1123,3 +1123,73 @@ def python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_rescue").isNotNull(), 1).otherwise(0))
         .cast("bigint").alias("n_rescued"),
     )
+
+
+@query(
+    "q247_anti_entropy_repair",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id, 'insert' AS action
+    FROM events WHERE event_id % 101 = 0
+    UNION ALL
+    SELECT CAST(event_id + 1000000000 AS BIGINT), 'delete'
+    FROM events WHERE event_id % 103 = 0
+    UNION ALL
+    SELECT CAST(event_id AS BIGINT), 'update'
+    FROM events WHERE user_id % 97 = 0 AND event_id % 101 <> 0
+    """,
+    doc="ANTI-ENTROPY REPAIR SET — the actionable follow-up to q186's "
+    "Merkle divergence report: given a primary and a diverged "
+    "replica (deterministically mutated here: values bumped for "
+    "user_id%97 rows, event_id%101 rows dropped, event_id%103 rows "
+    "ghost-inserted under shifted ids), a full-outer key join with "
+    "row-payload sha2 comparison emits exactly the (key, action) "
+    "set — insert / delete / update — that makes the replica equal "
+    "the primary. The oracle derives the SAME set from the mutation "
+    "rules independently, so the join+hash machinery is what's "
+    "being verified. At scale this runs per divergent Merkle "
+    "bucket (q186 narrows, this repairs) — never a full-table diff "
+    "when checksums already localise the damage.",
+    tags=("lakehouse", "quality"),
+)
+def anti_entropy_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("event_id", "user_id", "event_type", "value")
+    # the diverged replica, built deterministically from the primary
+    b = (
+        a.where(F.col("event_id") % 101 != 0)
+        .withColumn(
+            "value",
+            F.when(F.col("user_id") % 97 == 0, F.col("value") + 1.0)
+            .otherwise(F.col("value")),
+        )
+        .unionByName(
+            a.where(F.col("event_id") % 103 == 0).withColumn(
+                "event_id", F.col("event_id") + 1000000000
+            )
+        )
+    )
+
+    def payload(df):
+        return F.sha2(
+            F.concat_ws(
+                "§",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.format_number(F.col("value"), 6),
+            ),
+            256,
+        )
+
+    pa = a.select("event_id", payload(a).alias("ha"))
+    pb = b.select("event_id", payload(b).alias("hb"))
+    j = pa.join(pb, "event_id", "full_outer")
+    action = (
+        F.when(F.col("hb").isNull(), "insert")
+        .when(F.col("ha").isNull(), "delete")
+        .when(F.col("ha") != F.col("hb"), "update")
+    )
+    return (
+        j.withColumn("action", action)
+        .where(F.col("action").isNotNull())
+        .select(F.col("event_id").cast("bigint").alias("event_id"), "action")
+    )

@@ -157,6 +157,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q243_basket_size_value_curve",
     "q244_discount_band_effectiveness",
     "q245_centroid_separation",
+    "q246_rate_limited_drain",
+    "q247_anti_entropy_repair",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

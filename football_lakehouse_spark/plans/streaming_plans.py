@@ -581,3 +581,61 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     land_json_files(ev, landing)
     run_windowed_counts_available_now(spark, landing, ckpt, out, flush_all=True)
     return read_windowed_counts(spark, out)
+
+
+@query(
+    "q246_rate_limited_drain",
+    oracle="""
+    SELECT CAST(ceil(count(DISTINCT date_trunc('day', ts)) / 3.0) AS BIGINT)
+               AS n_batches,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+    doc="RATE-LIMITED BACKFILL drain (ST1's ops knob: "
+    "maxFilesPerTrigger=3 under Trigger.availableNow splits a large "
+    "landing backlog into bounded micro-batches instead of one "
+    "monster batch — THE control that keeps a month-long backfill "
+    "from OOMing executors or blowing state-store memory): events "
+    "land one file per day, the drain runs with the cap, and the "
+    "report proves both the batch arithmetic (n_batches = "
+    "⌈days/3⌉ — the cap was honoured) and losslessness (row count "
+    "equals the source). Batch count comes from the checkpoint's "
+    "committed-offset log, not a counter in user code — the same "
+    "place an SRE would look.",
+    tags=("streaming",),
+)
+def rate_limited_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from football_lakehouse_spark.streaming.ingest import read_landing_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("q246_rate_limited_drain")
+    landing = os.path.join(root, "landing")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (landing, out, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    land_json_files(ev, landing, files_per_day=1)
+    stream = read_landing_stream(
+        spark, landing, max_files_per_trigger=3
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # committed batches per the checkpoint's offset log — ground truth
+    commits = [
+        f
+        for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    ]
+    n_rows = spark.read.parquet(out).count()
+    return spark.createDataFrame(
+        [(len(commits), n_rows)], "n_batches bigint, n_rows bigint"
+    )
