@@ -1193,3 +1193,137 @@ def anti_entropy_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("action").isNotNull())
         .select(F.col("event_id").cast("bigint").alias("event_id"), "action")
     )
+
+
+@query(
+    "q248_subject_erasure",
+    oracle="""
+    WITH victims AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+    )
+    SELECT 'events_copy' AS table_name,
+           CAST((SELECT count(*) FROM events
+                 WHERE user_id % 37 = 0) AS BIGINT) AS n_erased,
+           CAST((SELECT count(*) FROM events
+                 WHERE user_id % 37 <> 0) AS BIGINT) AS n_remaining,
+           CAST(0 AS BIGINT) AS n_still_present,
+           CAST((SELECT count(*) FROM victims) AS BIGINT) AS n_subjects
+    """,
+    doc="SUBJECT ERASURE (GDPR right-to-be-forgotten, executed and "
+    "CERTIFIED): the subject set (every user_id ≡ 0 mod 37) is "
+    "deleted from a lakehouse copy of events via the predicate "
+    "DELETE path, and the emitted certificate carries what an "
+    "auditor needs — rows erased, rows remaining, a re-scan proving "
+    "ZERO subject rows still present post-delete, and the subject "
+    "count. The DELETE is copy-on-write (q72/q141's path), so the "
+    "pre-erasure version remains time-travel-readable until VACUUM "
+    "passes the retention window — the certificate is about the "
+    "CURRENT version, and the RUNBOOK's vacuum step is what makes "
+    "erasure physical; that two-step is exactly how Delta documents "
+    "GDPR workflows. At scale the delete touches only files whose "
+    "min/max stats admit subject rows (data skipping), not the "
+    "whole table.",
+    tags=("lakehouse", "quality"),
+)
+def subject_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("q248_subject_erasure")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    table = LakehouseTable(spark, root, "gdpr", "events_copy")
+    table.append(ev)
+    victims = F.col("user_id") % 37 == 0
+    n_victim_rows = table.read().where(victims).count()
+    version = table.delete(victims)  # returns the commit version
+    assert version != -1, "erasure matched no rows"
+    post = table.read()
+    cert = post.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_remaining"),
+        F.sum(F.when(victims, 1).otherwise(0)).cast("bigint")
+        .alias("n_still_present"),
+    )
+    subjects = ev.where(victims).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_subjects")
+    )
+    return (
+        cert.crossJoin(F.broadcast(subjects))
+        .select(
+            F.lit("events_copy").alias("table_name"),
+            F.lit(int(n_victim_rows)).cast("bigint").alias("n_erased"),
+            "n_remaining",
+            F.coalesce(F.col("n_still_present"), F.lit(0)).cast("bigint")
+            .alias("n_still_present"),
+            "n_subjects",
+        )
+    )
+
+
+@query(
+    "q249_consistent_snapshot_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 1000000.0 + 0.5) AS HUGEINT))
+                AS BIGINT) AS rev_micro
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="SNAPSHOT-CONSISTENT MULTI-TABLE JOIN — the cross-table read "
+    "problem single-table time travel doesn't solve: orders and "
+    "lineitem copies are each committed at v1, then BOTH receive a "
+    "later divergent append (phantom orders under priority "
+    "'9-PHANTOM' with shifted keys + their lines), and the report "
+    "joins the two tables PINNED AT v1. Correctness is visible in "
+    "the output itself: the phantom priority group appears iff "
+    "either side leaks the newer version — the oracle (the join on "
+    "the untouched fixtures ≡ the v1 state) has no such group. This "
+    "is the lakehouse idiom for cross-table consistency: pin "
+    "explicit versions captured together (a poor man's transaction "
+    "snapshot), exactly what Delta multi-table reads require you to "
+    "do by hand.",
+    tags=("lakehouse", "join"),
+)
+def consistent_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    root = scratch_dir("q249_snapshot_join")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    t_o = LakehouseTable(spark, root, "snap", "orders_copy")
+    t_l = LakehouseTable(spark, root, "snap", "lineitem_copy")
+    v_o = t_o.append(orders)
+    v_l = t_l.append(li)
+    # later divergent appends on BOTH tables — the trap the pin avoids
+    phantom = F.col("o_orderkey") % 7 == 0
+    t_o.append(
+        orders.where(phantom)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1000000000)
+        .withColumn("o_orderpriority", F.lit("9-PHANTOM"))
+    )
+    t_l.append(
+        li.where(F.col("l_orderkey") % 7 == 0).withColumn(
+            "l_orderkey", F.col("l_orderkey") + 1000000000
+        )
+    )
+    o1 = t_o.read(version=v_o)
+    l1 = t_l.read(version=v_l)
+    return (
+        o1.join(l1, o1.o_orderkey == l1.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 1000000.0 + 0.5
+                ).cast("decimal(38,0)")
+            ).cast("bigint").alias("rev_micro"),
+        )
+    )

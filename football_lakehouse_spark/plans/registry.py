@@ -159,6 +159,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q245_centroid_separation",
     "q246_rate_limited_drain",
     "q247_anti_entropy_repair",
+    "q248_subject_erasure",
+    "q249_consistent_snapshot_join",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
