@@ -285,12 +285,20 @@ def kmeans_cells(
         corpus, id_out, id_col, vec_col, normalize=normalize
     ).persist()
 
-    # init: the n_cells lowest-id vectors, cell = 0..n_cells-1 in id order
-    w_init = Window.orderBy(F.col(id_out).asc())
-    init = (
-        corpus.select(F.col(id_col).alias(id_out)).orderBy(id_out).limit(n_cells)
-        .select(id_out, (F.row_number().over(w_init) - 1).cast("int").alias("cell"))
-    )
+    # init: the n_cells lowest-id vectors, cell = 0..n_cells-1 in id order.
+    # The id list is a control-plane scalar (n_cells rows, e.g. 16–64) —
+    # enumerate it on the driver instead of a global row_number window so
+    # no WindowExec-without-partition ever appears in a Lloyd plan (the
+    # window was bounded and harmless, but the single-partition warning
+    # is indistinguishable in logs from a real scale cliff).
+    seed_ids = [
+        r[0]
+        for r in corpus.select(F.col(id_col).alias(id_out))
+        .orderBy(id_out).limit(n_cells).collect()
+    ]
+    init = corpus.sparkSession.createDataFrame(
+        [(i, c) for c, i in enumerate(seed_ids)], [id_out, "cell"]
+    ).select(id_out, F.col("cell").cast("int"))
     cent = (
         qx.join(F.broadcast(init), id_out)
         .select("cell", "pos", F.col("qx").alias("cq"))
