@@ -1327,3 +1327,148 @@ def consistent_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("rev_micro"),
         )
     )
+
+
+@query(
+    "q250_incremental_view_maintenance",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}), upd AS ({_UPD_SQL}),
+    v1 AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.event_id = b.event_id)
+    ),
+    v2 AS (
+        SELECT * FROM v1 WHERE NOT (event_type = 'updated' AND value < 50)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS BIGINT)
+               AS value_micros
+    FROM v2 GROUP BY 1
+    """,
+    doc="INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (Delta Live Tables / "
+    "materialized-view refresh analogue; the algebraic-merge cousin of "
+    "q55's rollup cascade): a grouped count/sum view is materialised at "
+    "table version 0, then brought to version 2 WITHOUT re-reading the "
+    "table — only the q98 change feed is consumed. Each CDC row carries "
+    "a sign (+1 insert/update_postimage, -1 delete/update_preimage); "
+    "the signed per-group partial composes across commits (v0→v1 and "
+    "v1→v2 feeds concatenate) and merges into the stored view with one "
+    "group-cardinality full-outer join; groups whose count nets to zero "
+    "are dropped. Group-migrating updates are exact: the pre-image "
+    "subtracts from the old group and the post-image adds to the new. "
+    "The ORACLE recomputes the view from the final state from scratch — "
+    "the cross-engine match IS the maintenance-identity proof. Scale: "
+    "the merge into the stored view is group-cardinality-sized and the "
+    "signed partial is O(feed rows); with a writer-logged CDF that makes "
+    "refresh O(changed rows) end-to-end (this engine derives the feed by "
+    "version diff — q98 — so the derivation itself still scans the two "
+    "versions; the maintenance algebra is what this query certifies). "
+    "Sums are exact integer micros so increment order cannot drift the "
+    "result (floats would).",
+    tags=("lakehouse", "cdc"),
+)
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.lakehouse.cdc import change_feed
+
+    base, upd = _base_updates(spark, sf_dir)
+    root = scratch_dir("q250_incremental_view_maintenance")
+    t = LakehouseTable(spark, root, "silver", "event_ivm")
+    t.append(base)
+    t.merge(upd, ["event_id"])
+    t.delete((F.col("event_type") == "updated") & (F.col("value") < 50))
+    v0 = t.read(version=0)
+
+    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    mv0 = v0.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(micros).alias("value_micros"),
+    )
+
+    feed = change_feed(v0, t.read(version=1), ["event_id"]).unionByName(
+        change_feed(t.read(version=1), t.read(version=2), ["event_id"])
+    )
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = feed.groupBy("event_type").agg(
+        F.sum(sign).cast("bigint").alias("dn"),
+        F.sum(sign.cast("decimal(38,0)") * micros).alias("dv"),
+    )
+
+    merged = mv0.join(delta, "event_type", "full_outer").select(
+        "event_type",
+        (
+            F.coalesce(F.col("n"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).cast("bigint").alias("n"),
+        (
+            F.coalesce(F.col("value_micros"), F.lit(0).cast("decimal(38,0)"))
+            + F.coalesce(F.col("dv"), F.lit(0).cast("decimal(38,0)"))
+        ).cast("bigint").alias("value_micros"),
+    )
+    return merged.where(F.col("n") > 0)
+
+
+@query(
+    "q252_compaction_plan",
+    oracle="""
+    WITH f AS (
+        SELECT source, doc_id, CAST(strlen(text) AS BIGINT) AS bytes
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, bytes,
+               COALESCE(sum(bytes) OVER (
+                   PARTITION BY source
+                   ORDER BY bytes DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 32768 AS bin_id
+        FROM f
+    )
+    SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes
+    FROM placed GROUP BY 1, 2
+    """,
+    doc="COMPACTION PLANNER as a declarative query (the planning step "
+    "of lakehouse/tables.py compact_to_size, emitted as data instead "
+    "of executed — the same 'planning as data' stance as q227's "
+    "pre-flight skew audit): small objects are binned toward a target "
+    "output size by CUMULATIVE FILL — within each table partition "
+    "(source), order size-descending (first-fit-decreasing's sort) "
+    "with id tie-break, and assign bin = cumulative-bytes-before // "
+    "target. Fully deterministic, one partitioned window — no global "
+    "sort, no sequential packing loop; each partition's plan is "
+    "independent so a 1000-executor run plans every partition "
+    "concurrently. Output is file-manifest-sized, aggregated to "
+    "bin-sized before leaving the cluster. Bins overshoot the target "
+    "by at most one object (next-fit guarantee) — the standard "
+    "OPTIMIZE trade against re-shuffling for perfect packing.",
+    tags=("lakehouse", "maintenance"),
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    f = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.octet_length("text").cast("bigint").alias("bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("bytes").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = f.select(
+        "source",
+        "bytes",
+        F.floor(F.coalesce(F.sum("bytes").over(w), F.lit(0)) / 32768)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return placed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+    )

@@ -5699,3 +5699,150 @@ def centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("dist2_micro")
         )
     )
+
+
+_PCA_D = 16
+_PCA_ITERS = 12
+_PCA_SCALE = 1000000
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled power-iteration twin of q251 (same pattern as the
+    Lloyd-unrolling _sql_kmeans_ctes): v0 = all-ones, each round is one
+    matrix-vector product over the exact integer matrix
+    c = n*sxy - sx*sy followed by renormalisation to +/-1e6 via
+    truncating division (DuckDB ``//`` truncates toward zero for
+    HUGEINT; the Spark driver loop emulates with sign-magnitude //)."""
+    ctes = [
+        f"""qx AS (
+        SELECT vec_id, i AS pos,
+               CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {_PCA_SCALE})
+                   AS BIGINT) AS q
+        FROM embeddings, range(64) r(i)
+        WHERE i < {_PCA_D}
+    )""",
+        """g AS MATERIALIZED (
+        SELECT a.pos AS pi, b.pos AS pj,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(a.q AS HUGEINT) * b.q) AS sxy,
+               CAST(sum(a.q) AS HUGEINT) AS sx,
+               CAST(sum(b.q) AS HUGEINT) AS sy
+        FROM qx a JOIN qx b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY 1, 2
+    )""",
+        """c AS MATERIALIZED (
+        SELECT pi, pj, n * sxy - sx * sy AS c FROM g
+        UNION ALL
+        SELECT pj, pi, n * sxy - sx * sy FROM g WHERE pi < pj
+    )""",
+        f"""v0 AS (
+        SELECT i AS pos, CAST({_PCA_SCALE} AS HUGEINT) AS v
+        FROM range({_PCA_D}) r(i)
+    )""",
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT c.pi AS pos, sum(c.c * v.v) AS w
+        FROM c JOIN v{k - 1} v ON v.pos = c.pj
+        GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+        SELECT pos, (w * {_PCA_SCALE})
+                    // greatest((SELECT max(abs(w)) FROM w{k}), 1) AS v
+        FROM w{k}
+    )"""
+        )
+    last = f"v{_PCA_ITERS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    anchor AS (
+        SELECT v FROM {last} ORDER BY abs(v) DESC, pos ASC LIMIT 1
+    )
+    SELECT f.pos,
+           CAST(CASE WHEN a.v < 0 THEN -f.v ELSE f.v END AS BIGINT)
+               AS loading_ppm
+    FROM {last} f, anchor a
+    """
+    )
+
+
+@query(
+    "q251_pca_power_iteration",
+    oracle=_pca_oracle_sql(),
+    doc="DISTRIBUTED PCA, top principal direction (Spark MLlib "
+    "RowMatrix.computePrincipalComponents strategy, exactly: the GRAM "
+    "pass is distributed, the d-by-d eigensolve is driver-local — the "
+    "d*d matrix is a control-plane scalar at any corpus scale): the "
+    "q151 sufficient-statistics pass yields the exact integer "
+    "covariance surrogate c = n*sumxy - sumx*sumy (scaled covariance, "
+    "eigenvectors identical), then 12 rounds of quantised power "
+    "iteration run on the driver in arbitrary-precision integers — "
+    "matrix-vector product, renormalise to +/-1e6 by TRUNCATING "
+    "division (DuckDB // semantics; Python emulates sign-magnitude), "
+    "sign-anchored on the largest-magnitude component so the "
+    "eigenvector sign ambiguity cannot flip the output. Every arithmetic "
+    "step is integer-exact in both engines, so the oracle (the same 12 "
+    "rounds unrolled as CTEs) matches bit-for-bit — no float "
+    "eigensolver drift across platforms. Scale: one corpus-wide "
+    "shuffle (the gram pass, rows shipped = corpus*d); the iteration "
+    "touches d*d = 256 cells. Magnitudes: |w*SCALE| <= d*n^2*1e24 "
+    "stays inside 128-bit through sf1; past that, pre-divide c by n "
+    "(rank-preserving) before iterating.",
+    tags=("llm", "similarity", "ml"),
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qx = emb.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding"), 1, _PCA_D)).alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * _PCA_SCALE).cast("bigint").alias("q"),
+    )
+    a, b = qx.alias("a"), qx.alias("b")
+    dec = "decimal(38,0)"
+    g = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.pos") <= F.col("b.pos")),
+        )
+        .groupBy(F.col("a.pos").alias("pi"), F.col("b.pos").alias("pj"))
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("a.q").cast(dec) * F.col("b.q").cast(dec)).alias("sxy"),
+            F.sum("a.q").cast(dec).alias("sx"),
+            F.sum("b.q").cast(dec).alias("sy"),
+        )
+        .collect()
+    )
+    # driver-local eigensolve over the collected d*d control-plane matrix
+    c: dict[tuple[int, int], int] = {}
+    for r in g:
+        cell = int(r["n"]) * int(r["sxy"]) - int(r["sx"]) * int(r["sy"])
+        c[(r["pi"], r["pj"])] = cell
+        if r["pi"] < r["pj"]:
+            c[(r["pj"], r["pi"])] = cell
+    v = [_PCA_SCALE] * _PCA_D
+    for _ in range(_PCA_ITERS):
+        w = [
+            sum(c.get((i, j), 0) * v[j] for j in range(_PCA_D))
+            for i in range(_PCA_D)
+        ]
+        m = max(max(abs(x) for x in w), 1)
+        # truncating division (toward zero) to mirror DuckDB's // exactly
+        v = [
+            (abs(x) * _PCA_SCALE // m) * (1 if x >= 0 else -1) for x in w
+        ]
+    anchor = min(range(_PCA_D), key=lambda i: (-abs(v[i]), i))
+    if v[anchor] < 0:
+        v = [-x for x in v]
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(_PCA_D)], ["pos", "loading_ppm"]
+    ).select(F.col("pos").cast("int"), F.col("loading_ppm").cast("bigint"))

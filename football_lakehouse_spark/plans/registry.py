@@ -161,6 +161,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q247_anti_entropy_repair",
     "q248_subject_erasure",
     "q249_consistent_snapshot_join",
+    "q250_incremental_view_maintenance",
+    "q251_pca_power_iteration",
+    "q252_compaction_plan",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
