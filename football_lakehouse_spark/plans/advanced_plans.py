@@ -1678,3 +1678,203 @@ def top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@query(
+    "q253_k_anonymity",
+    oracle="""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 100) AS BIGINT) AS band,
+               count(*) AS n, count(DISTINCT c_name) AS l
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(l) AS BIGINT) AS min_l
+    FROM cls WHERE n < 5 GROUP BY 1
+    """,
+    doc="K-ANONYMITY RISK REPORT (governance, the re-identification "
+    "complement of q248's GDPR erasure): rows are grouped into "
+    "equivalence classes over the quasi-identifiers (nation, market "
+    "segment, account-balance band); any class smaller than k=5 is a "
+    "linkage-attack risk. The report is the scale-correct shape — a "
+    "k-BOUNDED histogram (class_size 1..4 -> class count, exposed "
+    "rows, and worst-case l-diversity of the sensitive column within "
+    "that size) rather than an unbounded list of risky classes: at "
+    "100 TB the histogram is 4 rows while the class list is "
+    "data-sized; the l column doubles as the l-diversity gate "
+    "(min_l = 1 means some class is fully homogeneous in the "
+    "sensitive attribute - suppression or generalisation required "
+    "before publication). One groupBy shuffle on the QI key plus one "
+    "on the 4-value size key; count(DISTINCT) partial-aggregates "
+    "map-side.",
+    tags=("governance", "quality"),
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_name").alias("l"),
+    )
+    return (
+        cls.where(F.col("n") < 5)
+        .groupBy(F.col("n").cast("bigint").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.min("l").cast("bigint").alias("min_l"),
+        )
+    )
+
+
+@query(
+    "q254_bloom_pruned_join",
+    oracle="""
+    WITH bld AS (
+        SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+    ),
+    pos AS (
+        SELECT CAST(('0x' || substr(sha256(CAST(r.r AS VARCHAR) || '§'
+                   || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16380
+               AS p
+        FROM bld, (SELECT unnest([0, 1, 2]) AS r) r
+    ),
+    bloom AS MATERIALIZED (
+        SELECT p // 63 AS widx,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+        FROM pos GROUP BY 1
+    ),
+    pk AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    pp AS (
+        SELECT l_orderkey,
+               CAST(('0x' || substr(sha256(CAST(r.r AS VARCHAR) || '§'
+                   || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16380
+               AS p
+        FROM pk, (SELECT unnest([0, 1, 2]) AS r) r
+    ),
+    kept AS MATERIALIZED (
+        SELECT pp.l_orderkey
+        FROM pp JOIN bloom b
+          ON b.widx = pp.p // 63
+         AND ((b.word >> CAST(pp.p % 63 AS INT)) & 1) = 1
+        GROUP BY 1 HAVING count(*) = 3
+    ),
+    keptrows AS MATERIALIZED (
+        SELECT l.* FROM lineitem l JOIN kept k ON l.l_orderkey = k.l_orderkey
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS probe_total FROM lineitem),
+    kc AS (SELECT CAST(count(*) AS BIGINT) AS probe_kept FROM keptrows)
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+               * 1000000.0 + 0.5) AS HUGEINT)) AS BIGINT) AS rev_micro,
+           kc.probe_kept, tot.probe_total
+    FROM keptrows l
+    JOIN (SELECT o_orderkey, o_orderstatus FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000) o
+      ON l.l_orderkey = o.o_orderkey, tot, kc
+    GROUP BY 1, 4, 5
+    """,
+    doc="BLOOM-PRUNED JOIN (semi-join reduction — the 100 TB technique "
+    "Spark's own runtime row-group filters apply implicitly, here as an "
+    "explicit operator consuming a q197-style exportable filter): the "
+    "build side (filtered urgent high-value orders) is folded into a "
+    "k=3, m=16380-bit bloom whose 260 63-bit words are a control-plane "
+    "scalar — collected once, constant-folded into the probe plan as a "
+    "literal array. The probe (lineitem) tests all three sha-derived "
+    "bits MAP-SIDE BEFORE any exchange, so rows shipped to the join "
+    "shuffle drop by the build selectivity (here ~86% of probe rows pruned); the "
+    "exact equi-join afterwards eliminates the bloom's false positives, "
+    "so the aggregate is exact while probe_kept/probe_total audit the "
+    "pruning ratio. Both engines build bit-identical blooms (sha-based "
+    "portable hash), so even the fp-dependent audit columns match "
+    "exactly. At scale this is the shuffle-survival move when BOTH join "
+    "sides are too big to broadcast but the build side is selective: "
+    "ship 260 words, not the key set.",
+    tags=("join", "approx", "perf"),
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bld = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 200000)
+    ).select("o_orderkey", "o_orderstatus")
+
+    seeds = F.broadcast(
+        spark.createDataFrame([(0,), (1,), (2,)], "r int")
+    )
+    pos = (
+        bld.select("o_orderkey").distinct()
+        .crossJoin(seeds)
+        .select(
+            (
+                portable_hash(
+                    F.concat(F.col("r").cast("string"), F.lit("§"),
+                             F.col("o_orderkey").cast("string"))
+                ) % 16380
+            ).alias("p")
+        )
+    )
+    word_rows = (
+        pos.groupBy(F.floor(F.col("p") / 63).cast("int").alias("widx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))")
+            ).alias("word")
+        )
+        .collect()
+    )
+    words = [0] * 260
+    for r in word_rows:
+        words[r["widx"]] = r["word"]
+    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in words])
+
+    probe = li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    ).withColumn("bw", arr)
+    cond = None
+    for r in range(3):
+        p = (
+            portable_hash(
+                F.concat(F.lit(str(r)), F.lit("§"),
+                         F.col("l_orderkey").cast("string"))
+            ) % 16380
+        )
+        test = F.expr(
+            f"((element_at(bw, cast(pp{r}/63 as int) + 1)"
+            f" >> cast(pp{r} % 63 as int)) & 1) = 1"
+        )
+        probe = probe.withColumn(f"pp{r}", p)
+        cond = test if cond is None else (cond & test)
+    kept = probe.where(cond).persist()
+
+    totals = F.broadcast(
+        li.agg(F.count(F.lit(1)).cast("bigint").alias("probe_total"))
+    )
+    kept_n = F.broadcast(
+        kept.agg(F.count(F.lit(1)).cast("bigint").alias("probe_kept"))
+    )
+    rev = F.sum(
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            * 1000000.0 + 0.5
+        ).cast("decimal(38,0)")
+    ).cast("bigint")
+    return (
+        kept.join(bld, kept.l_orderkey == bld.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+             rev.alias("rev_micro"))
+        .crossJoin(kept_n)
+        .crossJoin(totals)
+    )

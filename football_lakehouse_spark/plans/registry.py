@@ -164,6 +164,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q250_incremental_view_maintenance",
     "q251_pca_power_iteration",
     "q252_compaction_plan",
+    "q253_k_anonymity",
+    "q254_bloom_pruned_join",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
