@@ -501,3 +501,37 @@ def test_q226_edges_broadcast_clamp_mapside(spark):
     plan = plan_of(spark, "q226_winsorized_stats")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q252_window_is_partitioned(spark):
+    """q252: the cumulative-fill planner's only window is partitioned
+    by source — no single-partition global sort anywhere in the plan."""
+    plan = plan_of(spark, "q252_compaction_plan")
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*()0123456789")
+        if stripped.startswith("Window "):
+            assert stripped.count("], [") >= 2, line
+
+
+def test_q253_no_risky_class_materialisation(spark):
+    """q253: the k-anonymity report aggregates classes straight into
+    the k-bounded histogram — no join back to customer rows, no window
+    (the risky-class list is never materialised as a data-sized
+    output)."""
+    plan = plan_of(spark, "q253_k_anonymity")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_q254_bloom_filters_before_exchange(spark):
+    """q254: the bloom probe must prune lineitem MAP-SIDE — the bit
+    tests (element_at over the constant word array + sha2 positions)
+    appear in a Filter whose child is the lineitem scan, BEFORE any
+    exchange; and the false-positive cleanup join on the filtered side
+    never degrades to a sort-merge join of the unfiltered fact."""
+    plan = plan_of(spark, "q254_bloom_pruned_join")
+    filter_lines = [
+        ln for ln in plan.splitlines() if "Filter" in ln and "sha2" in ln
+    ]
+    assert filter_lines, "bloom bit-test filter missing from the plan"
+    assert "SortMergeJoin" not in plan
