@@ -949,3 +949,36 @@ def test_bucketed_prefix_equals_global_window(spark):
         for k, n in naive.items():
             assert got[k].cum == n.cum, (descending, width, k)
             assert got[k].i == n.i, (descending, width, k)
+
+
+def test_pca_direction_is_dominant_eigenvector(spark):
+    """q251's output must be a genuine approximate top eigenvector of
+    the covariance surrogate — not merely cross-engine-consistent: the
+    Rayleigh quotient of the returned direction must reach >=99% of the
+    exact dominant eigenvalue (numpy eigensolver as the independent
+    reference). Guards against the failure mode where both engines
+    agree on deterministic garbage."""
+    import numpy as np
+
+    from football_lakehouse_spark.plans.registry import REGISTRY
+
+    rows = (
+        REGISTRY["q251_pca_power_iteration"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    )
+    v = np.array(
+        [r["loading_ppm"] for r in sorted(rows, key=lambda r: r["pos"])],
+        dtype=float,
+    )
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    x = np.array(
+        [r[0][:16] for r in emb.select("embedding").collect()], dtype=float
+    )
+    q = np.floor(x * 1e6)
+    n = q.shape[0]
+    c = n * (q.T @ q) - np.outer(q.sum(axis=0), q.sum(axis=0))
+    eigvals = np.linalg.eigvalsh(c)
+    top = eigvals[-1]
+    rayleigh = (v @ c @ v) / (v @ v)
+    assert rayleigh >= 0.99 * top, (rayleigh, top)
