@@ -5846,3 +5846,85 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, v[i]) for i in range(_PCA_D)], ["pos", "loading_ppm"]
     ).select(F.col("pos").cast("int"), F.col("loading_ppm").cast("bigint"))
+
+
+@query(
+    "q255_bfs_distance",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    p AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS MATERIALIZED (
+        SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+    ),
+    s AS (SELECT min(a) AS src FROM e),
+    reach(node, d) AS (
+        SELECT src, 0 FROM s
+        UNION
+        SELECT e.b, r.d + 1 FROM reach r JOIN e ON e.a = r.node
+        WHERE r.d < 6
+    )
+    SELECT node AS part, CAST(min(d) AS BIGINT) AS distance
+    FROM reach GROUP BY 1
+    """,
+    doc="DISTRIBUTED BFS / unit-weight shortest-path distances (the "
+    "graph-distance primitive completing the in-engine graph family: "
+    "q57 gives component MEMBERSHIP, q124 gives stationary RANK, this "
+    "gives DISTANCE): 6 rounds of FRONTIER expansion from the lowest "
+    "part key over the co-purchase graph (q170's edge set, support "
+    ">= 2). Each round joins only the JUST-SETTLED frontier (d = k-1) "
+    "against the edge list — the Pregel/GraphX message pattern: every "
+    "edge is traversed at most once per endpoint settlement, never "
+    "|V|x|E| re-expansion — then folds discoveries in with min(d) and "
+    "truncates lineage with a per-round localCheckpoint (the q57/q101 "
+    "iterative-round discipline). The oracle is the same search as a "
+    "recursive CTE whose UNION dedup bounds the state space to "
+    "|V|x7 (node, depth) pairs. Hop-capped at 6 by design: an ops "
+    "query wants the k-hop neighbourhood, and the cap makes cost "
+    "O(rounds x frontier-edges) regardless of graph diameter.",
+    tags=("llm", "graph"),
+)
+def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).persist()
+    src = edges.agg(F.min("pa")).collect()[0][0]  # control-plane scalar
+    dist = spark.createDataFrame([(int(src), 0)], ["node", "d"]).localCheckpoint(
+        eager=True
+    )
+    for k in range(1, 7):
+        frontier = dist.where(F.col("d") == k - 1)
+        nxt = frontier.join(edges, frontier.node == edges.pa).select(
+            F.col("pb").alias("node"), F.lit(k).alias("d")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("node").alias("part"), F.col("d").cast("bigint").alias("distance")
+    )

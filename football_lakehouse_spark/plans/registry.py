@@ -166,6 +166,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q252_compaction_plan",
     "q253_k_anonymity",
     "q254_bloom_pruned_join",
+    "q255_bfs_distance",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
