@@ -1878,3 +1878,99 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(kept_n)
         .crossJoin(totals)
     )
+
+
+@query(
+    "q256_chi_square_ab",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(p) AS HUGEINT) AS tp,
+               CAST(count(*) AS HUGEINT) AS nu
+        FROM u
+    ),
+    flagged AS (
+        SELECT variant,
+               CASE WHEN CAST(p AS HUGEINT) * tot.nu > tot.tp
+                    THEN 1 ELSE 0 END AS conv
+        FROM u, tot
+    ),
+    cells AS (
+        SELECT
+            CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+            CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+            CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+            CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS d
+        FROM flagged
+    )
+    SELECT CAST(a + b AS BIGINT) AS n_ctrl, CAST(c + d AS BIGINT) AS n_treat,
+           CAST(a AS BIGINT) AS conv_ctrl, CAST(c AS BIGINT) AS conv_treat,
+           CAST(((a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000000)
+                // greatest((a + b) * (c + d) * (a + c) * (b + d), 1)
+               AS BIGINT) AS chisq_ppm,
+           (((a + b + c + d) * (a * d - b * c) * (a * d - b * c) * 1000000)
+                // greatest((a + b) * (c + d) * (a + c) * (b + d), 1)
+               >= 3841459) AS significant
+    FROM cells
+    """,
+    doc="EXPERIMENT READOUT: Pearson chi-square test of independence "
+    "for a 2x2 conversion table — the A/B-test significance gate as an "
+    "in-engine query. Variant = deterministic user-id parity; "
+    "conversion = purchase count above the population mean, tested "
+    "DIVISION-FREE (p * n_users > total_purchases) so the split is "
+    "scale-free and integer-exact at every SF. The statistic is the "
+    "closed 2x2 form N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) floored to "
+    "ppm and compared against the pinned 95% critical value 3.841459 "
+    "ppm-scaled (the q240 pinned-constant discipline); degenerate "
+    "marginals are guarded (numerator is provably 0 there, so "
+    "greatest(den,1) yields chisq=0 in both engines rather than a "
+    "divide-by-zero). The heavy work — the user-grain conversion "
+    "aggregate — partial-aggregates map-side and collapses to FOUR "
+    "cells; the final 128-bit exact division runs on the driver over "
+    "that collected 4-cell control-plane row (Python arbitrary "
+    "precision mirrors DuckDB's truncating HUGEINT //), because a "
+    "1e31-magnitude quotient is beyond exact decimal(38) division "
+    "semantics in-plan. Output is ONE row at any corpus size.",
+    tags=("ml", "eval"),
+)
+def chi_square_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("p")
+    ).withColumn("variant", F.col("user_id") % 2)
+    dec = "decimal(38,0)"
+    tot = u.agg(
+        F.sum("p").cast(dec).alias("tp"),
+        F.count(F.lit(1)).cast(dec).alias("nu"),
+    )
+    flagged = u.crossJoin(F.broadcast(tot)).select(
+        "variant",
+        F.when(
+            F.col("p").cast(dec) * F.col("nu") > F.col("tp"), 1
+        ).otherwise(0).alias("conv"),
+    )
+
+    def cell(v: int, c: int):
+        return F.sum(
+            F.when((F.col("variant") == v) & (F.col("conv") == c), 1).otherwise(0)
+        ).cast("bigint")
+
+    row = flagged.agg(
+        cell(0, 1).alias("a"), cell(0, 0).alias("b"),
+        cell(1, 1).alias("c"), cell(1, 0).alias("d"),
+    ).collect()[0]
+    a, b, c, d = (int(row[k]) for k in ("a", "b", "c", "d"))
+    num = (a + b + c + d) * (a * d - b * c) ** 2 * 1000000
+    den = max((a + b) * (c + d) * (a + c) * (b + d), 1)
+    chisq = num // den  # non-negative num: // == DuckDB truncating //
+    return spark.createDataFrame(
+        [(a + b, c + d, a, c, chisq, chisq >= 3841459)],
+        "n_ctrl bigint, n_treat bigint, conv_ctrl bigint, "
+        "conv_treat bigint, chisq_ppm bigint, significant boolean",
+    )
