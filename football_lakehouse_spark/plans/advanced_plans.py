@@ -1740,11 +1740,14 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT o_orderkey FROM orders
         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
     ),
+    mm AS (
+        SELECT CAST(63 * ((count(*) * 16 + 62) // 63) AS BIGINT) AS m
+        FROM bld
+    ),
     pos AS (
-        SELECT CAST(('0x' || substr(sha256(CAST(r.r AS VARCHAR) || '§'
-                   || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16380
-               AS p
-        FROM bld, (SELECT unnest([0, 1, 2]) AS r) r
+        SELECT CAST(('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)),
+                   1 + 8 * r.r, 8)) AS BIGINT) % mm.m AS p
+        FROM bld, (SELECT unnest([0, 1, 2]) AS r) r, mm
     ),
     bloom AS MATERIALIZED (
         SELECT p // 63 AS widx,
@@ -1754,10 +1757,9 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk AS (SELECT DISTINCT l_orderkey FROM lineitem),
     pp AS (
         SELECT l_orderkey,
-               CAST(('0x' || substr(sha256(CAST(r.r AS VARCHAR) || '§'
-                   || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16380
-               AS p
-        FROM pk, (SELECT unnest([0, 1, 2]) AS r) r
+               CAST(('0x' || substr(sha256(CAST(l_orderkey AS VARCHAR)),
+                   1 + 8 * r.r, 8)) AS BIGINT) % mm.m AS p
+        FROM pk, (SELECT unnest([0, 1, 2]) AS r) r, mm
     ),
     kept AS MATERIALIZED (
         SELECT pp.l_orderkey
@@ -1786,23 +1788,25 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark's own runtime row-group filters apply implicitly, here as an "
     "explicit operator consuming a q197-style exportable filter): the "
     "build side (filtered urgent high-value orders) is folded into a "
-    "k=3, m=16380-bit bloom whose 260 63-bit words are a control-plane "
-    "scalar — collected once, constant-folded into the probe plan as a "
-    "literal array. The probe (lineitem) tests all three sha-derived "
-    "bits MAP-SIDE BEFORE any exchange, so rows shipped to the join "
-    "shuffle drop by the build selectivity (here ~86% of probe rows pruned); the "
-    "exact equi-join afterwards eliminates the bloom's false positives, "
-    "so the aggregate is exact while probe_kept/probe_total audit the "
-    "pruning ratio. Both engines build bit-identical blooms (sha-based "
-    "portable hash), so even the fp-dependent audit columns match "
-    "exactly. At scale this is the shuffle-survival move when BOTH join "
-    "sides are too big to broadcast but the build side is selective: "
-    "ship 260 words, not the key set.",
+    "k=3 bloom SIZED FROM THE BUILD CARDINALITY (~16 bits/key, so the "
+    "false-positive rate stays ~0.5% at EVERY scale — the first cut "
+    "pinned m=16380 and the sf0.1 soak measured it saturating to 99% "
+    "kept / ~80% fp overhead, a real scale bug the adaptive sizing "
+    "removes; ledger in SCALING.md). The probe (lineitem) tests its "
+    "three sha-derived bit positions via three BROADCAST hash joins "
+    "against the (widx, word) bloom table — word count is "
+    "build_keys/4, broadcastable far past 1e8 build keys, and unlike a "
+    "plan-literal array it neither bloats codegen nor re-ships with "
+    "every task binary. All tests run MAP-SIDE BEFORE any exchange; "
+    "the exact equi-join afterwards eliminates false positives, so the "
+    "aggregate is exact while probe_kept/probe_total audit the pruning "
+    "ratio. Both engines build bit-identical blooms, so even the "
+    "fp-dependent audit column matches exactly. Use when BOTH sides "
+    "are too big to broadcast raw but the build side is selective: "
+    "ship words, not keys.",
     tags=("join", "approx", "perf"),
 )
 def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from football_lakehouse_spark.functions.text import portable_hash
-
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     bld = orders.where(
@@ -1810,53 +1814,62 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_totalprice") > 200000)
     ).select("o_orderkey", "o_orderstatus")
 
+    keys = bld.select("o_orderkey").distinct().persist()
+    n_keys = keys.count()  # control-plane scalar; also sizes the filter
+    m = 63 * ((n_keys * 16 + 62) // 63)
+
+    # ONE sha256 per key; the three bit positions are disjoint 8-hex-char
+    # windows of the same digest (3x fewer hash evaluations than
+    # seed-per-position, same independence for bloom purposes)
     seeds = F.broadcast(
         spark.createDataFrame([(0,), (1,), (2,)], "r int")
     )
-    pos = (
-        bld.select("o_orderkey").distinct()
-        .crossJoin(seeds)
-        .select(
-            (
-                portable_hash(
-                    F.concat(F.col("r").cast("string"), F.lit("§"),
-                             F.col("o_orderkey").cast("string"))
-                ) % 16380
-            ).alias("p")
-        )
+    digest = F.sha2(F.col("o_orderkey").cast("string"), 256)
+    pos = keys.withColumn("dg", digest).crossJoin(seeds).select(
+        (
+            F.conv(
+                F.expr("substring(dg, 1 + 8 * r, 8)"), 16, 10
+            ).cast("bigint") % m
+        ).alias("p")
     )
-    word_rows = (
-        pos.groupBy(F.floor(F.col("p") / 63).cast("int").alias("widx"))
+    # the bloom table is build_keys/4 rows — checkpoint it once so the
+    # three probe-side broadcasts ship the materialised words instead of
+    # re-running the distinct+hash+bit_or lineage per broadcast
+    bloom = (
+        pos.groupBy(F.floor(F.col("p") / 63).cast("bigint").alias("widx"))
         .agg(
             F.bit_or(
                 F.expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))")
             ).alias("word")
         )
-        .collect()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
-    words = [0] * 260
-    for r in word_rows:
-        words[r["widx"]] = r["word"]
-    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in words])
 
     probe = li.select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
-    ).withColumn("bw", arr)
-    cond = None
+    ).withColumn("dg", F.sha2(F.col("l_orderkey").cast("string"), 256))
     for r in range(3):
         p = (
-            portable_hash(
-                F.concat(F.lit(str(r)), F.lit("§"),
-                         F.col("l_orderkey").cast("string"))
-            ) % 16380
+            F.conv(
+                F.substring(F.col("dg"), 1 + 8 * r, 8), 16, 10
+            ).cast("bigint") % m
         )
-        test = F.expr(
-            f"((element_at(bw, cast(pp{r}/63 as int) + 1)"
-            f" >> cast(pp{r} % 63 as int)) & 1) = 1"
+        b = F.broadcast(
+            bloom.select(
+                F.col("widx").alias(f"widx{r}"), F.col("word").alias(f"word{r}")
+            )
         )
-        probe = probe.withColumn(f"pp{r}", p)
-        cond = test if cond is None else (cond & test)
-    kept = probe.where(cond).persist()
+        probe = (
+            probe.withColumn(f"pp{r}", p)
+            .join(b, F.floor(F.col(f"pp{r}") / 63) == F.col(f"widx{r}"), "left")
+            .where(
+                F.expr(
+                    f"((word{r} >> cast(pp{r} % 63 as int)) & 1) = 1"
+                )
+            )
+        )
+    kept = probe.persist()
 
     totals = F.broadcast(
         li.agg(F.count(F.lit(1)).cast("bigint").alias("probe_total"))

@@ -524,14 +524,14 @@ def test_q253_no_risky_class_materialisation(spark):
 
 
 def test_q254_bloom_filters_before_exchange(spark):
-    """q254: the bloom probe must prune lineitem MAP-SIDE — the bit
-    tests (element_at over the constant word array + sha2 positions)
-    appear in a Filter whose child is the lineitem scan, BEFORE any
-    exchange; and the false-positive cleanup join on the filtered side
-    never degrades to a sort-merge join of the unfiltered fact."""
+    """q254: the bloom probe must prune lineitem MAP-SIDE — the three
+    bit tests ride BROADCAST hash joins against the (widx, word) bloom
+    table (never a shuffle of the fact), the bit-test filters appear in
+    the plan, and nothing on the probe path degrades to a sort-merge
+    join of the unfiltered fact."""
     plan = plan_of(spark, "q254_bloom_pruned_join")
-    filter_lines = [
-        ln for ln in plan.splitlines() if "Filter" in ln and "sha2" in ln
-    ]
-    assert filter_lines, "bloom bit-test filter missing from the plan"
+    assert plan.count("BroadcastHashJoin") >= 3, "bloom word joins must broadcast"
+    # Catalyst folds the null-rejecting bit test INTO the broadcast join
+    # condition (left join -> inner), so assert it appears there
+    assert plan.count("& 1) = 1") >= 3, "bloom bit tests missing from the plan"
     assert "SortMergeJoin" not in plan
