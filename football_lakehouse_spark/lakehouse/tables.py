@@ -198,7 +198,8 @@ class LakehouseTable:
                 dv_add: list[str] | None = None,
                 dv_remove: list[str] | None = None,
                 txn: dict | None = None,
-                props: dict | None = None) -> int:
+                props: dict | None = None,
+                cdf: str | None = None) -> int:
         commits, _ = self._log_entries()
         v = (commits[-1] + 1) if commits else 0
         entry = {
@@ -215,6 +216,8 @@ class LakehouseTable:
             entry["txn"] = txn
         if props is not None:
             entry["props"] = props
+        if cdf is not None:
+            entry["cdf"] = cdf
         # data-skipping stats ride the commit that references the files;
         # _stage populated them for exactly this add set (rebase retries
         # reuse them — the files are the same)
@@ -829,10 +832,18 @@ class LakehouseTable:
 
     def overwrite(self, df: DataFrame) -> int:
         live = self.current_files()
+        cdf = None
+        if live and self.change_feed_enabled():
+            old_rows = self.read()
+            cdf = self._cdf_write(
+                old_rows.select(F.lit("delete").alias("change_type"), "*"),
+                old_rows.columns,
+            )
         return self._commit(
             "overwrite", self._stage(df), live, rows=None,
             schema_json=self._staged_schema,
             dv_remove=self._dv_names_at(self.current_version()) if live else None,
+            cdf=cdf,
         )
 
     def merge(self, updates: DataFrame, keys: Sequence[str]) -> int:
@@ -878,6 +889,13 @@ class LakehouseTable:
             parts = parts_new.unionByName(parts_old).distinct()
             touched_base = _null_safe_semi(base, parts, self.partition_by)
             merged = merge_upsert(touched_base, updates, keys)
+            cdf = None
+            if self.change_feed_enabled():
+                from football_lakehouse_spark.lakehouse.cdc import change_feed
+
+                cdf = self._cdf_write(
+                    change_feed(touched_base, merged, keys), base.columns
+                )
             new_files = self._stage(merged)
             touched_dirs = [
                 "/".join(
@@ -890,11 +908,16 @@ class LakehouseTable:
                 if any(f.startswith(d + "/") for d in touched_dirs)
             ]
             return self._commit("merge", new_files, removed, rows=None,
-                                schema_json=self._staged_schema)
+                                schema_json=self._staged_schema, cdf=cdf)
         merged = merge_upsert(base, updates, keys)
+        cdf = None
+        if self.change_feed_enabled():
+            from football_lakehouse_spark.lakehouse.cdc import change_feed
+
+            cdf = self._cdf_write(change_feed(base, merged, keys), base.columns)
         new_files = self._stage(merged)
         return self._commit("merge", new_files, self.current_files(), rows=None,
-                            schema_json=self._staged_schema)
+                            schema_json=self._staged_schema, cdf=cdf)
 
     def delete(self, predicate: Column, deletion_vectors: bool = False) -> int:
         """Delta-style DELETE: copy-on-write removal of rows matching
@@ -929,11 +952,27 @@ class LakehouseTable:
             matches.write.mode("overwrite").parquet(
                 os.path.join(self.base, "_dv", dvname)
             )
-            return self._commit("delete_dv", [], [], rows=None, dv_add=[dvname])
+            cdf = None
+            if self.change_feed_enabled():
+                cols = [c for c in lineage.columns if c not in ("__file", "__ri")]
+                cdf = self._cdf_write(
+                    lineage.where(predicate).select(
+                        F.lit("delete").alias("change_type"), *cols
+                    ),
+                    cols,
+                )
+            return self._commit("delete_dv", [], [], rows=None, dv_add=[dvname],
+                                cdf=cdf)
         base = self.read()
         matches = base.where(predicate)
         if matches.limit(1).isEmpty():
             return -1
+        cdf = None
+        if self.change_feed_enabled():
+            cdf = self._cdf_write(
+                matches.select(F.lit("delete").alias("change_type"), "*"),
+                base.columns,
+            )
         kept_pred = ~predicate.eqNullSafe(F.lit(True))
         if self.partition_by:
             parts = matches.select(*self.partition_by).distinct()
@@ -951,10 +990,10 @@ class LakehouseTable:
                 if any(f.startswith(d + "/") for d in touched_dirs)
             ]
             return self._commit("delete", new_files, removed, rows=None,
-                                schema_json=self._staged_schema)
+                                schema_json=self._staged_schema, cdf=cdf)
         new_files = self._stage(base.where(kept_pred))
         return self._commit("delete", new_files, self.current_files(), rows=None,
-                            schema_json=self._staged_schema)
+                            schema_json=self._staged_schema, cdf=cdf)
 
     def update(self, predicate: Column, assignments: dict[str, Column]) -> int:
         """Delta-style ``UPDATE … SET`` : copy-on-write rewrite of rows
@@ -1001,6 +1040,20 @@ class LakehouseTable:
                         f"has {want.simpleString()}; cast the expression "
                         f"explicitly"
                     )
+        cdf = None
+        if self.change_feed_enabled():
+            post = matches.select(
+                *[
+                    assignments[c].alias(c) if c in assignments else F.col(c)
+                    for c in base.columns
+                ]
+            )
+            feed = matches.select(
+                F.lit("update_preimage").alias("change_type"), "*"
+            ).unionByName(
+                post.select(F.lit("update_postimage").alias("change_type"), "*")
+            )
+            cdf = self._cdf_write(feed, base.columns)
         if self.partition_by:
             parts = matches.select(*self.partition_by).distinct()
             touched = _null_safe_semi(base, parts, self.partition_by)
@@ -1024,7 +1077,7 @@ class LakehouseTable:
                 if any(f.startswith(d + "/") for d in touched_dirs)
             ]
             return self._commit("update", new_files, removed, rows=None,
-                                schema_json=self._staged_schema)
+                                schema_json=self._staged_schema, cdf=cdf)
         updated = base.select(
             *[
                 F.when(hit, assignments[c]).otherwise(F.col(c)).alias(c)
@@ -1035,7 +1088,133 @@ class LakehouseTable:
         )
         new_files = self._stage(updated)
         return self._commit("update", new_files, self.current_files(), rows=None,
-                            schema_json=self._staged_schema)
+                            schema_json=self._staged_schema, cdf=cdf)
+
+    # ------------------------------------------------------ change data feed
+    def enable_change_feed(self) -> None:
+        """Delta ``delta.enableChangeDataFeed`` parity: from the NEXT
+        commit on, every mutating operation writes its row-level
+        changes as a parquet sidecar under ``base/_changes`` at commit
+        time, and :meth:`table_changes` serves them without diffing
+        versions. Appends write NO sidecar — their added data files ARE
+        the insert entries (Delta's optimization; a 100 TB append must
+        not be written twice). The property is versioned like
+        constraints, so the enablement point is visible in history."""
+        props = self._props()
+        props["changeDataFeed"] = "true"
+        self._set_props(props)
+
+    def change_feed_enabled(self) -> bool:
+        return self._props().get("changeDataFeed") == "true"
+
+    def _cdf_write(self, feed: DataFrame, columns: Sequence[str]) -> str:
+        """Stage a change sidecar (change_type + payload in logged
+        column order); returns its name for the commit entry."""
+        name = uuid.uuid4().hex[:12]
+        feed.select("change_type", *columns).write.mode("overwrite").parquet(
+            os.path.join(self.base, "_changes", name)
+        )
+        return name
+
+    def _read_files(self, files: list[str], v: int) -> DataFrame:
+        """Read an explicit file list under version ``v``'s schema and
+        column mapping (the add-files of an append, served as CDF
+        insert rows)."""
+        paths = [
+            f if os.path.isabs(f) else os.path.join(self.data_root, f)
+            for f in files
+        ]
+        missing = [pp for pp in paths if not os.path.exists(pp)]
+        if missing:
+            raise FileNotFoundError(
+                f"change feed of {self.base} references vacuumed files "
+                f"(e.g. {missing[0]}); CDF beyond the retention horizon "
+                f"is not readable"
+            )
+        reader = self.spark.read
+        sj = self._schema_at(v)
+        logical = None
+        if sj is not None:
+            from pyspark.sql.types import StructField, StructType
+
+            logical = StructType.fromJson(json.loads(sj))
+            reader = reader.schema(
+                StructType(
+                    [
+                        StructField(self._phys(f), f.dataType, True)
+                        for f in logical.fields
+                    ]
+                )
+            )
+        if not any(os.path.isabs(f) for f in files):
+            reader = reader.option("basePath", self.data_root)
+        df = reader.parquet(*paths)
+        if logical is not None:
+            df = df.select(
+                *[F.col(self._phys(f)).alias(f.name) for f in logical.fields]
+            )
+        return df
+
+    def table_changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Delta ``table_changes(...)`` parity over LOGGED change data:
+        the row-level feed for every version in ``(v_from, v_to]``,
+        columns ``(version, change_type, <table columns>)``.
+
+        insert / delete / update_preimage / update_postimage semantics
+        match :func:`lakehouse.cdc.change_feed`, but nothing is diffed:
+        merge/delete/update/overwrite read their commit's sidecar
+        (written from data the operation already had in hand — the
+        touched slice — so logging cost is O(touched rows)); appends
+        serve their added files directly as inserts. Cost is therefore
+        O(changed rows) end-to-end, which is what makes incremental
+        view maintenance (q257) actually incremental, unlike the
+        derive-by-diff feed (q98/q250) that re-reads both versions.
+
+        Raises if a mutating version in range carries no sidecar (the
+        table was written before :meth:`enable_change_feed`) — a silent
+        hole would corrupt every downstream incremental consumer.
+        """
+        commits, _ = self._log_entries()
+        v_to = commits[-1] if v_to is None else v_to
+        out: DataFrame | None = None
+        for v in commits:
+            if not (v_from < v <= v_to):
+                continue
+            c = self._read_commit(v)
+            op = c.get("operation")
+            parts: list[DataFrame] = []
+            if "cdf" in c:
+                parts.append(
+                    self.spark.read.parquet(
+                        os.path.join(self.base, "_changes", c["cdf"])
+                    )
+                )
+            if op in ("append", "overwrite") and c.get("add"):
+                parts.append(
+                    self._read_files(c["add"], v).select(
+                        F.lit("insert").alias("change_type"), "*"
+                    )
+                )
+            if not parts:
+                if op in ("merge", "delete", "update", "delete_dv"):
+                    raise ValueError(
+                        f"{self.base}: version {v} ({op}) has no logged "
+                        f"change data — enable_change_feed() must precede "
+                        f"the operation for table_changes to serve it"
+                    )
+                continue  # metadata-only commits (properties, optimize…)
+            vf = parts[0]
+            for extra in parts[1:]:
+                vf = vf.unionByName(extra, allowMissingColumns=True)
+            vf = vf.select(F.lit(v).cast("bigint").alias("version"), "*")
+            out = vf if out is None else out.unionByName(
+                vf, allowMissingColumns=True
+            )
+        if out is None:
+            raise ValueError(
+                f"{self.base}: no change entries in ({v_from}, {v_to}]"
+            )
+        return out
 
     def shallow_clone(
         self, root: str, schema: str, name: str, version: int | None = None
@@ -1338,6 +1517,20 @@ class LakehouseTable:
             for name in os.listdir(dv_root):
                 if name not in keep_dv:
                     shutil.rmtree(os.path.join(dv_root, name), ignore_errors=True)
+                    deleted += 1
+        # change-feed sidecars follow the same retention rule as data
+        # files: a sidecar survives only while its commit's version is
+        # retained (Delta vacuums _change_data identically). Orphans
+        # from lost CAS races are swept by the same pass.
+        keep_cdf = {
+            self._read_commit(v).get("cdf")
+            for v in commits[-retain_last:]
+        } - {None}
+        cdf_root = os.path.join(self.base, "_changes")
+        if os.path.isdir(cdf_root):
+            for name in os.listdir(cdf_root):
+                if name not in keep_cdf:
+                    shutil.rmtree(os.path.join(cdf_root, name), ignore_errors=True)
                     deleted += 1
         return deleted
 

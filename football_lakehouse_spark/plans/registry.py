@@ -168,6 +168,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q254_bloom_pruned_join",
     "q255_bfs_distance",
     "q256_chi_square_ab",
+    "q257_logged_cdf_ivm",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

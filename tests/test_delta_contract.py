@@ -394,3 +394,94 @@ def test_c17_concurrent_append_conflicts_on_property_change(spark, make_table):
     t.add_constraint("pos_k", "k > 0")  # property change wins the race
     with pytest.raises(ConcurrentWriteError):
         t._rebase_append_schema(a_schema, props_before)
+
+
+def test_c18_change_feed_logged_and_served(spark, make_table):
+    """C18 (delta.enableChangeDataFeed parity): once enabled, every
+    mutating commit serves row-level changes from LOGGED sidecars —
+    appends via their own add-files (never written twice), merge /
+    delete / update via O(touched-rows) sidecars — and the logged feed
+    for every transition equals the derive-by-diff oracle
+    (cdc.change_feed over the two versions)."""
+    from football_lakehouse_spark.lakehouse.cdc import change_feed
+
+    t = make_table("cdf")
+    if not hasattr(t, "enable_change_feed"):
+        pytest.skip("binding has no change-feed surface")
+    t.enable_change_feed()
+    base = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(10)], "k bigint, g string, v double"
+    )
+    t.append(base)
+    t.merge(
+        spark.createDataFrame(
+            [(3, "b", 33.0), (99, "a", 9.9)], "k bigint, g string, v double"
+        ),
+        ["k"],
+    )
+    t.delete(F.col("v") < 2)
+    t.update(F.col("k") == 5, {"v": F.lit(55.0)})
+    for v in range(0, t.current_version()):
+        derived = {
+            tuple(map(str, r))
+            for r in change_feed(
+                t.read(version=v), t.read(version=v + 1), ["k"]
+            ).collect()
+        }
+        logged = {
+            tuple(map(str, r))
+            for r in t.table_changes(v, v + 1)
+            .select("change_type", "k", "g", "v")
+            .collect()
+        }
+        assert logged == derived, f"v{v}->v{v+1}"
+    # the full-range read unions all versions with a version column
+    tc = t.table_changes(-1)
+    assert tc.columns[:2] == ["version", "change_type"]
+    assert tc.where(F.col("version") == 0).count() == 10  # the append's inserts
+
+
+def test_c18_change_feed_hole_raises(spark, make_table):
+    """C18: a mutating version committed BEFORE enablement has no
+    sidecar; serving it must raise, never silently skip — a hole in
+    the feed corrupts every downstream incremental consumer."""
+    t = make_table("cdf_hole")
+    if not hasattr(t, "enable_change_feed"):
+        pytest.skip("binding has no change-feed surface")
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double")
+    t.append(base)
+    t.delete(F.col("k") == 1)  # v1, no CDF yet
+    t.enable_change_feed()
+    t.update(F.col("k") == 2, {"v": F.lit(9.0)})
+    with pytest.raises(ValueError, match="no logged change data"):
+        t.table_changes(-1).collect()
+    # the enabled span serves fine
+    post = t.table_changes(t.current_version() - 1)
+    assert {r["change_type"] for r in post.collect()} == {
+        "update_preimage", "update_postimage"
+    }
+
+
+def test_c18_vacuum_reclaims_change_sidecars(spark, make_table):
+    """C18+C7: change sidecars follow data-file retention — vacuum
+    drops the feed of non-retained versions (reading it then raises)
+    while the retained tail stays served."""
+    import os
+
+    t = make_table("cdf_vacuum")
+    if not hasattr(t, "enable_change_feed"):
+        pytest.skip("binding has no change-feed surface")
+    t.enable_change_feed()
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    t.delete(F.col("k") == 1)                       # sidecar v1
+    t.append(spark.createDataFrame([(2, 2.0)], "k bigint, v double"))
+    t.update(F.col("k") == 2, {"v": F.lit(4.0)})    # sidecar v3
+    n_before = len(os.listdir(os.path.join(t.base, "_changes")))
+    assert n_before == 2
+    t.vacuum(retain_last=1)
+    n_after = len(os.listdir(os.path.join(t.base, "_changes")))
+    assert n_after == 1  # only the last version's sidecar survives
+    assert {r["change_type"] for r in
+            t.table_changes(t.current_version() - 1).collect()} == {
+        "update_preimage", "update_postimage"
+    }
