@@ -1362,9 +1362,10 @@ def consistent_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the cross-engine match IS the maintenance-identity proof. Scale: "
     "the merge into the stored view is group-cardinality-sized and the "
     "signed partial is O(feed rows); with a writer-logged CDF that makes "
-    "refresh O(changed rows) end-to-end (this engine derives the feed by "
-    "version diff — q98 — so the derivation itself still scans the two "
-    "versions; the maintenance algebra is what this query certifies). "
+    "refresh O(changed rows) end-to-end — which q257 now does via "
+    "enable_change_feed()/table_changes(); THIS query keeps the "
+    "derive-by-diff path (q98) to certify the maintenance algebra "
+    "independently of the logging machinery. "
     "Sums are exact integer micros so increment order cannot drift the "
     "result (floats would).",
     tags=("lakehouse", "cdc"),
