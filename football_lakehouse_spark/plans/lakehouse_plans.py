@@ -1552,3 +1552,88 @@ def logged_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("value_micros"),
     )
     return merged.where(F.col("n") > 0)
+
+
+@query(
+    "q260_zonemap_skip_audit",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_shipdate,
+               CASE WHEN l_shipdate >= TIMESTAMP '2000-06-01' THEN 1
+                    ELSE 0 END AS hit
+        FROM lineitem
+    ),
+    nat AS (
+        SELECT l_orderkey // 1024 AS rg, count(*) AS n,
+               max(l_shipdate) AS mx, sum(hit) AS nhit
+        FROM li GROUP BY 1
+    ),
+    clu AS (
+        SELECT date_diff('day', DATE '1970-01-01', l_shipdate) // 28 AS rg,
+               count(*) AS n, max(l_shipdate) AS mx, sum(hit) AS nhit
+        FROM li GROUP BY 1
+    ),
+    s AS (
+        SELECT 'natural' AS layout, * FROM nat
+        UNION ALL
+        SELECT 'shipdate_clustered', * FROM clu
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_ranges,
+           CAST(sum(CASE WHEN mx < TIMESTAMP '2000-06-01' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_skippable,
+           CAST(sum(n) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN mx < TIMESTAMP '2000-06-01' THEN n ELSE 0 END)
+               AS BIGINT) AS rows_skippable,
+           CAST(sum(nhit) AS BIGINT) AS rows_matching
+    FROM s GROUP BY layout
+    """,
+    doc="ZONE-MAP DATA-SKIPPING AUDIT — quantifies, as a query, how "
+    "much IO a min/max-pruning reader saves under a given layout (the "
+    "decision input for OPTIMIZE/ZORDER spend, complementing q122's "
+    "Morton-span profile and q252's size binning): lineitem rows are "
+    "assigned to row-ranges under TWO candidate layouts — 'natural' "
+    "(orderkey ranges: insertion order, the un-optimized table) and "
+    "'shipdate_clustered' (28-day shipdate ranges: the layout a "
+    "date-partitioned or shipdate-sorted OPTIMIZE produces) — and each "
+    "range's zone map (max shipdate) is tested against the pinned "
+    "predicate shipdate >= 2000-06-01. Natural layout: every range "
+    "spans the full date domain, so n_skippable = 0 — clustering is "
+    "what MAKES zone maps useful, and the audit proves it with "
+    "numbers (rows_skippable = the IO the clustered layout prunes). "
+    "One column-pruned scan per layout, partial-aggregated to "
+    "n_ranges rows then to 2 summary rows; no window, no join.",
+    tags=("lakehouse", "layout"),
+)
+def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("2000-06-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.when(F.col("l_shipdate") >= cutoff, 1).otherwise(0).alias("hit"),
+    )
+
+    def audit(rg: F.Column, layout: str) -> DataFrame:
+        per_range = li.groupBy(rg.alias("rg")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("l_shipdate").alias("mx"),
+            F.sum("hit").alias("nhit"),
+        )
+        return per_range.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ranges"),
+            F.sum(F.when(F.col("mx") < cutoff, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_skippable"),
+            F.sum("n").cast("bigint").alias("rows_total"),
+            F.sum(F.when(F.col("mx") < cutoff, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_skippable"),
+            F.sum("nhit").cast("bigint").alias("rows_matching"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    nat = audit(F.expr("l_orderkey div 1024"), "natural")
+    clu = audit(
+        F.expr("datediff(l_shipdate, DATE '1970-01-01') div 28"),
+        "shipdate_clustered",
+    )
+    return nat.unionByName(clu)

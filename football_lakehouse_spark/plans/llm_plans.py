@@ -5928,3 +5928,100 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("part"), F.col("d").cast("bigint").alias("distance")
     )
+
+
+@query(
+    "q258_exact_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT token AS item, CAST(count(*) AS BIGINT) AS n_item,
+           CAST(count(*) * 1000000 // any_value(tot.n) AS BIGINT)
+               AS share_ppm
+    FROM toks, tot
+    GROUP BY token
+    HAVING count(*) * 41 > any_value(tot.n)
+    """,
+    doc="EXACT heavy hitters with BOUNDED memory (Misra–Gries two-pass; "
+    "operators/frequency.py) — the exact sibling of q178's count-min "
+    "estimates: pass 1 builds per-partition MG summaries of m=40 "
+    "counters via Arrow-batched mapInPandas (per-task memory O(m), "
+    "never O(vocabulary) — at web-corpus n-gram vocabularies the plain "
+    "groupBy's map-side hash agg spills; this never does), whose union "
+    "is a PROVEN superset of every token with global count > n/41 "
+    "under any partitioning (pigeonhole over partition-local "
+    "frequencies; merge rule per Agarwal et al., Mergeable Summaries); "
+    "pass 2 exact-recounts candidates only (broadcast semi-join keeps "
+    "the verify groupBy's key set ≤ m·n_partitions) and applies the "
+    "integer test cnt·41 > n — so the output is EXACT and "
+    "partition-independent, which is what lets a sketch-fed plan face "
+    "a value-hash oracle at all. The oracle is the direct full "
+    "aggregate: both must produce the identical 30-token set.",
+    tags=("llm", "text", "approx"),
+)
+def exact_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.frequency import exact_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+    return exact_heavy_hitters(toks, "token", m=40)
+
+
+@query(
+    "q259_systematic_weighted_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+    c AS (
+        SELECT doc_id, w, sum(w) OVER (ORDER BY doc_id) AS cum FROM d
+    ),
+    t AS (SELECT greatest(sum(w) // 100, 1) AS q FROM d)
+    SELECT doc_id, CAST(w AS BIGINT) AS weight,
+           CAST(cum AS BIGINT) AS cum_weight,
+           CAST(cum // t.q - (cum - w) // t.q AS BIGINT) AS n_picks
+    FROM c, t
+    WHERE cum // t.q > (cum - w) // t.q
+    """,
+    doc="WEIGHTED SAMPLING at corpus scale, deterministic and "
+    "integer-exact: systematic (fixed-step) sampling over the "
+    "character-weight prefix sum — k=100 evenly spaced thresholds "
+    "j·(Σw/k) walk the cumulative weight axis, and a doc is drawn "
+    "once per threshold inside its (cum−w, cum] span (docs heavier "
+    "than the step can be drawn multiple times: n_picks is the "
+    "with-multiplicity draw count, the PPS-sampling contract). Every "
+    "step is integer floor-division — no float u^(1/w) keys (the "
+    "Efraimidis–Spirakis formulation needs pow/log, which is not "
+    "bit-reproducible across engines' libm; systematic PPS gives the "
+    "same inclusion probabilities w_i/Σw for the same cost and IS "
+    "reproducible). The global running sum comes from the shipped "
+    "two-phase bucketed prefix (operators/selection.py bucketed_prefix "
+    "— per-bucket windows + broadcast bucket table), so there is NO "
+    "unpartitioned window anywhere: the q169/q183/q194 scale "
+    "discipline. Oracle: the naive single-window cumsum.",
+    tags=("llm", "selection"),
+)
+def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("w")
+    ).withColumn("bucket", F.floor(F.col("doc_id") / 64).cast("bigint"))
+    cum = bucketed_prefix(
+        docs, "bucket", [F.col("doc_id").asc()], sums={"cum": F.col("w")}
+    )
+    tot = docs.agg(
+        F.greatest(F.expr("sum(w) div 100"), F.lit(1)).cast("bigint").alias("q")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.expr("cum div q") > F.expr("(cum - w) div q"))
+        .select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            F.col("cum").cast("bigint").alias("cum_weight"),
+            (F.expr("cum div q") - F.expr("(cum - w) div q"))
+            .cast("bigint")
+            .alias("n_picks"),
+        )
+    )

@@ -169,6 +169,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q255_bfs_distance",
     "q256_chi_square_ab",
     "q257_logged_cdf_ivm",
+    "q258_exact_heavy_hitters",
+    "q259_systematic_weighted_sample",
+    "q260_zonemap_skip_audit",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -535,3 +535,33 @@ def test_q254_bloom_filters_before_exchange(spark):
     # condition (left join -> inner), so assert it appears there
     assert plan.count("& 1) = 1") >= 3, "bloom bit tests missing from the plan"
     assert "SortMergeJoin" not in plan
+
+
+def test_q258_verify_pass_is_broadcast_semi(spark):
+    """q258: the exact-recount pass must arrive as a BROADCAST
+    left-semi join of the (≤ m·partitions)-row candidate set against
+    the token stream — never a shuffle of the corpus against the
+    candidates — and the plan must contain the ArrowEvalPython-free
+    mapInPandas stage only on the candidate branch."""
+    plan = plan_of(spark, "q258_exact_heavy_hitters")
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q259_sample_has_no_unpartitioned_window(spark):
+    """q259: the weight prefix must come from bucketed_prefix — every
+    Window node partitioned, the bucket prefix a broadcast join."""
+    plan = plan_of(spark, "q259_systematic_weighted_sample")
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*()0123456789")
+        if stripped.startswith("Window "):
+            assert stripped.count("], [") >= 2, line
+
+
+def test_q260_zonemap_audit_is_pure_aggregation(spark):
+    """q260: the skipping audit is two column-pruned scan→partial-agg
+    pyramids and a union — no join, no window, no sort anywhere."""
+    plan = plan_of(spark, "q260_zonemap_skip_audit")
+    assert "Join" not in plan
+    assert "Window" not in plan

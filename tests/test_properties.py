@@ -432,3 +432,62 @@ def test_ntile_expr_matches_window_ntile(spark, n, k):
         ).collect()
     }
     assert got == naive
+
+
+@given(
+    items=st.lists(st.integers(0, 8), min_size=1, max_size=120),
+    m=st.sampled_from([2, 3, 5]),
+    parts=st.sampled_from([1, 3, 7]),
+)
+@SLOW
+def test_exact_heavy_hitters_matches_naive(spark, items, m, parts):
+    """Misra–Gries two-pass law: for ANY stream, summary size m, and
+    partitioning, exact_heavy_hitters returns EXACTLY the items whose
+    true count·(m+1) > n with their true counts — the m < vocabulary
+    sizes here force the decrement/truncation path the flat fixture
+    vocabulary never exercises, and varying `parts` checks
+    partition-independence of the final (verified) answer."""
+    from collections import Counter
+
+    from football_lakehouse_spark.operators.frequency import exact_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(str(x),) for x in items], "token string"
+    ).repartition(parts)
+    got = {
+        r.item: (r.n_item, r.share_ppm)
+        for r in exact_heavy_hitters(df, "token", m=m).collect()
+    }
+    n = len(items)
+    want = {
+        str(k): (c, c * 1_000_000 // n)
+        for k, c in Counter(items).items()
+        if c * (m + 1) > n
+    }
+    assert got == want
+
+
+def test_mg_merge_truncation_law():
+    """_mg_merge unit law: merged summary never exceeds m counters, and
+    every item's residual is within (true count − n/(m+1), true count]
+    across a multi-batch stream — the classic MG error envelope."""
+    from collections import Counter
+
+    from football_lakehouse_spark.operators.frequency import _mg_merge
+
+    stream = [0, 1, 0, 2, 0, 3, 0, 4, 1, 0, 5, 0, 1, 6, 0, 7, 1, 0, 8, 0]
+    m = 3
+    state: dict[str, int] = {}
+    for i in range(0, len(stream), 4):
+        batch = Counter(str(x) for x in stream[i : i + 4])
+        state = _mg_merge(state, batch, m)
+    true = Counter(str(x) for x in stream)
+    n = len(stream)
+    assert len(state) <= m
+    for k, resid in state.items():
+        assert resid <= true[k]
+        assert resid > true[k] - n / (m + 1)
+    # completeness: any item with count > n/(m+1) must survive
+    for k, c in true.items():
+        if c * (m + 1) > n:
+            assert k in state, (k, c)
