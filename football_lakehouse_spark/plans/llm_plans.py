@@ -6025,3 +6025,134 @@ def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_picks"),
         )
     )
+
+
+@query(
+    "q261_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    d AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tfd AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM d GROUP BY 1, 2
+    ),
+    ix AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS ctf
+        FROM tfd GROUP BY 1
+    ),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    q AS (SELECT term, df FROM ix ORDER BY ctf DESC, term LIMIT 5),
+    ra AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS BIGINT) AS rank_a
+        FROM (
+            SELECT tfd.doc_id,
+                   sum(tfd.tf * (st.n // q.df)) AS score
+            FROM tfd JOIN q USING (term) CROSS JOIN st
+            GROUP BY 1
+        ) ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    rb AS (
+        SELECT doc_id,
+               CAST(row_number() OVER
+                   (ORDER BY nhit DESC, n_chars ASC, doc_id ASC)
+                   AS BIGINT) AS rank_b
+        FROM (
+            SELECT tfd.doc_id, count(*) AS nhit, any_value(dd.n_chars)
+                       AS n_chars
+            FROM tfd JOIN q USING (term)
+            JOIN documents dd USING (doc_id)
+            GROUP BY 1
+        ) ORDER BY nhit DESC, n_chars ASC, doc_id ASC LIMIT 20
+    )
+    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+           ra.rank_a, rb.rank_b,
+           CAST(COALESCE(1000000000 // (60 + ra.rank_a), 0)
+                + COALESCE(1000000000 // (60 + rb.rank_b), 0)
+               AS BIGINT) AS rrf_ppb
+    FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    """,
+    doc="HYBRID RETRIEVAL FUSION — reciprocal rank fusion (Cormack et "
+    "al. RRF, the standard way modern search stacks combine a lexical "
+    "and a second ranker): two independent top-20 rankers over the "
+    "same corpus and query (the 5 heaviest terms) — (A) integer "
+    "tf·idf-surrogate tf·(N div df), (B) coordination-level matching "
+    "(query-term hit count, doc-length ascending tie-break) — fused "
+    "by rrf(d) = Σ_r 1/(60+rank_r(d)), computed as floor(1e9/(60+rank)) "
+    "so the fusion is INTEGER-EXACT cross-engine (RRF needs only rank "
+    "order, so floor-scaling loses nothing). Scale shape: ranker "
+    "top-20s come from orderBy+limit (TakeOrderedAndProject — "
+    "per-partition heaps, no global sort, no unpartitioned window "
+    "over data-sized input); ranks are assigned INSIDE the 20-row "
+    "result; the fusion join is 20×20-bounded. The full-outer fusion "
+    "semantics (docs ranked by only one side still score) is the "
+    "production contract — a doc missing from the lexical top-k must "
+    "not vanish from the hybrid result.",
+    tags=("llm", "text", "similarity"),
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    )
+    tfd = d.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    ix = tfd.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("ctf"),
+    )
+    st = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    q = ix.orderBy(F.col("ctf").desc(), F.col("term").asc()).limit(5).select(
+        "term", "df"
+    )
+    hits = tfd.join(F.broadcast(q), "term").crossJoin(F.broadcast(st))
+
+    ra = (
+        hits.groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.expr("n div df")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn(
+            "rank_a",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_a")
+    )
+    rb = (
+        hits.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nhit"),
+            F.any_value(F.col("n_chars")).alias("n_chars"),
+        )
+        .orderBy(
+            F.col("nhit").desc(), F.col("n_chars").asc(), F.col("doc_id").asc()
+        )
+        .limit(20)
+        .withColumn(
+            "rank_b",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("nhit").desc(),
+                    F.col("n_chars").asc(),
+                    F.col("doc_id").asc(),
+                )
+            )
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_b")
+    )
+    fused = ra.join(rb, "doc_id", "full_outer")
+    rr = (
+        F.coalesce(F.expr("1000000000 div (60 + rank_a)"), F.lit(0))
+        + F.coalesce(F.expr("1000000000 div (60 + rank_b)"), F.lit(0))
+    ).cast("bigint")
+    return fused.select("doc_id", "rank_a", "rank_b", rr.alias("rrf_ppb"))

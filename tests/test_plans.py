@@ -565,3 +565,11 @@ def test_q260_zonemap_audit_is_pure_aggregation(spark):
     plan = plan_of(spark, "q260_zonemap_skip_audit")
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_q261_rankers_use_topk_not_global_sort(spark):
+    """q261: both ranker top-20s must compile to TakeOrderedAndProject
+    (per-partition heaps) — rank assignment happens inside the 20-row
+    limit, never as a window over the data-sized score table."""
+    plan = plan_of(spark, "q261_hybrid_rrf_fusion")
+    assert "TakeOrderedAndProject" in plan
