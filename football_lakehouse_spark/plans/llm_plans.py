@@ -6004,9 +6004,18 @@ def exact_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.operators.selection import bucketed_prefix
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    base = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("w")
-    ).withColumn("bucket", F.floor(F.col("doc_id") / 64).cast("bigint"))
+    )
+    # size the bucket width from the ID RANGE (control-plane 1-row agg)
+    # so the bucket count stays ~512 at ANY corpus size — a fixed width
+    # would grow the O(buckets²) prefix join linearly with the data,
+    # exactly the cliff bucketed_prefix exists to avoid
+    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    width = max((int(hi) - int(lo) + 1) // 512, 1)
+    docs = base.withColumn(
+        "bucket", F.floor(F.col("doc_id") / width).cast("bigint")
+    )
     cum = bucketed_prefix(
         docs, "bucket", [F.col("doc_id").asc()], sums={"cum": F.col("w")}
     )
