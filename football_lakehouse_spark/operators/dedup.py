@@ -456,7 +456,7 @@ def _star_components(pairs: DataFrame, max_iters: int = 30) -> tuple[DataFrame, 
     # previous round's, so without truncation the logical plan TRIPLES per
     # round and Catalyst planning time explodes exponentially with round
     # count. On a cluster this would be reliableCheckpoint/a scratch write.
-    edges = (
+    sym = (
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
@@ -464,10 +464,6 @@ def _star_components(pairs: DataFrame, max_iters: int = 30) -> tuple[DataFrame, 
 
     prev_fp = None
     for rounds in range(1, max_iters + 1):
-        # one symmetric view feeds large-star; its output is re-symmetrised
-        sym = edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
         stepped = _small_star(_large_star(sym)).localCheckpoint()
         # cheap order-invariant fingerprint: ONE action per round
         fp_row = stepped.agg(
@@ -476,10 +472,16 @@ def _star_components(pairs: DataFrame, max_iters: int = 30) -> tuple[DataFrame, 
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         fp = (fp_row["n"], fp_row["h"])
-        edges = stepped
         if fp == prev_fp:
-            return edges, rounds
+            return stepped, rounds
         prev_fp = fp
+        # small-star output is strictly oriented (src > dst) and distinct,
+        # so its symmetric closure is duplicate-free BY CONSTRUCTION — no
+        # re-distinct shuffle between rounds (the initial edge set is the
+        # only one that needs one, done once above)
+        sym = stepped.union(
+            stepped.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     raise RuntimeError(f"star components did not converge in {max_iters} rounds")
 
 
