@@ -139,6 +139,7 @@ def bucketed_prefix(
     sums=None,
     rank: str | None = None,
     descending: bool = False,
+    maxs=None,
 ) -> DataFrame:
     """The generalised two-phase global prefix (token_budget_select's
     decomposition, factored out so every global-window plan can reuse
@@ -161,7 +162,10 @@ def bucketed_prefix(
     so ``global = better_bucket_prefix + within_bucket_running`` holds
     exactly. ``order`` is the within-bucket ordering (must refine the
     bucket order); ``sums`` maps output column name → expression whose
-    global running sum is wanted; ``rank`` names an optional global
+    global running sum is wanted; ``maxs`` does the same for global
+    running MAX (prefix-max: greatest of the better-bucket max and the
+    within-bucket running max — max is associative/idempotent so the
+    same decomposition is exact); ``rank`` names an optional global
     row_number output. All original columns are preserved.
 
     Scale contract: no task ever sees more than one bucket's rows; the
@@ -172,15 +176,19 @@ def bucketed_prefix(
     bucket is a function of the leading order key).
     """
     sums = dict(sums or {})
+    maxs = dict(maxs or {})
     order = list(order)
-    agg = [F.count(F.lit(1)).alias("__bcnt")] + [
-        F.sum(expr).alias(f"__btot_{name}") for name, expr in sums.items()
-    ]
+    agg = (
+        [F.count(F.lit(1)).alias("__bcnt")]
+        + [F.sum(expr).alias(f"__btot_{name}") for name, expr in sums.items()]
+        + [F.max(expr).alias(f"__bmax_{name}") for name, expr in maxs.items()]
+    )
     bucket_tot = df.groupBy(bucket).agg(*agg)
     other = bucket_tot.select(
         F.col(bucket).alias("__ob"),
         F.col("__bcnt").alias("__ocnt"),
         *[F.col(f"__btot_{name}").alias(f"__otot_{name}") for name in sums],
+        *[F.col(f"__bmax_{name}").alias(f"__omax_{name}") for name in maxs],
     )
     better = (
         F.col("__ob") > F.col(bucket)
@@ -198,6 +206,9 @@ def bucketed_prefix(
                 )
                 for name in sums
             ],
+            # max prefix may legitimately be NULL for the first bucket —
+            # the within-bucket running max supplies the value there
+            *[F.max(f"__omax_{name}").alias(f"__p_{name}") for name in maxs],
         )
     )
     w_in = Window.partitionBy(bucket).orderBy(*order)
@@ -207,9 +218,19 @@ def bucketed_prefix(
         out = out.withColumn(
             name, F.col(f"__p_{name}") + F.sum(expr).over(w_in_cum)
         )
+    for name, expr in maxs.items():
+        out = out.withColumn(
+            name,
+            F.greatest(
+                F.coalesce(F.col(f"__p_{name}"), F.max(expr).over(w_in_cum)),
+                F.max(expr).over(w_in_cum),
+            ),
+        )
     if rank is not None:
         out = out.withColumn(rank, F.col("__pcnt") + F.row_number().over(w_in))
-    drop = ["__pcnt"] + [f"__p_{name}" for name in sums]
+    drop = ["__pcnt"] + [f"__p_{name}" for name in sums] + [
+        f"__p_{name}" for name in maxs
+    ]
     return out.drop(*drop)
 
 

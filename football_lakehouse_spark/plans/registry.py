@@ -173,6 +173,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q259_systematic_weighted_sample",
     "q260_zonemap_skip_audit",
     "q261_hybrid_rrf_fusion",
+    "q262_disorder_lateness_audit",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -639,3 +639,92 @@ def rate_limited_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(len(commits), n_rows)], "n_batches bigint, n_rows bigint"
     )
+
+
+@query(
+    "q262_disorder_lateness_audit",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               date_diff('second', TIMESTAMP '1970-01-01', ts) AS t,
+               CAST(('0x' || substr(sha256('replay' || '§'
+                    || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM events
+    ),
+    r AS (
+        SELECT t, max(t) OVER (ORDER BY h, event_id) AS rm FROM e
+    ),
+    tot AS (SELECT count(*) AS n FROM e)
+    SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) * 1000000 // any_value(tot.n) AS BIGINT)
+               AS share_ppm
+    FROM (
+        SELECT CASE
+            WHEN rm - t = 0 THEN '0_in_order'
+            WHEN rm - t <= 60 THEN '1_under_1m'
+            WHEN rm - t <= 600 THEN '2_under_10m'
+            WHEN rm - t <= 3600 THEN '3_under_1h'
+            WHEN rm - t <= 86400 THEN '4_under_1d'
+            ELSE '5_over_1d' END AS band
+        FROM r
+    ), tot
+    GROUP BY band
+    """,
+    doc="WATERMARK TUNING INPUT — the event-time DISORDER profile of an "
+    "arrival stream: for every event, lateness = (max event time seen "
+    "at its arrival) − (its own event time), banded into the delays an "
+    "operator would actually configure (1m/10m/1h/1d); each band's row "
+    "count is exactly the data a `withWatermark(delay)` of that bound "
+    "would NOT drop, so the table reads directly as the "
+    "completeness-vs-latency trade-off (the q70/q94 watermark choices "
+    "become measured, not guessed). Arrival order is the portable-hash "
+    "replay permutation — the fixture's log is perfectly time-ordered "
+    "(the audit on it is all-zeros), so the audit runs the adversarial "
+    "interleave a hash-partitioned backfill replay produces; on a real "
+    "ingest you'd order by the commit/offset column instead. The "
+    "global running max is the bucketed_prefix MAX decomposition "
+    "(per-bucket windows + broadcast better-bucket maxes — max is "
+    "associative+idempotent so prefix-max splits exactly); buckets "
+    "divide the 32-bit hash DOMAIN, so the bucket table is ~512 rows "
+    "at any corpus size and no unpartitioned window exists anywhere.",
+    tags=("streaming", "ops"),
+)
+def disorder_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+    from football_lakehouse_spark.functions.text import portable_hash
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        epoch_seconds(F.col("ts")).alias("t"),
+        portable_hash(F.col("event_id").cast("string"), seed="replay").alias(
+            "h"
+        ),
+    ).withColumn("bucket", F.expr("h div 8388608"))  # 2^32 / 512 buckets
+    r = bucketed_prefix(
+        ev,
+        "bucket",
+        [F.col("h").asc(), F.col("event_id").asc()],
+        maxs={"rm": F.col("t")},
+    )
+    late = r.select((F.col("rm") - F.col("t")).alias("late"))
+    band = (
+        F.when(F.col("late") == 0, "0_in_order")
+        .when(F.col("late") <= 60, "1_under_1m")
+        .when(F.col("late") <= 600, "2_under_10m")
+        .when(F.col("late") <= 3600, "3_under_1h")
+        .when(F.col("late") <= 86400, "4_under_1d")
+        .otherwise("5_over_1d")
+    )
+    tot = late.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        late.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_events",
+            F.expr("n_events * 1000000 div n").cast("bigint").alias("share_ppm"),
+        )
+    )

@@ -369,8 +369,9 @@ def test_skyline_sorted_scan_matches_dominance_definition(spark, pts):
 @SLOW
 def test_bucketed_prefix_matches_naive_window(spark, data, width, descending):
     """bucketed_prefix law: for ANY bucket width (including the
-    degenerate one-bucket case) and either direction, the global rank
-    and running sum equal the naive unpartitioned window's — including
+    degenerate one-bucket case) and either direction, the global rank,
+    running sum, AND running max equal the naive unpartitioned
+    window's — including
     duplicate order values straddling bucket boundaries and negative
     values (floor-division bucketing must stay monotone below zero)."""
     from pyspark.sql import Window
@@ -387,20 +388,19 @@ def test_bucketed_prefix_matches_naive_window(spark, data, width, descending):
         F.col("k").asc(),
     ]
     got = {
-        r.k: (r.i, r.cum)
+        r.k: (r.i, r.cum, r.mx)
         for r in bucketed_prefix(
             base, "bucket", order, sums={"cum": F.col("w")}, rank="i",
-            descending=descending,
+            descending=descending, maxs={"mx": F.col("w")},
         ).collect()
     }
     w_g = Window.orderBy(*order)
+    w_g_cum = w_g.rowsBetween(Window.unboundedPreceding, 0)
     naive = {
-        r.k: (r.i, r.cum)
+        r.k: (r.i, r.cum, r.mx)
         for r in df.withColumn("i", F.row_number().over(w_g))
-        .withColumn(
-            "cum",
-            F.sum("w").over(w_g.rowsBetween(Window.unboundedPreceding, 0)),
-        )
+        .withColumn("cum", F.sum("w").over(w_g_cum))
+        .withColumn("mx", F.max("w").over(w_g_cum))
         .collect()
     }
     assert got == naive
