@@ -1987,3 +1987,154 @@ def chi_square_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ctrl bigint, n_treat bigint, conv_ctrl bigint, "
         "conv_treat bigint, chisq_ppm bigint, significant boolean",
     )
+
+
+@query(
+    "q263_encoding_advisor",
+    oracle="""
+    WITH stacked AS (
+        SELECT 'event_type' AS col_name, event_type AS v FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'props', props FROM events
+    ),
+    per_val AS (
+        SELECT col_name, v, count(*) AS c, strlen(v) AS len
+        FROM stacked GROUP BY 1, 2
+    ),
+    per_col AS (
+        SELECT col_name,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c * len) AS BIGINT) AS raw_bytes,
+               CAST(sum(len) AS BIGINT) AS dict_bytes
+        FROM per_val GROUP BY 1
+    )
+    SELECT col_name, n_rows, n_distinct, raw_bytes,
+           CASE WHEN n_distinct * 20 <= n_rows
+                    AND dict_bytes + n_rows * 2 < raw_bytes
+                THEN 'dictionary' ELSE 'plain' END AS encoding,
+           CAST(CASE WHEN n_distinct * 20 <= n_rows
+                         AND dict_bytes + n_rows * 2 < raw_bytes
+                     THEN raw_bytes - (dict_bytes + n_rows * 2)
+                     ELSE 0 END AS BIGINT) AS est_savings_bytes
+    FROM per_col
+    """,
+    doc="COLUMN ENCODING ADVISOR — physical-design recommendation as a "
+    "query (the column-level sibling of q252's file binning and q260's "
+    "layout audit): for each candidate column, exact value-frequency "
+    "stats → dictionary-vs-plain recommendation with the estimated "
+    "byte saving (dictionary pays len(value) once per DISTINCT value "
+    "plus a 2-byte code per row; worth it when ndv·20 ≤ rows AND the "
+    "dictionary actually undercuts raw bytes — both tests integer-"
+    "exact). The distinct counting is deliberately TWO-PHASE "
+    "(groupBy(col,value) → groupBy(col)) rather than "
+    "count(DISTINCT) over the stacked union — the q164 lesson: "
+    "COUNT DISTINCT's Expand doubles shuffle rows per aggregate, "
+    "while the two-phase form partial-aggregates map-side at every "
+    "step and also yields the per-value frequencies the dictionary "
+    "cost model needs anyway. One scan of the source feeds the stack "
+    "(column pruned to the three audited columns).",
+    tags=("lakehouse", "layout"),
+)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stacked = ev.select(
+        F.expr(
+            "stack(3, 'event_type', event_type, "
+            "'user_id', CAST(user_id AS STRING), "
+            "'props', props) AS (col_name, v)"
+        )
+    )
+    per_val = (
+        stacked.withColumn("len", F.length("v"))
+        .groupBy("col_name", "v", "len")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_col = per_val.groupBy("col_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("len")).cast("bigint").alias("raw_bytes"),
+        F.sum("len").cast("bigint").alias("dict_bytes"),
+    )
+    worth = (F.col("n_distinct") * 20 <= F.col("n_rows")) & (
+        F.col("dict_bytes") + F.col("n_rows") * 2 < F.col("raw_bytes")
+    )
+    return per_col.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "raw_bytes",
+        F.when(worth, "dictionary").otherwise("plain").alias("encoding"),
+        F.when(
+            worth,
+            F.col("raw_bytes") - (F.col("dict_bytes") + F.col("n_rows") * 2),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("est_savings_bytes"),
+    )
+
+
+@query(
+    "q264_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_value_micro,
+           CAST(min(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS min_value_micro,
+           CAST(max(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS max_value_micro
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="SINGLE-PASS PIPELINE METRICS via pyspark.sql.Observation — the "
+    "DataFrame-native observability hook (named accumulator metrics "
+    "collected DURING a query's one pass, the mechanism behind "
+    "data-quality expectations that must not cost a second scan; the "
+    "reference's platform runs its notebook `display`/count audits as "
+    "separate actions, i.e. one extra full scan per audit — "
+    "notebooks/04_gold/41_publish_gold_dims.py:152-161 re-counts the "
+    "table it just wrote): the purchase slice is observed with "
+    "count/sum/min/max over micro-quantised values, ONE action drives "
+    "the pass, and the observed metrics ARE the query output. At "
+    "100 TB this is the difference between auditing a write for free "
+    "and paying a second read of the written data. All-integer "
+    "metrics (floor-micro) so the cross-engine hash is exact; "
+    "Observation metrics ride the existing partial-agg machinery — "
+    "no extra shuffle, no extra scan (asserted by the companion plan "
+    "test counting scans in the observed plan).",
+    tags=("quality", "ops"),
+)
+def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    obs = Observation("q264_purchase_audit")
+    observed = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(micro.alias("vm"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("vm").cast("bigint").alias("sum_value_micro"),
+            F.min("vm").cast("bigint").alias("min_value_micro"),
+            F.max("vm").cast("bigint").alias("max_value_micro"),
+        )
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the ONE action
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_purchases"],
+                m["sum_value_micro"],
+                m["min_value_micro"],
+                m["max_value_micro"],
+            )
+        ],
+        "n_purchases bigint, sum_value_micro bigint, "
+        "min_value_micro bigint, max_value_micro bigint",
+    )

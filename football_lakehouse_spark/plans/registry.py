@@ -174,6 +174,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q260_zonemap_skip_audit",
     "q261_hybrid_rrf_fusion",
     "q262_disorder_lateness_audit",
+    "q263_encoding_advisor",
+    "q264_observed_metrics",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

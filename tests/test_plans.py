@@ -573,3 +573,29 @@ def test_q261_rankers_use_topk_not_global_sort(spark):
     limit, never as a window over the data-sized score table."""
     plan = plan_of(spark, "q261_hybrid_rrf_fusion")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q263_uses_two_phase_distinct_no_expand(spark):
+    """q263: the per-column ndv must come from the two-phase
+    groupBy(col,value)→groupBy(col) pipeline — no COUNT DISTINCT
+    Expand node multiplying shuffle rows (the q164 lesson)."""
+    plan = plan_of(spark, "q263_encoding_advisor")
+    assert "Expand" not in plan
+
+
+def test_q264_observe_adds_no_second_scan(spark):
+    """q264: the observed pipeline must contain exactly ONE scan of the
+    events parquet — Observation metrics ride the pass, they must not
+    re-read the source (the free-audit contract the docstring claims)."""
+    from football_lakehouse_spark.catalog import load_table
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation("q264_plan_probe")
+    observed = (
+        load_table(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.floor(F.col("value") * 1000000 + F.lit(0.5)).alias("vm"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    plan = observed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
