@@ -6165,3 +6165,158 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(F.expr("1000000000 div (60 + rank_b)"), F.lit(0))
     ).cast("bigint")
     return fused.select("doc_id", "rank_a", "rank_b", rr.alias("rrf_ppb"))
+
+
+def _trunc_topk_sql(d: int) -> str:
+    """Oracle CTE body: exact cosine top-3 over the first ``d``
+    embedding components (d=0 → full vectors)."""
+    sl = f"[1:{d}]" if d else ""
+    return f"""
+        SELECT query_id, match_id FROM (
+            SELECT q.query_id, c.match_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(qv{sl}, mv{sl})
+                           / (sqrt(list_dot_product(qv{sl}, qv{sl}))
+                              * sqrt(list_dot_product(mv{sl}, mv{sl}))) DESC,
+                           c.match_id ASC
+                   ) AS rank
+            FROM c, q WHERE c.match_id <> q.query_id
+        ) WHERE rank <= 3
+    """
+
+
+@query(
+    "q265_dim_truncation_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS mv
+          FROM embeddings),
+    full_t AS ({_trunc_topk_sql(0)}),
+    t16 AS ({_trunc_topk_sql(16)}),
+    t32 AS ({_trunc_topk_sql(32)}),
+    n AS (SELECT count(*) AS nf FROM full_t)
+    SELECT d,
+           CAST(any_value(n.nf) AS BIGINT) AS n_full,
+           CAST(count(t.match_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.match_id) * 1000000 // any_value(n.nf) AS BIGINT)
+               AS recall_ppm
+    FROM (
+        SELECT 16 AS d, f.query_id, t.match_id
+        FROM full_t f LEFT JOIN t16 t USING (query_id, match_id)
+        UNION ALL
+        SELECT 32, f.query_id, t.match_id
+        FROM full_t f LEFT JOIN t32 t USING (query_id, match_id)
+    ) t, n
+    GROUP BY d
+    """,
+    doc="EMBEDDING DIMENSION-TRUNCATION EVAL (the Matryoshka/MRL "
+    "serving question: how much retrieval quality survives storing "
+    "only the first d of 64 components — the knob that cuts vector "
+    "storage AND dot-product cost by 4× at 100 TB): exact cosine "
+    "top-3 for the 5 probe queries at d=16 and d=32 versus the "
+    "full-dimension truth, reported as overlap counts and floor-ppm "
+    "recall@3 — the same integer-eval contract as q223's IVF recall "
+    "(the two together separate the QUANTISATION axis from the "
+    "PROBE-BUDGET axis of ANN cost). Truncated scoring slices the "
+    "SAME persisted corpus pass (F.slice, no re-read); every ranking "
+    "is the element-order dot product that DuckDB's "
+    "list_dot_product reproduces bit-for-bit (q44's float-exact "
+    "contract), so even the ranks cross-check exactly.",
+    tags=("llm", "similarity", "eval"),
+)
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def topk(d: int) -> DataFrame:
+        if d:
+            sl = lambda df: df.select(  # noqa: E731
+                "vec_id", F.slice("embedding", 1, d).alias("embedding")
+            )
+            return brute_force_topk(sl(queries), sl(emb), k=3)
+        return brute_force_topk(queries, emb, k=3)
+
+    full_t = topk(0).select("query_id", "match_id")
+    n = full_t.agg(F.count(F.lit(1)).alias("nf"))
+    parts = [
+        full_t.join(topk(d).select("query_id", "match_id"),
+                    ["query_id", "match_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        .select(F.lit(d).cast("int").alias("d"), "n_overlap")
+        for d in (16, 32)
+    ]
+    un = parts[0].unionByName(parts[1])
+    return (
+        un.crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            F.col("nf").cast("bigint").alias("n_full"),
+            "n_overlap",
+            F.expr("n_overlap * 1000000 div nf").cast("bigint").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "q266_sample_estimate_audit",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               CASE WHEN CAST(('0x' || substr(sha256('sample' || '§'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 16 = 0
+                    THEN 1 ELSE 0 END AS in_sample
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(in_sample) AS BIGINT) AS n_sampled,
+           CAST(sum(in_sample) * 16 AS BIGINT) AS n_estimated,
+           CAST(abs(sum(in_sample) * 16 - count(*)) * 1000000
+                // count(*) AS BIGINT) AS abs_err_ppm
+    FROM d GROUP BY source
+    """,
+    doc="SAMPLE-ESTIMATE AUDIT — the accept/reject gate for serving "
+    "approximate counts from a 1/16 hash-sampled companion table (the "
+    "BlinkDB-style trade: a 100 TB corpus answers group-count "
+    "dashboards from a 6 TB sample IF the error is tolerable, and "
+    "this query MEASURES that error instead of assuming it): "
+    "membership is the deterministic portable-hash gate (the same "
+    "q65/q192 replayable-sampling contract — no RNG, so the sample "
+    "is identical on every engine and every rerun), the estimator is "
+    "integer Horvitz-Thompson (count·16), and the audit emits exact "
+    "vs estimated per source with floor-ppm absolute error. One "
+    "column-pruned scan computes BOTH sides as conditional "
+    "aggregates; in production the audit runs once per sample "
+    "refresh while dashboards hit only the sample table.",
+    tags=("llm", "selection", "approx"),
+)
+def sample_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = F.when(
+        portable_hash(F.col("doc_id").cast("string"), seed="sample") % 16
+        == 0,
+        1,
+    ).otherwise(0)
+    return (
+        docs.select("source", in_sample.alias("in_sample"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum("in_sample").cast("bigint").alias("n_sampled"),
+            (F.sum("in_sample") * 16).cast("bigint").alias("n_estimated"),
+        )
+        .select(
+            "source",
+            "n_exact",
+            "n_sampled",
+            "n_estimated",
+            F.expr("abs(n_estimated - n_exact) * 1000000 div n_exact")
+            .cast("bigint")
+            .alias("abs_err_ppm"),
+        )
+    )

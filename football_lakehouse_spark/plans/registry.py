@@ -176,6 +176,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q262_disorder_lateness_audit",
     "q263_encoding_advisor",
     "q264_observed_metrics",
+    "q265_dim_truncation_recall",
+    "q266_sample_estimate_audit",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
