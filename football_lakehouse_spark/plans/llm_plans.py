@@ -5601,7 +5601,14 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="doc_id: bigint, chunk_ix: bigint, chunk_len: bigint")
+    # useArrow: the UDTF evaluates over Arrow batches
+    # (ArrowEvalPythonUDTFExec) instead of row-pickled
+    # BatchEvalPythonUDTFExec — same semantics, vectorised transfer;
+    # enforced registry-wide by scripts/plan_lint.py
+    @udtf(
+        returnType="doc_id: bigint, chunk_ix: bigint, chunk_len: bigint",
+        useArrow=True,
+    )
     class ChunkExpand:
         def eval(self, doc_id, text: str, size: int):
             toks = [t for t in (text or "").split(" ") if t]

@@ -1964,15 +1964,19 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AND at least as big, better in one' query. The naive form is an "
     "O(n²) dominance self-join; in 2-D it REWRITES to a sorted scan: "
     "a part is on the skyline iff its size beats the running maximum "
-    "over all STRICTLY cheaper parts (RANGE frame to 1 PRECEDING on "
-    "integer micro-price, so price ties stay out of their own "
-    "maximum) and ties the maximum within its own price point "
-    "(equal-price-larger-size dominates; identical pairs co-exist). "
-    "One sort, two frame variants of the same window — and the "
-    "running max distributes by the q169 two-phase trick (bucket "
-    "maxima prefix-max) if one skyline ever spans billions of rows. "
-    "Higher dimensions need the block-nested-loop or divide-and-"
-    "conquer forms — documented, not wired.",
+    "over all STRICTLY cheaper parts (exclusive prefix-max on integer "
+    "micro-price, so price ties stay out of their own maximum) and "
+    "ties the maximum within its own price point (equal-price-larger-"
+    "size dominates; identical pairs co-exist). The exclusive prefix "
+    "max is fully DISTRIBUTED — collapse to the per-price-point grain "
+    "first (one groupBy; distinct prices, each row a distinct price), "
+    "then the two-phase decomposition over price-domain buckets "
+    "(broadcast better-bucket maxima + per-bucket exclusive window; "
+    "bucket count is fixed by the retail-price DOMAIN, never the part "
+    "count), so no unpartitioned window survives anywhere even when "
+    "the skyline spans billions of rows. Higher dimensions need the "
+    "block-nested-loop or divide-and-conquer forms — documented, not "
+    "wired.",
     tags=("relational", "window"),
 )
 def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1985,18 +1989,37 @@ def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_micro"),
         "p_size",
     )
-    w_cheaper = (
-        Window.orderBy("price_micro")
-        .rangeBetween(Window.unboundedPreceding, -1)
+    # per-price-point grain: one row per distinct price (strict-cheaper
+    # semantics become a plain EXCLUSIVE row frame at this grain)
+    pv = p.groupBy("price_micro").agg(F.max("p_size").alias("max_same"))
+    pv = pv.withColumn("bucket", F.expr("price_micro div 16777216"))
+    bucket_max = pv.groupBy("bucket").agg(F.max("max_same").alias("bmax"))
+    other = bucket_max.select(
+        F.col("bucket").alias("ob"), F.col("bmax").alias("omax")
     )
-    w_same = Window.partitionBy("price_micro")
-    m = p.select(
-        "*",
-        F.max("p_size").over(w_cheaper).alias("max_cheaper"),
-        F.max("p_size").over(w_same).alias("max_same"),
+    prefix = (
+        bucket_max.join(F.broadcast(other), F.col("ob") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.max("omax").alias("pmax"))
+    )
+    w_in_ex = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("price_micro").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cheaper = (
+        pv.join(F.broadcast(prefix), "bucket")
+        .withColumn("in_ex", F.max("max_same").over(w_in_ex))
+        # greatest() skips NULLs: NULL only for the globally cheapest price
+        .select(
+            "price_micro",
+            "max_same",
+            F.greatest("pmax", "in_ex").alias("max_cheaper"),
+        )
     )
     return (
-        m.where(
+        p.join(cheaper, "price_micro")
+        .where(
             (F.col("max_cheaper").isNull()
              | (F.col("p_size") > F.col("max_cheaper")))
             & (F.col("p_size") == F.col("max_same"))
