@@ -2303,13 +2303,18 @@ def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decides the class by INTEGER CROSS-MULTIPLICATION ((cum−r)·100 < "
     "total·80 — no percentage floats, exact boundaries, and the "
     "boundary item goes to the richer class because its PRE-cumulative "
-    "share is what's tested). Part-grain input (already aggregated), "
-    "one ranking sort, class-sized output; the q169 two-phase prefix "
-    "sum applies if one ranking ever spans billions of grain rows.",
+    "share is what's tested). Part-grain input (already aggregated); "
+    "the descending running sum is the q169 two-phase decomposition — "
+    "revenue-range buckets sized from a control-plane min/max (≈512 "
+    "at any corpus size, the q259 sizing rule), broadcast "
+    "better-bucket prefix + per-bucket windows — and the grand total "
+    "arrives as a broadcast 1-row aggregate, so NO unpartitioned "
+    "window exists even when the ranking spans billions of grain "
+    "rows. Class-sized output.",
     tags=("relational", "agg", "window"),
 )
 def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -2318,15 +2323,17 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("r")
     )
     dec = "decimal(38,0)"
-    w_cum = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey", "r",
-        F.sum(F.col("r").cast(dec)).over(w_cum).alias("cum"),
-        F.sum(F.col("r").cast(dec)).over(w_all).alias("total"),
-    )
+    lo, hi = rev.agg(F.min("r"), F.max("r")).collect()[0]
+    width = max((int(hi) - int(lo) + 1) // 512, 1)
+    base = rev.withColumn("bucket", F.floor(F.col("r") / width).cast("bigint"))
+    tot = rev.agg(F.sum(F.col("r").cast(dec)).alias("total"))
+    ranked = bucketed_prefix(
+        base,
+        "bucket",
+        [F.col("r").desc(), F.col("l_partkey").asc()],
+        sums={"cum": F.col("r").cast(dec)},
+        descending=True,
+    ).crossJoin(F.broadcast(tot))
     pre = (F.col("cum") - F.col("r")) * 100
     abc = (
         F.when(pre < F.col("total") * 80, "A")

@@ -39,68 +39,24 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #: queries whose unpartitioned Window runs over a bounded intermediate
 #: (each entry names the bound in a trailing comment — auditable)
 WINDOW_ALLOW = {
-    "q07_topk_customers",           # top-k limit (≤10 rows)
-    "q19_anchor_fallback",          # per-anchor candidate set (≤ sources)
-    "q56_corpus_split",             # split × source grid (≤ 60 rows)
-    "q61_vocab_df",                 # vocabulary (31-token domain)
-    "q63_cube",                     # cube cells (status × priority grid)
-    "q73_boilerplate_ngrams",       # capped n-gram shortlist (top 20)
-    "q77_source_top_terms",         # source × vocab grid
-    "q82_source_overlap",           # source-pair grid (≤ 400 rows)
-    "q88_length_quantiles",         # 11 quantile marks
-    "q110_inverted_index",          # df≥5 term table (vocab domain)
-    "q112_bm25_topk",               # query-term posting union (bounded)
-    "q115_collocation_lift",        # min-support bigram shortlist
-    "q124_term_pagerank",           # vocab-domain graph (31 nodes)
-    "q148_neardup_triangles",       # verified near-dup edge set
-    "q158_rolling_distinct",        # day-grid distinct (date domain)
-    "q161_volume_shipping",         # ship-mode × band grid
-    "q170_market_basket",           # support≥2 part-pair shortlist
-    "q175_exact_percentiles",       # 11 quantile marks
-    "q184_percentile_normalize",    # source × decile grid
-    "q189_decile_lift",             # decile table (10 rows)
-    "q194_lorenz_curve",            # percentile grid (≤ 100 rows)
-    "q199_cohort_ltv_curve",        # cohort × month grid
-    "q203_trending_parts",          # top-k shortlists
-    "q204_revenue_bridge",          # period-pair bridge rows (4)
-    "q205_abc_classification",      # part-class cumulative (value domain)
-    "q209_cusum_changepoint",       # daily series (date domain)
-    "q213_journey_transitions",     # event-type² grid (≤ 36)
-    "q214_index_serving_bm25",      # 5-term query set / top-20
-    "q215_equidepth_histogram",     # bucket-edge table
-    "q216_tfidf_topk",              # vocab-domain idf + top-k
-    "q217_rfm_segments",            # quintile grids
-    "q220_seasonal_anomaly",        # day-of-week × week grid
-    "q221_curriculum_order",        # band table (4 rows)
-    "q225_zipf_head_share",         # vocab-domain rank (31 tokens)
-    "q229_source_length_drift",     # source × band grid
-    "q230_sequence_transition_audit",  # type² transition grid
-    "q231_repeat_purchase_curve",   # order-index grid (≤ 40)
-    "q232_value_window_family",     # bounded demo slice (windows parity)
-    "q233_max_drawdown",            # daily series (date domain)
-    "q234_histogram_2d",            # 2-D band grid
-    "q235_ordered_listagg",         # per-group caps (priority domain)
-    "q239_weighted_median",         # priority-group grid
-    "q240_benford_audit",           # 9 leading digits
-    "q241_interarrival_burstiness", # user-level gaps → band grid
-    "q242_top_user_paths",          # 3-step path shortlist (top 15)
-    "q243_basket_size_value_curve", # basket-size grid
-    "q244_discount_band_effectiveness",  # discount bands (11)
-    "q245_centroid_separation",     # label² centroid grid
-    "q251_pca_power_iteration",     # d² gram cells (256)
-    "q255_bfs_distance",            # frontier rounds (hop-capped)
-    "q256_chi_square_ab",           # 4-cell table
-    "q257_logged_cdf_ivm",          # changed-version feed (bounded)
-    "q261_hybrid_rrf_fusion",       # rank inside top-20 limits
+    "q62_mixture_weights",       # per-SOURCE aggregate (≤ 20 sources)
+    "q65_stratified_sample",     # per-SOURCE aggregate (≤ 20 strata)
+    "q103_token_budget_select",  # window over the BUCKET table — step 3
+                                 # of the bucketed_prefix decomposition
+    "q157_cumulative_distinct",  # per-DAY aggregate (date domain)
+    "q168_setsim_prefix_join",   # token-df table (vocabulary domain)
+    "q261_hybrid_rrf_fusion",    # rank assigned inside 20-row limits
 }
 
 #: queries where Expand IS the semantics (cube/rollup/grouping sets)
 EXPAND_ALLOW = {
-    "q21_rollup",
-    "q22_pivot",
-    "q63_cube",
-    "q201_hierarchy_rollup",
-    "q232_value_window_family",     # pivot-style stack demo
+    "q21_rollup",            # ROLLUP grouping sets
+    "q63_cube",              # CUBE grouping sets
+    "q66_sliding_window",    # sliding-window row expansion IS the operator
+    "q147_grouping_sets",    # GROUPING SETS semantics
+    "q167_distinct_sketch",  # exact-vs-sketch audit: the exact comparison
+                             # column requires true COUNT DISTINCT; the
+                             # sketch columns alone are Expand-free
 }
 
 

@@ -1,0 +1,46 @@
+"""Registry plan lint as a suite gate.
+
+Default run lints the BENCH-flagged queries (the headline plans — fast,
+no lakehouse writers); set SPARK_GRAFT_PLAN_LINT=1 to sweep the whole
+registry (minutes — builders that write tables or iterate run for
+real). The rules and pinned allowlists live in scripts/plan_lint.py;
+see its module docstring for what each rule bans and why.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+from football_lakehouse_spark.plans import registry
+
+_spec = importlib.util.spec_from_file_location(
+    "plan_lint",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "plan_lint.py"),
+)
+plan_lint = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(plan_lint)
+
+if os.environ.get("SPARK_GRAFT_PLAN_LINT"):
+    LINT_SPECS = list(registry.REGISTRY.values())
+else:
+    LINT_SPECS = [s for s in registry.REGISTRY.values() if s.bench]
+
+
+@pytest.mark.parametrize("spec", LINT_SPECS, ids=lambda s: s.name)
+def test_plan_lint(spark, spec):
+    df = spec.builder(spark, plan_lint.SF_SMOKE)
+    plan_json = json.loads(df._jdf.queryExecution().executedPlan().toJSON())
+    assert plan_lint.lint(plan_json, spec.name) == []
+
+
+def test_allowlists_reference_live_queries():
+    """Allowlist hygiene: every pinned exception must still name a
+    registered query — a renamed/deleted query must not leave a stale
+    allowlist hole."""
+    for s in (plan_lint.WINDOW_ALLOW, plan_lint.EXPAND_ALLOW):
+        missing = [n for n in s if n not in registry.REGISTRY]
+        assert missing == [], missing
