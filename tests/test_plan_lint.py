@@ -44,3 +44,55 @@ def test_allowlists_reference_live_queries():
     for s in (plan_lint.WINDOW_ALLOW, plan_lint.EXPAND_ALLOW):
         missing = [n for n in s if n not in registry.REGISTRY]
         assert missing == [], missing
+
+
+def _lint_of(df, name="synthetic"):
+    return plan_lint.lint(
+        json.loads(df._jdf.queryExecution().executedPlan().toJSON()), name
+    )
+
+
+def test_lint_flags_unpartitioned_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(100).withColumn(
+        "s",
+        F.sum("id").over(
+            Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert "unpartitioned Window outside allowlist" in _lint_of(df)
+
+
+def test_lint_accepts_partitioned_and_allowlisted(spark):
+    from pyspark.sql import Window, functions as F
+
+    part = spark.range(100).withColumn("g", F.col("id") % 3).withColumn(
+        "s",
+        F.sum("id").over(
+            Window.partitionBy("g")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert _lint_of(part) == []
+    glob = spark.range(10).withColumn(
+        "s",
+        F.sum("id").over(
+            Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert _lint_of(glob, name=next(iter(plan_lint.WINDOW_ALLOW))) == []
+
+
+def test_lint_flags_expand_and_allows_rollup_names(spark):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(100)
+        .withColumn("g", F.col("id") % 3)
+        .rollup("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Expand outside cube/rollup allowlist" in _lint_of(df)
+    assert _lint_of(df, name="q21_rollup") == []
