@@ -2138,3 +2138,76 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases bigint, sum_value_micro bigint, "
         "min_value_micro bigint, max_value_micro bigint",
     )
+
+
+@query(
+    "q267_time_weighted_value",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               date_diff('second', TIMESTAMP '1970-01-01', ts) AS t,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm,
+               event_id
+        FROM events
+    ),
+    l AS (
+        SELECT user_id, vm,
+               lead(t) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+               ) - t AS dt
+        FROM e
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(sum(CAST(vm AS HUGEINT) * dt) AS HUGEINT) AS wsum,
+               CAST(sum(dt) AS BIGINT) AS span_sec
+        FROM l WHERE dt IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(wsum // span_sec AS BIGINT) AS twap_micro,
+           span_sec
+    FROM agg WHERE span_sec > 0
+    """,
+    doc="TIME-WEIGHTED AVERAGE VALUE per user (TWAP — the correct mean "
+    "over an IRREGULAR event stream, where the plain AVG over-weights "
+    "bursts: each observation holds until the next one, so its weight "
+    "is its holding duration): lead(ts) over the per-user window "
+    "(PARTITIONED — per-entity ordering is the distributed-safe "
+    "window shape, lint-enforced) gives holding intervals, the "
+    "weighted sum runs in exact integers (micro-value × seconds, "
+    "HUGEINT/decimal accumulation), and twap = floor(Σ v·dt / Σ dt) "
+    "by truncating division in both engines. The last observation of "
+    "each user carries no forward interval (standard right-open "
+    "convention); zero-span users (a single event, or all events on "
+    "one timestamp) are excluded rather than divided by zero. One "
+    "shuffle (user partition), output one row per ≥2-event user.",
+    tags=("relational", "window", "ops"),
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.functions.scalars import epoch_seconds
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_seconds(F.col("ts")).alias("t"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").alias("vm"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    dec = "decimal(38,0)"
+    l = e.withColumn("dt", F.lead("t").over(w) - F.col("t"))
+    return (
+        l.where(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("vm").cast(dec) * F.col("dt").cast(dec)).alias("wsum"),
+            F.sum("dt").cast("bigint").alias("span_sec"),
+        )
+        .where(F.col("span_sec") > 0)
+        .select(
+            "user_id",
+            F.expr("wsum div span_sec").cast("bigint").alias("twap_micro"),
+            "span_sec",
+        )
+    )
