@@ -6327,3 +6327,88 @@ def sample_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_err_ppm"),
         )
     )
+
+
+@query(
+    "q268_lsh_funnel_audit",
+    oracle=f"""
+    WITH {_sql_minhash_ctes(0.5)},
+    f AS (
+        SELECT
+            (SELECT count(*) FROM t) AS n_docs,
+            (SELECT count(*) FROM sig) AS n_shingled,
+            (SELECT count(*) FROM (SELECT DISTINCT band_id, band_key
+                                   FROM bands)) AS n_buckets,
+            (SELECT count(*) FROM cand) AS n_candidates,
+            (SELECT count(*) FROM neardup) AS n_verified
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_shingled AS BIGINT) AS n_shingled,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           CAST(n_verified * 1000000 // greatest(n_candidates, 1) AS BIGINT)
+               AS precision_ppm
+    FROM f
+    """,
+    doc="LSH PIPELINE FUNNEL AUDIT — the tuning dashboard for the "
+    "MinHash+LSH dedup stack (q41/q71/q57 consume its output; this "
+    "measures its INTERNALS): per-stage cardinalities docs → "
+    "signature-bearing docs (≥3 tokens) → occupied band buckets → "
+    "candidate pairs → verified pairs (Jaccard ≥ 0.5), plus the "
+    "candidate-stage precision in floor-ppm (verified/candidates — "
+    "LOW precision means the banding parameters (b=3, r=2) emit far "
+    "more pairs than survive verification, i.e. the exact-verify "
+    "join is doing the work the signature should; the b/r S-curve is "
+    "the knob). Recall is deliberately NOT computed corpus-wide — "
+    "exact all-pairs truth is O(n²); in production the recall side of "
+    "this audit runs on a hash-gated sample (q266's pattern). Plan: "
+    "the SAME staged operators the production path runs "
+    "(operators/dedup.py doc_profiles → band_buckets → "
+    "candidate_pairs → verified_jaccard_profiles, profiles persisted "
+    "once), each stage folded to a 1-row count and cross-joined — "
+    "so the audit exercises exactly the plan it reports on. Output "
+    "is ONE row at any corpus size.",
+    tags=("llm", "dedup", "ops"),
+)
+def lsh_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from football_lakehouse_spark.operators.dedup import (
+        N_MINHASH as _NMH,
+        candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = doc_profiles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = profiles.select("doc_id", *[f"mh{k}" for k in range(_NMH)])
+    buckets = band_buckets(sigs)
+    cands = candidate_pairs(buckets).persist(StorageLevel.MEMORY_AND_DISK)
+    verified = verified_jaccard_profiles(cands, profiles, threshold=0.5)
+
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    n_shingled = profiles.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingled")
+    )
+    n_buckets = (
+        buckets.select("band_id", "band_key")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    )
+    n_cand = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_ver = verified.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_shingled))
+        .crossJoin(F.broadcast(n_buckets))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .select(
+            "n_docs",
+            "n_shingled",
+            "n_buckets",
+            "n_candidates",
+            "n_verified",
+            F.expr("n_verified * 1000000 div greatest(n_candidates, 1)")
+            .cast("bigint")
+            .alias("precision_ppm"),
+        )
+    )
