@@ -182,6 +182,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q266_sample_estimate_audit",
     "q267_time_weighted_value",
     "q268_lsh_funnel_audit",
+    "q269_recursive_purchase_chains",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

@@ -3251,3 +3251,106 @@ def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast(dec)
         ).cast("bigint").alias("discount_cost_micro"),
     )
+
+
+@query(
+    "q269_recursive_purchase_chains",
+    oracle="""
+    WITH RECURSIVE ord AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS nd,
+               lead(o_orderkey) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS nk,
+               lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS pd
+        FROM orders
+    ),
+    e AS (
+        SELECT o_orderkey AS k, nk
+        FROM ord
+        WHERE nd IS NOT NULL AND date_diff('day', o_orderdate, nd) <= 30
+    ),
+    starts AS (
+        SELECT o_orderkey AS k FROM ord
+        WHERE pd IS NULL OR date_diff('day', pd, o_orderdate) > 30
+    ),
+    walk(start_k, k, len) AS (
+        SELECT k, k, 1 FROM starts
+        UNION ALL
+        SELECT w.start_k, e.nk, w.len + 1
+        FROM walk w JOIN e ON e.k = w.k
+    ),
+    chains AS (
+        SELECT start_k, max(len) AS chain_len FROM walk GROUP BY start_k
+    )
+    SELECT CAST(chain_len AS BIGINT) AS chain_len,
+           CAST(count(*) AS BIGINT) AS n_chains
+    FROM chains GROUP BY chain_len
+    """,
+    doc="PURCHASE-STREAK CHAINS via Spark-NATIVE RECURSIVE CTE (Spark "
+    "4's WITH RECURSIVE — the declarative sibling of the engine's "
+    "driver-looped iterations: q255 BFS, q57 star rounds, q124 "
+    "pagerank all drive the loop from Python; here Catalyst itself "
+    "executes the fixpoint): a streak is a maximal run of a "
+    "customer's orders where each next order lands within 30 days; "
+    "the successor relation comes from a per-customer lead() window "
+    "(PARTITIONED), chain starts are orders with no within-30d "
+    "predecessor, and the recursion walks the successor edge. The "
+    "recursion is LINEAR BY CONSTRUCTION — every order has at most "
+    "one successor edge, so UNION ALL (Spark's only supported "
+    "recursive combinator today) cannot blow up by path "
+    "multiplicity, and depth is bounded by the longest streak "
+    "(recursion limit 100 ≫ any real streak; the driver-looped "
+    "forms remain the right tool for cyclic graphs, where dedup "
+    "between rounds — UNION/localCheckpoint — is what bounds "
+    "state). Output: streak-length histogram.",
+    tags=("relational", "window", "graph"),
+)
+def recursive_purchase_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q269_orders")
+    return spark.sql("""
+    WITH RECURSIVE ord AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS nd,
+               lead(o_orderkey) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS nk,
+               lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS pd
+        FROM q269_orders
+    ),
+    e AS (
+        SELECT o_orderkey AS k, nk
+        FROM ord
+        WHERE nd IS NOT NULL AND datediff(nd, o_orderdate) <= 30
+    ),
+    starts AS (
+        SELECT o_orderkey AS k FROM ord
+        WHERE pd IS NULL OR datediff(o_orderdate, pd) > 30
+    ),
+    walk(start_k, k, len) AS (
+        SELECT k, k, 1 FROM starts
+        UNION ALL
+        SELECT w.start_k, e.nk, w.len + 1
+        FROM walk w JOIN e ON e.k = w.k
+    ),
+    chains AS (
+        SELECT start_k, max(len) AS chain_len FROM walk GROUP BY start_k
+    )
+    SELECT CAST(chain_len AS BIGINT) AS chain_len,
+           CAST(count(*) AS BIGINT) AS n_chains
+    FROM chains GROUP BY chain_len
+    """)
