@@ -3310,10 +3310,18 @@ def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(recursion limit 100 ≫ any real streak; the driver-looped "
     "forms remain the right tool for cyclic graphs, where dedup "
     "between rounds — UNION/localCheckpoint — is what bounds "
-    "state). Output: streak-length histogram.",
+    "state). Scale knob, measured: Spark guards recursions with "
+    "spark.sql.cteRecursionRowLimit (default 1e6 TOTAL emitted "
+    "rows), which a linear recursion legitimately exceeds at "
+    "Σ chain-lengths ≈ |orders| — the sf1 soak tripped it — so the "
+    "builder sizes the rail to O(orders) instead of disabling it. "
+    "Output: streak-length histogram.",
     tags=("relational", "window", "graph"),
 )
 def recursive_purchase_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the recursion emits ≤ |orders| + |chains| rows total; size the
+    # safety rail to the data instead of the 1e6 default (runtime-settable)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q269_orders")
     return spark.sql("""
     WITH RECURSIVE ord AS (
