@@ -6412,3 +6412,97 @@ def lsh_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision_ppm"),
         )
     )
+
+
+@query(
+    "q270_dataset_card",
+    oracle=f"""
+    WITH base AS (
+        SELECT len({_SQL_TOKS}) AS ntok,
+               n_chars, lang, source, sha256(text) AS h
+        FROM documents
+    ),
+    a AS (
+        SELECT count(*) AS n_docs,
+               sum(ntok) AS n_tokens,
+               sum(n_chars) AS n_chars,
+               sum(CASE WHEN n_chars BETWEEN 20 AND 2000 THEN 1 ELSE 0 END)
+                   AS n_len_ok
+        FROM base
+    ),
+    l AS (SELECT count(*) AS n_langs FROM (SELECT DISTINCT lang FROM base)),
+    s AS (SELECT count(*) AS n_sources
+          FROM (SELECT DISTINCT source FROM base)),
+    u AS (SELECT count(*) AS n_unique FROM (SELECT DISTINCT h FROM base))
+    SELECT CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST(a.n_chars AS BIGINT) AS n_chars,
+           CAST(l.n_langs AS BIGINT) AS n_langs,
+           CAST(s.n_sources AS BIGINT) AS n_sources,
+           CAST(a.n_docs - u.n_unique AS BIGINT) AS n_exact_dup_docs,
+           CAST(a.n_len_ok * 1000000 // a.n_docs AS BIGINT)
+               AS len_ok_ppm,
+           CAST(a.n_tokens * 10000 // a.n_docs AS BIGINT)
+               AS mean_tokens_e4
+    FROM a, l, s, u
+    """,
+    doc="DATASET CARD in one row — the 'datasheets for datasets' "
+    "(Gebru et al.) summary a corpus release ships: doc/token/char "
+    "totals, language and source cardinalities, exact-duplicate doc "
+    "count (docs minus distinct content hashes — the q100 dedup "
+    "family's headline number), the length-gate pass rate in "
+    "floor-ppm, and mean tokens per doc in 1e-4 units — every figure "
+    "integer-exact. Plan shape: ONE corpus scan computes the additive "
+    "aggregates; each cardinality is a TWO-PHASE distinct "
+    "(groupBy value → count — no multi-COUNT-DISTINCT Expand, the "
+    "q164/q263 discipline, lint-enforced), and the four 1-row "
+    "aggregates broadcast-cross-join into the card. At 100 TB this "
+    "is 2 scans (the sha-distinct reuses the first scan's shuffle "
+    "output) and a 1-row result regardless of corpus size.",
+    tags=("llm", "text", "quality", "ops"),
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("ntok"),
+        "n_chars",
+        "lang",
+        "source",
+        F.sha2(F.col("text"), 256).alias("h"),
+    )
+    a = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum(
+            F.when(F.col("n_chars").between(20, 2000), 1).otherwise(0)
+        ).cast("bigint").alias("n_len_ok"),
+    )
+
+    def ndv(col: str, out: str) -> DataFrame:
+        return (
+            base.select(col).distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    return (
+        a.crossJoin(F.broadcast(ndv("lang", "n_langs")))
+        .crossJoin(F.broadcast(ndv("source", "n_sources")))
+        .crossJoin(F.broadcast(ndv("h", "n_unique")))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "n_sources",
+            (F.col("n_docs") - F.col("n_unique"))
+            .cast("bigint")
+            .alias("n_exact_dup_docs"),
+            F.expr("n_len_ok * 1000000 div n_docs").cast("bigint").alias(
+                "len_ok_ppm"
+            ),
+            F.expr("n_tokens * 10000 div n_docs").cast("bigint").alias(
+                "mean_tokens_e4"
+            ),
+        )
+    )

@@ -183,6 +183,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q267_time_weighted_value",
     "q268_lsh_funnel_audit",
     "q269_recursive_purchase_chains",
+    "q270_dataset_card",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
