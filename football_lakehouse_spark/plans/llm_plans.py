@@ -6720,3 +6720,114 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+@query(
+    "q272_incremental_curation",
+    oracle=f"""
+    WITH {_sql_minhash_ctes(0.5)},
+    b AS (
+        SELECT doc_id, n_chars, sha256(text) AS h
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    base AS (
+        SELECT doc_id, sha256(text) AS h
+        FROM documents WHERE doc_id % 25 <> 0
+    ),
+    exact_hit AS (
+        SELECT DISTINCT b.doc_id FROM b
+        WHERE EXISTS (SELECT 1 FROM base WHERE base.h = b.h)
+           OR EXISTS (SELECT 1 FROM b e
+                      WHERE e.h = b.h AND e.doc_id < b.doc_id)
+    ),
+    near_hit AS (
+        SELECT DISTINCT d FROM (
+            SELECT doc_b AS d FROM neardup
+            WHERE doc_b % 25 = 0
+              AND (doc_a % 25 <> 0 OR doc_a < doc_b)
+            UNION ALL
+            SELECT doc_a FROM neardup
+            WHERE doc_a % 25 = 0 AND doc_b % 25 <> 0
+        )
+    )
+    SELECT b.doc_id,
+           CASE
+               WHEN b.n_chars < 20 OR b.n_chars > 2000 THEN 'dropped_quality'
+               WHEN b.doc_id IN (SELECT doc_id FROM exact_hit)
+                   THEN 'dropped_exact'
+               WHEN b.doc_id IN (SELECT d FROM near_hit)
+                   THEN 'dropped_neardup'
+               ELSE 'kept'
+           END AS verdict
+    FROM b
+    """,
+    doc="INCREMENTAL CURATION end-to-end — the composed capstone of "
+    "the incremental family (q85 near-dup, q123 index, q257 IVM): an "
+    "arriving batch (doc_id % 25 = 0, ~4% of the corpus) is admitted "
+    "to the clean set by the full gate chain — length quality, "
+    "exact-hash dedup against the existing corpus AND earlier batch "
+    "arrivals, then MinHash near-dup against corpus + earlier batch "
+    "(arrival-order-wins: existing corpus docs always beat batch "
+    "docs; within the batch, lower id wins) — touching ONLY "
+    "batch-sized work beyond one corpus scan: the exact check is a "
+    "broadcast semi-join on content hash, the near-dup check is "
+    "operators/dedup.incremental_neardups (batch buckets broadcast "
+    "against corpus banding; NO corpus×corpus re-pairing). Verdicts "
+    "carry the drop REASON with quality > exact > neardup "
+    "precedence, so the curation ledger is auditable. Oracle = the "
+    "identical admission rule computed from the FULL-corpus pipeline "
+    "(the q85 restriction-not-widening proof extended to the whole "
+    "gate chain).",
+    tags=("llm", "dedup", "quality", "ops"),
+)
+def incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.dedup import incremental_neardups
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 25 == 0).select(
+        "doc_id", "n_chars", "text", F.sha2(F.col("text"), 256).alias("h")
+    ).persist()
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+
+    base_hashes = corpus.select(F.sha2(F.col("text"), 256).alias("h")).distinct()
+    exact_vs_base = batch.join(
+        F.broadcast(base_hashes), "h", "left_semi"
+    ).select("doc_id")
+    earlier = batch.select(F.col("doc_id").alias("e_id"), F.col("h").alias("e_h"))
+    exact_vs_earlier = (
+        batch.join(
+            earlier,
+            (F.col("h") == F.col("e_h")) & (F.col("e_id") < F.col("doc_id")),
+            "left_semi",
+        ).select("doc_id")
+    )
+    exact_hit = exact_vs_base.unionByName(exact_vs_earlier).distinct()
+
+    pairs = incremental_neardups(corpus, batch.select("doc_id", "text"))
+    # cross pairs: doc_b is the batch doc (corpus partner always earlier
+    # by arrival); batch-internal pairs: doc_a < doc_b → doc_b loses
+    near_hit = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+
+    verdict = (
+        F.when(
+            (F.col("n_chars") < 20) | (F.col("n_chars") > 2000),
+            "dropped_quality",
+        )
+        .when(F.col("is_exact").isNotNull(), "dropped_exact")
+        .when(F.col("is_near").isNotNull(), "dropped_neardup")
+        .otherwise("kept")
+    )
+    return (
+        batch.select("doc_id", "n_chars")
+        .join(
+            F.broadcast(exact_hit.withColumn("is_exact", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .join(
+            F.broadcast(near_hit.withColumn("is_near", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", verdict.alias("verdict"))
+    )
