@@ -6641,8 +6641,9 @@ def _pq_recall_oracle_sql(
     "quantiser applied per block — lowest-id init, exact integer "
     "distances, floor-average updates, so the codebooks are "
     "partition-invariant and SQL-reproducible), every vector encodes "
-    "to 4 cell ids (4 bytes at k=16 vs 256 raw floats — the 64× "
-    "memory cut that makes billion-vector serving fit in RAM), and "
+    "to 4 cell ids (4×4 bits = 2 bytes at k=16 vs 256 bytes of raw "
+    "floats — the two-orders-of-magnitude memory cut that makes "
+    "billion-vector serving fit in RAM), and "
     "query scoring is ADC: per (query, block, cell) dot-product "
     "contribution tables (n_queries·4·16 rows, broadcast-sized) "
     "looked up by code — 4 additions per candidate instead of a "
