@@ -6508,14 +6508,11 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_recall_oracle_sql(
-    n_blocks: int = 4, block_dim: int = 16, k_cells: int = 16, topk: int = 3
-) -> str:
-    """Unrolled product-quantisation + ADC recall oracle: per block, one
-    deterministic Lloyd round over the SUBvector (same init/tie-break/
-    floor rules as _lloyd_sql_ctes), then asymmetric-distance scoring
-    from the per-(query, cell) contribution tables."""
-    ctes = [
+def _pq_base_ctes(k_cells: int = 16) -> list[str]:
+    """qx (quantised components), v (double vectors), init (lowest-id
+    seed cells) — shared by the PQ chain and any coarse quantiser built
+    over the same corpus (q271, q273)."""
+    return [
         """qx AS (
         SELECT vec_id, i AS pos,
                CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
@@ -6529,6 +6526,15 @@ def _pq_recall_oracle_sql(
         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_cells})
     )""",
     ]
+
+
+def _pq_block_ctes(n_blocks: int = 4, block_dim: int = 16) -> list[str]:
+    """Per-block PQ CTEs (suffixed — collision-free beside a coarse
+    Lloyd chain): one deterministic Lloyd round per SUBvector (same
+    init/tie-break/floor rules as _lloyd_sql_ctes), codebooks cent1_b,
+    assignments af_b, and per-(query, cell) ADC contribution tables
+    qc_b. Requires qx/init from :func:`_pq_base_ctes`."""
+    ctes: list[str] = []
     for b in range(n_blocks):
         lo, hi = b * block_dim, b * block_dim + block_dim - 1
         ctes.append(f"""cent0_{b} AS (
@@ -6581,16 +6587,25 @@ def _pq_recall_oracle_sql(
         [f"af_{b} " + ("USING (vec_id)" if b else "") for b in range(n_blocks)]
     ).replace("af_0 USING (vec_id)", "af_0")
     code_cols = ", ".join(f"af_{b}.cell AS c{b}" for b in range(n_blocks))
+    ctes.append(f"""codes AS (
+        SELECT af_0.vec_id, {code_cols}
+        FROM {code_join}
+    )""")
+    return ctes
+
+
+def _pq_recall_oracle_sql(
+    n_blocks: int = 4, block_dim: int = 16, k_cells: int = 16, topk: int = 3
+) -> str:
+    """Unrolled product-quantisation + ADC recall oracle (q271): full
+    per-block chains then brute ADC over every candidate."""
+    ctes = _pq_base_ctes(k_cells) + _pq_block_ctes(n_blocks, block_dim)
     contrib_sum = " + ".join(f"q{b}.contrib" for b in range(n_blocks))
     qc_joins = "\n        ".join(
         f"JOIN qc_{b} q{b} ON q{b}.cell = m.c{b}"
         + ("" if b == 0 else f" AND q{b}.query_id = q0.query_id")
         for b in range(n_blocks)
-    ).replace("q0.cell = m.c0", "q0.cell = m.c0")
-    ctes.append(f"""codes AS (
-        SELECT af_0.vec_id, {code_cols}
-        FROM {code_join}
-    )""")
+    )
     ctes.append(f"""adc AS (
         SELECT q0.query_id, m.vec_id AS match_id, {contrib_sum} AS adc
         FROM codes m
@@ -6831,4 +6846,189 @@ def incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select("doc_id", verdict.alias("verdict"))
+    )
+
+
+def _ivfpq_oracle_sql(
+    n_cells: int = 16, n_probe: int = 4, n_blocks: int = 4,
+    block_dim: int = 16, topk: int = 3, iters: int = 2,
+) -> str:
+    """IVF-PQ recall oracle: the q51 coarse Lloyd chain (qx/v/init/…/af)
+    + the q271 per-block PQ chain (collision-free suffixed names) +
+    probe-restricted ADC ranking."""
+    ctes, prev = _lloyd_sql_ctes(n_cells, iters)
+    ctes += _pq_block_ctes(n_blocks, block_dim)
+    ctes.append(f"""probes AS (
+        SELECT query_id, cell FROM (
+            SELECT qx.vec_id AS query_id, c.cell,
+                   sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2,
+                   row_number() OVER (
+                       PARTITION BY qx.vec_id
+                       ORDER BY sum((qx.qx - c.cq) * (qx.qx - c.cq)) ASC,
+                                c.cell ASC
+                   ) AS pr
+            FROM qx JOIN {prev} c ON qx.pos = c.pos
+            WHERE qx.vec_id < 5
+            GROUP BY qx.vec_id, c.cell
+        ) WHERE pr <= {n_probe}
+    )""")
+    ctes.append("""cand AS (
+        SELECT p.query_id, af.vec_id AS match_id
+        FROM af JOIN probes p USING (cell)
+        WHERE af.vec_id <> p.query_id
+    )""")
+    contrib_sum = " + ".join(f"q{b}.contrib" for b in range(n_blocks))
+    qc_joins = "\n        ".join(
+        f"JOIN qc_{b} q{b} ON q{b}.cell = m.c{b}"
+        f" AND q{b}.query_id = c.query_id"
+        for b in range(n_blocks)
+    )
+    ctes.append(f"""adc AS (
+        SELECT c.query_id, c.match_id, {contrib_sum} AS adc
+        FROM cand c
+        JOIN codes m ON m.vec_id = c.match_id
+        {qc_joins}
+    )""")
+    ctes.append(f"""pq_top AS (
+        SELECT query_id, match_id, 1 AS hit FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc DESC, match_id ASC
+            ) AS rank FROM adc
+        ) WHERE rank <= {topk}
+    )""")
+    ctes.append("""exact_scored AS (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS match_id,
+               list_dot_product(qv.e, cv.e)
+                 / (sqrt(list_dot_product(qv.e, qv.e))
+                    * sqrt(list_dot_product(cv.e, cv.e))) AS cos_sim
+        FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id
+        WHERE qv.vec_id < 5
+    )""")
+    ctes.append(f"""exact_top AS (
+        SELECT query_id, match_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+            ) AS rank FROM exact_scored
+        ) WHERE rank <= {topk}
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id,
+           CAST(count(hit) AS BIGINT) AS n_hit,
+           CAST(count(hit) * 1000000 // {topk} AS BIGINT) AS recall_ppm
+    FROM exact_top LEFT JOIN pq_top USING (query_id, match_id)
+    GROUP BY query_id
+    """
+    )
+
+
+@query(
+    "q273_ivfpq_recall",
+    oracle=_ivfpq_oracle_sql(),
+    doc="IVF-PQ — the composed PRODUCTION vector index (Jégou et al.; "
+    "what Faiss serves billion-vector search with): the q51 coarse "
+    "quantiser prunes the corpus to n_probe=4 of 16 cells per query "
+    "(the PROBE axis), then the q271 product codes rank ONLY those "
+    "candidates by asymmetric distance (the MEMORY/COMPUTE axis) — "
+    "cost per query = probed-cell members × 4 table lookups, with "
+    "2-byte codes instead of 256-byte vectors. Recall@3 vs the exact "
+    "cosine truth closes the eval triptych (q223 probe budget, q265 "
+    "dimension truncation, q271 quantisation; this measures their "
+    "COMPOSITION — losses compound, which is exactly what the number "
+    "shows). Both quantisers are the deterministic integer Lloyd, so "
+    "the entire index — coarse cells, codebooks, codes, ADC ranks — "
+    "is reproduced bit-for-bit by the unrolled SQL oracle. Plan: "
+    "coarse train (2 rounds) + 4 subvector trains (1 round each) are "
+    "fixed job counts; encoding and probing are broadcast joins; the "
+    "ADC window partitions by query.",
+    tags=("llm", "similarity", "eval"),
+)
+def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.operators.similarity import (
+        _quantized_components,
+        kmeans_cells,
+    )
+
+    n_blocks, block_dim, n_probe, topk = 4, 16, 4, 3
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    queries = emb.where(F.col("vec_id") < 5)
+
+    coarse_assigned, coarse_cents = kmeans_cells(emb, n_cells=16, iters=2)
+    q64 = _quantized_components(queries, "query_id", "vec_id", "embedding")
+    dist = (
+        q64.join(F.broadcast(coarse_cents), "pos")
+        .groupBy("query_id", "cell")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("cq")) * (F.col("qx") - F.col("cq"))
+            ).alias("d2")
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        dist.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        coarse_assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("match_id"))
+    )
+
+    codes = None
+    adc_parts = []
+    for b in range(n_blocks):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", b * block_dim + 1, block_dim).alias(
+                "embedding"
+            ),
+        )
+        assigned, cents = kmeans_cells(sub, n_cells=16, iters=1)
+        a_b = assigned.withColumnRenamed("cell", f"c{b}")
+        codes = a_b if codes is None else codes.join(a_b, "vec_id")
+        qcomp = _quantized_components(
+            sub.where(F.col("vec_id") < 5), "query_id", "vec_id", "embedding"
+        )
+        adc_parts.append(
+            qcomp.join(F.broadcast(cents), "pos")
+            .groupBy("query_id", "cell")
+            .agg(F.sum(F.col("qx") * F.col("cq")).alias(f"contrib{b}"))
+            .withColumnRenamed("cell", f"c{b}")
+        )
+    scored = cand.join(codes.withColumnRenamed("vec_id", "match_id"), "match_id")
+    for b in range(n_blocks):
+        scored = scored.join(
+            F.broadcast(adc_parts[b]), [f"c{b}", "query_id"]
+        )
+    adc = scored.select(
+        "query_id",
+        "match_id",
+        sum(
+            (F.col(f"contrib{b}") for b in range(1, n_blocks)),
+            F.col("contrib0"),
+        ).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("match_id").asc()
+    )
+    pq_top = adc.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= topk
+    ).select("query_id", "match_id")
+    exact_top = brute_force_topk(queries, emb, k=topk).select(
+        "query_id", "match_id"
+    )
+    hits = exact_top.join(
+        pq_top.withColumn("hit", F.lit(1)), ["query_id", "match_id"], "left"
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("hit").cast("bigint").alias("n_hit"),
+        F.expr(f"count(hit) * 1000000 div {topk}").cast("bigint").alias(
+            "recall_ppm"
+        ),
     )
