@@ -7032,3 +7032,100 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+@query(
+    "q274_minhash_estimator_audit",
+    oracle=f"""
+    WITH {_sql_minhash_ctes(0.5)},
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT
+                    + (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT
+                    + (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT
+                   AS BIGINT) AS n_agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.n_agree,
+           CAST(e.n_agree * 10000 // 6 AS BIGINT) AS est_e4,
+           CAST(floor(COALESCE(cm.n_common, 0) * 10000
+                / (na.n + nb.n - COALESCE(cm.n_common, 0)))
+               AS BIGINT) AS exact_e4,
+           CAST(abs(e.n_agree * 10000 // 6
+                - CAST(floor(COALESCE(cm.n_common, 0) * 10000
+                      / (na.n + nb.n - COALESCE(cm.n_common, 0))) AS BIGINT))
+               AS BIGINT) AS abs_err_e4
+    FROM est e
+    LEFT JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+    JOIN sizes na ON na.doc_id = e.doc_a
+    JOIN sizes nb ON nb.doc_id = e.doc_b
+    """,
+    doc="MINHASH ESTIMATOR ACCURACY AUDIT — the signature-quality axis "
+    "completing q268's stage-funnel: for every LSH candidate pair "
+    "(NO threshold filter — sub-threshold candidates are exactly "
+    "where the estimator's error matters, they're what the verify "
+    "stage exists to reject), the 6-permutation signature agreement "
+    "n_agree/6 (the unbiased MinHash Jaccard estimate) beside the "
+    "exact shingle-set Jaccard, both floor-quantised to 1e-4, with "
+    "the absolute error — the empirical spread IS the K=6 estimator "
+    "variance ≈ √(J(1−J)/K), the number that justifies (or indicts) "
+    "the signature width before anyone trusts est-only shortcuts. "
+    "Pairs that share a band purely by hash collision (no common "
+    "shingle) stay in the audit with exact=0 via the left join. "
+    "Plan: one persisted profile pass feeds signatures, shingle "
+    "sets, and banding; the audit join is candidate-sized.",
+    tags=("llm", "dedup", "eval"),
+)
+def minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from football_lakehouse_spark.operators.dedup import (
+        N_MINHASH as _NMH,
+        candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = doc_profiles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = profiles.select("doc_id", *[f"mh{k}" for k in range(_NMH)])
+    cands = candidate_pairs(band_buckets(sigs))
+    a = profiles.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(_NMH)],
+        F.col("shset").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b = profiles.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(_NMH)],
+        F.col("shset").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    j = cands.join(a, "doc_a").join(b, "doc_b")
+    n_agree = sum(
+        (
+            F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+            for k in range(1, _NMH)
+        ),
+        F.when(F.col("a0") == F.col("b0"), 1).otherwise(0),
+    ).cast("bigint")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    out = j.select(
+        "doc_a",
+        "doc_b",
+        n_agree.alias("n_agree"),
+        n_common.alias("nc"),
+        (F.col("n_a") + F.col("n_b")).alias("nab"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        F.expr("n_agree * 10000 div 6").cast("bigint").alias("est_e4"),
+        F.floor(F.col("nc") * 10000 / (F.col("nab") - F.col("nc")))
+        .cast("bigint")
+        .alias("exact_e4"),
+    )
+    return out.withColumn(
+        "abs_err_e4",
+        F.abs(F.col("est_e4") - F.col("exact_e4")).cast("bigint"),
+    )
