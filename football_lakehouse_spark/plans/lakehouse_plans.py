@@ -1637,3 +1637,71 @@ def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shipdate_clustered",
     )
     return nat.unionByName(clu)
+
+
+@query(
+    "q275_shuffle_sizing_advisor",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(('0x' || substr(sha256('shuffle' || '§'
+                   || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 32
+                   AS reducer,
+               72 + strlen(l_returnflag) + strlen(l_linestatus) AS row_bytes
+        FROM lineitem
+    ),
+    per AS (
+        SELECT reducer, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(row_bytes) AS BIGINT) AS est_bytes
+        FROM r GROUP BY reducer
+    ),
+    tot AS (SELECT sum(n_rows) AS n, count(*) AS k FROM per)
+    SELECT per.reducer, per.n_rows, per.est_bytes,
+           CAST(per.n_rows * tot.k * 1000000 // tot.n AS BIGINT)
+               AS load_ppm_of_even
+    FROM per, tot
+    """,
+    doc="SHUFFLE SIZING ADVISOR — spark.sql.shuffle.partitions as a "
+    "measured decision instead of a guess (the spill-awareness "
+    "knob: a reducer partition must fit its share in executor "
+    "memory): lineitem keyed by the portable hash of the q17 join "
+    "key modulo the session's 32 reducers, per-reducer row count and "
+    "estimated in-flight bytes (fixed-width columns 72 B + measured "
+    "string lengths — the unserialized row-size model), plus each "
+    "reducer's load as floor-ppm of the perfectly-even share "
+    "(1 000 000 = exactly even; the max row is the straggler/spill "
+    "predictor — hash keys keep it within a few % here, and a skewed "
+    "key would show as one row at N× even, which is precisely when "
+    "q79's salting or AQE skew-split pays). One scan, 32-row output "
+    "at any data size; re-run with a different modulus to cost a "
+    "partition-count change BEFORE rerunning the job.",
+    tags=("lakehouse", "ops"),
+)
+def shuffle_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import portable_hash
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (
+            portable_hash(F.col("l_orderkey").cast("string"), seed="shuffle")
+            % 32
+        ).alias("reducer"),
+        (
+            F.lit(72)
+            + F.length("l_returnflag")
+            + F.length("l_linestatus")
+        ).alias("row_bytes"),
+    )
+    per = li.groupBy("reducer").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("row_bytes").cast("bigint").alias("est_bytes"),
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "reducer",
+        "n_rows",
+        "est_bytes",
+        F.expr("n_rows * k * 1000000 div n").cast("bigint").alias(
+            "load_ppm_of_even"
+        ),
+    )
