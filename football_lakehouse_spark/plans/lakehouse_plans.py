@@ -1705,3 +1705,67 @@ def shuffle_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "load_ppm_of_even"
         ),
     )
+
+
+@query(
+    "q276_broadcast_advisor",
+    oracle="""
+    WITH s AS (
+        SELECT 'region' AS tbl, count(*) AS n_rows,
+               CAST(sum(12 + strlen(r_name)) AS BIGINT) AS est_bytes
+        FROM region
+        UNION ALL
+        SELECT 'nation', count(*),
+               CAST(sum(16 + strlen(n_name)) AS BIGINT) FROM nation
+        UNION ALL
+        SELECT 'supplier', count(*),
+               CAST(sum(24 + strlen(s_name)) AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT 'customer', count(*),
+               CAST(sum(24 + strlen(c_name) + strlen(c_mktsegment))
+                   AS BIGINT) FROM customer
+        UNION ALL
+        SELECT 'part', count(*),
+               CAST(sum(24 + strlen(p_name) + strlen(p_brand)
+                    + strlen(p_type)) AS BIGINT) FROM part
+    )
+    SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows, est_bytes,
+           est_bytes < 10485760 AS broadcastable
+    FROM s
+    """,
+    doc="BROADCAST PLANNING ADVISOR — which join sides fit under the "
+    "10 MiB autoBroadcastJoinThreshold, measured from the data rather "
+    "than assumed (the q275 shuffle advisor's companion; together "
+    "they answer 'broadcast or shuffle, and at how many partitions'): "
+    "per dimension table, exact row count and estimated in-memory "
+    "bytes (fixed-width columns + measured string lengths — the same "
+    "row model q275 uses), with the broadcastable verdict against the "
+    "default threshold. The fixture dims all pass — and the table "
+    "shows the MARGIN, which is what you watch as dims grow (q268's "
+    "AQE mis-broadcast caveat is exactly what happens when the "
+    "estimate and reality diverge: parquet size stats undercount "
+    "in-memory arrays). Five tiny column-pruned scans, 5-row output.",
+    tags=("lakehouse", "ops"),
+)
+def broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def est(tbl: str, fixed: int, *strcols: str) -> DataFrame:
+        df = load_table(spark, sf_dir, tbl)
+        width = F.lit(fixed)
+        for c in strcols:
+            width = width + F.length(c)
+        return df.select(width.alias("w")).agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("w").cast("bigint").alias("est_bytes"),
+        )
+
+    out = (
+        est("region", 12, "r_name")
+        .unionByName(est("nation", 16, "n_name"))
+        .unionByName(est("supplier", 24, "s_name"))
+        .unionByName(est("customer", 24, "c_name", "c_mktsegment"))
+        .unionByName(est("part", 24, "p_name", "p_brand", "p_type"))
+    )
+    return out.withColumn(
+        "broadcastable", F.col("est_bytes") < F.lit(10485760)
+    )
