@@ -7129,3 +7129,57 @@ def minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abs_err_e4",
         F.abs(F.col("est_e4") - F.col("exact_e4")).cast("bigint"),
     )
+
+
+@query(
+    "q277_frame_sample",
+    oracle="""
+    WITH p AS (SELECT doc_id, text AS pl FROM documents),
+    f AS (
+        SELECT doc_id, i AS frame_ix,
+               substring(pl, CAST(i * 64 + 1 AS BIGINT), 64) AS frame
+        FROM p,
+             unnest(range(0, CAST(ceil(strlen(pl) / 64.0) AS BIGINT))) r(i)
+        WHERE i % 4 = 0
+    )
+    SELECT doc_id, CAST(frame_ix AS BIGINT) AS frame_ix,
+           CAST(strlen(frame) AS BIGINT) AS frame_bytes,
+           sha256(frame) AS frame_sha
+    FROM f
+    """,
+    doc="FRAME SAMPLING for video-like payloads as a driver-attested "
+    "query (operators/multimodal.frame_sample — previously exercised "
+    "only by unit tests; this closes the last registry gap in the "
+    "multimodal surface beside decode q92 and metadata q72): each "
+    "document's bytes stand in for a video container, split JVM-side "
+    "into fixed 64-byte frames entirely with built-in expressions "
+    "(sequence → transform → filter → explode: NO Python in the "
+    "frame path — a real demux would swap the substr for a "
+    "mapInPandas codec while this Spark-side shape stays identical), "
+    "keeping every 4th frame with its deterministic frame index, "
+    "byte length, and content sha256 — the per-frame grain a "
+    "downstream batch decoder consumes. The oracle reproduces the "
+    "framing arithmetic with VARCHAR slicing (DuckDB has no BLOB "
+    "substring) — byte- and character-slices coincide because the "
+    "fixture corpus is pure ASCII (octet_length = strlen verified at "
+    "every SF; a non-ASCII corpus would need a hex-domain oracle like "
+    "q92's). Final frames are short (payload % 64), checked by "
+    "length and hash alike.",
+    tags=("llm", "multimodal"),
+)
+def frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    bundled = bundle_assets(
+        docs.select("doc_id", "text"),
+        F.encode(F.col("text"), "UTF-8"),
+        "video/fake-container",
+    )
+    frames = frame_sample(bundled, frame_bytes=64, every_nth=4)
+    return frames.select(
+        "doc_id",
+        "frame_ix",
+        "frame_bytes",
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )

@@ -190,6 +190,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q274_minhash_estimator_audit",
     "q275_shuffle_sizing_advisor",
     "q276_broadcast_advisor",
+    "q277_frame_sample",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
