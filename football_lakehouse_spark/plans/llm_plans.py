@@ -7183,3 +7183,164 @@ def frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_bytes",
         F.sha2(F.col("frame"), 256).alias("frame_sha"),
     )
+
+
+@query(
+    "q278_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS match_id, label AS m_label,
+                 embedding::DOUBLE[] AS mv FROM embeddings),
+    scored AS (
+        SELECT query_id, q_label, match_id, m_label,
+               list_dot_product(qv, mv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(mv, mv))) AS cos_sim
+        FROM c, q
+        WHERE match_id <> query_id AND m_label <> q_label
+    )
+    SELECT query_id, CAST(q_label AS INT) AS q_label,
+           match_id, CAST(m_label AS INT) AS neg_label,
+           cos_sim, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id ASC
+        ) AS BIGINT) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="HARD-NEGATIVE MINING for contrastive/metric training (the "
+    "ANN-powered complement of q192's hash-gated random negatives: "
+    "random negatives saturate early; the negatives that move a "
+    "retriever are the most-similar WRONG-label examples): for each "
+    "anchor, the top-3 highest-cosine vectors with a DIFFERENT label "
+    "— one label-filtered scoring pass over the broadcast anchors, "
+    "exact element-order dot products (q44's bit-identical float "
+    "contract), per-anchor WindowGroupLimit rank. At corpus scale "
+    "the scoring pass swaps to the IVF/PQ candidates (q51/q273) with "
+    "the label filter applied per candidate — the mining topology is "
+    "unchanged.",
+    tags=("llm", "similarity", "ml"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    c = emb.repartition(par).select(
+        F.col("vec_id").alias("match_id"),
+        F.col("label").alias("m_label"),
+        F.col("embedding").alias("match_vec"),
+    )
+    from football_lakehouse_spark.operators.similarity import cosine
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("match_id") != F.col("query_id"))
+            & (F.col("m_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            F.col("q_label").cast("int").alias("q_label"),
+            "match_id",
+            F.col("m_label").cast("int").alias("neg_label"),
+            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "q279_knn_label_noise",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+               FROM embeddings),
+    scored AS (
+        SELECT a.vec_id, a.label AS own_label, b.label AS nb_label,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_dot_product(a.e, b.e)
+                       / (sqrt(list_dot_product(a.e, a.e))
+                          * sqrt(list_dot_product(b.e, b.e))) DESC,
+                       b.vec_id ASC
+               ) AS rank
+        FROM v a JOIN v b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 50
+    ),
+    votes AS (
+        SELECT vec_id, CAST(any_value(own_label) AS INT) AS own_label,
+               CAST(sum(CASE WHEN nb_label = own_label THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_agree
+        FROM scored WHERE rank <= 5 GROUP BY vec_id
+    )
+    SELECT vec_id, own_label, n_agree,
+           n_agree * 2 < 5 AS suspect
+    FROM votes
+    """,
+    doc="kNN LABEL-NOISE DETECTION (confident-learning-lite — the "
+    "label-quality gate a training set runs before the loss ever "
+    "sees a mislabeled example): for each audited vector, its 5 "
+    "nearest neighbours by exact cosine vote; a row whose own label "
+    "wins fewer than half the votes is flagged suspect. The audit "
+    "slice (vec_id < 50) keeps the demo exact-kNN; at corpus scale "
+    "the neighbour list comes from the IVF/PQ index (q51/q273) and "
+    "the vote is the same 5-row aggregate. Counts and the majority "
+    "test are pure integers — no float threshold to drift "
+    "cross-engine; the neighbour RANKING reuses q44's bit-identical "
+    "dot-product contract.",
+    tags=("llm", "similarity", "quality"),
+)
+def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") < 50).select(
+        "vec_id", F.col("label").alias("own_label"),
+        F.col("embedding").alias("qv"),
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    b = emb.repartition(par).select(
+        F.col("vec_id").alias("nb_id"), F.col("label").alias("nb_label"),
+        F.col("embedding").alias("mv"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("nb_id").asc()
+    )
+    scored = (
+        b.crossJoin(F.broadcast(a))
+        .where(F.col("nb_id") != F.col("vec_id"))
+        .select(
+            "vec_id", "own_label", "nb_id", "nb_label",
+            cosine(F.col("qv"), F.col("mv")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.any_value("own_label").cast("int").alias("own_label"),
+            F.sum(
+                F.when(F.col("nb_label") == F.col("own_label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+        )
+        .select(
+            "vec_id", "own_label", "n_agree",
+            (F.col("n_agree") * 2 < 5).alias("suspect"),
+        )
+    )

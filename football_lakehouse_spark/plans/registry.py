@@ -191,6 +191,8 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q275_shuffle_sizing_advisor",
     "q276_broadcast_advisor",
     "q277_frame_sample",
+    "q278_hard_negative_mining",
+    "q279_knn_label_noise",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
