@@ -78,9 +78,10 @@ def query(
 #:         | serialized to STRING in r6), q159–q180
 #:   r6    | (this prefix) q110+q123 re-attest, q181–q213 — the only
 #:         | 33 never-attested queries — then the r6 additions through
-#:         | q228 (q229–q276 and the r1/r2-stale tail roll to r7:
-#:         | positions 50–99 of this order are exactly q229–q276 plus
-#:         | the first two stale refreshes)
+#:         | q228 (q229+ and the r1/r2-stale tail roll forward:
+#:         | positions 50–99 of this order are exactly q229–q278, so
+#:         | the r7 prefix-pair attests everything through q278;
+#:         | q279 and the stale tail queue behind them)
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
