@@ -7344,3 +7344,92 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_agree") * 2 < 5).alias("suspect"),
         )
     )
+
+
+@query(
+    "q280_source_quality_funnel",
+    oracle=f"""
+    WITH {_sql_minhash_ctes(0.5)},
+    d AS (
+        SELECT doc_id, source, n_chars, sha256(text) AS h,
+               row_number() OVER (
+                   PARTITION BY sha256(text) ORDER BY doc_id
+               ) AS hrn
+        FROM documents
+    ),
+    near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM neardup)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_chars < 20 OR n_chars > 2000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+           CAST(sum(CASE WHEN NOT (n_chars < 20 OR n_chars > 2000)
+                              AND hrn > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN NOT (n_chars < 20 OR n_chars > 2000)
+                              AND hrn = 1
+                              AND doc_id IN (SELECT doc_id FROM near_losers)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN NOT (n_chars < 20 OR n_chars > 2000)
+                              AND hrn = 1
+                              AND doc_id NOT IN
+                                  (SELECT doc_id FROM near_losers)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM d GROUP BY source
+    """,
+    doc="PER-SOURCE QUALITY FUNNEL — gate attribution across the whole "
+    "corpus (q270 gives the one-row card, q272 the incremental batch "
+    "verdicts; this is the PER-INGEST dashboard that tells you which "
+    "feed to fix): every document falls into exactly one bucket per "
+    "the q272 precedence — length-gate fail, exact duplicate (any "
+    "non-first doc of a content-hash group, lowest id wins), near-dup "
+    "loser (higher-id side of a verified MinHash pair), else clean — "
+    "so each source row sums to its doc count and the funnel is "
+    "additive across sources (the property that makes it a "
+    "dashboard). Plan: the hash keep-first is a hash-PARTITIONED "
+    "window (distributed by construction), near-dup losers come from "
+    "the production LSH pipeline, and the final pass is one "
+    "conditional aggregate per source with the loser set as a "
+    "broadcast semi/anti pair.",
+    tags=("llm", "dedup", "quality", "ops"),
+)
+def source_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardups(docs, threshold=0.5)
+    near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(
+        F.col("doc_id").asc()
+    )
+    d = docs.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(w).alias("hrn"),
+    ).join(
+        F.broadcast(near_losers.withColumn("is_near", F.lit(1))),
+        "doc_id",
+        "left",
+    )
+    qfail = (F.col("n_chars") < 20) | (F.col("n_chars") > 2000)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(qfail, 1).otherwise(0)).cast("bigint").alias(
+            "n_quality_fail"
+        ),
+        F.sum(F.when(~qfail & (F.col("hrn") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dup"),
+        F.sum(
+            F.when(
+                ~qfail & (F.col("hrn") == 1) & F.col("is_near").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_near_dup"),
+        F.sum(
+            F.when(
+                ~qfail & (F.col("hrn") == 1) & F.col("is_near").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clean"),
+    )

@@ -194,6 +194,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q277_frame_sample",
     "q278_hard_negative_mining",
     "q279_knn_label_noise",
+    "q280_source_quality_funnel",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",

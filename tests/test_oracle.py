@@ -64,6 +64,6 @@ def test_registry_completeness_contract():
     names = registry._driver_ordered()
     assert len(names) == len(set(names))
     assert set(names) == set(registry.REGISTRY)
-    assert len(registry.REGISTRY) >= 278
+    assert len(registry.REGISTRY) >= 279
     rows_only = [s.name for s in registry.REGISTRY.values() if s.oracle is None]
     assert rows_only == [], f"rows-only queries crept in: {rows_only}"
