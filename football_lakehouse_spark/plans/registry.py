@@ -76,73 +76,22 @@ def query(
 #:   r5    | q151 re-attest, q92–q100, q107–q124 (q110/q123 err — the
 #:         | array<bigint> postings column broke the driver hasher;
 #:         | serialized to STRING in r6), q159–q180
-#:   r6    | (this prefix) q110+q123 re-attest, q181–q213 — the only
-#:         | 33 never-attested queries — then the r6 additions through
-#:         | q228 (q229+ and the r1/r2-stale tail roll forward:
-#:         | positions 50–99 of this order are exactly q229–q278, so
-#:         | the r7 prefix-pair attests everything through q278;
-#:         | q279 and the stale tail queue behind them)
+#:   r6    | q110+q123 re-attest, q181–q228 — the full 50-row prefix
+#:         | came back green (CORRECTNESS_r06: 50/50, first perfect
+#:         | round)
+#:   r7    | (this prefix) q229–q278 — the 50 r6 additions that had
+#:         | never been driver-attested. q279/q280 plus the r1/r2-stale
+#:         | refresh tail queue directly behind for r8; the freshly
+#:         | r6-attested block drops to the natural-order rest.
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
-#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). With r6's prefix,
+#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). With r7's prefix,
 #: every registered query has at least one driver-green row across
-#: r1–r6.
+#: r1–r7.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # --- r5's two err rows (array postings → string, fixed r6) ---
-    "q110_inverted_index",
-    "q123_incremental_index",
-    # --- never driver-attested (added r5, pytest-green only) ---
-    "q181_mad_outliers",
-    "q182_group_trend",
-    "q183_ks_statistic",
-    "q184_percentile_normalize",
-    "q185_gini_concentration",
-    "q186_table_diff_merkle",
-    "q187_rolling_regression",
-    "q188_capped_balance",
-    "q189_decile_lift",
-    "q190_copurchase_recs",
-    "q191_linear_attribution",
-    "q192_negative_sampling",
-    "q193_multi_window_touches",
-    "q194_lorenz_curve",
-    "q195_skyline",
-    "q196_spearman",
-    "q197_bloom_export",
-    "q198_purchase_gap_hazard",
-    "q199_cohort_ltv_curve",
-    "q200_asof_nearest",
-    "q201_hierarchy_rollup",
-    "q202_filter_agreement",
-    "q203_trending_parts",
-    "q204_revenue_bridge",
-    "q205_abc_classification",
-    "q206_simpson_diversity",
-    "q207_dedup_savings",
-    "q208_ship_latency_sla",
-    "q209_cusum_changepoint",
-    "q210_temporal_split",
-    "q211_tail_expectation",
-    "q212_keyness_odds_ratio",
-    "q213_journey_transitions",
-    # --- added in round 6 (never driver-attested) ---
-    "q214_index_serving_bm25",
-    "q215_equidepth_histogram",
-    "q216_tfidf_topk",
-    "q217_rfm_segments",
-    "q218_calibration_bins",
-    "q219_neardup_degree_profile",
-    "q220_seasonal_anomaly",
-    "q221_curriculum_order",
-    "q222_debounce_events",
-    "q223_ann_recall_eval",
-    "q224_revenue_concentrated_parts",
-    "q225_zipf_head_share",
-    "q226_winsorized_stats",
-    "q227_join_explosion_audit",
-    "q228_preference_pairs",
-    # --- 50-row prefix boundary is HERE; the rest rolls to r7 ---
+    # --- r7 prefix: the 52-query attestation backlog, oldest first.
+    #     Exactly 50 fit; q279/q280 are first in line next round. ---
     "q229_source_length_drift",
     "q230_sequence_transition_audit",
     "q231_repeat_purchase_curve",
@@ -193,6 +142,7 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q276_broadcast_advisor",
     "q277_frame_sample",
     "q278_hard_negative_mining",
+    # --- 50-row prefix boundary is HERE; q279/q280 lead the r8 prefix ---
     "q279_knn_label_noise",
     "q280_source_quality_funnel",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
