@@ -12,12 +12,18 @@ contract into the format itself, and the STREAM reader gives exact
 file-granularity offsets (the resume log is the sorted file list — the
 same idea as the file-stream source's commit log, but inspectable).
 
-Scale design: one InputPartition per landing file → Spark schedules
-file parses across executors exactly like the built-in source; no
-driver-side data movement (the driver only lists the directory).
-Listing is O(files) on the driver — the same contract as Spark's own
-file index; at 10⁶+ files you compact the landing zone (RUNBOOK §7)
-regardless of which reader is used.
+Scale design: the BATCH reader builds one InputPartition per landing
+file → Spark schedules file parses across executors exactly like the
+built-in source with no driver-side data movement (the driver only
+lists the directory). The STREAM reader is a
+SimpleDataSourceStreamReader, which by Spark-4 contract prefetches each
+micro-batch's rows ON THE DRIVER — bound that with the
+``maxFilesPerBatch`` option (see :class:`LandingStreamReader`); the
+executor-partitioned ``DataSourceStreamReader`` is the upgrade path if
+a landing zone ever outgrows the capped drain. Listing is O(files) on
+the driver — the same contract as Spark's own file index; at 10⁶+
+files you compact the landing zone (RUNBOOK §7) regardless of which
+reader is used.
 """
 
 from __future__ import annotations
@@ -142,44 +148,76 @@ class LandingReader(DataSourceReader):
 
 
 class LandingStreamReader(SimpleDataSourceStreamReader):
-    """File-granularity incremental stream: the offset is
-    ``{"files": n}`` over the SORTED file list, so each micro-batch is
-    exactly the files that arrived since the last one — replayable
-    from any offset, and the commit log is human-readable."""
+    """File-granularity incremental stream with CONTENT-ADDRESSED
+    offsets: the offset is ``{"consumed": [relative paths...]}`` — the
+    explicit set of files already read. Each micro-batch is exactly
+    ``listing - consumed`` (sorted), so a late-arriving file whose name
+    sorts BEFORE already-consumed files is still picked up exactly once,
+    and ``readBetweenOffsets(start, end)`` replays exactly
+    ``end.consumed - start.consumed`` regardless of files that arrived
+    after the batch was planned. (A positional ``{"files": n}`` offset —
+    the first design — shifted indices on out-of-order arrivals and
+    broke replay; legacy count offsets are still accepted for old
+    checkpoints and interpreted over the current sorted listing.)
+
+    ``maxFilesPerBatch`` (option, default unbounded) caps how many
+    pending files one micro-batch materializes — SimpleDataSourceStreamReader
+    prefetches batch rows on the driver, so a large initial backlog
+    would otherwise buffer the whole landing zone in driver memory; with
+    the cap, an availableNow drain advances the offset incrementally in
+    bounded slices. Offset size is O(consumed files): the landing-zone
+    compaction contract (module docstring, RUNBOOK §7) bounds the file
+    count; relative paths keep each entry short.
+    """
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("landing_events: option 'path' is required")
+        self.max_files = int(options.get("maxFilesPerBatch", 0)) or None
 
     def initialOffset(self):
-        return {"files": 0}
+        return {"consumed": []}
+
+    def _rel(self, fp: str) -> str:
+        return os.path.relpath(fp, self.path)
+
+    def _consumed_set(self, offset) -> set[str]:
+        """Offset → set of consumed relative paths. Legacy ``{"files": n}``
+        count offsets map to the first n of the current sorted listing
+        (best-effort migration for pre-r7 checkpoints)."""
+        if "consumed" in offset:
+            return set(offset["consumed"])
+        n = int(offset.get("files", 0))
+        return {self._rel(fp) for fp in _list_landing_files(self.path)[:n]}
+
+    def _read_files(self, rel_paths):
+        rows = []
+        for rel in sorted(rel_paths):
+            fp = os.path.join(self.path, rel)
+            pdate = _date_from_path(fp)
+            with open(fp, encoding="utf-8") as fh:
+                for line in fh:
+                    row = _parse_line(line, fp, pdate)
+                    if row is not None:
+                        rows.append(row)
+        return rows
 
     def read(self, start):
-        files = _list_landing_files(self.path)
-        n0 = int(start.get("files", 0))
-        rows = []
-        for fp in files[n0:]:
-            pdate = _date_from_path(fp)
-            with open(fp, encoding="utf-8") as fh:
-                for line in fh:
-                    row = _parse_line(line, fp, pdate)
-                    if row is not None:
-                        rows.append(row)
-        return (iter(rows), {"files": len(files)})
+        consumed = self._consumed_set(start)
+        pending = sorted(
+            self._rel(fp)
+            for fp in _list_landing_files(self.path)
+            if self._rel(fp) not in consumed
+        )
+        if self.max_files is not None:
+            pending = pending[: self.max_files]
+        end = {"consumed": sorted(consumed | set(pending))}
+        return (iter(self._read_files(pending)), end)
 
     def readBetweenOffsets(self, start, end):
-        files = _list_landing_files(self.path)
-        n0, n1 = int(start.get("files", 0)), int(end.get("files", 0))
-        rows = []
-        for fp in files[n0:n1]:
-            pdate = _date_from_path(fp)
-            with open(fp, encoding="utf-8") as fh:
-                for line in fh:
-                    row = _parse_line(line, fp, pdate)
-                    if row is not None:
-                        rows.append(row)
-        return iter(rows)
+        batch = self._consumed_set(end) - self._consumed_set(start)
+        return iter(self._read_files(batch))
 
 
 class LandingEventsDataSource(DataSource):

@@ -124,3 +124,61 @@ def test_landing_events_python_datasource_stream(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert {r.event_id for r in got.collect()} == {1, 2, 3}
+
+    # Out-of-order arrival: "0_late.json" sorts BEFORE every consumed
+    # file. Content-addressed offsets must read it exactly once (a
+    # positional count offset would re-read a.json and skip it).
+    (land / "0_late.json").write_text(
+        '{"event_id":4,"ts":"2026-02-01T09:00:00","user_id":5,'
+        '"event_type":"click","value":4.0,"props":null}\n'
+    )
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert {r.event_id for r in got.collect()} == {1, 2, 3, 4}
+
+
+def test_landing_stream_offsets_replayable_and_capped(tmp_path):
+    """Reader-level contract: offsets are content-addressed file sets, so
+    (1) readBetweenOffsets replays the SAME rows after new arrivals,
+    (2) late out-of-order files surface in the next batch, and
+    (3) maxFilesPerBatch bounds driver prefetch per micro-batch."""
+    from football_lakehouse_spark.sources.pyds import LandingStreamReader
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def put(name, eid):
+        (land / name).write_text(
+            '{"event_id":%d,"ts":"2026-02-01T10:00:00","user_id":1,'
+            '"event_type":"click","value":1.0,"props":null}\n' % eid
+        )
+
+    put("b.json", 1)
+    put("c.json", 2)
+    rdr = LandingStreamReader({"path": str(land)})
+    start = rdr.initialOffset()
+    rows1, end1 = rdr.read(start)
+    assert sorted(r[0] for r in rows1) == [1, 2]
+    assert sorted(end1["consumed"]) == ["b.json", "c.json"]
+
+    # a.json sorts before both consumed files — replay of (start, end1)
+    # must NOT change, and the next batch must be exactly a.json.
+    put("a.json", 3)
+    replay = list(rdr.readBetweenOffsets(start, end1))
+    assert sorted(r[0] for r in replay) == [1, 2]
+    rows2, end2 = rdr.read(end1)
+    assert [r[0] for r in rows2] == [3]
+    assert sorted(end2["consumed"]) == ["a.json", "b.json", "c.json"]
+
+    # maxFilesPerBatch=1: a 2-file backlog drains in two bounded slices.
+    put("d.json", 4)
+    put("e.json", 5)
+    capped = LandingStreamReader({"path": str(land), "maxFilesPerBatch": "1"})
+    r3, end3 = capped.read(end2)
+    r4, end4 = capped.read(end3)
+    assert [r[0] for r in r3] == [4] and [r[0] for r in r4] == [5]
+
+    # Legacy positional offsets ({"files": n}) still resolve.
+    legacy_rows = list(rdr.readBetweenOffsets({"files": 0}, {"files": 1}))
+    assert [r[0] for r in legacy_rows] == [3]  # a.json is first in sort order
