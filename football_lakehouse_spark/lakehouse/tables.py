@@ -1182,6 +1182,17 @@ class LakehouseTable:
                 continue
             c = self._read_commit(v)
             op = c.get("operation")
+            if op == "overwrite" and c.get("remove") and "cdf" not in c:
+                # the delete half of this overwrite was never logged
+                # (committed before enable_change_feed); serving the add
+                # files as inserts-only would be exactly the silent hole
+                # the docstring warns about
+                raise ValueError(
+                    f"{self.base}: version {v} (overwrite) removed files "
+                    f"but has no logged change data — enable_change_feed() "
+                    f"must precede the operation for table_changes to "
+                    f"serve it"
+                )
             parts: list[DataFrame] = []
             if "cdf" in c:
                 parts.append(

@@ -92,8 +92,13 @@ def exact_heavy_hitters(
     cands = misra_gries_candidates(items, col, m).select("item").distinct()
     total = items.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
+        # compare as STRING on both sides — the candidate pass cast to
+        # string, and a native bigint == string comparison would coerce
+        # both to double, mis-matching ids above 2^53
         items.join(
-            F.broadcast(cands), items[col] == F.col("item"), "left_semi"
+            F.broadcast(cands),
+            items[col].cast("string") == F.col("item"),
+            "left_semi",
         )
         .groupBy(F.col(col).alias("item"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))

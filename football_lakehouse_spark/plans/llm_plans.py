@@ -5453,9 +5453,10 @@ def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cnt.withColumn(
+            # integer `div`, matching the oracle's `//` — float `/ 2`
+            # rounds once n*(n-1) exceeds 2^53 and breaks exactness
             "predicted_pairs",
-            (F.col("n_rows") * (F.col("n_rows") - 1) / 2)
-            .cast("bigint"),
+            F.expr("n_rows * (n_rows - 1) div 2").cast("bigint"),
         )
         .orderBy(F.col("predicted_pairs").desc(), F.col("l_partkey").asc())
         .limit(20)

@@ -462,6 +462,33 @@ def test_c18_change_feed_hole_raises(spark, make_table):
     }
 
 
+def test_c18_overwrite_hole_raises(spark, make_table):
+    """C18: an OVERWRITE committed before enablement removed files whose
+    delete half was never logged — serving it as inserts-only is the
+    same silent hole as merge/delete/update; it must raise. An
+    overwrite of an EMPTY table (nothing removed) is a pure insert and
+    serves fine without a sidecar."""
+    t = make_table("cdf_ow_hole")
+    if not hasattr(t, "enable_change_feed"):
+        pytest.skip("binding has no change-feed surface")
+    t.overwrite(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))  # v0: empty→rows
+    t.overwrite(spark.createDataFrame([(2, 2.0)], "k bigint, v double"))  # v1: removes, no CDF
+    t.enable_change_feed()
+    t.update(F.col("k") == 2, {"v": F.lit(9.0)})
+    with pytest.raises(ValueError, match="overwrite.*no logged change data"):
+        t.table_changes(-1).collect()
+    # v0 alone (no files removed) is a clean insert batch
+    assert {r["change_type"] for r in t.table_changes(-1, 0).collect()} == {
+        "insert"
+    }
+    # post-enablement overwrite logs its delete half and serves
+    t.overwrite(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
+    assert {r["change_type"] for r in
+            t.table_changes(t.current_version() - 1).collect()} == {
+        "delete", "insert"
+    }
+
+
 def test_c18_vacuum_reclaims_change_sidecars(spark, make_table):
     """C18+C7: change sidecars follow data-file retention — vacuum
     drops the feed of non-retained versions (reading it then raises)

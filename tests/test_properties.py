@@ -467,6 +467,23 @@ def test_exact_heavy_hitters_matches_naive(spark, items, m, parts):
     assert got == want
 
 
+def test_exact_heavy_hitters_bigint_above_2_53(spark):
+    """The verify pass must compare candidates in STRING space on both
+    sides: a native bigint == string join coerces both to double, and
+    ids 2^53 and 2^53+1 collapse to the same double — the exactness
+    guarantee would silently merge/drop them."""
+    from football_lakehouse_spark.operators.frequency import exact_heavy_hitters
+
+    a, b = 2**53, 2**53 + 1  # float(a) == float(b)
+    rows = [(a,)] * 6 + [(b,)] * 3 + [(7,)] * 1
+    df = spark.createDataFrame(rows, "id bigint").repartition(3)
+    got = {
+        r.item: r.n_item for r in exact_heavy_hitters(df, "id", m=3).collect()
+    }
+    # n=10, m=3 → threshold count*4 > 10 → counts ≥ 3 qualify
+    assert got == {a: 6, b: 3}
+
+
 def test_mg_merge_truncation_law():
     """_mg_merge unit law: merged summary never exceeds m counters, and
     every item's residual is within (true count − n/(m+1), true count]
