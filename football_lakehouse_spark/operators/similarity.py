@@ -445,6 +445,34 @@ def refine_hot_cells(
     return refined_assign, refined_cent
 
 
+def ivf_probe_cells(
+    queries: DataFrame, centroids: DataFrame, n_probe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query probe list ``(query_id, cell)`` — each query's
+    ``n_probe`` nearest cells by exact integer centroid-d². The shared
+    candidate-generation front of every IVF consumer: plain search
+    (:func:`ivf_search`), and the filtered-candidate flows where the
+    caller applies its own predicate before scoring (hard-negative
+    mining's label filter, kNN label-noise votes — q281/q282). The
+    probe table is queries×n_cells (tiny: centroids broadcast, one
+    row per query-cell pair), so downstream joins can broadcast it
+    against the corpus-sized assignment table."""
+    qqx = _quantized_components(queries, "query_id", id_col, vec_col)
+    diff = F.col("qx") - F.col("cq")
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    return (
+        qqx.join(F.broadcast(centroids), "pos")
+        .groupBy("query_id", "cell")
+        .agg(F.sum(diff * diff).alias("d2"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+
 def ivf_search(
     queries: DataFrame, corpus: DataFrame,
     assigned: DataFrame, centroids: DataFrame,
@@ -468,18 +496,8 @@ def ivf_search(
     c = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
     )
-    qqx = _quantized_components(queries, "query_id", id_col, vec_col)
-    diff = F.col("qx") - F.col("cq")
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("cell").asc()
-    )
-    probes = (
-        qqx.join(F.broadcast(centroids), "pos")
-        .groupBy("query_id", "cell")
-        .agg(F.sum(diff * diff).alias("d2"))
-        .withColumn("pr", F.row_number().over(probe_w))
-        .where(F.col("pr") <= n_probe)
-        .select("query_id", "cell")
+    probes = ivf_probe_cells(
+        queries, centroids, n_probe, id_col=id_col, vec_col=vec_col
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")

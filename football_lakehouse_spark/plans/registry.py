@@ -145,6 +145,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # --- 50-row prefix boundary is HERE; q279/q280 lead the r8 prefix ---
     "q279_knn_label_noise",
     "q280_source_quality_funnel",
+    # --- added r7 (ANN-backed production variants, r6 verdict #3) ---
+    "q281_hard_negative_mining_ann",
+    "q282_knn_label_noise_ann",
     # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
