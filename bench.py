@@ -21,10 +21,12 @@ from football_lakehouse_spark.session import get_spark
 
 
 N_PASSES = 4
-#: 1-min loadavg above which timings on this 32-cpu host are known to be
-#: noise-inflated (observed ±3× under concurrent pytest) — the run is
-#: still recorded, but flagged so regressions aren't read from it
-LOAD_CONTAMINATION_THRESHOLD = 3.0
+#: 1-min loadavg above which timings on this 32-cpu host are flagged as
+#: noise-inflated. r6 proved 3.0 was too lax: a run that started at
+#: loadavg 2.98 passed the gate yet drifted every shared query +5–12%
+#: uniformly vs r5 — pure background load. Anything materially above
+#: idle now flags (and the pre-run wait below tries to outlast it).
+LOAD_CONTAMINATION_THRESHOLD = 1.0
 
 
 def _loadavg() -> float:
@@ -37,7 +39,10 @@ def _loadavg() -> float:
 #: how long to wait for the host to go idle before accepting a
 #: contaminated measurement anyway (the driver must always get its one
 #: JSON line, so this never refuses outright)
-IDLE_WAIT_MAX_SEC = 120
+#: 1-min loadavg decays by ~e⁻¹ per idle minute, so even a just-finished
+#: 3-load tail needs ~2 min of quiet to pass the 1.0 gate — give the
+#: wait room for that plus a little margin
+IDLE_WAIT_MAX_SEC = 300
 IDLE_POLL_SEC = 10
 
 

@@ -24,7 +24,11 @@ a script + env-gated test, not a default-suite test. Exit code 1 on
 any violation outside the pinned allowlists; the allowlists are part
 of the contract and reviewed like code.
 
-Usage: python scripts/plan_lint.py [--names q01_x,q02_y]
+Usage: python scripts/plan_lint.py [--names q01_x,q02_y] [--json OUT.json]
+
+``--json`` writes per-query verdicts ({name: {"ok": bool, "errs":
+[...]}} plus a summary) so the full-registry result is a checkable
+artefact (PLANLINT_r{N}.json), not a prose claim.
 """
 
 from __future__ import annotations
@@ -97,14 +101,18 @@ def lint(plan_json, name: str) -> list[str]:
 
 
 def main() -> int:
+    import argparse
+    import json
+
     from pyspark.sql import SparkSession
 
     from football_lakehouse_spark.plans.registry import REGISTRY
 
-    names = None
-    for a in sys.argv[1:]:
-        if a.startswith("--names"):
-            names = a.split("=", 1)[1].split(",")
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--names", help="comma-separated query names (default: all)")
+    ap.add_argument("--json", dest="json_out", help="write per-query verdicts here")
+    args = ap.parse_args()
+    names = args.names.split(",") if args.names else None
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("plan-lint")
@@ -114,26 +122,40 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     bad = 0
+    verdicts: dict[str, dict] = {}
     for name, spec in REGISTRY.items():
         if names and name not in names:
             continue
         try:
-            import json
-
             df = spec.builder(spark, SF_SMOKE)
             plan_json = json.loads(
                 df._jdf.queryExecution().executedPlan().toJSON()
             )
         except Exception as ex:  # builder executing real jobs can fail loudly
             print(f"{name}: BUILD ERROR {ex!r}"[:200], flush=True)
+            verdicts[name] = {"ok": False, "errs": [f"BUILD ERROR {ex!r}"[:200]]}
             bad += 1
             continue
         errs = lint(plan_json, name)
         for e in errs:
             print(f"{name}: {e}", flush=True)
+        verdicts[name] = {"ok": not errs, "errs": errs}
         bad += len(errs)
     print(f"plan-lint: {bad} violation(s) across "
-          f"{len(names or REGISTRY)} queries", flush=True)
+          f"{len(verdicts)} queries", flush=True)
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(
+                {
+                    "violations": bad,
+                    "queries_checked": len(verdicts),
+                    "window_allow": sorted(WINDOW_ALLOW),
+                    "expand_allow": sorted(EXPAND_ALLOW),
+                    "verdicts": verdicts,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if bad else 0
 
 
