@@ -1,0 +1,101 @@
+"""Candidate-volume preflight for blocking joins.
+
+Every blocking-based candidate generator in the engine (LSH band
+buckets, prefix-filter postings, SymSpell deletion variants) funnels a
+self-join through a posting table: rows sharing a key become candidate
+pairs, so the join emits sum_k C(n_k, 2) rows for posting sizes n_k.
+On well-behaved data the postings are near-unique and that sum is
+~linear in the corpus; on degenerate data (tiny vocabularies for
+prefix filtering, dense sequential keyspaces for SymSpell — both
+measured in SCALING.md rounds 5–6) it goes quadratic and the join is
+hopeless at scale no matter how it is partitioned.
+
+The LSH path already bounds this structurally (the star cap in
+``dedup.candidate_pairs``). Prefix filtering and SymSpell cannot cap
+without losing completeness — a hot posting really does make all its
+members mutual candidates — so the honest 100 TB defence is to PRICE
+the join before paying for it: one cheap aggregation over the posting
+table computes the exact candidate volume the self-join would emit,
+and the plan refuses (loud, actionable error) instead of launching a
+quadratic shuffle. The preflight scan is O(postings) — negligible
+beside the O(sum n_k^2) join it gates.
+
+Reference analogue: the reference validates inputs before publishing
+(`notebooks/03_silver/31_build_silver_dims.py:296-306` — DQ counts
+abort the job before any write); this is the same write-after-validate
+ordering applied to join cost instead of row quality.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+#: refuse a blocking self-join whose exact candidate output exceeds
+#: this many pairs. Default prices ~minutes of single-node verify work;
+#: a cluster deployment raises it deliberately via the env var, which
+#: keeps the knob out of every call site.
+DEFAULT_MAX_CANDIDATE_PAIRS = int(
+    os.environ.get("SPARK_GRAFT_MAX_CANDIDATE_PAIRS", str(5_000_000))
+)
+
+
+class CandidateVolumeError(RuntimeError):
+    """A blocking join would emit more candidate pairs than the cap."""
+
+
+def candidate_volume(postings: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One-row profile of the self-join a posting table implies.
+
+    ``est_pairs`` is exact, not an estimate of the estimator: the
+    self-join on ``key_cols`` emits exactly sum_k n_k*(n_k-1)/2 rows
+    (before any distinct across keys, so it upper-bounds the distinct
+    pair count). Integer arithmetic throughout — ``div`` not ``/`` —
+    so counts above 2^53 stay exact (ADVICE-r6's q-audit lesson).
+    """
+    per_key = postings.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_postings"),
+        F.max("n").alias("max_posting"),
+        F.sum(F.expr("n * (n - 1) div 2")).alias("est_pairs"),
+    )
+
+
+def assert_candidate_volume(
+    postings: DataFrame,
+    key_cols: list[str],
+    max_pairs: int | None = None,
+    context: str = "blocking join",
+) -> dict:
+    """Refuse a blocking self-join priced above ``max_pairs``.
+
+    Returns the volume profile (control-plane scalars — the one
+    ``collect`` is a 1-row aggregate, the same class of action as the
+    convergence fingerprints in ``dedup``). Raises
+    ``CandidateVolumeError`` with the measured numbers and the knob to
+    turn when the data is in the operator's degenerate regime.
+    """
+    cap = DEFAULT_MAX_CANDIDATE_PAIRS if max_pairs is None else max_pairs
+    row = candidate_volume(postings, key_cols).collect()[0]
+    stats = {
+        "n_keys": row["n_keys"] or 0,
+        "n_postings": row["n_postings"] or 0,
+        "max_posting": row["max_posting"] or 0,
+        "est_pairs": row["est_pairs"] or 0,
+    }
+    if stats["est_pairs"] > cap:
+        raise CandidateVolumeError(
+            f"{context}: posting table on {key_cols} would emit "
+            f"{stats['est_pairs']:,} candidate pairs "
+            f"(cap {cap:,}; {stats['n_keys']:,} keys, hottest posting "
+            f"{stats['max_posting']:,}). The input is in this blocker's "
+            "degenerate regime (see SCALING.md: prefix filtering needs a "
+            "Zipfian vocabulary, SymSpell a sparse keyspace) — use the "
+            "MinHash/LSH generator or exact-match semantics instead, or "
+            "raise SPARK_GRAFT_MAX_CANDIDATE_PAIRS deliberately."
+        )
+    return stats

@@ -4262,7 +4262,11 @@ def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and prefix filtering shines; for small-vocabulary or "
     "stopword-dominated data, use q41's MinHash banding instead — "
     "having BOTH candidate generators, each with the regime it wins "
-    "in, is the point.",
+    "in, is the point. The degenerate regime is now REFUSED, not "
+    "suffered: a candidate-volume preflight (operators/blocking.py) "
+    "prices the posting self-join exactly in one O(postings) "
+    "aggregation and raises above the cap — write-after-validate "
+    "applied to join cost.",
     tags=("llm", "dedup"),
 )
 def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4291,6 +4295,11 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = dtr.where(F.col("pos") <= prefix_len).select(
         "doc_id", "token", "set_len"
+    )
+    from football_lakehouse_spark.operators.blocking import assert_candidate_volume
+
+    assert_candidate_volume(
+        prefix, ["token"], context="q168 prefix-filter blocking"
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), "token",
@@ -4377,7 +4386,9 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributions are sparse in edit space and variant postings stay "
     "near-unique; for dense keyspaces, exact-match or range semantics "
     "are the right tool, not fuzzy matching — the same "
-    "regime-boundary honesty as q168.",
+    "regime-boundary honesty as q168, and the same defence: the "
+    "candidate-volume preflight (operators/blocking.py) refuses the "
+    "variant self-join above the cap instead of launching it.",
     tags=("llm", "dedup", "text"),
 )
 def symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4396,6 +4407,11 @@ def symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("substr(c_name, i + 1, length(c_name))"),
             )
         ).alias("variant"),
+    )
+    from football_lakehouse_spark.operators.blocking import assert_candidate_volume
+
+    assert_candidate_volume(
+        variants, ["variant"], context="q176 SymSpell variant blocking"
     )
     a = variants.select(
         F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"),

@@ -86,9 +86,10 @@ def query(
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
-#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). With r7's prefix,
-#: every registered query has at least one driver-green row across
-#: r1–r7.
+#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). After r7's prefix
+#: lands, exactly four registered queries still lack a driver-green
+#: row — q279/q280 (squeezed out of the 50-row window) and the r7
+#: additions q281/q282 — and all four lead the r8 prefix below.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
     # --- r7 prefix: the 52-query attestation backlog, oldest first.
     #     Exactly 50 fit; q279/q280 are first in line next round. ---

@@ -269,7 +269,7 @@ def main() -> None:
         for r in results:
             r.update(
                 {
-                    k: round(v / 1e6, 1)
+                    k.replace("_b", "_mb"): round(v / 1e6, 1)
                     for k, v in shuf.get(r["stage"], {}).items()
                 }
             )

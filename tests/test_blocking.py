@@ -1,0 +1,68 @@
+"""Candidate-volume preflight (operators/blocking.py): exact pricing of
+a blocking self-join, and the refusal path for degenerate regimes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from football_lakehouse_spark.operators.blocking import (
+    CandidateVolumeError,
+    assert_candidate_volume,
+    candidate_volume,
+)
+
+
+def _postings(spark, sizes: dict[str, int]):
+    rows = [
+        Row(key=k, member=f"{k}_{i}")
+        for k, n in sizes.items()
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_candidate_volume_exact(spark):
+    """est_pairs is the exact self-join output: sum C(n_k, 2)."""
+    df = _postings(spark, {"a": 4, "b": 2, "c": 1})
+    row = candidate_volume(df, ["key"]).collect()[0]
+    assert row["n_keys"] == 3
+    assert row["n_postings"] == 7
+    assert row["max_posting"] == 4
+    assert row["est_pairs"] == 6 + 1 + 0
+    # cross-check against the join it prices
+    a = df.selectExpr("key", "member as m_a")
+    b = df.selectExpr("key", "member as m_b")
+    joined = a.join(b, "key").where("m_a < m_b").count()
+    assert joined == row["est_pairs"]
+
+
+def test_sparse_passes_dense_refused(spark):
+    sparse = _postings(spark, {f"k{i}": 2 for i in range(10)})
+    stats = assert_candidate_volume(sparse, ["key"], max_pairs=100)
+    assert stats["est_pairs"] == 10
+
+    dense = _postings(spark, {"hot": 200})
+    with pytest.raises(CandidateVolumeError) as ei:
+        assert_candidate_volume(dense, ["key"], max_pairs=100, context="test")
+    msg = str(ei.value)
+    assert "test" in msg and "19,900" in msg and "SPARK_GRAFT_MAX" in msg
+
+
+def test_empty_postings(spark):
+    df = _postings(spark, {"a": 1}).where("key = 'absent'")
+    stats = assert_candidate_volume(df, ["key"], max_pairs=0)
+    assert stats == {
+        "n_keys": 0, "n_postings": 0, "max_posting": 0, "est_pairs": 0
+    }
+
+
+def test_guarded_queries_still_pass_at_smoke(spark):
+    """q168/q176 keep their guard silent on the smoke fixture (their
+    oracle parity is covered by test_oracle; this pins that the guard
+    does not fire below the cap)."""
+    from football_lakehouse_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    for name in ("q168_setsim_prefix_join", "q176_symspell_fuzzy_join"):
+        assert REGISTRY[name].builder(spark, SF_SMOKE).count() >= 0
