@@ -1,0 +1,224 @@
+"""Soak the ANN-backed production variants (q281/q282) at sf0.1 -> sf1
+beside their exact counterparts (q278/q279), plus a MINING-SIDE
+decomposition — the probe-bounded-cost readout r6's verdict asked for.
+
+Two sections:
+
+1. Registered-eval wall-clock. q281/q282 are EVALS by design: each runs
+   the inline IVF train + the ANN mining path + the exact truth path
+   and reports recall/agreement, so its wall-clock is the SUM of all
+   three terms — useful as a regression canary, useless for judging
+   the production mining cost in isolation.
+
+2. Mining-side decomposition at production topology: the index is
+   PREBUILT (train materialised to scratch parquet, its cost its own
+   line — amortised across every consumer, like a table vs its
+   queries), n_cells scales with the corpus so cell size stays
+   constant (sf0.1: 16 cells / ~125 vecs, sf1: 160 cells / ~125 vecs
+   — the IVF operating point, see operators/similarity.py kmeans_cells
+   scale contract), and the readout is wall-clock AND exact candidate
+   volume for:
+     - exact_scoring:  anchors x (N-1) label-filtered cosine (q278's shape)
+     - ivf_train:      2 Lloyd rounds + assignment write (linear in N)
+     - ann_scoring:    probed-cell members only, label filter BEFORE
+                       scoring (q281's shape, from the prebuilt index)
+   Expected: exact candidates grow 10x at 10x; ANN candidates stay
+   FLAT (anchors x n_probe x cell_size), which is what "probe-bounded"
+   means once n_cells tracks the corpus.
+
+Usage: python scripts/soak_ann_variants.py [passes]
+(expects /tmp/fls-sf1 from scripts/gen_scale.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import Window, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from football_lakehouse_spark.operators.similarity import (  # noqa: E402
+    cosine,
+    ivf_probe_cells,
+    kmeans_cells,
+)
+from football_lakehouse_spark.plans.registry import REGISTRY  # noqa: E402
+from football_lakehouse_spark.session import get_spark  # noqa: E402
+
+QUERIES = (
+    "q278_hard_negative_mining",
+    "q281_hard_negative_mining_ann",
+    "q279_knn_label_noise",
+    "q282_knn_label_noise_ann",
+)
+#: (name, path, n_cells) — n_cells tracks corpus size (constant cell size)
+SCALES = (
+    ("sf0.1", "/root/testdata/sf0.1", 16),
+    ("sf1", "/tmp/fls-sf1", 160),
+)
+N_PROBE = 4
+SCRATCH = "/tmp/fls-ann-soak"
+
+
+def _timed(fn, passes: int) -> float:
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def registered_evals(spark, passes: int) -> None:
+    for name in QUERIES:
+        for sf, path, _ in SCALES:
+            sec = _timed(
+                lambda: _noop(REGISTRY[name].builder(spark, path)), passes
+            )
+            print(
+                json.dumps(
+                    {"query": name, "sf": sf, "sec": sec, "passes": passes}
+                ),
+                flush=True,
+            )
+
+
+def mining_decomposition(spark, passes: int) -> None:
+    for sf, path, n_cells in SCALES:
+        emb = spark.read.parquet(os.path.join(path, "embeddings.parquet"))
+        anchors = emb.where(F.col("vec_id") < 10)
+        a = anchors.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("query_vec"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("match_id"),
+            F.col("label").alias("m_label"),
+            F.col("embedding").alias("match_vec"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("match_id").asc()
+        )
+
+        # -- exact mining (q278's shape): anchors x corpus ------------
+        def exact_mine():
+            _noop(
+                c.crossJoin(F.broadcast(a))
+                .where(
+                    (F.col("match_id") != F.col("query_id"))
+                    & (F.col("m_label") != F.col("q_label"))
+                )
+                .select(
+                    "query_id",
+                    "match_id",
+                    cosine(
+                        F.col("query_vec"), F.col("match_vec")
+                    ).alias("cos_sim"),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= 3)
+            )
+
+        n_exact = (
+            c.crossJoin(F.broadcast(a))
+            .where(F.col("match_id") != F.col("query_id"))
+            .count()
+        )
+        print(
+            json.dumps(
+                {
+                    "stage": "exact_scoring",
+                    "sf": sf,
+                    "sec": _timed(exact_mine, passes),
+                    "candidates": n_exact,
+                }
+            ),
+            flush=True,
+        )
+
+        # -- IVF train + index write (the amortised, linear term) -----
+        idx = os.path.join(SCRATCH, sf)
+
+        def train():
+            shutil.rmtree(idx, ignore_errors=True)
+            assigned, cent = kmeans_cells(
+                emb, n_cells=n_cells, iters=2, id_out="match_id"
+            )
+            assigned.write.parquet(os.path.join(idx, "assigned"))
+            cent.write.parquet(os.path.join(idx, "centroids"))
+
+        print(
+            json.dumps(
+                {
+                    "stage": "ivf_train",
+                    "sf": sf,
+                    "sec": _timed(train, passes),
+                    "n_cells": n_cells,
+                }
+            ),
+            flush=True,
+        )
+
+        # -- ANN mining from the PREBUILT index (q281's shape) ---------
+        assigned = spark.read.parquet(os.path.join(idx, "assigned"))
+        cent = spark.read.parquet(os.path.join(idx, "centroids"))
+        probes = ivf_probe_cells(anchors, cent, n_probe=N_PROBE)
+        cand = (
+            assigned.join(F.broadcast(probes), "cell")
+            .join(c, "match_id")
+            .join(F.broadcast(a), "query_id")
+            .where(
+                (F.col("match_id") != F.col("query_id"))
+                & (F.col("m_label") != F.col("q_label"))
+            )
+        )
+
+        def ann_mine():
+            _noop(
+                cand.select(
+                    "query_id",
+                    "match_id",
+                    cosine(
+                        F.col("query_vec"), F.col("match_vec")
+                    ).alias("cos_sim"),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= 3)
+            )
+
+        print(
+            json.dumps(
+                {
+                    "stage": "ann_scoring",
+                    "sf": sf,
+                    "sec": _timed(ann_mine, passes),
+                    "candidates": cand.count(),
+                    "n_probe": N_PROBE,
+                }
+            ),
+            flush=True,
+        )
+
+
+def main() -> None:
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = get_spark("soak-ann-variants")
+    spark.sparkContext.setLogLevel("ERROR")
+    registered_evals(spark, passes)
+    mining_decomposition(spark, passes)
+    spark.stop()
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
