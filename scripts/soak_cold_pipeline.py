@@ -34,7 +34,7 @@ import sys
 import time
 import urllib.request
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -45,6 +45,7 @@ from football_lakehouse_spark.operators.dedup import (  # noqa: E402
     neardup_clusters_star,
 )
 from football_lakehouse_spark.operators.selection import token_budget_select  # noqa: E402
+from football_lakehouse_spark.session import get_spark  # noqa: E402
 from football_lakehouse_spark.plans.llm_plans import (  # noqa: E402
     _GOPHER_ALPHA_MIN,
     _GOPHER_MAX_LEN,
@@ -251,15 +252,12 @@ def run_pipeline(spark, docs_path: str, scratch: str) -> list[dict]:
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     for factor in factors:
-        spark = (
-            SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-            .appName(f"soak-cold-x{factor}")
-            .config("spark.sql.shuffle.partitions", "32")
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.ui.enabled", "true")
-            .config("spark.ui.port", str(UI_PORT))
-            .getOrCreate()
+        spark = get_spark(
+            f"soak-cold-x{factor}",
+            extra_conf={
+                "spark.ui.enabled": "true",
+                "spark.ui.port": str(UI_PORT),
+            },
         )
         spark.sparkContext.setLogLevel("ERROR")
         docs = gen_docs(spark, factor, "/tmp/fls-cold")
