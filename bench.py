@@ -24,9 +24,12 @@ N_PASSES = 4
 #: 1-min loadavg above which timings on this 32-cpu host are flagged as
 #: noise-inflated. r6 proved 3.0 was too lax: a run that started at
 #: loadavg 2.98 passed the gate yet drifted every shared query +5–12%
-#: uniformly vs r5 — pure background load. Anything materially above
-#: idle now flags (and the pre-run wait below tries to outlast it).
-LOAD_CONTAMINATION_THRESHOLD = 1.0
+#: uniformly vs r5 — pure background load. An r7 back-to-back pair
+#: then proved 1.0 still too lax: a start at 0.85 (decaying pytest
+#: tail) drifted +15–25% uniformly; the same bench from a 0.05 start
+#: minutes later matched r6 exactly. The 1-min average lags the work
+#: it measures — only a near-zero reading means the tail is gone.
+LOAD_CONTAMINATION_THRESHOLD = 0.5
 
 
 def _loadavg() -> float:
@@ -39,10 +42,11 @@ def _loadavg() -> float:
 #: how long to wait for the host to go idle before accepting a
 #: contaminated measurement anyway (the driver must always get its one
 #: JSON line, so this never refuses outright)
-#: 1-min loadavg decays by ~e⁻¹ per idle minute, so even a just-finished
-#: 3-load tail needs ~2 min of quiet to pass the 1.0 gate — give the
-#: wait room for that plus a little margin
-IDLE_WAIT_MAX_SEC = 300
+#: 1-min loadavg decays by ~e⁻¹ per idle minute, so a just-finished
+#: 3-load tail needs ~4 min of quiet to pass the 0.5 gate (measured
+#: r7: 1.2 → 0.05 took ~7 min after an 11-min full-suite run) — give
+#: the wait room for that plus margin
+IDLE_WAIT_MAX_SEC = 600
 IDLE_POLL_SEC = 10
 
 
