@@ -15,15 +15,25 @@ same idea as the file-stream source's commit log, but inspectable).
 Scale design: the BATCH reader builds one InputPartition per landing
 file → Spark schedules file parses across executors exactly like the
 built-in source with no driver-side data movement (the driver only
-lists the directory). The STREAM reader is a
-SimpleDataSourceStreamReader, which by Spark-4 contract prefetches each
-micro-batch's rows ON THE DRIVER — bound that with the
-``maxFilesPerBatch`` option (see :class:`LandingStreamReader`); the
-executor-partitioned ``DataSourceStreamReader`` is the upgrade path if
-a landing zone ever outgrows the capped drain. Listing is O(files) on
-the driver — the same contract as Spark's own file index; at 10⁶+
-files you compact the landing zone (RUNBOOK §7) regardless of which
-reader is used.
+lists the directory). The STREAM reader comes in two flavours:
+
+- default: :class:`LandingPartitionStreamReader`, a partition-planning
+  ``DataSourceStreamReader`` — the driver only lists files and plans
+  one InputPartition per pending file; every row is parsed ON AN
+  EXECUTOR, so a month-long backlog drains with O(listing) driver
+  memory no matter how many rows it holds.
+- ``.option("driverPrefetch", "true")``: the original
+  :class:`LandingStreamReader` (``SimpleDataSourceStreamReader``),
+  which by Spark-4 contract prefetches each micro-batch's rows on the
+  driver — kept for zero-task-overhead toy drains and as the
+  reference implementation of the offset contract; bound its backlog
+  with ``maxFilesPerBatch``.
+
+Both readers share the same content-addressed offset format, so a
+checkpoint written by one resumes under the other. Listing is
+O(files) on the driver — the same contract as Spark's own file index;
+at 10⁶+ files you compact the landing zone (RUNBOOK §7) regardless of
+which reader is used.
 """
 
 from __future__ import annotations
@@ -32,9 +42,11 @@ import json
 import os
 from datetime import date, datetime
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -147,6 +159,110 @@ class LandingReader(DataSourceReader):
                     yield row
 
 
+def _offset_consumed_set(offset: dict, path: str) -> set[str]:
+    """Offset → set of consumed relative paths (shared by both stream
+    readers so their checkpoints interoperate). Legacy ``{"files": n}``
+    count offsets map to the first n of the current sorted listing
+    (best-effort migration for pre-r7 checkpoints)."""
+    if "consumed" in offset:
+        return set(offset["consumed"])
+    n = int(offset.get("files", 0))
+    return {
+        os.path.relpath(fp, path) for fp in _list_landing_files(path)[:n]
+    }
+
+
+class LandingPartitionStreamReader(DataSourceStreamReader):
+    """Executor-side partition-planning stream reader — the default.
+
+    Same content-addressed offsets as :class:`LandingStreamReader`
+    (``{"consumed": [relative paths...]}``), but rows never touch the
+    driver: ``partitions(start, end)`` plans exactly
+    ``end.consumed - start.consumed`` as one :class:`InputPartition`
+    per file, and :meth:`read` parses that file on an executor. Driver
+    memory is O(listing) regardless of backlog row volume — the
+    at-scale fix for the simple reader's driver prefetch (the capped
+    drain bounded it; this removes it).
+
+    Correctness is STATELESS: replay of any planned batch is the pure
+    set difference of its two logged offsets, so restart recovery
+    (Spark re-planning an uncommitted batch from the offset log) and
+    late out-of-order arrivals behave exactly like the simple reader —
+    a file is read in the one batch whose offset range first contains
+    it, ever after.
+
+    ``maxFilesPerBatch`` is honoured as best-effort admission control:
+    ``latestOffset`` advances by at most that many new files past the
+    last offset this reader instance planned or committed. The cap
+    bounds sink-transaction granularity under long-running triggers
+    (processingTime/continuous), engaging from the reader's second
+    offset onward; it is NOT a memory-safety device here — per-file
+    partitions already bound executor memory. A reader with NO
+    baseline (fresh query or driver restart) returns its first
+    ``latestOffset`` uncapped rather than crawl a restart through
+    empty catch-up batches — measured consequence: one
+    ``Trigger.availableNow`` run drains the whole backlog in a single
+    batch regardless of the cap (the Python stream API has no
+    ReadLimit admission control; the JVM file source's
+    ``maxFilesPerTrigger``-under-availableNow multi-batch behaviour is
+    not expressible — use the simple reader's capped drain if bounded
+    availableNow slices matter more than executor-side reads).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("landing_events: option 'path' is required")
+        self.max_files = int(options.get("maxFilesPerBatch", 0)) or None
+        #: union of every offset this instance planned or committed —
+        #: the cap baseline, NOT a correctness input (see docstring)
+        self._seen: set[str] | None = None
+
+    def initialOffset(self):
+        return {"consumed": []}
+
+    def latestOffset(self):
+        listing = {
+            os.path.relpath(fp, self.path)
+            for fp in _list_landing_files(self.path)
+        }
+        seen = self._seen or set()
+        pending = sorted(listing - seen)
+        # cap only with a baseline: a fresh reader (driver restart) has
+        # none, so its first batch is uncapped — documented best-effort
+        if self.max_files is not None and self._seen is not None:
+            pending = pending[: self.max_files]
+        # consumed-but-deleted files stay in the offset (matches the
+        # simple reader: a re-landed same-name file is not re-read)
+        self._seen = seen | set(pending)
+        return {"consumed": sorted(self._seen)}
+
+    def partitions(self, start, end):
+        batch = _offset_consumed_set(end, self.path) - _offset_consumed_set(
+            start, self.path
+        )
+        self._seen = (self._seen or set()) | _offset_consumed_set(
+            end, self.path
+        )
+        return [
+            _FilePartition(os.path.join(self.path, rel))
+            for rel in sorted(batch)
+        ]
+
+    def read(self, partition):
+        pdate = _date_from_path(partition.fp)
+        with open(partition.fp, encoding="utf-8") as fh:
+            for line in fh:
+                row = _parse_line(line, partition.fp, pdate)
+                if row is not None:
+                    yield row
+
+    def commit(self, end):
+        self._seen = (self._seen or set()) | _offset_consumed_set(
+            end, self.path
+        )
+
+
 class LandingStreamReader(SimpleDataSourceStreamReader):
     """File-granularity incremental stream with CONTENT-ADDRESSED
     offsets: the offset is ``{"consumed": [relative paths...]}`` — the
@@ -183,13 +299,7 @@ class LandingStreamReader(SimpleDataSourceStreamReader):
         return os.path.relpath(fp, self.path)
 
     def _consumed_set(self, offset) -> set[str]:
-        """Offset → set of consumed relative paths. Legacy ``{"files": n}``
-        count offsets map to the first n of the current sorted listing
-        (best-effort migration for pre-r7 checkpoints)."""
-        if "consumed" in offset:
-            return set(offset["consumed"])
-        n = int(offset.get("files", 0))
-        return {self._rel(fp) for fp in _list_landing_files(self.path)[:n]}
+        return _offset_consumed_set(offset, self.path)
 
     def _read_files(self, rel_paths):
         rows = []
@@ -233,6 +343,17 @@ class LandingEventsDataSource(DataSource):
 
     def reader(self, schema):
         return LandingReader(self.options)
+
+    def streamReader(self, schema):
+        """Partition-planning reader (executor-side parses) by default;
+        ``.option("driverPrefetch", "true")`` falls back to the simple
+        reader via Spark's documented NotImplemented probe."""
+        if str(self.options.get("driverPrefetch", "")).lower() == "true":
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return LandingPartitionStreamReader(self.options)
 
     def simpleStreamReader(self, schema):
         return LandingStreamReader(self.options)

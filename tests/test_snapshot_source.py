@@ -3,6 +3,7 @@ single-row lift, idempotent append through the lakehouse layer."""
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 from football_lakehouse_spark.lakehouse.tables import LakehouseTable
@@ -182,3 +183,135 @@ def test_landing_stream_offsets_replayable_and_capped(tmp_path):
     # Legacy positional offsets ({"files": n}) still resolve.
     legacy_rows = list(rdr.readBetweenOffsets({"files": 0}, {"files": 1}))
     assert [r[0] for r in legacy_rows] == [3]  # a.json is first in sort order
+
+
+def test_landing_partition_stream_reader_contract(tmp_path):
+    """Partition-planning reader (the default stream path): offsets are
+    the same content-addressed file sets as the simple reader, planning
+    is the pure set difference (stateless → replay-safe), one
+    InputPartition per pending file (executor-side parses), and
+    maxFilesPerBatch advances latestOffset by bounded slices once a
+    baseline exists."""
+    from football_lakehouse_spark.sources.pyds import (
+        LandingPartitionStreamReader,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def put(name, eid):
+        (land / name).write_text(
+            '{"event_id":%d,"ts":"2026-02-01T10:00:00","user_id":1,'
+            '"event_type":"click","value":1.0,"props":null}\n' % eid
+        )
+
+    put("b.json", 1)
+    put("c.json", 2)
+    rdr = LandingPartitionStreamReader({"path": str(land)})
+    start = rdr.initialOffset()
+    end1 = rdr.latestOffset()
+    assert sorted(end1["consumed"]) == ["b.json", "c.json"]
+    parts1 = rdr.partitions(start, end1)
+    assert len(parts1) == 2  # one partition per pending file
+    rows1 = [r for p in parts1 for r in rdr.read(p)]
+    assert sorted(r[0] for r in rows1) == [1, 2]
+
+    # late out-of-order arrival: a.json sorts before both consumed
+    # files; replay of (start, end1) is unchanged, next batch is
+    # exactly a.json — even on a FRESH reader instance (restart).
+    put("a.json", 3)
+    replay = [
+        r
+        for p in LandingPartitionStreamReader({"path": str(land)}).partitions(
+            start, end1
+        )
+        for r in rdr.read(p)
+    ]
+    assert sorted(r[0] for r in replay) == [1, 2]
+    end2 = rdr.latestOffset()
+    parts2 = rdr.partitions(end1, end2)
+    assert [os.path.basename(p.fp) for p in parts2] == ["a.json"]
+    assert [r[0] for p in parts2 for r in rdr.read(p)] == [3]
+
+    # cap: a fresh reader's FIRST latestOffset is uncapped (no
+    # baseline — documented); after commit() seeds the baseline, a
+    # 2-file backlog advances in single-file slices.
+    capped = LandingPartitionStreamReader(
+        {"path": str(land), "maxFilesPerBatch": "1"}
+    )
+    assert sorted(capped.latestOffset()["consumed"]) == [
+        "a.json", "b.json", "c.json",
+    ]
+    put("d.json", 4)
+    put("e.json", 5)
+    e3 = capped.latestOffset()
+    assert len(e3["consumed"]) == 4  # advanced by exactly one file
+    e4 = capped.latestOffset()
+    assert len(e4["consumed"]) == 5
+    batch = sorted(set(e4["consumed"]) - set(e3["consumed"]))
+    assert batch == ["e.json"]
+
+    # commit() seeding: a fresh capped reader told about the committed
+    # offset advances from there, not from scratch.
+    seeded = LandingPartitionStreamReader(
+        {"path": str(land), "maxFilesPerBatch": "1"}
+    )
+    seeded.commit(end2)
+    e5 = seeded.latestOffset()
+    assert sorted(set(e5["consumed"]) - set(end2["consumed"])) == ["d.json"]
+
+    # legacy positional offsets still resolve in planning
+    legacy = rdr.partitions({"files": 0}, {"files": 1})
+    assert [os.path.basename(p.fp) for p in legacy] == ["a.json"]
+
+    # consumed-but-deleted files stay in the offset: no re-read if the
+    # same name re-lands (matches the simple reader's semantics)
+    (land / "a.json").unlink()
+    e6 = rdr.latestOffset()
+    assert "a.json" in e6["consumed"]
+
+
+def test_landing_partition_stream_end_to_end(spark, tmp_path):
+    """The default engine stream path now plans executor-side
+    partitions; the driverPrefetch option must still select the simple
+    reader. Both drain the same landing zone to the same rows from the
+    same checkpoint FORMAT (content-addressed offsets interoperate)."""
+    from football_lakehouse_spark.sources.pyds import register_landing_source
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i in range(4):
+        (land / f"f{i}.json").write_text(
+            '{"event_id":%d,"ts":"2026-02-01T10:00:00","user_id":1,'
+            '"event_type":"click","value":1.0,"props":null}\n' % i
+        )
+    register_landing_source(spark)
+
+    def drain(opts, out, ckpt):
+        r = spark.readStream.format("landing_events").option(
+            "path", str(land)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # partition reader (default)
+    out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+    drain({}, out1, ck1)
+    assert {r.event_id for r in spark.read.parquet(out1).collect()} == {
+        0, 1, 2, 3,
+    }
+    # simple reader (opt-in) reads the identical rows
+    out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    drain({"driverPrefetch": "true"}, out2, ck2)
+    assert {r.event_id for r in spark.read.parquet(out2).collect()} == {
+        0, 1, 2, 3,
+    }
