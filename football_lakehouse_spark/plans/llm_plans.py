@@ -27,6 +27,7 @@ from football_lakehouse_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_neardups,
     neardup_clusters,
+    neardup_clusters_hybrid,
     neardup_clusters_star,
     shingles_from_tokens,
     simhash64,
@@ -1128,22 +1129,23 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Near-duplicate CLUSTERS: connected components over the verified "
     "MinHash+LSH pair graph (near-duplication is transitive — retention "
-    "needs the component, not the pair). Spark side: the O(log n)-round "
-    "large-star/small-star algorithm (Kiveris et al.) — THIS is the "
-    "default/bench path because it is the plan you'd run at 100 TB, "
-    "where adversarial chains can make components deep; the "
-    "diameter-bounded min-label propagation stays in the library "
-    "(operators/dedup.py:345) as the fast path for provably shallow "
-    "graphs, property-tested equivalent. Oracle: DuckDB recursive-CTE "
-    "reachability. cluster_id = min doc_id; is_canonical marks the "
-    "kept representative (north star: near-dup dedup).",
+    "needs the component, not the pair). Spark side: the r7 HYBRID — a "
+    "bounded min-label-propagation prelude (the measured winner on "
+    "shallow graphs, SCALING.md crossover table) that escapes to "
+    "O(log n) large-star/small-star (Kiveris et al.) on the "
+    "label-contracted graph if the prelude misses its fixed point, so "
+    "benign corpora pay LP's price and adversarial chains keep star's "
+    "ceiling; all three variants are property-tested equal. Oracle: "
+    "DuckDB recursive-CTE reachability. cluster_id = min doc_id; "
+    "is_canonical marks the kept representative (north star: near-dup "
+    "dedup).",
     bench=True,
     tags=("llm", "dedup"),
 )
 def neardup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_neardups(docs, threshold=0.5)
-    return neardup_clusters_star(pairs)
+    return neardup_clusters_hybrid(pairs)
 
 
 @query(
@@ -1193,7 +1195,7 @@ def cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_neardups(docs, threshold=0.5)
-    cl = neardup_clusters(pairs).select("doc_id", "cluster_id")
+    cl = neardup_clusters_hybrid(pairs).select("doc_id", "cluster_id")
     everydoc = (
         docs.select("doc_id", "n_chars")
         .join(cl, ["doc_id"], "left")
@@ -3566,7 +3568,7 @@ def term_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_neardups(docs, threshold=0.5)
-    cl = neardup_clusters(pairs).select(
+    cl = neardup_clusters_hybrid(pairs).select(
         "doc_id", F.col("cluster_id").alias("group_id")
     )
     g = (
@@ -4004,7 +4006,7 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_neardups(docs, threshold=0.5).select("doc_a", "doc_b")
-    cl = neardup_clusters(pairs).select(
+    cl = neardup_clusters_hybrid(pairs).select(
         "doc_id", F.col("cluster_id").alias("group_id")
     )
     g = (

@@ -363,6 +363,77 @@ def test_star_components_equiv_label_propagation(spark, docs):
     assert lp
 
 
+def test_hybrid_components_equiv_both_variants(spark, docs):
+    """The LP-prelude/star-escape hybrid must produce exactly the same
+    clustering as both pure variants — on the shallow fixture graph it
+    converges inside the prelude (pure-LP path), and with a prelude too
+    short to converge it must take the contraction/star path and STILL
+    match."""
+    from football_lakehouse_spark.operators.dedup import (
+        minhash_lsh_neardups,
+        neardup_clusters,
+        neardup_clusters_hybrid,
+    )
+
+    pairs = minhash_lsh_neardups(docs, 0.5).select("doc_a", "doc_b")
+    lp = sorted(tuple(r) for r in neardup_clusters(pairs).collect())
+    hybrid = sorted(
+        tuple(r) for r in neardup_clusters_hybrid(pairs).collect()
+    )
+    assert lp == hybrid
+    # force the escape path: 1 prelude round cannot converge a graph
+    # that needs >1 (the fixture has multi-hop clone clusters); the
+    # contracted-star finish must reproduce the same assignment
+    forced = sorted(
+        tuple(r)
+        for r in neardup_clusters_hybrid(pairs, lp_rounds=1).collect()
+    )
+    assert lp == forced
+    assert lp
+
+
+def test_hybrid_components_chain_escapes_to_star(spark):
+    """An adversarial 256-node chain must come out exact through the
+    hybrid's contraction handoff: 3 LP rounds shrink labels by ≤3 hops,
+    the star finish resolves the rest — total rounds stay O(log n),
+    never O(diameter)."""
+    from football_lakehouse_spark.operators.dedup import (
+        neardup_clusters_hybrid,
+    )
+
+    n = 256
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    out = neardup_clusters_hybrid(chain).collect()
+    assert len(out) == n
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_hybrid_components_disjoint_shapes(spark):
+    """Mixed shapes through the hybrid with a forced escape: component
+    minima and canonical flags must match the star variant exactly."""
+    from football_lakehouse_spark.operators.dedup import (
+        neardup_clusters_hybrid,
+        neardup_clusters_star,
+    )
+
+    edges = (
+        [(10, 11), (11, 12), (10, 12)]
+        + [(20, 21), (21, 22), (20, 22)]
+        + [(30, 31), (30, 32), (30, 33)]
+        + [(40, 41)]
+        + [(50, 51), (51, 52), (52, 53), (53, 54), (54, 55)]  # chain
+    )
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    star = sorted(tuple(r) for r in neardup_clusters_star(df).collect())
+    hybrid = sorted(
+        tuple(r) for r in neardup_clusters_hybrid(df, lp_rounds=1).collect()
+    )
+    assert star == hybrid
+
+
 def test_star_components_log_rounds_on_chain(spark):
     """An adversarial 256-node chain (diameter 255) must converge in
     O(log n) star rounds — label propagation would need ~255."""
