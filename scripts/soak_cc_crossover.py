@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from football_lakehouse_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_neardups,
     neardup_clusters,
+    neardup_clusters_hybrid,
     neardup_clusters_star,
 )
 from football_lakehouse_spark.session import get_spark  # noqa: E402
@@ -103,10 +104,15 @@ def main() -> None:
 
     for name, pairs in workloads:
         n = pairs.count()
-        for variant, fn in (
+        variants = [
             ("label_prop", lambda p: neardup_clusters(p, max_iters=2000)),
             ("star", neardup_clusters_star),
-        ):
+            ("hybrid", neardup_clusters_hybrid),
+        ]
+        if os.environ.get("SOAK_CC_VARIANTS"):
+            keep = set(os.environ["SOAK_CC_VARIANTS"].split(","))
+            variants = [v for v in variants if v[0] in keep]
+        for variant, fn in variants:
             sec = time_variant(fn, pairs, passes)
             print(
                 json.dumps(
