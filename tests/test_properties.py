@@ -508,3 +508,62 @@ def test_mg_merge_truncation_law():
     for k, c in true.items():
         if c * (m + 1) > n:
             assert k in state, (k, c)
+
+
+# --- connected-components variant equivalence (random graphs) ---------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=60,
+).map(lambda es: [(a, b) for a, b in es if a != b])
+
+
+@given(edges=edge_lists, lp_rounds=st.integers(1, 4))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_components_variants_agree_on_random_graphs(spark, edges, lp_rounds):
+    """LP, star, and the hybrid (at ANY prelude budget, forcing both
+    its converged and escape paths) must produce identical cluster
+    assignments on arbitrary graphs — the law that makes the bench's
+    variant choice a pure performance decision."""
+    from football_lakehouse_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_hybrid,
+        neardup_clusters_star,
+    )
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    lp = sorted(tuple(r) for r in neardup_clusters(df, max_iters=200).collect())
+    star = sorted(tuple(r) for r in neardup_clusters_star(df).collect())
+    hyb = sorted(
+        tuple(r)
+        for r in neardup_clusters_hybrid(df, lp_rounds=lp_rounds).collect()
+    )
+    assert lp == star == hyb
+    # reference check: min-id per component via plain python union-find
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = sorted(
+        (n, find(n), n == find(n)) for n in {x for e in edges for x in e}
+    )
+    assert [tuple(r) for r in lp] == expect
