@@ -51,17 +51,29 @@ def candidate_volume(postings: DataFrame, key_cols: list[str]) -> DataFrame:
     ``est_pairs`` is exact, not an estimate of the estimator: the
     self-join on ``key_cols`` emits exactly sum_k n_k*(n_k-1)/2 rows
     (before any distinct across keys, so it upper-bounds the distinct
-    pair count). Integer arithmetic throughout — ``div`` not ``/`` —
-    so counts above 2^53 stay exact (ADVICE-r6's q-audit lesson).
+    pair count). Exact arithmetic throughout, in ``decimal(38,0)``: a
+    hot posting past ~3e9 rows makes ``n*(n-1)`` overflow BIGINT —
+    under ANSI mode that would CRASH the preflight, and with ANSI off
+    it would wrap negative and silently wave the degenerate join
+    through, precisely the regime the guard exists to refuse. (``div``
+    is no help: Spark's integral divide returns LONG even on decimal
+    inputs.) The doubled per-key count sums in decimal and halves via
+    an exact ``* 0.5`` (the product of consecutive integers is even;
+    decimal(38,1) holds it exactly to ~1e37 pairs — 10⁹× past the
+    100 TB envelope). Same defence as the ``_star_components``
+    fingerprint sum (operators/dedup.py).
     """
     per_key = postings.groupBy(*[F.col(c) for c in key_cols]).agg(
-        F.count(F.lit(1)).alias("n")
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
     )
     return per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum("n").alias("n_postings"),
-        F.max("n").alias("max_posting"),
-        F.sum(F.expr("n * (n - 1) div 2")).alias("est_pairs"),
+        F.sum("n").cast("bigint").alias("n_postings"),
+        F.max("n").cast("bigint").alias("max_posting"),
+        F.expr(
+            "CAST(SUM(CAST(n * (n - 1) AS DECIMAL(38,0))) * 0.5"
+            " AS DECIMAL(38,0))"
+        ).alias("est_pairs"),
     )
 
 
@@ -85,7 +97,8 @@ def assert_candidate_volume(
         "n_keys": row["n_keys"] or 0,
         "n_postings": row["n_postings"] or 0,
         "max_posting": row["max_posting"] or 0,
-        "est_pairs": row["est_pairs"] or 0,
+        # decimal → int: exact (scale 0), and keeps callers integer-typed
+        "est_pairs": int(row["est_pairs"] or 0),
     }
     if stats["est_pairs"] > cap:
         raise CandidateVolumeError(

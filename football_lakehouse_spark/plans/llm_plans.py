@@ -1372,19 +1372,7 @@ def _ivf_scored_ctes(n_cells: int, n_probe: int, iters: int, dim: int = 64) -> l
     the IVF probe+score pipeline, shared by q51 (ranked output) and
     q223 (recall evaluation against the exact ranking)."""
     ctes, prev = _lloyd_sql_ctes(n_cells, iters, dim)
-    ctes.append(f"""probes AS (
-        SELECT query_id, cell FROM (
-            SELECT qx.vec_id AS query_id, c.cell,
-                   sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2,
-                   row_number() OVER (
-                       PARTITION BY qx.vec_id
-                       ORDER BY sum((qx.qx - c.cq) * (qx.qx - c.cq)) ASC, c.cell ASC
-                   ) AS pr
-            FROM qx JOIN {prev} c ON qx.pos = c.pos
-            WHERE qx.vec_id < 5
-            GROUP BY qx.vec_id, c.cell
-        ) WHERE pr <= {n_probe}
-    )""")
+    ctes.append(_probe_sql_cte(prev, n_probe))
     ctes.append("""scored AS (
         SELECT p.query_id, af.vec_id AS match_id,
                list_dot_product(qv.e, cv.e)
@@ -1487,6 +1475,30 @@ def _lloyd_sql_ctes(
         ) WHERE rn = 1
     )""")
     return ctes, prev
+
+
+def _probe_sql_cte(prev: str, n_probe: int, n_queries: int = 5) -> str:
+    """The shared IVF probe CTE — per-query top-``n_probe`` nearest
+    cells by exact integer centroid-d², ties to the lower cell id: the
+    SQL twin of ``operators/similarity.ivf_probe_cells``, used by every
+    fixed-probe IVF oracle (q51/q223 scored chain, q271/q273 PQ-ADC,
+    q281/q282 ANN mining). q166's candidate-budget probing keeps its
+    own cumulative-budget variant — a different admission rule, not a
+    copy."""
+    return f"""probes AS (
+        SELECT query_id, cell FROM (
+            SELECT qx.vec_id AS query_id, c.cell,
+                   sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2,
+                   row_number() OVER (
+                       PARTITION BY qx.vec_id
+                       ORDER BY sum((qx.qx - c.cq) * (qx.qx - c.cq)) ASC,
+                                c.cell ASC
+                   ) AS pr
+            FROM qx JOIN {prev} c ON qx.pos = c.pos
+            WHERE qx.vec_id < {n_queries}
+            GROUP BY qx.vec_id, c.cell
+        ) WHERE pr <= {n_probe}
+    )"""
 
 
 @query(
@@ -6877,20 +6889,7 @@ def _ivfpq_oracle_sql(
     probe-restricted ADC ranking."""
     ctes, prev = _lloyd_sql_ctes(n_cells, iters)
     ctes += _pq_block_ctes(n_blocks, block_dim)
-    ctes.append(f"""probes AS (
-        SELECT query_id, cell FROM (
-            SELECT qx.vec_id AS query_id, c.cell,
-                   sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2,
-                   row_number() OVER (
-                       PARTITION BY qx.vec_id
-                       ORDER BY sum((qx.qx - c.cq) * (qx.qx - c.cq)) ASC,
-                                c.cell ASC
-                   ) AS pr
-            FROM qx JOIN {prev} c ON qx.pos = c.pos
-            WHERE qx.vec_id < 5
-            GROUP BY qx.vec_id, c.cell
-        ) WHERE pr <= {n_probe}
-    )""")
+    ctes.append(_probe_sql_cte(prev, n_probe))
     ctes.append("""cand AS (
         SELECT p.query_id, af.vec_id AS match_id
         FROM af JOIN probes p USING (cell)
@@ -7462,20 +7461,7 @@ def _ann_hard_negative_oracle_sql(
     filter applied to the candidate set)."""
     ctes, prev = _lloyd_sql_ctes(n_cells, iters)
     ctes.append("lab AS (SELECT vec_id, label FROM embeddings)")
-    ctes.append(f"""probes AS (
-        SELECT query_id, cell FROM (
-            SELECT qx.vec_id AS query_id, c.cell,
-                   sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2,
-                   row_number() OVER (
-                       PARTITION BY qx.vec_id
-                       ORDER BY sum((qx.qx - c.cq) * (qx.qx - c.cq)) ASC,
-                                c.cell ASC
-                   ) AS pr
-            FROM qx JOIN {prev} c ON qx.pos = c.pos
-            WHERE qx.vec_id < {n_anchors}
-            GROUP BY qx.vec_id, c.cell
-        ) WHERE pr <= {n_probe}
-    )""")
+    ctes.append(_probe_sql_cte(prev, n_probe, n_anchors))
     ctes.append("""ann_scored AS (
         SELECT p.query_id, af.vec_id AS match_id,
                list_dot_product(qv.e, cv.e)
@@ -7634,20 +7620,7 @@ def _ann_knn_noise_oracle_sql(
     exact-kNN vote, unrolled in DuckDB SQL."""
     ctes, prev = _lloyd_sql_ctes(n_cells, iters)
     ctes.append("lab AS (SELECT vec_id, label FROM embeddings)")
-    ctes.append(f"""probes AS (
-        SELECT query_id, cell FROM (
-            SELECT qx.vec_id AS query_id, c.cell,
-                   sum((qx.qx - c.cq) * (qx.qx - c.cq)) AS d2,
-                   row_number() OVER (
-                       PARTITION BY qx.vec_id
-                       ORDER BY sum((qx.qx - c.cq) * (qx.qx - c.cq)) ASC,
-                                c.cell ASC
-                   ) AS pr
-            FROM qx JOIN {prev} c ON qx.pos = c.pos
-            WHERE qx.vec_id < {n_audit}
-            GROUP BY qx.vec_id, c.cell
-        ) WHERE pr <= {n_probe}
-    )""")
+    ctes.append(_probe_sql_cte(prev, n_probe, n_audit))
     ctes.append(f"""ann_ranked AS (
         SELECT p.query_id AS vec_id, ql.label AS own_label,
                ml.label AS nb_label,

@@ -189,7 +189,20 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
     (Spark re-planning an uncommitted batch from the offset log) and
     late out-of-order arrivals behave exactly like the simple reader —
     a file is read in the one batch whose offset range first contains
-    it, ever after.
+    it, ever after. One documented corner: a consumed file that is
+    DELETED (RUNBOOK §7 compaction) and followed by a driver restart
+    drops out of the offset chain — a fresh reader's first
+    ``latestOffset`` can only see the current listing (the Python
+    stream API offers no restored-offset callback), and once a logged
+    end omits the name it must STAY omitted (resurrecting it would
+    make a later offset diff re-plan a batch for a file that may not
+    exist). Consequence: a SAME-NAME file re-landed after that restart
+    is read as new data — duplicate rows if it was truly the old file.
+    Mitigation is the landing contract itself: compacted-away names
+    are never reused (date-stamped part naming, RUNBOOK §7), which
+    makes the corner unreachable; within one driver lifetime the
+    ``_seen`` baseline already prevents it. (The simple reader avoids
+    this only because ``read(start)`` is handed the start offset.)
 
     ``maxFilesPerBatch`` is honoured as best-effort admission control:
     ``latestOffset`` advances by at most that many new files past the
@@ -238,15 +251,19 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
         return {"consumed": sorted(self._seen)}
 
     def partitions(self, start, end):
-        batch = _offset_consumed_set(end, self.path) - _offset_consumed_set(
-            start, self.path
-        )
-        self._seen = (self._seen or set()) | _offset_consumed_set(
-            end, self.path
-        )
+        s = _offset_consumed_set(start, self.path)
+        e = _offset_consumed_set(end, self.path)
+        # baseline seeds from END ONLY — deliberately. A name present in
+        # start but absent from end has been dropped from the offset
+        # chain (consumed file deleted across a driver restart, below);
+        # resurrecting it into a LATER end would make that later
+        # (end_i, end_{i+1}) diff plan it as a batch — a phantom re-read
+        # that crashes read() on the missing file. Once dropped, stays
+        # dropped; the chain of end offsets is the source of truth.
+        self._seen = (self._seen or set()) | e
         return [
             _FilePartition(os.path.join(self.path, rel))
-            for rel in sorted(batch)
+            for rel in sorted(e - s)
         ]
 
     def read(self, partition):

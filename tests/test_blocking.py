@@ -49,6 +49,29 @@ def test_sparse_passes_dense_refused(spark):
     assert "test" in msg and "19,900" in msg and "SPARK_GRAFT_MAX" in msg
 
 
+def test_volume_arithmetic_survives_bigint_overflow(spark):
+    """The overflow regime the preflight exists to refuse cannot be
+    materialised as test rows (it needs ≥3e9 postings on one key), so
+    pin the AGGREGATE EXPRESSION itself on a fabricated per-key table:
+    one 5e9-row posting makes n*(n-1) ≈ 2.5e19 > 2^63 — the decimal
+    path must price it exactly where BIGINT would crash (ANSI) or wrap
+    negative (non-ANSI, silently bypassing the guard)."""
+    from pyspark.sql import functions as F
+
+    n = 5_000_000_000
+    per_key = spark.createDataFrame([(str(n),)], "s string").select(
+        F.col("s").cast("decimal(38,0)").alias("n")
+    )
+    # the exact agg expression candidate_volume uses
+    row = per_key.agg(
+        F.expr(
+            "CAST(SUM(CAST(n * (n - 1) AS DECIMAL(38,0))) * 0.5"
+            " AS DECIMAL(38,0))"
+        ).alias("est_pairs")
+    ).collect()[0]
+    assert int(row["est_pairs"]) == n * (n - 1) // 2  # > 2^63
+
+
 def test_empty_postings(spark):
     df = _postings(spark, {"a": 1}).where("key = 'absent'")
     stats = assert_candidate_volume(df, ["key"], max_pairs=0)

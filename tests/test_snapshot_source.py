@@ -270,6 +270,26 @@ def test_landing_partition_stream_reader_contract(tmp_path):
     e6 = rdr.latestOffset()
     assert "a.json" in e6["consumed"]
 
+    # restart + deletion: a FRESH instance (driver restart) can only
+    # derive its first offset from the listing, so the deleted a.json
+    # drops out of the offset chain. The contract: (1) the drop plans
+    # no phantom batch, (2) once dropped the name STAYS dropped —
+    # resurrecting it would re-plan a batch for a missing file —
+    # and (3) a SAME-NAME re-landing after the restart is read as new
+    # data (the documented duplicate corner; RUNBOOK §7's no-name-reuse
+    # landing contract makes it unreachable in practice).
+    restarted = LandingPartitionStreamReader({"path": str(land)})
+    fresh_end = restarted.latestOffset()
+    assert "a.json" not in fresh_end["consumed"]
+    assert restarted.partitions(e6, fresh_end) == []  # no phantom batch
+    e7 = restarted.latestOffset()
+    assert "a.json" not in e7["consumed"]  # dropped stays dropped
+    assert restarted.partitions(fresh_end, e7) == []
+    put("a.json", 99)  # same name re-lands post-restart
+    e8 = restarted.latestOffset()
+    parts = restarted.partitions(e7, e8)
+    assert [os.path.basename(p.fp) for p in parts] == ["a.json"]
+
 
 def test_landing_partition_stream_end_to_end(spark, tmp_path):
     """The default engine stream path now plans executor-side
