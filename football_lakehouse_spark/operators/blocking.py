@@ -45,6 +45,17 @@ class CandidateVolumeError(RuntimeError):
     """A blocking join would emit more candidate pairs than the cap."""
 
 
+#: the exact-pair aggregate over per-key posting counts ``n`` (decimal):
+#: doubled per-key count summed in decimal(38,0), halved exactly via
+#: ``* 0.5`` (consecutive-integer products are even; decimal(38,1)
+#: holds the doubled sum to ~1e37 pairs). Module-level so the overflow
+#: regression test pins THIS string, not a copy that could drift.
+_EST_PAIRS_SQL = (
+    "CAST(SUM(CAST(n * (n - 1) AS DECIMAL(38,0))) * 0.5"
+    " AS DECIMAL(38,0))"
+)
+
+
 def candidate_volume(postings: DataFrame, key_cols: list[str]) -> DataFrame:
     """One-row profile of the self-join a posting table implies.
 
@@ -70,10 +81,7 @@ def candidate_volume(postings: DataFrame, key_cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").cast("bigint").alias("n_postings"),
         F.max("n").cast("bigint").alias("max_posting"),
-        F.expr(
-            "CAST(SUM(CAST(n * (n - 1) AS DECIMAL(38,0))) * 0.5"
-            " AS DECIMAL(38,0))"
-        ).alias("est_pairs"),
+        F.expr(_EST_PAIRS_SQL).alias("est_pairs"),
     )
 
 
@@ -93,6 +101,16 @@ def assert_candidate_volume(
     """
     cap = DEFAULT_MAX_CANDIDATE_PAIRS if max_pairs is None else max_pairs
     row = candidate_volume(postings, key_cols).collect()[0]
+    if row["est_pairs"] is None and (row["n_keys"] or 0) > 0:
+        # fail CLOSED: a non-empty posting table with a NULL price means
+        # the decimal(38,0) sum itself overflowed (non-ANSI nulls it) —
+        # a volume so far past any cap that refusal is the only answer;
+        # `or 0` here would silently wave the join through
+        raise CandidateVolumeError(
+            f"{context}: candidate-volume aggregate overflowed "
+            "decimal(38,0) — the posting table is catastrophically "
+            "degenerate; refusing without a price."
+        )
     stats = {
         "n_keys": row["n_keys"] or 0,
         "n_postings": row["n_postings"] or 0,

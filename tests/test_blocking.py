@@ -58,17 +58,14 @@ def test_volume_arithmetic_survives_bigint_overflow(spark):
     negative (non-ANSI, silently bypassing the guard)."""
     from pyspark.sql import functions as F
 
+    from football_lakehouse_spark.operators.blocking import _EST_PAIRS_SQL
+
     n = 5_000_000_000
     per_key = spark.createDataFrame([(str(n),)], "s string").select(
         F.col("s").cast("decimal(38,0)").alias("n")
     )
-    # the exact agg expression candidate_volume uses
-    row = per_key.agg(
-        F.expr(
-            "CAST(SUM(CAST(n * (n - 1) AS DECIMAL(38,0))) * 0.5"
-            " AS DECIMAL(38,0))"
-        ).alias("est_pairs")
-    ).collect()[0]
+    # THE expression candidate_volume uses (shared constant, no copy)
+    row = per_key.agg(F.expr(_EST_PAIRS_SQL).alias("est_pairs")).collect()[0]
     assert int(row["est_pairs"]) == n * (n - 1) // 2  # > 2^63
 
 
