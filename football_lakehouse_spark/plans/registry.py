@@ -79,77 +79,28 @@ def query(
 #:   r6    | q110+q123 re-attest, q181–q228 — the full 50-row prefix
 #:         | came back green (CORRECTNESS_r06: 50/50, first perfect
 #:         | round)
-#:   r7    | (this prefix) q229–q278 — the 50 r6 additions that had
-#:         | never been driver-attested. q279/q280 plus the r1/r2-stale
-#:         | refresh tail queue directly behind for r8; the freshly
-#:         | r6-attested block drops to the natural-order rest.
+#:   r7    | q229–q278 — the full 50-row prefix came back green
+#:         | (CORRECTNESS_r07: 50/50, second consecutive perfect round)
+#:   r8    | (this prefix) q279–q282 — the last four queries without a
+#:         | driver-green row (q279/q280 squeezed out of r7's window,
+#:         | q281/q282 added in r7) — then the 37 r1/r2-stale refreshes
+#:         | and 9 natural-order r3-stale refreshes (q01, q05–q12).
+#:         | After r8 lands green, every one of the 281 registered
+#:         | queries has a driver-green row and nothing is older than r3.
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
-#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). After r7's prefix
-#: lands, exactly four registered queries still lack a driver-green
-#: row — q279/q280 (squeezed out of the 50-row window) and the r7
-#: additions q281/q282 — and all four lead the r8 prefix below.
+#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). The registry is
+#: FROZEN at 281 entries until the attestation sweep completes.
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # --- r7 prefix: the 52-query attestation backlog, oldest first.
-    #     Exactly 50 fit; q279/q280 are first in line next round. ---
-    "q229_source_length_drift",
-    "q230_sequence_transition_audit",
-    "q231_repeat_purchase_curve",
-    "q232_value_window_family",
-    "q233_max_drawdown",
-    "q234_histogram_2d",
-    "q235_ordered_listagg",
-    "q236_python_datasource_roundtrip",
-    "q237_variant_props",
-    "q238_udtf_chunk_expand",
-    "q239_weighted_median",
-    "q240_benford_audit",
-    "q241_interarrival_burstiness",
-    "q242_top_user_paths",
-    "q243_basket_size_value_curve",
-    "q244_discount_band_effectiveness",
-    "q245_centroid_separation",
-    "q246_rate_limited_drain",
-    "q247_anti_entropy_repair",
-    "q248_subject_erasure",
-    "q249_consistent_snapshot_join",
-    "q250_incremental_view_maintenance",
-    "q251_pca_power_iteration",
-    "q252_compaction_plan",
-    "q253_k_anonymity",
-    "q254_bloom_pruned_join",
-    "q255_bfs_distance",
-    "q256_chi_square_ab",
-    "q257_logged_cdf_ivm",
-    "q258_exact_heavy_hitters",
-    "q259_systematic_weighted_sample",
-    "q260_zonemap_skip_audit",
-    "q261_hybrid_rrf_fusion",
-    "q262_disorder_lateness_audit",
-    "q263_encoding_advisor",
-    "q264_observed_metrics",
-    "q265_dim_truncation_recall",
-    "q266_sample_estimate_audit",
-    "q267_time_weighted_value",
-    "q268_lsh_funnel_audit",
-    "q269_recursive_purchase_chains",
-    "q270_dataset_card",
-    "q271_pq_adc_recall",
-    "q272_incremental_curation",
-    "q273_ivfpq_recall",
-    "q274_minhash_estimator_audit",
-    "q275_shuffle_sizing_advisor",
-    "q276_broadcast_advisor",
-    "q277_frame_sample",
-    "q278_hard_negative_mining",
-    # --- 50-row prefix boundary is HERE; q279/q280 lead the r8 prefix ---
+    # --- r8 prefix: the last 4 never-attested queries, oldest first ---
     "q279_knn_label_noise",
     "q280_source_quality_funnel",
-    # --- added r7 (ANN-backed production variants, r6 verdict #3) ---
     "q281_hard_negative_mining_ann",
     "q282_knn_label_noise_ann",
-    # --- stale: last driver-attested in r1/r2 → refresh (oldest first) ---
+    # --- stale: last driver-attested in r1/r2 → refresh (oldest first);
+    #     rows 42–50 fall through to natural order (q01, q05–q12, all
+    #     r3-stale refreshes) ---
     "q02_horizon_assembly_joins",
     "q04_conditional_agg",
     "q32_streaming_ingest",
