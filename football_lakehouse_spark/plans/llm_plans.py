@@ -7531,8 +7531,15 @@ def _ann_hard_negative_oracle_sql(
     "(recall below target ⇒ probe more cells, not ship worse "
     "negatives). The exact side runs on the anchor SAMPLE only — the "
     "eval never needs corpus². Oracle unrolls the identical "
-    "deterministic Lloyd + probe + label-filtered ranking in SQL.",
+    "deterministic Lloyd + probe + label-filtered ranking in SQL. "
+    "REGRESSION CANARY, pinned at the driver gate scale (oracle_sf): "
+    "n_cells=16 matches the oracle literal, not the IVF operating "
+    "point, and the exact-truth term is anchors×corpus — so past "
+    "sf0.1 the cost readout is the PRODUCTION decomposition "
+    "(scripts/soak_ann_variants.py §2 / SCALING.md round 7: ANN "
+    "scoring flat at 10× corpus), never this eval re-run at scale.",
     tags=("llm", "similarity", "ml"),
+    oracle_sf="sf0.01",
 )
 def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -7694,8 +7701,15 @@ def _ann_knn_noise_oracle_sql(
     "audited sample (q223's pattern: approximation changes are "
     "validated by re-running this query; a fidelity drop means probe "
     "more cells). Votes and the majority test stay pure integers; "
-    "neighbour ranking reuses the bit-identical dot-product contract.",
+    "neighbour ranking reuses the bit-identical dot-product contract. "
+    "REGRESSION CANARY, pinned at the driver gate scale (oracle_sf): "
+    "fixed n_cells=16 + the audited×corpus exact-truth term make this "
+    "eval grow with corpus (14 s at sf1, SCALING round 7) — past "
+    "sf0.1 the at-scale evidence is the production decomposition "
+    "(scripts/soak_ann_variants.py §2: probe-bounded scoring flat at "
+    "10× corpus), never this eval re-run at scale.",
     tags=("llm", "similarity", "quality"),
+    oracle_sf="sf0.01",
 )
 def knn_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -50,17 +50,23 @@ from football_lakehouse_spark.operators.similarity import (  # noqa: E402
 from football_lakehouse_spark.plans.registry import REGISTRY  # noqa: E402
 from football_lakehouse_spark.session import get_spark  # noqa: E402
 
+#: (query, canary_pinned) — the ANN evals are regression canaries pinned
+#: at small sf (their builders bake the oracle's n_cells=16 and an
+#: anchors×corpus exact-truth term, so their wall grows with corpus by
+#: design — 14 s at sf1, r7 verdict #2). Past the pinned scale the cost
+#: readout is the mining decomposition below, never the eval re-run.
 QUERIES = (
-    "q278_hard_negative_mining",
-    "q281_hard_negative_mining_ann",
-    "q279_knn_label_noise",
-    "q282_knn_label_noise_ann",
+    ("q278_hard_negative_mining", False),
+    ("q281_hard_negative_mining_ann", True),
+    ("q279_knn_label_noise", False),
+    ("q282_knn_label_noise_ann", True),
 )
 #: (name, path, n_cells) — n_cells tracks corpus size (constant cell size)
 SCALES = (
     ("sf0.1", "/root/testdata/sf0.1", 16),
     ("sf1", "/tmp/fls-sf1", 160),
 )
+CANARY_SCALE = "sf0.1"
 N_PROBE = 4
 SCRATCH = "/tmp/fls-ann-soak"
 
@@ -79,8 +85,21 @@ def _noop(df) -> None:
 
 
 def registered_evals(spark, passes: int) -> None:
-    for name in QUERIES:
+    for name, pinned in QUERIES:
         for sf, path, _ in SCALES:
+            if pinned and sf != CANARY_SCALE:
+                print(
+                    json.dumps(
+                        {
+                            "query": name,
+                            "sf": sf,
+                            "skipped": f"canary pinned at {CANARY_SCALE}; "
+                            "at-scale readout is the mining decomposition",
+                        }
+                    ),
+                    flush=True,
+                )
+                continue
             sec = _timed(
                 lambda: _noop(REGISTRY[name].builder(spark, path)), passes
             )
