@@ -36,22 +36,42 @@ from pyspark.sql import DataFrame, functions as F
 #: this many pairs. Default prices ~minutes of single-node verify work;
 #: a cluster deployment raises it deliberately via the env var, which
 #: keeps the knob out of every call site.
-DEFAULT_MAX_CANDIDATE_PAIRS = int(
-    os.environ.get("SPARK_GRAFT_MAX_CANDIDATE_PAIRS", str(5_000_000))
-)
+DEFAULT_MAX_CANDIDATE_PAIRS = 5_000_000
+
+
+def _max_pairs_cap() -> int:
+    """Resolve the cap from the env at CALL time, not import time — a
+    long-lived driver or notebook that exports the knob after this
+    module is imported must still see it, and a malformed value must
+    fail at the guarded call with the knob named, not at import."""
+    raw = os.environ.get("SPARK_GRAFT_MAX_CANDIDATE_PAIRS")
+    if raw is None:
+        return DEFAULT_MAX_CANDIDATE_PAIRS
+    try:
+        return int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"SPARK_GRAFT_MAX_CANDIDATE_PAIRS={raw!r} is not an integer"
+        ) from exc
 
 
 class CandidateVolumeError(RuntimeError):
     """A blocking join would emit more candidate pairs than the cap."""
 
 
-#: the exact-pair aggregate over per-key posting counts ``n`` (decimal):
+#: collision-proof alias for the per-key posting count — callers pass
+#: arbitrary public key columns, so the internal count must not shadow
+#: any plausible user name (an 'n' key column would otherwise make the
+#: downstream aggregate ambiguous).
+_N = "__posting_n"
+
+#: the exact-pair aggregate over per-key posting counts (decimal):
 #: doubled per-key count summed in decimal(38,0), halved exactly via
 #: ``* 0.5`` (consecutive-integer products are even; decimal(38,1)
 #: holds the doubled sum to ~1e37 pairs). Module-level so the overflow
 #: regression test pins THIS string, not a copy that could drift.
 _EST_PAIRS_SQL = (
-    "CAST(SUM(CAST(n * (n - 1) AS DECIMAL(38,0))) * 0.5"
+    f"CAST(SUM(CAST({_N} * ({_N} - 1) AS DECIMAL(38,0))) * 0.5"
     " AS DECIMAL(38,0))"
 )
 
@@ -75,12 +95,12 @@ def candidate_volume(postings: DataFrame, key_cols: list[str]) -> DataFrame:
     fingerprint sum (operators/dedup.py).
     """
     per_key = postings.groupBy(*[F.col(c) for c in key_cols]).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+        F.count(F.lit(1)).cast("decimal(38,0)").alias(_N)
     )
     return per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum("n").cast("bigint").alias("n_postings"),
-        F.max("n").cast("bigint").alias("max_posting"),
+        F.sum(_N).cast("bigint").alias("n_postings"),
+        F.max(_N).cast("bigint").alias("max_posting"),
         F.expr(_EST_PAIRS_SQL).alias("est_pairs"),
     )
 
@@ -99,7 +119,7 @@ def assert_candidate_volume(
     ``CandidateVolumeError`` with the measured numbers and the knob to
     turn when the data is in the operator's degenerate regime.
     """
-    cap = DEFAULT_MAX_CANDIDATE_PAIRS if max_pairs is None else max_pairs
+    cap = _max_pairs_cap() if max_pairs is None else max_pairs
     row = candidate_volume(postings, key_cols).collect()[0]
     if row["est_pairs"] is None and (row["n_keys"] or 0) > 0:
         # fail CLOSED: a non-empty posting table with a NULL price means

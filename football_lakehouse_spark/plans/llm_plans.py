@@ -4280,7 +4280,10 @@ def gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "suffered: a candidate-volume preflight (operators/blocking.py) "
     "prices the posting self-join exactly in one O(postings) "
     "aggregation and raises above the cap — write-after-validate "
-    "applied to join cost.",
+    "applied to join cost. NOTE: the preflight is an EAGER action at "
+    "plan-build time (two small Spark jobs inside the builder), a "
+    "deliberate break from the builders' otherwise-lazy contract — "
+    "pricing after launch would defeat the guard.",
     tags=("llm", "dedup"),
 )
 def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4402,7 +4405,9 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are the right tool, not fuzzy matching — the same "
     "regime-boundary honesty as q168, and the same defence: the "
     "candidate-volume preflight (operators/blocking.py) refuses the "
-    "variant self-join above the cap instead of launching it.",
+    "variant self-join above the cap instead of launching it — an "
+    "EAGER action at plan-build time (deliberate: pricing after "
+    "launch would defeat the guard).",
     tags=("llm", "dedup", "text"),
 )
 def symspell_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,15 +58,44 @@ def test_volume_arithmetic_survives_bigint_overflow(spark):
     negative (non-ANSI, silently bypassing the guard)."""
     from pyspark.sql import functions as F
 
-    from football_lakehouse_spark.operators.blocking import _EST_PAIRS_SQL
+    from football_lakehouse_spark.operators.blocking import _EST_PAIRS_SQL, _N
 
     n = 5_000_000_000
     per_key = spark.createDataFrame([(str(n),)], "s string").select(
-        F.col("s").cast("decimal(38,0)").alias("n")
+        F.col("s").cast("decimal(38,0)").alias(_N)
     )
     # THE expression candidate_volume uses (shared constant, no copy)
     row = per_key.agg(F.expr(_EST_PAIRS_SQL).alias("est_pairs")).collect()[0]
     assert int(row["est_pairs"]) == n * (n - 1) // 2  # > 2^63
+
+
+def test_key_column_named_n(spark):
+    """The helper is public: a caller whose key column is literally
+    named 'n' must not collide with the internal count alias."""
+    from pyspark.sql import functions as F
+
+    df = _postings(spark, {"a": 3, "b": 2}).select(
+        F.col("key").alias("n"), "member"
+    )
+    row = candidate_volume(df, ["n"]).collect()[0]
+    assert row["n_keys"] == 2
+    assert row["est_pairs"] == 3 + 1
+    stats = assert_candidate_volume(df, ["n"], max_pairs=100)
+    assert stats["est_pairs"] == 4
+
+
+def test_cap_env_var_read_at_call_time(spark, monkeypatch):
+    """Exporting the knob after import must take effect, and a
+    malformed value must fail at the call with the knob named."""
+    df = _postings(spark, {"hot": 10})  # 45 pairs
+    monkeypatch.setenv("SPARK_GRAFT_MAX_CANDIDATE_PAIRS", "10")
+    with pytest.raises(CandidateVolumeError):
+        assert_candidate_volume(df, ["key"])
+    monkeypatch.setenv("SPARK_GRAFT_MAX_CANDIDATE_PAIRS", "100")
+    assert assert_candidate_volume(df, ["key"])["est_pairs"] == 45
+    monkeypatch.setenv("SPARK_GRAFT_MAX_CANDIDATE_PAIRS", "lots")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_MAX_CANDIDATE_PAIRS"):
+        assert_candidate_volume(df, ["key"])
 
 
 def test_empty_postings(spark):
