@@ -34,11 +34,39 @@ checkpoint written by one resumes under the other. Listing is
 O(files) on the driver — the same contract as Spark's own file index;
 at 10⁶+ files you compact the landing zone (RUNBOOK §7) regardless of
 which reader is used.
+
+Offset encoding — watermark-prefix + recent-tail. A naive
+content-addressed offset serializes every consumed file name into
+every micro-batch's offset-log entry: O(all files ever) per entry,
+multi-MB JSON at the RUNBOOK's own 10⁶-file bound. Instead, offsets
+compact to ``{"watermark": W, "tail": [names...]}`` with membership
+``consumed(f) ⇔ f <= W or f ∈ tail``: the stable sorted prefix of the
+consumed set folds into a single watermark string and only the recent
+tail stays explicit, so offset size is O(recent arrivals + margin).
+Correctness of batch planning is preserved by the FOLD INVARIANT —
+when an end offset is derived from a start offset, only names that
+were already members of START fold under the watermark, so every file
+of the batch itself is explicit in the end offset's tail and
+``partitions(start, end) = tail(end) − members(start)`` is exact,
+deterministic, and independent of the current listing (replay after
+new arrivals or deletions returns the originally planned files, same
+as the explicit-set design). The legacy ``{"consumed": [...]}``
+full-list form is still read AND still written whenever nothing has
+folded yet (small streams never change format); ``{"files": n}``
+count offsets from pre-r7 checkpoints keep their best-effort
+migration. The one semantic trade, documented on both readers: a
+late file whose name sorts at or below the CURRENT watermark is
+treated as consumed and silently skipped. The ``offsetTailKeep``
+margin (default 64) keeps the newest consumed names explicit — the
+watermark lags the frontier by at least that many names — and the
+landing contract's monotonic date-stamped part naming (RUNBOOK §7)
+makes sub-watermark arrivals out-of-contract to begin with.
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import os
 from datetime import date, datetime
 
@@ -159,33 +187,119 @@ class LandingReader(DataSourceReader):
                     yield row
 
 
-def _offset_consumed_set(offset: dict, path: str) -> set[str]:
-    """Offset → set of consumed relative paths (shared by both stream
-    readers so their checkpoints interoperate). Legacy ``{"files": n}``
-    count offsets map to the first n of the current sorted listing
-    (best-effort migration for pre-r7 checkpoints)."""
+_log = logging.getLogger(__name__)
+
+#: keep this many of the newest consumed names explicit in the offset
+#: tail instead of folding them under the watermark — the late-arrival
+#: margin (module docstring) and the knob behind ``offsetTailKeep``.
+DEFAULT_OFFSET_TAIL_KEEP = 64
+
+
+def _offset_state(offset: dict, path: str) -> tuple[str | None, set[str]]:
+    """Offset → canonical membership state ``(watermark, tail)`` —
+    consumed(f) ⇔ ``f <= watermark or f in tail``. Shared by both
+    stream readers so their checkpoints interoperate, across all three
+    wire forms: compact ``{"watermark", "tail"}``, legacy full-list
+    ``{"consumed"}`` (watermark None), and pre-r7 positional
+    ``{"files": n}`` counts. The count form maps n onto the first n of
+    the CURRENT sorted listing — best-effort by design: if consumed
+    files were deleted, or names that sort early landed out of order,
+    between the legacy checkpoint and the upgrade, the reconstructed
+    set differs from what was actually read and the one boundary batch
+    silently re-reads or skips those files. The migration logs a
+    warning so operators can audit that batch."""
+    if "watermark" in offset or "tail" in offset:
+        return offset.get("watermark"), set(offset.get("tail", ()))
     if "consumed" in offset:
-        return set(offset["consumed"])
+        return None, set(offset["consumed"])
     n = int(offset.get("files", 0))
-    return {
+    if n:
+        _log.warning(
+            "landing_events: migrating legacy positional offset "
+            "{'files': %d} onto the first %d names of the current "
+            "listing of %s — best-effort: audit this boundary batch if "
+            "files were deleted or landed out of order since the "
+            "legacy checkpoint was written",
+            n, n, path,
+        )
+    return None, {
         os.path.relpath(fp, path) for fp in _list_landing_files(path)[:n]
     }
+
+
+def _member(name: str, watermark: str | None, tail: set[str]) -> bool:
+    return (watermark is not None and name <= watermark) or name in tail
+
+
+def _merge_states(
+    a: tuple[str | None, set[str]] | None, b: tuple[str | None, set[str]]
+) -> tuple[str | None, set[str]]:
+    """Exact union of two membership states: a name ≤ max(watermarks)
+    is a member of whichever state carried the larger watermark."""
+    if a is None:
+        return b
+    wa, ta = a
+    wb, tb = b
+    w = wb if wa is None else wa if wb is None else max(wa, wb)
+    return w, ta | tb
+
+
+def _advance_state(
+    watermark: str | None,
+    tail: set[str],
+    listing: list[str],
+    pending: list[str],
+    keep: int,
+) -> tuple[str | None, set[str]]:
+    """End-offset state from a start state plus this batch's pending
+    files, maintaining the FOLD INVARIANT (module docstring): only
+    names that are members of START fold under the watermark — pending
+    names all sort above the fold frontier (the frontier stops at the
+    first listed non-member, and pending IS the listed non-members) —
+    so the batch stays explicit in the end tail. The newest ``keep``
+    foldable names stay explicit as the late-arrival margin. The
+    watermark never regresses."""
+    frontier: str | None = None
+    for name in listing:  # sorted
+        if _member(name, watermark, tail):
+            frontier = name
+        else:
+            break
+    new_tail = tail | set(pending)
+    if frontier is None:
+        return watermark, new_tail
+    foldable = sorted(f for f in new_tail if f <= frontier)
+    folded = foldable[:-keep] if keep > 0 else foldable
+    if not folded:
+        return watermark, new_tail
+    new_w = folded[-1] if watermark is None else max(watermark, folded[-1])
+    return new_w, new_tail - set(folded)
+
+
+def _encode_state(watermark: str | None, tail: set[str]) -> dict:
+    """State → wire offset. Until anything folds this is the legacy
+    full-list form byte-for-byte, so small streams and old readers of
+    the checkpoint never see a format change."""
+    if watermark is None:
+        return {"consumed": sorted(tail)}
+    return {"watermark": watermark, "tail": sorted(tail)}
 
 
 class LandingPartitionStreamReader(DataSourceStreamReader):
     """Executor-side partition-planning stream reader — the default.
 
     Same content-addressed offsets as :class:`LandingStreamReader`
-    (``{"consumed": [relative paths...]}``), but rows never touch the
-    driver: ``partitions(start, end)`` plans exactly
-    ``end.consumed - start.consumed`` as one :class:`InputPartition`
-    per file, and :meth:`read` parses that file on an executor. Driver
-    memory is O(listing) regardless of backlog row volume — the
-    at-scale fix for the simple reader's driver prefetch (the capped
-    drain bounded it; this removes it).
+    (compact watermark+tail encoding, module docstring), but rows never
+    touch the driver: ``partitions(start, end)`` plans exactly
+    ``tail(end) − members(start)`` — by the fold invariant, precisely
+    the batch's files — as one :class:`InputPartition` per file, and
+    :meth:`read` parses that file on an executor. Driver memory is
+    O(listing) regardless of backlog row volume — the at-scale fix for
+    the simple reader's driver prefetch (the capped drain bounded it;
+    this removes it).
 
-    Correctness is STATELESS: replay of any planned batch is the pure
-    set difference of its two logged offsets, so restart recovery
+    Correctness is STATELESS: replay of any planned batch is a pure
+    function of its two logged offsets, so restart recovery
     (Spark re-planning an uncommitted batch from the offset log) and
     late out-of-order arrivals behave exactly like the simple reader —
     a file is read in the one batch whose offset range first contains
@@ -203,6 +317,11 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
     makes the corner unreachable; within one driver lifetime the
     ``_seen`` baseline already prevents it. (The simple reader avoids
     this only because ``read(start)`` is handed the start offset.)
+
+    Late-arrival margin: same trade as the simple reader — a file whose
+    name sorts at or below the current offset WATERMARK is treated as
+    consumed (``offsetTailKeep`` names stay explicit above it; module
+    docstring).
 
     ``maxFilesPerBatch`` is honoured as best-effort admission control:
     ``latestOffset`` advances by at most that many new files past the
@@ -227,43 +346,52 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("landing_events: option 'path' is required")
         self.max_files = int(options.get("maxFilesPerBatch", 0)) or None
+        self.tail_keep = int(
+            options.get("offsetTailKeep", DEFAULT_OFFSET_TAIL_KEEP)
+        )
         #: union of every offset this instance planned or committed —
         #: the cap baseline, NOT a correctness input (see docstring)
-        self._seen: set[str] | None = None
+        self._state: tuple[str | None, set[str]] | None = None
 
     def initialOffset(self):
         return {"consumed": []}
 
     def latestOffset(self):
-        listing = {
+        listing = sorted(
             os.path.relpath(fp, self.path)
             for fp in _list_landing_files(self.path)
-        }
-        seen = self._seen or set()
-        pending = sorted(listing - seen)
+        )
+        w, tail = self._state or (None, set())
+        pending = [f for f in listing if not _member(f, w, tail)]
         # cap only with a baseline: a fresh reader (driver restart) has
         # none, so its first batch is uncapped — documented best-effort
-        if self.max_files is not None and self._seen is not None:
+        if self.max_files is not None and self._state is not None:
             pending = pending[: self.max_files]
-        # consumed-but-deleted files stay in the offset (matches the
-        # simple reader: a re-landed same-name file is not re-read)
-        self._seen = seen | set(pending)
-        return {"consumed": sorted(self._seen)}
+        # consumed-but-deleted files stay members (watermark or tail):
+        # a re-landed same-name file is not re-read within one lifetime
+        self._state = _advance_state(
+            w, tail, listing, pending, self.tail_keep
+        )
+        return _encode_state(*self._state)
 
     def partitions(self, start, end):
-        s = _offset_consumed_set(start, self.path)
-        e = _offset_consumed_set(end, self.path)
-        # baseline seeds from END ONLY — deliberately. A name present in
-        # start but absent from end has been dropped from the offset
-        # chain (consumed file deleted across a driver restart, below);
-        # resurrecting it into a LATER end would make that later
-        # (end_i, end_{i+1}) diff plan it as a batch — a phantom re-read
-        # that crashes read() on the missing file. Once dropped, stays
-        # dropped; the chain of end offsets is the source of truth.
-        self._seen = (self._seen or set()) | e
+        sw, st = _offset_state(start, self.path)
+        ew, et = _offset_state(end, self.path)
+        # the batch is tail(end) − members(start): by the fold invariant
+        # every file of the batch is explicit in the end tail, and using
+        # the tail (never the current listing) keeps replay deterministic
+        # after later arrivals or deletions. Baseline seeds from END
+        # ONLY — deliberately. A name present in start but absent from
+        # end has been dropped from the offset chain (consumed file
+        # deleted across a driver restart, below); resurrecting it into
+        # a LATER end would make that later (end_i, end_{i+1}) diff plan
+        # it as a batch — a phantom re-read that crashes read() on the
+        # missing file. Once dropped, stays dropped; the chain of end
+        # offsets is the source of truth.
+        self._state = _merge_states(self._state, (ew, et))
         return [
             _FilePartition(os.path.join(self.path, rel))
-            for rel in sorted(e - s)
+            for rel in sorted(f for f in et if not _member(f, sw, st))
         ]
 
     def read(self, partition):
@@ -275,32 +403,40 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
                     yield row
 
     def commit(self, end):
-        self._seen = (self._seen or set()) | _offset_consumed_set(
-            end, self.path
+        self._state = _merge_states(
+            self._state, _offset_state(end, self.path)
         )
 
 
 class LandingStreamReader(SimpleDataSourceStreamReader):
     """File-granularity incremental stream with CONTENT-ADDRESSED
-    offsets: the offset is ``{"consumed": [relative paths...]}`` — the
-    explicit set of files already read. Each micro-batch is exactly
-    ``listing - consumed`` (sorted), so a late-arriving file whose name
-    sorts BEFORE already-consumed files is still picked up exactly once,
-    and ``readBetweenOffsets(start, end)`` replays exactly
-    ``end.consumed - start.consumed`` regardless of files that arrived
-    after the batch was planned. (A positional ``{"files": n}`` offset —
-    the first design — shifted indices on out-of-order arrivals and
-    broke replay; legacy count offsets are still accepted for old
-    checkpoints and interpreted over the current sorted listing.)
+    offsets in the compact watermark+tail encoding (module docstring):
+    membership is ``name <= watermark or name in tail``, and the
+    full-list ``{"consumed": [...]}`` form is still read and written
+    until anything folds. Each micro-batch is exactly the listed
+    non-members (sorted), so a late-arriving file whose name sorts
+    BEFORE already-consumed tail names is still picked up exactly once
+    — with the one documented exception that a name at or below the
+    watermark itself is treated as consumed (``offsetTailKeep`` is the
+    margin; the landing contract's monotonic naming makes such
+    arrivals out-of-contract). ``readBetweenOffsets(start, end)``
+    replays exactly ``tail(end) − members(start)`` — by the fold
+    invariant, precisely the batch's files — regardless of files that
+    arrived after the batch was planned. (A positional ``{"files": n}``
+    offset — the first design — shifted indices on out-of-order
+    arrivals and broke replay; legacy count offsets are still accepted
+    for old checkpoints, interpreted over the current sorted listing,
+    and log a warning naming the audit corner.)
 
     ``maxFilesPerBatch`` (option, default unbounded) caps how many
     pending files one micro-batch materializes — SimpleDataSourceStreamReader
     prefetches batch rows on the driver, so a large initial backlog
     would otherwise buffer the whole landing zone in driver memory; with
     the cap, an availableNow drain advances the offset incrementally in
-    bounded slices. Offset size is O(consumed files): the landing-zone
-    compaction contract (module docstring, RUNBOOK §7) bounds the file
-    count; relative paths keep each entry short.
+    bounded slices. Offset size is O(recent arrivals + tail margin),
+    not O(all files ever); the landing-zone compaction contract
+    (RUNBOOK §7) bounds the LISTING cost, which is the remaining
+    per-batch O(files) term.
     """
 
     def __init__(self, options):
@@ -308,15 +444,15 @@ class LandingStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("landing_events: option 'path' is required")
         self.max_files = int(options.get("maxFilesPerBatch", 0)) or None
+        self.tail_keep = int(
+            options.get("offsetTailKeep", DEFAULT_OFFSET_TAIL_KEEP)
+        )
 
     def initialOffset(self):
         return {"consumed": []}
 
     def _rel(self, fp: str) -> str:
         return os.path.relpath(fp, self.path)
-
-    def _consumed_set(self, offset) -> set[str]:
-        return _offset_consumed_set(offset, self.path)
 
     def _read_files(self, rel_paths):
         rows = []
@@ -331,19 +467,22 @@ class LandingStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start):
-        consumed = self._consumed_set(start)
-        pending = sorted(
-            self._rel(fp)
-            for fp in _list_landing_files(self.path)
-            if self._rel(fp) not in consumed
+        w, tail = _offset_state(start, self.path)
+        listing = sorted(
+            self._rel(fp) for fp in _list_landing_files(self.path)
         )
+        pending = [f for f in listing if not _member(f, w, tail)]
         if self.max_files is not None:
             pending = pending[: self.max_files]
-        end = {"consumed": sorted(consumed | set(pending))}
+        end = _encode_state(
+            *_advance_state(w, tail, listing, pending, self.tail_keep)
+        )
         return (iter(self._read_files(pending)), end)
 
     def readBetweenOffsets(self, start, end):
-        batch = self._consumed_set(end) - self._consumed_set(start)
+        sw, st = _offset_state(start, self.path)
+        _ew, et = _offset_state(end, self.path)
+        batch = [f for f in et if not _member(f, sw, st)]
         return iter(self._read_files(batch))
 
 

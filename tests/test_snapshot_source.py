@@ -335,3 +335,142 @@ def test_landing_partition_stream_end_to_end(spark, tmp_path):
     assert {r.event_id for r in spark.read.parquet(out2).collect()} == {
         0, 1, 2, 3,
     }
+
+
+def test_landing_offset_compaction_long_chain(tmp_path):
+    """r8 offset compaction (r7 verdict #4): a 10⁴-file chain's latest
+    offset stays O(tail margin), never O(all files ever); every file is
+    planned exactly once across the chain; and replay of any logged
+    (start, end) pair is deterministic and listing-independent — the
+    batch comes from the end offset's explicit tail, so later arrivals
+    and deletions cannot change it."""
+    import json as _json
+
+    from football_lakehouse_spark.sources.pyds import (
+        LandingPartitionStreamReader,
+        LandingStreamReader,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    line = (
+        '{"event_id":%d,"ts":"2026-02-01T10:00:00","user_id":1,'
+        '"event_type":"click","value":1.0,"props":null}\n'
+    )
+
+    def put(name, eid):
+        (land / name).write_text(line % eid)
+
+    rdr = LandingPartitionStreamReader({"path": str(land)})
+    n_batches, files_per_batch = 100, 100
+    offsets = [rdr.initialOffset()]
+    planned: list[list[str]] = []
+    for b in range(n_batches):
+        for i in range(files_per_batch):
+            put(f"part-{b:04d}-{i:04d}.json", b * files_per_batch + i)
+        end = rdr.latestOffset()
+        batch = [
+            os.path.basename(p.fp) for p in rdr.partitions(offsets[-1], end)
+        ]
+        rdr.commit(end)
+        planned.append(batch)
+        offsets.append(end)
+
+    # exactly-once across the whole chain
+    flat = [f for b in planned for f in b]
+    assert len(flat) == n_batches * files_per_batch
+    assert len(set(flat)) == len(flat)
+
+    # the latest offset is compact: watermark form, tail bounded by
+    # margin + one batch — vs ~10⁴ names for the full-list form
+    latest = offsets[-1]
+    assert "watermark" in latest
+    assert len(latest["tail"]) <= 64 + files_per_batch
+    full_size = len(_json.dumps({"consumed": sorted(set(flat))}))
+    assert len(_json.dumps(latest)) < full_size / 20
+
+    # replay determinism: re-plan an early logged pair on a FRESH
+    # reader with today's (much larger) listing — identical batch
+    s, e = offsets[10], offsets[11]
+    fresh = LandingPartitionStreamReader({"path": str(land)})
+    assert sorted(
+        os.path.basename(p.fp) for p in fresh.partitions(s, e)
+    ) == sorted(planned[10])
+
+    # interop: the simple reader resumes from the compact offset and
+    # sees only genuinely new files
+    put("part-9999-0000.json", 999_990_000)
+    simple = LandingStreamReader({"path": str(land)})
+    rows, end2 = simple.read(latest)
+    assert [r[0] for r in rows] == [999_990_000]
+    # and the partition reader accepts the simple reader's end offset
+    assert fresh.partitions(latest, end2) != []
+
+
+def test_landing_offset_late_arrival_margin(tmp_path):
+    """The compaction trade, pinned: a late file sorting within the
+    explicit tail margin is read exactly once; one sorting at or below
+    the watermark is treated as consumed (documented skip — the
+    landing contract's monotonic naming makes it out-of-contract)."""
+    from football_lakehouse_spark.sources.pyds import (
+        LandingPartitionStreamReader,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    line = (
+        '{"event_id":%d,"ts":"2026-02-01T10:00:00","user_id":1,'
+        '"event_type":"click","value":1.0,"props":null}\n'
+    )
+
+    def put(name, eid):
+        (land / name).write_text(line % eid)
+
+    rdr = LandingPartitionStreamReader(
+        {"path": str(land), "offsetTailKeep": "2"}
+    )
+    start = rdr.initialOffset()
+    for i in range(10):
+        put(f"f{i:02d}.json", i)
+    e1 = rdr.latestOffset()
+    rdr.partitions(start, e1)
+    # second advance folds the stable prefix behind a 2-name margin
+    put("f10.json", 10)
+    e2 = rdr.latestOffset()
+    assert e2["watermark"] == "f07.json"
+    assert sorted(e2["tail"]) == ["f08.json", "f09.json", "f10.json"]
+
+    # late arrival ABOVE the watermark (inside the margin): read once
+    put("f08a.json", 88)
+    e3 = rdr.latestOffset()
+    batch = [os.path.basename(p.fp) for p in rdr.partitions(e2, e3)]
+    assert batch == ["f08a.json"]
+
+    # late arrival AT/BELOW the watermark: treated as consumed
+    put("f00a.json", 99)
+    e4 = rdr.latestOffset()
+    assert rdr.partitions(e3, e4) == []
+
+
+def test_landing_legacy_count_offset_warns(tmp_path, caplog):
+    """Pre-r7 {'files': n} offsets still resolve, and the best-effort
+    migration now logs an audit warning (ADVICE r7)."""
+    import logging
+
+    from football_lakehouse_spark.sources.pyds import (
+        LandingPartitionStreamReader,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.json").write_text(
+        '{"event_id":1,"ts":"2026-02-01T10:00:00","user_id":1,'
+        '"event_type":"click","value":1.0,"props":null}\n'
+    )
+    rdr = LandingPartitionStreamReader({"path": str(land)})
+    with caplog.at_level(
+        logging.WARNING, logger="football_lakehouse_spark.sources.pyds"
+    ):
+        parts = rdr.partitions({"files": 0}, {"files": 1})
+    assert [os.path.basename(p.fp) for p in parts] == ["a.json"]
+    assert any("legacy positional offset" in r.message for r in caplog.records)
