@@ -21,6 +21,19 @@ from football_lakehouse_spark.session import get_spark
 
 
 N_PASSES = 4
+#: UNMEASURED passes before the timed ones. One warm-up pass stopped
+#: being enough as the bench set grew (16 queries r1 → 21 r7): the
+#: sub-second floors crept up ~1.4× over three rounds NOT because any
+#: plan regressed but because JIT (C2) compilation of each query's
+#: generated classes no longer landed inside a 5-execution budget
+#: spread over more codegen classes. Measured (r8, idle, A/B/A2
+#: design, SCALING.md): the same binaries recover the r1-era floors on
+#: every flagged query once each query has ~10 total executions —
+#: q04 0.205 s (r1: 0.207), q05 0.265 (r1: 0.267), q49 0.437
+#: (r1: 0.465), q01 0.520 (r1: 0.548) — and interleaving with the
+#: heavy allocators changes nothing (B≈A), ruling out GC inheritance.
+#: 5 warm-up + 4 timed = 9 executions per query ≈ the recovery point.
+WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "5"))
 #: 1-min loadavg above which timings on this 32-cpu host are flagged as
 #: noise-inflated. r6 proved 3.0 was too lax: a run that started at
 #: loadavg 2.98 passed the gate yet drifted every shared query +5–12%
@@ -72,10 +85,13 @@ def main() -> None:
     spark = get_spark("fls-bench")
 
     specs = registry.bench_queries()
-    # warm-up: JVM, parquet footers, codegen
-    for spec in specs.values():
-        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
+    # warm-up: JVM, parquet footers, codegen, and — the dominant term
+    # (see WARMUP_PASSES) — C2 JIT compilation of each query's
+    # generated classes
+    for _ in range(WARMUP_PASSES):
+        for spec in specs.values():
+            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
 
     # min over 4 ROUND-ROBIN passes: the shared host's load bursts last
     # seconds and would span all back-to-back runs of one query;
@@ -101,6 +117,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_passes": N_PASSES,
+                "warmup_passes": WARMUP_PASSES,
                 "loadavg_start": round(load_start, 2),
                 "loadavg_end": round(load_end, 2),
                 # loadavg here includes THIS bench's own executors, so
