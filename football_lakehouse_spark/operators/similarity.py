@@ -247,7 +247,7 @@ def assign_cells(
 def kmeans_cells(
     corpus: DataFrame, n_cells: int = 16, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding", id_out: str = "vec_id",
-    normalize: bool = False,
+    normalize: bool = False, train_sample_mod: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """DETERMINISTIC k-means coarse quantiser shared by IVF ANN (q51)
     and semantic dedup (q101): returns ``(assignments, centroids)``
@@ -261,11 +261,23 @@ def kmeans_cells(
     is therefore partition-invariant and reproducible in plain SQL —
     unlike ``pyspark.ml`` KMeans, whose k-means|| init samples
     per-partition RNG streams and yields different centers under
-    different input partitionings. (In production, train on a
-    deterministic hash-gated sample instead of the full corpus; the
-    refinement topology is identical.)
+    different input partitionings.
 
-    Scale contract: each Lloyd round is one exploded-corpus shuffle;
+    ``train_sample_mod``: when set, the Lloyd ROUNDS (init, per-round
+    assignment, centroid updates) run on the deterministic hash-gated
+    sample ``xxhash64(id) % mod == 0`` (~1/mod of the corpus) instead
+    of the whole corpus; the RETURNED assignment is still one full
+    pass of every vector against the sample-trained centroids. This is
+    how production indexes train (FAISS trains the coarse quantiser on
+    a bounded sample) and it is what bounds the BUILD cost: a flat
+    quantiser's per-round cost is rows×n_cells d² folds, which at the
+    fixed-cell-size operating point (n_cells ∝ corpus) makes
+    full-corpus training quadratic — measured 616 s for 200k vectors ×
+    1,600 cells in SCALING.md round 8, vs seconds sampled. Default
+    None keeps exact full-corpus training — the oracle-matching form
+    every registered query uses.
+
+    Scale contract: each Lloyd round is one exploded-sample shuffle;
     cell assignment is one narrow pass with broadcast centroids
     (centroid table is n_cells×dim — tiny at any corpus scale).
     Centroid sums stay exact below 2^53 (qx ≤ 1e6 per component →
@@ -273,7 +285,7 @@ def kmeans_cells(
     """
     # embedding tables pack many rows per file split and every Lloyd
     # stage is CPU-bound → spread the corpus across executors first
-    # (same rationale as brute_force_topk). The corpus is then the
+    # (same rationale as brute_force_topk). The training set is the
     # working set of EVERY Lloyd round (iters+1 assignment passes +
     # iters centroid updates) — persist it once so each round reads the
     # cached rows instead of re-scanning and re-decoding the source
@@ -281,21 +293,32 @@ def kmeans_cells(
     # the cache tier and k passes over object storage.
     par = corpus.sparkSession.sparkContext.defaultParallelism
     corpus = corpus.repartition(par).persist()
+    train = corpus
+    if train_sample_mod is not None and train_sample_mod > 1:
+        train = corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        ).persist()
     qx = _quantized_components(
-        corpus, id_out, id_col, vec_col, normalize=normalize
+        train, id_out, id_col, vec_col, normalize=normalize
     ).persist()
 
-    # init: the n_cells lowest-id vectors, cell = 0..n_cells-1 in id order.
-    # The id list is a control-plane scalar (n_cells rows, e.g. 16–64) —
-    # enumerate it on the driver instead of a global row_number window so
-    # no WindowExec-without-partition ever appears in a Lloyd plan (the
-    # window was bounded and harmless, but the single-partition warning
-    # is indistinguishable in logs from a real scale cliff).
+    # init: the n_cells lowest-id TRAINING vectors, cell = 0..n_cells-1
+    # in id order. The id list is a control-plane scalar (n_cells rows,
+    # e.g. 16–64) — enumerate it on the driver instead of a global
+    # row_number window so no WindowExec-without-partition ever appears
+    # in a Lloyd plan (the window was bounded and harmless, but the
+    # single-partition warning is indistinguishable in logs from a real
+    # scale cliff).
     seed_ids = [
         r[0]
-        for r in corpus.select(F.col(id_col).alias(id_out))
+        for r in train.select(F.col(id_col).alias(id_out))
         .orderBy(id_out).limit(n_cells).collect()
     ]
+    if len(seed_ids) < n_cells:
+        raise ValueError(
+            f"kmeans_cells: training set has {len(seed_ids)} vectors "
+            f"< n_cells={n_cells} — lower train_sample_mod"
+        )
     init = corpus.sparkSession.createDataFrame(
         [(i, c) for c, i in enumerate(seed_ids)], [id_out, "cell"]
     ).select(id_out, F.col("cell").cast("int"))
@@ -304,10 +327,10 @@ def kmeans_cells(
         .select("cell", "pos", F.col("qx").alias("cq"))
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
+    def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         # assignment kernel shared with the incremental append path
         return assign_cells(
-            corpus, centroids,
+            vectors, centroids,
             id_col=id_col, vec_col=vec_col, id_out=id_out, normalize=normalize,
         )
 
@@ -319,7 +342,7 @@ def kmeans_cells(
     # connected-components rounds in operators/dedup.py).
     cent = cent.localCheckpoint(eager=True)
     for _ in range(iters):
-        assigned = assign(cent)
+        assigned = assign(train, cent)
         cent = (
             qx.join(assigned, id_out)
             .groupBy("cell", "pos")
@@ -328,7 +351,7 @@ def kmeans_cells(
             )
             .localCheckpoint(eager=True)
         )
-    return assign(cent), cent
+    return assign(corpus, cent), cent
 
 
 def refine_hot_cells(

@@ -1,8 +1,24 @@
 """Composed cold-path curation rehearsal at 10x / 100x scale
-(r6 verdict #6): quality gate -> exact dedup -> LSH near-dup clusters
--> token-budget selection -> sharded split write, each stage timed
-with its SHUFFLE BYTES attributed via the Spark UI REST API — the
-per-stage cost table a 100 TB user asks for first.
+(r6 verdict #6, widened r8 per r7 verdict #5): quality gate -> exact
+dedup -> LSH near-dup clusters -> token-budget selection -> sharded
+split write -> IVF INDEX BUILD -> ANN MINING SERVE (q281 shape), each
+stage timed with its SHUFFLE BYTES attributed via the Spark UI REST
+API — the per-stage cost table a 100 TB user asks for first, now
+including the retrieval index the curated corpus feeds.
+
+Index operating point — measured, then corrected (r8): the first run
+scaled n_cells LINEARLY with the corpus (fixed ~125-vector cells, the
+r7 serve-flat point) with full-corpus Lloyd training, and the build
+stage went 4.3 -> 9.5 -> 616 s at x1/x10/x100 — a flat quantiser's
+per-round cost is rows x n_cells d2 folds, so n_cells ∝ corpus makes
+TRAINING quadratic. The table now builds the way production indexes
+build: n_cells ∝ sqrt(corpus) (the FAISS coarse-quantiser rule, which
+balances build N·sqrt(N) against probe sqrt(N)) and Lloyd training on
+kmeans_cells' deterministic hash-gated sample (train_sample_mod).
+Serve cost then grows ~sqrt(corpus) instead of flat — still
+sub-linear, and the r7 decomposition keeps the serve-flat evidence
+for the fixed-cell-size point where builds are rare and appends ride
+assign_cells O(batch).
 
 This is the q84 composition widened to the full production shape:
 q84 itself fuses quality+dedup+split into one pass (and stays the
@@ -56,6 +72,20 @@ from football_lakehouse_spark.plans.llm_plans import (  # noqa: E402
 )
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
+EMB_SRC = "/root/testdata/sf0.1/embeddings.parquet"
+#: FAISS-style coarse-quantiser operating point (module docstring):
+#: n_cells = N_CELLS_X1 * sqrt(factor); Lloyd trains on ~1/mod of the
+#: corpus once the corpus is big enough to afford it
+N_CELLS_X1 = 16
+
+
+def build_point(factor: int) -> tuple[int, int]:
+    """(n_cells, train_sample_mod) for a scale factor."""
+    n_cells = max(N_CELLS_X1, round(N_CELLS_X1 * factor ** 0.5))
+    return n_cells, max(1, factor // 10)
+
+
+N_PROBE = 4
 UI_PORT = 4099
 
 
@@ -82,6 +112,28 @@ def gen_docs(spark, factor: int, out: str) -> str:
                 " ",
             ),
         )
+        .drop("__rep")
+    )
+    big.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def gen_emb(spark, factor: int, out: str) -> str:
+    """embeddings replicated ``factor``x with shifted vec_ids — the
+    same scale-up gen_scale.py uses (identical vectors, validated by
+    the r7 ANN decomposition soak: Lloyd still spreads cells and the
+    probed-candidate count stays ~anchors x n_probe x cell_size)."""
+    if factor == 1:
+        return EMB_SRC
+    path = os.path.join(out, f"embeddings_x{factor}.parquet")
+    if os.path.exists(path):
+        return path
+    df = spark.read.parquet(EMB_SRC)
+    stride = 10 ** len(str(df.agg(F.max("vec_id")).collect()[0][0]))
+    reps = F.broadcast(spark.range(factor).withColumnRenamed("id", "__rep"))
+    big = (
+        df.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(stride))
         .drop("__rep")
     )
     big.repartition(32).write.mode("overwrite").parquet(path)
@@ -120,7 +172,9 @@ def group_shuffle_bytes(spark) -> dict[str, dict[str, int]]:
     return out
 
 
-def run_pipeline(spark, docs_path: str, scratch: str) -> list[dict]:
+def run_pipeline(
+    spark, docs_path: str, emb_path: str, factor: int, scratch: str
+) -> list[dict]:
     sc = spark.sparkContext
     results = []
 
@@ -238,12 +292,72 @@ def run_pipeline(spark, docs_path: str, scratch: str) -> list[dict]:
         )
         return spark.read.parquet(p("s5")).count()
 
+    def s6_ivf_build():
+        from football_lakehouse_spark.operators.similarity import kmeans_cells
+
+        emb = spark.read.parquet(emb_path)
+        n_cells, mod = build_point(factor)
+        assigned, cent = kmeans_cells(
+            emb, n_cells=n_cells, iters=2, id_out="match_id",
+            train_sample_mod=mod,
+        )
+        assigned.write.mode("overwrite").parquet(p("s6_assigned"))
+        cent.write.mode("overwrite").parquet(p("s6_centroids"))
+        return spark.read.parquet(p("s6_assigned")).count()
+
+    def s7_mining_serve():
+        from pyspark.sql import Window
+
+        from football_lakehouse_spark.operators.similarity import (
+            cosine,
+            ivf_probe_cells,
+        )
+
+        emb = spark.read.parquet(emb_path)
+        assigned = spark.read.parquet(p("s6_assigned"))
+        cent = spark.read.parquet(p("s6_centroids"))
+        anchors = emb.where(F.col("vec_id") < 10)
+        a = anchors.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("query_vec"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("match_id"),
+            F.col("label").alias("m_label"),
+            F.col("embedding").alias("match_vec"),
+        )
+        probes = ivf_probe_cells(anchors, cent, n_probe=N_PROBE)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("match_id").asc()
+        )
+        mined = (
+            assigned.join(F.broadcast(probes), "cell")
+            .join(c, "match_id")
+            .join(F.broadcast(a), "query_id")
+            .where(
+                (F.col("match_id") != F.col("query_id"))
+                & (F.col("m_label") != F.col("q_label"))
+            )
+            .select(
+                "query_id",
+                "match_id",
+                cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+        )
+        mined.write.mode("overwrite").parquet(p("s7"))
+        return spark.read.parquet(p("s7")).count()
+
     for name, fn in (
         ("quality", s1_quality),
         ("exact_dedup", s2_exact),
         ("lsh_clusters", s3_lsh),
         ("selection", s4_select),
         ("shard_write", s5_shard),
+        ("ivf_index_build", s6_ivf_build),
+        ("mining_serve", s7_mining_serve),
     ):
         stage(name, fn)
     return results
@@ -261,8 +375,9 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         docs = gen_docs(spark, factor, "/tmp/fls-cold")
+        emb = gen_emb(spark, factor, "/tmp/fls-cold")
         scratch = f"/tmp/fls-cold/run_x{factor}"
-        results = run_pipeline(spark, docs, scratch)
+        results = run_pipeline(spark, docs, emb, factor, scratch)
         shuf = group_shuffle_bytes(spark)
         for r in results:
             r.update(

@@ -807,6 +807,42 @@ def test_ivf_append_kernel_matches_training_assignment(spark, emb):
     assert via_loop == via_kernel
 
 
+def test_kmeans_sampled_training_contract(spark, emb):
+    """train_sample_mod (r8): Lloyd rounds train on the deterministic
+    hash-gated sample, but the RETURNED assignment still covers every
+    corpus vector; mod<=1 / None is bit-identical to exact training;
+    and an over-aggressive mod (sample < n_cells) fails loudly."""
+    import pytest as _pytest
+
+    from football_lakehouse_spark.operators.similarity import kmeans_cells
+
+    corpus = emb.where(F.col("vec_id") < 400)
+    n = corpus.count()
+
+    exact_a, exact_c = kmeans_cells(corpus, n_cells=8, iters=2)
+    same_a, same_c = kmeans_cells(corpus, n_cells=8, iters=2, train_sample_mod=1)
+    assert {(r.vec_id, r.cell) for r in exact_a.collect()} == {
+        (r.vec_id, r.cell) for r in same_a.collect()
+    }
+    assert sorted(map(tuple, exact_c.collect())) == sorted(
+        map(tuple, same_c.collect())
+    )
+
+    samp_a, samp_c = kmeans_cells(corpus, n_cells=8, iters=2, train_sample_mod=3)
+    rows = samp_a.collect()
+    assert len(rows) == n  # full-corpus assignment despite sampled training
+    assert len({r.vec_id for r in rows}) == n
+    assert {r.cell for r in rows} <= set(range(8))
+    # deterministic: a re-run reproduces the assignment exactly
+    samp_a2, _ = kmeans_cells(corpus, n_cells=8, iters=2, train_sample_mod=3)
+    assert {(r.vec_id, r.cell) for r in rows} == {
+        (r.vec_id, r.cell) for r in samp_a2.collect()
+    }
+
+    with _pytest.raises(ValueError, match="train_sample_mod"):
+        kmeans_cells(corpus, n_cells=256, iters=1, train_sample_mod=1000)
+
+
 def test_dsir_scores_hand_computed(spark):
     """dsir_scores on a 5-doc corpus with hand-computed discriminants:
     'alpha' is target-heavy (evidence +9 per occurrence), 'omega' is
