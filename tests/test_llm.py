@@ -807,6 +807,39 @@ def test_ivf_append_kernel_matches_training_assignment(spark, emb):
     assert via_loop == via_kernel
 
 
+def test_assign_cells_arrow_equals_sql(spark, emb):
+    """The Arrow (numpy int64 matmul) and SQL (codegen fold) kernels of
+    assign_cells are BIT-IDENTICAL — including the lower-cell tie-break
+    on exactly equidistant centroids and the with_d2 payload."""
+    from football_lakehouse_spark.operators.similarity import (
+        assign_cells,
+        kmeans_cells,
+    )
+
+    corpus = emb.where(F.col("vec_id") < 300)
+    _, cent = kmeans_cells(corpus, n_cells=8, iters=2)
+    for with_d2 in (False, True):
+        a = assign_cells(corpus, cent, impl="arrow", with_d2=with_d2)
+        s = assign_cells(corpus, cent, impl="sql", with_d2=with_d2)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, s.collect()))
+
+    # adversarial tie: two identical centroids (cells 0 and 1) are
+    # equidistant from every vector — both kernels must pick cell 0
+    vecs = spark.createDataFrame(
+        [(1, [0.5, 0.25]), (2, [-0.125, 1.0])], "vec_id long, embedding array<double>"
+    )
+    tie_cent = spark.createDataFrame(
+        [(0, 0, 100), (0, 1, 200), (1, 0, 100), (1, 1, 200)],
+        "cell int, pos int, cq long",
+    )
+    for impl in ("arrow", "sql"):
+        got = {
+            r.vec_id: r.cell
+            for r in assign_cells(vecs, tie_cent, impl=impl).collect()
+        }
+        assert got == {1: 0, 2: 0}, impl
+
+
 def test_kmeans_sampled_training_contract(spark, emb):
     """train_sample_mod (r8): Lloyd rounds train on the deterministic
     hash-gated sample, but the RETURNED assignment still covers every
