@@ -192,10 +192,20 @@ def _quantized_components(
     )
 
 
+#: cell count above which the Arrow assignment kernel beats the SQL
+#: fold. Measured at sf0.1 (2k vectors, 16 cells): the Arrow path's
+#: fixed overhead (eager centroid collect + Arrow exchange, ~0.5 s per
+#: kmeans call) exceeds the fold tax it saves; at 160+ cells it wins
+#: ~10× and at 1,600 cells ~40× (SCALING.md round 8). n_cells is the
+#: right proxy because both documented operating points grow it with
+#: the corpus.
+ARROW_MIN_CELLS = 64
+
+
 def assign_cells(
     vectors: DataFrame, centroids: DataFrame, *,
     id_col: str = "vec_id", vec_col: str = "embedding", id_out: str = "vec_id",
-    normalize: bool = False, with_d2: bool = False, impl: str = "arrow",
+    normalize: bool = False, with_d2: bool = False, impl: str = "auto",
 ) -> DataFrame:
     """Assign every vector to its nearest FROZEN centroid — the shared
     assignment kernel of :func:`kmeans_cells` (each Lloyd round) and the
@@ -203,9 +213,11 @@ def assign_cells(
     already-trained IVF without retraining).
 
     Two BIT-IDENTICAL implementations (property-tested equal, including
-    tie-breaks):
+    tie-breaks); ``impl="auto"`` (default) counts the tiny centroid
+    table (control-plane action) and picks Arrow at
+    ``ARROW_MIN_CELLS``+ cells, the measured crossover:
 
-    - ``impl="arrow"`` (default): one ``mapInPandas`` pass computing
+    - ``impl="arrow"``: one ``mapInPandas`` pass computing
       exact int64 ``d² = |q|² + |c|² − 2·q@Cᵀ`` with numpy integer
       matmul against the collected centroid matrix (control-plane:
       n_cells×dim rows, the same payload the SQL path broadcasts).
@@ -220,13 +232,19 @@ def assign_cells(
     - ``impl="sql"``: the pure-expression reference form — integer d²
       via a codegen fold over zipped quantised arrays, argmin via
       ``min(struct(d2, cell))``, broadcast tiny centroid side. Kept as
-      the cross-engine-auditable spec of the kernel and for the
-      property test to pin the Arrow path against.
+      the cross-engine-auditable spec of the kernel, the faster path
+      below the crossover, and the pin for the property test.
 
     Either way: exact integer sums, ties to the lower cell id, one
     narrow pass over ``vectors`` regardless of corpus size — the
     property that makes incremental append O(batch), not O(corpus).
     """
+    if impl == "auto":
+        # (cell, pos, cq) is exploded by component — count distinct cells
+        n_cells = centroids.agg(
+            F.countDistinct("cell").alias("n")
+        ).collect()[0][0]
+        impl = "arrow" if n_cells >= ARROW_MIN_CELLS else "sql"
     vd = as_double(F.col(vec_col))
     if normalize:
         nrm = F.sqrt(dot(vd, vd))
@@ -391,10 +409,14 @@ def kmeans_cells(
         .select("cell", "pos", F.col("qx").alias("cq"))
     )
 
+    # n_cells is known here — resolve the kernel once instead of paying
+    # assign_cells' auto-count job on every round
+    impl = "arrow" if n_cells >= ARROW_MIN_CELLS else "sql"
+
     def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         # assignment kernel shared with the incremental append path
         return assign_cells(
-            vectors, centroids,
+            vectors, centroids, impl=impl,
             id_col=id_col, vec_col=vec_col, id_out=id_out, normalize=normalize,
         )
 

@@ -840,6 +840,34 @@ def test_assign_cells_arrow_equals_sql(spark, emb):
         assert got == {1: 0, 2: 0}, impl
 
 
+def test_assign_cells_auto_kernel(spark, emb):
+    """impl='auto' picks the SQL fold below ARROW_MIN_CELLS (broadcast
+    NLJ in the plan) and the Arrow matmul at/above it (MapInPandas) —
+    the measured crossover, pinned as plan shapes."""
+    from football_lakehouse_spark.operators.similarity import (
+        ARROW_MIN_CELLS,
+        assign_cells,
+        kmeans_cells,
+    )
+
+    corpus = emb.where(F.col("vec_id") < 300)
+    _, small_cent = kmeans_cells(corpus, n_cells=8, iters=1)
+    small_plan = (
+        assign_cells(corpus, small_cent)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in small_plan
+    assert "MapInPandas" not in small_plan
+
+    _, big_cent = kmeans_cells(corpus, n_cells=ARROW_MIN_CELLS, iters=1)
+    big_plan = (
+        assign_cells(corpus, big_cent)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in big_plan
+    assert "BroadcastNestedLoopJoin" not in big_plan
+
+
 def test_kmeans_sampled_training_contract(spark, emb):
     """train_sample_mod (r8): Lloyd rounds train on the deterministic
     hash-gated sample, but the RETURNED assignment still covers every

@@ -282,14 +282,14 @@ def test_oov_vocab_topk_broadcast(spark):
 
 
 def test_ivf_append_broadcasts_centroids(spark):
-    """q128: the frozen centroid table reaches the batch as the Arrow
-    assignment kernel's collected matrix (control-plane payload inside
-    one MapInPandas pass — r8; previously a BroadcastNestedLoopJoin of
-    the same n_cells rows) — appending never re-shuffles a corpus."""
+    """q128: the frozen centroid table reaches the batch as a broadcast
+    nested-loop (n_cells rows) — appending never re-shuffles a corpus.
+    At 16 cells the auto kernel picks the SQL fold (below
+    ARROW_MIN_CELLS); past the crossover the same call plans the Arrow
+    MapInPandas pass instead (pinned by test_assign_cells_auto_kernel)."""
     plan = plan_of(spark, "q128_ivf_append")
-    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
 
 
 def test_salted_join_spreads_key_no_broadcast(spark):
@@ -378,15 +378,15 @@ def test_funnel_reuses_user_partitioning(spark):
 
 
 def test_ivf_rebalance_no_cartesian_assign_broadcast(spark):
-    """q160: the assign kernel runs as the Arrow MapInPandas pass over
-    the collected n_cells-row matrix (r8; previously a broadcast
-    nested-loop of the same table), the sub-Lloyd's joins stay
-    broadcast-hash, and the only shuffled joins key on the uniform
-    vec_id — no CartesianProduct anywhere, so no stage's cost scales
-    with corpus × cells."""
+    """q160: every centroid-side join is broadcast (the assign kernel's
+    BroadcastNestedLoopJoin over the packed n_cells-row table — 16
+    cells, below the Arrow crossover — and the sub-Lloyd's broadcast
+    hash joins); the only shuffled joins key on the uniform vec_id —
+    no CartesianProduct anywhere, so no stage's cost scales with
+    corpus × cells."""
     plan = plan_of(spark, "q160_ivf_rebalance")
     assert "CartesianProduct" not in plan
-    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_volume_shipping_one_fact_shuffle(spark):
