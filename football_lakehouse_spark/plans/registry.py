@@ -59,85 +59,78 @@ def query(
 #: the first 50 registry entries per round, so the per-round report is a
 #: 50-query prefix of this order.
 #:
-#: Attestation ledger — which driver round last attested each query
-#: green (derived from CORRECTNESS_r0{1..5}.json; checkable by replaying
-#: those files):
-#:
-#:   round | driver-green rows recorded that round
-#:   ------+-----------------------------------------------------------
-#:   r1    | q01–q34, q36–q42, q53–q55, q60, q63, q66–q68 (the original
-#:         | §2 surface + first LLM ops)
-#:   r2    | q42–q52 tail, q54, q56–q62, q64–q65, q69–q91 (wide LLM
-#:         | surface), refreshes of q01/q02/q04/q30/q32/q60
-#:   r3    | q01–q41 refresh sweep, q45, q47, q50–q51, q53, q55,
-#:         | q63–q68, q70, q72, q85
-#:   r4    | q101–q106, q125–q158 (all r4 additions), q28, q47, q51,
-#:         | q57, q64, q71, q72, q151 (red→fixed in r5)
-#:   r5    | q151 re-attest, q92–q100, q107–q124 (q110/q123 err — the
-#:         | array<bigint> postings column broke the driver hasher;
-#:         | serialized to STRING in r6), q159–q180
-#:   r6    | q110+q123 re-attest, q181–q228 — the full 50-row prefix
-#:         | came back green (CORRECTNESS_r06: 50/50, first perfect
-#:         | round)
-#:   r7    | q229–q278 — the full 50-row prefix came back green
-#:         | (CORRECTNESS_r07: 50/50, second consecutive perfect round)
-#:   r8    | (this prefix) q279–q282 — the last four queries without a
-#:         | driver-green row (q279/q280 squeezed out of r7's window,
-#:         | q281/q282 added in r7) — then the 37 r1/r2-stale refreshes
-#:         | and 9 natural-order r3-stale refreshes (q01, q05–q12).
-#:         | After r8 lands green, every one of the 281 registered
-#:         | queries has a driver-green row and nothing is older than r3.
+#: Attestation policy — OLDEST-FIRST ROTATION. Every registered query
+#: has a driver-green CORRECTNESS row as of r8 (replay CORRECTNESS_r01–r08
+#: against this registry to verify: 281/281 green, zero red rows). From
+#: r9 on, each round's 50-row prefix is simply the 50 registered queries
+#: whose latest driver-green row is OLDEST, ties broken by registration
+#: order — so freshness is self-maintaining and no query's attestation
+#: ever ages more than ceil(281/50) = 6 rounds. The cohort below was
+#: computed by replaying CORRECTNESS_r01–r08 (last-attested histogram at
+#: the time: r3:34, r4:49, r5:48, r6:50, r7:50, r8:50); it is the 34
+#: r3-stale queries plus the 16 oldest r4 rows. After r9 lands green,
+#: nothing is older than r4. To rotate for r10, rerun the replay and
+#: replace the tuple with the new oldest-50.
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
-#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). The registry is
-#: FROZEN at 281 entries until the attestation sweep completes.
+#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). The r7 freeze clause
+#: ("frozen until the attestation sweep completes") was satisfied in r8;
+#: the registry may grow again, and new queries join the rotation as
+#: round-0 (never attested → oldest → front of the next prefix).
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # --- r8 prefix: the last 4 never-attested queries, oldest first ---
-    "q279_knn_label_noise",
-    "q280_source_quality_funnel",
-    "q281_hard_negative_mining_ann",
-    "q282_knn_label_noise_ann",
-    # --- stale: last driver-attested in r1/r2 → refresh (oldest first);
-    #     rows 42–50 fall through to natural order (q01, q05–q12, all
-    #     r3-stale refreshes) ---
-    "q02_horizon_assembly_joins",
-    "q04_conditional_agg",
-    "q32_streaming_ingest",
-    "q42_simhash",
-    "q43_ngram_jaccard",
-    "q44_ann_bruteforce",
-    "q46_multimodal_meta",
-    "q48_embedding_stats",
-    "q49_asof_join",
-    "q52_embedding_neardup",
-    "q54_format_roundtrip",
-    "q56_corpus_split",
-    "q58_repetition_ratio",
-    "q59_decontamination",
-    "q60_continuous_rollup",
-    "q61_vocab_df",
-    "q62_mixture_weights",
-    "q65_stratified_sample",
-    "q69_ml_pinned_eval",
-    "q73_boilerplate_ngrams",
-    "q74_text_normalize",
-    "q75_pii_redaction",
-    "q76_gopher_quality",
-    "q77_source_top_terms",
-    "q78_sequence_packing",
-    "q79_salted_hot_key_agg",
-    "q80_bucketed_join",
-    "q81_doc_chunking",
-    "q82_source_overlap",
-    "q83_source_upsample",
-    "q84_curation_pipeline",
-    "q86_table_profile",
-    "q87_embedding_outliers",
-    "q88_length_quantiles",
-    "q89_full_outer_reconcile",
-    "q90_props_map",
-    "q91_stateful_state",
+    # --- r9 prefix: oldest-first rotation — the 34 r3-stale queries ---
+    "q13_date_funcs",
+    "q14_content_hash_groups",
+    "q15_dedup_keep_first",
+    "q16_exists_probe",
+    "q17_multiway_join",
+    "q18_anti_semi_join",
+    "q19_anchor_fallback",
+    "q20_unpivot_metrics",
+    "q21_rollup",
+    "q22_pivot",
+    "q23_pricing_summary",
+    "q24_revenue_by_nation",
+    "q63_cube",
+    "q68_set_ops",
+    "q03_latest_snapshot_per_customer",
+    "q25_rolling_form",
+    "q26_value_delta",
+    "q27_live_state",
+    "q29_merge_upsert",
+    "q55_rollup_cascade",
+    "q70_schema_evolution",
+    "q33_windowed_counts",
+    "q66_sliding_window",
+    "q67_session_window",
+    "q34_feature_pipeline",
+    "q36_transfer_optimizer",
+    "q37_token_stats",
+    "q38_lang_quality",
+    "q39_doc_fingerprint",
+    "q40_dedup_exact",
+    "q41_minhash_neardup",
+    "q45_ann_lsh",
+    "q85_incremental_neardup",
+    "q50_approx_stats",
+    # --- then the 16 oldest r4-attested rows ---
+    "q136_referential_integrity_audit",
+    "q145_rank_family",
+    "q146_relational_division",
+    "q147_grouping_sets",
+    "q155_mode_per_group",
+    "q156_value_histogram",
+    "q28_sessionize",
+    "q132_funnel_conversion",
+    "q149_activity_gaps",
+    "q150_ewma",
+    "q152_cohort_retention",
+    "q154_distribution_drift",
+    "q157_cumulative_distinct",
+    "q158_rolling_distinct",
+    "q30_time_travel",
+    "q72_delete_rows",
 )
 
 

@@ -69,6 +69,67 @@ def _df(spark, data):
     return spark.createDataFrame(data, "k int, v string")
 
 
+def test_delta_branch_dryrun(spark, tmp_path, monkeypatch):
+    """The native-binding branch is exercised end-to-end in the factory
+    the moment `import delta` resolves: inject a fake `delta` module and
+    assert open_table(prefer='delta') returns DeltaBackedTable wired to
+    the injected DeltaTable API (no jar needed — this pins the branch
+    code so scripts/run_delta_branch.sh needs zero edits on jar
+    drop-in)."""
+    import sys
+    import types
+
+    calls = []
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(s, path):
+            calls.append(("isDeltaTable", path))
+            return False
+
+        @staticmethod
+        def forPath(s, path):
+            calls.append(("forPath", path))
+            raise RuntimeError("fake binding: no real table")
+
+    fake_delta = types.ModuleType("delta")
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = FakeDeltaTable
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    assert connectors.delta_available()
+    t = connectors.open_table(spark, str(tmp_path), "contract", "dry",
+                              partition_by=["p"], prefer="delta")
+    assert isinstance(t, connectors.DeltaBackedTable)
+    assert t.base.endswith("contract/dry")
+    assert t.partition_by == ("p",)
+    # the surface delegates to the public DeltaTable API
+    assert t.exists() is False
+    assert calls == [("isDeltaTable", t.base)]
+    with pytest.raises(RuntimeError, match="fake binding"):
+        t.current_version()
+    assert calls[-1] == ("forPath", t.base)
+    # the full LakehouseTable verbs exist on the adapter (contract suite
+    # runs unmodified the day a real jar lands)
+    for verb in ("append", "overwrite", "merge", "delete", "update", "read",
+                 "compact", "vacuum", "restore", "describe_history",
+                 "current_files", "add_constraint", "drop_constraint",
+                 "constraints", "enable_change_feed", "table_changes"):
+        assert callable(getattr(t, verb)), verb
+
+
+def test_open_table_prefer_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown table format"):
+        connectors.open_table(spark, str(tmp_path), "contract", "bad",
+                              prefer="iceberg")
+    if not connectors.delta_available():
+        with pytest.raises(ModuleNotFoundError, match="delta-spark"):
+            connectors.open_table(spark, str(tmp_path), "contract", "nodelta",
+                                  prefer="delta")
+
+
 def test_c1_c2_history_shape(spark, make_table):
     t = make_table("hist")
     t.append(_df(spark, [(1, "a")]))
@@ -80,9 +141,12 @@ def test_c1_c2_history_shape(spark, make_table):
     assert [h["operation"] for h in hist] == ["append", "overwrite", "merge", "optimize"]
     assert all(isinstance(h["ts"], float) for h in hist)
     # the commit log is incremental: every commit records add/remove
-    # actions (never the full table file list — Delta's log shape)
-    assert all(t._read_commit(v)["add"] for v in range(4))
-    assert t._read_commit(1)["remove"]  # overwrite removes v0's files
+    # actions (never the full table file list — Delta's log shape).
+    # Log-shape introspection is parquet-branch-specific; the native
+    # binding's log shape is Delta's own.
+    if hasattr(t, "_read_commit"):
+        assert all(t._read_commit(v)["add"] for v in range(4))
+        assert t._read_commit(1)["remove"]  # overwrite removes v0's files
     assert t.current_version() == 3
 
 
@@ -252,6 +316,8 @@ def test_c10_checkpointed_log_replay(spark, make_table):
     import os
 
     t = make_table("ckpt")
+    if not hasattr(t, "log_root"):
+        pytest.skip("manifest-log introspection is parquet-branch-specific")
     states = []
     for i in range(13):
         t.append(_df(spark, [(i, f"v{i}")]))
@@ -319,6 +385,9 @@ def test_c15_vacuum_reclaims_deletion_vector_sidecars(spark, make_table):
     import os
 
     t = make_table("dv_vac")
+    if not hasattr(t, "_dv_names_at"):
+        pytest.skip("DV sidecar layout is parquet-branch-specific (native "
+                    "Delta stores DVs inside its own log)")
     t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
     t.delete(F.col("k") < 3, deletion_vectors=True)
     dv_root = os.path.join(t.base, "_dv")
@@ -346,6 +415,9 @@ def test_c16_concurrent_appends_both_commit(spark, make_table):
     writer B already took, the put-if-absent link refuses, and the
     public append() retry loop must absorb it."""
     t = make_table("conc_app")
+    if not hasattr(t, "_log_entries"):
+        pytest.skip("CAS-race injection hooks are parquet-branch-specific "
+                    "(native Delta resolves blind-append conflicts itself)")
     t.append(_df(spark, [(1, "base")]))
 
     real = t._log_entries
@@ -386,6 +458,8 @@ def test_c17_concurrent_append_conflicts_on_property_change(spark, make_table):
     from football_lakehouse_spark.lakehouse.tables import ConcurrentWriteError
 
     t = make_table("conc_cons")
+    if not hasattr(t, "_props"):
+        pytest.skip("staging/props injection hooks are parquet-branch-specific")
     t.append(_df(spark, [(1, "a")]))
     props_before = t._props()
     a_df = t._align_schema(_df(spark, [(-2, "bad")]), False)
@@ -498,6 +572,9 @@ def test_c18_vacuum_reclaims_change_sidecars(spark, make_table):
     t = make_table("cdf_vacuum")
     if not hasattr(t, "enable_change_feed"):
         pytest.skip("binding has no change-feed surface")
+    if not hasattr(t, "_cdf_write"):
+        pytest.skip("_changes sidecar layout is parquet-branch-specific "
+                    "(native Delta retains CDF inside its own log)")
     t.enable_change_feed()
     t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
     t.delete(F.col("k") == 1)                       # sidecar v1
