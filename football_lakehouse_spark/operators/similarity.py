@@ -206,6 +206,7 @@ def assign_cells(
     vectors: DataFrame, centroids: DataFrame, *,
     id_col: str = "vec_id", vec_col: str = "embedding", id_out: str = "vec_id",
     normalize: bool = False, with_d2: bool = False, impl: str = "auto",
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest FROZEN centroid — the shared
     assignment kernel of :func:`kmeans_cells` (each Lloyd round) and the
@@ -238,12 +239,29 @@ def assign_cells(
     Either way: exact integer sums, ties to the lower cell id, one
     narrow pass over ``vectors`` regardless of corpus size — the
     property that makes incremental append O(batch), not O(corpus).
+
+    EAGER ACTIONS at plan-build time (not at the first downstream
+    action — same disclosure contract as blocking.assert_candidate_volume):
+
+    - ``impl="auto"`` WITHOUT an ``n_cells`` hint runs one tiny
+      countDistinct job over the centroid table to pick the kernel.
+      Pass ``n_cells`` (every internal caller that trained the
+      quantiser already knows it) to keep plan-building fully lazy.
+    - ``impl="arrow"`` (picked or forced) collects the centroid table
+      to the driver (control-plane: n_cells×dim rows).
     """
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError(
+            f"assign_cells: impl must be one of 'auto'/'arrow'/'sql', "
+            f"got {impl!r}"
+        )
     if impl == "auto":
-        # (cell, pos, cq) is exploded by component — count distinct cells
-        n_cells = centroids.agg(
-            F.countDistinct("cell").alias("n")
-        ).collect()[0][0]
+        if n_cells is None:
+            # (cell, pos, cq) is exploded by component — count distinct
+            # cells (the documented eager fallback; pass n_cells to avoid)
+            n_cells = centroids.agg(
+                F.countDistinct("cell").alias("n")
+            ).collect()[0][0]
         impl = "arrow" if n_cells >= ARROW_MIN_CELLS else "sql"
     vd = as_double(F.col(vec_col))
     if normalize:
@@ -259,6 +277,11 @@ def assign_cells(
         # control-plane collect: n_cells×dim rows — the identical
         # payload the SQL path ships as a broadcast table
         crows = centroids.select("cell", "pos", "cq").collect()
+        if not crows:
+            # the SQL path would return an empty result here, but an
+            # empty quantiser means the caller skipped training — a
+            # named error beats silently assigning nothing
+            raise ValueError("assign_cells: empty centroid table")
         cells = sorted({r["cell"] for r in crows})
         dim = max(r["pos"] for r in crows) + 1
         cmat = np.zeros((len(cells), dim), dtype=np.int64)
@@ -275,6 +298,17 @@ def assign_cells(
             for pdf in it:
                 if len(pdf) == 0:
                     continue
+                # validate before np.stack: a null or ragged embedding
+                # otherwise dies inside numpy with an opaque executor
+                # traceback instead of a named data error
+                for rid, v in zip(pdf[id_out], pdf["qvec"]):
+                    if v is None or len(v) != dim:
+                        got = "NULL" if v is None else f"dim {len(v)}"
+                        raise ValueError(
+                            f"assign_cells: vector {rid!r} has {got}, "
+                            f"centroids have dim {dim} — embeddings must "
+                            "be non-null fixed-width arrays"
+                        )
                 q = np.stack(
                     [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
                 )

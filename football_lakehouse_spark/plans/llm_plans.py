@@ -3892,7 +3892,9 @@ def ivf_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = emb.where(F.col("vec_id") % 5 != 0)
     batch = emb.where(F.col("vec_id") % 5 == 0)
     _, cent = kmeans_cells(train, n_cells=16, iters=2)
-    return assign_cells(batch, cent, with_d2=True)
+    # n_cells hint keeps plan-building lazy (no kernel-selection count
+    # job — assign_cells documents that eager fallback)
+    return assign_cells(batch, cent, with_d2=True, n_cells=16)
 
 
 @query(

@@ -195,6 +195,53 @@ _log = logging.getLogger(__name__)
 DEFAULT_OFFSET_TAIL_KEEP = 64
 
 
+def _parse_tail_keep(options) -> int:
+    """offsetTailKeep, validated at reader construction: a negative
+    value would make ``foldable[:-keep]`` fold only the OLDEST -keep
+    names and keep everything else explicit forever — silently
+    inverting the margin semantics — so it errors instead."""
+    keep = int(options.get("offsetTailKeep", DEFAULT_OFFSET_TAIL_KEEP))
+    if keep < 0:
+        raise ValueError(
+            f"landing_events: offsetTailKeep must be >= 0, got {keep} "
+            "(0 folds every consumed name under the watermark; positive "
+            "values keep that many recent names explicit as the "
+            "late-arrival margin)"
+        )
+    return keep
+
+
+def _warn_skipped_late_arrivals(
+    prev_listing: set[str] | None,
+    listing: list[str],
+    watermark: str | None,
+    tail: set[str],
+    path: str,
+) -> set[str]:
+    """Observability for the offset compaction's one silent-skip path
+    (module docstring): a NEVER-BEFORE-LISTED name at or below the
+    watermark is always a late arrival that will be treated as consumed
+    — within one reader lifetime the previous listing makes it
+    distinguishable from a genuinely consumed file, so log it loudly
+    instead of dropping it invisibly. Returns the new baseline
+    listing."""
+    if prev_listing is not None and watermark is not None:
+        late = [
+            f for f in listing
+            if f <= watermark and f not in tail and f not in prev_listing
+        ]
+        if late:
+            _log.warning(
+                "landing_events: %d never-before-listed file(s) under %s "
+                "sort at or below the offset watermark %r and will be "
+                "SKIPPED as already-consumed — a late arrival violating "
+                "the monotonic part-naming contract (RUNBOOK §7); rename "
+                "above the watermark to ingest: %s",
+                len(late), path, watermark, sorted(late)[:10],
+            )
+    return set(listing)
+
+
 def _offset_state(offset: dict, path: str) -> tuple[str | None, set[str]]:
     """Offset → canonical membership state ``(watermark, tail)`` —
     consumed(f) ⇔ ``f <= watermark or f in tail``. Shared by both
@@ -346,22 +393,34 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("landing_events: option 'path' is required")
         self.max_files = int(options.get("maxFilesPerBatch", 0)) or None
-        self.tail_keep = int(
-            options.get("offsetTailKeep", DEFAULT_OFFSET_TAIL_KEEP)
-        )
+        self.tail_keep = _parse_tail_keep(options)
         #: union of every offset this instance planned or committed —
         #: the cap baseline, NOT a correctness input (see docstring)
         self._state: tuple[str | None, set[str]] | None = None
+        #: previous listing — late-arrival observability baseline only
+        self._prev_listing: set[str] | None = None
 
     def initialOffset(self):
         return {"consumed": []}
 
     def latestOffset(self):
+        """NOTE restart shape: a FRESH reader instance (new query or
+        clean driver restart) has no baseline state and the Python
+        stream API hands it no restored offset before this call, so its
+        first answer cannot fold anything — one full-list
+        ``{"consumed": [...]}`` offset-log entry per clean restart (the
+        fold invariant forbids folding names that were not members of a
+        known start). It self-heals on the very next advance, and a
+        restart WITH an uncommitted batch seeds the baseline through
+        ``partitions(start, end)`` first and stays compact."""
         listing = sorted(
             os.path.relpath(fp, self.path)
             for fp in _list_landing_files(self.path)
         )
         w, tail = self._state or (None, set())
+        self._prev_listing = _warn_skipped_late_arrivals(
+            self._prev_listing, listing, w, tail, self.path
+        )
         pending = [f for f in listing if not _member(f, w, tail)]
         # cap only with a baseline: a fresh reader (driver restart) has
         # none, so its first batch is uncapped — documented best-effort
@@ -444,9 +503,9 @@ class LandingStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("landing_events: option 'path' is required")
         self.max_files = int(options.get("maxFilesPerBatch", 0)) or None
-        self.tail_keep = int(
-            options.get("offsetTailKeep", DEFAULT_OFFSET_TAIL_KEEP)
-        )
+        self.tail_keep = _parse_tail_keep(options)
+        #: previous listing — late-arrival observability baseline only
+        self._prev_listing: set[str] | None = None
 
     def initialOffset(self):
         return {"consumed": []}
@@ -470,6 +529,9 @@ class LandingStreamReader(SimpleDataSourceStreamReader):
         w, tail = _offset_state(start, self.path)
         listing = sorted(
             self._rel(fp) for fp in _list_landing_files(self.path)
+        )
+        self._prev_listing = _warn_skipped_late_arrivals(
+            self._prev_listing, listing, w, tail, self.path
         )
         pending = [f for f in listing if not _member(f, w, tail)]
         if self.max_files is not None:

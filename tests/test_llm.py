@@ -868,6 +868,64 @@ def test_assign_cells_auto_kernel(spark, emb):
     assert "BroadcastNestedLoopJoin" not in big_plan
 
 
+def test_assign_cells_lazy_with_hint_and_validation(spark, emb, monkeypatch):
+    """r9 (verdict #4 + ADVICE): with an n_cells hint, impl='auto'
+    builds the plan with ZERO Spark jobs (no kernel-selection count, no
+    centroid collect on the SQL branch) — asserted by poisoning the
+    action surface during the build. Bad impl strings raise instead of
+    silently falling through to the SQL path."""
+    import pytest as _pytest
+    from pyspark.sql import DataFrame
+
+    from football_lakehouse_spark.operators.similarity import (
+        assign_cells,
+        kmeans_cells,
+    )
+
+    corpus = emb.where(F.col("vec_id") < 200)
+    _, cent = kmeans_cells(corpus, n_cells=8, iters=1)
+    expect = sorted(map(tuple, assign_cells(corpus, cent).collect()))
+
+    def boom(self, *a, **k):
+        raise AssertionError("plan-build ran a Spark action")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    lazy_df = assign_cells(corpus, cent, n_cells=8)  # must not touch collect
+    monkeypatch.undo()
+    assert sorted(map(tuple, lazy_df.collect())) == expect
+
+    with _pytest.raises(ValueError, match="impl must be one of"):
+        assign_cells(corpus, cent, impl="Arrow")
+
+
+def test_assign_cells_arrow_edge_errors(spark, emb):
+    """r9 ADVICE: the Arrow kernel fails with NAMED errors on an empty
+    centroid table (caller skipped training) and on null / ragged
+    embeddings (instead of an opaque numpy crash in the executor)."""
+    import pytest as _pytest
+
+    from football_lakehouse_spark.operators.similarity import assign_cells
+
+    vecs = spark.createDataFrame(
+        [(1, [0.5, 0.25])], "vec_id long, embedding array<double>"
+    )
+    empty_cent = spark.createDataFrame([], "cell int, pos int, cq long")
+    with _pytest.raises(ValueError, match="empty centroid table"):
+        assign_cells(vecs, empty_cent, impl="arrow")
+
+    cent = spark.createDataFrame(
+        [(0, 0, 100), (0, 1, 200)], "cell int, pos int, cq long"
+    )
+    ragged = spark.createDataFrame(
+        [(1, [0.5, 0.25]), (2, [0.5]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    for bad_id in (2, 3):
+        bad = ragged.where(F.col("vec_id").isin(1, bad_id))
+        with _pytest.raises(Exception, match="non-null fixed-width arrays"):
+            assign_cells(bad, cent, impl="arrow").collect()
+
+
 def test_kmeans_sampled_training_contract(spark, emb):
     """train_sample_mod (r8): Lloyd rounds train on the deterministic
     hash-gated sample, but the RETURNED assignment still covers every

@@ -474,3 +474,134 @@ def test_landing_legacy_count_offset_warns(tmp_path, caplog):
         parts = rdr.partitions({"files": 0}, {"files": 1})
     assert [os.path.basename(p.fp) for p in parts] == ["a.json"]
     assert any("legacy positional offset" in r.message for r in caplog.records)
+
+
+def test_landing_late_arrival_below_watermark_warns(tmp_path, caplog):
+    """r9 ADVICE: within one reader lifetime, a never-before-listed
+    name at or below the watermark is a SKIPPED late arrival — both
+    readers log it loudly instead of dropping it invisibly; a
+    genuinely consumed file re-listed does NOT warn."""
+    import logging
+
+    from football_lakehouse_spark.sources.pyds import (
+        LandingPartitionStreamReader,
+        LandingStreamReader,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    line = (
+        '{"event_id":%d,"ts":"2026-02-01T10:00:00","user_id":1,'
+        '"event_type":"click","value":1.0,"props":null}\n'
+    )
+
+    def put(name, eid):
+        (land / name).write_text(line % eid)
+
+    rdr = LandingPartitionStreamReader(
+        {"path": str(land), "offsetTailKeep": "2"}
+    )
+    start = rdr.initialOffset()
+    for i in range(10):
+        put(f"f{i:02d}.json", i)
+    e1 = rdr.latestOffset()
+    rdr.partitions(start, e1)
+    put("f10.json", 10)
+    e2 = rdr.latestOffset()  # folds: watermark = f07.json
+    assert e2["watermark"] == "f07.json"
+    logger = "football_lakehouse_spark.sources.pyds"
+    # steady state, no new sub-watermark names: silent
+    with caplog.at_level(logging.WARNING, logger=logger):
+        rdr.latestOffset()
+    assert not any("SKIPPED" in r.message for r in caplog.records)
+    # a NEVER-listed name below the watermark: loud
+    put("f00a.json", 99)
+    with caplog.at_level(logging.WARNING, logger=logger):
+        e3 = rdr.latestOffset()
+    assert any(
+        "SKIPPED" in r.message and "f00a.json" in r.message
+        for r in caplog.records
+    )
+    assert rdr.partitions(e2, e3) == []  # the documented skip itself
+
+    # simple reader: same observability through read(start). First read
+    # cannot fold (no start members), the second folds to a watermark,
+    # the third sees the sub-watermark late arrival.
+    caplog.clear()
+    simple = LandingStreamReader({"path": str(land), "offsetTailKeep": "2"})
+    with caplog.at_level(logging.WARNING, logger=logger):
+        _rows, send1 = simple.read(simple.initialOffset())
+        _rows, send2 = simple.read(send1)
+        assert "watermark" in send2
+        put("f00b.json", 100)
+        simple.read(send2)  # f00b is below the watermark and never listed
+    assert any(
+        "SKIPPED" in r.message and "f00b.json" in r.message
+        for r in caplog.records
+    )
+
+
+def test_landing_offset_tail_keep_validation(tmp_path):
+    """r9 ADVICE: a negative offsetTailKeep silently inverted the fold
+    margin (foldable[:-keep] keeps everything explicit forever) — both
+    readers now reject it at construction."""
+    import pytest
+
+    from football_lakehouse_spark.sources.pyds import (
+        LandingPartitionStreamReader,
+        LandingStreamReader,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for cls in (LandingPartitionStreamReader, LandingStreamReader):
+        with pytest.raises(ValueError, match="offsetTailKeep must be >= 0"):
+            cls({"path": str(land), "offsetTailKeep": "-1"})
+        # 0 is legal: fold everything, no margin
+        cls({"path": str(land), "offsetTailKeep": "0"})
+
+
+def test_landing_restart_offset_shape(tmp_path):
+    """r9 ADVICE (documented behavior, pinned): a fresh partition
+    reader's first latestOffset after a clean restart cannot fold (no
+    baseline) → one full-list entry; the next advance re-compacts. A
+    restart WITH an uncommitted batch seeds through partitions() and
+    stays compact from its first latestOffset."""
+    from football_lakehouse_spark.sources.pyds import (
+        LandingPartitionStreamReader,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    line = (
+        '{"event_id":%d,"ts":"2026-02-01T10:00:00","user_id":1,'
+        '"event_type":"click","value":1.0,"props":null}\n'
+    )
+    for i in range(10):
+        (land / f"f{i:02d}.json").write_text(line % i)
+
+    rdr = LandingPartitionStreamReader({"path": str(land), "offsetTailKeep": "2"})
+    start = rdr.initialOffset()
+    e1 = rdr.latestOffset()
+    rdr.partitions(start, e1)
+    (land / "f10.json").write_text(line % 10)
+    e2 = rdr.latestOffset()
+    assert "watermark" in e2  # compact in steady state
+
+    # clean restart, no uncommitted batch: first entry is full-list...
+    clean = LandingPartitionStreamReader({"path": str(land), "offsetTailKeep": "2"})
+    r1 = clean.latestOffset()
+    assert "consumed" in r1 and len(r1["consumed"]) == 11
+    # ...and self-heals into the compact form on the next advance
+    (land / "f11.json").write_text(line % 11)
+    r2 = clean.latestOffset()
+    assert "watermark" in r2 and len(r2.get("tail", [])) <= 3
+
+    # restart WITH an uncommitted batch: partitions(start, end) runs
+    # first (Spark recovery), seeds the baseline, and the first
+    # latestOffset is already compact
+    warm = LandingPartitionStreamReader({"path": str(land), "offsetTailKeep": "2"})
+    warm.partitions(e1, e2)
+    (land / "f12.json").write_text(line % 12)
+    w1 = warm.latestOffset()
+    assert "watermark" in w1
