@@ -723,3 +723,80 @@ def incremental_neardups(
     cands = cands_cross.unionByName(cands_batch).distinct()
     profiles = corpus_profiles.unionByName(batch_profiles).dropDuplicates([id_col])
     return verified_jaccard_profiles(cands, profiles, threshold, id_col)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level duplicate-SPAN detection — the substring-dedup
+    granularity of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., 2022), re-expressed as bucketed DataFrame ops
+    instead of a suffix array: a token n-gram occurring in at least
+    ``min_docs`` DISTINCT documents marks its position duplicated, and
+    overlapping/adjacent duplicated positions merge into maximal spans.
+    Returns ``(doc_id, span_start, span_end, dup_tokens)`` with
+    half-open 0-based token-index spans — the rows a curation pipeline
+    uses to TRIM repeated boilerplate passages rather than drop whole
+    near-duplicate documents (doc-level dedup is `minhash_lsh_neardups`;
+    this catches the license header / nav bar / quoted-chunk case those
+    miss because the surrounding document is unique).
+
+    Plan shape (the scale contract):
+      docs → explode positional shingles          (no shuffle; 8-byte
+             hashed keys, never shingle strings)
+           → groupBy(key): distinct-doc count     (1 corpus shuffle,
+             keep keys in ≥ min_docs docs          map-side partial agg,
+                                                   uniform hash keys)
+           → hash-join positions back to dup keys (same key partitioning
+                                                   — AQE-planned)
+           → per-doc window: gaps-and-islands      (partitioned by doc,
+             merge, one span row per island)        never global)
+
+    Nothing is quadratic: the dup-key table is bounded by the shingle
+    vocabulary, spans are bounded by positions, and no stage ever
+    pairs documents. The exact-suffix-array construction would find
+    arbitrary-length duplicates; the n-gram form finds every duplicate
+    span of length ≥ n (standard practice — Lee et al. §4 uses 50-token
+    windows the same way) and is embarrassingly parallel.
+    """
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        id_col, ws_tokens(F.col(text_col)).alias("toks")
+    )
+    pos_sh = toks.select(
+        F.col(id_col),
+        F.posexplode(shingles_from_tokens(F.col("toks"), n)).alias("pos", "s"),
+    ).select(id_col, "pos", F.xxhash64("s").alias("k"))
+    dup_keys = (
+        pos_sh.groupBy("k")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    hits = pos_sh.join(dup_keys, "k").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # equal-length intervals [pos, pos+n): merge when the gap to the
+    # previous duplicated position is <= n (overlap or exact adjacency)
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    islands = hits.withColumn("island", F.sum(brk).over(w))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n).cast("bigint").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+        )
+    )

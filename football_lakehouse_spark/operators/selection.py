@@ -248,3 +248,61 @@ def ntile_expr(i, n, k: int):
         .otherwise((n % k) + F.ceil((i - cut) / F.floor(n / k)))
         .cast("int")
     )
+
+
+def source_quota_select(
+    docs: DataFrame,
+    quota_pct: int = 50,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token-quota selection — the data-mixing counterpart
+    of :func:`token_budget_select`: each SOURCE independently keeps its
+    best docs (score DESC, id ASC) until ``quota_pct`` percent of that
+    source's tokens is reached; the doc that would overflow its
+    source's quota is not selected. This is how mixture recipes cap a
+    dominant crawl source without starving small curated sources — a
+    GLOBAL budget (token_budget_select) would let one source's
+    high-scoring mass crowd out everything else.
+
+    Integer math throughout (``floor(src_tokens · quota_pct / 100)``)
+    so the verdicts are bit-reproducible cross-engine.
+
+    Scale contract: the per-source totals are one map-side-combined
+    aggregation producing a SOURCES-sized table (broadcast back); the
+    running sum is a window PARTITIONED BY SOURCE — distributed across
+    sources, never a global sort. A pathologically skewed single
+    source degrades to that source's partition, which is the same
+    regime token_budget_select's bucketed decomposition exists for —
+    compose the two (bucket WITHIN source) if one source is a whole
+    crawl; at that point the quota table is still tiny.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(score_col).cast("bigint").alias("score"),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+    )
+    quotas = base.groupBy("source").agg(
+        F.floor(F.sum("n_tokens") * quota_pct / 100).cast("bigint").alias("quota")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(quotas), "source")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            "n_tokens",
+            "cum_tokens",
+            "quota",
+            (F.col("cum_tokens") <= F.col("quota")).alias("selected"),
+        )
+    )

@@ -7800,3 +7800,98 @@ def knn_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flag_matches_exact"),
         )
     )
+
+
+@query(
+    "q283_duplicate_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(toks) - 4, 0))) AS pos,
+               unnest(CASE WHEN len(toks) >= 5
+                      THEN list_transform(range(1, len(toks) - 3),
+                                          i -> array_to_string(toks[i:i+4], ' '))
+                      ELSE [] END) AS s
+        FROM t
+    ),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    grp AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM isl)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 5 AS BIGINT) AS span_end,
+           CAST(max(pos) + 5 - min(pos) AS BIGINT) AS dup_tokens
+    FROM grp GROUP BY doc_id, island
+    """,
+    doc="PASSAGE-level duplicate-span detection (r9): 5-token shingles "
+    "occurring in >= 2 distinct documents mark duplicated positions; "
+    "overlapping/adjacent positions merge into maximal half-open spans "
+    "per doc (gaps-and-islands over a doc-partitioned window) — the "
+    "substring-dedup granularity of Lee et al. 2022 that doc-level "
+    "near-dup (q41) cannot see. Production path hashes shingles to "
+    "8-byte keys (xxhash64); the span OUTPUT is hash-independent, so "
+    "the raw-string oracle checks it end-to-end at full value level "
+    "(north star: dedup).",
+    tags=("llm", "dedup"),
+)
+def duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=5, min_docs=2)
+
+
+@query(
+    "q284_source_quota_select",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, source,
+                 CAST(floor(len(list_distinct(toks)) * 1000000 / len(toks)) AS BIGINT) AS score,
+                 CAST(len(toks) AS BIGINT) AS n_tokens
+          FROM t),
+    q AS (SELECT source, CAST(floor(sum(n_tokens) * 60 / 100) AS BIGINT) AS quota
+          FROM b GROUP BY source),
+    c AS (SELECT b.doc_id, b.source, b.score, b.n_tokens, q.quota,
+                 sum(b.n_tokens) OVER (
+                     PARTITION BY b.source ORDER BY b.score DESC, b.doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_tokens
+          FROM b JOIN q USING (source))
+    SELECT doc_id, source, score, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens, quota,
+           cum_tokens <= quota AS selected
+    FROM c
+    """,
+    doc="Per-source token-QUOTA selection (r9): each source keeps its "
+    "highest-distinct-token-density docs until 60% of that source's "
+    "tokens — the data-mixing cap that keeps one dominant crawl source "
+    "from crowding out small curated sources under a global budget "
+    "(q103 is the global-budget counterpart). Source-partitioned "
+    "window + broadcast quota table; integer scoring; full value-level "
+    "oracle (north star: selection/mixtures).",
+    tags=("llm", "selection"),
+)
+def source_quota_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.selection import source_quota_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.floor(
+            F.size(F.array_distinct(toks)).cast("bigint") * 1000000
+            / F.size(toks).cast("bigint")
+        ).cast("bigint").alias("score"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    return source_quota_select(scored, quota_pct=60)

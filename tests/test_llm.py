@@ -1208,3 +1208,74 @@ def test_pca_direction_is_dominant_eigenvector(spark):
     top = eigvals[-1]
     rayleigh = (v @ c @ v) / (v @ v)
     assert rayleigh >= 0.99 * top, (rayleigh, top)
+
+
+def test_duplicate_spans_semantics(spark):
+    """q283 operator contract on a hand-built corpus: cross-doc
+    repeated passages become maximal merged spans (overlap AND exact
+    adjacency merge), intra-doc-only repetition does not count at
+    min_docs=2, and a doc with no shared passage emits nothing."""
+    from football_lakehouse_spark.operators.dedup import duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    docs = spark.createDataFrame(
+        [
+            # doc 1: boilerplate at tokens [2, 12), unique elsewhere
+            (1, "u1 u2 " + boiler + " tail1 tail2"),
+            # doc 2: same boilerplate at [0, 10) AND again at [10, 20)
+            # (adjacent copies -> ONE merged span [0, 20))
+            (2, boiler + " " + boiler),
+            # doc 3: intra-doc repetition of a phrase no other doc has
+            (3, "aa bb cc dd ee xx aa bb cc dd ee yy aa bb cc dd ee"),
+            # doc 4: fully unique
+            (4, "q w e r t y u i o p"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.dup_tokens)
+        for r in duplicate_spans(docs, n=5, min_docs=2).collect()
+    }
+    assert got == {(1, 2, 12, 10), (2, 0, 20, 20)}
+
+    # min_docs=1 degrades to "any shingle occurring anywhere >= 1 doc"
+    # = every position -> whole docs become single spans (sanity of the
+    # knob's monotonicity: lowering min_docs never shrinks spans)
+    all_spans = duplicate_spans(docs, n=5, min_docs=1).collect()
+    by_doc = {r.doc_id: (r.span_start, r.span_end) for r in all_spans}
+    assert by_doc[4] == (0, 10)
+    assert by_doc[3] == (0, 17)
+
+
+def test_source_quota_select_semantics(spark):
+    """q284 operator contract: per-source quotas are independent, the
+    boundary doc that would overflow its source's quota is NOT
+    selected, and ordering is (score DESC, doc_id ASC)."""
+    from football_lakehouse_spark.operators.selection import (
+        source_quota_select,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # source a: 100 tokens total -> quota 50
+            (1, "a", 90, 30),
+            (2, "a", 80, 20),   # cum 50 == quota -> selected
+            (3, "a", 70, 10),   # cum 60 > 50 -> out
+            (4, "a", 60, 40),
+            # source b: 10 tokens total -> quota 5; tie on score breaks
+            # by doc_id ASC
+            (5, "b", 50, 3),
+            (6, "b", 50, 3),    # cum 6 > 5 -> out (doc 5 wins the tie)
+            (7, "b", 40, 4),
+        ],
+        "doc_id long, source string, score long, n_tokens long",
+    )
+    got = {r.doc_id: (r.cum_tokens, r.quota, r.selected)
+           for r in source_quota_select(docs, quota_pct=50).collect()}
+    assert got[1] == (30, 50, True)
+    assert got[2] == (50, 50, True)
+    assert got[3] == (60, 50, False)
+    assert got[4] == (100, 50, False)
+    assert got[5] == (3, 5, True)
+    assert got[6] == (6, 5, False)
+    assert got[7] == (10, 5, False)
