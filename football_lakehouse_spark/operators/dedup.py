@@ -763,16 +763,7 @@ def duplicate_spans(
     span of length ≥ n (standard practice — Lee et al. §4 uses 50-token
     windows the same way) and is embarrassingly parallel.
     """
-    from pyspark.sql import Window
-
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(par).select(
-        id_col, ws_tokens(F.col(text_col)).alias("toks")
-    )
-    pos_sh = toks.select(
-        F.col(id_col),
-        F.posexplode(shingles_from_tokens(F.col("toks"), n)).alias("pos", "s"),
-    ).select(id_col, "pos", F.xxhash64("s").alias("k"))
+    pos_sh = _positional_shingle_keys(docs, n, id_col, text_col)
     dup_keys = (
         pos_sh.groupBy("k")
         .agg(F.countDistinct(id_col).alias("nd"))
@@ -780,6 +771,32 @@ def duplicate_spans(
         .select("k")
     )
     hits = pos_sh.join(dup_keys, "k").select(id_col, "pos")
+    return _positions_to_spans(hits, n, id_col)
+
+
+def _positional_shingle_keys(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, k): one row per token-``n``-gram OCCURRENCE with its
+    0-based start position and 8-byte hashed key — the working set of
+    every span-dedup variant. Map-only (repartition spreads the
+    CPU-bound explode, doc rows cross the wire, never shingle rows)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        id_col, ws_tokens(F.col(text_col)).alias("toks")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(shingles_from_tokens(F.col("toks"), n)).alias("pos", "s"),
+    ).select(id_col, "pos", F.xxhash64("s").alias("k"))
+
+
+def _positions_to_spans(hits: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of duplicated positions into maximal
+    half-open spans ``[span_start, span_end)``. Window is partitioned
+    by document — distributed across docs, never global."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     # equal-length intervals [pos, pos+n): merge when the gap to the
     # previous duplicated position is <= n (overlap or exact adjacency)
@@ -798,5 +815,100 @@ def duplicate_spans(
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+        )
+    )
+
+
+def incremental_duplicate_spans(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate spans for an ARRIVING BATCH only — the incremental
+    companion of :func:`duplicate_spans`, same lifecycle as
+    `incremental_neardups`/`assign_cells`: a batch position is
+    duplicated when its shingle occurs anywhere in the existing corpus
+    OR in another batch document (the batch can duplicate itself), and
+    only BATCH spans are emitted. O(batch) span work: the corpus
+    contributes one distinct-key index probe, never a re-scan of its
+    positions, and nothing corpus-sized flows into the window.
+
+    In production the corpus key set is the stored shingle-key index
+    of the previous run (8 bytes per distinct shingle); it is derived
+    here because the fixture persists no index — the topology is
+    identical (same note as `incremental_neardups`).
+    """
+    batch_sh = _positional_shingle_keys(batch, n, id_col, text_col)
+    corpus_keys = (
+        _positional_shingle_keys(corpus, n, id_col, text_col)
+        .select("k").distinct()
+    )
+    # in-corpus hit: semi-join against the key index
+    hits_corpus = batch_sh.join(corpus_keys, "k", "left_semi")
+    # intra-batch hit: same shingle in >= 2 distinct batch docs
+    batch_dup = (
+        batch_sh.groupBy("k")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("k")
+    )
+    hits_batch = batch_sh.join(batch_dup, "k", "left_semi")
+    hits = (
+        hits_corpus.select(id_col, "pos")
+        .unionByName(hits_batch.select(id_col, "pos"))
+        .distinct()
+    )
+    return _positions_to_spans(hits, n, id_col)
+
+
+def trim_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite each document with its duplicate spans REMOVED — the
+    consumer op that makes span detection actionable (Lee et al. 2022
+    train on the trimmed corpus). ``spans`` is
+    :func:`duplicate_spans`-shaped ``(id, span_start, span_end, ...)``.
+    Returns ``(id, text, n_tokens_removed)`` with surviving tokens
+    re-joined by single spaces.
+
+    Plan shape: spans aggregate to ONE array row per spanned doc (spans
+    per doc are few — they merged maximally), broadcast-or-hash joined
+    LEFT onto the docs; the removal itself is a positional lambda
+    filter over the token array — map-side, no explode, no shuffle of
+    token rows. Docs with no spans pass through untouched (empty span
+    array), so the output is exactly corpus-sized.
+    """
+    span_arrays = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    toks = ws_tokens(F.col(text_col))
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.filter(toks, lambda t, i: ~in_span(i))
+    return (
+        docs.join(span_arrays, id_col, "left")
+        .withColumn(
+            "__spans",
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast("array<struct<s:bigint,e:bigint>>"),
+            ),
+        )
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias(text_col),
+            (F.size(toks) - F.size(kept)).cast("bigint").alias(
+                "n_tokens_removed"
+            ),
         )
     )

@@ -7895,3 +7895,115 @@ def source_quota_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
     return source_quota_select(scored, quota_pct=60)
+
+
+#: shared CTE prelude for the span-dedup oracle family (q283/q285/q286):
+#: whitespace tokens + positional 5-gram shingles, zipped-unnest form
+_SQL_SPAN_SH = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(toks) - 4, 0))) AS pos,
+               unnest(CASE WHEN len(toks) >= 5
+                      THEN list_transform(range(1, len(toks) - 3),
+                                          i -> array_to_string(toks[i:i+4], ' '))
+                      ELSE [] END) AS s
+        FROM t
+    )"""
+
+#: shared island-merge tail: hits(doc_id, pos) -> spans
+_SQL_SPAN_MERGE = """isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    grp AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM isl),
+    spans AS (
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 5 AS BIGINT) AS span_end,
+               CAST(max(pos) + 5 - min(pos) AS BIGINT) AS dup_tokens
+        FROM grp GROUP BY doc_id, island
+    )"""
+
+
+@query(
+    "q285_incremental_spans",
+    oracle=f"""
+    WITH {_SQL_SPAN_SH},
+    bsh AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+    ck AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 <> 0),
+    bdup AS (SELECT s FROM bsh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+        SELECT DISTINCT doc_id, pos FROM bsh
+        WHERE s IN (SELECT s FROM ck) OR s IN (SELECT s FROM bdup)
+    ),
+    {_SQL_SPAN_MERGE}
+    SELECT doc_id, span_start, span_end, dup_tokens FROM spans
+    """,
+    doc="INCREMENTAL duplicate-span detection (r9; the q85/q128 "
+    "incremental lifecycle for q283): an arriving batch (doc_id % 5 = 0) "
+    "is checked against the existing corpus's distinct shingle-KEY index "
+    "plus itself; only batch spans are emitted and nothing corpus-sized "
+    "flows into the span merge — O(batch) span work per arrival, the "
+    "corpus contributes one index probe, never a positional re-scan "
+    "(north star: dedup at streaming ingest).",
+    tags=("llm", "dedup"),
+)
+def incremental_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.dedup import (
+        incremental_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    return incremental_duplicate_spans(batch, corpus, n=5)
+
+
+@query(
+    "q286_span_trimmed_corpus",
+    oracle=f"""
+    WITH {_SQL_SPAN_SH},
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+    {_SQL_SPAN_MERGE},
+    sp AS (SELECT doc_id,
+                  list(struct_pack(s := span_start, e := span_end)) AS sps
+           FROM spans GROUP BY doc_id),
+    keep AS (
+        SELECT t.doc_id, t.toks, sp.sps,
+               CASE WHEN sp.sps IS NULL THEN t.toks
+                    ELSE list_filter(t.toks, (x, i) ->
+                         len(list_filter(sp.sps, r ->
+                             i - 1 >= r['s'] AND i - 1 < r['e'])) = 0)
+               END AS kept
+        FROM t LEFT JOIN sp USING (doc_id)
+    )
+    SELECT doc_id,
+           -- DuckDB's array_to_string([]) is NULL; Spark's array_join
+           -- gives '' — a fully-trimmed doc is an EMPTY string
+           coalesce(array_to_string(kept, ' '), '') AS text,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+    FROM keep
+    """,
+    doc="Span-TRIMMED corpus (r9; the consumer of q283): every document "
+    "rewritten with its duplicate spans removed — Lee et al. 2022 train "
+    "on exactly this output. Spans aggregate to one small array per "
+    "spanned doc (left-joined so untouched docs pass through), and the "
+    "removal is a positional lambda filter over the token array — "
+    "map-side, no token-row explode, output exactly corpus-sized "
+    "(north star: dedup → curation handoff).",
+    tags=("llm", "dedup"),
+)
+def span_trimmed_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.dedup import (
+        duplicate_spans,
+        trim_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, n=5, min_docs=2)
+    return trim_duplicate_spans(docs, spans)

@@ -1279,3 +1279,70 @@ def test_source_quota_select_semantics(spark):
     assert got[5] == (3, 5, True)
     assert got[6] == (6, 5, False)
     assert got[7] == (10, 5, False)
+
+
+def test_incremental_duplicate_spans_semantics(spark):
+    """q285 operator contract: a batch position is duplicated when its
+    shingle exists in the corpus OR in another batch doc; only BATCH
+    spans are emitted; a batch-unique passage emits nothing; and the
+    incremental result equals running full duplicate_spans over
+    corpus+batch restricted to batch docs (the refactor guard)."""
+    from football_lakehouse_spark.operators.dedup import (
+        duplicate_spans,
+        incremental_duplicate_spans,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    corpus = spark.createDataFrame(
+        [(1, "c1 c2 " + boiler), (2, "solo alpha beta gamma delta five")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, boiler + " fresh1 fresh2"),     # corpus-dup at [0, 10)
+            (11, "n1 n2 n3 n4 n5 n6 n7"),        # unique -> nothing
+            (12, "zz yy xx ww vv uu shared"),     # intra-batch pair with 13
+            (13, "zz yy xx ww vv uu other"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in incremental_duplicate_spans(batch, corpus, n=5).collect()
+    }
+    # doc 12/13 share the 6-token run "zz yy xx ww vv uu" -> two 5-gram
+    # positions 0,1 merge to [0, 6)
+    assert got == {(10, 0, 10), (12, 0, 6), (13, 0, 6)}
+    # equivalence: full pass over corpus+batch, batch rows only
+    full = duplicate_spans(corpus.unionByName(batch), n=5, min_docs=2)
+    full_batch = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in full.where(F.col("doc_id") >= 10).collect()
+    }
+    assert got == full_batch
+    # corpus spans are NOT emitted by the incremental op
+    assert not {d for d, *_ in got} & {1, 2}
+
+
+def test_trim_duplicate_spans_semantics(spark):
+    """q286 operator contract: spanned tokens are removed positionally,
+    untouched docs pass through (whitespace-normalised), a fully-
+    spanned doc becomes the empty string, and n_tokens_removed sums the
+    span widths."""
+    from football_lakehouse_spark.operators.dedup import trim_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "k l m"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 5, 3), (1, 7, 8, 1), (2, 0, 3, 3)],
+        "doc_id long, span_start long, span_end long, dup_tokens long",
+    )
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in trim_duplicate_spans(docs, spans).collect()}
+    assert got == {
+        1: ("a b f g", 4),   # removed c d e (2..5) and h (7..8)
+        2: ("", 3),          # fully trimmed
+        3: ("x y z", 0),     # untouched
+    }
