@@ -819,12 +819,24 @@ def _positions_to_spans(hits: DataFrame, n: int, id_col: str) -> DataFrame:
     )
 
 
+def span_key_index(
+    corpus: DataFrame, n: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Distinct shingle-key index ``(k: bigint)`` of a corpus — the
+    PERSISTED artifact the incremental span path probes (8 bytes per
+    distinct shingle; write it bucketed by ``k`` so per-batch probes
+    co-locate without shuffling the index)."""
+    return _positional_shingle_keys(corpus, n, id_col, text_col).select("k").distinct()
+
+
 def incremental_duplicate_spans(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate spans for an ARRIVING BATCH only — the incremental
     companion of :func:`duplicate_spans`, same lifecycle as
@@ -835,16 +847,24 @@ def incremental_duplicate_spans(
     contributes one distinct-key index probe, never a re-scan of its
     positions, and nothing corpus-sized flows into the window.
 
-    In production the corpus key set is the stored shingle-key index
-    of the previous run (8 bytes per distinct shingle); it is derived
-    here because the fixture persists no index — the topology is
-    identical (same note as `incremental_neardups`).
+    Pass ``corpus_keys`` (a persisted :func:`span_key_index`, read back
+    from storage) to skip re-deriving the index from corpus text — the
+    production shape: per-batch cost is then the batch's own shingle
+    work plus one probe of the stored key table (and with the index
+    written BUCKETED by ``k``, that probe co-locates shuffle-free).
+    When only ``corpus`` is given, the index is derived inline because
+    the fixture persists none — identical topology, corpus-scan cost
+    attached (same note as `incremental_neardups`; the r9 span soak
+    measures both forms).
     """
     batch_sh = _positional_shingle_keys(batch, n, id_col, text_col)
-    corpus_keys = (
-        _positional_shingle_keys(corpus, n, id_col, text_col)
-        .select("k").distinct()
-    )
+    if corpus_keys is None:
+        if corpus is None:
+            raise ValueError(
+                "incremental_duplicate_spans: pass corpus_keys (stored "
+                "span_key_index) or corpus (index derived inline)"
+            )
+        corpus_keys = span_key_index(corpus, n, id_col, text_col)
     # in-corpus hit: semi-join against the key index
     hits_corpus = batch_sh.join(corpus_keys, "k", "left_semi")
     # intra-batch hit: same shingle in >= 2 distinct batch docs
