@@ -762,6 +762,13 @@ def duplicate_spans(
     arbitrary-length duplicates; the n-gram form finds every duplicate
     span of length ≥ n (standard practice — Lee et al. §4 uses 50-token
     windows the same way) and is embarrassingly parallel.
+
+    The shingle stage is deliberately derived twice (once under the
+    key aggregation, once as the probe side) rather than persisted:
+    both derivations are map-only column-pruned scans, while caching
+    the exploded positions would hold ~n_tokens × 24 bytes per doc in
+    the storage tier — at 100 TB the re-scan is the cheaper side of
+    that trade (measured linear through ×1000 in the r9 span soak).
     """
     pos_sh = _positional_shingle_keys(docs, n, id_col, text_col)
     dup_keys = (
