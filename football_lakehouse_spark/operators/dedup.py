@@ -939,3 +939,41 @@ def trim_duplicate_spans(
             ),
         )
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_docs: DataFrame | None = None,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_keys: DataFrame | None = None,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination: the exact token spans of
+    each TRAINING document that overlap the eval corpus (any shared
+    token ``n``-gram), merged maximally. Where q59's doc-level count
+    says *whether* a train doc is contaminated, this says *where* — the
+    output feeds :func:`trim_duplicate_spans` directly, so leaked eval
+    passages can be cut without dropping the surrounding document (the
+    standard remedy when the contaminated doc is otherwise valuable).
+
+    Pass ``eval_keys`` (a persisted :func:`span_key_index` of the
+    benchmark suite) in production — benchmark corpora are small, so
+    the key table broadcasts and the train side streams map-side with
+    no corpus shuffle before the per-doc span merge. Only train↔eval
+    overlap is flagged; train↔train duplication is
+    :func:`duplicate_spans`' job.
+    """
+    if eval_keys is None:
+        if eval_docs is None:
+            raise ValueError(
+                "contamination_spans: pass eval_keys (stored "
+                "span_key_index of the benchmark) or eval_docs"
+            )
+        eval_keys = span_key_index(eval_docs, n, id_col, text_col)
+    hits = (
+        _positional_shingle_keys(train, n, id_col, text_col)
+        .join(eval_keys, "k", "left_semi")
+        .select(id_col, "pos")
+    )
+    return _positions_to_spans(hits, n, id_col)

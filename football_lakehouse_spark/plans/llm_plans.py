@@ -8007,3 +8007,36 @@ def span_trimmed_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     spans = duplicate_spans(docs, n=5, min_docs=2)
     return trim_duplicate_spans(docs, spans)
+
+
+@query(
+    "q287_contamination_spans",
+    oracle=f"""
+    WITH {_SQL_SPAN_SH},
+    ek AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+    hits AS (
+        SELECT DISTINCT doc_id, pos FROM sh
+        WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM ek)
+    ),
+    {_SQL_SPAN_MERGE}
+    SELECT doc_id, span_start, span_end, dup_tokens FROM spans
+    """,
+    doc="SPAN-level decontamination (r9; q59's actionable sibling): "
+    "the exact token spans of each training doc (doc_id % 10 <> 0) "
+    "that overlap the held-out eval slice (doc_id % 10 = 0 — wider "
+    "than q59's % 100 so the check bites at the sf0.01 driver gate) by any "
+    "shared 5-gram, merged maximally — q59 says WHETHER a train doc is "
+    "contaminated, this says WHERE, and the output feeds the q286 trim "
+    "directly so leaked passages are cut without dropping the doc. "
+    "Benchmark key tables are small → broadcast; the train side "
+    "streams map-side into a doc-partitioned span merge (north star: "
+    "training-data hygiene).",
+    tags=("llm", "dedup", "text"),
+)
+def contamination_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.dedup import contamination_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    return contamination_spans(train, ev, n=5)

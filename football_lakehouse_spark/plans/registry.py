@@ -68,12 +68,12 @@ def query(
 #: ever ages more than ceil(281/50) = 6 rounds. The cohort below was
 #: computed by replaying CORRECTNESS_r01–r08 (last-attested histogram at
 #: the time: r3:34, r4:49, r5:48, r6:50, r7:50, r8:50); it is the 34
-#: r3-stale queries plus the 16 oldest r4 rows; the four r9 additions
-#: (q283–q286, never attested = round-0 = oldest of all) lead it, and
-#: the four youngest r4 rows they displace (q157, q158, q30, q72)
-#: rotate into r10's prefix. After r9 lands green, nothing is older
-#: than r4. To rotate for r10, rerun the replay and replace the tuple
-#: with the new oldest-50.
+#: r3-stale queries plus the 16 oldest r4 rows; the five r9 additions
+#: (q283–q287, never attested = round-0 = oldest of all) lead it, and
+#: the five youngest r4 rows they displace (q154, q157, q158, q30,
+#: q72) rotate into r10's prefix. After r9 lands green, nothing is
+#: older than r4. To rotate for r10, rerun the replay and replace the
+#: tuple with the new oldest-50.
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
@@ -82,11 +82,12 @@ def query(
 #: the registry may grow again, and new queries join the rotation as
 #: round-0 (never attested → oldest → front of the next prefix).
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # --- r9 prefix: the four never-attested r9 additions lead ---
+    # --- r9 prefix: the five never-attested r9 additions lead ---
     "q283_duplicate_spans",
     "q284_source_quota_select",
     "q285_incremental_spans",
     "q286_span_trimmed_corpus",
+    "q287_contamination_spans",
     # --- then oldest-first rotation: the 34 r3-stale queries ---
     "q13_date_funcs",
     "q14_content_hash_groups",
@@ -134,10 +135,10 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q149_activity_gaps",
     "q150_ewma",
     "q152_cohort_retention",
-    "q154_distribution_drift",
-    # (q157_cumulative_distinct, q158_rolling_distinct, q30_time_travel
-    # and q72_delete_rows — the next-oldest r4 rows — were displaced by
-    # the four r9 additions above; they lead r10's rotation instead)
+    # (q154_distribution_drift, q157_cumulative_distinct,
+    # q158_rolling_distinct, q30_time_travel and q72_delete_rows — the
+    # next-oldest r4 rows — were displaced by the five r9 additions
+    # above; they lead r10's rotation instead)
 )
 
 

@@ -1346,3 +1346,41 @@ def test_trim_duplicate_spans_semantics(spark):
         2: ("", 3),          # fully trimmed
         3: ("x y z", 0),     # untouched
     }
+
+
+def test_contamination_spans_semantics(spark):
+    """q287 operator contract: only train<->eval overlap is flagged
+    (train<->train duplication is duplicate_spans' job), spans merge
+    maximally, and the stored-eval-keys form equals the derive form."""
+    from football_lakehouse_spark.operators.dedup import (
+        contamination_spans,
+        span_key_index,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta"  # 6 toks -> 2 positions
+    ev = spark.createDataFrame(
+        [(100, "e1 e2 " + leak + " e3")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, leak + " t1 t2"),              # leaked at [0, 6)
+            (2, "t3 t4 t5 " + leak),           # leaked at [3, 9)
+            (3, "u1 u2 u3 u4 u5 u6 u7"),       # clean
+            # 4 and 5 duplicate EACH OTHER but not the eval set
+            (4, "d1 d2 d3 d4 d5 d6"),
+            (5, "d1 d2 d3 d4 d5 d6"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in contamination_spans(train, ev, n=5).collect()
+    }
+    assert got == {(1, 0, 6), (2, 3, 9)}
+    via_index = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in contamination_spans(
+            train, n=5, eval_keys=span_key_index(ev, n=5)
+        ).collect()
+    }
+    assert via_index == got
