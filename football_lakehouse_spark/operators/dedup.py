@@ -872,8 +872,16 @@ def incremental_duplicate_spans(
                 "span_key_index) or corpus (index derived inline)"
             )
         corpus_keys = span_key_index(corpus, n, id_col, text_col)
-    # in-corpus hit: semi-join against the key index
-    hits_corpus = batch_sh.join(corpus_keys, "k", "left_semi")
+    # in-corpus hit, as a DOUBLE SEMI rather than `batch ⋉ index`: Spark
+    # can only broadcast the RIGHT side of a left-semi join, so the
+    # direct form shuffles the corpus-sized index every batch (measured:
+    # the 230M-key SMJ dominated the ×1000 probe in the r9 span soak).
+    # Probing the index WITH the batch's distinct keys first keeps both
+    # small sides on the right — AQE broadcasts them at runtime — and
+    # the index is scanned map-side, never shuffled.
+    batch_keys = batch_sh.select("k").distinct()
+    matched = corpus_keys.join(batch_keys, "k", "left_semi")
+    hits_corpus = batch_sh.join(matched, "k", "left_semi")
     # intra-batch hit: same shingle in >= 2 distinct batch docs
     batch_dup = (
         batch_sh.groupBy("k")
