@@ -820,11 +820,23 @@ class LakehouseTable:
     def append_if_new(self, df: DataFrame, hash_col: str) -> int | None:
         """Content-hash idempotent append (reference D2: skip the write
         when the payload hash already exists). Existence is a limit-1
-        probe against only the hash column — column-pruned scan."""
+        probe against only the hash column — column-pruned scan.
+
+        The novelty check is a DOUBLE probe rather than the natural
+        ``incoming ANTI existing``: Spark only broadcasts the RIGHT
+        side of a semi/anti join, so the natural form sort-merge-
+        shuffles the whole table's hash column on every append.
+        Probing ``existing ⋉ incoming`` first (batch hashes broadcast,
+        table hashes scanned map-side, never shuffled) and anti-joining
+        the batch against that small matched set is equivalent:
+        incoming − existing = incoming − (existing ∩ incoming). Same
+        rewrite, with the same measurement, as the incremental span
+        probe (SCALING round 9)."""
         if self.exists():
             existing = self.read().select(hash_col)
             incoming = df.select(hash_col).distinct()
-            novel = incoming.join(existing, hash_col, "left_anti")
+            matched = existing.join(incoming, hash_col, "left_semi").distinct()
+            novel = incoming.join(F.broadcast(matched), hash_col, "left_anti")
             if novel.limit(1).isEmpty():
                 return None
             df = df.join(F.broadcast(novel), hash_col, "left_semi")
