@@ -914,7 +914,10 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         docs.select("doc_id", "source")
         .join(per_doc, ["doc_id"])
-        .join(F.broadcast(exact_dups), ["doc_id"], "left")
+        # no broadcast hint: the dup-doc table is data-dependent (a
+        # dup-heavy corpus makes it corpus-scale) — AQE broadcasts it
+        # at runtime exactly when it is actually small
+        .join(exact_dups, ["doc_id"], "left")
         .join(nd_docs, ["doc_id"], "left")
     )
     cov_sum = F.sum("covered_tokens").cast("bigint")
@@ -6824,7 +6827,8 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(arrival-order-wins: existing corpus docs always beat batch "
     "docs; within the batch, lower id wins) — touching ONLY "
     "batch-sized work beyond one corpus scan: the exact check is a "
-    "broadcast semi-join on content hash, the near-dup check is "
+    "double hash probe (batch hashes broadcast against the corpus "
+    "scan, never the reverse), the near-dup check is "
     "operators/dedup.incremental_neardups (batch buckets broadcast "
     "against corpus banding; NO corpus×corpus re-pairing). Verdicts "
     "carry the drop REASON with quality > exact > neardup "
@@ -6843,9 +6847,17 @@ def incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     corpus = docs.where(F.col("doc_id") % 25 != 0)
 
+    # double probe (join-direction rule, SCALING r9): the corpus hash
+    # set is CORPUS-sized — broadcasting it, or putting it on the
+    # non-broadcastable right of a batch-semi join, ships the corpus
+    # per batch. Probe corpus ⋉ batch-hashes instead (batch broadcast,
+    # corpus scanned map-side), then semi the batch on the small match.
     base_hashes = corpus.select(F.sha2(F.col("text"), 256).alias("h")).distinct()
+    base_matched = base_hashes.join(
+        batch.select("h").distinct(), "h", "left_semi"
+    )
     exact_vs_base = batch.join(
-        F.broadcast(base_hashes), "h", "left_semi"
+        F.broadcast(base_matched), "h", "left_semi"
     ).select("doc_id")
     earlier = batch.select(F.col("doc_id").alias("e_id"), F.col("h").alias("e_h"))
     exact_vs_earlier = (
