@@ -567,3 +567,82 @@ def test_components_variants_agree_on_random_graphs(spark, edges, lp_rounds):
         (n, find(n), n == find(n)) for n in {x for e in edges for x in e}
     )
     assert [tuple(r) for r in lp] == expect
+
+
+def _ref_duplicate_spans(docs: list[tuple[int, str]], n: int, min_docs: int):
+    """Pure-Python reference for duplicate_spans: positions whose
+    n-gram occurs in >= min_docs distinct docs, merged when the gap to
+    the previous duplicated position is <= n."""
+    from collections import defaultdict
+
+    occ = defaultdict(set)
+    toks_of = {}
+    for did, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        toks_of[did] = toks
+        for i in range(len(toks) - n + 1):
+            occ[" ".join(toks[i:i + n])].add(did)
+    spans = set()
+    for did, toks in toks_of.items():
+        hits = sorted(
+            i for i in range(len(toks) - n + 1)
+            if len(occ[" ".join(toks[i:i + n])]) >= min_docs
+        )
+        cur = None
+        for p in hits:
+            if cur is None:
+                cur = [p, p]
+            elif p - cur[1] <= n:
+                cur[1] = p
+            else:
+                spans.add((did, cur[0], cur[1] + n))
+                cur = [p, p]
+        if cur is not None:
+            spans.add((did, cur[0], cur[1] + n))
+    return spans
+
+
+#: small token alphabet → plenty of cross-doc n-gram collisions
+_span_docs = st.lists(
+    st.tuples(
+        st.integers(0, 9),
+        st.lists(
+            st.sampled_from("aa bb cc dd ee".split()), min_size=0, max_size=14
+        ).map(" ".join),
+    ),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=_span_docs, n=st.integers(2, 4), min_docs=st.integers(1, 3))
+@SLOW
+def test_duplicate_spans_matches_reference(spark, docs, n, min_docs):
+    """duplicate_spans == the pure-Python reference on random corpora
+    over a tiny alphabet (dense collisions): exact span set, and
+    trim_duplicate_spans removes exactly the spanned positions."""
+    from football_lakehouse_spark.operators.dedup import (
+        duplicate_spans,
+        trim_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string") if docs else None
+    if df is None:
+        return
+    got_df = duplicate_spans(df, n=n, min_docs=min_docs)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in got_df.collect()}
+    want = _ref_duplicate_spans(docs, n, min_docs)
+    assert got == want
+
+    # trim law: surviving tokens are exactly the un-spanned positions
+    trimmed = {r.doc_id: (r.text, r.n_tokens_removed)
+               for r in trim_duplicate_spans(df, got_df).collect()}
+    for did, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        spanned = set()
+        for d, s, e in want:
+            if d == did:
+                spanned.update(range(s, e))
+        kept = [t for i, t in enumerate(toks) if i not in spanned]
+        assert trimmed[did] == (" ".join(kept), len(spanned))
