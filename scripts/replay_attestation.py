@@ -1,0 +1,81 @@
+"""Attestation-ledger replay — the executable form of the rotation
+policy in plans/registry.py.
+
+Replays every CORRECTNESS_r*.json against the LIVE registry and
+prints:
+  - the last driver-green round per registered query (histogram),
+  - any registered query with a red/erred latest row (should be none),
+  - the oldest-first 50-query cohort for the NEXT round's
+    DRIVER_ORDER_FIRST (never-attested queries first, then stalest,
+    ties by registration order).
+
+Run it at round start; paste the cohort into DRIVER_ORDER_FIRST.
+
+Usage: python scripts/replay_attestation.py [--json OUT.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import importlib
+import json
+import os
+import pkgutil
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def replay() -> dict:
+    greens: dict[str, int] = {}
+    reds: dict[str, tuple[int, str]] = {}
+    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"r0*(\d+)", os.path.basename(f)).group(1))
+        for q, row in json.load(open(f)).items():
+            ok = row.get("rows_match") and row.get("schema_match") and row.get("err") is None
+            if ok:
+                greens[q] = max(greens.get(q, 0), r)
+            elif r >= reds.get(q, (0, ""))[0]:
+                reds[q] = (r, row.get("err") or "mismatch")
+
+    from football_lakehouse_spark.plans import registry as RG
+    import football_lakehouse_spark.plans as plans_pkg
+
+    for m in pkgutil.iter_modules(plans_pkg.__path__):
+        importlib.import_module(f"football_lakehouse_spark.plans.{m.name}")
+    names = list(RG.REGISTRY)
+    last = {n: greens.get(n, 0) for n in names}
+    cohort = sorted(names, key=lambda n: (last[n], names.index(n)))[:50]
+    return {
+        "registered": len(names),
+        "histogram": dict(sorted(Counter(last.values()).items())),
+        # a registered query whose most recent row is red (red round
+        # strictly newer than any green round) needs a fix, not a rotation
+        "red_latest": {
+            q: reds[q] for q in reds if q in last and reds[q][0] > last[q]
+        },
+        "next_prefix": cohort,
+    }
+
+
+def main() -> None:
+    out = replay()
+    print(f"registered queries : {out['registered']}")
+    print(f"last-green histogram (0 = never attested): {out['histogram']}")
+    if out["red_latest"]:
+        print("LATEST ROW RED for:", out["red_latest"])
+    else:
+        print("no registered query has a red latest row")
+    print("next 50-query prefix (oldest first):")
+    for n in out["next_prefix"]:
+        print("   ", n)
+    if "--json" in sys.argv:
+        path = sys.argv[sys.argv.index("--json") + 1]
+        json.dump(out, open(path, "w"), indent=1)
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
