@@ -72,8 +72,10 @@ def query(
 #: (q283–q287, never attested = round-0 = oldest of all) lead it, and
 #: the five youngest r4 rows they displace (q154, q157, q158, q30,
 #: q72) rotate into r10's prefix. After r9 lands green, nothing is
-#: older than r4. To rotate for r10, rerun the replay and replace the
-#: tuple with the new oldest-50.
+#: older than r4. To rotate for r10, run
+#: `python scripts/replay_attestation.py` and replace this tuple with
+#: the printed oldest-50 (the script also flags any registered query
+#: whose LATEST driver row is red — fix those, don't rotate them).
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
