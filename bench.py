@@ -48,16 +48,23 @@ WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "5"))
 LOAD_CONTAMINATION_THRESHOLD = 0.2
 #: start-load at or below which a run is in the IDLE measurement
 #: envelope — the one SCALING.md's per-query error bars are pinned on.
-#: Gate-passing-but-warmer starts (≤ 0.5) land in the stratified GATE
-#: envelope: idle bars × 1.3 on sub-second queries (SCALING.md round 9).
+#: Gate-passing-but-warmer starts land in the stratified GATE envelope:
+#: idle bars × 1.3 on sub-second queries (SCALING.md rounds 9–10).
 IDLE_START_THRESHOLD = 0.15
 
 
 def _load_envelope(load_start: float) -> str:
-    """Which SCALING.md bar envelope this run's numbers must satisfy."""
+    """Which SCALING.md bar envelope this run's numbers must satisfy.
+
+    Derived from the SAME constants as the ``load_contaminated`` flag so
+    the two artifact fields can never contradict (ADVICE r9: the old
+    hardcoded 0.5 gate-envelope bound left runs in (0.2, 0.5] both
+    "contaminated" and bar-checkable "gate" simultaneously — a remnant
+    of the pre-r9 0.5 contamination gate). Invariant:
+    ``load_contaminated ⇔ envelope == "contaminated"``."""
     if load_start <= IDLE_START_THRESHOLD:
         return "idle"
-    if load_start <= 0.5:
+    if load_start <= LOAD_CONTAMINATION_THRESHOLD:
         return "gate"
     return "contaminated"
 

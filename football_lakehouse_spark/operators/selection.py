@@ -267,8 +267,13 @@ def source_quota_select(
     GLOBAL budget (token_budget_select) would let one source's
     high-scoring mass crowd out everything else.
 
-    Integer math throughout (``floor(src_tokens · quota_pct / 100)``)
-    so the verdicts are bit-reproducible cross-engine.
+    Integer math throughout (``src_tokens · quota_pct div 100`` — true
+    integral division, never double) so the verdicts are
+    bit-reproducible cross-engine AT ANY SCALE: Spark's ``/`` promotes
+    to double, whose 53-bit mantissa floors off-by-one once a source's
+    token sum × quota_pct exceeds 2^53 (~1.5e14 tokens at 60% — exactly
+    the 100 TB regime; ADVICE r9). The DuckDB oracle mirrors with
+    ``//``.
 
     Scale contract: the per-source totals are one map-side-combined
     aggregation producing a SOURCES-sized table (broadcast back); the
@@ -286,7 +291,11 @@ def source_quota_select(
         F.col(tokens_col).cast("bigint").alias("n_tokens"),
     )
     quotas = base.groupBy("source").agg(
-        F.floor(F.sum("n_tokens") * quota_pct / 100).cast("bigint").alias("quota")
+        # `div` is Spark's integral division (bigint → bigint); `/`
+        # would detour through double and lose exactness past 2^53
+        F.expr(f"sum(n_tokens) * {int(quota_pct)} div 100")
+        .cast("bigint")
+        .alias("quota")
     )
     w = (
         Window.partitionBy("source")

@@ -7870,7 +7870,7 @@ def duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(floor(len(list_distinct(toks)) * 1000000 / len(toks)) AS BIGINT) AS score,
                  CAST(len(toks) AS BIGINT) AS n_tokens
           FROM t),
-    q AS (SELECT source, CAST(floor(sum(n_tokens) * 60 / 100) AS BIGINT) AS quota
+    q AS (SELECT source, CAST(sum(n_tokens) * 60 // 100 AS BIGINT) AS quota
           FROM b GROUP BY source),
     c AS (SELECT b.doc_id, b.source, b.score, b.n_tokens, q.quota,
                  sum(b.n_tokens) OVER (

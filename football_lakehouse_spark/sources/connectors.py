@@ -23,6 +23,7 @@ this branch is actually exercised when `import delta` resolves.
 from __future__ import annotations
 
 import os
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -193,10 +194,16 @@ class DeltaBackedTable:
 
     def merge(self, updates: DataFrame, keys: Sequence[str]) -> int:
         """Upsert by key — Delta MERGE with null-safe key equality
-        (parity with LakehouseTable.merge, which matches NULL keys)."""
+        (parity with LakehouseTable.merge, which matches NULL keys).
+        Duplicate source keys are collapsed BEFORE the MERGE (ADVICE
+        r9): Delta throws a multiple-source-rows-matched error at
+        runtime where the parquet branch merely documents the
+        uniqueness precondition — deduping here keeps one contract
+        across both bindings (and matches the bootstrap path below)."""
+        updates = updates.dropDuplicates(list(keys))
         if not self.exists():
             # first batch bootstraps the table, as the parquet branch does
-            return self.append(updates.dropDuplicates(list(keys)))
+            return self.append(updates)
         cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
         (
             self._dt()
@@ -229,6 +236,18 @@ class DeltaBackedTable:
     # -- maintenance ------------------------------------------------------
 
     def compact(self, target_partitions: int = 1, sort_by: Sequence[str] | None = None) -> int:
+        """Delta OPTIMIZE bin-packs to a target FILE SIZE, not a file
+        count, so ``target_partitions`` is advisory here (ADVICE r9:
+        never silently ignore it — compaction is non-destructive, so a
+        layout hint that cannot be honoured warns instead of raising;
+        contrast vacuum(), where the divergence would destroy data)."""
+        if target_partitions != 1:
+            warnings.warn(
+                "DeltaBackedTable.compact: Delta OPTIMIZE bin-packs by file "
+                f"size; target_partitions={target_partitions} is ignored "
+                "(tune spark.databricks.delta.optimize.maxFileSize instead)",
+                stacklevel=2,
+            )
         opt = self._dt().optimize()
         if sort_by:
             opt.executeZOrderBy(*sort_by)
@@ -241,9 +260,22 @@ class DeltaBackedTable:
         engine's retain_last maps to an aggressive 0-hour vacuum (the
         documented retentionDurationCheck override), which keeps exactly
         the live snapshot — the retain_last=1 case every internal caller
-        uses. Returns the number of files reclaimed, counted by an
-        on-disk listing diff (vacuum does not change the live snapshot,
-        so inputFiles() cannot observe the reclaim)."""
+        uses. Any OTHER retain_last is refused loudly (ADVICE r9):
+        silently running vacuum(0h) for retain_last=5 would delete every
+        non-live data file and destroy time travel the caller asked to
+        keep — a destructive divergence from LakehouseTable.vacuum,
+        which retains the last N versions' files. Returns the number of
+        files reclaimed, counted by an on-disk listing diff (vacuum does
+        not change the live snapshot, so inputFiles() cannot observe the
+        reclaim)."""
+        if retain_last != 1:
+            raise ValueError(
+                "DeltaBackedTable.vacuum: Delta retention is time-based; only "
+                f"retain_last=1 maps faithfully (got {retain_last}). Running "
+                "vacuum(0h) here would delete all non-live files and break "
+                "time travel to every prior version — use "
+                "deltaTable.vacuum(hours) with a retention horizon instead."
+            )
 
         def _disk_files() -> set[str]:
             found = set()

@@ -120,6 +120,114 @@ def test_delta_branch_dryrun(spark, tmp_path, monkeypatch):
         assert callable(getattr(t, verb)), verb
 
 
+def test_delta_vacuum_refuses_unfaithful_retention(spark, tmp_path, monkeypatch):
+    """ADVICE r9: vacuum(retain_last=5) must NOT silently run vacuum(0h)
+    (which would delete every non-live file and destroy time travel);
+    only the retain_last=1 case maps faithfully onto Delta's time-based
+    retention. The guard fires before any DeltaTable call, so the fake
+    module never even sees forPath."""
+    import sys
+    import types
+
+    fake_delta = types.ModuleType("delta")
+    fake_tables = types.ModuleType("delta.tables")
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(s, path):
+            return True
+
+        @staticmethod
+        def forPath(s, path):
+            raise AssertionError("guard must fire before any DeltaTable call")
+
+    fake_tables.DeltaTable = FakeDeltaTable
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+    t = connectors.open_table(spark, str(tmp_path), "contract", "vac",
+                              prefer="delta")
+    with pytest.raises(ValueError, match="retain_last=1 maps faithfully"):
+        t.vacuum(retain_last=5)
+    with pytest.raises(ValueError, match="retain_last"):
+        t.vacuum(retain_last=0)
+
+
+def test_delta_compact_warns_on_ignored_partition_hint(spark, tmp_path, monkeypatch):
+    """ADVICE r9 sibling: Delta OPTIMIZE bin-packs by file size, so
+    target_partitions != 1 cannot be honoured — warn (non-destructive
+    layout hint) rather than silently ignore."""
+    import sys
+    import types
+
+    fake_delta = types.ModuleType("delta")
+    fake_tables = types.ModuleType("delta.tables")
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(s, path):
+            return True
+
+        @staticmethod
+        def forPath(s, path):
+            raise RuntimeError("fake binding: no real table")
+
+    fake_tables.DeltaTable = FakeDeltaTable
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+    t = connectors.open_table(spark, str(tmp_path), "contract", "cmp",
+                              prefer="delta")
+    with pytest.warns(UserWarning, match="target_partitions=2 is ignored"):
+        with pytest.raises(RuntimeError, match="fake binding"):
+            t.compact(target_partitions=2)
+
+
+def test_delta_merge_dedupes_source_keys(spark, tmp_path, monkeypatch):
+    """ADVICE r9: duplicate source keys must be collapsed BEFORE Delta
+    MERGE (Delta raises multiple-source-rows-matched at runtime; the
+    parquet branch documents uniqueness as a precondition — one
+    contract across both bindings). Pins the wiring with a recording
+    fake merge-builder: the source DataFrame Delta sees is key-unique."""
+    import sys
+    import types
+
+    fake_delta = types.ModuleType("delta")
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = type("D", (), {})
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+    t = connectors.open_table(spark, str(tmp_path), "contract", "mrg",
+                              prefer="delta")
+    seen = {}
+
+    class FakeMergeBuilder:
+        def merge(self, src, cond):
+            seen["src"] = src
+            return self
+
+        def alias(self, a):
+            return self
+
+        def whenMatchedUpdateAll(self):
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            return self
+
+        def execute(self):
+            return None
+
+    monkeypatch.setattr(t, "_dt", lambda: FakeMergeBuilder())
+    monkeypatch.setattr(t, "exists", lambda: True)
+    monkeypatch.setattr(type(t), "current_version", lambda self: 1)
+    dup = _df(spark, [(1, "a"), (1, "b"), (2, "c")])
+    t.merge(dup, ["k"])
+    got = seen["src"]
+    assert got.select("k").distinct().count() == got.count() == 2
+
+
 def test_open_table_prefer_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown table format"):
         connectors.open_table(spark, str(tmp_path), "contract", "bad",

@@ -1281,6 +1281,32 @@ def test_source_quota_select_semantics(spark):
     assert got[7] == (10, 5, False)
 
 
+def test_source_quota_integer_division_past_2pow53(spark):
+    """ADVICE r9 regression: the quota must be TRUE integral division.
+    Witness: a source whose token sum × 60 exceeds 2^53 — double
+    division (the old `sum * pct / 100`) floors to ...760 where exact
+    integer math gives ...759, silently over-admitting the boundary
+    doc. Both values fit bigint, so only the division path differs."""
+    import math
+
+    from football_lakehouse_spark.operators.selection import (
+        source_quota_select,
+    )
+
+    total = 73038692402772932  # sum(n_tokens); total*60 > 2^53
+    exact = total * 60 // 100          # ...759
+    dbl = math.floor(float(total * 60) / 100.0)  # ...760
+    assert exact != dbl  # the witness really is in the divergence band
+    docs = spark.createDataFrame(
+        [(1, "web", 10, total - 1), (2, "web", 5, 1)],
+        "doc_id long, source string, score long, n_tokens long",
+    )
+    got = {r.doc_id: r.quota for r in
+           source_quota_select(docs, quota_pct=60).collect()}
+    assert got[1] == exact
+    assert got[2] == exact
+
+
 def test_incremental_duplicate_spans_semantics(spark):
     """q285 operator contract: a batch position is duplicated when its
     shingle exists in the corpus OR in another batch doc; only BATCH
