@@ -257,6 +257,7 @@ def source_quota_select(
     tokens_col: str = "n_tokens",
     source_col: str = "source",
     id_col: str = "doc_id",
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Per-source token-quota selection — the data-mixing counterpart
     of :func:`token_budget_select`: each SOURCE independently keeps its
@@ -279,10 +280,14 @@ def source_quota_select(
     aggregation producing a SOURCES-sized table (broadcast back); the
     running sum is a window PARTITIONED BY SOURCE — distributed across
     sources, never a global sort. A pathologically skewed single
-    source degrades to that source's partition, which is the same
-    regime token_budget_select's bucketed decomposition exists for —
-    compose the two (bucket WITHIN source) if one source is a whole
-    crawl; at that point the quota table is still tiny.
+    source degrades to that source's partition — pass ``bucket_width``
+    (VERDICT r9 #6) to apply :func:`token_budget_select`'s bucketed
+    decomposition WITHIN each source: per-(source, score-bucket)
+    windows plus a broadcast (source, bucket)-prefix table, so a
+    whole-crawl-sized source is never a single-partition window and the
+    output is bit-identical to the plain form (same (score DESC, id
+    ASC) order — buckets partition disjoint score ranges). The prefix
+    table has sources × occupied-buckets rows — still driver-scale.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -297,21 +302,57 @@ def source_quota_select(
         .cast("bigint")
         .alias("quota")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        base.join(F.broadcast(quotas), "source")
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .select(
-            "doc_id",
-            "source",
-            "score",
-            "n_tokens",
-            "cum_tokens",
-            "quota",
-            (F.col("cum_tokens") <= F.col("quota")).alias("selected"),
+    if bucket_width is None:
+        w = (
+            Window.partitionBy("source")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
+        cum = base.join(F.broadcast(quotas), "source").withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w)
+        )
+    else:
+        bucketed = base.withColumn(
+            "bucket", F.floor(F.col("score") / bucket_width).cast("bigint")
+        )
+        # per-(source, bucket) totals: sources × occupied buckets rows
+        bucket_tot = bucketed.groupBy("source", "bucket").agg(
+            F.sum("n_tokens").alias("btok")
+        )
+        w_better = (
+            Window.partitionBy("source")
+            .orderBy(F.col("bucket").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bucket_prefix = bucket_tot.select(
+            "source",
+            "bucket",
+            F.coalesce(F.sum("btok").over(w_better), F.lit(0)).alias(
+                "__cum_before"
+            ),
+        )
+        # within-(source, bucket) running sum — the doc-sized window is
+        # partitioned by BOTH keys, so one source spreads over its
+        # score buckets instead of serialising through one task
+        w_in = (
+            Window.partitionBy("source", "bucket")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            bucketed.join(F.broadcast(bucket_prefix), ["source", "bucket"])
+            .join(F.broadcast(quotas), "source")
+            .withColumn(
+                "cum_tokens",
+                F.col("__cum_before") + F.sum("n_tokens").over(w_in),
+            )
+        )
+    return cum.select(
+        "doc_id",
+        "source",
+        "score",
+        "n_tokens",
+        "cum_tokens",
+        "quota",
+        (F.col("cum_tokens") <= F.col("quota")).alias("selected"),
     )

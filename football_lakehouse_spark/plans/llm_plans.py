@@ -7862,9 +7862,11 @@ def duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, n=5, min_docs=2)
 
 
-@query(
-    "q284_source_quota_select",
-    oracle=f"""
+#: per-source quota oracle, shared by q284 (plain source-partitioned
+#: window) and q290 (the bucketed-within-source decomposition) — the
+#: two Spark plans compute the SAME function, so one DuckDB twin pins
+#: both. Integer quota via `//` mirroring Spark's `div` (ADVICE r9).
+_SQL_SOURCE_QUOTA = f"""
     WITH t AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
     b AS (SELECT doc_id, source,
                  CAST(floor(len(list_distinct(toks)) * 1000000 / len(toks)) AS BIGINT) AS score,
@@ -7882,7 +7884,12 @@ def duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cum_tokens AS BIGINT) AS cum_tokens, quota,
            cum_tokens <= quota AS selected
     FROM c
-    """,
+    """
+
+
+@query(
+    "q284_source_quota_select",
+    oracle=_SQL_SOURCE_QUOTA,
     doc="Per-source token-QUOTA selection (r9): each source keeps its "
     "highest-distinct-token-density docs until 60% of that source's "
     "tokens — the data-mixing cap that keeps one dominant crawl source "
@@ -7895,9 +7902,15 @@ def duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_quota_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.operators.selection import source_quota_select
 
+    return source_quota_select(_quota_scored_docs(spark, sf_dir), quota_pct=60)
+
+
+def _quota_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scored by distinct-token density — the shared input of
+    q284 (plain) and q290 (bucketed-within-source)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = ws_tokens(F.col("text"))
-    scored = docs.select(
+    return docs.select(
         "doc_id",
         "source",
         F.floor(
@@ -7906,7 +7919,6 @@ def source_quota_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("score"),
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
-    return source_quota_select(scored, quota_pct=60)
 
 
 #: shared CTE prelude for the span-dedup oracle family (q283/q285/q286):
@@ -8052,3 +8064,128 @@ def contamination_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % 10 != 0)
     ev = docs.where(F.col("doc_id") % 10 == 0)
     return contamination_spans(train, ev, n=5)
+
+
+@query(
+    "q288_span_trim_keep_canonical",
+    oracle=f"""
+    WITH {_SQL_SPAN_SH},
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+    {_SQL_SPAN_MERGE},
+    con AS (SELECT spans.doc_id, spans.span_start, spans.span_end,
+                   array_to_string(t.toks[spans.span_start + 1 : spans.span_end],
+                                   ' ') AS content
+            FROM spans JOIN t USING (doc_id)),
+    trimset AS (
+        SELECT doc_id, span_start, span_end FROM (
+            SELECT con.*, row_number() OVER (
+                       PARTITION BY content ORDER BY doc_id, span_start
+                   ) AS rn
+            FROM con)
+        WHERE rn > 1),
+    spx AS (SELECT doc_id,
+                   list(struct_pack(s := span_start, e := span_end)) AS sps
+            FROM trimset GROUP BY doc_id),
+    keep AS (
+        SELECT t.doc_id, t.toks, spx.sps,
+               CASE WHEN spx.sps IS NULL THEN t.toks
+                    ELSE list_filter(t.toks, (x, i) ->
+                         len(list_filter(spx.sps, r ->
+                             i - 1 >= r['s'] AND i - 1 < r['e'])) = 0)
+               END AS kept
+        FROM t LEFT JOIN spx USING (doc_id)
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS text,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+    FROM keep
+    """,
+    doc="Span trim, KEEP-ONE-CANONICAL variant (r10; VERDICT r9 #3): "
+    "q286 deletes EVERY occurrence of a duplicated span (Lee et al.'s "
+    "aggressive ExactSubstr — duplicated content vanishes entirely); "
+    "here the canonical occurrence of each distinct covered token "
+    "sequence — lowest (doc_id, span_start), the doc-level family's "
+    "is_canonical convention — survives the trim, so duplicated "
+    "content is kept exactly once. The canonical election is a window "
+    "partitioned by CONTENT HASH (distributed across distinct "
+    "passages, the slice crosses the wire as sha2, never text); the "
+    "oracle pins canonical-survives at full value level (north star: "
+    "dedup -> curation handoff).",
+    tags=("llm", "dedup"),
+)
+def span_trim_keep_canonical_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.dedup import (
+        duplicate_spans,
+        trim_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, n=5, min_docs=2)
+    return trim_duplicate_spans(docs, spans, keep_canonical=True)
+
+
+@query(
+    "q289_span_index_lifecycle",
+    oracle=f"""
+    WITH {_SQL_SPAN_SH},
+    bsh AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
+    ck AS (SELECT DISTINCT s FROM sh WHERE doc_id % 4 <> 0),
+    bdup AS (SELECT s FROM bsh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+        SELECT DISTINCT doc_id, pos FROM bsh
+        WHERE s IN (SELECT s FROM ck) OR s IN (SELECT s FROM bdup)
+    ),
+    {_SQL_SPAN_MERGE}
+    SELECT doc_id, span_start, span_end, dup_tokens FROM spans
+    """,
+    doc="Span-index MAINTENANCE lifecycle (r10; VERDICT r9 #2): the "
+    "corpus (doc_id % 4 in (2,3)) builds the persisted span_key_index; "
+    "batch 1 (% 4 = 1) is processed and its NEW keys fold in via "
+    "append_span_keys (O(batch): index probed WITH the batch's keys — "
+    "double-semi then batch-bounded anti, the index is scanned "
+    "map-side, never shuffled); batch 2 (% 4 = 0) then probes the "
+    "GROWN index — so spans shared ONLY with batch 1 are detected "
+    "without a full index rebuild (the q128/q123 incremental pattern). "
+    "The oracle derives the same key set from scratch, pinning that "
+    "append == rebuild (north star: dedup at streaming ingest).",
+    tags=("llm", "dedup"),
+)
+def span_index_lifecycle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.dedup import (
+        append_span_keys,
+        incremental_duplicate_spans,
+        span_key_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 >= 2)
+    batch1 = docs.where(F.col("doc_id") % 4 == 1)
+    batch2 = docs.where(F.col("doc_id") % 4 == 0)
+    idx = span_key_index(corpus, n=5)
+    # batch 1 lands: its new keys fold into the index (in production
+    # this is a bucketed mode("append") write of exactly these rows)
+    idx = idx.unionByName(append_span_keys(idx, batch1, n=5))
+    return incremental_duplicate_spans(batch2, corpus_keys=idx, n=5)
+
+
+@query(
+    "q290_source_quota_bucketed",
+    oracle=_SQL_SOURCE_QUOTA,
+    doc="Bucketed-within-source quota selection (r10; VERDICT r9 #6): "
+    "the SAME function as q284, computed with token_budget_select's "
+    "bucketed decomposition applied inside each source — the doc-sized "
+    "running-sum window is partitioned by (source, score-bucket) plus "
+    "a broadcast (source, bucket)-prefix table, so a whole-crawl-sized "
+    "source spreads over its score buckets instead of serialising "
+    "through one task. Shares q284's oracle: bit-identical output is "
+    "the decomposition's correctness claim (north star: "
+    "selection/mixtures at skew).",
+    tags=("llm", "selection"),
+)
+def source_quota_bucketed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.selection import source_quota_select
+
+    return source_quota_select(
+        _quota_scored_docs(spark, sf_dir), quota_pct=60, bucket_width=1000
+    )

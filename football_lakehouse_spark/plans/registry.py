@@ -60,87 +60,75 @@ def query(
 #: 50-query prefix of this order.
 #:
 #: Attestation policy — OLDEST-FIRST ROTATION. Every registered query
-#: has a driver-green CORRECTNESS row as of r8 (replay CORRECTNESS_r01–r08
-#: against this registry to verify: 281/281 green, zero red rows). From
-#: r9 on, each round's 50-row prefix is simply the 50 registered queries
-#: whose latest driver-green row is OLDEST, ties broken by registration
-#: order — so freshness is self-maintaining and no query's attestation
-#: ever ages more than ceil(281/50) = 6 rounds. The cohort below was
-#: computed by replaying CORRECTNESS_r01–r08 (last-attested histogram at
-#: the time: r3:34, r4:49, r5:48, r6:50, r7:50, r8:50); it is the 34
-#: r3-stale queries plus the 16 oldest r4 rows; the five r9 additions
-#: (q283–q287, never attested = round-0 = oldest of all) lead it, and
-#: the five youngest r4 rows they displace (q154, q157, q158, q30,
-#: q72) rotate into r10's prefix. After r9 lands green, nothing is
-#: older than r4. To rotate for r10, run
-#: `python scripts/replay_attestation.py` and replace this tuple with
-#: the printed oldest-50 (the script also flags any registered query
+#: has a driver-green CORRECTNESS row (replay CORRECTNESS_r01–r09
+#: against this registry to verify: 286/286 green, zero red rows, and
+#: after r9 nothing older than r4). Each round's 50-row prefix is the
+#: 50 registered queries whose latest driver-green row is OLDEST, ties
+#: broken by registration order — freshness is self-maintaining and no
+#: query's attestation ever ages more than ceil(n/50) rounds. This r10
+#: cohort is `python scripts/replay_attestation.py`'s printed oldest-50:
+#: the three never-attested r10 additions (q288–q290) lead, then the
+#: five r4 rows the r9 additions displaced (q154, q157, q158, q30,
+#: q72) and the rest of the r4/r5 cohort; the three rows the r10
+#: additions displace (q165, q170, q180) lead r11's rotation. To
+#: rotate for r11, run the replay script and replace this tuple with
+#: its printed oldest-50 (the script also flags any registered query
 #: whose LATEST driver row is red — fix those, don't rotate them).
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
-#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md). The r7 freeze clause
-#: ("frozen until the attestation sweep completes") was satisfied in r8;
-#: the registry may grow again, and new queries join the rotation as
-#: round-0 (never attested → oldest → front of the next prefix).
+#: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md).
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    # --- r9 prefix: the five never-attested r9 additions lead ---
-    "q283_duplicate_spans",
-    "q284_source_quota_select",
-    "q285_incremental_spans",
-    "q286_span_trimmed_corpus",
-    "q287_contamination_spans",
-    # --- then oldest-first rotation: the 34 r3-stale queries ---
-    "q13_date_funcs",
-    "q14_content_hash_groups",
-    "q15_dedup_keep_first",
-    "q16_exists_probe",
-    "q17_multiway_join",
-    "q18_anti_semi_join",
-    "q19_anchor_fallback",
-    "q20_unpivot_metrics",
-    "q21_rollup",
-    "q22_pivot",
-    "q23_pricing_summary",
-    "q24_revenue_by_nation",
-    "q63_cube",
-    "q68_set_ops",
-    "q03_latest_snapshot_per_customer",
-    "q25_rolling_form",
-    "q26_value_delta",
-    "q27_live_state",
-    "q29_merge_upsert",
-    "q55_rollup_cascade",
-    "q70_schema_evolution",
-    "q33_windowed_counts",
-    "q66_sliding_window",
-    "q67_session_window",
-    "q34_feature_pipeline",
-    "q36_transfer_optimizer",
-    "q37_token_stats",
-    "q38_lang_quality",
-    "q39_doc_fingerprint",
-    "q40_dedup_exact",
-    "q41_minhash_neardup",
-    "q45_ann_lsh",
-    "q85_incremental_neardup",
-    "q50_approx_stats",
-    # --- then the 16 oldest r4-attested rows ---
-    "q136_referential_integrity_audit",
-    "q145_rank_family",
-    "q146_relational_division",
-    "q147_grouping_sets",
-    "q155_mode_per_group",
-    "q156_value_histogram",
-    "q28_sessionize",
-    "q132_funnel_conversion",
-    "q149_activity_gaps",
-    "q150_ewma",
-    "q152_cohort_retention",
-    # (q154_distribution_drift, q157_cumulative_distinct,
-    # q158_rolling_distinct, q30_time_travel and q72_delete_rows — the
-    # next-oldest r4 rows — were displaced by the five r9 additions
-    # above; they lead r10's rotation instead)
+    "q288_span_trim_keep_canonical",
+    "q289_span_index_lifecycle",
+    "q290_source_quota_bucketed",
+    "q154_distribution_drift",
+    "q157_cumulative_distinct",
+    "q158_rolling_distinct",
+    "q30_time_travel",
+    "q72_delete_rows",
+    "q125_table_restore",
+    "q31_idempotent_ingest",
+    "q134_check_constraint_gate",
+    "q135_shallow_clone",
+    "q137_table_schema_evolution",
+    "q138_rename_column",
+    "q139_drop_column",
+    "q140_deletion_vectors",
+    "q141_update_rows",
+    "q142_scd2_history",
+    "q144_expectations_quarantine",
+    "q106_streaming_dedup",
+    "q143_exactly_once_capture",
+    "q53_publish_gold_dim",
+    "q71_minhash_neardup_fast",
+    "q57_neardup_clusters",
+    "q102_cluster_canonical",
+    "q51_ann_ivf",
+    "q101_semantic_dedup",
+    "q103_token_budget_select",
+    "q104_global_shuffle",
+    "q105_length_bucket_batches",
+    "q47_multimodal_features",
+    "q126_leakage_safe_split",
+    "q127_dsir_weights",
+    "q128_ivf_append",
+    "q129_oov_rate",
+    "q131_split_leakage_audit",
+    "q148_neardup_triangles",
+    "q133_asof_tolerance",
+    "q64_range_join",
+    "q130_salted_join",
+    "q153_pit_join",
+    "q116_small_qty_revenue",
+    "q117_cheapest_supplier_per_part",
+    "q118_order_count_distribution",
+    "q119_idle_rich_customers",
+    "q120_top_revenue_suppliers",
+    "q161_volume_shipping",
+    "q162_market_share",
+    "q163_promo_revenue_share",
+    "q164_sole_late_supplier",
 )
 
 

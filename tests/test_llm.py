@@ -1374,6 +1374,132 @@ def test_trim_duplicate_spans_semantics(spark):
     }
 
 
+def test_trim_keep_canonical_semantics(spark):
+    """q288 operator contract (VERDICT r9 #3): with keep_canonical=True
+    the lowest-(doc_id, span_start) occurrence of each distinct covered
+    token sequence SURVIVES the trim and every other occurrence is
+    removed; the default remains Lee et al.'s remove-every-occurrence.
+    Two content groups with different canonicals pin the election."""
+    from football_lakehouse_spark.operators.dedup import trim_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c1 c2 c3 c4 c5 z1"),
+            (2, "c1 c2 c3 c4 c5 y1 d1 d2 d3 d4 d5"),
+            (3, "x1 c1 c2 c3 c4 c5"),
+            (4, "d1 d2 d3 d4 d5 w1"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 7, 5), (2, 0, 5, 5), (2, 6, 11, 5), (3, 1, 6, 5), (4, 0, 5, 5)],
+        "doc_id long, span_start long, span_end long, dup_tokens long",
+    )
+    # canonical of "c1..c5" is (doc 1, start 2); of "d1..d5" (doc 2, 6)
+    kept = {r.doc_id: (r.text, r.n_tokens_removed)
+            for r in trim_duplicate_spans(
+                docs, spans, keep_canonical=True).collect()}
+    assert kept == {
+        1: ("a b c1 c2 c3 c4 c5 z1", 0),   # canonical of c-group survives
+        2: ("y1 d1 d2 d3 d4 d5", 5),       # c-copy trimmed, d-canonical kept
+        3: ("x1", 5),
+        4: ("w1", 5),
+    }
+    # default semantics unchanged: every occurrence goes
+    gone = {r.doc_id: (r.text, r.n_tokens_removed)
+            for r in trim_duplicate_spans(docs, spans).collect()}
+    assert gone == {
+        1: ("a b z1", 5),
+        2: ("y1", 10),
+        3: ("x1", 5),
+        4: ("w1", 5),
+    }
+
+
+def test_append_span_keys_cross_batch(spark):
+    """q289 operator contract (VERDICT r9 #2): batch N's new keys fold
+    into the persisted index so batch N+1 detects a span shared ONLY
+    with batch N — without the append the same probe misses it. Also
+    pins O(index) hygiene: keys already present never re-append."""
+    from football_lakehouse_spark.operators.dedup import (
+        append_span_keys,
+        incremental_duplicate_spans,
+        span_key_index,
+    )
+
+    p = "p1 p2 p3 p4 p5 p6"  # the passage shared only by batches 1 and 2
+    corpus = spark.createDataFrame(
+        [(10, "s1 s2 s3 s4 s5 s6 s7")], "doc_id long, text string"
+    )
+    batch1 = spark.createDataFrame(
+        # leads with a corpus passage so the overlap-key exclusion bites
+        [(20, "s1 s2 s3 s4 s5 " + p)], "doc_id long, text string"
+    )
+    batch2 = spark.createDataFrame(
+        [(30, p + " e1")], "doc_id long, text string"
+    )
+    idx0 = span_key_index(corpus, n=5)
+    # stale index: batch 2's passage is unknown -> nothing detected
+    assert (
+        incremental_duplicate_spans(batch2, corpus_keys=idx0, n=5).count()
+        == 0
+    )
+    new = append_span_keys(idx0, batch1, n=5)
+    # batch 1 has 7 shingle positions; position 0 (s1..s5) is already
+    # indexed and must NOT re-append
+    assert new.count() == 6
+    assert new.join(idx0, "k", "left_semi").count() == 0
+    idx1 = idx0.unionByName(new)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.dup_tokens)
+        for r in incremental_duplicate_spans(
+            batch2, corpus_keys=idx1, n=5
+        ).collect()
+    }
+    assert got == {(30, 0, 6, 6)}
+
+
+def test_source_quota_bucketed_matches_plain_and_decomposes(spark):
+    """q290 contract (VERDICT r9 #6): the bucketed-within-source form is
+    bit-identical to the plain form on a skewed corpus (one source 50x
+    the others, score ties included), and the PLAN decomposes — the
+    doc-sized running-sum window (the one ordering by doc_id) is
+    partitioned by (source, bucket), never by source alone."""
+    import random
+
+    from football_lakehouse_spark.operators.selection import (
+        source_quota_select,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (i, "crawl", rng.randrange(0, 10_000), rng.randrange(1, 500))
+        for i in range(500)  # the skewed whole-crawl source
+    ] + [
+        (1000 + i, f"curated_{i % 3}", rng.randrange(0, 10_000) - (i % 2),
+         rng.randrange(1, 500))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, score long, n_tokens long"
+    )
+    plain = sorted(
+        tuple(r) for r in source_quota_select(docs, quota_pct=37).collect()
+    )
+    bucketed_df = source_quota_select(docs, quota_pct=37, bucket_width=256)
+    assert sorted(tuple(r) for r in bucketed_df.collect()) == plain
+
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    specs = [
+        seg for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    doc_windows = [s for s in specs if "doc_id" in s.split("specifiedwindowframe")[0]]
+    assert doc_windows, "expected a doc-level running-sum window in the plan"
+    for s in doc_windows:
+        part = s.split("ASC NULLS FIRST")[0]
+        assert "bucket" in part, f"doc-level window not bucket-partitioned: {part}"
+
+
 def test_contamination_spans_semantics(spark):
     """q287 operator contract: only train<->eval overlap is flagged
     (train<->train duplication is duplicate_spans' job), spans merge
