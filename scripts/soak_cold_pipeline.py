@@ -1,10 +1,17 @@
 """Composed cold-path curation rehearsal at 10x / 100x scale
-(r6 verdict #6, widened r8 per r7 verdict #5): quality gate -> exact
-dedup -> LSH near-dup clusters -> token-budget selection -> sharded
-split write -> IVF INDEX BUILD -> ANN MINING SERVE (q281 shape), each
-stage timed with its SHUFFLE BYTES attributed via the Spark UI REST
-API — the per-stage cost table a 100 TB user asks for first, now
-including the retrieval index the curated corpus feeds.
+(r6 verdict #6, widened r8 per r7 verdict #5, widened again r10 per
+r9 verdict #4): quality gate -> exact dedup -> LSH near-dup clusters
+-> SPAN DETECT -> SPAN TRIM (keep-one-canonical) -> token-budget
+selection -> sharded split write -> IVF INDEX BUILD -> ANN MINING
+SERVE (q281 shape), each stage timed with its SHUFFLE BYTES attributed
+via the Spark UI REST API — the per-stage cost table a 100 TB user
+asks for first, now including the passage-level trim between dedup
+and selection (the production curation order: doc-level near-dup
+cannot see boilerplate passages inside surviving unique docs, so the
+span stage runs on near-dup SURVIVORS and selection scores the
+TRIMMED text). Fully-trimmed-to-empty docs are dropped before
+selection — distinct-token-density is undefined at n_tokens=0 and an
+empty doc has nothing to select.
 
 Index operating point — measured, then corrected (r8): the first run
 scaled n_cells LINEARLY with the corpus (fixed ~125-vector cells, the
@@ -56,9 +63,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from football_lakehouse_spark.functions.text import STOPWORDS, ws_tokens  # noqa: E402
 from football_lakehouse_spark.operators.dedup import (  # noqa: E402
+    duplicate_spans,
     exact_dedup,
     minhash_lsh_neardups,
     neardup_clusters_star,
+    trim_duplicate_spans,
 )
 from football_lakehouse_spark.operators.selection import token_budget_select  # noqa: E402
 from football_lakehouse_spark.session import get_spark  # noqa: E402
@@ -246,8 +255,31 @@ def run_pipeline(
         kept.write.mode("overwrite").parquet(p("s3"))
         return spark.read.parquet(p("s3")).count()
 
-    def s4_select():
+    def s3b_span_detect():
         d = spark.read.parquet(p("s3"))
+        spans = duplicate_spans(d, n=5, min_docs=2)
+        spans.write.mode("overwrite").parquet(p("s3b"))
+        return spark.read.parquet(p("s3b")).count()
+
+    def s3c_span_trim():
+        d = spark.read.parquet(p("s3"))
+        spans = spark.read.parquet(p("s3b"))
+        trimmed = trim_duplicate_spans(d, spans, keep_canonical=True)
+        out = (
+            trimmed.join(d.select("doc_id", "source"), "doc_id")
+            .withColumn(
+                "n_tokens",
+                F.when(F.col("text") == "", F.lit(0))
+                .otherwise(F.size(ws_tokens(F.col("text"))))
+                .cast("bigint"),
+            )
+            .where(F.col("n_tokens") > 0)
+        )
+        out.write.mode("overwrite").parquet(p("s3c"))
+        return spark.read.parquet(p("s3c")).count()
+
+    def s4_select():
+        d = spark.read.parquet(p("s3c"))
         scored = d.withColumn(
             "score",
             F.floor(
@@ -354,6 +386,8 @@ def run_pipeline(
         ("quality", s1_quality),
         ("exact_dedup", s2_exact),
         ("lsh_clusters", s3_lsh),
+        ("span_detect", s3b_span_detect),
+        ("span_trim", s3c_span_trim),
         ("selection", s4_select),
         ("shard_write", s5_shard),
         ("ivf_index_build", s6_ivf_build),
