@@ -7852,7 +7852,9 @@ def knn_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup (q41) cannot see. Production path hashes shingles to "
     "8-byte keys (xxhash64); the span OUTPUT is hash-independent, so "
     "the raw-string oracle checks it end-to-end at full value level "
-    "(north star: dedup).",
+    "(north star: dedup). In the bench set from r10: the span family's "
+    "headline perf trace.",
+    bench=True,
     tags=("llm", "dedup"),
 )
 def duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8189,3 +8191,183 @@ def source_quota_bucketed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quota_select(
         _quota_scored_docs(spark, sf_dir), quota_pct=60, bucket_width=1000
     )
+
+
+#: shared trim tail over ALL docs: spans(doc_id, span_start, span_end)
+#: -> keep(doc_id, toks, kept) with untouched docs passing through
+_SQL_SPAN_TRIM_TAIL = """sp AS (SELECT doc_id,
+                  list(struct_pack(s := span_start, e := span_end)) AS sps
+           FROM spans GROUP BY doc_id),
+    keep AS (
+        SELECT t.doc_id, t.toks, sp.sps,
+               CASE WHEN sp.sps IS NULL THEN t.toks
+                    ELSE list_filter(t.toks, (x, i) ->
+                         len(list_filter(sp.sps, r ->
+                             i - 1 >= r['s'] AND i - 1 < r['e'])) = 0)
+               END AS kept
+        FROM t LEFT JOIN sp USING (doc_id)
+    )"""
+
+
+@query(
+    "q291_streaming_span_dedup",
+    oracle=f"""
+    WITH {_SQL_SPAN_SH},
+    hits AS (
+        SELECT DISTINCT s1.doc_id, s1.pos
+        FROM sh s1 JOIN sh s2 ON s2.s = s1.s
+        WHERE s2.doc_id % 3 < s1.doc_id % 3
+           OR (s2.doc_id % 3 = s1.doc_id % 3 AND s2.doc_id <> s1.doc_id)
+    ),
+    {_SQL_SPAN_MERGE},
+    {_SQL_SPAN_TRIM_TAIL}
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS text,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+    FROM keep
+    """,
+    doc="STREAMING span dedup (r10): the span-index lifecycle wired "
+    "into Structured Streaming — documents arrive in three waves "
+    "(doc_id % 3, landed and drained as separate availableNow runs "
+    "over one checkpoint); each micro-batch probes the persisted "
+    "span_key_index, appends its TRIMMED rewrite to the corpus sink, "
+    "and folds its new keys into the index via append_span_keys, so "
+    "wave 2 sees wave 0's and wave 1's passages without a rebuild — "
+    "boilerplate never accumulates in the stored corpus. The oracle "
+    "replays the wave semantics relationally: a position is duplicated "
+    "iff its shingle occurs in ANY earlier wave or in ANOTHER doc of "
+    "its own wave (north star: dedup at streaming ingest).",
+    tags=("llm", "dedup", "streaming"),
+)
+def streaming_span_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from football_lakehouse_spark.scratch import scratch_dir
+    from football_lakehouse_spark.streaming.ingest import span_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = scratch_dir("q291_streaming_span_dedup")
+    landing = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    trimmed = os.path.join(root, "trimmed")
+    idx = os.path.join(root, "idx")
+    for wave in range(3):
+        docs.where(F.col("doc_id") % 3 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        span_dedup_stream(spark, landing, ckpt, trimmed, idx, n=5)
+    return spark.read.parquet(trimmed)
+
+
+@query(
+    "q292_span_dedup_funnel",
+    oracle=f"""
+    WITH {_SQL_SPAN_SH},
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+    {_SQL_SPAN_MERGE},
+    per_doc AS (SELECT doc_id, count(*) AS n_spans, sum(dup_tokens) AS dup_toks
+                FROM spans GROUP BY doc_id)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(p.doc_id) AS BIGINT) AS n_spanned_docs,
+           CAST(coalesce(sum(p.n_spans), 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(sum(p.dup_toks), 0) AS BIGINT) AS dup_tokens,
+           CAST(sum(len(t.toks)) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(p.dup_toks), 0) * 1000000
+                // sum(len(t.toks)) AS BIGINT) AS dup_ppm
+    FROM documents d JOIN t USING (doc_id) LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Span-dedup FUNNEL report (r10; the ops sibling of the near-dup "
+    "funnel q268): per SOURCE, how much passage-level duplication the "
+    "span detector found — docs touched, span rows, duplicated tokens, "
+    "and dup_ppm (integer ppm, `div`) — the number a curation owner "
+    "reads to decide which sources need trimming before selection. "
+    "Spans-sized aggregation joined LEFT onto a sources-sized rollup; "
+    "nothing doc-pairwise (north star: dedup observability).",
+    tags=("llm", "dedup"),
+)
+def span_dedup_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, n=5, min_docs=2)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"), F.sum("dup_tokens").alias("dup_toks")
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("n_spans").cast("bigint").alias("n_spanned_docs"),
+            F.coalesce(F.sum("n_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.coalesce(F.sum("dup_toks"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("dup_tokens * 1000000 div total_tokens").cast("bigint"),
+        )
+    )
+
+
+@query(
+    "q293_decontaminated_corpus",
+    oracle=f"""
+    WITH {_SQL_SPAN_SH},
+    ek AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+    hits AS (
+        SELECT DISTINCT doc_id, pos FROM sh
+        WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM ek)
+    ),
+    {_SQL_SPAN_MERGE},
+    sp AS (SELECT doc_id,
+                  list(struct_pack(s := span_start, e := span_end)) AS sps
+           FROM spans GROUP BY doc_id),
+    keep AS (
+        SELECT t.doc_id, t.toks, sp.sps,
+               CASE WHEN sp.sps IS NULL THEN t.toks
+                    ELSE list_filter(t.toks, (x, i) ->
+                         len(list_filter(sp.sps, r ->
+                             i - 1 >= r['s'] AND i - 1 < r['e'])) = 0)
+               END AS kept
+        FROM t LEFT JOIN sp USING (doc_id)
+        WHERE t.doc_id % 10 <> 0
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS text,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+    FROM keep
+    """,
+    doc="DECONTAMINATED training corpus (r10; the q287 -> q286 handoff "
+    "as one call): every training doc (doc_id % 10 <> 0) rewritten "
+    "with its eval-overlapping spans (any shared 5-gram with the "
+    "held-out slice) cut out — the artifact an eval-hygiene pipeline "
+    "actually ships, where q287 reports the spans and q59 the doc "
+    "counts. Eval keys broadcast, train streams map-side, trim is a "
+    "positional lambda filter; output exactly train-sized (north "
+    "star: training-data hygiene).",
+    tags=("llm", "dedup", "text"),
+)
+def decontaminated_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.operators.dedup import (
+        contamination_spans,
+        trim_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    spans = contamination_spans(train, ev, n=5)
+    return trim_duplicate_spans(train, spans)

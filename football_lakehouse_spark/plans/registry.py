@@ -67,10 +67,10 @@ def query(
 #: broken by registration order — freshness is self-maintaining and no
 #: query's attestation ever ages more than ceil(n/50) rounds. This r10
 #: cohort is `python scripts/replay_attestation.py`'s printed oldest-50:
-#: the three never-attested r10 additions (q288–q290) lead, then the
+#: the six never-attested r10 additions (q288–q293) lead, then the
 #: five r4 rows the r9 additions displaced (q154, q157, q158, q30,
-#: q72) and the rest of the r4/r5 cohort; the three rows the r10
-#: additions displace (q165, q170, q180) lead r11's rotation. To
+#: q72) and the rest of the r4/r5 cohort; the six rows the r10
+#: additions displace (q162–q165, q170, q180) lead r11's rotation. To
 #: rotate for r11, run the replay script and replace this tuple with
 #: its printed oldest-50 (the script also flags any registered query
 #: whose LATEST driver row is red — fix those, don't rotate them).
@@ -82,6 +82,9 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q288_span_trim_keep_canonical",
     "q289_span_index_lifecycle",
     "q290_source_quota_bucketed",
+    "q291_streaming_span_dedup",
+    "q292_span_dedup_funnel",
+    "q293_decontaminated_corpus",
     "q154_distribution_drift",
     "q157_cumulative_distinct",
     "q158_rolling_distinct",
@@ -126,9 +129,6 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q119_idle_rich_customers",
     "q120_top_revenue_suppliers",
     "q161_volume_shipping",
-    "q162_market_share",
-    "q163_promo_revenue_share",
-    "q164_sole_late_supplier",
 )
 
 

@@ -262,3 +262,71 @@ def append_stream_exactly_once(
         .start()
         .awaitTermination()
     )
+
+
+def span_dedup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    trimmed_dir: str,
+    index_dir: str,
+    n: int = 5,
+    doc_schema: str = "doc_id BIGINT, text STRING",
+) -> None:
+    """Streaming passage-level dedup — the span-index lifecycle
+    (q283/q285/q289) wired into Structured Streaming: each micro-batch
+    of arriving documents (1) probes the persisted ``span_key_index``
+    for spans duplicated against EVERYTHING already ingested (or
+    within the batch itself — the batch can duplicate itself), (2)
+    appends the TRIMMED rewrite of the batch to the corpus sink, and
+    (3) folds the batch's genuinely-new shingle keys into the index
+    via ``append_span_keys`` — so later batches see this batch's
+    passages without ever rebuilding the index. This is the curation
+    topology at ingest time: boilerplate never ACCUMULATES in the
+    stored corpus, instead of being swept by periodic full-corpus
+    span jobs.
+
+    Per-batch cost is O(batch) plus one map-side SCAN of the key
+    index (never an index shuffle — the r9 double-semi direction;
+    growth soak in SCALING r10 shows flat per-batch cost across ten
+    appends). ``foreachBatch`` is at-least-once: a replayed batch
+    would re-append trimmed rows and index keys. Duplicate index keys
+    are semantically harmless (the probe is a left-semi), and
+    production corpus sinks take the ``append_txn`` idempotence
+    pattern (:func:`append_stream_exactly_once`); this recipe keeps
+    plain parquet appends because its registry query drains each
+    landing wave exactly once under ``availableNow``.
+    """
+    from football_lakehouse_spark.operators.dedup import (
+        append_span_keys,
+        incremental_duplicate_spans,
+        trim_duplicate_spans,
+    )
+
+    stream = spark.readStream.schema(doc_schema).parquet(landing_dir)
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        s = batch.sparkSession
+        batch.persist()
+        try:
+            if os.path.isdir(index_dir):
+                stored = s.read.parquet(index_dir)
+            else:
+                stored = s.createDataFrame([], "k BIGINT")
+            spans = incremental_duplicate_spans(batch, corpus_keys=stored, n=n)
+            trim_duplicate_spans(batch, spans).write.mode("append").parquet(
+                trimmed_dir
+            )
+            append_span_keys(stored, batch, n=n).write.mode("append").parquet(
+                index_dir
+            )
+        finally:
+            batch.unpersist()
+
+    (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+        .awaitTermination()
+    )

@@ -484,3 +484,50 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     out_t = drain(running_user_state_tws, "tws")
     expect = {7: (3, 4.0), 9: (1, 10.0), 11: (1, 4.0)}
     assert final_state(out_a) == final_state(out_t) == expect
+
+
+def test_span_dedup_stream_waves_and_rerun(spark, tmp_path):
+    """q291 recipe contract: wave 2 is trimmed against passages first
+    seen in waves 0/1 (the index folds each batch's keys in), a
+    batch-unique passage survives untouched, and re-draining the same
+    landing with the same checkpoint is a no-op (no duplicate trimmed
+    rows, no index growth)."""
+    import os
+
+    from football_lakehouse_spark.streaming.ingest import span_dedup_stream
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    trimmed = str(tmp_path / "trimmed")
+    idx = str(tmp_path / "idx")
+
+    boiler = "b1 b2 b3 b4 b5"
+    waves = [
+        # wave 0: introduces the boilerplate
+        [(1, boiler + " u1 u2")],
+        # wave 1: repeats it (trimmed against wave 0's keys) + unique doc
+        [(2, "v1 " + boiler), (3, "w1 w2 w3 w4 w5 w6")],
+        # wave 2: repeats it again -> trimmed against the GROWN index
+        [(4, boiler + " x1")],
+    ]
+    for rows in waves:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        span_dedup_stream(spark, landing, ckpt, trimmed, idx, n=5)
+
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in spark.read.parquet(trimmed).collect()}
+    assert got == {
+        1: (boiler + " u1 u2", 0),  # first occurrence: nothing to probe
+        2: ("v1", 5),
+        3: ("w1 w2 w3 w4 w5 w6", 0),
+        4: ("x1", 5),
+    }
+    n_idx = spark.read.parquet(idx).count()
+
+    # rerun with nothing new landed: checkpoint makes it a no-op
+    span_dedup_stream(spark, landing, ckpt, trimmed, idx, n=5)
+    assert spark.read.parquet(trimmed).count() == 4
+    assert spark.read.parquet(idx).count() == n_idx
+    assert os.path.isdir(ckpt)
