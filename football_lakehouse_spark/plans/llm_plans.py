@@ -8017,11 +8017,15 @@ def incremental_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Span-TRIMMED corpus (r9; the consumer of q283): every document "
     "rewritten with its duplicate spans removed — Lee et al. 2022 train "
-    "on exactly this output. Spans aggregate to one small array per "
-    "spanned doc (left-joined so untouched docs pass through), and the "
-    "removal is a positional lambda filter over the token array — "
-    "map-side, no token-row explode, output exactly corpus-sized "
-    "(north star: dedup → curation handoff).",
+    "on exactly this output. DELIBERATE semantics choice (r10): this "
+    "removes EVERY occurrence (Lee et al.'s aggressive ExactSubstr — "
+    "duplicated content vanishes entirely); the keep-one-canonical "
+    "variant curation users usually want is q288 "
+    "(trim_duplicate_spans(keep_canonical=True)). Spans aggregate to "
+    "one small array per spanned doc (left-joined so untouched docs "
+    "pass through), and the removal is a positional lambda filter over "
+    "the token array — map-side, no token-row explode, output exactly "
+    "corpus-sized (north star: dedup → curation handoff).",
     tags=("llm", "dedup"),
 )
 def span_trimmed_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
