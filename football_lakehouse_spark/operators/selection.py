@@ -48,6 +48,12 @@ def token_budget_select(
     distributed: per-score-bucket windows plus a broadcast bucket-prefix
     table (see module docstring for the decomposition).
     """
+    if bucket_width < 1:
+        raise ValueError(
+            f"token_budget_select: bucket_width must be >= 1 (got "
+            f"{bucket_width}); width 0 divides by zero and a negative "
+            "width inverts the bucket order"
+        )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(score_col).cast("bigint").alias("score"),
@@ -302,6 +308,12 @@ def source_quota_select(
         .cast("bigint")
         .alias("quota")
     )
+    if bucket_width is not None and bucket_width < 1:
+        raise ValueError(
+            f"source_quota_select: bucket_width must be >= 1 (got "
+            f"{bucket_width}); width 0 divides by zero and a negative "
+            "width inverts the bucket order"
+        )
     if bucket_width is None:
         w = (
             Window.partitionBy("source")

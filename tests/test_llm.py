@@ -1281,6 +1281,29 @@ def test_source_quota_select_semantics(spark):
     assert got[7] == (10, 5, False)
 
 
+def test_selection_bucket_width_validated(spark):
+    """r10 hardening: bucket_width < 1 is a named error in both the
+    global-budget and per-source selectors — width 0 would divide by
+    zero inside the plan (a NULL bucket, silently collapsing the
+    decomposition) and a negative width inverts the bucket order."""
+    import pytest
+
+    from football_lakehouse_spark.operators.selection import (
+        source_quota_select,
+        token_budget_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", 5, 10)],
+        "doc_id long, source string, score long, n_tokens long",
+    )
+    for bad in (0, -16):
+        with pytest.raises(ValueError, match="bucket_width must be >= 1"):
+            token_budget_select(docs, budget=10, bucket_width=bad)
+        with pytest.raises(ValueError, match="bucket_width must be >= 1"):
+            source_quota_select(docs, bucket_width=bad)
+
+
 def test_source_quota_integer_division_past_2pow53(spark):
     """ADVICE r9 regression: the quota must be TRUE integral division.
     Witness: a source whose token sum × 60 exceeds 2^53 — double
