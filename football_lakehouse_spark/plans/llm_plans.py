@@ -8320,8 +8320,16 @@ def span_dedup_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("total_tokens"),
         )
         .withColumn(
+            # DECIMAL(38,0) before the ×1e6: a source past ~9.2e12
+            # duplicated tokens (≈37 TB of dup text) overflows bigint
+            # in the product — ANSI Spark ERRORS there, so the plain
+            # form is a crash at extreme scale, not a wrong answer.
+            # DuckDB's sum() is already HUGEINT; `div`/`//` keep the
+            # ppm integral on both engines.
             "dup_ppm",
-            F.expr("dup_tokens * 1000000 div total_tokens").cast("bigint"),
+            F.expr(
+                "CAST(dup_tokens AS DECIMAL(38,0)) * 1000000 div total_tokens"
+            ).cast("bigint"),
         )
     )
 
