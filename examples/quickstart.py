@@ -76,6 +76,18 @@ def main() -> None:
     topk = brute_force_topk(emb.where("vec_id < 3"), emb, k=3)
     topk.show(9, truncate=False)
 
+    print("== LLM-data: passage-level span dedup (Lee et al. granularity)")
+    from football_lakehouse_spark.operators.dedup import (  # noqa: E402
+        duplicate_spans,
+        trim_duplicate_spans,
+    )
+
+    spans = duplicate_spans(docs, n=5, min_docs=2)
+    trimmed = trim_duplicate_spans(docs, spans, keep_canonical=True)
+    removed = trimmed.agg(F.sum("n_tokens_removed")).collect()[0][0]
+    print("   duplicate spans:", spans.count(),
+          "| tokens trimmed (keep-one-canonical):", removed)
+
     spark.stop()
     print("done.")
 
