@@ -272,6 +272,9 @@ def span_dedup_stream(
     index_dir: str,
     n: int = 5,
     doc_schema: str = "doc_id BIGINT, text STRING",
+    trimmed_table: LakehouseTable | None = None,
+    index_table: LakehouseTable | None = None,
+    app_id: str = "span-dedup-stream",
 ) -> None:
     """Streaming passage-level dedup — the span-index lifecycle
     (q283/q285/q289) wired into Structured Streaming: each micro-batch
@@ -289,13 +292,25 @@ def span_dedup_stream(
     Per-batch cost is O(batch) plus one map-side SCAN of the key
     index (never an index shuffle — the r9 double-semi direction;
     growth soak in SCALING r10 shows flat per-batch cost across ten
-    appends). ``foreachBatch`` is at-least-once: a replayed batch
-    would re-append trimmed rows and index keys. Duplicate index keys
-    are semantically harmless (the probe is a left-semi), and
-    production corpus sinks take the ``append_txn`` idempotence
-    pattern (:func:`append_stream_exactly_once`); this recipe keeps
-    plain parquet appends because its registry query drains each
-    landing wave exactly once under ``availableNow``.
+    appends).
+
+    Delivery semantics, two shapes:
+
+    * plain-dir form (``trimmed_dir``/``index_dir``, the default) —
+      ``foreachBatch`` is at-least-once, so a batch replayed after a
+      sink failure re-appends its trimmed rows and index keys.
+      Duplicate index keys are semantically harmless (the probe is a
+      left-semi); duplicate trimmed rows are the price of the simple
+      form. Fine for the registry query, which drains each landing
+      wave exactly once under ``availableNow``.
+    * EXACTLY-ONCE form — pass ``trimmed_table`` and ``index_table``
+      (:class:`LakehouseTable`): both sinks commit via ``append_txn``
+      with (``app_id``, epoch), so a replayed micro-batch is detected
+      table-side and SKIPPED — no duplicate trimmed rows AND no
+      duplicate index keys, the production shape
+      (:func:`append_stream_exactly_once` is the generic primitive).
+      Pass both or neither: a half-transactional pair would desync the
+      corpus from its index on replay.
     """
     from football_lakehouse_spark.operators.dedup import (
         append_span_keys,
@@ -303,23 +318,44 @@ def span_dedup_stream(
         trim_duplicate_spans,
     )
 
+    if (trimmed_table is None) != (index_table is None):
+        raise ValueError(
+            "span_dedup_stream: pass BOTH trimmed_table and index_table "
+            "(exactly-once form) or NEITHER (plain-dir form) — a "
+            "half-transactional pair desyncs the corpus from its index "
+            "on micro-batch replay"
+        )
     stream = spark.readStream.schema(doc_schema).parquet(landing_dir)
 
-    def _sink(batch: DataFrame, _epoch: int) -> None:
+    def _sink(batch: DataFrame, epoch: int) -> None:
         s = batch.sparkSession
         batch.persist()
         try:
-            if os.path.isdir(index_dir):
+            if index_table is not None:
+                stored = (
+                    index_table.read()
+                    if index_table.exists()
+                    else s.createDataFrame([], "k BIGINT")
+                )
+            elif os.path.isdir(index_dir):
                 stored = s.read.parquet(index_dir)
             else:
                 stored = s.createDataFrame([], "k BIGINT")
             spans = incremental_duplicate_spans(batch, corpus_keys=stored, n=n)
-            trim_duplicate_spans(batch, spans).write.mode("append").parquet(
-                trimmed_dir
-            )
-            append_span_keys(stored, batch, n=n).write.mode("append").parquet(
-                index_dir
-            )
+            trimmed = trim_duplicate_spans(batch, spans)
+            new_keys = append_span_keys(stored, batch, n=n)
+            if trimmed_table is not None and index_table is not None:
+                trimmed_table.append_txn(
+                    trimmed, app_id=app_id, txn_version=int(epoch)
+                )
+                index_table.append_txn(
+                    new_keys,
+                    app_id=f"{app_id}-index",
+                    txn_version=int(epoch),
+                )
+            else:
+                trimmed.write.mode("append").parquet(trimmed_dir)
+                new_keys.write.mode("append").parquet(index_dir)
         finally:
             batch.unpersist()
 

@@ -531,3 +531,51 @@ def test_span_dedup_stream_waves_and_rerun(spark, tmp_path):
     assert spark.read.parquet(trimmed).count() == 4
     assert spark.read.parquet(idx).count() == n_idx
     assert os.path.isdir(ckpt)
+
+
+def test_span_dedup_stream_exactly_once_tables(spark, tmp_path):
+    """The exactly-once form: trimmed corpus and index commit via
+    append_txn, so a REPLAYED micro-batch (same epoch, fresh
+    checkpoint over the same landing) is skipped table-side — no
+    duplicate trimmed rows AND no duplicate index keys. Also pins the
+    pass-both-or-neither validation."""
+    import pytest
+
+    from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+    from football_lakehouse_spark.streaming.ingest import span_dedup_stream
+
+    root = str(tmp_path / "lake")
+    landing = str(tmp_path / "landing")
+    trimmed_t = LakehouseTable(spark, root, "silver", "trimmed_docs")
+    index_t = LakehouseTable(spark, root, "silver", "span_keys")
+
+    with pytest.raises(ValueError, match="BOTH trimmed_table and index_table"):
+        span_dedup_stream(
+            spark, landing, str(tmp_path / "ck0"), "", "",
+            trimmed_table=trimmed_t,
+        )
+
+    boiler = "b1 b2 b3 b4 b5"
+    spark.createDataFrame(
+        [(1, boiler + " u1"), (2, "v1 " + boiler)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(landing)
+    span_dedup_stream(
+        spark, landing, str(tmp_path / "ck1"), "", "",
+        trimmed_table=trimmed_t, index_table=index_t,
+    )
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in trimmed_t.read().collect()}
+    # both docs share the boilerplate -> both occurrences trimmed
+    assert got == {1: ("u1", 5), 2: ("v1", 5)}
+    n_keys = index_t.read().count()
+    assert n_keys > 0
+
+    # simulate a replay: a FRESH checkpoint re-reads the same landing
+    # and re-runs epoch 0 — append_txn must skip both sinks
+    span_dedup_stream(
+        spark, landing, str(tmp_path / "ck2"), "", "",
+        trimmed_table=trimmed_t, index_table=index_t,
+    )
+    assert trimmed_t.read().count() == 2
+    assert index_t.read().count() == n_keys
