@@ -95,6 +95,36 @@ class ConcurrentWriteError(RuntimeError):
     concurrency, Delta ConcurrentModificationException parity): nothing
     was committed; re-read and retry."""
 
+
+class MergeSourceDuplicateError(ValueError):
+    """The MERGE source batch carries duplicate key tuples — Delta
+    parity with DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE.
+    Deduplicating silently would pick a nondeterministic winner;
+    pre-dedupe upstream with an explicit ordering (``dedupe_updates``)."""
+
+
+def _require_unique_keys(
+    updates: DataFrame, keys: Sequence[str], where: str
+) -> None:
+    """Raise :class:`MergeSourceDuplicateError` if any key tuple occurs
+    more than once in ``updates``. One batch-sized aggregation; the
+    sample keys in the message make the upstream bug findable."""
+    dups = (
+        updates.groupBy(*keys)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(3)
+        .collect()
+    )
+    if dups:
+        sample = [tuple(r[k] for k in keys) for r in dups]
+        raise MergeSourceDuplicateError(
+            f"{where}: duplicate source key(s) for {list(keys)} — e.g. "
+            f"{sample}; MERGE requires key-unique sources (Delta raises "
+            "the same at runtime). Pre-dedupe with an explicit ordering, "
+            "e.g. dedupe_updates(batch, keys, order_desc)."
+        )
+
 #: Spark/Hive's on-disk name for a NULL partition value
 _DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
 #: chars Spark escapes in partition dir names (ExternalCatalogUtils:
@@ -875,7 +905,19 @@ class LakehouseTable:
         partition column (the merged rows are rewritten partition-wise
         and Spark needs the values to route them); a batch missing them
         raises a clear error instead of an opaque AnalysisException.
+
+        Duplicate SOURCE keys are rejected loudly (r10; the same
+        contract as Delta's multiple-source-rows-matched runtime error,
+        and what this branch previously only documented): silently
+        keeping an arbitrary duplicate would make the merged value
+        nondeterministic across runs, and silently inserting both (the
+        old parquet-branch behaviour) violates key uniqueness.
+        Pre-dedupe deterministically upstream — streaming callers use
+        ``dedupe_updates`` (latest wins by explicit order columns).
+        NOTE eager action: one batch-sized aggregation prices the check
+        (same family as delete()'s predicate count).
         """
+        _require_unique_keys(updates, keys, f"merge into {self.base}")
         if not self.exists():
             return self.append(updates)
         base = self.read()

@@ -31,6 +31,8 @@ are verified — the standard MinHash/LSH contract.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, functions as F
 
 from football_lakehouse_spark.functions.text import portable_hash, ws_tokens
@@ -798,10 +800,16 @@ def _positional_shingle_keys(
     ).select(id_col, "pos", F.xxhash64("s").alias("k"))
 
 
-def _positions_to_spans(hits: DataFrame, n: int, id_col: str) -> DataFrame:
+def _positions_to_spans(
+    hits: DataFrame, n: int, id_col: str, flag_col: str | None = None
+) -> DataFrame:
     """Gaps-and-islands merge of duplicated positions into maximal
     half-open spans ``[span_start, span_end)``. Window is partitioned
-    by document — distributed across docs, never global."""
+    by document — distributed across docs, never global. With
+    ``flag_col`` (an int 0/1 provenance marker on each position), the
+    span carries ``in_corpus`` = whether ANY of its positions was
+    flagged — the streaming trim uses it to distinguish
+    already-stored content from content first seen in this batch."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -811,19 +819,21 @@ def _positions_to_spans(hits: DataFrame, n: int, id_col: str) -> DataFrame:
         F.lit(1)
     )
     islands = hits.withColumn("island", F.sum(brk).over(w))
-    return (
-        islands.groupBy(id_col, "island")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + n).cast("bigint").alias("span_end"),
-        )
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
-        )
-    )
+    aggs = [
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + n).cast("bigint").alias("span_end"),
+    ]
+    if flag_col is not None:
+        aggs.append((F.max(flag_col) == 1).alias("in_corpus"))
+    out_cols = [
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    ]
+    if flag_col is not None:
+        out_cols.append("in_corpus")
+    return islands.groupBy(id_col, "island").agg(*aggs).select(*out_cols)
 
 
 def span_key_index(
@@ -871,6 +881,79 @@ def append_span_keys(
     )
     matched = index_keys.join(batch_keys, "k", "left_semi")
     return batch_keys.join(matched, "k", "left_anti")
+
+
+def span_probe_and_new_keys(
+    batch: DataFrame,
+    corpus_keys: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_corpus_overlap: bool = False,
+) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
+    """Fused ``(incremental_duplicate_spans, append_span_keys)`` for
+    one arriving batch — the streaming-sink shape (r10 review): calling
+    the two ops separately scans the corpus-sized key index TWICE per
+    micro-batch (each independently computes ``index ⋉ batch_keys``),
+    doubling the per-batch index I/O that the growth soak's flat-cost
+    claim rests on. Here the probe's ``matched`` set (batch-bounded)
+    and the batch's distinct keys are PERSISTED, so the first action
+    materialises the single index scan and the second consumer reuses
+    the cache: spans and new keys from ONE probe.
+
+    Returns ``(spans, new_keys, release)``; call ``release()`` after
+    both DataFrames have been consumed (written/collected) to drop the
+    cached intermediates — essential in a long-running stream, where
+    leaked per-batch caches grow without bound.
+
+    With ``flag_corpus_overlap=True`` the spans carry an ``in_corpus``
+    boolean: whether ANY position of the span matched the stored index
+    (vs duplicated only within this batch). The streaming
+    keep-canonical trim needs it — content already stored must be
+    trimmed from EVERY arrival (its canonical survived in an earlier
+    batch), while batch-new content keeps its lowest occurrence.
+    """
+    from pyspark import StorageLevel
+
+    batch_sh = _positional_shingle_keys(batch, n, id_col, text_col)
+    batch_keys = (
+        batch_sh.select("k").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    matched = corpus_keys.join(batch_keys, "k", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hits_corpus = batch_sh.join(matched, "k", "left_semi")
+    batch_dup = (
+        batch_sh.groupBy("k")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("k")
+    )
+    hits_batch = batch_sh.join(batch_dup, "k", "left_semi")
+    if flag_corpus_overlap:
+        hits = (
+            hits_corpus.select(id_col, "pos", F.lit(1).alias("__corp"))
+            .unionByName(
+                hits_batch.select(id_col, "pos", F.lit(0).alias("__corp"))
+            )
+            .groupBy(id_col, "pos")
+            .agg(F.max("__corp").alias("__corp"))
+        )
+        spans = _positions_to_spans(hits, n, id_col, flag_col="__corp")
+    else:
+        hits = (
+            hits_corpus.select(id_col, "pos")
+            .unionByName(hits_batch.select(id_col, "pos"))
+            .distinct()
+        )
+        spans = _positions_to_spans(hits, n, id_col)
+    new_keys = batch_keys.join(matched, "k", "left_anti")
+
+    def release() -> None:
+        matched.unpersist()
+        batch_keys.unpersist()
+
+    return spans, new_keys, release
 
 
 def incremental_duplicate_spans(
@@ -934,6 +1017,50 @@ def incremental_duplicate_spans(
     return _positions_to_spans(hits, n, id_col)
 
 
+def _non_canonical_spans(
+    docs: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The keep-one-canonical TRIM SET: every span row except the
+    lowest-(doc_id, span_start) occurrence of each distinct covered
+    token sequence. Input spans are deduped on (id, start, end) first —
+    idempotence under at-least-once span materialisation (r10 review:
+    a replayed span row would get rn=2 at the canonical's exact
+    coordinates and trim the survivor). The election windows over a
+    fixed-width 64-char sha2-256 content digest (full digest, not a
+    truncation: the election merges GROUPS, so a hash collision would
+    trim a non-duplicate occurrence)."""
+    from pyspark.sql import Window
+
+    spans = spans.dropDuplicates([id_col, "span_start", "span_end"])
+    toks_by_doc = docs.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    )
+    content = spans.join(toks_by_doc, id_col).select(
+        id_col,
+        "span_start",
+        "span_end",
+        F.sha2(
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    (F.col("span_start") + 1).cast("int"),
+                    (F.col("span_end") - F.col("span_start")).cast("int"),
+                ),
+                " ",
+            ),
+            256,
+        ).alias("__ch"),
+    )
+    w = Window.partitionBy("__ch").orderBy(
+        F.col(id_col).asc(), F.col("span_start").asc()
+    )
+    return (
+        content.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(id_col, "span_start", "span_end")
+    )
+
+
 def trim_duplicate_spans(
     docs: DataFrame,
     spans: DataFrame,
@@ -971,40 +1098,14 @@ def trim_duplicate_spans(
     election adds one spans-sized join back to docs (to slice each
     span's covered tokens) and a window PARTITIONED BY CONTENT HASH —
     distributed across distinct passages, never global, and the token
-    slice crosses the wire as an 8-byte sha2 prefix, never the text.
+    slice crosses the wire as a fixed-width 64-char sha2-256 digest,
+    never the unbounded passage text (full digest, not a truncation:
+    the election merges GROUPS, so a hash collision would trim a
+    non-duplicate occurrence — 256 bits keeps that impossible in
+    practice where an 8-byte key would make it merely unlikely).
     """
     if keep_canonical:
-        from pyspark.sql import Window
-
-        toks_by_doc = docs.select(
-            F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
-        )
-        # covered token sequence of each span row, hashed so the window
-        # key (and the shuffle) is fixed-width, not passage-sized
-        content = spans.join(toks_by_doc, id_col).select(
-            id_col,
-            "span_start",
-            "span_end",
-            F.sha2(
-                F.array_join(
-                    F.slice(
-                        F.col("__toks"),
-                        (F.col("span_start") + 1).cast("int"),
-                        (F.col("span_end") - F.col("span_start")).cast("int"),
-                    ),
-                    " ",
-                ),
-                256,
-            ).alias("__ch"),
-        )
-        w = Window.partitionBy("__ch").orderBy(
-            F.col(id_col).asc(), F.col("span_start").asc()
-        )
-        spans = (
-            content.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") > 1)
-            .select(id_col, "span_start", "span_end")
-        )
+        spans = _non_canonical_spans(docs, spans, id_col, text_col)
     span_arrays = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(

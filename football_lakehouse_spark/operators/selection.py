@@ -324,10 +324,23 @@ def source_quota_select(
             "cum_tokens", F.sum("n_tokens").over(w)
         )
     else:
+        # NOTE on reuse: this is bucketed_prefix's decomposition with a
+        # partition key in front. It keeps a window (not the triangular
+        # join bucketed_prefix uses) because the prefix here is
+        # PARTITIONED BY SOURCE — a non-constant key, so Spark 4's
+        # EliminateWindowPartitions (the reason bucketed_prefix avoids
+        # windows) cannot fold it, and the windowed form stays exact
+        # over the sources × occupied-buckets table.
         bucketed = base.withColumn(
             "bucket", F.floor(F.col("score") / bucket_width).cast("bigint")
         )
-        # per-(source, bucket) totals: sources × occupied buckets rows
+        # per-(source, bucket) totals: sources × occupied buckets rows.
+        # A NULL score yields a NULL bucket — kept as its own group so
+        # NULL-score docs survive the decomposition (bit-identity with
+        # the plain form, whose source-only join never sees the bucket):
+        # desc ordering puts NULLS LAST in both engines, so the NULL
+        # bucket's prefix is the sum of every real bucket, exactly the
+        # plain form's "NULL scores sort after everything" position.
         bucket_tot = bucketed.groupBy("source", "bucket").agg(
             F.sum("n_tokens").alias("btok")
         )
@@ -337,8 +350,8 @@ def source_quota_select(
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         bucket_prefix = bucket_tot.select(
-            "source",
-            "bucket",
+            F.col("source").alias("__bp_source"),
+            F.col("bucket").alias("__bp_bucket"),
             F.coalesce(F.sum("btok").over(w_better), F.lit(0)).alias(
                 "__cum_before"
             ),
@@ -352,7 +365,14 @@ def source_quota_select(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         cum = (
-            bucketed.join(F.broadcast(bucket_prefix), ["source", "bucket"])
+            bucketed.join(
+                F.broadcast(bucket_prefix),
+                (F.col("source") == F.col("__bp_source"))
+                # null-safe on bucket: a plain equi-join would DROP the
+                # NULL-score rows the plain form keeps
+                & F.col("bucket").eqNullSafe(F.col("__bp_bucket")),
+            )
+            .drop("__bp_source", "__bp_bucket")
             .join(F.broadcast(quotas), "source")
             .withColumn(
                 "cum_tokens",

@@ -29,7 +29,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+from football_lakehouse_spark.lakehouse.tables import (
+    LakehouseTable,
+    _require_unique_keys,
+)
 
 
 def delta_available() -> bool:
@@ -195,12 +198,13 @@ class DeltaBackedTable:
     def merge(self, updates: DataFrame, keys: Sequence[str]) -> int:
         """Upsert by key — Delta MERGE with null-safe key equality
         (parity with LakehouseTable.merge, which matches NULL keys).
-        Duplicate source keys are collapsed BEFORE the MERGE (ADVICE
-        r9): Delta throws a multiple-source-rows-matched error at
-        runtime where the parquet branch merely documents the
-        uniqueness precondition — deduping here keeps one contract
-        across both bindings (and matches the bootstrap path below)."""
-        updates = updates.dropDuplicates(list(keys))
+        Duplicate source keys are REJECTED before the MERGE with the
+        shared :class:`MergeSourceDuplicateError` (ADVICE r9, sharpened
+        r10: the first fix dropDuplicates'd them, but that keeps a
+        nondeterministic arbitrary row — silently unstable upserts are
+        worse than Delta's loud multiple-source-rows-matched error, so
+        both bindings now validate identically and fail findably)."""
+        _require_unique_keys(updates, keys, f"delta merge into {self.base}")
         if not self.exists():
             # first batch bootstraps the table, as the parquet branch does
             return self.append(updates)

@@ -275,6 +275,7 @@ def span_dedup_stream(
     trimmed_table: LakehouseTable | None = None,
     index_table: LakehouseTable | None = None,
     app_id: str = "span-dedup-stream",
+    keep_canonical: bool = False,
 ) -> None:
     """Streaming passage-level dedup — the span-index lifecycle
     (q283/q285/q289) wired into Structured Streaming: each micro-batch
@@ -311,10 +312,30 @@ def span_dedup_stream(
       (:func:`append_stream_exactly_once` is the generic primitive).
       Pass both or neither: a half-transactional pair would desync the
       corpus from its index on replay.
+
+    Trim semantics at the batch boundary (r10 review): with the
+    default ``keep_canonical=False`` (Lee et al. remove-all), a
+    passage whose only occurrences CO-ARRIVE in one micro-batch is
+    deleted from every doc — content gone entirely — while the same
+    docs split across batches keep the first arrival (it predates the
+    index entry). Ingest batching is an operational accident, so pass
+    ``keep_canonical=True`` when the stored corpus must be
+    boundary-invariant. That needs span PROVENANCE, not just a
+    within-batch election (which would re-keep one occurrence per
+    batch of content the corpus already stores): spans that overlap
+    the stored index (``in_corpus`` — the canonical survived in an
+    earlier batch) are trimmed from every arrival, while batch-new
+    spans keep their lowest-(doc_id, span_start) occurrence — matching
+    the cross-batch first-arrival-survives rule whenever ids are
+    arrival-ordered (the monotonic-id ingest case).
+
+    Each micro-batch probes the index ONCE
+    (:func:`span_probe_and_new_keys` — the separate probe+append calls
+    would scan the corpus-sized key table twice per batch).
     """
     from football_lakehouse_spark.operators.dedup import (
-        append_span_keys,
-        incremental_duplicate_spans,
+        _non_canonical_spans,
+        span_probe_and_new_keys,
         trim_duplicate_spans,
     )
 
@@ -330,6 +351,7 @@ def span_dedup_stream(
     def _sink(batch: DataFrame, epoch: int) -> None:
         s = batch.sparkSession
         batch.persist()
+        release = None
         try:
             if index_table is not None:
                 stored = (
@@ -341,9 +363,27 @@ def span_dedup_stream(
                 stored = s.read.parquet(index_dir)
             else:
                 stored = s.createDataFrame([], "k BIGINT")
-            spans = incremental_duplicate_spans(batch, corpus_keys=stored, n=n)
-            trimmed = trim_duplicate_spans(batch, spans)
-            new_keys = append_span_keys(stored, batch, n=n)
+            spans, new_keys, release = span_probe_and_new_keys(
+                batch, stored, n=n, flag_corpus_overlap=keep_canonical
+            )
+            if keep_canonical:
+                # already-stored content: trim every arrival (the
+                # canonical lives in an earlier batch). Batch-new
+                # content: election keeps the lowest occurrence.
+                cols = ["doc_id", "span_start", "span_end"]
+                trim_set = spans.where(F.col("in_corpus")).select(
+                    *cols
+                ).unionByName(
+                    _non_canonical_spans(
+                        batch,
+                        spans.where(~F.col("in_corpus")).select(*cols),
+                        "doc_id",
+                        "text",
+                    )
+                )
+                trimmed = trim_duplicate_spans(batch, trim_set)
+            else:
+                trimmed = trim_duplicate_spans(batch, spans)
             if trimmed_table is not None and index_table is not None:
                 trimmed_table.append_txn(
                     trimmed, app_id=app_id, txn_version=int(epoch)
@@ -357,6 +397,8 @@ def span_dedup_stream(
                 trimmed.write.mode("append").parquet(trimmed_dir)
                 new_keys.write.mode("append").parquet(index_dir)
         finally:
+            if release is not None:
+                release()
             batch.unpersist()
 
     (

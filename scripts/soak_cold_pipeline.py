@@ -268,10 +268,10 @@ def run_pipeline(
         out = (
             trimmed.join(d.select("doc_id", "source"), "doc_id")
             .withColumn(
+                # ws_tokens drops empty tokens, so a fully-trimmed ''
+                # doc sizes to 0 without a special case
                 "n_tokens",
-                F.when(F.col("text") == "", F.lit(0))
-                .otherwise(F.size(ws_tokens(F.col("text"))))
-                .cast("bigint"),
+                F.size(ws_tokens(F.col("text"))).cast("bigint"),
             )
             .where(F.col("n_tokens") > 0)
         )

@@ -183,49 +183,60 @@ def test_delta_compact_warns_on_ignored_partition_hint(spark, tmp_path, monkeypa
             t.compact(target_partitions=2)
 
 
-def test_delta_merge_dedupes_source_keys(spark, tmp_path, monkeypatch):
-    """ADVICE r9: duplicate source keys must be collapsed BEFORE Delta
-    MERGE (Delta raises multiple-source-rows-matched at runtime; the
-    parquet branch documents uniqueness as a precondition — one
-    contract across both bindings). Pins the wiring with a recording
-    fake merge-builder: the source DataFrame Delta sees is key-unique."""
+def test_delta_merge_rejects_duplicate_source_keys(spark, tmp_path, monkeypatch):
+    """ADVICE r9, sharpened by the r10 review: duplicate source keys
+    must be REJECTED before Delta MERGE, not dropDuplicates'd — a
+    silent arbitrary-winner dedup makes the upsert nondeterministic
+    across runs, strictly worse than Delta's loud
+    multiple-source-rows-matched error. Both bindings share the
+    MergeSourceDuplicateError contract; the guard fires before any
+    DeltaTable call."""
     import sys
     import types
 
+    from football_lakehouse_spark.lakehouse.tables import (
+        MergeSourceDuplicateError,
+    )
+
     fake_delta = types.ModuleType("delta")
     fake_tables = types.ModuleType("delta.tables")
-    fake_tables.DeltaTable = type("D", (), {})
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(s, path):
+            return True
+
+        @staticmethod
+        def forPath(s, path):
+            raise AssertionError("guard must fire before any DeltaTable call")
+
+    fake_tables.DeltaTable = FakeDeltaTable
     fake_delta.tables = fake_tables
     monkeypatch.setitem(sys.modules, "delta", fake_delta)
     monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
     t = connectors.open_table(spark, str(tmp_path), "contract", "mrg",
                               prefer="delta")
-    seen = {}
-
-    class FakeMergeBuilder:
-        def merge(self, src, cond):
-            seen["src"] = src
-            return self
-
-        def alias(self, a):
-            return self
-
-        def whenMatchedUpdateAll(self):
-            return self
-
-        def whenNotMatchedInsertAll(self):
-            return self
-
-        def execute(self):
-            return None
-
-    monkeypatch.setattr(t, "_dt", lambda: FakeMergeBuilder())
-    monkeypatch.setattr(t, "exists", lambda: True)
-    monkeypatch.setattr(type(t), "current_version", lambda self: 1)
     dup = _df(spark, [(1, "a"), (1, "b"), (2, "c")])
-    t.merge(dup, ["k"])
-    got = seen["src"]
-    assert got.select("k").distinct().count() == got.count() == 2
+    with pytest.raises(MergeSourceDuplicateError, match=r"duplicate source key"):
+        t.merge(dup, ["k"])
+
+
+def test_parquet_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """The parquet branch shares the contract: before r10 it silently
+    INSERTED both duplicate rows (violating key uniqueness); now the
+    same named error fires, with sample keys in the message."""
+    from football_lakehouse_spark.lakehouse.tables import (
+        LakehouseTable,
+        MergeSourceDuplicateError,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path), "contract", "pmrg")
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(MergeSourceDuplicateError, match=r"\(1,\)"):
+        t.merge(_df(spark, [(1, "x"), (1, "y")]), ["k"])
+    # unique batch still merges fine after the rejected attempt
+    t.merge(_df(spark, [(1, "x"), (2, "z")]), ["k"])
+    assert _rows(t.read()) == [(1, "x"), (2, "z")]
 
 
 def test_open_table_prefer_validation(spark, tmp_path):

@@ -1304,6 +1304,91 @@ def test_selection_bucket_width_validated(spark):
             source_quota_select(docs, bucket_width=bad)
 
 
+def test_source_quota_bucketed_keeps_null_scores(spark):
+    """r10 review regression: a NULL score must survive the bucketed
+    decomposition — floor(NULL/width) is a NULL bucket, and a plain
+    equi-join on bucket would DROP the row the plain form keeps (it
+    joins on source only). The null-safe join + NULLS-LAST desc
+    ordering put NULL-score docs after every real score, exactly the
+    plain form's position — outputs stay bit-identical."""
+    from football_lakehouse_spark.operators.selection import (
+        source_quota_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", 90, 30), (2, "a", None, 20), (3, "a", 80, 10),
+         (4, "b", None, 5), (5, "b", None, 5)],
+        "doc_id long, source string, score long, n_tokens long",
+    )
+    plain = sorted(
+        tuple(r) for r in source_quota_select(docs, quota_pct=50).collect()
+    )
+    bucketed = sorted(
+        tuple(r)
+        for r in source_quota_select(
+            docs, quota_pct=50, bucket_width=16
+        ).collect()
+    )
+    assert len(plain) == 5  # nothing dropped in either form
+    assert bucketed == plain
+
+
+def test_trim_keep_canonical_idempotent_under_duplicate_span_rows(spark):
+    """r10 review regression: a spans input with a REPLAYED row (same
+    doc_id/span_start/span_end twice — at-least-once materialisation)
+    must not trim the canonical occurrence: without dedup the second
+    copy gets rn=2 at the canonical's exact coordinates and deletes
+    the survivor."""
+    from football_lakehouse_spark.operators.dedup import trim_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4 c5 z1"), (2, "y1 c1 c2 c3 c4 c5")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        # doc 1's span row appears TWICE (replayed append)
+        [(1, 0, 5, 5), (1, 0, 5, 5), (2, 1, 6, 5)],
+        "doc_id long, span_start long, span_end long, dup_tokens long",
+    )
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in trim_duplicate_spans(
+               docs, spans, keep_canonical=True).collect()}
+    assert got == {1: ("c1 c2 c3 c4 c5 z1", 0), 2: ("y1", 5)}
+
+
+def test_span_probe_and_new_keys_matches_separate_ops(spark):
+    """Refactor guard for the fused streaming probe: spans and new
+    keys from span_probe_and_new_keys are identical to the separate
+    incremental_duplicate_spans + append_span_keys results (one index
+    scan instead of two is a plan property, not a semantics change)."""
+    from football_lakehouse_spark.operators.dedup import (
+        append_span_keys,
+        incremental_duplicate_spans,
+        span_key_index,
+        span_probe_and_new_keys,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, "s1 s2 s3 s4 s5 s6")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(20, "s1 s2 s3 s4 s5 p1"), (21, "a1 a2 a3 a4 a5 a6"),
+         (22, "a1 a2 a3 a4 a5 zz")],
+        "doc_id long, text string",
+    )
+    idx = span_key_index(corpus, n=5)
+    spans_f, keys_f, release = span_probe_and_new_keys(batch, idx, n=5)
+    spans_sep = incremental_duplicate_spans(batch, corpus_keys=idx, n=5)
+    keys_sep = append_span_keys(idx, batch, n=5)
+    assert sorted(tuple(r) for r in spans_f.collect()) == sorted(
+        tuple(r) for r in spans_sep.collect()
+    )
+    assert sorted(r.k for r in keys_f.collect()) == sorted(
+        r.k for r in keys_sep.collect()
+    )
+    release()
+
+
 def test_source_quota_integer_division_past_2pow53(spark):
     """ADVICE r9 regression: the quota must be TRUE integral division.
     Witness: a source whose token sum × 60 exceeds 2^53 — double

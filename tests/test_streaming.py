@@ -579,3 +579,38 @@ def test_span_dedup_stream_exactly_once_tables(spark, tmp_path):
     )
     assert trimmed_t.read().count() == 2
     assert index_t.read().count() == n_keys
+
+
+def test_span_dedup_stream_keep_canonical_boundary_invariant(spark, tmp_path):
+    """r10 review: with keep_canonical=True the stored corpus is the
+    SAME whether two sharing docs co-arrive in one micro-batch or one
+    wave apart (ids arrival-ordered) — the within-batch election keeps
+    the lowest (doc_id, span_start) occurrence, matching the
+    cross-batch first-arrival-survives rule. The default remove-all
+    form is batch-boundary DEPENDENT by design (documented)."""
+    from football_lakehouse_spark.streaming.ingest import span_dedup_stream
+
+    boiler = "b1 b2 b3 b4 b5"
+    rows = [(1, boiler + " u1"), (2, "v1 " + boiler)]
+
+    def run(tag, waves):
+        landing = str(tmp_path / f"landing_{tag}")
+        trimmed = str(tmp_path / f"trimmed_{tag}")
+        idx = str(tmp_path / f"idx_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        for wave in waves:
+            spark.createDataFrame(
+                wave, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(landing)
+            span_dedup_stream(
+                spark, landing, ckpt, trimmed, idx, n=5,
+                keep_canonical=True,
+            )
+        return {r.doc_id: (r.text, r.n_tokens_removed)
+                for r in spark.read.parquet(trimmed).collect()}
+
+    together = run("one", [rows])
+    split = run("two", [[rows[0]], [rows[1]]])
+    expect = {1: (boiler + " u1", 0), 2: ("v1", 5)}
+    assert together == expect
+    assert split == expect
