@@ -103,16 +103,19 @@ class MergeSourceDuplicateError(ValueError):
     pre-dedupe upstream with an explicit ordering (``dedupe_updates``)."""
 
 
-def _require_unique_keys(
+def require_unique_merge_keys(
     updates: DataFrame, keys: Sequence[str], where: str
 ) -> None:
     """Raise :class:`MergeSourceDuplicateError` if any key tuple occurs
-    more than once in ``updates``. One batch-sized aggregation; the
-    sample keys in the message make the upstream bug findable."""
+    more than once in ``updates``. One batch-sized map-side-combined
+    aggregation; the sample keys in the message make the upstream bug
+    findable. Public: the Delta binding shares this exact contract.
+    The count is aliased (never bare ``.count()``) so a merge key
+    literally named ``count`` cannot collide with the aggregate."""
     dups = (
         updates.groupBy(*keys)
-        .count()
-        .where(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
         .limit(3)
         .collect()
     )
@@ -915,9 +918,23 @@ class LakehouseTable:
         Pre-dedupe deterministically upstream — streaming callers use
         ``dedupe_updates`` (latest wins by explicit order columns).
         NOTE eager action: one batch-sized aggregation prices the check
-        (same family as delete()'s predicate count).
+        (same family as delete()'s predicate count). The update batch
+        is PERSISTED for the duration of the merge: its lineage can be
+        arbitrarily expensive (scd_apply_type2 feeds a multi-window
+        plan) and merge evaluates it several times — validation, the
+        partition probes, and the staged write (the multiple uses
+        predate the check; the persist pays all of them once).
         """
-        _require_unique_keys(updates, keys, f"merge into {self.base}")
+        from pyspark import StorageLevel
+
+        updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_impl(updates, keys)
+        finally:
+            updates.unpersist()
+
+    def _merge_impl(self, updates: DataFrame, keys: Sequence[str]) -> int:
+        require_unique_merge_keys(updates, keys, f"merge into {self.base}")
         if not self.exists():
             return self.append(updates)
         base = self.read()

@@ -806,18 +806,27 @@ def _positions_to_spans(
     """Gaps-and-islands merge of duplicated positions into maximal
     half-open spans ``[span_start, span_end)``. Window is partitioned
     by document — distributed across docs, never global. With
-    ``flag_col`` (an int 0/1 provenance marker on each position), the
-    span carries ``in_corpus`` = whether ANY of its positions was
-    flagged — the streaming trim uses it to distinguish
-    already-stored content from content first seen in this batch."""
+    ``flag_col`` (an int 0/1 provenance marker on each position),
+    islands additionally BREAK at provenance changes and the span
+    carries ``in_corpus``: merging mixed-provenance positions into one
+    span would mark batch-new content adjacent to stored boilerplate
+    as in_corpus and trim it from EVERY arrival with no canonical kept
+    (permanent content loss — r10 review); splitting keeps the
+    corpus-hit sub-span trim-everywhere and gives the batch-new
+    sub-span its election. The sub-spans overlap by up to ``n-1``
+    tokens at the seam (each position covers n tokens) — the trim is a
+    positional union, so overlap is harmless."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
     # equal-length intervals [pos, pos+n): merge when the gap to the
     # previous duplicated position is <= n (overlap or exact adjacency)
-    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)).otherwise(
-        F.lit(1)
-    )
+    adjacent = F.col("pos") - F.lag("pos").over(w) <= n
+    if flag_col is not None:
+        adjacent = adjacent & (
+            F.col(flag_col) == F.lag(flag_col).over(w)
+        )
+    brk = F.when(adjacent, F.lit(0)).otherwise(F.lit(1))
     islands = hits.withColumn("island", F.sum(brk).over(w))
     aggs = [
         F.min("pos").cast("bigint").alias("span_start"),
@@ -874,13 +883,12 @@ def append_span_keys(
     not corrupt the probe (left-semi tolerates duplicates); the anti
     exists to keep the stored index tight at one row per distinct key.
     """
-    batch_keys = (
-        _positional_shingle_keys(batch, n, id_col, text_col)
-        .select("k")
-        .distinct()
+    # one probe implementation repo-wide (r10 review): delegate to the
+    # fused core, persist-free — only the new-keys DAG is consumed
+    _, new_keys, _ = span_probe_and_new_keys(
+        batch, index_keys, n, id_col, text_col, persist=False
     )
-    matched = index_keys.join(batch_keys, "k", "left_semi")
-    return batch_keys.join(matched, "k", "left_anti")
+    return new_keys
 
 
 def span_probe_and_new_keys(
@@ -890,16 +898,25 @@ def span_probe_and_new_keys(
     id_col: str = "doc_id",
     text_col: str = "text",
     flag_corpus_overlap: bool = False,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
-    """Fused ``(incremental_duplicate_spans, append_span_keys)`` for
-    one arriving batch — the streaming-sink shape (r10 review): calling
-    the two ops separately scans the corpus-sized key index TWICE per
-    micro-batch (each independently computes ``index ⋉ batch_keys``),
-    doubling the per-batch index I/O that the growth soak's flat-cost
-    claim rests on. Here the probe's ``matched`` set (batch-bounded)
-    and the batch's distinct keys are PERSISTED, so the first action
-    materialises the single index scan and the second consumer reuses
-    the cache: spans and new keys from ONE probe.
+    """THE span probe — the one implementation of the double-semi
+    index probe, intra-batch dup detection, and new-key anti (r10
+    review: three hand-copies had started to accumulate;
+    ``incremental_duplicate_spans`` and ``append_span_keys`` now
+    delegate here, so a future change to the probe direction or the
+    nd>=2 rule cannot silently diverge).
+
+    Fused streaming-sink shape: calling the two public ops separately
+    scans the corpus-sized key index TWICE per micro-batch (each
+    independently computes ``index ⋉ batch_keys``), doubling the
+    per-batch index I/O that the growth soak's flat-cost claim rests
+    on. With ``persist=True`` the probe's ``matched`` set
+    (batch-bounded) and the batch's distinct keys are PERSISTED, so
+    the first action materialises the single index scan and the second
+    consumer reuses the cache: spans and new keys from ONE probe.
+    ``persist=False`` (the delegating single-consumer ops) skips the
+    caching and ``release`` is a no-op.
 
     Returns ``(spans, new_keys, release)``; call ``release()`` after
     both DataFrames have been consumed (written/collected) to drop the
@@ -916,12 +933,12 @@ def span_probe_and_new_keys(
     from pyspark import StorageLevel
 
     batch_sh = _positional_shingle_keys(batch, n, id_col, text_col)
-    batch_keys = (
-        batch_sh.select("k").distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    matched = corpus_keys.join(batch_keys, "k", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    batch_keys = batch_sh.select("k").distinct()
+    if persist:
+        batch_keys = batch_keys.persist(StorageLevel.MEMORY_AND_DISK)
+    matched = corpus_keys.join(batch_keys, "k", "left_semi")
+    if persist:
+        matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
     hits_corpus = batch_sh.join(matched, "k", "left_semi")
     batch_dup = (
         batch_sh.groupBy("k")
@@ -950,8 +967,9 @@ def span_probe_and_new_keys(
     new_keys = batch_keys.join(matched, "k", "left_anti")
 
     def release() -> None:
-        matched.unpersist()
-        batch_keys.unpersist()
+        if persist:
+            matched.unpersist()
+            batch_keys.unpersist()
 
     return spans, new_keys, release
 
@@ -983,7 +1001,6 @@ def incremental_duplicate_spans(
     attached (same note as `incremental_neardups`; the r9 span soak
     measures both forms).
     """
-    batch_sh = _positional_shingle_keys(batch, n, id_col, text_col)
     if corpus_keys is None:
         if corpus is None:
             raise ValueError(
@@ -997,27 +1014,16 @@ def incremental_duplicate_spans(
     # the 230M-key SMJ dominated the ×1000 probe in the r9 span soak).
     # Probing the index WITH the batch's distinct keys first keeps both
     # small sides on the right — AQE broadcasts them at runtime — and
-    # the index is scanned map-side, never shuffled.
-    batch_keys = batch_sh.select("k").distinct()
-    matched = corpus_keys.join(batch_keys, "k", "left_semi")
-    hits_corpus = batch_sh.join(matched, "k", "left_semi")
-    # intra-batch hit: same shingle in >= 2 distinct batch docs
-    batch_dup = (
-        batch_sh.groupBy("k")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("k")
+    # the index is scanned map-side, never shuffled. One probe
+    # implementation repo-wide (r10 review): this delegates to the
+    # fused core, persist-free — only the spans DAG is consumed.
+    spans, _, _ = span_probe_and_new_keys(
+        batch, corpus_keys, n, id_col, text_col, persist=False
     )
-    hits_batch = batch_sh.join(batch_dup, "k", "left_semi")
-    hits = (
-        hits_corpus.select(id_col, "pos")
-        .unionByName(hits_batch.select(id_col, "pos"))
-        .distinct()
-    )
-    return _positions_to_spans(hits, n, id_col)
+    return spans
 
 
-def _non_canonical_spans(
+def non_canonical_spans(
     docs: DataFrame, spans: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """The keep-one-canonical TRIM SET: every span row except the
@@ -1028,7 +1034,8 @@ def _non_canonical_spans(
     coordinates and trim the survivor). The election windows over a
     fixed-width 64-char sha2-256 content digest (full digest, not a
     truncation: the election merges GROUPS, so a hash collision would
-    trim a non-duplicate occurrence)."""
+    trim a non-duplicate occurrence). Public: the streaming trim
+    composes it with span provenance (ingest.span_dedup_stream)."""
     from pyspark.sql import Window
 
     spans = spans.dropDuplicates([id_col, "span_start", "span_end"])
@@ -1105,7 +1112,7 @@ def trim_duplicate_spans(
     practice where an 8-byte key would make it merely unlikely).
     """
     if keep_canonical:
-        spans = _non_canonical_spans(docs, spans, id_col, text_col)
+        spans = non_canonical_spans(docs, spans, id_col, text_col)
     span_arrays = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(

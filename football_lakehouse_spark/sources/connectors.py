@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from football_lakehouse_spark.lakehouse.tables import (
     LakehouseTable,
-    _require_unique_keys,
+    require_unique_merge_keys,
 )
 
 
@@ -204,7 +204,7 @@ class DeltaBackedTable:
         nondeterministic arbitrary row — silently unstable upserts are
         worse than Delta's loud multiple-source-rows-matched error, so
         both bindings now validate identically and fail findably)."""
-        _require_unique_keys(updates, keys, f"delta merge into {self.base}")
+        require_unique_merge_keys(updates, keys, f"delta merge into {self.base}")
         if not self.exists():
             # first batch bootstraps the table, as the parquet branch does
             return self.append(updates)

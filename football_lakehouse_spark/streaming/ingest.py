@@ -334,7 +334,7 @@ def span_dedup_stream(
     would scan the corpus-sized key table twice per batch).
     """
     from football_lakehouse_spark.operators.dedup import (
-        _non_canonical_spans,
+        non_canonical_spans,
         span_probe_and_new_keys,
         trim_duplicate_spans,
     )
@@ -374,7 +374,7 @@ def span_dedup_stream(
                 trim_set = spans.where(F.col("in_corpus")).select(
                     *cols
                 ).unionByName(
-                    _non_canonical_spans(
+                    non_canonical_spans(
                         batch,
                         spans.where(~F.col("in_corpus")).select(*cols),
                         "doc_id",

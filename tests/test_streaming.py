@@ -614,3 +614,45 @@ def test_span_dedup_stream_keep_canonical_boundary_invariant(spark, tmp_path):
     expect = {1: (boiler + " u1", 0), 2: ("v1", 5)}
     assert together == expect
     assert split == expect
+
+
+def test_span_dedup_stream_keep_canonical_adjacent_content(spark, tmp_path):
+    """r10 review #2 failure scenario: boilerplate B already in the
+    corpus, and a batch carrying A1='B N', A2='B N' where N is a NEW
+    passage adjacent to B. Without provenance-split islands the merged
+    span is marked in_corpus and N is deleted from BOTH docs (permanent
+    loss — its keys still fold into the index). With the split, B trims
+    everywhere, N keeps exactly one canonical — and the one-batch vs
+    two-batch corpora are identical."""
+    from football_lakehouse_spark.streaming.ingest import span_dedup_stream
+
+    b = "b1 b2 b3 b4 b5 b6"
+    nw = "n1 n2 n3 n4 n5 n6"
+    corpus_doc = [(100, b)]
+    a1, a2 = (1, b + " " + nw), (2, b + " " + nw)
+
+    def run(tag, waves):
+        landing = str(tmp_path / f"landing_{tag}")
+        trimmed = str(tmp_path / f"trimmed_{tag}")
+        idx = str(tmp_path / f"idx_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        for wave in waves:
+            spark.createDataFrame(
+                wave, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(landing)
+            span_dedup_stream(
+                spark, landing, ckpt, trimmed, idx, n=5,
+                keep_canonical=True,
+            )
+        return {r.doc_id: (r.text, r.n_tokens_removed)
+                for r in spark.read.parquet(trimmed).collect()}
+
+    expect = {
+        100: (b, 0),     # the corpus doc itself arrives first, untouched
+        1: (nw, 6),      # B trimmed (stored), N survives as canonical
+        2: ("", 12),     # B stored + N's canonical lives in doc 1
+    }
+    together = run("one", [corpus_doc, [a1, a2]])
+    split = run("two", [corpus_doc, [a1], [a2]])
+    assert together == expect
+    assert split == expect
