@@ -28,7 +28,7 @@ def content_sha256(c: Column) -> Column:
     return F.sha2(c, 256)
 
 
-def _micros(c: Column) -> Column:
+def micros(c: Column) -> Column:
     """Per-row quantisation to integer micro-units that is BIT-IDENTICAL
     across engines: ``floor(x·10⁶ + 0.5)`` uses only IEEE multiply/add/
     floor on the same input double. (A double→DECIMAL cast is NOT
@@ -41,12 +41,12 @@ def _micros(c: Column) -> Column:
 
 def money_sum(c: Column, scale: int = 2) -> Column:
     """Cross-engine-exact sum for money-magnitude doubles: quantise each
-    row to micro-units (portable, see :func:`_micros`), sum exactly,
+    row to micro-units (portable, see :func:`micros`), sum exactly,
     floor at ``scale``. No round() anywhere — floor on exact integers
     has no tie-breaking semantics to disagree on."""
     shift = 10 ** (6 - scale)
     unit = 10 ** scale
-    return F.floor(F.sum(_micros(c)) / F.lit(shift)).cast("double") / unit
+    return F.floor(F.sum(micros(c)) / F.lit(shift)).cast("double") / unit
 
 
 def money_avg(c: Column, scale: int = 4) -> Column:
@@ -57,7 +57,7 @@ def money_avg(c: Column, scale: int = 4) -> Column:
     shift = 10 ** (6 - scale)
     unit = 10 ** scale
     denom = F.count(F.lit(1)) * F.lit(shift)
-    return F.floor(F.sum(_micros(c)) / denom).cast("double") / unit
+    return F.floor(F.sum(micros(c)) / denom).cast("double") / unit
 
 
 def sql_money_sum(expr: str, scale: int = 2) -> str:

@@ -35,7 +35,10 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row
     with ``right.ts < left.ts`` (or <= when not strict) and the same
-    key. Left rows with no prior right row keep NULL payload.
+    key. Left rows with no prior right row keep NULL payload. A NULL
+    payload value ON the matched row is returned as NULL (pandas
+    ``merge_asof`` parity) — the fill never reaches past the latest
+    matching row to an older non-NULL value.
 
     ``tolerance`` (pandas ``merge_asof(tolerance=...)`` parity): when
     set, the match is kept only if ``left.ts - matched.ts <=
@@ -81,23 +84,34 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = lt.unionByName(rt)
-    fill_cols = [
-        F.last(F.when(F.col("__is_left") == 0, F.col(f"__p_{c}")), ignorenulls=True)
+    # Forward-fill ONE struct carrying the whole matched right row
+    # (its ts + every payload column). Filling payload columns
+    # individually with last(ignorenulls) is wrong when the LATEST
+    # matching right row has a NULL in some payload column: ignorenulls
+    # would skip past it to an older row's value, violating merge_asof
+    # semantics ("the payload of the latest row, even if NULL") — and
+    # with tolerance set, the staleness gate would validate the latest
+    # row's ts while the value came from a different, possibly
+    # out-of-tolerance row. The struct is non-NULL for every right row,
+    # so ignorenulls only skips LEFT rows; all fields travel together.
+    matched = (
+        F.last(
+            F.when(
+                F.col("__is_left") == 0,
+                F.struct(
+                    F.col("__ts").alias("__m_ts"),
+                    *[F.col(f"__p_{c}").alias(c) for c in payload],
+                ),
+            ),
+            ignorenulls=True,
+        )
         .over(w)
-        .alias(f"__f_{c}")
-        for c in payload
-    ]
+        .alias("__m")
+    )
     keep = ["__is_left", *[f"__l_{c}" for c in left.columns]]
     if tolerance is not None:
-        # forward-fill the MATCHED right ts too; comparisons below need a
-        # numeric difference, so timestamps go through NTZ-safe epochs
-        fill_cols.append(
-            F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True)
-            .over(w)
-            .alias("__f_ts")
-        )
         keep.append("__ts")
-    filled = unioned.select(*keep, *fill_cols)
+    filled = unioned.select(*keep, matched)
     filled = filled.where(F.col("__is_left") == 1)
     if tolerance is not None:
         from football_lakehouse_spark.functions.scalars import epoch_micros
@@ -108,19 +122,19 @@ def asof_join(
             return c.cast("double")
 
         lag = as_num(F.col("__ts"), ltypes[left_ts]) - as_num(
-            F.col("__f_ts"), rtypes[right_ts]
+            F.col("__m.__m_ts"), rtypes[right_ts]
         )
         in_tol = lag <= F.lit(float(tolerance))
         out = filled.select(
             *[F.col(f"__l_{c}").alias(c) for c in left.columns],
             *[
-                F.when(in_tol, F.col(f"__f_{c}")).alias(f"asof_{c}")
+                F.when(in_tol, F.col(f"__m.{c}")).alias(f"asof_{c}")
                 for c in payload
             ],
         )
         return out
     out = filled.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.col(f"__f_{c}").alias(f"asof_{c}") for c in payload],
+        *[F.col(f"__m.{c}").alias(f"asof_{c}") for c in payload],
     )
     return out

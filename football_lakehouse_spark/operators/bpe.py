@@ -45,8 +45,10 @@ from football_lakehouse_spark.functions.text import ws_tokens
 def bpe_rounds(
     docs: DataFrame, n_merges: int = 4, text_col: str = "text"
 ) -> tuple[list[DataFrame], DataFrame]:
-    """Run ``n_merges`` BPE rounds; returns (per-round winner frames,
-    final rewritten vocab ``(word, cnt, syms)``). Shared core of
+    """Run up to ``n_merges`` BPE rounds, stopping early when no
+    adjacent pair remains (classic BPE exhaustion); returns (per-round
+    winner frames, final rewritten vocab ``(word, cnt, syms)``).
+    Shared core of
     :func:`bpe_merges` (training log) and :func:`bpe_encode_tokens`
     (applying the learned merges — the encode side)."""
     words = (
@@ -86,6 +88,12 @@ def bpe_rounds(
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        # merges exhausted (every word is a single symbol): classic BPE
+        # stops early. Without this, crossJoin with the EMPTY winner
+        # frame would silently wipe the whole vocab — total data loss
+        # for any corpus whose merge inventory is smaller than n_merges.
+        if not win.head(1):
+            break
         out.append(
             win.select(
                 F.lit(rnd).cast("int").alias("round"),
@@ -124,6 +132,12 @@ def bpe_merges(
     vocabulary of ``docs``. Returns one row per round:
     (round, left_sym, right_sym, merged, pair_weight)."""
     out, _ = bpe_rounds(docs, n_merges, text_col)
+    if not out:  # n_merges=0 or a corpus with no adjacent pairs at all
+        return docs.sparkSession.createDataFrame(
+            [],
+            "round int, left_sym string, right_sym string, "
+            "merged string, pair_weight bigint",
+        )
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)

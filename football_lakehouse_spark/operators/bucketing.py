@@ -17,6 +17,25 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from football_lakehouse_spark.functions.scalars import micros
+
+#: fixed-point scale shared with functions.scalars.money_sum
+_MONEY_SCALE = 2
+
+
+def _content_salt(df: DataFrame, n_salt: int) -> F.Column:
+    """Deterministic salt in [0, n_salt): xxhash64 over every column
+    PLUS the input partition id. Content alone collapses duplicate rows
+    onto one salt (zero skew mitigation exactly when rows repeat); the
+    partition id spreads cross-partition duplicates while staying
+    deterministic under task retries (a retried task recomputes the
+    same partition index). Residual: duplicates WITHIN one input
+    partition share a salt, bounded by maxPartitionBytes."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.spark_partition_id()),
+        F.lit(n_salt),
+    ).cast("int")
+
 
 def write_bucketed(
     df: DataFrame, name: str, path: str, key: str, n_buckets: int = 8
@@ -48,22 +67,31 @@ def salted_aggregate(
     counts: bool = True,
 ) -> DataFrame:
     """count/sum per key via salted two-phase aggregation. The salt is
-    derived from row content (not RNG) so the plan stays deterministic;
-    partial results per (key, salt) merge exactly for algebraic aggs."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    derived from row content + input partition id (not RNG) so the plan
+    stays deterministic under task retries; partial results per (key,
+    salt) merge exactly for algebraic aggs. Mixing in
+    ``spark_partition_id`` matters when the hot key's rows are exact
+    duplicates (repeated events, constant payload): a pure content hash
+    would collapse them all onto ONE salt and silently degrade to the
+    unsalted plan — with the partition id, each (key, salt) group is
+    bounded by rows-per-input-partition."""
+    salt = _content_salt(df, n_salt)
+    shift = 10 ** (6 - _MONEY_SCALE)
+    unit = 10 ** _MONEY_SCALE
     partial_aggs = []
     final_aggs = []
     if counts:
         partial_aggs.append(F.count(F.lit(1)).alias("__pn"))
         final_aggs.append(F.sum("__pn").cast("bigint").alias("n"))
     for c in sums:
-        # micro-unit quantisation (see functions.scalars.money_sum): the
-        # two-phase salted sum lands on the identical double as the
-        # single-phase oracle because integer partials merge exactly
-        micros = F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
-        partial_aggs.append(F.sum(micros).alias(f"__ps_{c}"))
+        # micro-unit quantisation (functions.scalars.micros — the shared
+        # portable fixed-point rule): the two-phase salted sum lands on
+        # the identical double as the single-phase oracle because
+        # integer partials merge exactly
+        partial_aggs.append(F.sum(micros(F.col(c))).alias(f"__ps_{c}"))
         final_aggs.append(
-            (F.floor(F.sum(f"__ps_{c}") / F.lit(10000)).cast("double") / 100).alias(f"sum_{c}")
+            (F.floor(F.sum(f"__ps_{c}") / F.lit(shift)).cast("double") / unit)
+            .alias(f"sum_{c}")
         )
     partial = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)
@@ -87,13 +115,12 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str, n_salt: int) -> DataF
     you don't need salt at all, so the join is merge-hinted on purpose.
 
     INNER joins only — a replicated dim would emit ``n_salt`` NULL
-    rows per unmatched outer key. The salt is content-derived (not
-    RNG), so the plan is deterministic under retries and re-runs.
+    rows per unmatched outer key. The salt is content+partition-id
+    derived (not RNG — see :func:`_content_salt`), so the plan is
+    deterministic under retries and re-runs, and a hot key whose rows
+    are exact duplicates still spreads across reducers.
     """
-    fsalt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt)
-    ).cast("int")
-    fact_s = fact.withColumn("__salt", fsalt)
+    fact_s = fact.withColumn("__salt", _content_salt(fact, n_salt))
     dim_s = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).hint("merge")

@@ -150,6 +150,11 @@ def decode_png(payload: bytes) -> dict:
         if len(data) != length:
             raise ValueError("truncated PNG chunk body")
         if ctype == b"IHDR":
+            # length-check before unpack: struct.error is NOT a
+            # ValueError, and the module contract promises ValueError
+            # for every corrupt payload (quarantine handlers catch it)
+            if len(data) != 13:
+                raise ValueError(f"bad IHDR length: {len(data)}")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
@@ -167,7 +172,10 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + length  # len + type + data + crc
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # zlib.error is not a ValueError either
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("decompressed size does not match dimensions")
@@ -267,6 +275,8 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + length + (length & 1)  # RIFF pads odd chunks
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    if len(fmt) < 16:  # short fmt would raise struct.error, not ValueError
+        raise ValueError(f"fmt chunk too short: {len(fmt)} bytes")
     audio_format, n_channels, sample_rate, _brate, _balign, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )

@@ -89,7 +89,13 @@ def exact_heavy_hitters(
     """Exact heavy hitters: every item with count > n/(m+1), with its
     exact count and floor share in 1/scale units. See module docstring
     for the two-pass bound."""
-    cands = misra_gries_candidates(items, col, m).select("item").distinct()
+    # dunder-rename the candidate column so the semi-join condition never
+    # collides with an input column named "item" (AMBIGUOUS_REFERENCE)
+    cands = (
+        misra_gries_candidates(items, col, m)
+        .select(F.col("item").alias("__mg_item"))
+        .distinct()
+    )
     total = items.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
         # compare as STRING on both sides — the candidate pass cast to
@@ -97,16 +103,22 @@ def exact_heavy_hitters(
         # both to double, mis-matching ids above 2^53
         items.join(
             F.broadcast(cands),
-            items[col].cast("string") == F.col("item"),
+            items[col].cast("string") == F.col("__mg_item"),
             "left_semi",
         )
         .groupBy(F.col(col).alias("item"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
         .crossJoin(F.broadcast(total))
-        .where(F.col("n_item") * (m + 1) > F.col("n"))
+        # same decimal discipline for the pigeonhole test: n_item·(m+1)
+        # in bigint errors under ANSI past ~9.2e18/(m+1) global counts
+        .where(F.expr(f"cast(n_item as decimal(38,0)) * {m + 1} > n"))
         .select(
             "item",
             "n_item",
-            F.expr(f"n_item * {scale} div n").cast("bigint").alias("share_ppm"),
+            # decimal product: bigint n_item * scale wraps past ~9.2e12
+            # counts (inside the 100 TB envelope); decimal(38,0) does not
+            F.expr(f"cast(n_item as decimal(38,0)) * {scale} div n")
+            .cast("bigint")
+            .alias("share_ppm"),
         )
     )

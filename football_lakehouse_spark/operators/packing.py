@@ -31,6 +31,11 @@ def greedy_pack(
 ) -> DataFrame:
     """Assign ``pack_id`` (0-based per shard) by the greedy fold above.
 
+    ``order_col`` must be unique within each shard — ties would make
+    the visit order (and so the pack assignment) depend on Arrow batch
+    arrival order; the fold raises ValueError on a tie (fail closed)
+    rather than emit run-dependent pack_ids.
+
     Output schema: the input columns plus ``pack_id bigint``.
     """
     cap = int(capacity)
@@ -42,7 +47,18 @@ def greedy_pack(
     )
 
     def pack(pdf):
-        pdf = pdf.sort_values(oc).reset_index(drop=True)
+        pdf = pdf.sort_values(oc, kind="stable").reset_index(drop=True)
+        # fail closed on ties: with a duplicated order key the fold's
+        # visit order (and so pack_id) would depend on Arrow arrival
+        # order — run-to-run nondeterminism the oracle gate cannot see.
+        # Same discipline as MergeSourceDuplicateError in lakehouse.
+        if pdf[oc].duplicated().any():
+            dup = pdf[oc][pdf[oc].duplicated()].iloc[0]
+            raise ValueError(
+                f"greedy_pack: order_col {oc!r} has ties within a shard "
+                f"(e.g. {dup!r}); pack_id assignment would be "
+                "nondeterministic. Pass a unique (composite) order column."
+            )
         pack_ids, pid, fill, first = [], 0, 0, True
         for n in pdf[tc]:
             if first:

@@ -120,14 +120,70 @@ def test_salted_join_equals_plain_join_under_adversarial_skew(spark):
     plain = fact.join(dim, "k")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
     # hot-key spread: content-derived salts cover most of the salt space
-    fsalt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    from football_lakehouse_spark.operators.bucketing import _content_salt
+
     spread = (
         fact.where(F.col("k") == 7)
-        .select(fsalt.alias("s"))
+        .select(_content_salt(fact, n_salt).alias("s"))
         .distinct()
         .count()
     )
     assert spread >= n_salt - 1
+
+
+def test_content_salt_spreads_exact_duplicate_rows(spark):
+    """A hot key whose rows are EXACT duplicates (repeated events,
+    constant payload) must still spread: a pure content hash collapses
+    all copies onto one salt — zero mitigation in the regime salting
+    exists for. The partition-id mix keeps it deterministic AND spread."""
+    from football_lakehouse_spark.operators.bucketing import (
+        _content_salt,
+        salted_join,
+    )
+
+    n_salt = 8
+    # 4096 byte-identical rows across 16 input partitions
+    dup = (
+        spark.range(0, 4096)
+        .repartition(16)
+        .select(F.lit(7).alias("k"), F.lit("same").alias("payload"))
+    )
+    spread = dup.select(_content_salt(dup, n_salt).alias("s")).distinct().count()
+    assert spread > 1, "duplicate rows collapsed onto a single salt"
+    # determinism: two evaluations of the same plan agree row-for-row
+    a = dup.select(_content_salt(dup, n_salt).alias("s")).collect()
+    b = dup.select(_content_salt(dup, n_salt).alias("s")).collect()
+    assert [r.s for r in a] == [r.s for r in b]
+    # and the join output is still exactly the plain join
+    dim = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    assert (
+        salted_join(dup, dim, key="k", n_salt=n_salt).count()
+        == dup.join(dim, "k").count()
+    )
+
+
+def test_asof_null_payload_on_matched_row_stays_null(spark):
+    """merge_asof parity: the payload of the LATEST matching right row
+    is returned even when it is NULL — the forward fill must not reach
+    past it to an older non-NULL value, and with tolerance set the
+    staleness gate must test the same row it returns."""
+    from football_lakehouse_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1.0, 7.0), ("k", 2.0, None)], "k string, ts double, v double"
+    )
+    left = spark.createDataFrame([("k", 3.0)], "k string, ts double")
+    kw = dict(key="k", left_ts="ts", right_ts="ts", payload=["v"])
+    [row] = asof_join(left, right, **kw).collect()
+    assert row.asof_v is None, "fill reached past the matched row"
+    # tolerance: matched row is ts=2 (lag 1 <= 1.5) — still the NULL row;
+    # the out-of-tolerance older value 7.0 must not leak through
+    [row] = asof_join(left, right, tolerance=1.5, **kw).collect()
+    assert row.asof_v is None
+    # sanity: a left row matching ts=1 directly still sees 7.0
+    left1 = spark.createDataFrame([("k", 1.5)], "k string, ts double")
+    [row] = asof_join(left1, right, **kw).collect()
+    assert row.asof_v == 7.0
 
 
 def test_asof_tolerance_gates_stale_matches(spark):

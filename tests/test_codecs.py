@@ -140,8 +140,46 @@ def test_png_multi_idat_reassembly():
 def test_png_corrupt_payloads_detected(mutate, msg):
     px = bytes(range(64))
     payload = C.encode_png(px, 8, 8, 1, 0)
-    with pytest.raises((ValueError, zlib.error)):
+    # ValueError ONLY: the module contract says every corrupt payload is
+    # detectably bad via ValueError (quarantine handlers catch exactly it)
+    with pytest.raises(ValueError):
         C.decode_png(mutate(payload))
+
+
+def test_codec_error_contract_is_valueerror():
+    """struct.error / zlib.error are NOT ValueError subclasses — a
+    quarantine handler catching ValueError per the module contract would
+    crash the task on these three corruption shapes without the guards."""
+    # IHDR whose declared length is 12 (truncated header fields)
+    bad_ihdr = (
+        C.PNG_MAGIC
+        + C._png_chunk(b"IHDR", struct.pack(">III", 4, 4, 8))  # 12 bytes
+        + C._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR length"):
+        C.decode_png(bad_ihdr)
+    # IDAT that is not a DEFLATE stream (zlib.error without the wrap)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad_idat = (
+        C.PNG_MAGIC
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", b"not-deflate")
+        + C._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        C.decode_png(bad_idat)
+    # WAV fmt chunk shorter than the 16 PCM header bytes (struct.error
+    # without the guard)
+    fmt = struct.pack("<HHI", 1, 1, 16000)  # 8 bytes only
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8)
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        C.decode_wav(wav)
 
 
 def test_png_unsupported_variants_rejected():

@@ -707,6 +707,60 @@ def test_bpe_encoding_reconstructs_every_word(spark):
     assert bounds["over"] <= 0 and bounds["mn"] >= 1
 
 
+def test_bpe_exhaustion_stops_early_and_keeps_vocab(spark):
+    """When the merge inventory runs out before n_merges, training must
+    STOP (classic BPE), not cross-join the vocab with an empty winner
+    frame — which silently wiped the whole corpus encoding."""
+    from football_lakehouse_spark.operators.bpe import (
+        bpe_encode_tokens,
+        bpe_merges,
+        bpe_rounds,
+    )
+
+    docs = spark.createDataFrame([("ab",), ("ab",)], "text string")
+    # 'ab' fully merges in one round; rounds 2+ have no adjacent pairs
+    merges = bpe_merges(docs, n_merges=3).collect()
+    assert len(merges) == 1 and merges[0].merged == "ab"
+    toks = bpe_encode_tokens(docs, n_merges=3).collect()
+    assert len(toks) == 1
+    assert (toks[0].token, toks[0].freq) == ("ab", 2)
+    # n_merges=0: empty merge log with the contract schema, vocab intact
+    empty = bpe_merges(docs, n_merges=0)
+    assert empty.count() == 0
+    assert empty.columns == ["round", "left_sym", "right_sym", "merged", "pair_weight"]
+    _, vocab = bpe_rounds(docs, n_merges=0)
+    assert vocab.count() == 1  # one distinct word survives untouched
+
+
+def test_greedy_pack_rejects_order_key_ties(spark):
+    """Duplicate order keys within a shard make pack_id depend on Arrow
+    arrival order; the fold fails closed with a named message instead of
+    emitting run-dependent packs."""
+    import pytest as _pytest
+
+    from football_lakehouse_spark.operators.packing import greedy_pack
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 0, 20), (2, 0, 30)],
+        schema="doc_id bigint, shard bigint, n_tokens bigint",
+    )
+    with _pytest.raises(Exception, match="ties within a shard"):
+        greedy_pack(df, ["shard"], "doc_id", "n_tokens", 64).collect()
+
+
+def test_exact_heavy_hitters_tolerates_item_named_column(spark):
+    """The verify semi-join must not be ambiguous when the input column
+    is literally named 'item' (AMBIGUOUS_REFERENCE regression)."""
+    from football_lakehouse_spark.operators.frequency import exact_heavy_hitters
+
+    items = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 3, "item string"
+    )
+    got = {r.item: (r.n_item, r.share_ppm) for r in
+           exact_heavy_hitters(items, "item", m=3).collect()}
+    assert got == {"a": (30, 909090)}  # 30/33 in ppm, floor
+
+
 def test_bpe_merge_weights_monotone_data(spark):
     """Round-r winner weight can never exceed round-(r-1)'s: the argmax
     pool only loses mass as pairs are merged away. (Data-level guard for
