@@ -33,10 +33,26 @@ STOPWORDS: tuple[str, ...] = tuple(sorted({w for p in LANG_PROFILES.values() for
 #: Spark's Java regex and DuckDB's RE2 agree).
 TOKEN_RE = "[a-z0-9]+"
 
+#: whitespace class for tokenisation, pinned EXPLICITLY rather than \s:
+#: Java's \s includes \x0B (vertical tab) while RE2's does not, so a
+#: bare \s+ would tokenise differently in Spark vs the DuckDB oracle.
+#: This class is the cross-engine intersection that still covers every
+#: whitespace real corpora carry (space, tab, LF, CR, FF).
+WS_CLASS = "[ \t\n\r\f]+"
+
 
 def ws_tokens(text: Column) -> Column:
-    """Whitespace tokenisation, empty tokens dropped."""
-    return F.filter(F.split(text, " "), lambda t: t != "")
+    """Whitespace tokenisation (any run of space/tab/newline/CR/FF is
+    one separator — real corpora are multi-line), empty tokens
+    dropped."""
+    return F.filter(F.split(text, WS_CLASS), lambda t: t != "")
+
+
+def sql_ws_tokens(expr: str = "text") -> str:
+    """DuckDB twin of :func:`ws_tokens` — same explicit class, same
+    empty-token filter; verified element-identical on adversarial
+    whitespace (leading/trailing/mixed runs, \\x0B excluded by BOTH)."""
+    return f"list_filter(regexp_split_to_array({expr}, '{WS_CLASS}'), t -> t <> '')"
 
 
 def re_tokens(text: Column) -> Column:
@@ -54,22 +70,31 @@ def stopword_count(tokens: Column) -> Column:
 
 def avg_token_len(tokens: Column) -> Column:
     """Mean token length in 1e-4 units via integer floor — portable
-    (see functions.scalars money rationale)."""
+    (see functions.scalars money rationale). 0.0 for an empty token
+    list (division would yield NULL under non-ANSI and ERROR under
+    ANSI — an empty/whitespace-only doc is a legitimate input, not an
+    arithmetic fault)."""
     total = F.aggregate(tokens, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
     n = F.size(tokens).cast("bigint")
-    return (F.floor(total * 10000 / n).cast("double") / 10000)
+    return F.when(n > 0, F.floor(total * 10000 / n).cast("double") / 10000).otherwise(
+        F.lit(0.0)
+    )
 
 
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0,1]: length band + stopword
     presence + mean token length band. Fixed weights; floor-rounded to
-    4 dp for parity."""
+    4 dp for parity. Empty/whitespace-only documents score 0.0 — the
+    documented in-[0,1] contract; an unguarded n=0 division propagated
+    NULL, silently dropping empty docs from avg() and >= filters."""
     toks = ws_tokens(text)
     n = F.size(toks).cast("bigint")
     sw_ratio = stopword_count(toks) * F.lit(1.0) / n
     len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
     score = len_ok * 0.5 + sw_ratio * 0.5
-    return F.floor(score * 10000).cast("double") / 10000
+    return F.when(
+        n > 0, F.floor(score * 10000).cast("double") / 10000
+    ).otherwise(F.lit(0.0))
 
 
 def portable_hash(c: Column, seed: str = "") -> Column:

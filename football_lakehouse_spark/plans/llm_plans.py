@@ -15,9 +15,11 @@ from football_lakehouse_spark.functions.text import (
     LANG_PROFILES,
     STOPWORDS,
     TOKEN_RE,
+    WS_CLASS,
     portable_hash,
     predicted_lang,
     re_tokens,
+    sql_ws_tokens,
     ws_tokens,
 )
 from football_lakehouse_spark.operators.dedup import (
@@ -37,7 +39,7 @@ from football_lakehouse_spark.operators.multimodal import bundle_assets, extract
 from football_lakehouse_spark.operators.similarity import brute_force_topk, lsh_topk
 from football_lakehouse_spark.plans.registry import query
 
-_SQL_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_SQL_TOKS = sql_ws_tokens("text")  # whitespace-class twin of ws_tokens
 
 
 def _sql_hash(expr: str, seed: str | None = None) -> str:
@@ -55,7 +57,7 @@ def _sql_hash(expr: str, seed: str | None = None) -> str:
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens_ws,
            CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens_re,
-           floor(length(replace(text, ' ', '')) * 10000 / len(toks)) / 10000 AS avg_token_len
+           floor(length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) * 10000 / len(toks)) / 10000 AS avg_token_len
     FROM t
     """,
     doc="Token counting: whitespace + BPE-ish regex + mean token length "
@@ -66,7 +68,7 @@ def _sql_hash(expr: str, seed: str | None = None) -> str:
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = ws_tokens(F.col("text"))
-    total_len = F.length(F.regexp_replace("text", " ", ""))
+    total_len = F.length(F.regexp_replace("text", "[ \\t\\n\\r\\f]", ""))
     return docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens_ws"),
@@ -186,7 +188,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source
     FROM documents
     QUALIFY row_number() OVER (
-        PARTITION BY sha256(array_to_string(string_split(text, ' ')[1:8], ' '))
+        PARTITION BY sha256(array_to_string(regexp_split_to_array(text, '[ \t\n\r\f]+')[1:8], ' '))
         ORDER BY doc_id
     ) = 1
     """,
@@ -196,7 +198,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    prefix = F.array_join(F.slice(F.split("text", WS_CLASS), 1, 8), " ")
     return exact_dedup(docs, prefix).select("doc_id", "lang", "source")
 
 
@@ -813,7 +815,7 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_sql_minhash_ctes(0.5)},
     rawpre AS (
         SELECT doc_id, source,
-               sha256(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h
+               sha256(array_to_string(regexp_split_to_array(text, '[ \t\n\r\f]+')[1:8], ' ')) AS h
         FROM documents
     ),
     exact_dup AS (
@@ -889,7 +891,7 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
 
     # exact-dup losers (q40 semantics: raw 8-token prefix hash, min doc wins)
-    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    prefix = F.array_join(F.slice(F.split("text", WS_CLASS), 1, 8), " ")
     hw = Window.partitionBy(F.sha2(prefix, 256)).orderBy("doc_id")
     exact_dups = (
         docs.withColumn("rn", F.row_number().over(hw))
@@ -2630,7 +2632,7 @@ def source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE t AS (
         SELECT doc_id, source, doc_id % 4 AS shard,
-               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
                row_number() OVER (PARTITION BY source, doc_id % 4 ORDER BY doc_id) AS rn
         FROM documents
     ),
@@ -2883,7 +2885,7 @@ def source_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, n_tokens
         FROM q
         QUALIFY row_number() OVER (
-            PARTITION BY sha256(array_to_string(string_split(text, ' ')[1:8], ' '))
+            PARTITION BY sha256(array_to_string(regexp_split_to_array(text, '[ \t\n\r\f]+')[1:8], ' '))
             ORDER BY doc_id
         ) = 1
     ),
@@ -2928,7 +2930,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (alpha_ratio >= _GOPHER_ALPHA_MIN)
         & (n_stop >= _GOPHER_MIN_STOPS)
     ).select("doc_id", "source", "text", n.alias("n_tokens"))
-    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    prefix = F.array_join(F.slice(F.split("text", WS_CLASS), 1, 8), " ")
     d = exact_dedup(q, prefix).select("doc_id", "source", "n_tokens")
     bucket = (
         F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from football_lakehouse_spark.catalog import load_table
+from football_lakehouse_spark.functions.text import WS_CLASS
 from football_lakehouse_spark.functions.scalars import (
     money_avg,
     money_sum,
@@ -234,7 +235,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_explode_tokens",
     oracle="""
     SELECT token, count(*) AS n
-    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    FROM (SELECT unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS token FROM documents)
     WHERE token <> ''
     GROUP BY token
     """,
@@ -246,7 +247,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        docs.select(F.explode(F.split("text", WS_CLASS)).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -317,7 +318,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_content_hash_groups",
     oracle="""
-    SELECT sha256(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_sha,
+    SELECT sha256(array_to_string(regexp_split_to_array(text, '[ \t\n\r\f]+')[1:8], ' ')) AS prefix_sha,
            count(*) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS first_doc_id
     FROM documents
@@ -333,7 +334,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def content_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    prefix = F.array_join(F.slice(F.split("text", WS_CLASS), 1, 8), " ")
     return (
         docs.select(F.sha2(prefix, 256).alias("prefix_sha"), "doc_id")
         .groupBy("prefix_sha")

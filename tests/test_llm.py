@@ -1698,3 +1698,56 @@ def test_contamination_spans_semantics(spark):
         ).collect()
     }
     assert via_index == got
+
+
+def test_ws_tokens_cross_engine_on_adversarial_whitespace(spark):
+    """ws_tokens and its DuckDB twin sql_ws_tokens must agree element-
+    for-element on multi-line / tabbed / padded text — the regime real
+    corpora live in. The class is pinned explicitly because Java's \\s
+    includes \\x0B and RE2's does not; both sides must treat \\x0B as a
+    NON-separator."""
+    import duckdb
+
+    from football_lakehouse_spark.functions.text import sql_ws_tokens, ws_tokens
+
+    cases = [
+        "a b", " a  b ", "a\tb\nc", "", "   ", "a\x0bb", "a\r\nb",
+        "x  \t y", "line one\nline two\r\n\tline three\f end",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "text string")
+    got = {r.text: list(r.toks) for r in
+           df.select("text", ws_tokens(F.col("text")).alias("toks")).collect()}
+    con = duckdb.connect()
+    for s in cases:
+        want = con.execute(
+            f"SELECT {sql_ws_tokens('?')}", [s]  # noqa: S608 — test literal
+        ).fetchone()[0]
+        assert got[s] == list(want), f"engines disagree on {s!r}"
+    # multi-line text tokenises by CONTENT, not by the space character
+    assert got["a\tb\nc"] == ["a", "b", "c"]
+    assert got["a\x0bb"] == ["a\x0bb"]
+
+
+def test_text_scores_guard_empty_documents(spark):
+    """quality_score / avg_token_len return 0.0 (the documented [0,1]
+    floor), never NULL, on empty or whitespace-only docs — an unguarded
+    n=0 division silently dropped them from avg() and >= filters."""
+    from football_lakehouse_spark.functions.text import (
+        avg_token_len,
+        quality_score,
+        ws_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("\n\t",), ("real text here",)], "text string"
+    )
+    rows = df.select(
+        "text",
+        quality_score(F.col("text")).alias("q"),
+        avg_token_len(ws_tokens(F.col("text"))).alias("alen"),
+    ).collect()
+    for r in rows:
+        assert r.q is not None and 0.0 <= r.q <= 1.0, r
+        assert r.alen is not None and r.alen >= 0.0, r
+    empty = [r for r in rows if not r.text.strip()]
+    assert all(r.q == 0.0 and r.alen == 0.0 for r in empty)
