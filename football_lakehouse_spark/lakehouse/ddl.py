@@ -50,7 +50,18 @@ def resolve_schema(name: str) -> str:
 
 
 def create_schema(spark: SparkSession, name: str) -> None:
-    """Idempotent CREATE SCHEMA; accepts ``schema`` or ``catalog.schema``."""
+    """Idempotent CREATE SCHEMA; accepts ``schema`` or ``catalog.schema``.
+
+    A PLAIN schema name may not contain the reserved ``__`` separator:
+    it would be indistinguishable from a multiplexed ``catalog__schema``
+    database, silently vanish from the default :func:`list_schemas`
+    listing, and be mis-projected into another catalog's listing. Fail
+    closed rather than corrupt the namespace mapping."""
+    if any(_CAT_SEP in part for part in name.split(".")):
+        raise ValueError(
+            f"schema name {name!r} contains the reserved separator "
+            f"{_CAT_SEP!r}; use catalog.schema form for namespaced schemas"
+        )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {resolve_schema(name)}")
 
 
@@ -62,7 +73,11 @@ def list_schemas(spark: SparkSession, catalog: str | None = None) -> DataFrame:
     dbs = spark.sql("SHOW DATABASES")
     col = dbs.columns[0]
     if catalog is None or catalog == "spark_catalog":
-        return dbs.where(~F.col(col).contains(_CAT_SEP))
+        # same output schema as the catalog branch — a caller selecting
+        # 'schema_name' must work identically against either listing
+        return dbs.where(~F.col(col).contains(_CAT_SEP)).select(
+            F.col(col).alias("schema_name")
+        )
     prefix = f"{catalog}{_CAT_SEP}"
     return dbs.where(F.col(col).startswith(prefix)).select(
         F.expr(f"substring({col}, {len(prefix) + 1})").alias("schema_name")
@@ -93,7 +108,11 @@ def smoke_roundtrip(spark: SparkSession, schema: str, location: str) -> DataFram
     spark.sql(f"DROP TABLE IF EXISTS {t}")
     create_table(spark, t, "id INT, note STRING, created_ts TIMESTAMP",
                  location=f"{location}/smoke_roundtrip")
-    spark.sql(f"INSERT INTO {t} VALUES (1, 'hello', current_timestamp())")
+    # OVERWRITE, not append: the table is EXTERNAL (explicit LOCATION),
+    # so the final DROP removes only metadata and a rerun over the same
+    # location would otherwise read the prior run's file and report a
+    # phantom second row — the smoke test must be idempotent.
+    spark.sql(f"INSERT OVERWRITE {t} VALUES (1, 'hello', current_timestamp())")
     out = spark.sql(f"SELECT id, note FROM {t}").collect()
     spark.sql(f"DROP TABLE {t}")
     return spark.createDataFrame(out, "id int, note string")

@@ -29,13 +29,12 @@ def dedupe_updates(
 ) -> DataFrame:
     """Collapse a late/duplicate update batch to one row per key
     (latest wins by ``order_desc``) — the pre-step the reference's
-    rerun-safe MERGE requires."""
-    if len(keys) != 1:
-        key = F.concat_ws("§", *[F.col(k).cast("string") for k in keys])
-        tmp = updates.withColumn("__mk", key)
-        out = latest_per_key(tmp, "__mk", list(order_desc)).drop("__mk")
-        return out
-    return latest_per_key(updates, keys[0], list(order_desc))
+    rerun-safe MERGE requires. Composite keys partition the window on
+    the columns THEMSELVES: the previous concat_ws('§', ...) composite
+    collided for NULL key parts (concat_ws SKIPS NULLs, so ('a', NULL)
+    and (NULL, 'a') shared one group) and for values containing the
+    separator — silently discarding a legitimate update."""
+    return latest_per_key(updates, list(keys), list(order_desc))
 
 
 def merge_upsert(
@@ -45,6 +44,18 @@ def merge_upsert(
 
     ``updates`` must be unique on ``keys`` (use :func:`dedupe_updates`
     first); columns must be union-compatible by name.
+
+    The anti join is NULL-SAFE on every key: a plain equi-join never
+    matches NULL keys, so replaying a batch with a NULL-key row would
+    add another copy on every rerun — monotonic growth that breaks the
+    module's rerun-safety contract. ``eqNullSafe`` is still a hash-join
+    key for Catalyst, so the broadcast shape is unchanged.
     """
-    keep = base.join(F.broadcast(updates.select(*keys)), list(keys), "left_anti")
+    b = base.alias("__mb")
+    u = F.broadcast(updates.select(*keys).alias("__mu"))
+    cond = None
+    for k in keys:
+        c = F.col(f"__mb.{k}").eqNullSafe(F.col(f"__mu.{k}"))
+        cond = c if cond is None else (cond & c)
+    keep = b.join(u, cond, "left_anti")
     return updates.select(*base.columns).unionByName(keep)

@@ -171,6 +171,8 @@ def extract_features(df: DataFrame, asset_col: str = "asset") -> DataFrame:
         import numpy as np
 
         def feats_of(payload: bytes, mime: str) -> list[float] | None:
+            if payload is None:
+                return None  # NULL asset payload is a poison row too
             try:
                 if mime == "image/png":
                     d = codecs.decode_png(payload)
@@ -198,8 +200,13 @@ def extract_features(df: DataFrame, asset_col: str = "asset") -> DataFrame:
                         float(int(s.max())) if s.size else 0.0,
                         float(d["bits"]),
                     ]
-            except ValueError:
-                return None  # detectably-bad payload → NULL features
+            except (ValueError, TypeError):
+                # ValueError: detectably-bad payload (codec contract).
+                # TypeError: non-bytes payload cell (Arrow hands the
+                # Python side whatever the column carries) — also a
+                # poison row, and NOT a ValueError subclass, so without
+                # this it would kill the whole stage at 100 TB.
+                return None
             buckets = [0] * dim
             for b in payload[:256]:
                 buckets[b % dim] += 1

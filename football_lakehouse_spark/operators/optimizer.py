@@ -81,12 +81,11 @@ def best_transfers(
             F.col("out_position").alias("position"),
             "cost_delta",
             "points_delta",
-            F.concat_ws(
-                ",",
-                F.lit("position_ok"),
-                F.when(F.col("cost_delta") <= bank, "budget_ok"),
-                F.when(F.col("post_swap_team_count") <= max_per_team, "team_limit_ok"),
-            ).alias("constraint_flags"),
+            # constant by construction: every row here already passed the
+            # feasibility filter (cost<=bank AND team<=max), so re-testing
+            # the same predicates could never vary — the SQL oracle pins
+            # the same literal (plans/ml_plans.py)
+            F.lit("position_ok,budget_ok,team_limit_ok").alias("constraint_flags"),
             F.format_string(
                 "swap %s -> %s: +%s points for %s cost within %s bank",
                 F.col("out_key").cast("string"),

@@ -79,25 +79,38 @@ def append_with_expectations(
     CHECK-constraint gate, which rejects the whole batch). Returns
     ``{"valid": n, "quarantined": n}``.
 
-    Scale: the expectation array is a pure map-side expression; the
-    batch is evaluated twice (one write per destination) — at 100 TB
-    persist the marked batch or land it once and split from storage,
-    same as any dual-sink foreachBatch."""
+    Scale: the expectation array is a pure map-side expression. The
+    marked batch is PERSISTED and counted in one aggregation up front,
+    so (a) the source is evaluated once, not once per probe + write +
+    count, and (b) the returned stats describe exactly the rows the
+    sinks received — recomputing counts after the writes from a lazy
+    plan over a non-deterministic source (a landing dir gaining files
+    mid-batch) could disagree with what was actually appended."""
     marked = df.withColumn("__failed", failed_expectations(df, expectations))
-    good = marked.where(F.size("__failed") == 0).drop("__failed")
-    bad = marked.where(F.size("__failed") > 0).withColumnRenamed(
-        "__failed", "failed_expectations"
-    )
-    stats = {"valid": 0, "quarantined": 0}
-    if not good.limit(1).isEmpty():
-        table.append(good)
-        stats["valid"] = good.count()
-    if not bad.limit(1).isEmpty():
-        quarantine.append(
-            bad.withColumn(
-                "failed_expectations",
-                F.concat_ws(",", F.col("failed_expectations")),
+    marked.persist()
+    try:
+        counts = marked.agg(
+            F.sum(F.when(F.size("__failed") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("valid"),
+            F.sum(F.when(F.size("__failed") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("quarantined"),
+        ).collect()[0]
+        stats = {
+            "valid": int(counts["valid"] or 0),
+            "quarantined": int(counts["quarantined"] or 0),
+        }
+        if stats["valid"]:
+            table.append(marked.where(F.size("__failed") == 0).drop("__failed"))
+        if stats["quarantined"]:
+            quarantine.append(
+                marked.where(F.size("__failed") > 0)
+                .withColumn(
+                    "failed_expectations", F.concat_ws(",", F.col("__failed"))
+                )
+                .drop("__failed")
             )
-        )
-        stats["quarantined"] = bad.count()
-    return stats
+        return stats
+    finally:
+        marked.unpersist()

@@ -45,11 +45,19 @@ def lag_delta(
     )
 
 
-def latest_per_key(df: DataFrame, key: str, order_desc: list[str]) -> DataFrame:
+def latest_per_key(
+    df: DataFrame, key: str | list[str], order_desc: list[str]
+) -> DataFrame:
     """Top-1-per-group argmax — the reference's latest-snapshot / as-of
     primitive (O1), expressed as a window instead of the reference's
-    driver-side sort-limit-collect so it stays fully distributed."""
-    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_desc])
+    driver-side sort-limit-collect so it stays fully distributed.
+    ``key`` may be a composite (list): window partitioning handles
+    multi-column keys natively AND null-safely (NULL keys form their
+    own group) — callers must never fake a composite via string
+    concatenation, which collides on NULL parts and separator-bearing
+    values."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_desc])
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop(
         "__rn"
     )

@@ -23,7 +23,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+from football_lakehouse_spark.lakehouse.tables import (
+    LakehouseTable,
+    require_unique_merge_keys,
+)
 
 
 def scd2_apply(
@@ -48,7 +51,14 @@ def scd2_apply(
     untouched.
     """
     cols = [key, *attrs, ts_col]
-    incoming = changes.select(*cols).dropDuplicates([key, ts_col])
+    # full-row dedup first (identical replays are harmless), then FAIL
+    # CLOSED if one batch still carries two different attr sets for the
+    # same (key, ts): dropDuplicates([key, ts]) would pick an arbitrary
+    # winner — run-to-run nondeterministic dimension versions, the exact
+    # flaw the incoming-vs-existing _prio ranking below exists to avoid.
+    # Same contract as MERGE (require_unique_merge_keys).
+    incoming = changes.select(*cols).dropDuplicates()
+    require_unique_merge_keys(incoming, [key, ts_col], where="scd2_apply")
     if table.exists():
         aff = incoming.select(key).distinct()
         existing = table.read().join(F.broadcast(aff), key, "left_semi")

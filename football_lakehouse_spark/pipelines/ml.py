@@ -76,14 +76,25 @@ def _fit(features: DataFrame, seed: int):
     return Pipeline(stages=stages).fit(df.where("is_train")), df
 
 
-def train_and_score(features: DataFrame, seed: int = 42) -> DataFrame:
+def fit(features: DataFrame, seed: int = 42) -> tuple:
+    """Public fit: returns ``(model, assembled_df)`` for reuse across
+    :func:`train_and_score` and :func:`training_run_log` — one GBT fit
+    per logical run instead of one per consumer."""
+    return _fit(features, seed)
+
+
+def train_and_score(
+    features: DataFrame, seed: int = 42, fitted: tuple | None = None
+) -> DataFrame:
     """M2+M3: GBT regression of lifetime value from behavioural +
     dimensional features; returns per-customer predictions plus a
     holdout-RMSE summary row appended as metadata columns.
 
     Deterministic: fixed seed, fixed maxIter/depth, deterministic
-    train/test split on the key (not random split)."""
-    model, df = _fit(features, seed)
+    train/test split on the key (not random split). Pass ``fitted``
+    (from :func:`fit`) to share one training pass with
+    :func:`training_run_log`."""
+    model, df = fitted if fitted is not None else _fit(features, seed)
     scored = model.transform(df)
     return scored.select(
         "c_custkey",
@@ -93,7 +104,9 @@ def train_and_score(features: DataFrame, seed: int = 42) -> DataFrame:
     )
 
 
-def training_run_log(features: DataFrame, seed: int = 42) -> DataFrame:
+def training_run_log(
+    features: DataFrame, seed: int = 42, fitted: tuple | None = None
+) -> DataFrame:
     """M2 metric/artefact logging (MLflow parity — the reference backlog
     says "log metrics + artefacts (MLflow)", docs/backlog.md:89-91): one
     row per logged item of a training run, long-format
@@ -112,7 +125,10 @@ def training_run_log(features: DataFrame, seed: int = 42) -> DataFrame:
     Scale: metric aggregation is one job over the scored table
     (map-side partials); the log itself is O(params + features) rows —
     control-plane sized at any corpus scale."""
-    model, df = _fit(features, seed)
+    # reuse a model already fitted by train_and_score when provided —
+    # refitting the identical GBT pipeline doubles the dominant cost of
+    # a score+log run for no change in output (fixed seed, fixed split)
+    model, df = fitted if fitted is not None else _fit(features, seed)
     scored = model.transform(df).select(
         "is_train",
         F.round(F.col("predicted_value") - F.col("lifetime_value"), 2).alias("residual"),

@@ -86,7 +86,10 @@ def strip_flush_rows(df: DataFrame, marker_col: str = "event_type") -> DataFrame
     ``EventTimeWatermark`` node (it's a deterministic group-key filter),
     which starves the watermark operator of the sentinel and cancels
     the flush."""
-    return df.where(F.col(marker_col) != F.lit(FLUSH_MARKER))
+    # null-safe: a plain != is NULL (dropped) for rows whose marker
+    # column is NULL — e.g. a rescued event that parsed without an
+    # event_type still produced a real counted group and must survive
+    return df.where(~F.col(marker_col).eqNullSafe(F.lit(FLUSH_MARKER)))
 
 
 def read_windowed_counts(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -353,3 +353,29 @@ def test_unknown_mime_keeps_byte_histogram(spark, docs):
     for r in extract_features(bundled).collect():
         assert len(r.features) == 8
         assert abs(sum(r.features) - 1.0) < 1e-4
+
+
+def test_extract_features_null_payload_is_poison_not_fatal(spark):
+    """A NULL asset payload must yield NULL features (the documented
+    poison-row contract), not a TypeError that kills the whole
+    mapInPandas stage — for every mime branch including the byte-
+    histogram fallback."""
+    df = spark.createDataFrame(
+        [(1, None, "image/png"), (2, None, "audio/wav"),
+         (3, None, "application/octet-stream"),
+         (4, b"not-a-png", "image/png")],
+        "doc_id bigint, payload binary, mime string",
+    )
+    assets = df.select(
+        "doc_id",
+        F.struct(
+            F.col("payload"),
+            F.col("mime"),
+            F.coalesce(F.length("payload").cast("bigint"), F.lit(0)).alias("byte_len"),
+            F.sha2(F.coalesce(F.col("payload"), F.lit(b"")), 256).alias("sha"),
+        ).alias("asset"),
+    )
+    got = {r.doc_id: r.features for r in extract_features(assets).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] is None  # detectably-corrupt payload stays NULL too

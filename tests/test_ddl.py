@@ -18,6 +18,44 @@ def test_smoke_roundtrip(spark, tmp_path):
     assert [(r.id, r.note) for r in rows] == [(1, "hello")]
 
 
+def test_smoke_roundtrip_is_idempotent_over_same_location(spark, tmp_path):
+    """The smoke table is EXTERNAL (explicit LOCATION): DROP removes
+    only metadata, so a rerun over the same path used to read the prior
+    run's parquet and report a phantom second row."""
+    first = smoke_roundtrip(spark, "fls_smoke2", str(tmp_path)).collect()
+    second = smoke_roundtrip(spark, "fls_smoke2", str(tmp_path)).collect()
+    assert [(r.id, r.note) for r in first] == [(1, "hello")]
+    assert [(r.id, r.note) for r in second] == [(1, "hello")]
+
+
+def test_create_schema_rejects_reserved_separator(spark):
+    """A plain schema named like 'audit__2026' would be mistaken for a
+    multiplexed catalog__schema database and vanish from the default
+    listing — fail closed instead."""
+    import pytest as _pytest
+
+    from football_lakehouse_spark.lakehouse.ddl import create_schema
+
+    with _pytest.raises(ValueError, match="reserved separator"):
+        create_schema(spark, "audit__2026")
+
+
+def test_list_schemas_column_name_is_stable_across_branches(spark):
+    """Both branches (default catalog and multiplexed catalog) must
+    expose the same 'schema_name' column so callers can select it
+    without knowing which branch ran."""
+    from football_lakehouse_spark.lakehouse.ddl import create_schema, list_schemas
+
+    create_schema(spark, "fls_colname")
+    create_schema(spark, "flscat.colname")
+    assert list_schemas(spark).columns == ["schema_name"]
+    assert list_schemas(spark, "flscat").columns == ["schema_name"]
+    assert "fls_colname" in {r.schema_name for r in list_schemas(spark).collect()}
+    assert {r.schema_name for r in list_schemas(spark, "flscat").collect()} == {
+        "colname"
+    }
+
+
 def test_idempotent_ddl_and_views(spark, tmp_path):
     create_schema(spark, "fls_ddl")
     create_schema(spark, "fls_ddl")  # idempotent

@@ -901,3 +901,29 @@ def test_compact_to_size_targets_file_bytes(spark, events, tmp_path):
     t.compact_to_size(target_file_bytes=10 << 30)
     assert len(t.current_files()) == 1
     assert t.read().count() == n_before
+
+
+def test_scd2_apply_rejects_conflicting_same_key_ts_rows(spark, tmp_path):
+    """Two DIFFERENT attr sets for one (key, ts) in a single batch have
+    no deterministic winner — scd2_apply fails closed with the shared
+    MergeSourceDuplicateError instead of picking an arbitrary side.
+    Identical full-row replays still collapse silently (harmless)."""
+    import pytest as _pytest
+
+    from football_lakehouse_spark.lakehouse.tables import (
+        LakehouseTable,
+        MergeSourceDuplicateError,
+    )
+    from football_lakehouse_spark.operators.scd import scd2_apply
+
+    dim = LakehouseTable(spark, str(tmp_path / "c"), "silver", "dim_conflict")
+    ok = spark.createDataFrame(
+        [(1, "a", 100), (1, "a", 100)], "user_id bigint, value string, es bigint"
+    )
+    scd2_apply(dim, ok, "user_id", "es", ["value"])  # identical dup: fine
+    assert dim.read().count() == 1
+    bad = spark.createDataFrame(
+        [(2, "a", 100), (2, "b", 100)], "user_id bigint, value string, es bigint"
+    )
+    with _pytest.raises(MergeSourceDuplicateError):
+        scd2_apply(dim, bad, "user_id", "es", ["value"])

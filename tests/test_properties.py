@@ -646,3 +646,41 @@ def test_duplicate_spans_matches_reference(spark, docs, n, min_docs):
                 spanned.update(range(s, e))
         kept = [t for i, t in enumerate(toks) if i not in spanned]
         assert trimmed[did] == (" ".join(kept), len(spanned))
+
+
+def test_merge_null_keys_are_rerun_safe(spark):
+    """NULL join keys never match a plain equi-join, so a replayed batch
+    with a NULL-key row used to add one more copy per rerun. The
+    null-safe anti join keeps merge_upsert idempotent, and
+    dedupe_updates must treat ('a', NULL) and (NULL, 'a') as DIFFERENT
+    composite keys (the concat_ws composite collapsed them)."""
+    from pyspark.sql import functions as F
+
+    from football_lakehouse_spark.operators.merge import (
+        dedupe_updates,
+        merge_upsert,
+    )
+
+    schema = "k string, v bigint, x bigint"
+    base = spark.createDataFrame([("a", 1, 0), (None, 1, 0)], schema)
+    upd = spark.createDataFrame([(None, 2, 1)], schema)
+    once = merge_upsert(base, upd, ["k"])
+    twice = merge_upsert(once, upd, ["k"])
+    def rows(df):
+        return sorted(((r.k, r.v, r.x) for r in df.collect()),
+                      key=lambda t: (t[0] is None, t))
+    assert rows(once) == [("a", 1, 0), (None, 2, 1)]
+    assert rows(twice) == rows(once), "rerun grew the NULL-key row"
+    # composite-key dedup: NULL parts must not collide across positions
+    cschema = "k1 string, k2 string, v bigint"
+    ups = spark.createDataFrame(
+        [("a", None, 1), (None, "a", 2), ("a", None, 3)], cschema
+    )
+    got = dedupe_updates(ups, ["k1", "k2"], ["v"]).collect()
+    assert len(got) == 2, "distinct NULL-part composites collapsed"
+    assert {r.v for r in got} == {3, 2}  # latest wins within ('a', NULL)
+    # separator-bearing values must not collide either
+    ups2 = spark.createDataFrame(
+        [("a§b", "c", 1), ("a", "b§c", 2)], cschema
+    )
+    assert dedupe_updates(ups2, ["k1", "k2"], ["v"]).count() == 2

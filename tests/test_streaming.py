@@ -656,3 +656,20 @@ def test_span_dedup_stream_keep_canonical_adjacent_content(spark, tmp_path):
     split = run("two", [corpus_doc, [a1], [a2]])
     assert together == expect
     assert split == expect
+
+
+def test_strip_flush_rows_keeps_null_marker_groups(spark):
+    """A NULL group key (e.g. a rescued event that parsed without an
+    event_type) is real counted data; a plain != dropped it with the
+    sentinel. Only the exact FLUSH_MARKER rows may be stripped."""
+    from football_lakehouse_spark.streaming.state import (
+        FLUSH_MARKER,
+        strip_flush_rows,
+    )
+
+    df = spark.createDataFrame(
+        [("purchase", 3), (None, 2), (FLUSH_MARKER, 1)],
+        "event_type string, n bigint",
+    )
+    got = {r.event_type: r.n for r in strip_flush_rows(df).collect()}
+    assert got == {"purchase": 3, None: 2}
