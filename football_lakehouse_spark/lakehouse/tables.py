@@ -183,6 +183,8 @@ class LakehouseTable:
         #: for data skipping (Delta `dataSkippingNumIndexedCols`
         #: analogue). Numeric / string / timestamp columns only.
         self.stats_columns = list(stats_columns)
+        #: immutable-commit JSON cache (see _read_commit)
+        self._commit_cache: dict[int, dict] = {}
         os.makedirs(self.data_root, exist_ok=True)
         os.makedirs(self.log_root, exist_ok=True)
 
@@ -206,8 +208,19 @@ class LakehouseTable:
         return sorted(commits), sorted(checkpoints)
 
     def _read_commit(self, v: int) -> dict:
+        # committed files are immutable, so cache parsed JSON per
+        # instance: without this, last_txn_version() (called once per
+        # streaming micro-batch by append_txn) re-reads and re-parses
+        # the ENTIRE log each time — O(n²) commit-file I/O over a
+        # backlog of n batches. First read of a version still hits
+        # disk; concurrent writers only ever ADD new versions.
+        cached = self._commit_cache.get(v)
+        if cached is not None:
+            return cached
         with open(self._commit_path(v)) as f:
-            return json.load(f)
+            c = json.load(f)
+        self._commit_cache[v] = c
+        return c
 
     def _live_at(self, v: int) -> list[str]:
         """Live file set at version ``v``: newest checkpoint ≤ v, then
@@ -796,9 +809,11 @@ class LakehouseTable:
 
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest transaction version committed for ``app_id`` (Delta
-        ``txnAppId``/``txnVersion`` parity). O(log tail) scan of the
-        commit files — the newest txn for an app is almost always in
-        the tail."""
+        ``txnAppId``/``txnVersion`` parity). MAX semantics requires
+        inspecting every commit (txn versions are not required to be
+        commit-order monotone), but the immutable-commit cache in
+        :meth:`_read_commit` makes the per-micro-batch cost O(new
+        commits) I/O after the first call — not a full-log re-read."""
         commits, _ = self._log_entries()
         best: int | None = None
         for cv in commits:
@@ -1278,11 +1293,24 @@ class LakehouseTable:
                     )
                 )
             if not parts:
-                if op in ("merge", "delete", "update", "delete_dv"):
+                if op in ("merge", "delete", "update", "delete_dv") or (
+                    # a restore that actually changed the live file set
+                    # re-adds/removes rows with no CDF sidecar; skipping
+                    # it would be the silent hole this guard exists for
+                    # (a q257-style incremental consumer would net out
+                    # a delete and never see the restore re-add it).
+                    # A no-op restore (target == current) stays skippable.
+                    op == "restore" and (c.get("add") or c.get("remove"))
+                ):
                     raise ValueError(
                         f"{self.base}: version {v} ({op}) has no logged "
                         f"change data — enable_change_feed() must precede "
                         f"the operation for table_changes to serve it"
+                        + (
+                            "; RESTORE cannot be served as change data — "
+                            "consumers must rebuild from the restored "
+                            "snapshot" if op == "restore" else ""
+                        )
                     )
                 continue  # metadata-only commits (properties, optimize…)
             vf = parts[0]

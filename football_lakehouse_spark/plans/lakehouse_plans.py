@@ -11,6 +11,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from football_lakehouse_spark.functions.scalars import money_sum
+
 from football_lakehouse_spark.catalog import load_table
 from football_lakehouse_spark.lakehouse.tables import LakehouseTable
 from football_lakehouse_spark.operators.merge import merge_upsert
@@ -117,6 +119,7 @@ def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS ({_BASE_SQL})
     SELECT event_id, event_type, value FROM base
     WHERE NOT (event_type = 'purchase' AND value < 50)
+       OR event_type IS NULL OR value IS NULL
     """,
     doc="Delta-style DELETE (§2.13 / delta.io DELETE FROM): base events "
     "committed to the versioned table, then a predicate delete "
@@ -141,13 +144,13 @@ def delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM base WHERE NOT (event_type = 'purchase' AND value < 50)
     )
     SELECT CAST(0 AS BIGINT) AS version, 'append' AS operation,
-           count(*) AS n_rows, round(sum(value), 2) AS sum_value
+           count(*) AS n_rows, CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) // 10000 AS DOUBLE) / 100 AS sum_value
     FROM base
     UNION ALL
-    SELECT CAST(1 AS BIGINT), 'delete', count(*), round(sum(value), 2)
+    SELECT CAST(1 AS BIGINT), 'delete', count(*), CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) // 10000 AS DOUBLE) / 100
     FROM survived
     UNION ALL
-    SELECT CAST(2 AS BIGINT), 'restore', count(*), round(sum(value), 2)
+    SELECT CAST(2 AS BIGINT), 'restore', count(*), CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) // 10000 AS DOUBLE) / 100
     FROM base
     """,
     doc="RESTORE TABLE … TO VERSION AS OF (delta.io RESTORE; §2.13 family "
@@ -175,7 +178,7 @@ def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(h["version"]).cast("bigint").alias("version"),
                 F.lit(h["operation"]).alias("operation"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
+                money_sum(F.col("value"), 2).alias("sum_value"),
             )
         )
     result = outs[0]
@@ -289,10 +292,17 @@ def cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    from football_lakehouse_spark.functions.scalars import micros
+
+    # decimal(38,0) micros (the shared fixed-point rule): a bigint
+    # micro-sum past 2^53 would promote the final divide to double and
+    # floor one off the oracle's HUGEINT '//'
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum(micros).alias("v_micros"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micros(F.col("value"))).alias("v_micros"),
+    )
     return hourly.groupBy(
         F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -568,13 +578,13 @@ def check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'source' AS side, count(*) AS n_rows,
            CAST(sum(CASE WHEN event_type = 'updated' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_updated,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) // 10000 AS DOUBLE) / 100 AS sum_value
     FROM base
     UNION ALL
     SELECT 'clone', count(*),
            CAST(sum(CASE WHEN event_type = 'updated' THEN 1 ELSE 0 END)
                 AS BIGINT),
-           round(sum(value), 2)
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) // 10000 AS DOUBLE) / 100
     FROM cloned
     """,
     doc="SHALLOW CLONE (delta.io CREATE TABLE … SHALLOW CLONE): the dev "
@@ -604,7 +614,7 @@ def shallow_clone_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("event_type") == "updated", 1).otherwise(0))
                 .cast("bigint")
                 .alias("n_updated"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
+                money_sum(F.col("value"), 2).alias("sum_value"),
             )
         )
     return outs[0].unionByName(outs[1])
@@ -648,7 +658,10 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     except SchemaMismatchError:
         pass
     t.append(evolved, merge_schema=True)
-    assert t.read(version=0).columns == ["event_id", "event_type", "value"]
+    if t.read(version=0).columns != ["event_id", "event_type", "value"]:
+        # explicit raise, not bare assert: the version-0 schema check is
+        # load-bearing and must survive python -O
+        raise AssertionError("version-0 schema drifted")
     return t.read().select("event_id", "event_type", "value", "source")
 
 
@@ -679,7 +692,10 @@ def rename_column_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = LakehouseTable(spark, root, "silver", "event_renamed")
     t.append(ev.where(F.col("event_id") % 2 == 0))
     t.rename_column("value", "points")
-    assert t.read(version=0).columns == ["event_id", "event_type", "value"]
+    if t.read(version=0).columns != ["event_id", "event_type", "value"]:
+        # explicit raise, not bare assert: the version-0 schema check is
+        # load-bearing and must survive python -O
+        raise AssertionError("version-0 schema drifted")
     t.append(
         ev.where((F.col("event_id") % 2 == 1) & (F.col("event_id") % 3 == 0))
         .select(
@@ -1107,10 +1123,6 @@ def python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 50)
     root = scratch_dir("q236_pyds_landing")
     landing = os.path.join(root, "landing")
-    if os.path.exists(landing):
-        import shutil
-
-        shutil.rmtree(landing)
     land_json_files(ev, landing)
     register_landing_source(spark)
     back = (
@@ -1226,19 +1238,15 @@ def anti_entropy_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lakehouse", "quality"),
 )
 def subject_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-
     ev = load_table(spark, sf_dir, "events")
     root = scratch_dir("q248_subject_erasure")
-    if os.path.exists(root):
-        shutil.rmtree(root)
     table = LakehouseTable(spark, root, "gdpr", "events_copy")
     table.append(ev)
     victims = F.col("user_id") % 37 == 0
     n_victim_rows = table.read().where(victims).count()
     version = table.delete(victims)  # returns the commit version
-    assert version != -1, "erasure matched no rows"
+    if version == -1:  # survives python -O, unlike a bare assert
+        raise AssertionError("erasure matched no rows")
     post = table.read()
     cert = post.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_remaining"),
@@ -1288,14 +1296,9 @@ def subject_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lakehouse", "join"),
 )
 def consistent_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     root = scratch_dir("q249_snapshot_join")
-    if os.path.exists(root):
-        shutil.rmtree(root)
     t_o = LakehouseTable(spark, root, "snap", "orders_copy")
     t_l = LakehouseTable(spark, root, "snap", "lineitem_copy")
     v_o = t_o.append(orders)

@@ -11,6 +11,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from football_lakehouse_spark.functions.scalars import money_sum
+
 from football_lakehouse_spark.catalog import load_table
 from football_lakehouse_spark.plans.registry import query
 from football_lakehouse_spark.scratch import scratch_dir
@@ -100,7 +102,7 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) // 10000 AS DOUBLE) / 100 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -117,7 +119,7 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "6 hours"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(F.col("value"), 2).alias("total_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -446,7 +448,10 @@ def exactly_once_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_landing_stream(spark, landing).drop("ingest_ts")
     append_stream_exactly_once(stream, t, ckpt, app_id="q143")
     # forced replay of the last committed epoch: table-side skip
-    assert t.append_txn(t.read(), "q143", t.last_txn_version("q143")) is None
+    if t.append_txn(t.read(), "q143", t.last_txn_version("q143")) is not None:
+        # explicit raise (survives python -O): the forced replay MUST be
+        # skipped table-side or exactly-once is broken
+        raise AssertionError("replayed txn was not skipped")
     # full stream rerun: checkpoint-side no-op
     append_stream_exactly_once(
         read_landing_stream(spark, landing).drop("ingest_ts"), t, ckpt, "q143"
@@ -547,7 +552,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) // 10000 AS DOUBLE) / 100 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -605,8 +610,6 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def rate_limited_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from football_lakehouse_spark.streaming.ingest import read_landing_stream
 
     ev = load_table(spark, sf_dir, "events")
@@ -614,9 +617,6 @@ def rate_limited_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = os.path.join(root, "landing")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    for d in (landing, out, ckpt):
-        if os.path.exists(d):
-            shutil.rmtree(d)
     land_json_files(ev, landing, files_per_day=1)
     stream = read_landing_stream(
         spark, landing, max_files_per_trigger=3

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from football_lakehouse_spark.functions.scalars import money_sum
+
 from football_lakehouse_spark.catalog import load_table
 from football_lakehouse_spark.operators.rolling import (
     lag_delta,
@@ -114,7 +116,7 @@ def value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_live_state",
     oracle="""
     WITH agg AS (
-        SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events,
+        SELECT user_id, CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) // 10000 AS DOUBLE) / 100 AS total_value, count(*) AS n_events,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
         FROM events GROUP BY user_id
     ),
@@ -139,7 +141,7 @@ def live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", F.struct(F.col("ts"), F.col("event_id"))).alias(
             "last_event_type"
         ),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money_sum(F.col("value"), 2).alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
     )
@@ -296,7 +298,7 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioning is reused — no extra exchange); epochs via the "
     "NTZ-safe helper. Nulls/FALSE for users who never purchase "
     "post-signup keep the funnel denominators honest.",
-    tags=("windows", "events"),
+    tags=("window", "events"),
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.functions.scalars import epoch_seconds
@@ -353,7 +355,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count-distinct identity needs only the events that exist). One "
     "grouped distinct-agg, partial-aggregated; all-integer outputs via "
     "the NTZ-safe epoch helper.",
-    tags=("windows", "events"),
+    tags=("window", "events"),
 )
 def activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.functions.scalars import epoch_seconds
@@ -396,7 +398,7 @@ def activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an inherently sequential float recurrence. At scale per-user "
     "series fit in an executor (bounded-array caveat as q78 packing); "
     "unbounded series would move to applyInPandasWithState.",
-    tags=("windows", "events"),
+    tags=("window", "events"),
 )
 def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.functions.scalars import epoch_seconds
@@ -461,7 +463,7 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "elides the re-exchange); the distinct is per-(user, week) partial "
     "rows, never raw events, and the final matrix is weeks×offsets "
     "tiny. All-integer, exact.",
-    tags=("windows", "events"),
+    tags=("window", "events"),
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.functions.scalars import epoch_seconds
@@ -528,7 +530,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast totals row — the shape that monitors a 100 TB daily "
     "snapshot against yesterday's at the cost of one scan "
     "(north star: corpus monitoring).",
-    tags=("windows", "events", "quality"),
+    tags=("window", "events", "quality"),
 )
 def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.functions.scalars import epoch_seconds
@@ -583,7 +585,7 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The final window runs over the ~n_days aggregate, never the "
     "corpus (the global-window trap q103's docstring warns about is "
     "bounded here by the day count).",
-    tags=("windows", "events"),
+    tags=("window", "events"),
 )
 def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -638,7 +640,7 @@ def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "follows the busiest week. Count-distinct is two-phase "
     "partial-aggregated; days outside the corpus clip naturally via "
     "the inner join.",
-    tags=("windows", "events"),
+    tags=("window", "events"),
 )
 def rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.functions.scalars import epoch_seconds
@@ -1381,11 +1383,17 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         weekly.join(F.broadcast(csize), "cw")
+        # materialise the running sum, then EXACT integer division via
+        # `div` on decimal(38,0): floor(bigint / n) promotes to double
+        # true-division past 2^53 micros and lands one off the oracle's
+        # HUGEINT '//'; decimal `/` would round at scale before the
+        # floor. `div` has neither failure mode (q213/q121 rule).
+        .withColumn("__run_wv", F.sum("wv").over(run))
         .select(
             F.col("cw").alias("cohort_week"),
             F.col("age").alias("week_age"),
             F.col("n_cohort").cast("bigint").alias("n_cohort"),
-            F.floor(F.sum("wv").over(run) / F.col("n_cohort"))
+            F.expr("cast(__run_wv as decimal(38,0)) div n_cohort")
             .cast("bigint").alias("cum_ltv_micro_per_user"),
         )
     )

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from football_lakehouse_spark.functions.scalars import money_sum
+
 from football_lakehouse_spark.streaming.ingest import (
     land_json_files,
     read_landing_stream,
@@ -31,7 +33,7 @@ def windowed_event_counts(stream: DataFrame, window: str = "6 hours",
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(F.col("value"), 2).alias("total_value"),
         )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),

@@ -655,6 +655,31 @@ def test_c18_change_feed_hole_raises(spark, make_table):
     }
 
 
+def test_c18_restore_hole_raises(spark, make_table):
+    """C18: RESTORE re-adds/removes data files with no CDF sidecar;
+    serving the range across it must raise, never silently skip —
+    an incremental consumer would net out a delete and never see the
+    restore re-add the rows. A no-op restore (target == current live
+    set) stays skippable metadata."""
+    t = make_table("cdf_restore")
+    if not hasattr(t, "enable_change_feed") or not hasattr(t, "restore"):
+        pytest.skip("binding has no change-feed/restore surface")
+    t.enable_change_feed()
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
+    t.delete(F.col("k") == 1)  # v1, CDF logged
+    t.restore(0)  # v2: re-adds v0's file, no CDF possible
+    with pytest.raises(ValueError, match="RESTORE cannot be served"):
+        t.table_changes(-1).collect()
+    # a range that stops before the restore still serves
+    assert t.table_changes(0, 1).count() > 0
+    # no-op restore (already at the target live set) is metadata-only
+    t2 = make_table("cdf_restore_noop")
+    t2.enable_change_feed()
+    t2.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    t2.restore(0)
+    assert t2.table_changes(-1).count() > 0  # skipped, not raised
+
+
 def test_c18_overwrite_hole_raises(spark, make_table):
     """C18: an OVERWRITE committed before enablement removed files whose
     delete half was never logged — serving it as inserts-only is the
