@@ -32,11 +32,20 @@ def change_feed(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFram
     columns carry the new image for insert/update_postimage and the old
     image for delete/update_preimage — Delta CDF semantics."""
     val_cols = [c for c in new.columns if c not in keys]
+    # a KEY-ONLY table (e.g. span_key_index's single column) has no
+    # value columns: the payload struct still needs a field, and the
+    # changed-predicate fold needs an initial value (reduce() over an
+    # empty list raises TypeError) — such rows can only insert/delete
+    def payload(side_cols: list[str]) -> Column:
+        if val_cols:
+            return F.struct(*side_cols)
+        return F.struct(F.lit(None).alias("__no_vals"))
+
     o = old.select(
-        *keys, F.struct(*val_cols).alias("__old"), F.lit(1).alias("__ino")
+        *keys, payload(val_cols).alias("__old"), F.lit(1).alias("__ino")
     )
     n = new.select(
-        *keys, F.struct(*val_cols).alias("__new"), F.lit(1).alias("__inn")
+        *keys, payload(val_cols).alias("__new"), F.lit(1).alias("__inn")
     )
     j = o.join(n, list(keys), "full_outer")
 
@@ -46,6 +55,7 @@ def change_feed(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFram
             ~F.col(f"__old.{c}").eqNullSafe(F.col(f"__new.{c}"))
             for c in val_cols
         ],
+        F.lit(False),
     )
     both = F.col("__ino").isNotNull() & F.col("__inn").isNotNull()
 

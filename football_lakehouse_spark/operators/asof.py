@@ -32,6 +32,7 @@ def asof_join(
     payload: Sequence[str],
     strictly_before: bool = True,
     tolerance: float | None = None,
+    right_tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row
     with ``right.ts < left.ts`` (or <= when not strict) and the same
@@ -49,21 +50,26 @@ def asof_join(
     null-gating in the same projection: zero extra shuffles, the
     staleness test rides the existing window pass.
 
-    Ties inside the right table resolve to the later-sorted row
-    (deterministic given a unique right_ts per key; pass a composite
-    ts column when the raw timestamp can tie).
+    Ties inside the right table resolve to the later-sorted row —
+    deterministic given a unique right_ts per key. When the raw
+    timestamp CAN tie, pass ``right_tiebreak`` (right-side column
+    names): equal-ts right rows then sort ascending by the tiebreak and
+    the LARGEST tiebreak wins, pinning a run- and partition-independent
+    winner instead of whichever row the sort happened to place last.
     """
     # Left columns travel flat (prefixed, right side null-fills them) —
     # struct-packing the row costs an extra per-row copy on both sides
     # of the shuffle and measured ~30% slower at sf0.1.
     ltypes = dict(left.dtypes)
     rtypes = dict(right.dtypes)
+    tb = list(right_tiebreak)
     lt = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
         *[F.lit(None).cast(rtypes[c]).alias(f"__p_{c}") for c in payload],
+        *[F.lit(None).cast(rtypes[c]).alias(f"__tb_{i}") for i, c in enumerate(tb)],
     )
     rt = right.select(
         F.col(key).alias("__k"),
@@ -71,6 +77,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(ltypes[c]).alias(f"__l_{c}") for c in left.columns],
         *[F.col(c).alias(f"__p_{c}") for c in payload],
+        *[F.col(c).alias(f"__tb_{i}") for i, c in enumerate(tb)],
     )
     # sort order decides tie semantics: with strictly_before, a left row
     # at the same instant as a right row must NOT see it → left sorts
@@ -78,9 +85,17 @@ def asof_join(
     # __is_left ASC puts right rows (0) before left (1) — i.e. <= ; for
     # strict <, left rows sort before right rows at equal ts.
     tie = F.col("__is_left").desc() if strictly_before else F.col("__is_left").asc()
+    # tiebreak columns sort ASC among equal-ts right rows, so last()
+    # picks the largest — deterministic when right_ts alone can tie.
+    # Left rows carry NULL tiebreaks but are already separated by the
+    # __is_left term, so their relative order is irrelevant.
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), tie)
+        .orderBy(
+            F.col("__ts").asc(),
+            tie,
+            *[F.col(f"__tb_{i}").asc() for i in range(len(tb))],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = lt.unionByName(rt)

@@ -138,20 +138,6 @@ def doc_profiles(
     ).withColumn("n_shingles", F.size("shset"))
 
 
-def minhash_signatures(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """K minhash values per doc in ONE aggregation pass and ONE sha256
-    per shingle row (standalone form; the fused pipeline uses
-    :func:`doc_profiles`)."""
-    sha = F.sha2(F.col("shingle"), 256)
-    aggs = [
-        F.min(
-            F.conv(F.substring(sha, 8 * k + 1, 8), 16, 10).cast("bigint")
-        ).alias(f"mh{k}")
-        for k in range(N_MINHASH)
-    ]
-    return pairs.groupBy(id_col).agg(*aggs)
-
-
 def band_buckets(
     sigs: DataFrame, id_col: str = "doc_id", hash_impl: str = "sha256"
 ) -> DataFrame:
@@ -317,6 +303,7 @@ def minhash_lsh_neardups(
     text_col: str = "text",
     hash_impl: str = "sha256",
     max_bucket_size: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → fused per-doc profile (minhash
     signature + distinct shingle set, ONE shuffle) → band → bucket join
@@ -327,20 +314,25 @@ def minhash_lsh_neardups(
     verify sides); without persistence Spark recomputes the
     explode+hash+agg lineage per consumer — at corpus scale that's 2
     extra full corpus scans. MEMORY_AND_DISK matches the checkpoint a
-    production pipeline would put here. Re-expresses the reference's
+    production pipeline would put here. ``persist=False`` skips both
+    caches: DataFrame persists live in the session's CacheManager until
+    explicitly unpersisted, so per-batch composers in a long-lived
+    session should opt out (or manage the cache themselves). Re-expresses the reference's
     declared near-dup surface (docs/backlog.md:49-51 MERGE dedupe is
     exact-key; this is the content-similarity extension)."""
     from pyspark import StorageLevel
 
-    profiles = doc_profiles(docs, id_col, text_col, hash_impl).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    profiles = doc_profiles(docs, id_col, text_col, hash_impl)
+    if persist:
+        profiles = profiles.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = profiles.select(id_col, *[f"mh{k}" for k in range(N_MINHASH)])
     # candidates feed two downstream probes — persist so each reads the
     # cached rows instead of re-running the banding join
     cands = candidate_pairs(
         band_buckets(sigs, id_col, hash_impl), id_col, max_bucket_size
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist:
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     return verified_jaccard_profiles(cands, profiles, threshold, id_col)
 
 
@@ -676,12 +668,21 @@ def incremental_neardups(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_impl: str = "sha256",
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dups of an ARRIVING batch against an EXISTING corpus —
     the incremental form of :func:`minhash_lsh_neardups`. Returns
-    cross pairs as (doc_a = corpus doc, doc_b = batch doc) plus
-    batch-internal pairs as (doc_a < doc_b, both batch docs), with
-    (n_common, jaccard) for each.
+    cross pairs as (doc_a = corpus-only doc, doc_b = batch doc) plus
+    pairs where both docs are batch-present as (doc_a < doc_b), with
+    (n_common, jaccard) for each — every near-dup pair exactly ONCE
+    even when a doc exists in both inputs; a doc arriving with changed
+    text is verified against its BATCH profile (re-arrival = update).
+
+    ``persist=False`` skips the MEMORY_AND_DISK caching of the two
+    profile tables: DataFrame persists live in the session's
+    CacheManager until explicitly unpersisted, so a long-lived composer
+    calling this per batch should either pass False (recompute is one
+    scan) or manage the cache itself.
 
     Why it matters at 100 TB: when a batch lands you must not re-pair
     the corpus against itself (that work is already done); the only new
@@ -695,23 +696,29 @@ def incremental_neardups(
     the fixture has no persisted index — the topology is identical).
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
-    corpus_profiles = doc_profiles(corpus, id_col, text_col, hash_impl).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    batch_profiles = doc_profiles(batch, id_col, text_col, hash_impl).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    corpus_profiles = doc_profiles(corpus, id_col, text_col, hash_impl)
+    batch_profiles = doc_profiles(batch, id_col, text_col, hash_impl)
+    if persist:
+        corpus_profiles = corpus_profiles.persist(StorageLevel.MEMORY_AND_DISK)
+        batch_profiles = batch_profiles.persist(StorageLevel.MEMORY_AND_DISK)
     mh_cols = [f"mh{k}" for k in range(N_MINHASH)]
     cb = band_buckets(corpus_profiles.select(id_col, *mh_cols), id_col, hash_impl)
     bb = band_buckets(batch_profiles.select(id_col, *mh_cols), id_col, hash_impl)
     bb_b = bb.select("band_id", "band_key", F.col(id_col).alias("doc_b"))
+    batch_ids = bb.select(F.col(id_col).alias("doc_a")).distinct()
     cands_cross = (
         cb.select("band_id", "band_key", F.col(id_col).alias("doc_a"))
         .join(F.broadcast(bb_b), ["band_id", "band_key"])
         # a doc present in both inputs must not pair with itself
         .where(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
+        # pairs where BOTH docs are in the batch belong to cands_batch
+        # (canonical a < b orientation): keeping them here would report
+        # the pair TWICE, once per orientation — cross candidates are
+        # unoriented when a doc exists in corpus AND batch
+        .join(F.broadcast(batch_ids), "doc_a", "left_anti")
     )
     # the arriving batch can contain near-dups of ITSELF — those pairs
     # are also new on arrival; batch-sized self-join, oriented
@@ -723,7 +730,17 @@ def incremental_neardups(
         .select("doc_a", "doc_b")
     )
     cands = cands_cross.unionByName(cands_batch).distinct()
-    profiles = corpus_profiles.unionByName(batch_profiles).dropDuplicates([id_col])
+    # deterministic profile for a doc in BOTH inputs: the BATCH copy
+    # wins (a re-arrival is an update) — a bare dropDuplicates would
+    # verify against an arbitrarily chosen profile when the text changed
+    w_prof = Window.partitionBy(id_col).orderBy(F.col("__prio").desc())
+    profiles = (
+        batch_profiles.withColumn("__prio", F.lit(1))
+        .unionByName(corpus_profiles.withColumn("__prio", F.lit(0)))
+        .withColumn("__rn", F.row_number().over(w_prof))
+        .where(F.col("__rn") == 1)
+        .drop("__prio", "__rn")
+    )
     return verified_jaccard_profiles(cands, profiles, threshold, id_col)
 
 

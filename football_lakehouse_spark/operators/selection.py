@@ -29,6 +29,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _require_integral_score(df: DataFrame, score_col: str, where: str) -> None:
+    """Fail closed on fractional score columns: ``cast("bigint")``
+    silently TRUNCATES doubles (quality scores in [0,1] all become 0),
+    degenerating the promised (score DESC, id ASC) ranking to id ASC
+    with no warning. Callers quantise first (the micros rule:
+    ``floor(score * 10000)``)."""
+    dtype = dict(df.dtypes).get(score_col)
+    if dtype in ("double", "float") or (dtype or "").startswith("decimal"):
+        raise ValueError(
+            f"{where}: score column {score_col!r} is {dtype}; fractional "
+            "scores truncate to integers (a [0,1] quality score becomes "
+            "all-zero and the ranking silently degenerates to id order). "
+            "Quantise first, e.g. floor(score * 10000).cast('bigint')."
+        )
+
+
 def token_budget_select(
     docs: DataFrame,
     budget: int,
@@ -54,6 +70,7 @@ def token_budget_select(
             f"{bucket_width}); width 0 divides by zero and a negative "
             "width inverts the bucket order"
         )
+    _require_integral_score(docs, score_col, "token_budget_select")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(score_col).cast("bigint").alias("score"),
@@ -77,7 +94,20 @@ def token_budget_select(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        base.join(F.broadcast(bucket_prefix), "bucket")
+        # null-safe on bucket: a NULL score yields a NULL bucket, and a
+        # plain equi-join would DROP those docs instead of ranking them
+        # last ("returns EVERY doc" — desc ordering puts NULLS LAST, so
+        # the NULL bucket's w_better prefix is already the every-real-
+        # bucket total; the same contract source_quota_select pins)
+        base.join(
+            F.broadcast(
+                bucket_prefix.select(
+                    F.col("bucket").alias("__bp_bucket"), "cum_before"
+                )
+            ),
+            F.col("bucket").eqNullSafe(F.col("__bp_bucket")),
+        )
+        .drop("__bp_bucket")
         .withColumn("cum_in", F.sum("n_tokens").over(w_in))
         .select(
             "doc_id",
@@ -187,6 +217,11 @@ def bucketed_prefix(
     agg = (
         [F.count(F.lit(1)).alias("__bcnt")]
         + [F.sum(expr).alias(f"__btot_{name}") for name, expr in sums.items()]
+        # non-null counts per sum expr: the global window returns NULL
+        # until the first non-null value, so exact equivalence needs to
+        # know whether ANY prior value existed (coalescing the prefix to
+        # 0 alone would turn that leading NULL into 0)
+        + [F.count(expr).alias(f"__bnn_{name}") for name, expr in sums.items()]
         + [F.max(expr).alias(f"__bmax_{name}") for name, expr in maxs.items()]
     )
     bucket_tot = df.groupBy(bucket).agg(*agg)
@@ -194,13 +229,22 @@ def bucketed_prefix(
         F.col(bucket).alias("__ob"),
         F.col("__bcnt").alias("__ocnt"),
         *[F.col(f"__btot_{name}").alias(f"__otot_{name}") for name in sums],
+        *[F.col(f"__bnn_{name}").alias(f"__onn_{name}") for name in sums],
         *[F.col(f"__bmax_{name}").alias(f"__omax_{name}") for name in maxs],
     )
-    better = (
-        F.col("__ob") > F.col(bucket)
-        if descending
-        else F.col("__ob") < F.col(bucket)
-    )
+    # NULL buckets sort where Spark's default null ordering puts them in
+    # the equivalent global window (asc → NULLS FIRST, desc → NULLS
+    # LAST); a bare </> comparison is NULL against a NULL bucket, which
+    # would silently give NULL-bucket rows an EMPTY prefix (and exclude
+    # them from every real bucket's prefix on the ascending side)
+    if descending:
+        better = (F.col("__ob") > F.col(bucket)) | (
+            F.col(bucket).isNull() & F.col("__ob").isNotNull()
+        )
+    else:
+        better = (F.col("__ob") < F.col(bucket)) | (
+            F.col("__ob").isNull() & F.col(bucket).isNotNull()
+        )
     bucket_prefix = (
         bucket_tot.join(F.broadcast(other), better, "left")
         .groupBy(bucket)
@@ -212,6 +256,12 @@ def bucketed_prefix(
                 )
                 for name in sums
             ],
+            *[
+                F.coalesce(F.sum(f"__onn_{name}"), F.lit(0)).alias(
+                    f"__pnn_{name}"
+                )
+                for name in sums
+            ],
             # max prefix may legitimately be NULL for the first bucket —
             # the within-bucket running max supplies the value there
             *[F.max(f"__omax_{name}").alias(f"__p_{name}") for name in maxs],
@@ -219,10 +269,25 @@ def bucketed_prefix(
     )
     w_in = Window.partitionBy(bucket).orderBy(*order)
     w_in_cum = w_in.rowsBetween(Window.unboundedPreceding, 0)
-    out = df.join(F.broadcast(bucket_prefix), bucket)
+    # null-safe join: a NULL bucket must rejoin its own prefix row, not
+    # vanish ("All original columns are preserved")
+    out = df.join(
+        F.broadcast(
+            bucket_prefix.withColumnRenamed(bucket, "__pb")
+        ),
+        F.col(bucket).eqNullSafe(F.col("__pb")),
+    ).drop("__pb")
     for name, expr in sums.items():
+        within = F.sum(expr).over(w_in_cum)
+        within_nn = F.count(expr).over(w_in_cum)
+        # exact global-window semantics: NULL until the first non-null
+        # contribution anywhere in the frame, then the sum of non-nulls
         out = out.withColumn(
-            name, F.col(f"__p_{name}") + F.sum(expr).over(w_in_cum)
+            name,
+            F.when(
+                (F.col(f"__pnn_{name}") + within_nn) > 0,
+                F.col(f"__p_{name}") + F.coalesce(within, F.lit(0)),
+            ),
         )
     for name, expr in maxs.items():
         out = out.withColumn(
@@ -234,9 +299,12 @@ def bucketed_prefix(
         )
     if rank is not None:
         out = out.withColumn(rank, F.col("__pcnt") + F.row_number().over(w_in))
-    drop = ["__pcnt"] + [f"__p_{name}" for name in sums] + [
-        f"__p_{name}" for name in maxs
-    ]
+    drop = (
+        ["__pcnt"]
+        + [f"__p_{name}" for name in sums]
+        + [f"__pnn_{name}" for name in sums]
+        + [f"__p_{name}" for name in maxs]
+    )
     return out.drop(*drop)
 
 
@@ -295,6 +363,7 @@ def source_quota_select(
     ASC) order — buckets partition disjoint score ranges). The prefix
     table has sources × occupied-buckets rows — still driver-scale.
     """
+    _require_integral_score(docs, score_col, "source_quota_select")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),

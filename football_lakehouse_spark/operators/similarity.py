@@ -178,12 +178,16 @@ def _quantized_components(
     dedup wants (scaled copies of a vector must land together). The
     norm is the element-order dot — the same expression shape as the
     SQL oracle, so quantisation stays bit-identical cross-engine.
-    Zero vectors are undefined under normalisation (NaN components) —
-    callers own filtering them."""
+    A ZERO vector has no direction: it quantises to all-zero components
+    (guarded — an unguarded x/0 yields NULL components that crash the
+    Arrow kernel's int64 conversion mid-stage, or silently ride NULL
+    arithmetic through the SQL path)."""
     vd = as_double(F.col(vec_col))
     if normalize:
         nrm = F.sqrt(dot(vd, vd))
-        vd = F.transform(vd, lambda x: x / nrm)
+        vd = F.transform(
+            vd, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
+        )
     return df.select(
         F.col(id_col).alias(id_out),
         F.posexplode(vd).alias("pos", "x"),
@@ -471,6 +475,14 @@ def kmeans_cells(
             )
             .localCheckpoint(eager=True)
         )
+    # the Lloyd loop is done and cent is checkpointed: the training
+    # caches are fully consumed and can be released NOW — DataFrame
+    # persists otherwise live in the CacheManager for the whole session
+    # (one leaked training-set cache per kmeans call). The corpus cache
+    # stays: the returned lazy assignment still reads it.
+    qx.unpersist()
+    if train is not corpus:
+        train.unpersist()
     return assign(corpus, cent), cent
 
 
@@ -510,9 +522,15 @@ def refine_hot_cells(
     (the maintenance-op regime). The hot set and n_base are the only
     driver-side scalars (control-plane, ≤ 1/max_cell_frac rows).
     """
+    # id_out=id_col: the kernel's default id_out is "vec_id", which
+    # broke every non-default id_col at the members join below.
+    # localCheckpoint: the assignment (a full corpus kernel pass) feeds
+    # THREE consumers (hot-cell count, members join, refined left_anti)
+    # — materialise once, reclaimable (same rationale as semantic_dedup)
     assigned = assign_cells(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, normalize=normalize,
-    )
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        id_out=id_col, normalize=normalize,
+    ).localCheckpoint(eager=True)
     total = corpus.count()
     hot_rows = (
         assigned.groupBy("cell").count()

@@ -44,6 +44,7 @@ def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         payload=["event_id", "value"],
         strictly_before=True,
+        right_tiebreak=["event_id"],  # deterministic under ts ties
     )
     return joined.select(
         "event_id",
@@ -90,6 +91,7 @@ def asof_tolerance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["event_id", "value"],
         strictly_before=True,
         tolerance=3600,
+        right_tiebreak=["event_id"],  # deterministic under ts ties
     )
     return joined.select(
         "event_id", "user_id", F.col("asof_event_id"), F.col("asof_value")
@@ -573,6 +575,7 @@ def pit_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="eff_from",
         payload=["value", "eff_from"],
         strictly_before=False,
+        right_tiebreak=["value"],  # deterministic under eff_from ties
     )
     return joined.select(
         "event_id", "user_id", "es",
@@ -1273,6 +1276,7 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = asof_join(
         a, p, key="user_id", left_ts="t", right_ts="t",
         payload=["p_id", "p_t"], strictly_before=True,
+        right_tiebreak=["p_id"],  # deterministic under ts ties
     ).select(
         "event_id",
         F.col("asof_p_id").alias("pv_id"),
@@ -1283,6 +1287,7 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     nxt = asof_join(
         a_neg, p_neg, key="user_id", left_ts="tn", right_ts="tn",
         payload=["p_id", "p_t"], strictly_before=True,
+        right_tiebreak=["p_id"],  # deterministic under ts ties
     ).select(
         "event_id",
         F.col("asof_p_id").alias("nx_id"),
@@ -1361,14 +1366,24 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dec = "decimal(38,0)"
-    seasonal = daily.groupBy("dow").agg(
-        F.floor(F.sum(F.col("rev_micro").cast(dec)) / F.count(F.lit(1)))
-        .cast("bigint").alias("expected_micro")
+    # `div`, not floor(decimal /): Spark's decimal division rounds
+    # HALF_UP at result scale BEFORE the floor, which can land one off
+    # the oracle's truncating `//` when the true quotient sits within
+    # rounding distance of an integer
+    seasonal = (
+        daily.groupBy("dow")
+        .agg(
+            F.sum(F.col("rev_micro").cast(dec)).alias("__rsum"),
+            F.count(F.lit(1)).alias("__rn"),
+        )
+        .select(
+            "dow",
+            F.expr("__rsum div __rn").cast("bigint").alias("expected_micro"),
+        )
     )
-    dev = F.floor(
-        F.abs(F.col("rev_micro") - F.col("expected_micro")).cast(dec)
-        * 1000000
-        / F.col("expected_micro")
+    dev = F.expr(
+        "cast(abs(rev_micro - expected_micro) as decimal(38,0)) * 1000000 "
+        "div expected_micro"
     ).cast("bigint")
     return (
         daily.join(F.broadcast(seasonal), "dow")
@@ -1430,12 +1445,23 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_us"),
     )
     bounced = F.col("gap_us").isNotNull() & (F.col("gap_us") <= 5000000)
-    return g.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
-        F.sum(F.when(~bounced, 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.floor(
-            F.sum(F.when(bounced, 1).otherwise(0)) * 1000000 / F.count(F.lit(1))
-        ).cast("bigint").alias("drop_ppm"),
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(~bounced, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(bounced, 1).otherwise(0)).cast("bigint").alias("__nb"),
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "n_kept",
+            # exact integral div: bigint·1e6 promotes to double past 2^53
+            # (and can overflow under ANSI) — the q199/q55 bug class
+            F.expr("cast(__nb as decimal(38,0)) * 1000000 div n_total")
+            .cast("bigint")
+            .alias("drop_ppm"),
+        )
     )
 
 
@@ -1550,7 +1576,8 @@ def repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("nth").alias("purchase_n"),
             "n_users",
-            F.floor(F.col("n_users") * 1000000 / F.col("u"))
+            # exact integral div — see q222's note (same ppm bug class)
+            F.expr("cast(n_users as decimal(38,0)) * 1000000 div u")
             .cast("bigint").alias("survival_ppm"),
         )
     )
@@ -1620,12 +1647,11 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "user_id",
         "n_gaps",
-        F.floor(F.col("sg") / F.col("n_gaps")).cast("bigint")
-        .alias("mean_gap_us"),
-        F.floor(
-            (F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg"))
-            * 1000000
-            / (F.col("sg") * F.col("sg"))
+        # `div` not floor(decimal /) — decimal division rounds at scale
+        # before the floor; the oracle truncates with `//` (q220 note)
+        F.expr("sg div n_gaps").cast("bigint").alias("mean_gap_us"),
+        F.expr(
+            "(n_gaps * sg2 - sg * sg) * 1000000 div (sg * sg)"
         ).cast("bigint").alias("cv2_ppm"),
     )
 
@@ -1814,9 +1840,18 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_totalprice") > 200000)
     ).select("o_orderkey", "o_orderstatus")
 
-    keys = bld.select("o_orderkey").distinct().persist()
+    # localCheckpoint, not persist: checkpointed RDD blocks are
+    # reclaimed by the ContextCleaner once unreferenced, while a
+    # DataFrame persist stays in the CacheManager until the session
+    # ends — a bench/notebook loop re-running this query would
+    # accumulate cached copies forever
+    keys = bld.select("o_orderkey").distinct().localCheckpoint(eager=True)
     n_keys = keys.count()  # control-plane scalar; also sizes the filter
-    m = 63 * ((n_keys * 16 + 62) // 63)
+    # floor at one key: an EMPTY build side would size m=0 and the
+    # probe's `% m` raises DIVIDE_BY_ZERO under ANSI — with m=63 the
+    # bloom table is empty, every probe row left-joins to NULL words
+    # and is filtered, and the result is the empty set the oracle pins
+    m = 63 * ((max(n_keys, 1) * 16 + 62) // 63)
 
     # ONE sha256 per key; the three bit positions are disjoint 8-hex-char
     # windows of the same digest (3x fewer hash evaluations than
@@ -1869,6 +1904,10 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+    # persist, NOT localCheckpoint: checkpointing would truncate the
+    # probe lineage and hide the broadcast bit-test joins from the
+    # executed plan (the q254 plan-shape test pins them); the cache is
+    # query-lifetime only
     kept = probe.persist()
 
     totals = F.broadcast(
@@ -2048,7 +2087,10 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_val = (
-        stacked.withColumn("len", F.length("v"))
+        # octet_length (BYTES): the advisor estimates storage bytes and
+        # the oracle's strlen() counts bytes — F.length counts CHARS,
+        # which diverges on any multi-byte UTF-8 value
+        stacked.withColumn("len", F.octet_length("v"))
         .groupBy("col_name", "v", "len")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -129,14 +129,15 @@ def _date_from_path(fp: str) -> date | None:
 
 
 def _parse_ts(v):
+    """Missing ts → NULL (legitimate); MALFORMED ts → ValueError, so
+    _parse_line rescues the whole line — the same treatment a malformed
+    `value` gets, and what the native PERMISSIVE reader does. Swallowing
+    it to NULL would emit a silently corrupted row with _rescue NULL."""
     if v is None:
         return None
-    try:
-        return datetime.fromisoformat(str(v).replace("Z", "+00:00")).replace(
-            tzinfo=None
-        )
-    except ValueError:
-        return None
+    return datetime.fromisoformat(str(v).replace("Z", "+00:00")).replace(
+        tzinfo=None
+    )
 
 
 def _parse_line(line: str, fp: str, pdate: date | None):
@@ -179,6 +180,11 @@ class LandingReader(DataSourceReader):
         return [_FilePartition(fp) for fp in _list_landing_files(self.path)]
 
     def read(self, partition):
+        # an EMPTY landing dir yields zero partitions, and pyspark's
+        # plan_data_source_read substitutes [None] and still calls
+        # read(None) — return an empty iterator, not AttributeError
+        if partition is None:
+            return
         pdate = _date_from_path(partition.fp)
         with open(partition.fp, encoding="utf-8") as fh:
             for line in fh:
@@ -454,6 +460,8 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition):
+        if partition is None:  # empty micro-batch — same [None] edge as
+            return             # the batch reader above
         pdate = _date_from_path(partition.fp)
         with open(partition.fp, encoding="utf-8") as fh:
             for line in fh:

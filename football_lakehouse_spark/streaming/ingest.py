@@ -141,11 +141,14 @@ def evolve_landing_schema(
         .json(landing_dir)
         .schema
     )
-    known = {f.name for f in prior.fields} | {"snapshot_date"}
-    extra = [
-        f for f in inferred.fields
-        if f.name not in known and not f.name.startswith("_")
-    ]
+    # exclude only the engine's own RESERVED names, not every
+    # underscore-prefixed field: a producer's well-formed "_internal_x"
+    # column would otherwise never be adopted, and (per the contract
+    # below) its values for already-ingested files are dropped forever —
+    # permanent silent data loss for a legal JSON field name
+    reserved = {"_rescue", "source_file", "snapshot_date"}
+    known = {f.name for f in prior.fields} | reserved
+    extra = [f for f in inferred.fields if f.name not in known]
     evolved = StructType(prior.fields + extra)
     os.makedirs(checkpoint_dir, exist_ok=True)
     tmp = log_path + ".tmp"
@@ -221,7 +224,13 @@ def merge_stream_into_table(
             bad = bad | F.col(k).isNull()
         quarantined = batch.where(bad)
         if quarantine_table is not None and not quarantined.isEmpty():
-            quarantine_table.append(quarantined)
+            # transactional append: foreachBatch is at-least-once, and a
+            # plain append would re-add the same quarantined rows on
+            # every micro-batch replay — the same (app_id, epoch)
+            # idempotence the main sinks already use
+            quarantine_table.append_txn(
+                quarantined, f"{checkpoint_dir}:quarantine", _epoch
+            )
         batch = batch.where(~bad)
         batch = dedupe_updates(batch, list(keys), list(order_desc))
         table.merge(batch, list(keys))

@@ -27,21 +27,35 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("micros", LongType())]
 )
 
 
 def _update_user_state(key, pdfs, state: GroupState):
-    # self-contained: runs on Python workers — only stdlib/pandas here
-    n, total = state.get if state.exists else (0, 0.0)
+    # self-contained: runs on Python workers — only stdlib/pandas here.
+    # State carries EXACT integer micros (the q91 discipline): storing a
+    # round()ed double made the running total depend on micro-batch
+    # boundaries (two 0.004 events in one batch → 0.01, split across
+    # batches → 0.0) — rounding belongs only at emission.
+    import numpy as np
+
+    n, micros = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, round(total, 2)))
+        micros += int(
+            np.floor(pdf["value"].to_numpy(dtype="float64") * 1000000.0 + 0.5)
+            .astype("int64")
+            .sum()
+        )
+    state.update((n, micros))
     import pandas as pd
 
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(micros / 1000000.0, 2)],
+        }
     )
 
 

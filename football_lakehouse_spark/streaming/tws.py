@@ -52,29 +52,39 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("micros", LongType())]
 )
 
 
 class RunningUserTotals(StatefulProcessor):
     """ValueState-backed running (count, sum) per user — the
-    transformWithState twin of stateful._update_user_state."""
+    transformWithState twin of stateful._update_user_state. State is
+    EXACT integer micros (see the stateful.py note: a round()ed double
+    in state makes totals depend on micro-batch boundaries)."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._agg = handle.getValueState("agg", STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
         import pandas as pd
 
         prev = self._agg.get()
-        n, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+        n, micros = (prev[0], prev[1]) if prev is not None else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        total = round(total, 2)
-        self._agg.update((n, total))
+            micros += int(
+                np.floor(
+                    pdf["value"].to_numpy(dtype="float64") * 1000000.0 + 0.5
+                ).astype("int64").sum()
+            )
+        self._agg.update((n, micros))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(micros / 1000000.0, 2)],
+            }
         )
 
     def close(self) -> None:

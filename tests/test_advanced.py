@@ -307,3 +307,22 @@ def test_value_histogram_conserves_rows(spark):
     rows = REGISTRY["q156_value_histogram"].builder(spark, SF_SMOKE).collect()
     assert sum(r.n for r in rows) == ev.count()
     assert all(0 <= r.bin <= 13 for r in rows)
+
+
+def test_asof_right_tiebreak_pins_tied_timestamps(spark):
+    """Two right rows at the SAME (key, ts): without a tiebreak the
+    winner is partition-order dependent; with right_tiebreak the
+    largest tiebreak value wins deterministically."""
+    from football_lakehouse_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1.0, 100, 7.0), ("k", 1.0, 200, 9.0)],
+        "k string, ts double, rid bigint, v double",
+    )
+    left = spark.createDataFrame([("k", 2.0)], "k string, ts double")
+    for _ in range(3):  # stable across repeated runs
+        [row] = asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            payload=["rid", "v"], right_tiebreak=["rid"],
+        ).collect()
+        assert (row.asof_rid, row.asof_v) == (200, 9.0)

@@ -927,3 +927,15 @@ def test_scd2_apply_rejects_conflicting_same_key_ts_rows(spark, tmp_path):
     )
     with _pytest.raises(MergeSourceDuplicateError):
         scd2_apply(dim, bad, "user_id", "es", ["value"])
+
+
+def test_change_feed_key_only_table(spark):
+    """A table whose keys cover every column (e.g. span_key_index) has
+    no value columns: change_feed must still emit insert/delete rows
+    (reduce() over the empty changed-predicate list used to raise)."""
+    from football_lakehouse_spark.lakehouse.cdc import change_feed
+
+    old = spark.createDataFrame([(1,), (2,)], "k bigint")
+    new = spark.createDataFrame([(2,), (3,)], "k bigint")
+    got = {(r.change_type, r.k) for r in change_feed(old, new, ["k"]).collect()}
+    assert got == {("delete", 1), ("insert", 3)}

@@ -1751,3 +1751,92 @@ def test_text_scores_guard_empty_documents(spark):
         assert r.alen is not None and r.alen >= 0.0, r
     empty = [r for r in rows if not r.text.strip()]
     assert all(r.q == 0.0 and r.alen == 0.0 for r in empty)
+
+
+def test_bucketed_prefix_null_buckets_and_null_sums_exact(spark):
+    """bucketed_prefix must equal the true global window EXACTLY even
+    with NULL buckets (NULL scores) and NULL sum expressions: NULL
+    buckets sort where Spark's default null ordering puts them (asc →
+    first, desc → last), their rows are preserved, and running sums
+    stay NULL until the first non-null contribution."""
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
+
+    rows = [
+        (1, 5, None), (2, 5, 10), (3, 17, None), (4, 17, 3), (5, None, 7),
+        (6, None, None), (7, 33, 2), (8, 33, None), (9, 1, None), (10, 1, 4),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, score bigint, val bigint") \
+        .withColumn("bucket", F.floor(F.col("score") / 16).cast("bigint"))
+    for descending in (False, True):
+        order = [
+            F.col("score").desc() if descending else F.col("score").asc(),
+            F.col("id").asc(),
+        ]
+        got = bucketed_prefix(
+            df, "bucket", order, sums={"run_val": F.col("val")},
+            rank="rnk", descending=descending, maxs={"run_max": F.col("val")},
+        )
+        gw = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        want = df.select(
+            "id",
+            F.sum("val").over(gw).alias("run_val"),
+            F.max("val").over(gw).alias("run_max"),
+            F.row_number().over(Window.orderBy(*order)).alias("rnk"),
+        )
+        g = {r.id: (r.run_val, r.run_max, r.rnk) for r in got.collect()}
+        w = {r.id: (r.run_val, r.run_max, r.rnk) for r in want.collect()}
+        assert g == w, f"descending={descending}: {g} != {w}"
+
+
+def test_token_budget_select_keeps_null_scores_and_rejects_fractional(spark):
+    """NULL-score docs must appear in the output ranked LAST (the
+    'returns every doc' contract — a plain bucket equi-join dropped
+    them), and fractional score columns fail closed instead of
+    silently truncating every quality score to 0."""
+    import pytest as _pytest
+
+    from football_lakehouse_spark.operators.selection import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 100, 10), (2, 50, 10), (3, None, 10)],
+        "doc_id bigint, score bigint, n_tokens bigint",
+    )
+    got = {r.doc_id: (r.cum_tokens, r.selected) for r in
+           token_budget_select(df, budget=20).collect()}
+    assert set(got) == {1, 2, 3}, "NULL-score doc vanished"
+    assert got[1] == (10, True) and got[2] == (20, True)
+    assert got[3] == (30, False)  # ranked last, over budget
+    frac = spark.createDataFrame(
+        [(1, 0.9, 10)], "doc_id bigint, score double, n_tokens bigint"
+    )
+    with _pytest.raises(ValueError, match="fractional"):
+        token_budget_select(frac, budget=20)
+
+
+def test_incremental_neardups_overlap_docs_pair_exactly_once(spark):
+    """A near-dup pair where both docs exist in corpus AND batch must be
+    reported exactly ONCE (cross candidates are unoriented — both
+    orientations used to survive), and a doc re-arriving with changed
+    text is verified against its BATCH profile."""
+    from football_lakehouse_spark.operators.dedup import incremental_neardups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = base + " iota"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id bigint, text string"
+    )
+    pairs = incremental_neardups(corpus, batch, threshold=0.3).collect()
+    keys = sorted((min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for r in pairs)
+    assert keys == [(1, 2)], f"pair not unique: {keys}"
+    # re-arrival with changed text: batch profile must win — doc 2's new
+    # text is now identical to doc 1, so jaccard == 1.0 iff the batch
+    # copy was used
+    batch2 = spark.createDataFrame([(2, base)], "doc_id bigint, text string")
+    got = incremental_neardups(corpus, batch2, threshold=0.3).collect()
+    [row] = [r for r in got if {r.doc_a, r.doc_b} == {1, 2}]
+    assert row.jaccard == 1.0, "stale corpus profile used for re-arrival"

@@ -605,3 +605,42 @@ def test_landing_restart_offset_shape(tmp_path):
     (land / "f12.json").write_text(line % 12)
     w1 = warm.latestOffset()
     assert "watermark" in w1
+
+
+def test_landing_batch_empty_dir_and_malformed_ts(spark, tmp_path):
+    """(a) An EMPTY landing dir must read as an empty DataFrame —
+    pyspark substitutes [None] for an empty partition list and still
+    calls read(None). (b) A line with a MALFORMED timestamp is rescued
+    whole (the same treatment a malformed value gets), never emitted as
+    a silently-corrupted row with ts=NULL and _rescue=NULL."""
+    from football_lakehouse_spark.sources.pyds import register_landing_source
+
+    register_landing_source(spark)
+    empty = tmp_path / "empty_landing"
+    empty.mkdir()
+    df = (
+        spark.read.format("landing_events")
+        .option("path", str(empty))
+        .load()
+    )
+    assert df.count() == 0
+
+    d = tmp_path / "landing2" / "snapshot_date=2026-02-01"
+    d.mkdir(parents=True)
+    (d / "part-0.json").write_text(
+        '{"event_id":1,"ts":"not-a-date","user_id":7,'
+        '"event_type":"click","value":1.5,"props":"{}"}\n'
+        '{"event_id":2,"ts":null,"user_id":8,'
+        '"event_type":"view","value":2.0,"props":null}\n'
+    )
+    rows = (
+        spark.read.format("landing_events")
+        .option("path", str(tmp_path / "landing2"))
+        .load()
+        .collect()
+    )
+    rescued = [r for r in rows if r._rescue is not None]
+    assert len(rescued) == 1 and "not-a-date" in rescued[0]._rescue
+    assert rescued[0].event_id is None  # whole line rescued, not half-parsed
+    ok = [r for r in rows if r._rescue is None]
+    assert len(ok) == 1 and ok[0].event_id == 2 and ok[0].ts is None  # missing ts stays a legal NULL
