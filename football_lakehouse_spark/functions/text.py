@@ -33,12 +33,17 @@ STOPWORDS: tuple[str, ...] = tuple(sorted({w for p in LANG_PROFILES.values() for
 #: Spark's Java regex and DuckDB's RE2 agree).
 TOKEN_RE = "[a-z0-9]+"
 
-#: whitespace class for tokenisation, pinned EXPLICITLY rather than \s:
-#: Java's \s includes \x0B (vertical tab) while RE2's does not, so a
-#: bare \s+ would tokenise differently in Spark vs the DuckDB oracle.
-#: This class is the cross-engine intersection that still covers every
-#: whitespace real corpora carry (space, tab, LF, CR, FF).
-WS_CLASS = "[ \t\n\r\f]+"
+#: whitespace characters for tokenisation, pinned EXPLICITLY rather
+#: than \s: Java's \s includes \x0B (vertical tab) while RE2's does
+#: not, so a bare \s+ would tokenise differently in Spark vs the
+#: DuckDB oracle. This set is the cross-engine intersection that still
+#: covers every whitespace real corpora carry (space, tab, LF, CR, FF).
+#: WS_CHAR is the bare character set (for removal classes like
+#: ``[ \t\n\r\f]``); WS_CLASS adds the run quantifier (for splits).
+#: Every oracle SQL twin interpolates these SAME constants — never a
+#: hardcoded copy — so the two engines cannot desynchronise.
+WS_CHAR = " \t\n\r\f"
+WS_CLASS = f"[{WS_CHAR}]+"
 
 
 def ws_tokens(text: Column) -> Column:

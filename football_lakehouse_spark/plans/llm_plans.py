@@ -15,6 +15,7 @@ from football_lakehouse_spark.functions.text import (
     LANG_PROFILES,
     STOPWORDS,
     TOKEN_RE,
+    WS_CHAR,
     WS_CLASS,
     portable_hash,
     predicted_lang,
@@ -57,7 +58,9 @@ def _sql_hash(expr: str, seed: str | None = None) -> str:
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens_ws,
            CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens_re,
-           floor(length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) * 10000 / len(toks)) / 10000 AS avg_token_len
+           CASE WHEN len(toks) > 0
+                THEN floor(length(regexp_replace(text, '[{WS_CHAR}]', '', 'g')) * 10000 / len(toks)) / 10000
+                ELSE 0.0 END AS avg_token_len
     FROM t
     """,
     doc="Token counting: whitespace + BPE-ish regex + mean token length "
@@ -68,14 +71,19 @@ def _sql_hash(expr: str, seed: str | None = None) -> str:
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = ws_tokens(F.col("text"))
-    total_len = F.length(F.regexp_replace("text", "[ \\t\\n\\r\\f]", ""))
+    total_len = F.length(F.regexp_replace("text", f"[{WS_CHAR}]", ""))
+    n = F.size(toks).cast("bigint")
+    # n=0 guard (both engines): a whitespace-only doc is a legitimate
+    # input, and an unguarded /n ERRORS under Spark's default ANSI mode
+    # while the oracle's NULL propagates — 0.0 is the text.py contract
     return docs.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens_ws"),
+        n.alias("n_tokens_ws"),
         F.size(re_tokens(F.col("text"))).cast("bigint").alias("n_tokens_re"),
-        (F.floor(total_len.cast("bigint") * 10000 / F.size(toks).cast("bigint")).cast("double") / 10000).alias(
-            "avg_token_len"
-        ),
+        F.when(
+            n > 0,
+            F.floor(total_len.cast("bigint") * 10000 / n).cast("double") / 10000,
+        ).otherwise(F.lit(0.0)).alias("avg_token_len"),
     )
 
 
@@ -101,11 +109,15 @@ def _sql_lang_pred() -> str:
     WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
     SELECT doc_id, lang,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           floor(len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in STOPWORDS)})))
-                 * 10000 / len(toks)) / 10000 AS stopword_ratio,
-           floor((CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.5 * 10000
-                 + (len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in STOPWORDS)})))
-                    * 1.0 / len(toks)) * 0.5 * 10000) / 10000 AS quality,
+           CASE WHEN len(toks) > 0
+                THEN floor(len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in STOPWORDS)})))
+                     * 10000 / len(toks)) / 10000
+                ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN len(toks) > 0
+                THEN floor((CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.5 * 10000
+                     + (len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in STOPWORDS)})))
+                        * 1.0 / len(toks)) * 0.5 * 10000) / 10000
+                ELSE 0.0 END AS quality,
            {_sql_lang_pred()} AS predicted_lang
     FROM t
     """,
@@ -122,16 +134,20 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n.alias("n_tokens"),
-        (F.floor(sw * 10000 / n).cast("double") / 10000).alias("stopword_ratio"),
-        (
+        # n=0 guards on both engines — see q37's note (ANSI crash class)
+        F.when(n > 0, F.floor(sw * 10000 / n).cast("double") / 10000)
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+        F.when(
+            n > 0,
             F.floor(
                 F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
                 * 0.5
                 * 10000
                 + (sw * F.lit(1.0) / n) * 0.5 * 10000
             ).cast("double")
-            / 10000
-        ).alias("quality"),
+            / 10000,
+        ).otherwise(F.lit(0.0)).alias("quality"),
         predicted_lang(toks).alias("predicted_lang"),
     )
 
@@ -2509,10 +2525,14 @@ _GOPHER_MIN_STOPS = 2
     m AS (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
-               floor(list_sum(list_transform(toks, x -> len(x))) * 10000
-                     / len(toks)) / 10000 AS mean_tok_len,
-               floor(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
-                     * 10000 / len(toks)) / 10000 AS alpha_ratio,
+               CASE WHEN len(toks) > 0
+                    THEN floor(list_sum(list_transform(toks, x -> len(x))) * 10000
+                         / len(toks)) / 10000
+                    ELSE 0.0 END AS mean_tok_len,
+               CASE WHEN len(toks) > 0
+                    THEN floor(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+                         * 10000 / len(toks)) / 10000
+                    ELSE 0.0 END AS alpha_ratio,
                CAST(len(list_distinct(list_filter(toks,
                    x -> x IN ({', '.join(repr(w) for w in STOPWORDS)})))) AS BIGINT)
                    AS n_stop_distinct
@@ -2538,9 +2558,15 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
     n = F.size("toks").cast("bigint")
     total_len = F.aggregate("toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
-    mean_len = F.floor(total_len * 10000 / n).cast("double") / 10000
+    # n=0 guards on both engines (q37's ANSI crash class); 0.0 fails the
+    # quality bands so empty docs get keep=false, not NULL
+    mean_len = F.when(
+        n > 0, F.floor(total_len * 10000 / n).cast("double") / 10000
+    ).otherwise(F.lit(0.0))
     alpha = F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$"))).cast("bigint")
-    alpha_ratio = F.floor(alpha * 10000 / n).cast("double") / 10000
+    alpha_ratio = F.when(
+        n > 0, F.floor(alpha * 10000 / n).cast("double") / 10000
+    ).otherwise(F.lit(0.0))
     n_stop = F.size(F.array_distinct(F.filter("toks", lambda x: x.isin(*STOPWORDS)))).cast("bigint")
     m = t.select(
         "doc_id",
@@ -2918,11 +2944,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs.select("doc_id", "source", "text", ws_tokens(F.col("text")).alias("toks"))
     n = F.size("toks").cast("bigint")
     total_len = F.aggregate("toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
-    mean_len = F.floor(total_len * 10000 / n).cast("double") / 10000
-    alpha_ratio = (
+    # n=0 guards: the quality filter's conjunct ORDER is not a contract
+    # (Catalyst may reorder), so the divisions themselves must be safe
+    # under ANSI even when the n-band conjunct would reject the row
+    mean_len = F.when(
+        n > 0, F.floor(total_len * 10000 / n).cast("double") / 10000
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n > 0,
         F.floor(F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$"))).cast("bigint") * 10000 / n).cast("double")
-        / 10000
-    )
+        / 10000,
+    ).otherwise(F.lit(0.0))
     n_stop = F.size(F.array_distinct(F.filter("toks", lambda x: x.isin(*STOPWORDS))))
     q = m.where(
         n.between(_GOPHER_MIN_TOKS, _GOPHER_MAX_TOKS)
@@ -7873,7 +7905,9 @@ def duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SOURCE_QUOTA = f"""
     WITH t AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
     b AS (SELECT doc_id, source,
-                 CAST(floor(len(list_distinct(toks)) * 1000000 / len(toks)) AS BIGINT) AS score,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(floor(len(list_distinct(toks)) * 1000000 / len(toks)) AS BIGINT)
+                      ELSE NULL END AS score,
                  CAST(len(toks) AS BIGINT) AS n_tokens
           FROM t),
     q AS (SELECT source, CAST(sum(n_tokens) * 60 // 100 AS BIGINT) AS quota
@@ -7917,10 +7951,16 @@ def _quota_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "source",
-        F.floor(
-            F.size(F.array_distinct(toks)).cast("bigint") * 1000000
-            / F.size(toks).cast("bigint")
-        ).cast("bigint").alias("score"),
+        # n=0 guard (both engines, q37's ANSI crash class): a whitespace-
+        # only doc has UNDEFINED density — NULL score ranks it last
+        # (the selection ops are null-safe end to end)
+        F.when(
+            F.size(toks) > 0,
+            F.floor(
+                F.size(F.array_distinct(toks)).cast("bigint") * 1000000
+                / F.size(toks).cast("bigint")
+            ).cast("bigint"),
+        ).alias("score"),
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
 

@@ -1840,3 +1840,100 @@ def test_incremental_neardups_overlap_docs_pair_exactly_once(spark):
     got = incremental_neardups(corpus, batch2, threshold=0.3).collect()
     [row] = [r for r in got if {r.doc_a, r.doc_b} == {1, 2}]
     assert row.jaccard == 1.0, "stale corpus profile used for re-arrival"
+
+
+def test_every_oracle_tokenizer_uses_the_shared_ws_class():
+    """Every oracle that splits `text` must use exactly WS_CLASS (and
+    removal sites exactly [WS_CHAR]): a few oracle strings carry the
+    class as a literal rather than an interpolation, and this pin makes
+    any future WS_CLASS change that misses one of them fail loudly
+    instead of silently desynchronising Spark from its oracle. Also
+    asserts no oracle still tokenises on the bare space character."""
+    import re
+
+    import __spark_entry__ as entry
+
+    from football_lakehouse_spark.functions.text import WS_CHAR, WS_CLASS
+
+    oracles = entry.oracle_sql()
+    split_re = re.compile(r"regexp_split_to_array\(text, '([^']+)'\)")
+    removal_re = re.compile(r"regexp_replace\(text, '(\[[^']+\])', '', 'g'\)")
+    n_split = n_removal = 0
+    for name, sql in oracles.items():
+        assert "string_split(text, ' ')" not in sql, (
+            f"{name}: oracle still splits text on the bare space char"
+        )
+        for m in split_re.finditer(sql):
+            n_split += 1
+            assert m.group(1) == WS_CLASS, (
+                f"{name}: oracle split class {m.group(1)!r} != WS_CLASS"
+            )
+        for m in removal_re.finditer(sql):
+            n_removal += 1
+            assert m.group(1) == f"[{WS_CHAR}]", (
+                f"{name}: oracle removal class {m.group(1)!r} != [WS_CHAR]"
+            )
+    assert n_split >= 4 and n_removal >= 1  # the pin actually saw them
+
+
+def test_unfiltered_prefix_split_cross_engine(spark):
+    """The prefix-sha dedup keys (q14/q40/q84/q100) rejoin the FIRST 8
+    UNFILTERED split elements — empty edge elements included — so the
+    two engines' split-edge semantics must agree exactly, not just the
+    filtered tokenizer the other parity test pins."""
+    import duckdb
+
+    from football_lakehouse_spark.functions.text import WS_CLASS
+
+    cases = ["a b  c ", " a b", "\n", "", "x\t\ty z", "  ", "a\r\nb c d e f g h i"]
+    df = spark.createDataFrame([(s,) for s in cases], "text string")
+    pre = F.array_join(F.slice(F.split("text", WS_CLASS), 1, 8), " ")
+    got = {r.text: r.p for r in df.select("text", pre.alias("p")).collect()}
+    con = duckdb.connect()
+    for s in cases:
+        want = con.execute(
+            f"SELECT array_to_string(regexp_split_to_array(?, '{WS_CLASS}')[1:8], ' ')",
+            [s],
+        ).fetchone()[0]
+        assert got[s] == want, f"prefix split diverges on {s!r}"
+
+
+def test_text_queries_survive_empty_documents(spark, tmp_path):
+    """End-to-end ANSI-safety: q37/q38/q76/q84 and the quota scorer run
+    the real builders over a corpus containing empty / whitespace-only
+    documents (REACHABLE inputs since the whitespace tokenizer change)
+    — an unguarded /n would abort the whole query under Spark 4's
+    default ANSI mode. Empty docs score 0.0 (the text.py contract) or
+    NULL density (quota), never a crash."""
+    import importlib
+
+    from football_lakehouse_spark.plans import llm_plans as LP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 5, "en", "web", 220),
+            (2, "", "en", "web", 0),
+            (3, " \t\n ", "en", "curated", 4),
+            (4, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    t37 = {r.doc_id: r for r in LP.token_stats(spark, sf).collect()}
+    assert t37[2].n_tokens_ws == 0 and t37[2].avg_token_len == 0.0
+    assert t37[3].avg_token_len == 0.0
+    t38 = {r.doc_id: r for r in LP.lang_quality(spark, sf).collect()}
+    assert t38[2].quality == 0.0 and t38[2].stopword_ratio == 0.0
+    t76 = {r.doc_id: r for r in LP.gopher_quality(spark, sf).collect()}
+    assert t76[3].keep is False and t76[3].mean_tok_len == 0.0
+    # the composed curation pipeline and the quota scorer also survive
+    LP.curation_pipeline(spark, sf).collect()
+    scored = {r.doc_id: r.score for r in LP._quota_scored_docs(spark, sf).collect()}
+    assert scored[2] is None and scored[3] is None  # undefined density
+    assert scored[1] is not None
+    from football_lakehouse_spark.operators.selection import source_quota_select
+
+    out = source_quota_select(LP._quota_scored_docs(spark, sf), quota_pct=60)
+    assert out.count() == 4  # every doc returned, NULL scores rank last
