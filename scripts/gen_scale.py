@@ -53,6 +53,7 @@ def main() -> None:
     ck = stride(src["customer"], "c_custkey")
     ok = stride(src["orders"], "o_orderkey")
     ev = stride(src["events"], "event_id")
+    uv = stride(src["events"], "user_id")
     dc = stride(src["documents"], "doc_id")
     vc = stride(src["embeddings"], "vec_id")
 
@@ -62,9 +63,25 @@ def main() -> None:
             p = df
             for col, s in shifts.items():
                 p = p.withColumn(col, F.col(col) + F.lit(i * s))
-            if name == "documents":
+            if name == "documents" and i > 0:
+                # suffix EVERY token by the replica id (the
+                # soak_cold_pipeline.gen_docs rule), not just append one
+                # marker token: a single appended token leaves replicas
+                # sharing (T-4)/(T-2) of their shingles — mutual
+                # near-dups at Jaccard ~0.98, so pair work grew
+                # QUADRATICALLY in factor and dedup collapsed the scaled
+                # corpus back to ~1/factor (the q274 superlinear-pairs
+                # symptom in SCALING). Per-token suffixes keep replicas
+                # shingle-disjoint: near-dup structure scales linearly.
                 p = p.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" replicamark{i}"))
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), "[ \t\n\r\f]+"),
+                            lambda t: F.concat(t, F.lit(f"r{i}")),
+                        ),
+                        " ",
+                    ),
                 )
             parts.append(p)
         u = parts[0]
@@ -80,7 +97,13 @@ def main() -> None:
                 "customer": {"c_custkey": ck},
                 "orders": {"o_orderkey": ok, "o_custkey": ck},
                 "lineitem": {"l_orderkey": ok},
-                "events": {"event_id": ev},
+                # shift user_id too: replicas with IDENTICAL (user_id,
+                # ts) rows multiply per-user event density by factor —
+                # user_id self-joins (as-of) grow pairs quadratically
+                # and user-partitioned windows see duplicate-ts ties,
+                # i.e. the soak measures a different workload than
+                # "factor× facts at unchanged selectivity"
+                "events": {"event_id": ev, "user_id": uv},
                 "documents": {"doc_id": dc},
                 "embeddings": {"vec_id": vc},
             }[t]

@@ -113,12 +113,25 @@ def main() -> int:
     ap.add_argument("--json", dest="json_out", help="write per-query verdicts here")
     args = ap.parse_args()
     names = args.names.split(",") if args.names else None
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("plan-lint")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    if names:
+        unknown = sorted(set(names) - set(REGISTRY))
+        if unknown:
+            # a typo'd/renamed name silently matching nothing would print
+            # "0 violations across 0 queries" and exit 0 — a false green
+            # in exactly the targeted-recheck workflow --names exists for
+            print(f"plan-lint: unknown query name(s): {unknown}")
+            return 2
+    # the engine's own session factory, NOT a bespoke builder: builders
+    # execute real jobs, and a drifted config (no nanosAsLong, default
+    # timezone/driver memory) can produce BUILD ERROR verdicts that do
+    # not reproduce under the real session
+    from football_lakehouse_spark.session import get_spark
+
+    spark = get_spark(
+        "plan-lint",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     bad = 0

@@ -47,7 +47,9 @@ def replay() -> dict:
         importlib.import_module(f"football_lakehouse_spark.plans.{m.name}")
     names = list(RG.REGISTRY)
     last = {n: greens.get(n, 0) for n in names}
-    cohort = sorted(names, key=lambda n: (last[n], names.index(n)))[:50]
+    # sorted() is stable, so ties already keep registration order — no
+    # O(n^2) names.index tiebreak needed
+    cohort = sorted(names, key=lambda n: last[n])[:50]
     return {
         "registered": len(names),
         "histogram": dict(sorted(Counter(last.values()).items())),
@@ -60,7 +62,7 @@ def replay() -> dict:
     }
 
 
-def main() -> None:
+def main() -> int | None:
     out = replay()
     print(f"registered queries : {out['registered']}")
     print(f"last-green histogram (0 = never attested): {out['histogram']}")
@@ -72,7 +74,11 @@ def main() -> None:
     for n in out["next_prefix"]:
         print("   ", n)
     if "--json" in sys.argv:
-        path = sys.argv[sys.argv.index("--json") + 1]
+        ix = sys.argv.index("--json")
+        if ix + 1 >= len(sys.argv):
+            print("--json requires a path argument")
+            return 2
+        path = sys.argv[ix + 1]
         json.dump(out, open(path, "w"), indent=1)
         print("wrote", path)
 

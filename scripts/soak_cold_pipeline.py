@@ -151,7 +151,11 @@ def gen_emb(spark, factor: int, out: str) -> str:
 
 def rest(spark, path: str):
     app = spark.sparkContext.applicationId
-    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app}/{path}"
+    # the ACTUAL bound UI url, not a hardcoded port: Spark auto-increments
+    # past a busy port (only a warning), and a wrong guess here would
+    # crash shuffle attribution AFTER the whole pipeline has run
+    base = spark.sparkContext.uiWebUrl or f"http://localhost:{UI_PORT}"
+    url = f"{base}/api/v1/applications/{app}/{path}"
     with urllib.request.urlopen(url, timeout=30) as r:
         return json.loads(r.read())
 
@@ -236,7 +240,10 @@ def run_pipeline(
 
     def s2_exact():
         q = spark.read.parquet(p("s1"))
-        d = exact_dedup(q, F.sha2(F.col("text"), 256))
+        # raw expression: exact_dedup sha2-wraps its "on" column itself —
+        # passing a sha2 here double-hashed every row, charging a
+        # redundant full-text SHA-256 to the stage being measured
+        d = exact_dedup(q, F.col("text"))
         d.write.mode("overwrite").parquet(p("s2"))
         return spark.read.parquet(p("s2")).count()
 
@@ -287,9 +294,8 @@ def run_pipeline(
                 .cast("bigint") * 1000000 / F.col("n_tokens")
             ).cast("bigint"),
         )
-        budget = int(
-            scored.agg(F.sum("n_tokens")).collect()[0][0] * 6 // 10
-        )
+        total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+        budget = int((total or 0) * 6 // 10)  # empty stage: sum() is None
         sel = token_budget_select(scored, budget).where(F.col("selected"))
         sel.join(d.select("doc_id", "source", "text"), "doc_id").write.mode(
             "overwrite"

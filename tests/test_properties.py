@@ -684,3 +684,88 @@ def test_merge_null_keys_are_rerun_safe(spark):
         [("a§b", "c", 1), ("a", "b§c", 2)], cschema
     )
     assert dedupe_updates(ups2, ["k1", "k2"], ["v"]).count() == 2
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)), max_size=20),
+    right=st.lists(
+        st.tuples(
+            st.integers(0, 4),
+            st.integers(0, 50),
+            st.one_of(st.none(), st.floats(0, 10, allow_nan=False)),
+        ),
+        max_size=20,
+    ),
+)
+@SLOW
+def test_asof_join_null_payload_law(spark, left, right):
+    """merge_asof law with NULLABLE payloads: the matched row is the
+    latest strictly-prior right row, and its payload is returned even
+    when NULL — the fill must never reach past it to an older non-NULL
+    value (the ignorenulls-per-column bug class)."""
+    from football_lakehouse_spark.operators.asof import asof_join
+
+    seen = set()
+    right = [r for r in right if not ((r[0], r[1]) in seen or seen.add((r[0], r[1])))]
+    if not left:
+        return
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, ts int, lid int"
+    )
+    rdf = spark.createDataFrame(right, "k int, ts int, payload double")
+    got = {
+        r.lid: r.asof_payload
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["payload"]).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        prior = [(rt, p) for (rk, rt, p) in right if rk == k and rt < t]
+        expect = max(prior, key=lambda x: x[0])[1] if prior else None
+        assert got[i] == expect, (i, k, t, prior)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 60)),   # score (NULL ok)
+            st.one_of(st.none(), st.integers(0, 9)),    # val (NULL ok)
+        ),
+        max_size=24,
+    ),
+    width=st.integers(1, 16),
+    descending=st.booleans(),
+)
+@SLOW
+def test_bucketed_prefix_equals_global_window_law(spark, rows, width, descending):
+    """bucketed_prefix == the true unpartitioned global window, for ANY
+    score distribution (NULL buckets included), ANY bucket width, both
+    directions, with NULLABLE sum expressions — running sums stay NULL
+    until the first non-null contribution, ranks are exact, prefix-max
+    matches."""
+    from pyspark.sql import Window
+
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(i, s, v) for i, (s, v) in enumerate(rows)],
+        "id bigint, score bigint, val bigint",
+    ).withColumn("bucket", F.floor(F.col("score") / width).cast("bigint"))
+    order = [
+        F.col("score").desc() if descending else F.col("score").asc(),
+        F.col("id").asc(),
+    ]
+    got = bucketed_prefix(
+        df, "bucket", order, sums={"rv": F.col("val")},
+        rank="rk", descending=descending, maxs={"rm": F.col("val")},
+    )
+    gw = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "id",
+        F.sum("val").over(gw).alias("rv"),
+        F.max("val").over(gw).alias("rm"),
+        F.row_number().over(Window.orderBy(*order)).alias("rk"),
+    )
+    g = {r.id: (r.rv, r.rm, r.rk) for r in got.collect()}
+    w = {r.id: (r.rv, r.rm, r.rk) for r in want.collect()}
+    assert g == w
