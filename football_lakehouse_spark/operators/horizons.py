@@ -60,9 +60,12 @@ def horizon_aggregate(
     grouped avg + count. Averages rounded to 4 dp for cross-engine
     stability of the value hash."""
     # bigint accumulation: fdr micros ≤ 5e6/row → overflow needs ~2e12
-    # rows per team; decimal(38) sums are 5-10× slower (not codegen'd)
+    # rows per team; decimal(38) sums are 5-10× slower (not codegen'd).
+    # The DIVISION is exact `div` on a decimal cast of the sum: a bigint
+    # sum past 2^53 would promote `/` to double and floor one off the
+    # oracle's 128-bit `//` — a 1000× earlier cliff than the overflow
+    # the accumulator note prices (q199/q55 bug class).
     micros = F.floor(F.col(value) * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-    n = F.count(F.lit(1))
     return (
         unpivoted.where(
             (F.col(period) >= F.lit(anchor)) & (F.col(period) < F.lit(anchor + horizon))
@@ -72,10 +75,18 @@ def horizon_aggregate(
             # micro-unit floor average (functions.scalars rationale): a
             # plain round(avg(double),4) diverges from the oracle at
             # scale because float summation order differs per engine
-            (F.floor(F.sum(micros) / (n * F.lit(100))).cast("double") / 10000).alias(
-                f"{prefix}_avg_fdr"
-            ),
+            F.sum(micros).alias("__sm"),
             F.count(F.lit(1)).alias(f"{prefix}_n"),
+        )
+        .select(
+            key,
+            (
+                F.expr(
+                    f"cast(__sm as decimal(38,0)) div ({prefix}_n * 100)"
+                ).cast("double")
+                / 10000
+            ).alias(f"{prefix}_avg_fdr"),
+            f"{prefix}_n",
         )
     )
 
@@ -124,20 +135,35 @@ def fused_horizon_features(
         (F.col(period) >= F.lit(anchor)) & (F.col(period) < F.lit(anchor + widest))
     )
     aggs = []
+    outs = [F.col(key)]
     for h in sorted(horizons):
         in_window = F.col(period) < F.lit(anchor + h)
         micros = F.floor(
             F.when(in_window, F.col(value)) * F.lit(1000000.0) + F.lit(0.5)
         ).cast("bigint")
         n_in = F.count(F.when(in_window, F.lit(1)))
-        aggs.append(
-            (F.floor(F.sum(micros) / (n_in * F.lit(100))).cast("double") / 10000).alias(
-                f"h{h}_avg_fdr"
-            )
-        )
+        aggs.append(F.sum(micros).alias(f"__sm{h}"))
         aggs.append(n_in.alias(f"h{h}_n"))
+        # exact `div` on the decimal-cast sum — see horizon_slice's note.
+        # n=0 guard: the narrowest-window filter runs AFTER this select,
+        # so a team with zero in-window rows must not divide by zero
+        # (ANSI) while being computed only to be filtered away
+        outs.append(
+            F.when(
+                F.col(f"h{h}_n") > 0,
+                F.expr(f"cast(__sm{h} as decimal(38,0)) div (h{h}_n * 100)")
+                .cast("double")
+                / 10000,
+            ).alias(f"h{h}_avg_fdr")
+        )
+        outs.append(F.col(f"h{h}_n"))
     narrowest = min(horizons)
-    return base.groupBy(key).agg(*aggs).where(F.col(f"h{narrowest}_n") > 0)
+    return (
+        base.groupBy(key)
+        .agg(*aggs)
+        .select(*outs)
+        .where(F.col(f"h{narrowest}_n") > 0)
+    )
 
 
 def assemble_horizons(

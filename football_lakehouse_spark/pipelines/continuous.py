@@ -52,7 +52,12 @@ def rollup_view(table: LakehouseTable) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
         "n",
-        (F.floor(F.col("v_micros") / F.lit(10000)).cast("double") / 100).alias("total_value"),
+        # exact `div` on a decimal cast: floor(bigint / lit) promotes to
+        # double past 2^53 micros (the q199/q55 class)
+        (
+            F.expr("cast(v_micros as decimal(38,0)) div 10000").cast("double")
+            / 100
+        ).alias("total_value"),
     )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from football_lakehouse_spark.functions.scalars import money_sum
 from football_lakehouse_spark.lakehouse.tables import LakehouseTable
 from football_lakehouse_spark.operators.merge import dedupe_updates
 from football_lakehouse_spark.operators.quality import assert_not_empty, assert_pk
@@ -65,9 +66,25 @@ def build_silver(spark: SparkSession, bronze: LakehouseTable, silver: LakehouseT
     raw = bronze.read().where(F.col("http_status") == 200)
     assert_not_empty(raw, "bronze.events_raw (http_status=200)")
 
-    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    parsed = raw.withColumn("j", F.from_json("payload_json", schema))
-    bad = parsed.where(F.col("j").isNull())
+    # the corrupt-record column is the ONLY reliable parse-failure
+    # signal: PERMISSIVE from_json returns a struct of NULL fields for
+    # malformed input (never a NULL struct — verified on this PySpark),
+    # and worse, a record whose PK parses but whose other fields are
+    # garbled (`"value": "oops"`) yields a silently half-nulled row.
+    # With columnNameOfCorruptRecord, every corruption shape — garbage,
+    # truncation, per-field type mismatch — lands the raw line in
+    # j._corrupt and the J2 gate actually fires.
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING, _corrupt STRING"
+    )
+    parsed = raw.withColumn(
+        "j",
+        F.from_json(
+            "payload_json", schema, {"columnNameOfCorruptRecord": "_corrupt"}
+        ),
+    )
+    bad = parsed.where(F.col("j").isNull() | F.col("j._corrupt").isNotNull())
     if not bad.limit(1).isEmpty():  # J2 parse-failure guard
         raise ValueError("silver.event: unparseable bronze payloads")
 
@@ -97,7 +114,10 @@ def build_gold(spark: SparkSession, silver: LakehouseTable,
         F.max_by("event_type", F.struct(F.col("event_ts"), F.col("event_id"))).alias(
             "last_event_type"
         ),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # exact micros, not round(sum(double)): a float sum is partition-
+        # order dependent, so the "rerun-safe" pipeline could publish a
+        # different gold value per run near a .005 boundary
+        money_sum(F.col("value")).alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
         F.max("event_ts").alias("last_seen_ts"),
     )

@@ -767,14 +767,16 @@ _SQL_MONEY_SUM_SPARK = (
     tags=("relational",),
 )
 def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # prefixed view: a bare "lineitem" would silently rebind the
+    # session-global name other SQL in the same session reads
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q116_lineitem")
     rev = _SQL_MONEY_SUM_SPARK.format(expr="l_extendedprice")
     return spark.sql(f"""
         SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
                {rev} AS small_qty_revenue
-        FROM lineitem l
+        FROM q116_lineitem l
         WHERE l.l_quantity < (
-            SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+            SELECT 0.5 * avg(l2.l_quantity) FROM q116_lineitem l2
             WHERE l2.l_partkey = l.l_partkey
         )
     """)
@@ -1349,10 +1351,17 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_micro = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
     ).cast("bigint")
+    # decimal(38,0) ACCUMULATORS (not bigint): per-group micro revenue
+    # overflows long at ~9e7 rows/group — ARITHMETIC_OVERFLOW under ANSI
+    # — far below the scale the exactness contract covers (the oracle
+    # sums HUGEINT). Output stays bigint like the oracle's final cast.
+    dec = "decimal(38,0)"
     target_micro = F.sum(
-        F.when(F.col("supp_nation") == "NATION_5", F.col("rev_micro")).otherwise(0)
-    ).cast("bigint")
-    total_micro = F.sum("rev_micro").cast("bigint")
+        F.when(F.col("supp_nation") == "NATION_5", F.col("rev_micro"))
+        .otherwise(F.lit(0))
+        .cast(dec)
+    )
+    total_micro = F.sum(F.col("rev_micro").cast(dec))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
@@ -1371,11 +1380,15 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            target_micro.alias("target_rev_micro"),
-            total_micro.alias("total_rev_micro"),
-            F.floor(
-                target_micro.cast("decimal(38,0)") * 1000000 / total_micro
-            ).cast("bigint").alias("share_ppm"),
+            target_micro.alias("__t"),
+            total_micro.alias("__tot"),
+        )
+        .select(
+            "o_year",
+            F.col("__t").cast("bigint").alias("target_rev_micro"),
+            F.col("__tot").cast("bigint").alias("total_rev_micro"),
+            # exact `div`: decimal `/` rounds at scale before a floor
+            F.expr("__t * 1000000 div __tot").cast("bigint").alias("share_ppm"),
         )
     )
 
@@ -1413,10 +1426,14 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_micro = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
     ).cast("bigint")
+    # decimal accumulators + exact div — see q162's note
+    dec = "decimal(38,0)"
     promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", F.col("rev_micro")).otherwise(0)
-    ).cast("bigint")
-    total = F.sum("rev_micro").cast("bigint")
+        F.when(F.col("p_type") == "PROMO", F.col("rev_micro"))
+        .otherwise(F.lit(0))
+        .cast(dec)
+    )
+    total = F.sum(F.col("rev_micro").cast(dec))
     return (
         li.join(F.broadcast(part.select("p_partkey", "p_type")),
                 li.l_partkey == F.col("p_partkey"))
@@ -1427,11 +1444,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type",
         )
         .groupBy("ship_month")
-        .agg(
-            promo.alias("promo_rev_micro"),
-            total.alias("total_rev_micro"),
-            F.floor(promo.cast("decimal(38,0)") * 1000000 / total)
-            .cast("bigint").alias("promo_ppm"),
+        .agg(promo.alias("__p"), total.alias("__tot"))
+        .select(
+            "ship_month",
+            F.col("__p").cast("bigint").alias("promo_rev_micro"),
+            F.col("__tot").cast("bigint").alias("total_rev_micro"),
+            F.expr("__p * 1000000 div __tot").cast("bigint").alias("promo_ppm"),
         )
     )
 
@@ -2256,8 +2274,10 @@ def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("q0") > 0) & (F.col("q1") > 0))
     )
-    u0 = F.floor(F.col("r0") / F.col("q0")).cast("bigint")
-    u1 = F.floor(F.col("r1") / F.col("q1")).cast("bigint")
+    # exact `div` on decimal casts — bigint / bigint promotes to double
+    # past 2^53 micros (the q199/q55 class); q0/q1 are > 0 by the filter
+    u0 = F.expr("cast(r0 as decimal(38,0)) div q0").cast("bigint")
+    u1 = F.expr("cast(r1 as decimal(38,0)) div q1").cast("bigint")
     vol = (F.col("q1") - F.col("q0")) * u0
     prc = F.col("q1") * (u1 - u0)
     return per.agg(
@@ -2324,7 +2344,13 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("r")
     )
     dec = "decimal(38,0)"
+    # materialise once: the min/max sizing probe, base, and tot would
+    # otherwise each re-run the full lineitem groupBy (localCheckpoint
+    # so the blocks are reclaimable, not CacheManager-pinned)
+    rev = rev.localCheckpoint(eager=True)
     lo, hi = rev.agg(F.min("r"), F.max("r")).collect()[0]
+    if hi is None:  # empty input: no buckets to size, result is empty
+        lo, hi = 0, 0
     width = max((int(hi) - int(lo) + 1) // 512, 1)
     base = rev.withColumn("bucket", F.floor(F.col("r") / width).cast("bigint"))
     tot = rev.agg(F.sum(F.col("r").cast(dec)).alias("total"))
@@ -3320,10 +3346,18 @@ def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "window", "graph"),
 )
 def recursive_purchase_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the recursion emits ≤ |orders| + |chains| rows total; size the
-    # safety rail to the data instead of the 1e6 default (runtime-settable)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q269_orders")
+    # Size the recursion rail to the DATA, not max-int: the limit is
+    # enforced at EXECUTION time (verified: tightening it after building
+    # the plan fails the collect), so a builder-scoped set/restore would
+    # break the query at scale — but a permanent max-int would disable
+    # the runaway-recursion guard for every later query in the shared
+    # session. The walk emits at most |orders| + |chains| rows; 8×
+    # orders (floored at the 1e6 default) keeps the rail meaningful
+    # while never rejecting a legitimate run.
+    orders = load_table(spark, sf_dir, "orders")
+    rail = max(1_000_000, orders.count() * 8)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(rail))
+    orders.createOrReplaceTempView("q269_orders")
     return spark.sql("""
     WITH RECURSIVE ord AS (
         SELECT o_custkey, o_orderkey, o_orderdate,

@@ -167,21 +167,33 @@ def test_silver_build_aborts_on_corrupt_bronze(spark, tmp_path):
                             partition_by=["snapshot_date"])
     from football_lakehouse_spark.operators.quality import DataQualityError
 
-    # two corruption shapes: plain garbage → from_json yields NULL struct
-    # (caught by the J2 parse guard); brace-prefixed garbage → PERMISSIVE
-    # partial parse with null fields (caught by the PK gate). Either way
-    # the build aborts before any write.
+    # three corruption shapes, ALL caught by the J2 corrupt-record gate
+    # (PERMISSIVE from_json never returns a NULL struct — it nulls the
+    # fields — so the old j-IS-NULL guard actually relied on the PK gate;
+    # worse, a record whose PK parses but whose fields are garbled used
+    # to publish a silently half-nulled silver row):
     bad = spark.createDataFrame(
         [("2024-01-01", "not json at all", 200),
-         ("2024-01-01", "{not json either", 200)],
+         ("2024-01-01", "{not json either", 200),
+         ("2024-01-01", '{"event_id": 7, "value": "oops"}', 200)],
         "snapshot_date string, payload_json string, http_status int",
     ).withColumn("snapshot_date", F.to_date("snapshot_date"))
     bronze.append(bad)
     silver = LakehouseTable(spark, str(tmp_path), "silver", "event",
                             partition_by=["snapshot_date"])
-    with pytest.raises((ValueError, DataQualityError)):
+    with pytest.raises(ValueError, match="unparseable bronze payloads"):
         build_silver(spark, bronze, silver)
     assert not silver.exists()  # nothing was written
+    # the half-parse shape ALONE must also abort (it used to publish)
+    bronze2 = LakehouseTable(spark, str(tmp_path / "b2"), "bronze", "events_raw",
+                             partition_by=["snapshot_date"])
+    bronze2.append(bad.where(F.col("payload_json").startswith('{"event_id"')))
+    silver2 = LakehouseTable(spark, str(tmp_path / "b2"), "silver", "event",
+                             partition_by=["snapshot_date"])
+    with pytest.raises(ValueError, match="unparseable bronze payloads"):
+        build_silver(spark, bronze2, silver2)
+    assert not silver2.exists()
+    assert DataQualityError is not None  # keep the import referenced
 
 
 def test_change_feed_classifies_all_transitions(spark):
