@@ -71,6 +71,7 @@ def append_with_expectations(
     quarantine,
     df: DataFrame,
     expectations: dict[str, str],
+    txn: tuple[str, int] | None = None,
 ) -> dict[str, int]:
     """DLT-style ``expect_or_quarantine``: rows passing EVERY
     expectation append to ``table``; violating rows land in
@@ -78,6 +79,20 @@ def append_with_expectations(
     they broke — the triage queue of a production pipeline (vs the
     CHECK-constraint gate, which rejects the whole batch). Returns
     ``{"valid": n, "quarantined": n}``.
+
+    ``txn=(app_id, version)`` makes BOTH sinks transactionally
+    idempotent (``append_txn`` with (app_id, version) for the valid
+    sink and (app_id + "-quarantine", version) for the quarantine
+    sink): a caller that crashes BETWEEN the two appends and retries
+    the whole call converges — the already-committed sink skips the
+    replay, the missing one commits — instead of double-appending
+    valid rows. This is the right form inside ``foreachBatch`` (pass
+    the epoch id) or any retried batch job. Without ``txn`` the plain
+    at-most-once appends are kept (cheapest; fine when the caller
+    never retries). Distinct app-ids per sink are required because the
+    two sinks are DIFFERENT tables with independent commit logs —
+    sharing one id would be fine today but would break if both ever
+    pointed at one log.
 
     Scale: the expectation array is a pure map-side expression. The
     marked batch is PERSISTED and counted in one aggregation up front,
@@ -102,15 +117,25 @@ def append_with_expectations(
             "quarantined": int(counts["quarantined"] or 0),
         }
         if stats["valid"]:
-            table.append(marked.where(F.size("__failed") == 0).drop("__failed"))
+            valid_rows = marked.where(F.size("__failed") == 0).drop("__failed")
+            if txn is not None:
+                table.append_txn(valid_rows, app_id=txn[0], txn_version=int(txn[1]))
+            else:
+                table.append(valid_rows)
         if stats["quarantined"]:
-            quarantine.append(
+            bad_rows = (
                 marked.where(F.size("__failed") > 0)
                 .withColumn(
                     "failed_expectations", F.concat_ws(",", F.col("__failed"))
                 )
                 .drop("__failed")
             )
+            if txn is not None:
+                quarantine.append_txn(
+                    bad_rows, app_id=f"{txn[0]}-quarantine", txn_version=int(txn[1])
+                )
+            else:
+                quarantine.append(bad_rows)
         return stats
     finally:
         marked.unpersist()

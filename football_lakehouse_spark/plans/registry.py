@@ -60,75 +60,74 @@ def query(
 #: 50-query prefix of this order.
 #:
 #: Attestation policy — OLDEST-FIRST ROTATION. Every registered query
-#: has a driver-green CORRECTNESS row (replay CORRECTNESS_r01–r09
-#: against this registry to verify: 286/286 green, zero red rows, and
-#: after r9 nothing older than r4). Each round's 50-row prefix is the
+#: has a driver-green CORRECTNESS row (replay CORRECTNESS_r01–r10
+#: against this registry to verify: 292/292 green, zero red rows, and
+#: after r10 nothing older than r5). Each round's 50-row prefix is the
 #: 50 registered queries whose latest driver-green row is OLDEST, ties
 #: broken by registration order — freshness is self-maintaining and no
-#: query's attestation ever ages more than ceil(n/50) rounds. This r10
+#: query's attestation ever ages more than ceil(n/50) rounds. This r11
 #: cohort is `python scripts/replay_attestation.py`'s printed oldest-50:
-#: the six never-attested r10 additions (q288–q293) lead, then the
-#: five r4 rows the r9 additions displaced (q154, q157, q158, q30,
-#: q72) and the rest of the r4/r5 cohort; the six rows the r10
-#: additions displace (q162–q165, q170, q180) lead r11's rotation. To
-#: rotate for r11, run the replay script and replace this tuple with
-#: its printed oldest-50 (the script also flags any registered query
-#: whose LATEST driver row is red — fix those, don't rotate them).
+#: the six r5 rows the r10 additions displaced (q162–q165, q170, q180)
+#: lead, then the rest of the r5 cohort (q97, q173, q174, q175, q98,
+#: q121, ...). To rotate for r12, run the replay script and replace
+#: this tuple with its printed oldest-50 (the script also flags any
+#: registered query whose LATEST driver row is red — fix those, don't
+#: rotate them).
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
 #: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md).
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    "q288_span_trim_keep_canonical",
-    "q289_span_index_lifecycle",
-    "q290_source_quota_bucketed",
-    "q291_streaming_span_dedup",
-    "q292_span_dedup_funnel",
-    "q293_decontaminated_corpus",
-    "q154_distribution_drift",
-    "q157_cumulative_distinct",
-    "q158_rolling_distinct",
-    "q30_time_travel",
-    "q72_delete_rows",
-    "q125_table_restore",
-    "q31_idempotent_ingest",
-    "q134_check_constraint_gate",
-    "q135_shallow_clone",
-    "q137_table_schema_evolution",
-    "q138_rename_column",
-    "q139_drop_column",
-    "q140_deletion_vectors",
-    "q141_update_rows",
-    "q142_scd2_history",
-    "q144_expectations_quarantine",
-    "q106_streaming_dedup",
-    "q143_exactly_once_capture",
-    "q53_publish_gold_dim",
-    "q71_minhash_neardup_fast",
-    "q57_neardup_clusters",
-    "q102_cluster_canonical",
-    "q51_ann_ivf",
-    "q101_semantic_dedup",
-    "q103_token_budget_select",
-    "q104_global_shuffle",
-    "q105_length_bucket_batches",
-    "q47_multimodal_features",
-    "q126_leakage_safe_split",
-    "q127_dsir_weights",
-    "q128_ivf_append",
-    "q129_oov_rate",
-    "q131_split_leakage_audit",
-    "q148_neardup_triangles",
-    "q133_asof_tolerance",
-    "q64_range_join",
-    "q130_salted_join",
-    "q153_pit_join",
-    "q116_small_qty_revenue",
-    "q117_cheapest_supplier_per_part",
-    "q118_order_count_distribution",
-    "q119_idle_rich_customers",
-    "q120_top_revenue_suppliers",
-    "q161_volume_shipping",
+    "q162_market_share",
+    "q163_promo_revenue_share",
+    "q164_sole_late_supplier",
+    "q165_priority_late_orders",
+    "q170_market_basket",
+    "q180_frequent_triples",
+    "q97_resample_ffill",
+    "q173_resample_interp",
+    "q174_range_frame_sum",
+    "q175_exact_percentiles",
+    "q98_cdc_feed",
+    "q121_partition_pruned_join",
+    "q122_zorder_locality",
+    "q171_data_skipping",
+    "q94_stream_stream_join",
+    "q172_stream_static_enrich",
+    "q179_streaming_windowed_agg",
+    "q159_training_run_log",
+    "q93_capped_neardup",
+    "q95_fuzzy_decontamination",
+    "q99_dup_span_coverage",
+    "q109_dup_span_removal",
+    "q100_dedup_report",
+    "q96_quantized_ann",
+    "q107_context_windows",
+    "q108_mixture_apply",
+    "q111_bpe_merges",
+    "q113_bpe_encode",
+    "q92_multimodal_decode",
+    "q112_bm25_topk",
+    "q114_lm_transition_score",
+    "q115_collocation_lift",
+    "q124_term_pagerank",
+    "q166_ivf_budget_probe",
+    "q160_ivf_rebalance",
+    "q151_gram_matrix",
+    "q168_setsim_prefix_join",
+    "q176_symspell_fuzzy_join",
+    "q177_weighted_sample",
+    "q167_distinct_sketch",
+    "q169_max_concurrency",
+    "q178_countmin_heavy_hitters",
+    "q185_gini_concentration",
+    "q190_copurchase_recs",
+    "q194_lorenz_curve",
+    "q195_skyline",
+    "q201_hierarchy_rollup",
+    "q203_trending_parts",
+    "q204_revenue_bridge",
+    "q205_abc_classification",
 )
 
 

@@ -145,8 +145,18 @@ def evolve_landing_schema(
     # underscore-prefixed field: a producer's well-formed "_internal_x"
     # column would otherwise never be adopted, and (per the contract
     # below) its values for already-ingested files are dropped forever —
-    # permanent silent data loss for a legal JSON field name
-    reserved = {"_rescue", "source_file", "snapshot_date"}
+    # permanent silent data loss for a legal JSON field name.
+    # The session's corrupt-record column IS reserved: PERMISSIVE
+    # inference appends it to the inferred schema whenever the landing
+    # dir holds a malformed line (exactly when _rescue matters), and the
+    # additive-only contract would then persist that engine-internal
+    # column in the schema log forever.
+    reserved = {
+        "_rescue",
+        "source_file",
+        "snapshot_date",
+        spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record"),
+    }
     known = {f.name for f in prior.fields} | reserved
     extra = [f for f in inferred.fields if f.name not in known]
     evolved = StructType(prior.fields + extra)

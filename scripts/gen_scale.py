@@ -36,6 +36,34 @@ DIMS = {"region", "nation", "supplier", "part"}
 SRC = "/root/testdata/sf0.1"
 
 
+def replica_text_expr(i: int):
+    """Per-token replica suffix for document text (replica ``i`` > 0).
+
+    Suffix EVERY token by the replica id (the soak_cold_pipeline.gen_docs
+    rule), not just append one marker token: a single appended token
+    leaves replicas sharing (T-4)/(T-2) of their shingles — mutual
+    near-dups at Jaccard ~0.98, so pair work grew QUADRATICALLY in
+    factor and dedup collapsed the scaled corpus back to ~1/factor (the
+    q274 superlinear-pairs symptom in SCALING). Per-token suffixes keep
+    replicas shingle-disjoint: near-dup structure scales linearly.
+
+    Empty split elements (leading/trailing whitespace, whitespace-only
+    docs) stay empty — suffixing them would mint phantom "r{i}" tokens
+    that the base corpus never had, changing the empty-doc /
+    adversarial-whitespace shapes the corpus deliberately carries.
+    Known normalization: replicas collapse whitespace RUNS to single
+    spaces (array_join). Tokenization uses the same [ \\t\\n\\r\\f]+
+    class, so token streams — what the dedup/text soaks measure — are
+    unaffected; SCALING.md notes this."""
+    return F.array_join(
+        F.transform(
+            F.split(F.col("text"), "[ \t\n\r\f]+"),
+            lambda t: F.when(t != "", F.concat(t, F.lit(f"r{i}"))).otherwise(t),
+        ),
+        " ",
+    )
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fls-sf1"
@@ -64,25 +92,7 @@ def main() -> None:
             for col, s in shifts.items():
                 p = p.withColumn(col, F.col(col) + F.lit(i * s))
             if name == "documents" and i > 0:
-                # suffix EVERY token by the replica id (the
-                # soak_cold_pipeline.gen_docs rule), not just append one
-                # marker token: a single appended token leaves replicas
-                # sharing (T-4)/(T-2) of their shingles — mutual
-                # near-dups at Jaccard ~0.98, so pair work grew
-                # QUADRATICALLY in factor and dedup collapsed the scaled
-                # corpus back to ~1/factor (the q274 superlinear-pairs
-                # symptom in SCALING). Per-token suffixes keep replicas
-                # shingle-disjoint: near-dup structure scales linearly.
-                p = p.withColumn(
-                    "text",
-                    F.array_join(
-                        F.transform(
-                            F.split(F.col("text"), "[ \t\n\r\f]+"),
-                            lambda t: F.concat(t, F.lit(f"r{i}")),
-                        ),
-                        " ",
-                    ),
-                )
+                p = p.withColumn("text", replica_text_expr(i))
             parts.append(p)
         u = parts[0]
         for p in parts[1:]:

@@ -782,6 +782,51 @@ def test_append_with_expectations_stats_and_split(spark, events, tmp_path):
     assert q.current_version() == v_before
 
 
+def test_append_with_expectations_txn_crash_between_sinks(spark, events, tmp_path):
+    """Crash injection for the two-sink form (r10 verdict watch item →
+    evidence): with ``txn=(app_id, version)`` a crash AFTER the
+    valid-sink commit but BEFORE the quarantine commit converges under
+    a full retry of the call — the valid sink skips the replayed
+    version table-side (no double-append), the quarantine sink commits
+    what the crash lost."""
+    from football_lakehouse_spark.operators.quality import append_with_expectations
+
+    base = events.select("event_id", "event_type", "value").limit(100)
+    batch = base.withColumn(
+        "value", F.when(F.col("event_id") % 4 == 0, -1.0).otherwise(F.col("value"))
+    )
+    exp = {"nonneg_value": "value >= 0"}
+    t = LakehouseTable(spark, str(tmp_path), "silver", "clean")
+    q = LakehouseTable(spark, str(tmp_path), "silver", "quar")
+
+    crashes = {"n": 0}
+
+    def crashing(df, app_id, txn_version, **kw):
+        crashes["n"] += 1
+        raise RuntimeError("injected crash between the two sink commits")
+
+    q.append_txn = crashing  # instance attribute shadows the method
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_with_expectations(t, q, batch, exp, txn=("exp-app", 7))
+    del q.append_txn  # restore the real bound method
+    # the crash landed exactly between the commits
+    assert crashes["n"] == 1
+    n_valid = t.read().count()
+    assert n_valid > 0 and not q.exists()
+
+    # full retry of the same (app_id, version): converges
+    stats = append_with_expectations(t, q, batch, exp, txn=("exp-app", 7))
+    assert stats["valid"] == n_valid
+    assert t.read().count() == n_valid  # txn skip — not doubled
+    assert q.read().count() == stats["quarantined"] > 0
+    # the next version appends normally
+    stats2 = append_with_expectations(
+        t, q, base.withColumn("value", F.abs("value")), exp, txn=("exp-app", 8)
+    )
+    assert stats2["valid"] > 0
+    assert t.read().count() == n_valid + stats2["valid"]
+
+
 def test_restore_reconciles_deletion_vectors(spark, events, tmp_path):
     """RESTORE past a DV delete resurrects the rows; restoring forward
     to the DV-bearing version re-applies the vectors."""

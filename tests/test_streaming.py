@@ -245,6 +245,41 @@ def test_schema_evolution_keeps_rescue_and_old_columns(spark, events, tmp_path):
     assert got.where(F.col("extra_col").isNotNull()).count() == 20
 
 
+def test_schema_evolution_ignores_corrupt_record_column(spark, events, tmp_path):
+    """PERMISSIVE JSON inference appends the engine's corrupt-record
+    column (spark.sql.columnNameOfCorruptRecord) to the inferred schema
+    exactly when the landing dir holds a malformed line — the scenario
+    _rescue exists for. That engine-internal column must NOT be adopted
+    as a producer column: the schema log is additive-only, so one
+    malformed file would otherwise pin it in the contract forever."""
+    from football_lakehouse_spark.streaming.ingest import evolve_landing_schema
+
+    landing = tmp_path / "landing" / "snapshot_date=2024-01-01"
+    landing.mkdir(parents=True)
+    good = {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 7,
+            "event_type": "click", "value": 1.5, "props": "{}", "device": "dev-1"}
+    with open(landing / "batch.json", "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write('{"event_id": not-json\n')
+
+    corrupt_col = spark.conf.get(
+        "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    # premise: inference over this dir really does surface the column
+    inferred = spark.read.option("basePath", str(tmp_path / "landing")).json(
+        str(tmp_path / "landing")
+    )
+    assert corrupt_col in inferred.columns
+
+    ckpt = str(tmp_path / "ckpt")
+    ddl = evolve_landing_schema(spark, str(tmp_path / "landing"), ckpt)
+    assert corrupt_col not in ddl
+    assert "device" in ddl  # the legal drift column IS adopted
+    with open(os.path.join(ckpt, "_schema_log.json")) as f:
+        logged = json.load(f)
+    assert corrupt_col not in {fld["name"] for fld in logged["fields"]}
+
+
 def test_rescue_column_on_corrupt_records(spark, events, tmp_path):
     landing = tmp_path / "landing" / "snapshot_date=2024-01-01"
     landing.mkdir(parents=True)
@@ -579,6 +614,76 @@ def test_span_dedup_stream_exactly_once_tables(spark, tmp_path):
     )
     assert trimmed_t.read().count() == 2
     assert index_t.read().count() == n_keys
+
+
+def test_span_dedup_stream_crash_between_sink_commits(spark, tmp_path):
+    """r10 verdict watch item → evidence: kill the stream AFTER the
+    trimmed-corpus append_txn commits but BEFORE the key-fold
+    append_txn (the half-committed epoch), then restart on the SAME
+    checkpoint. The replayed epoch must skip the trimmed sink
+    table-side and commit the index — both sinks converge with no
+    duplicate trimmed rows and no lost index keys (a later wave still
+    probes the full key set)."""
+    from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+    from football_lakehouse_spark.streaming.ingest import span_dedup_stream
+
+    root = str(tmp_path / "lake")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    trimmed_t = LakehouseTable(spark, root, "silver", "trimmed_docs")
+    index_t = LakehouseTable(spark, root, "silver", "span_keys")
+
+    boiler = "b1 b2 b3 b4 b5"
+    spark.createDataFrame(
+        [(1, boiler + " u1"), (2, "v1 " + boiler)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    crashes = {"n": 0}
+
+    def crashing_append_txn(df, app_id, txn_version, **kw):
+        crashes["n"] += 1
+        raise RuntimeError("injected crash between the two sink commits")
+
+    index_t.append_txn = crashing_append_txn  # instance attribute shadows
+    with pytest.raises(Exception, match="injected crash"):
+        span_dedup_stream(
+            spark, landing, ckpt, "", "",
+            trimmed_table=trimmed_t, index_table=index_t,
+        )
+    del index_t.append_txn  # restore the real bound method
+    # half-committed epoch: trimmed landed, index did not
+    assert crashes["n"] >= 1
+    assert {r.doc_id for r in trimmed_t.read().collect()} == {1, 2}
+    assert not index_t.exists()
+
+    # restart on the SAME checkpoint: the epoch replays — trimmed
+    # skips (txn already committed), index commits
+    span_dedup_stream(
+        spark, landing, ckpt, "", "",
+        trimmed_table=trimmed_t, index_table=index_t,
+    )
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in trimmed_t.read().collect()}
+    assert got == {1: ("u1", 5), 2: ("v1", 5)}  # no duplicates
+    n_keys = index_t.read().count()
+    assert n_keys > 0
+
+    # no lost keys: a later wave repeating the boilerplate is trimmed
+    spark.createDataFrame(
+        [(3, boiler + " z1")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(landing)
+    span_dedup_stream(
+        spark, landing, ckpt, "", "",
+        trimmed_table=trimmed_t, index_table=index_t,
+    )
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in trimmed_t.read().collect()}
+    assert got[3] == ("z1", 5)
+    # doc 3 contributes exactly one NEW shingle key (b2..z1); the
+    # boilerplate shingle is already indexed and must not re-append
+    assert index_t.read().count() == n_keys + 1
+    assert len(got) == 3
 
 
 def test_span_dedup_stream_keep_canonical_boundary_invariant(spark, tmp_path):
