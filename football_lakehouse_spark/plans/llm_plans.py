@@ -8425,3 +8425,60 @@ def decontaminated_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.where(F.col("doc_id") % 10 == 0)
     spans = contamination_spans(train, ev, n=5)
     return trim_duplicate_spans(train, spans)
+
+
+@query(
+    "q294_ivf_index_serving",
+    oracle=_ivf_oracle_sql(n_cells=16, n_probe=4, k=3, iters=2),
+    doc="SERVING off PERSISTED IVF index artifacts (r11; the vector twin "
+    "of q214's BM25 index serving): the index lifecycle's build half — "
+    "the deterministic Lloyd quantiser's cell assignments, integer-space "
+    "centroids, and the vector store itself — is written to three "
+    "lakehouse tables, then top-k for the query set is served PURELY "
+    "from the stored tables via operators/similarity.ivf_search: no "
+    "kmeans, no training, and no source-corpus scan anywhere in the "
+    "serving sub-plan (a plan-shape test pins its only FileScan inputs "
+    "to the three persisted tables). This is the production topology — "
+    "FAISS-style indexes are built by an offline job and served by a "
+    "different process that only ever sees the artifacts (reference "
+    "analogue: gold views consumed downstream, "
+    "docs/architecture.md:149-161). At 100 TB the assignments table is "
+    "cell-prunable (the broadcast probe join touches ~n_probe/n_cells "
+    "of it), centroids are n_cells x dim (broadcast), and the vector "
+    "store joins on its id — serving cost is independent of the build. "
+    "The ORACLE re-derives the identical integer-space build+search in "
+    "SQL, so persistence must be value-lossless end to end.",
+    tags=("llm", "similarity", "lakehouse"),
+)
+def ivf_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+    from football_lakehouse_spark.operators.similarity import (
+        ivf_search,
+        kmeans_cells,
+    )
+    from football_lakehouse_spark.scratch import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = scratch_dir("q294_ivf_index_serving")
+
+    # BUILD: train the quantiser, then persist the full artifact set —
+    # the served index must not depend on the builder session
+    assigned, centroids = kmeans_cells(
+        emb, n_cells=16, iters=2, id_out="match_id"
+    )
+    vec_t = LakehouseTable(spark, root, "gold", "ann_vectors")
+    asg_t = LakehouseTable(spark, root, "gold", "ann_assignments")
+    cen_t = LakehouseTable(spark, root, "gold", "ann_centroids")
+    vec_t.append(emb.select("vec_id", "embedding"))
+    asg_t.append(assigned)
+    cen_t.append(centroids)
+
+    # SERVE: every input below reads a persisted table — queries and
+    # match vectors both come from the stored vector table (float
+    # arrays round-trip parquet bit-exactly, so cos_sim matches the
+    # oracle's doubles)
+    vecs = vec_t.read()
+    queries = vecs.where(F.col("vec_id") < 5)
+    return ivf_search(
+        queries, vecs, asg_t.read(), cen_t.read(), k=3, n_probe=4
+    )

@@ -507,6 +507,28 @@ def test_index_serving_consumes_persisted_index(spark):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
 
 
+def test_q294_serving_reads_only_persisted_index_tables(spark):
+    """q294: the served top-k DAG's only FileScan inputs are the three
+    persisted index tables (vectors, assignments, centroids) — no
+    embeddings source scan and no kmeans/training anywhere in the
+    serving sub-plan. The build half writes the artifacts; the
+    returned plan must be a pure consumer of them."""
+    plan = plan_of(spark, "q294_ivf_index_serving")
+    assert "embeddings.parquet" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, "serving plan must read the persisted tables"
+    # every scan reads from the q294 artifact root (the displayed path
+    # truncates before the table name, so identify tables by their
+    # read schemas below)
+    for s in scans:
+        assert "q294_ivf_index_serving" in s, s
+    def has(*cols):
+        return any(all(c in s for c in cols) for s in scans)
+    assert has("match_id", "cell"), "missing assignments-table scan"
+    assert has("cell", "pos", "cq"), "missing centroids-table scan"
+    assert has("vec_id", "embedding"), "missing vector-store scan"
+
+
 def test_q224_decorrelates_to_broadcast_scalar(spark):
     """q224 (Q11 shape): the global-total comparison must arrive as a
     broadcast of a 1-row aggregate — no sort-merge join, no second
