@@ -634,6 +634,89 @@ def ivf_probe_cells(
     )
 
 
+def ann_mining_candidates(
+    queries: DataFrame, corpus: DataFrame,
+    assigned: DataFrame, centroids: DataFrame,
+    n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-filtered ANN candidate set from a PREBUILT IVF index —
+    the hard-negative-mining admission rule (q281; reference analogue:
+    contrastive-pair mining over a gold embedding table): probe each
+    query's ``n_probe`` nearest cells, join the cell members, drop
+    self-matches and SAME-label matches before any scoring. Returns
+    ``(query_id, q_label, query_vec, match_id, m_label, match_vec)``
+    — one row per candidate the exact-scoring stage will touch, which
+    is also the row count the mining soaks report.
+
+    One shared implementation: q281's builder, the cold-pipeline
+    rehearsal's serve stage, and the index/variant soaks all consume
+    this (three hand-rolled copies drifted before r11 — a change to
+    the admission rule must hit every consumer at once).
+
+    Scale contract: probes are queries×n_probe (broadcast); the
+    corpus-sized ``assigned`` side never shuffles on the cell key;
+    candidates ≈ queries · n_probe · cell_size, never corpus².
+    """
+    a = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("query_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(label_col).alias("m_label"),
+        F.col(vec_col).alias("match_vec"),
+    )
+    probes = ivf_probe_cells(
+        queries, centroids, n_probe, id_col=id_col, vec_col=vec_col
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .join(c, "match_id")
+        .join(F.broadcast(a), "query_id")
+        .where(
+            (F.col("match_id") != F.col("query_id"))
+            & (F.col("m_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id", "q_label", "query_vec",
+            "match_id", "m_label", "match_vec",
+        )
+    )
+
+
+def ann_mining_topk(
+    queries: DataFrame, corpus: DataFrame,
+    assigned: DataFrame, centroids: DataFrame,
+    k: int = 3, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact-cosine top-``k`` over :func:`ann_mining_candidates` —
+    the full mining serve (q281's ANN arm). Returns ``(query_id,
+    match_id, cos_sim, rank)``; the top-k window is per-query
+    (WindowGroupLimit-bounded map-side, same shape as
+    :func:`ivf_search`)."""
+    cand = ann_mining_candidates(
+        queries, corpus, assigned, centroids, n_probe,
+        id_col=id_col, vec_col=vec_col, label_col=label_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "match_id",
+            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_search(
     queries: DataFrame, corpus: DataFrame,
     assigned: DataFrame, centroids: DataFrame,

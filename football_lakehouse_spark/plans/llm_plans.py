@@ -7598,8 +7598,8 @@ def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from football_lakehouse_spark.operators.similarity import (
+        ann_mining_topk,
         cosine,
-        ivf_probe_cells,
         kmeans_cells,
     )
 
@@ -7611,30 +7611,13 @@ def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     assigned, cent = kmeans_cells(emb, n_cells=16, iters=2, id_out="match_id")
-    probes = ivf_probe_cells(anchors, cent, n_probe=4)
-    c = emb.select(
-        F.col("vec_id").alias("match_id"),
-        F.col("label").alias("m_label"),
-        F.col("embedding").alias("match_vec"),
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("match_id").asc()
     )
+    # the shared mining serve (one implementation for the builder, the
+    # rehearsal pipeline, and the soaks — operators/similarity)
     ann_top = (
-        assigned.join(F.broadcast(probes), "cell")
-        .join(c, "match_id")
-        .join(F.broadcast(a), "query_id")
-        .where(
-            (F.col("match_id") != F.col("query_id"))
-            & (F.col("m_label") != F.col("q_label"))
-        )
-        .select(
-            "query_id",
-            "match_id",
-            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
+        ann_mining_topk(anchors, emb, assigned, cent, k=3, n_probe=4)
         .select("query_id", "match_id")
         .withColumn("hit", F.lit(1))
     )

@@ -43,8 +43,9 @@ from pyspark.sql import Window, functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from football_lakehouse_spark.operators.similarity import (  # noqa: E402
+    ann_mining_candidates,
+    ann_mining_topk,
     cosine,
-    ivf_probe_cells,
     kmeans_cells,
 )
 from football_lakehouse_spark.plans.registry import REGISTRY  # noqa: E402
@@ -148,9 +149,16 @@ def mining_decomposition(spark, passes: int) -> None:
                 .where(F.col("rank") <= 3)
             )
 
+        # same filters as the timed exact_mine stage — the printed
+        # candidate count must equal the rows actually scored, and must
+        # be comparable to ann_scoring's count (which includes the
+        # label filter too)
         n_exact = (
             c.crossJoin(F.broadcast(a))
-            .where(F.col("match_id") != F.col("query_id"))
+            .where(
+                (F.col("match_id") != F.col("query_id"))
+                & (F.col("m_label") != F.col("q_label"))
+            )
             .count()
         )
         print(
@@ -188,31 +196,19 @@ def mining_decomposition(spark, passes: int) -> None:
             flush=True,
         )
 
-        # -- ANN mining from the PREBUILT index (q281's shape) ---------
+        # -- ANN mining from the PREBUILT index (q281's shape, the
+        # SHARED serve from operators/similarity) ----------------------
         assigned = spark.read.parquet(os.path.join(idx, "assigned"))
         cent = spark.read.parquet(os.path.join(idx, "centroids"))
-        probes = ivf_probe_cells(anchors, cent, n_probe=N_PROBE)
-        cand = (
-            assigned.join(F.broadcast(probes), "cell")
-            .join(c, "match_id")
-            .join(F.broadcast(a), "query_id")
-            .where(
-                (F.col("match_id") != F.col("query_id"))
-                & (F.col("m_label") != F.col("q_label"))
-            )
+        cand = ann_mining_candidates(
+            anchors, emb, assigned, cent, n_probe=N_PROBE
         )
 
         def ann_mine():
             _noop(
-                cand.select(
-                    "query_id",
-                    "match_id",
-                    cosine(
-                        F.col("query_vec"), F.col("match_vec")
-                    ).alias("cos_sim"),
+                ann_mining_topk(
+                    anchors, emb, assigned, cent, k=3, n_probe=N_PROBE
                 )
-                .withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= 3)
             )
 
         print(

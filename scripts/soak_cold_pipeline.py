@@ -103,7 +103,9 @@ def gen_docs(spark, factor: int, out: str) -> str:
     if factor == 1:
         return SRC
     path = os.path.join(out, f"documents_x{factor}.parquet")
-    if os.path.exists(path):
+    # _SUCCESS, not bare existence: a run killed mid-write leaves a
+    # partial dir that every later soak would silently measure
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     reps = F.broadcast(spark.range(factor).withColumnRenamed("id", "__rep"))
     df = spark.read.parquet(SRC)
@@ -135,7 +137,7 @@ def gen_emb(spark, factor: int, out: str) -> str:
     if factor == 1:
         return EMB_SRC
     path = os.path.join(out, f"embeddings_x{factor}.parquet")
-    if os.path.exists(path):
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     df = spark.read.parquet(EMB_SRC)
     stride = 10 ** len(str(df.agg(F.max("vec_id")).collect()[0][0]))
@@ -207,27 +209,23 @@ def run_pipeline(
         toks = ws_tokens(F.col("text"))
         m = docs.select("doc_id", "source", "text", toks.alias("toks"))
         n = F.size("toks").cast("bigint")
+        # the scaled corpora suffix every token with its replica id, so
+        # EVERY per-token gate statistic — mean length included — must
+        # strip the suffix the same way a tokenizer would normalise;
+        # factor=1 is a no-op. Leaving mean_len on raw tokens made the
+        # gate factor-VARIANT (+2..+5 chars/token at x10..x1000): docs
+        # near the Gopher length ceiling passed at x1 and failed at
+        # x100, and different replicas of the same doc got different
+        # verdicts — breaking the soak's own linear-scaling contract.
+        norm = F.transform("toks", lambda x: F.regexp_replace(x, "r[0-9]+$", ""))
         total_len = F.aggregate(
-            "toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            norm, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         )
         mean_len = F.floor(total_len * 10000 / n).cast("double") / 10000
-        # the scaled corpora suffix every token with its replica id, so
-        # pure-alpha and exact-stopword tests must strip the suffix the
-        # same way a tokenizer would normalise; factor=1 is a no-op
         stop_hits = F.size(
-            F.array_distinct(
-                F.filter(
-                    F.transform("toks", lambda x: F.regexp_replace(x, "r[0-9]+$", "")),
-                    lambda x: x.isin(*STOPWORDS),
-                )
-            )
+            F.array_distinct(F.filter(norm, lambda x: x.isin(*STOPWORDS)))
         )
-        alpha_toks = F.size(
-            F.filter(
-                F.transform("toks", lambda x: F.regexp_replace(x, "r[0-9]+$", "")),
-                lambda x: x.rlike("^[a-z]+$"),
-            )
-        )
+        alpha_toks = F.size(F.filter(norm, lambda x: x.rlike("^[a-z]+$")))
         alpha = F.floor(alpha_toks.cast("bigint") * 10000 / n).cast("double") / 10000
         q = m.where(
             n.between(_GOPHER_MIN_TOKS, _GOPHER_MAX_TOKS)
@@ -344,46 +342,16 @@ def run_pipeline(
         return spark.read.parquet(p("s6_assigned")).count()
 
     def s7_mining_serve():
-        from pyspark.sql import Window
-
-        from football_lakehouse_spark.operators.similarity import (
-            cosine,
-            ivf_probe_cells,
-        )
+        from football_lakehouse_spark.operators.similarity import ann_mining_topk
 
         emb = spark.read.parquet(emb_path)
         assigned = spark.read.parquet(p("s6_assigned"))
         cent = spark.read.parquet(p("s6_centroids"))
         anchors = emb.where(F.col("vec_id") < 10)
-        a = anchors.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("q_label"),
-            F.col("embedding").alias("query_vec"),
-        )
-        c = emb.select(
-            F.col("vec_id").alias("match_id"),
-            F.col("label").alias("m_label"),
-            F.col("embedding").alias("match_vec"),
-        )
-        probes = ivf_probe_cells(anchors, cent, n_probe=N_PROBE)
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos_sim").desc(), F.col("match_id").asc()
-        )
-        mined = (
-            assigned.join(F.broadcast(probes), "cell")
-            .join(c, "match_id")
-            .join(F.broadcast(a), "query_id")
-            .where(
-                (F.col("match_id") != F.col("query_id"))
-                & (F.col("m_label") != F.col("q_label"))
-            )
-            .select(
-                "query_id",
-                "match_id",
-                cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 3)
+        # the SHARED mining serve (operators/similarity) — the same
+        # implementation q281 and the ANN soaks run, not a copy
+        mined = ann_mining_topk(
+            anchors, emb, assigned, cent, k=3, n_probe=N_PROBE
         )
         mined.write.mode("overwrite").parquet(p("s7"))
         return spark.read.parquet(p("s7")).count()

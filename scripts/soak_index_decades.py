@@ -26,13 +26,13 @@ import shutil
 import sys
 import time
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from football_lakehouse_spark.operators.similarity import (  # noqa: E402
-    cosine,
-    ivf_probe_cells,
+    ann_mining_candidates,
+    ann_mining_topk,
     kmeans_cells,
 )
 from football_lakehouse_spark.session import get_spark  # noqa: E402
@@ -52,7 +52,9 @@ def gen_emb(spark, factor: int) -> str:
     if factor == 1:
         return EMB_SRC
     path = os.path.join(SCRATCH, f"emb_x{factor}.parquet")
-    if os.path.exists(path):
+    # _SUCCESS, not bare existence: a partial dir from a killed run is
+    # not a corpus
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     df = spark.read.parquet(EMB_SRC)
     stride = 10 ** len(str(df.agg(F.max("vec_id")).collect()[0][0]))
@@ -101,39 +103,14 @@ def main() -> None:
         assigned = spark.read.parquet(os.path.join(idx, "assigned"))
         cent = spark.read.parquet(os.path.join(idx, "centroids"))
         anchors = emb.where(F.col("vec_id") < 10)
-        a = anchors.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("q_label"),
-            F.col("embedding").alias("query_vec"),
-        )
-        c = emb.select(
-            F.col("vec_id").alias("match_id"),
-            F.col("label").alias("m_label"),
-            F.col("embedding").alias("match_vec"),
-        )
-        probes = ivf_probe_cells(anchors, cent, n_probe=N_PROBE)
-        cand = (
-            assigned.join(F.broadcast(probes), "cell")
-            .join(c, "match_id")
-            .join(F.broadcast(a), "query_id")
-            .where(
-                (F.col("match_id") != F.col("query_id"))
-                & (F.col("m_label") != F.col("q_label"))
-            )
-        )
-        n_cand = cand.count()
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos_sim").desc(), F.col("match_id").asc()
-        )
+        # the SHARED mining serve (operators/similarity) — candidates
+        # counted from the same admission rule the timed top-k scores
+        n_cand = ann_mining_candidates(
+            anchors, emb, assigned, cent, n_probe=N_PROBE
+        ).count()
         t0 = time.perf_counter()
         (
-            cand.select(
-                "query_id",
-                "match_id",
-                cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 3)
+            ann_mining_topk(anchors, emb, assigned, cent, k=3, n_probe=N_PROBE)
             .write.format("noop").mode("overwrite").save()
         )
         serve_s = round(time.perf_counter() - t0, 2)

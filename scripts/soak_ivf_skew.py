@@ -30,15 +30,15 @@ import os
 import sys
 import time
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from football_lakehouse_spark.session import get_spark  # noqa: E402
 from football_lakehouse_spark.operators.similarity import (  # noqa: E402
-    _quantized_components,
     assign_cells,
     brute_force_topk,
+    ivf_probe_cells,
     ivf_search,
     kmeans_cells,
     refine_hot_cells,
@@ -77,23 +77,13 @@ def gen(spark, n: int):
     )
 
 
-def candidate_volume(spark, queries, assigned, cent):
+def candidate_volume(queries, assigned, cent):
     """Rows the exact-scoring stage touches = Σ over (query, probed
-    cell) of cell size — computed from the same probe ranking
-    ivf_search uses."""
-    qqx = _quantized_components(queries, "query_id", "vec_id", "embedding")
-    diff = F.col("qx") - F.col("cq")
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("cell").asc()
-    )
-    probes = (
-        qqx.join(F.broadcast(cent), "pos")
-        .groupBy("query_id", "cell")
-        .agg(F.sum(diff * diff).alias("d2"))
-        .withColumn("pr", F.row_number().over(probe_w))
-        .where(F.col("pr") <= N_PROBE)
-        .select("query_id", "cell")
-    )
+    cell) of cell size — computed from the SAME public probe helper
+    ivf_search calls (a hand-rolled copy here would silently diverge
+    from what search actually scores if the probe ranking or its
+    tie-break ever changes)."""
+    probes = ivf_probe_cells(queries, cent, n_probe=N_PROBE)
     sizes = assigned.groupBy("cell").count()
     return probes.join(sizes, "cell").agg(F.sum("count")).collect()[0][0]
 
@@ -172,7 +162,7 @@ def main():
         (r["count"] for r in assigned_d.groupBy("cell").count().collect()),
         reverse=True,
     )
-    cand_d = candidate_volume(spark, queries, assigned_d, cent_d)
+    cand_d = candidate_volume(queries, assigned_d, cent_d)
     t_d, ivf_d = timed(
         lambda: ivf_search(queries, corpus, assigned_d, cent_d,
                            k=K, n_probe=N_PROBE),
@@ -201,7 +191,7 @@ def main():
         (r["count"] for r in assigned_r.groupBy("cell").count().collect()),
         reverse=True,
     )
-    cand_r = candidate_volume(spark, queries, assigned_r, cent_r)
+    cand_r = candidate_volume(queries, assigned_r, cent_r)
     t_r, ivf_r = timed(
         lambda: ivf_search(queries, corpus, assigned_r, cent_r,
                            k=K, n_probe=N_PROBE),

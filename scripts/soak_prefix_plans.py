@@ -58,7 +58,7 @@ def gen(spark, factor: int, out: str) -> None:
         strides[table] = s
     for table, key in FACTS.items():
         path = os.path.join(out, f"{table}.parquet")
-        if os.path.exists(path):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
             continue
         df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
         big = df.crossJoin(reps).withColumn(
@@ -72,7 +72,7 @@ def gen(spark, factor: int, out: str) -> None:
         big.drop("__rep").write.mode("overwrite").parquet(path)
     for table in DIMS:
         path = os.path.join(out, f"{table}.parquet")
-        if not os.path.exists(path):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
             spark.read.parquet(
                 os.path.join(SRC, f"{table}.parquet")
             ).write.mode("overwrite").parquet(path)
@@ -94,7 +94,10 @@ def time_query(spark, name: str, sf_dir: str, passes: int) -> float:
 def decile_stage_only(spark, n_rows: int, passes: int) -> float:
     """q189's rank/decile cut in isolation over a synthesized scored
     holdout of n_rows — the stage the bucketed_prefix rewrite changed."""
-    from football_lakehouse_spark.operators.selection import bucketed_prefix
+    from football_lakehouse_spark.operators.selection import (
+    bucketed_prefix,
+    ntile_expr,
+)
 
     hold = (
         spark.range(n_rows)
@@ -122,15 +125,13 @@ def decile_stage_only(spark, n_rows: int, passes: int) -> float:
             descending=True,
         )
         tot = hold.agg(F.count(F.lit(1)).alias("n"))
-        big = F.floor(F.col("n") / 10) + 1
-        cut = (F.col("n") % 10) * big
-        decile = F.when(F.col("i") <= cut, F.ceil(F.col("i") / big)).otherwise(
-            (F.col("n") % 10)
-            + F.ceil((F.col("i") - cut) / F.floor(F.col("n") / 10))
-        )
+        # the SHARED tile arithmetic, not a copy: this soak claims to
+        # time q189's decile cut in isolation, so it must call the
+        # same helper the q189 builder calls
+        decile = ntile_expr(F.col("i"), F.col("n"), 10)
         out = (
             ranked.crossJoin(F.broadcast(tot))
-            .groupBy(decile.cast("int").alias("decile"))
+            .groupBy(decile.alias("decile"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
         )
         assert out.count() == 10

@@ -48,7 +48,7 @@ def gen(spark, out):
         ("events", "event_id", False),
     ):
         path = os.path.join(out, f"{table}.parquet")
-        if os.path.exists(path):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
             print(table, "exists, skipping")
             continue
         df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))

@@ -75,7 +75,16 @@ def build_skewed(spark):
     ord_path = os.path.join(SKEW_DIR, "orders_rep.parquet")
     docs_path = os.path.join(SKEW_DIR, "documents_hotcluster.parquet")
 
-    if not os.path.exists(li_path):
+    def _done(path: str) -> bool:
+        # _SUCCESS, not bare existence: a run killed mid-write leaves a
+        # partial dir that would silently skew every later measurement
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    # lineitem and orders are built TOGETHER (orders' key shift uses
+    # lineitem's stride): if either is missing or partial, rebuild both
+    # — guarding orders behind lineitem's existence left a run killed
+    # between the two writes with a permanently missing/stale orders
+    if not (_done(li_path) and _done(ord_path)):
         li = load_table(spark, SRC, "lineitem")
         ok = 10 ** len(str(li.agg(F.max("l_orderkey")).collect()[0][0]))
         reps = [
@@ -102,7 +111,7 @@ def build_skewed(spark):
             obig = obig.unionByName(r)
         obig.repartition(4).write.mode("overwrite").parquet(ord_path)
 
-    if not os.path.exists(docs_path):
+    if not _done(docs_path):
         docs = load_table(spark, SRC, "documents")
         base = docs.where(F.col("doc_id") == 1).select("text").collect()[0][0]
         dmax = docs.agg(F.max("doc_id")).collect()[0][0]

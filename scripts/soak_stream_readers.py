@@ -72,18 +72,21 @@ def drain(spark, land: str, tag: str, opts: dict) -> tuple[float, int]:
     return round(dt, 2), spark.read.parquet(out).count()
 
 
-def main() -> None:
+def main() -> int:
     files = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
     spark = get_spark("soak-stream-readers")
     spark.sparkContext.setLogLevel("ERROR")
     register_landing_source(spark)
     land = gen(files, rows)
+    failed = False
     for tag, opts in (
         ("partition", {}),
         ("driver_prefetch", {"driverPrefetch": "true"}),
     ):
         sec, n = drain(spark, land, tag, opts)
+        ok = n == files * rows
+        failed = failed or not ok
         print(
             json.dumps(
                 {
@@ -91,14 +94,21 @@ def main() -> None:
                     "files": files,
                     "rows": n,
                     "sec": sec,
-                    "ok": n == files * rows,
+                    "ok": ok,
                 }
             ),
             flush=True,
         )
     spark.stop()
+    # the docstring's contract is mandatory: a reader that drops or
+    # duplicates rows must FAIL the soak (non-zero exit), and the
+    # evidence must survive for triage instead of being cleaned up
+    if failed:
+        print(f"FAIL: row counts diverged — evidence kept in {ROOT}")
+        return 1
     shutil.rmtree(ROOT, ignore_errors=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
