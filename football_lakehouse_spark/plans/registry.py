@@ -67,9 +67,10 @@ def query(
 #: broken by registration order — freshness is self-maintaining and no
 #: query's attestation ever ages more than ceil(n/50) rounds. This r11
 #: cohort is `python scripts/replay_attestation.py`'s printed oldest-50:
-#: the six r5 rows the r10 additions displaced (q162–q165, q170, q180)
-#: lead, then the rest of the r5 cohort (q97, q173, q174, q175, q98,
-#: q121, ...). To rotate for r12, run the replay script and replace
+#: the never-attested r11 addition (q294) leads, then the six r5 rows
+#: the r10 additions displaced (q162–q165, q170, q180) and the rest of
+#: the r5 cohort (q97, q173, q174, q175, q98, q121, ...; q205 rotates
+#: to r12). To rotate for r12, run the replay script and replace
 #: this tuple with its printed oldest-50 (the script also flags any
 #: registered query whose LATEST driver row is red — fix those, don't
 #: rotate them).
@@ -78,6 +79,7 @@ def query(
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
 #: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md).
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
+    "q294_ivf_index_serving",
     "q162_market_share",
     "q163_promo_revenue_share",
     "q164_sole_late_supplier",
@@ -127,7 +129,6 @@ DRIVER_ORDER_FIRST: tuple[str, ...] = (
     "q201_hierarchy_rollup",
     "q203_trending_parts",
     "q204_revenue_bridge",
-    "q205_abc_classification",
 )
 
 
