@@ -88,6 +88,27 @@ def main() -> None:
     print("   duplicate spans:", spans.count(),
           "| tokens trimmed (keep-one-canonical):", removed)
 
+    print("== ANN index lifecycle: build offline, persist, serve from artifacts")
+    from football_lakehouse_spark.operators.similarity import (  # noqa: E402
+        ivf_search,
+        kmeans_cells,
+    )
+
+    assigned, cent = kmeans_cells(emb, n_cells=8, iters=2, id_out="match_id")
+    vec_t = LakehouseTable(spark, root, "gold", "ann_vectors")
+    asg_t = LakehouseTable(spark, root, "gold", "ann_assignments")
+    cen_t = LakehouseTable(spark, root, "gold", "ann_centroids")
+    vec_t.append(emb.select("vec_id", "embedding"))
+    asg_t.append(assigned)
+    cen_t.append(cent)
+    # the serving process only ever sees the stored tables (q294's shape)
+    vecs = vec_t.read()
+    served = ivf_search(
+        vecs.where("vec_id < 3"), vecs, asg_t.read(), cen_t.read(),
+        k=3, n_probe=2,
+    )
+    served.show(9, truncate=False)
+
     spark.stop()
     print("done.")
 
