@@ -36,8 +36,11 @@ DIMS = {"region", "nation", "supplier", "part"}
 SRC = "/root/testdata/sf0.1"
 
 
-def replica_text_expr(i: int):
+def replica_text_expr(i):
     """Per-token replica suffix for document text (replica ``i`` > 0).
+    ``i`` is an int replica id, or a Column of replica ids for
+    generators that build every replica in one crossJoin pass (the
+    cold-pipeline soak) — ONE rule, wherever replicas are made.
 
     Suffix EVERY token by the replica id (the soak_cold_pipeline.gen_docs
     rule), not just append one marker token: a single appended token
@@ -55,10 +58,17 @@ def replica_text_expr(i: int):
     spaces (array_join). Tokenization uses the same [ \\t\\n\\r\\f]+
     class, so token streams — what the dedup/text soaks measure — are
     unaffected; SCALING.md notes this."""
+    from pyspark.sql import Column
+
+    suffix = (
+        F.concat(F.lit("r"), i.cast("string"))
+        if isinstance(i, Column)
+        else F.lit(f"r{i}")
+    )
     return F.array_join(
         F.transform(
             F.split(F.col("text"), "[ \t\n\r\f]+"),
-            lambda t: F.when(t != "", F.concat(t, F.lit(f"r{i}"))).otherwise(t),
+            lambda t: F.when(t != "", F.concat(t, suffix)).otherwise(t),
         ),
         " ",
     )

@@ -62,6 +62,15 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from football_lakehouse_spark.functions.text import STOPWORDS, ws_tokens  # noqa: E402
+
+import importlib.util as _ilu  # noqa: E402
+
+_spec = _ilu.spec_from_file_location(
+    "gen_scale",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "gen_scale.py"),
+)
+_gen_scale = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_gen_scale)
 from football_lakehouse_spark.operators.dedup import (  # noqa: E402
     duplicate_spans,
     exact_dedup,
@@ -99,7 +108,15 @@ UI_PORT = 4099
 
 
 def gen_docs(spark, factor: int, out: str) -> str:
-    """documents replicated ``factor``x, tokens made replica-unique."""
+    """documents replicated ``factor``x, tokens made replica-unique via
+    the ONE shared replica rule (gen_scale.replica_text_expr — column
+    form): replica 0 stays raw (so the base corpus embedded in an xN
+    corpus has the same token stream at every factor), replicas i>0
+    get per-token 'r{i}' suffixes on non-empty split elements. The
+    old inline copy here split on a literal space, suffixed empties,
+    and suffixed replica 0 too — cross-soak corpora drifted from the
+    gen_scale ones. Regenerate /tmp/fls-cold after this change (the
+    _SUCCESS cache keeps serving old-rule corpora)."""
     if factor == 1:
         return SRC
     path = os.path.join(out, f"documents_x{factor}.parquet")
@@ -109,18 +126,30 @@ def gen_docs(spark, factor: int, out: str) -> str:
         return path
     reps = F.broadcast(spark.range(factor).withColumnRenamed("id", "__rep"))
     df = spark.read.parquet(SRC)
+    # precondition for BOTH the replica rule and the gate's suffix
+    # normalization: no base token may itself match r[0-9]+$ (it would
+    # be stripped at factor=1 but round-trip at factor>1 — the exact
+    # factor-variance the normalization exists to remove). Fail loudly
+    # on a fixture refresh instead of silently mis-gating.
+    colliding = (
+        df.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+        .where(F.col("t").rlike("r[0-9]+$"))
+        .count()
+    )
+    if colliding:
+        raise SystemExit(
+            f"gen_docs: base corpus has {colliding} token(s) ending in "
+            "r<digits> — the replica-suffix marker would collide; pick "
+            "a different marker before scaling this fixture"
+        )
     stride = 10 ** len(str(df.agg(F.max("doc_id")).collect()[0][0]))
     big = (
         df.crossJoin(reps)
         .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * F.lit(stride))
         .withColumn(
             "text",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.concat(t, F.lit("r"), F.col("__rep")),
-                ),
-                " ",
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                _gen_scale.replica_text_expr(F.col("__rep"))
             ),
         )
         .drop("__rep")

@@ -53,3 +53,16 @@ def test_replica_text_keeps_empty_and_whitespace_docs(spark):
         F.explode(ws_tokens(gen_scale.replica_text_expr(1))).alias("t")
     ).collect()
     assert toks and all(r["t"].endswith("r1") for r in toks)
+
+
+def test_replica_text_expr_column_form(spark):
+    """The column form (used by the cold-pipeline generator's one-pass
+    crossJoin) must produce byte-identical text to the int form for
+    the same replica id."""
+    df = spark.createDataFrame([("a b  c", 3), ("  lead x", 3)], "text string, rep int")
+    out = df.select(
+        gen_scale.replica_text_expr(3).alias("by_int"),
+        gen_scale.replica_text_expr(F.col("rep")).alias("by_col"),
+    )
+    for r in out.collect():
+        assert r["by_int"] == r["by_col"]
