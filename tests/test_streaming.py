@@ -81,6 +81,53 @@ def test_foreach_batch_merge_late_duplicates(spark, events, tmp_path):
     assert table.read().count() == 110
 
 
+def test_merge_stream_quarantine_crash_between_sinks(spark, events, tmp_path):
+    """The ST4 two-sink epoch (quarantine append_txn, then MERGE) killed
+    between its commits and restarted on the same checkpoint: the
+    replayed epoch must skip the quarantine table-side (txn marker) and
+    run the merge — no duplicate quarantined rows, no lost upserts.
+    Same class as the span-stream crash test; MERGE needs no txn marker
+    because upsert-by-key is naturally replay-idempotent."""
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    table = LakehouseTable(spark, str(tmp_path), "silver", "live_event")
+    quar = LakehouseTable(spark, str(tmp_path), "silver", "quarantine")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    base = events.limit(30).select(*cols)
+    bad = base.limit(5).withColumn("event_id", F.lit(None).cast("long"))
+    land_json_files(base.unionByName(bad), landing)
+
+    def to_silver(batch):
+        return batch.select(*cols)
+
+    crashes = {"n": 0}
+
+    def crashing_merge(batch, keys):
+        crashes["n"] += 1
+        raise RuntimeError("injected crash between quarantine commit and merge")
+
+    table.merge = crashing_merge  # instance attribute shadows the method
+    with pytest.raises(Exception, match="injected crash"):
+        merge_stream_into_table(
+            spark, landing, ckpt, table,
+            transform=to_silver, quarantine_table=quar,
+        )
+    del table.merge  # restore the real bound method
+    # half-committed epoch: quarantine landed, merge never ran
+    assert crashes["n"] >= 1
+    assert quar.read().count() == 5
+    assert not table.exists()
+
+    # restart on the SAME checkpoint: quarantine skips, merge runs
+    merge_stream_into_table(
+        spark, landing, ckpt, table,
+        transform=to_silver, quarantine_table=quar,
+    )
+    assert table.read().count() == 30
+    assert table.read().where(F.col("event_id").isNull()).count() == 0
+    assert quar.read().count() == 5  # not re-appended on the replay
+
+
 def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
     """Flush-all via the public operator: land batch, run with
     flush_all=True — every window finalises and no sentinel rows leak
