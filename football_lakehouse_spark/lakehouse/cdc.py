@@ -24,13 +24,40 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def change_feed(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFrame:
+def change_feed(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    validate_unique: bool = True,
+) -> DataFrame:
     """Row-level changes that turn ``old`` into ``new``, keyed by
     ``keys``: ``insert`` rows (key only in new), ``delete`` rows (key
     only in old), and ``update_preimage``/``update_postimage`` pairs
     (key in both, any non-key column differing null-safely). Payload
     columns carry the new image for insert/update_postimage and the old
-    image for delete/update_preimage — Delta CDF semantics."""
+    image for delete/update_preimage — Delta CDF semantics.
+
+    The key join is NULL-SAFE (a NULL business key is one key value,
+    the same contract merge_upsert keeps): with a plain equi-join a
+    NULL-keyed row never matched itself across versions, so every diff
+    fabricated a delete+insert pair for untouched NULL-key rows —
+    phantom churn in every incremental consumer.
+
+    ``validate_unique`` (default True) FAILS CLOSED when either side
+    carries a duplicate key tuple — the full-outer join would multiply
+    such rows into duplicated/mispaired change entries that silently
+    corrupt downstream MERGE consumers (same contract as
+    require_unique_merge_keys on the merge path; appends can create
+    duplicates the merge path never would). The check is one eager
+    map-side-combined aggregation per side; pass False only when the
+    caller has already validated both versions."""
+    if validate_unique:
+        from football_lakehouse_spark.lakehouse.tables import (
+            require_unique_merge_keys,
+        )
+
+        require_unique_merge_keys(old, keys, where="change_feed(old)")
+        require_unique_merge_keys(new, keys, where="change_feed(new)")
     val_cols = [c for c in new.columns if c not in keys]
     # a KEY-ONLY table (e.g. span_key_index's single column) has no
     # value columns: the payload struct still needs a field, and the
@@ -42,12 +69,26 @@ def change_feed(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFram
         return F.struct(F.lit(None).alias("__no_vals"))
 
     o = old.select(
-        *keys, payload(val_cols).alias("__old"), F.lit(1).alias("__ino")
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        payload(val_cols).alias("__old"),
+        F.lit(1).alias("__ino"),
     )
     n = new.select(
-        *keys, payload(val_cols).alias("__new"), F.lit(1).alias("__inn")
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        payload(val_cols).alias("__new"),
+        F.lit(1).alias("__inn"),
     )
-    j = o.join(n, list(keys), "full_outer")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}")) for k in keys],
+    )
+    j = o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k)
+            for k in keys
+        ],
+        "__old", "__ino", "__new", "__inn",
+    )
 
     changed: Column = reduce(
         lambda a, b: a | b,

@@ -34,6 +34,29 @@ def rolling_mean(
     return df.withColumn(alias, F.round(F.avg(value).over(w), 4))
 
 
+def rolling_form_features(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+    window_rows: int = 5,
+    mean_alias: str = "form_score",
+    n_alias: str = "form_n",
+) -> list[Column]:
+    """The A7 'form' column pair — trailing-``window_rows`` mean
+    (rounded to 4, the published quantisation) and the window's row
+    count — over the per-entity timeline. ONE definition shared by the
+    q25 registry query and the medallion gold build (they carried
+    byte-equivalent inline copies before r11; a change to the ordering,
+    tie-break, or quantisation must hit both at once). Returned as
+    select-able Columns so callers keep their own projection."""
+    w = entity_timeline(df, key, order).rowsBetween(-(window_rows - 1), 0)
+    return [
+        F.round(F.avg(value).over(w), 4).alias(mean_alias),
+        F.count(F.lit(1)).over(w).cast("bigint").alias(n_alias),
+    ]
+
+
 def lag_delta(
     df: DataFrame, key: str, order: list[str], value: str, alias: str
 ) -> DataFrame:

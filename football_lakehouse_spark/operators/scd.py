@@ -60,8 +60,16 @@ def scd2_apply(
     incoming = changes.select(*cols).dropDuplicates()
     require_unique_merge_keys(incoming, [key, ts_col], where="scd2_apply")
     if table.exists():
-        aff = incoming.select(key).distinct()
-        existing = table.read().join(F.broadcast(aff), key, "left_semi")
+        # NULL-SAFE affected-key probe: a NULL business key is one key
+        # value here exactly as it is in the window partition and the
+        # null-safe merge below — a plain equi-semi-join dropped the
+        # NULL-key history, so its prior current row was never closed
+        # (two is_current rows) and incremental apply diverged from the
+        # batch recompute the docstring promises
+        aff = incoming.select(F.col(key).alias("__aff_k")).distinct()
+        existing = table.read().join(
+            F.broadcast(aff), F.col(key).eqNullSafe(F.col("__aff_k")), "left_semi"
+        )
         folded = existing.select(
             key, *attrs, F.col("eff_from").alias(ts_col)
         )

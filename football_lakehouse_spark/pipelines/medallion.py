@@ -27,6 +27,7 @@ from football_lakehouse_spark.functions.scalars import money_sum
 from football_lakehouse_spark.lakehouse.tables import LakehouseTable
 from football_lakehouse_spark.operators.merge import dedupe_updates
 from football_lakehouse_spark.operators.quality import assert_not_empty, assert_pk
+from football_lakehouse_spark.operators.rolling import rolling_form_features
 
 BRONZE_EVENTS = ("bronze", "events_raw")
 SILVER_EVENTS = ("silver", "event")
@@ -106,8 +107,6 @@ def build_gold(spark: SparkSession, silver: LakehouseTable,
                live_state: LakehouseTable, form: LakehouseTable) -> tuple[int, int]:
     """EP3: publish Gold facts — per-user live state (ST5 end-state) and
     rolling form features (A7) — with PK gates before every write."""
-    from pyspark.sql import Window
-
     ev = silver.read()
 
     state = ev.groupBy("user_id").agg(
@@ -124,17 +123,13 @@ def build_gold(spark: SparkSession, silver: LakehouseTable,
     assert_pk(state, "user_id", name="gold.fact_live_state")
     v1 = live_state.overwrite(state)
 
-    w5 = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("event_ts").asc(), F.col("event_id").asc())
-        .rowsBetween(-4, 0)
-    )
+    # the SHARED A7 form pair (operators/rolling) — same definition the
+    # q25 registry query publishes, so pipeline and query cannot drift
     form_df = ev.select(
         "event_id",
         "user_id",
         "event_ts",
-        F.round(F.avg("value").over(w5), 4).alias("form_score"),
-        F.count(F.lit(1)).over(w5).cast("bigint").alias("form_n"),
+        *rolling_form_features(ev, "user_id", ["event_ts", "event_id"], "value"),
     )
     assert_pk(form_df, "event_id", name="gold.fact_live_form")
     v2 = form.overwrite(form_df)

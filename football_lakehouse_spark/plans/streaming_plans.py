@@ -355,7 +355,10 @@ def stateful_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            (F.floor(F.col("total_micros") / 10000).cast("double") / 100).alias("total_value"),
+            # exact `div`, never floor(bigint / int): the `/` promotes
+            # to double and loses exactness past 2^53 micros (class-1)
+            (F.expr("cast(total_micros as decimal(38,0)) div 10000")
+             .cast("double") / 100).alias("total_value"),
         )
     )
 

@@ -72,17 +72,14 @@ def latest_snapshot_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def rolling_form(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from football_lakehouse_spark.operators.rolling import rolling_form_features
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    w5 = w.rowsBetween(-4, 0)
     return ev.select(
         "event_id",
         "user_id",
         "event_type",
-        F.round(F.avg("value").over(w5), 4).alias("form_score"),
-        F.count(F.lit(1)).over(w5).cast("bigint").alias("form_n"),
+        *rolling_form_features(ev, "user_id", ["ts", "event_id"], "value"),
     )
 
 
@@ -1536,9 +1533,13 @@ def journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "from_type", "to_type",
         F.col("n").cast("bigint").alias("n"),
-        F.floor(
-            F.col("n").cast("decimal(38,0)") * 1000000
-            / F.sum("n").over(w_from)
+        # `div`, never floor(decimal /): Spark's decimal division
+        # rounds HALF_UP at result scale BEFORE the floor, so a
+        # fractional part >= .9999995 crossed the integer boundary and
+        # disagreed with the oracle's exact integer `//` by one ppm
+        F.expr(
+            "cast(n as decimal(38,0)) * 1000000 div sum(n) over "
+            "(partition by from_type)"
         ).cast("bigint").alias("prob_ppm"),
     )
 

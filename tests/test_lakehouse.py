@@ -996,3 +996,72 @@ def test_change_feed_key_only_table(spark):
     new = spark.createDataFrame([(2,), (3,)], "k bigint")
     got = {(r.change_type, r.k) for r in change_feed(old, new, ["k"]).collect()}
     assert got == {("delete", 1), ("insert", 3)}
+
+
+def test_change_feed_null_key_rows(spark):
+    """r11 sweep: the key join is NULL-SAFE — an untouched NULL-key row
+    emits NOTHING (a plain equi-join fabricated delete+insert for it on
+    every diff), and an actually-updated NULL-key row emits an update
+    pre/post pair, not a delete+insert."""
+    from football_lakehouse_spark.lakehouse.cdc import change_feed
+
+    old = spark.createDataFrame(
+        [(None, "keep", 1.0), (2, "x", 2.0)], "id bigint, t string, v double"
+    )
+    # NULL-key row unchanged; key=2 updated
+    new = spark.createDataFrame(
+        [(None, "keep", 1.0), (2, "x", 99.0)], "id bigint, t string, v double"
+    )
+    got = [(r.change_type, r.id) for r in change_feed(old, new, ["id"]).collect()]
+    assert sorted(got) == [("update_postimage", 2), ("update_preimage", 2)]
+
+    # NULL-key row updated: pre/post pair, key preserved as NULL
+    new2 = spark.createDataFrame(
+        [(None, "keep", 7.0), (2, "x", 2.0)], "id bigint, t string, v double"
+    )
+    got2 = {(r.change_type, r.id): r.v for r in change_feed(old, new2, ["id"]).collect()}
+    assert got2 == {
+        ("update_preimage", None): 1.0,
+        ("update_postimage", None): 7.0,
+    }
+
+
+def test_change_feed_rejects_duplicate_keys(spark):
+    """r11 sweep: duplicate key tuples on either side would multiply
+    through the full-outer join into duplicated/mispaired change
+    entries — fail closed like the merge path."""
+    from football_lakehouse_spark.lakehouse.cdc import change_feed
+    from football_lakehouse_spark.lakehouse.tables import MergeSourceDuplicateError
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "id bigint, t string")
+    ok = spark.createDataFrame([(1, "a")], "id bigint, t string")
+    with pytest.raises(MergeSourceDuplicateError, match="change_feed"):
+        change_feed(dup, ok, ["id"]).collect()
+    with pytest.raises(MergeSourceDuplicateError, match="change_feed"):
+        change_feed(ok, dup, ["id"]).collect()
+    # escape hatch for pre-validated versions
+    assert change_feed(dup, dup, ["id"], validate_unique=False).count() >= 0
+
+
+def test_scd2_apply_null_business_key(spark, tmp_path):
+    """r11 sweep: a NULL business key is ONE key value end-to-end — the
+    affected-key probe is null-safe, so the second batch closes the
+    NULL key's prior current row instead of leaving two is_current
+    rows (incremental == batch recompute, the function's contract)."""
+    from football_lakehouse_spark.operators.scd import scd2_apply
+
+    t = LakehouseTable(spark, str(tmp_path), "silver", "dim_null_key")
+    scd2_apply(
+        t,
+        spark.createDataFrame([(None, "v1", 100)], "k string, attr string, ts long"),
+        "k", "ts", ["attr"],
+    )
+    scd2_apply(
+        t,
+        spark.createDataFrame([(None, "v2", 200)], "k string, attr string, ts long"),
+        "k", "ts", ["attr"],
+    )
+    rows = sorted(
+        (r.attr, r.eff_from, r.eff_to, r.is_current) for r in t.read().collect()
+    )
+    assert rows == [("v1", 100, 200, False), ("v2", 200, None, True)]

@@ -644,3 +644,62 @@ def test_landing_batch_empty_dir_and_malformed_ts(spark, tmp_path):
     assert rescued[0].event_id is None  # whole line rescued, not half-parsed
     ok = [r for r in rows if r._rescue is None]
     assert len(ok) == 1 and ok[0].event_id == 2 and ok[0].ts is None  # missing ts stays a legal NULL
+
+
+def test_landing_parse_contracts_r11(spark, tmp_path):
+    """r11 sweep regression triple: (a) offset-bearing timestamps are
+    CONVERTED to UTC before the tzinfo drops (stripping +05:00 in place
+    silently shifted the instant by five hours with _rescue NULL);
+    (b) a non-integral or boolean JSON id rescues the whole line (int()
+    silently truncated 1.5 → 1 — id corruption and possible PK
+    collision); (c) a well-formed integral id still parses."""
+    from football_lakehouse_spark.sources.pyds import register_landing_source
+
+    d = tmp_path / "landing" / "snapshot_date=2026-02-01"
+    d.mkdir(parents=True)
+    (d / "part-0.json").write_text(
+        '{"event_id":1,"ts":"2026-02-01T12:00:00+05:00","user_id":7,'
+        '"event_type":"click","value":1.0,"props":null}\n'
+        '{"event_id":1.5,"ts":"2026-02-01T10:00:00","user_id":7,'
+        '"event_type":"click","value":1.0,"props":null}\n'
+        '{"event_id":2,"ts":"2026-02-01T10:00:00","user_id":true,'
+        '"event_type":"view","value":1.0,"props":null}\n'
+        '{"event_id":3,"ts":"2026-02-01T09:00:00Z","user_id":8,'
+        '"event_type":"view","value":2.0,"props":null}\n'
+    )
+    register_landing_source(spark)
+    df = (
+        spark.read.format("landing_events")
+        .option("path", str(tmp_path / "landing"))
+        .load()
+    )
+    rows = df.collect()
+    rescued = [r for r in rows if r._rescue is not None]
+    assert len(rescued) == 2  # the 1.5 id and the boolean id
+    assert all(r.event_id is None for r in rescued)
+    good = {r.event_id: r for r in rows if r._rescue is None}
+    # +05:00 converted: 12:00+05:00 == 07:00 UTC
+    assert good[1].ts.isoformat() == "2026-02-01T07:00:00"
+    # Z suffix unchanged behavior
+    assert good[3].ts.isoformat() == "2026-02-01T09:00:00"
+
+
+def test_landing_max_files_per_batch_validation(spark, tmp_path):
+    """A negative maxFilesPerBatch would truncate pending[:cap] from the
+    END of the list — the newest files deferred forever, an availableNow
+    drain terminating with silent data loss — so BOTH readers reject it
+    at construction."""
+    import pytest
+
+    from football_lakehouse_spark.sources.pyds import (
+        LandingPartitionStreamReader,
+        LandingStreamReader,
+    )
+
+    for cls in (LandingStreamReader, LandingPartitionStreamReader):
+        with pytest.raises(ValueError, match="maxFilesPerBatch"):
+            cls({"path": str(tmp_path), "maxFilesPerBatch": "-1"})
+        r = cls({"path": str(tmp_path), "maxFilesPerBatch": "0"})
+        assert r.max_files is None
+        r2 = cls({"path": str(tmp_path), "maxFilesPerBatch": "3"})
+        assert r2.max_files == 3
