@@ -143,7 +143,17 @@ def _escape_partition_value(v: object) -> str:
     the files Spark actually wrote for exotic partition values."""
     if v is None:
         return _DEFAULT_PARTITION_NAME
-    s = str(v)
+    # Spark renders booleans lowercase (b=true, not Python's str(True)
+    # = 'True') and an EMPTY-STRING value as the default partition name
+    # — a str(v) mismatch here means merge/delete/update's
+    # startswith-matched "removed" list misses the partition's live
+    # files: deleted rows resurface and kept rows duplicate
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    else:
+        s = str(v)
+    if s == "":
+        return _DEFAULT_PARTITION_NAME
     return "".join(
         f"%{ord(ch):02X}" if (0 < ord(ch) < 32 or ch in _ESCAPED_CHARS) else ch
         for ch in s
@@ -654,6 +664,22 @@ class LakehouseTable:
                 raise
         return moved
 
+    def _removed_in_partitions(self, parts: DataFrame) -> list[str]:
+        """Live files under the partition dirs named by ``parts`` —
+        the single implementation of the rewrite "removed" list for
+        merge/delete/update (three verbatim copies before r11: a fix
+        to the dir-name rendering must hit every writer at once)."""
+        touched_dirs = [
+            "/".join(
+                f"{c}={_escape_partition_value(r[c])}" for c in self.partition_by
+            )
+            for r in parts.collect()
+        ]
+        return [
+            f for f in self.current_files()
+            if any(f.startswith(d + "/") for d in touched_dirs)
+        ]
+
     @staticmethod
     def _stat_value(v):
         """JSON-portable stat encoding: datetimes → ISO strings (which
@@ -661,7 +687,16 @@ class LakehouseTable:
         types → None (no stats, conservative keep)."""
         import datetime as _dt
 
-        if isinstance(v, (_dt.datetime, _dt.date)):
+        if isinstance(v, _dt.datetime):
+            # normalise tz-aware stats (isAdjustedToUTC parquet files
+            # give pyarrow aware datetimes) to naive UTC: a mixed
+            # aware/naive isoformat pair does NOT compare
+            # chronologically at equal instants, which would turn
+            # skipping into a filter at the boundary
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+        if isinstance(v, _dt.date):
             return v.isoformat()
         if isinstance(v, (int, float, str)):
             return v
@@ -881,13 +916,34 @@ class LakehouseTable:
         rewrite, with the same measurement, as the incremental span
         probe (SCALING round 9)."""
         if self.exists():
-            existing = self.read().select(hash_col)
-            incoming = df.select(hash_col).distinct()
-            matched = existing.join(incoming, hash_col, "left_semi").distinct()
-            novel = incoming.join(F.broadcast(matched), hash_col, "left_anti")
+            # NULL-SAFE throughout: sha2(NULL payload) is NULL, and the
+            # plain equi chain kept a NULL hash in `novel` (anti-join
+            # never matches NULL) but then DROPPED every NULL-hash row
+            # at the final semi-join — rows vanished from the append
+            # with no error. NULL is one content value like any other:
+            # the first NULL-hash batch appends, replays skip.
+            existing = self.read().select(F.col(hash_col).alias("__h_ex"))
+            incoming = df.select(F.col(hash_col).alias("__h_in")).distinct()
+            matched = (
+                existing.join(
+                    incoming, F.col("__h_ex").eqNullSafe(F.col("__h_in")),
+                    "left_semi",
+                )
+                .distinct()
+                .withColumnRenamed("__h_ex", "__h_m")
+            )
+            novel = incoming.join(
+                F.broadcast(matched),
+                F.col("__h_in").eqNullSafe(F.col("__h_m")),
+                "left_anti",
+            )
             if novel.limit(1).isEmpty():
                 return None
-            df = df.join(F.broadcast(novel), hash_col, "left_semi")
+            df = df.join(
+                F.broadcast(novel),
+                F.col(hash_col).eqNullSafe(F.col("__h_in")),
+                "left_semi",
+            )
         return self.append(df)
 
     def overwrite(self, df: DataFrame) -> int:
@@ -968,8 +1024,13 @@ class LakehouseTable:
             # whose partition value changed must be rewritten out of its
             # old partition, or the stale copy survives as a duplicate.
             upd_keys = updates.select(*keys).distinct()
+            # NULL-SAFE key probe: merge_upsert matches NULL keys
+            # null-safely, so the partition a NULL-key row currently
+            # lives in must join the rewrite set too — a plain equi
+            # semi-join left its stale copy alive when the partition
+            # value moved
             parts_old = (
-                base.join(F.broadcast(upd_keys), list(keys), "left_semi")
+                _null_safe_semi(base, upd_keys, keys)
                 .select(*self.partition_by).distinct()
             )
             parts = parts_new.unionByName(parts_old).distinct()
@@ -983,16 +1044,7 @@ class LakehouseTable:
                     change_feed(touched_base, merged, keys), base.columns
                 )
             new_files = self._stage(merged)
-            touched_dirs = [
-                "/".join(
-                    f"{c}={_escape_partition_value(r[c])}" for c in self.partition_by
-                )
-                for r in parts.collect()
-            ]
-            removed = [
-                f for f in self.current_files()
-                if any(f.startswith(d + "/") for d in touched_dirs)
-            ]
+            removed = self._removed_in_partitions(parts)
             return self._commit("merge", new_files, removed, rows=None,
                                 schema_json=self._staged_schema, cdf=cdf)
         merged = merge_upsert(base, updates, keys)
@@ -1065,16 +1117,7 @@ class LakehouseTable:
             touched = _null_safe_semi(base, parts, self.partition_by)
             kept_rows = touched.where(kept_pred)
             new_files = self._stage(kept_rows)
-            touched_dirs = [
-                "/".join(
-                    f"{c}={_escape_partition_value(r[c])}" for c in self.partition_by
-                )
-                for r in parts.collect()
-            ]
-            removed = [
-                f for f in self.current_files()
-                if any(f.startswith(d + "/") for d in touched_dirs)
-            ]
+            removed = self._removed_in_partitions(parts)
             return self._commit("delete", new_files, removed, rows=None,
                                 schema_json=self._staged_schema, cdf=cdf)
         new_files = self._stage(base.where(kept_pred))
@@ -1152,16 +1195,7 @@ class LakehouseTable:
                 ]
             )
             new_files = self._stage(updated)
-            touched_dirs = [
-                "/".join(
-                    f"{c}={_escape_partition_value(r[c])}" for c in self.partition_by
-                )
-                for r in parts.collect()
-            ]
-            removed = [
-                f for f in self.current_files()
-                if any(f.startswith(d + "/") for d in touched_dirs)
-            ]
+            removed = self._removed_in_partitions(parts)
             return self._commit("update", new_files, removed, rows=None,
                                 schema_json=self._staged_schema, cdf=cdf)
         updated = base.select(

@@ -362,6 +362,23 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     of data size (measured: 7–12 s/round persisted vs 0.4 s
     checkpointed at sf0.1). Non-replayable on executor loss — the
     standard iterative-algorithm trade-off, worth it."""
+    _edges, labels, converged = _lp_rounds(pairs, max_iters)
+    if not converged:
+        raise RuntimeError(f"neardup_clusters did not converge in {max_iters} rounds")
+    return _cluster_output(labels)
+
+
+def _lp_rounds(
+    pairs: DataFrame, rounds: int
+) -> tuple[DataFrame, DataFrame, bool]:
+    """The min-label-propagation core shared by :func:`neardup_clusters`
+    (runs to convergence) and :func:`neardup_clusters_hybrid` (bounded
+    prelude): symmetric-closure edges, identity labels, then up to
+    ``rounds`` passes of every node adopting min(own, neighbour
+    labels), each round's state eagerly localCheckpoint-ed. Returns
+    ``(edges, labels, converged)``. ONE implementation — the two
+    verbatim copies before r11 could drift apart while being
+    property-tested "equal"."""
     half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -372,7 +389,8 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    converged = False
+    for _ in range(rounds):
         nbr = (
             edges.join(
                 labels.select(F.col("node").alias("dst"), F.col("label").alias("dst_label")),
@@ -395,9 +413,12 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         n_changed = stepped.where(F.col("label") < F.col("old_label")).count()
         labels = stepped.select("node", "label")
         if n_changed == 0:
+            converged = True
             break
-    else:
-        raise RuntimeError(f"neardup_clusters did not converge in {max_iters} rounds")
+    return edges, labels, converged
+
+
+def _cluster_output(labels: DataFrame) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
@@ -526,50 +547,9 @@ def neardup_clusters_hybrid(
     component minimum; composing node → label → star-root reproduces
     the exact assignment.
     """
-    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    converged = False
-    for _ in range(lp_rounds):
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label").alias("dst_label")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dst_label").alias("nbr_label"))
-        )
-        stepped = (
-            labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_changed = stepped.where(F.col("label") < F.col("old_label")).count()
-        labels = stepped.select("node", "label")
-        if n_changed == 0:
-            converged = True
-            break
+    edges, labels, converged = _lp_rounds(pairs, lp_rounds)
     if converged:
-        return labels.select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            (F.col("node") == F.col("label")).alias("is_canonical"),
-        )
+        return _cluster_output(labels)
     # prelude hit its round budget → contract by current labels and
     # finish with the O(log n) star rounds on the (much smaller) graph
     contracted = (
@@ -654,10 +634,20 @@ def simhash_hamming(hi_a: F.Column, lo_a: F.Column, hi_b: F.Column, lo_b: F.Colu
 
 def exact_dedup(docs: DataFrame, on: F.Column, id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on a canonical content hash: keep the lowest id per
-    hash group (deterministic keep-first)."""
+    hash group (deterministic keep-first).
+
+    NULL content is NOT duplicable content: sha2(NULL) is NULL and a
+    bare hash partition would group EVERY null-content doc together,
+    keeping one and silently discarding the rest (1,000 failed
+    extractions → 999 documents gone). NULL-hash rows therefore
+    partition by their own id — each survives; only real content
+    dedupes."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.sha2(on, 256)).orderBy(F.col(id_col).asc())
+    h = F.sha2(on, 256)
+    w = Window.partitionBy(
+        h, F.when(h.isNull(), F.col(id_col))
+    ).orderBy(F.col(id_col).asc())
     return docs.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 

@@ -383,14 +383,22 @@ def source_quota_select(
             f"{bucket_width}); width 0 divides by zero and a negative "
             "width inverts the bucket order"
         )
+    # quota joins are NULL-SAFE on source: groupBy treats NULL source
+    # as one group (it gets a quota row), so a plain equi-join would
+    # silently DROP every unattributed doc from the output — breaking
+    # the "returns EVERY doc" contract this op shares with
+    # token_budget_select (whose NULL handling is pinned by tests)
+    q_probe = F.broadcast(quotas.withColumnRenamed("source", "__q_source"))
     if bucket_width is None:
         w = (
             Window.partitionBy("source")
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        cum = base.join(F.broadcast(quotas), "source").withColumn(
-            "cum_tokens", F.sum("n_tokens").over(w)
+        cum = (
+            base.join(q_probe, F.col("source").eqNullSafe(F.col("__q_source")))
+            .drop("__q_source")
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         )
     else:
         # NOTE on reuse: this is bucketed_prefix's decomposition with a
@@ -436,13 +444,15 @@ def source_quota_select(
         cum = (
             bucketed.join(
                 F.broadcast(bucket_prefix),
-                (F.col("source") == F.col("__bp_source"))
-                # null-safe on bucket: a plain equi-join would DROP the
-                # NULL-score rows the plain form keeps
+                # null-safe on BOTH keys: a plain equi-join would DROP
+                # the NULL-score rows (bucket) and NULL-source docs the
+                # plain form keeps
+                F.col("source").eqNullSafe(F.col("__bp_source"))
                 & F.col("bucket").eqNullSafe(F.col("__bp_bucket")),
             )
             .drop("__bp_source", "__bp_bucket")
-            .join(F.broadcast(quotas), "source")
+            .join(q_probe, F.col("source").eqNullSafe(F.col("__q_source")))
+            .drop("__q_source")
             .withColumn(
                 "cum_tokens",
                 F.col("__cum_before") + F.sum("n_tokens").over(w_in),

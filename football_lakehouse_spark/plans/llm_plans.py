@@ -201,10 +201,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q40_dedup_exact",
     oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, source,
+               sha256(array_to_string(regexp_split_to_array(text, '[ \t\n\r\f]+')[1:8], ' ')) AS ch
+        FROM documents
+    )
     SELECT doc_id, lang, source
-    FROM documents
+    FROM h
     QUALIFY row_number() OVER (
-        PARTITION BY sha256(array_to_string(regexp_split_to_array(text, '[ \t\n\r\f]+')[1:8], ' '))
+        -- NULL content is NOT duplicable: NULL-hash rows partition by
+        -- their own id (each survives), matching the engine
+        PARTITION BY ch, CASE WHEN ch IS NULL THEN doc_id END
         ORDER BY doc_id
     ) = 1
     """,
@@ -7900,7 +7907,9 @@ _SQL_SOURCE_QUOTA = f"""
                      PARTITION BY b.source ORDER BY b.score DESC, b.doc_id ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                  ) AS cum_tokens
-          FROM b JOIN q USING (source))
+          -- NULL-SAFE source join (IS NOT DISTINCT FROM), matching the
+          -- engine: unattributed (NULL-source) docs keep their quota row
+          FROM b JOIN q ON b.source IS NOT DISTINCT FROM q.source)
     SELECT doc_id, source, score, n_tokens,
            CAST(cum_tokens AS BIGINT) AS cum_tokens, quota,
            cum_tokens <= quota AS selected

@@ -1065,3 +1065,87 @@ def test_scd2_apply_null_business_key(spark, tmp_path):
         (r.attr, r.eff_from, r.eff_to, r.is_current) for r in t.read().collect()
     )
     assert rows == [("v1", 100, 200, False), ("v2", 200, None, True)]
+
+
+def test_partitioned_writes_boolean_and_empty_partition_values(spark, tmp_path):
+    """r11 sweep #3: the rewrite 'removed' list renders partition dirs
+    the way SPARK names them — booleans lowercase (b=true, not
+    str(True)='True') and empty strings as the default partition name.
+    A mismatch leaves the partition's old files live: deleted rows
+    resurface and kept rows duplicate."""
+    t = LakehouseTable(spark, str(tmp_path), "s", "flags", partition_by=["active"])
+    df = spark.createDataFrame(
+        [(1, True, 10.0), (2, True, 3.0), (3, False, 5.0)],
+        "id bigint, active boolean, v double",
+    )
+    t.append(df)
+    t.delete(F.col("v") > 5)  # row 1 lives in active=true
+    got = sorted((r.id, r.active) for r in t.read().collect())
+    assert got == [(2, True), (3, False)]  # row 1 gone, NOT resurfaced
+    assert t.read().count() == 2  # and row 2 not duplicated
+
+    t2 = LakehouseTable(spark, str(tmp_path), "s", "empties", partition_by=["src"])
+    df2 = spark.createDataFrame(
+        [(1, "", 10.0), (2, "", 3.0), (3, "x", 5.0)],
+        "id bigint, src string, v double",
+    )
+    t2.append(df2)
+    t2.delete(F.col("v") > 5)
+    got2 = sorted(r.id for r in t2.read().collect())
+    assert got2 == [2, 3]
+
+
+def test_partitioned_merge_moves_null_key_row(spark, tmp_path):
+    """r11 sweep #3: merge_upsert matches NULL keys null-safely, so the
+    partition a NULL-key row currently lives in must join the rewrite
+    set — with a plain equi probe the stale copy survived as a
+    duplicate when the partition value moved."""
+    t = LakehouseTable(spark, str(tmp_path), "s", "mv", partition_by=["d"])
+    t.append(spark.createDataFrame(
+        [(None, "2024-01-01", 1.0), (7, "2024-01-01", 2.0)],
+        "k bigint, d string, v double",
+    ))
+    t.merge(spark.createDataFrame(
+        [(None, "2024-01-02", 9.0)], "k bigint, d string, v double",
+    ), ["k"])
+    # exactly ONE NULL-key row, in its NEW partition
+    nulls = [(r.d, r.v) for r in t.read().collect() if r.k is None]
+    assert nulls == [("2024-01-02", 9.0)]
+    assert t.read().count() == 2
+
+
+def test_append_if_new_null_hash_rows(spark, tmp_path):
+    """r11 sweep #3: a NULL content hash is ONE content value — the
+    first NULL-hash batch appends, a replay skips table-side; the old
+    equi chain silently DROPPED every NULL-hash row once the table
+    existed (and committed an empty version for an all-NULL batch)."""
+    t = LakehouseTable(spark, str(tmp_path), "s", "cas")
+    first = spark.createDataFrame([("a", 1), (None, 2)], "h string, x int")
+    assert t.append_if_new(first, "h") is not None
+    assert t.read().count() == 2
+    # replay of the same content (both hashes present) → skip
+    assert t.append_if_new(first, "h") is None
+    # a batch with ONLY the already-present NULL hash → skip, not an
+    # empty commit and not a silent drop
+    only_null = spark.createDataFrame([(None, 3)], "h string, x int")
+    assert t.append_if_new(only_null, "h") is None
+    assert t.read().count() == 2
+    # novel real hash still appends alongside a replayed NULL
+    mixed = spark.createDataFrame([(None, 4), ("b", 5)], "h string, x int")
+    assert t.append_if_new(mixed, "h") is not None
+    got = sorted(((r.h, r.x) for r in t.read().collect()), key=str)
+    assert t.read().count() == 3 and ("b", 5) in got
+
+
+def test_stat_value_normalizes_tz_aware(spark):
+    """r11 sweep #3: tz-aware stats (isAdjustedToUTC parquet) normalise
+    to naive UTC isoformat — mixed aware/naive strings do not compare
+    chronologically at equal instants, which would turn data skipping
+    into a filter at the range boundary."""
+    import datetime as dt
+
+    aware = dt.datetime(2024, 3, 1, 5, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=5)))
+    naive = dt.datetime(2024, 3, 1, 0, 0, 0)
+    sa = LakehouseTable._stat_value(aware)
+    sn = LakehouseTable._stat_value(naive)
+    assert sa == sn == "2024-03-01T00:00:00"  # same instant, same key

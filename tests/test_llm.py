@@ -1937,3 +1937,38 @@ def test_text_queries_survive_empty_documents(spark, tmp_path):
 
     out = source_quota_select(LP._quota_scored_docs(spark, sf), quota_pct=60)
     assert out.count() == 4  # every doc returned, NULL scores rank last
+
+
+def test_source_quota_keeps_null_source_docs(spark):
+    """r11 sweep #3: a NULL source is ONE source group — groupBy gives
+    it a quota row, and the (now null-safe) quota joins keep its docs;
+    a plain equi-join silently dropped every unattributed doc from the
+    output in BOTH the plain and bucketed paths."""
+    from football_lakehouse_spark.operators.selection import source_quota_select
+
+    docs = spark.createDataFrame(
+        [(1, None, 100, 10), (2, None, 50, 10), (3, "a", 90, 10), (4, "a", 80, 10)],
+        "doc_id long, source string, score long, n_tokens long",
+    )
+    for bw in (None, 10):
+        out = source_quota_select(docs, quota_pct=50, bucket_width=bw)
+        rows = {r.doc_id: (r.source, r.selected) for r in out.collect()}
+        assert set(rows) == {1, 2, 3, 4}, f"bucket_width={bw} lost docs"
+        # the NULL source keeps its own 50% quota: best doc in, second out
+        assert rows[1] == (None, True) and rows[2] == (None, False)
+        assert rows[3] == ("a", True) and rows[4] == ("a", False)
+
+
+def test_exact_dedup_null_content_not_collapsed(spark):
+    """r11 sweep #3: sha2(NULL) is NULL — NULL-content docs are NOT
+    copies of each other and every one must survive exact dedup (the
+    bare hash partition kept one of 1,000 failed extractions and
+    silently discarded the rest)."""
+    from football_lakehouse_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same"), (5, "uniq")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(docs, F.col("text")).collect())
+    assert kept == [1, 2, 3, 5]  # both NULLs kept; real dup collapsed
