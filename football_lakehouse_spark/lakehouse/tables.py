@@ -160,6 +160,25 @@ def _escape_partition_value(v: object) -> str:
     )
 
 
+def _canon_partition_values(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Canonicalise partition VALUES to their on-disk identity: Spark
+    stores an empty-string partition value in
+    ``__HIVE_DEFAULT_PARTITION__`` and reads it back as NULL, so '' and
+    NULL are ONE partition key. A caller-supplied batch can carry '';
+    the table never does (read-back). Leaving '' un-canonicalised made
+    the rewrite probe ('' <=> NULL is false) and the removal rendering
+    (both map to the default dir) DISAGREE — a merge shipping a
+    ''-valued partition row removed the NULL partition's files without
+    rewriting their rows: silent data loss."""
+    out = df
+    for c, t in df.select(*cols).dtypes:
+        if t == "string":
+            out = out.withColumn(
+                c, F.when(F.col(c) == "", F.lit(None)).otherwise(F.col(c))
+            )
+    return out
+
+
 def _null_safe_semi(base: DataFrame, parts: DataFrame, cols: Sequence[str]) -> DataFrame:
     """left_semi join on partition tuples that also matches NULL values
     (a plain equi-join drops NULL keys, so rows in the
@@ -613,6 +632,27 @@ class LakehouseTable:
         old and new files stay schema-compatible without rewrites. The
         staged-file constraint scan aliases back to logical names first
         so predicates keep working after renames."""
+        # FAIL CLOSED on partition types whose Python rendering cannot
+        # match Spark's on-disk dir names exactly: Java's
+        # Double.toString ('1.0E-7') vs Python's str ('1e-07') and
+        # fractional-second timestamps ('.123' vs '.123000') diverge,
+        # so the string-matched "removed" list would miss the
+        # partition's files — deleted rows resurface, kept rows
+        # duplicate (confirmed by repro on a double partition). These
+        # are partitioning antipatterns regardless (unbounded
+        # cardinality); strings/integrals/dates/booleans are exact.
+        banned = {"double", "float", "timestamp", "timestamp_ntz"}
+        for c, t in df.select(
+            *[p for p in self.partition_by if p in df.columns]
+        ).dtypes:
+            if t in banned:
+                raise ValueError(
+                    f"{self.base}: partition column {c!r} has type {t} — "
+                    "float/timestamp partition values cannot be rendered "
+                    "to their exact on-disk dir names for the rewrite "
+                    "paths; partition by a string/integral/date/boolean "
+                    "derivation instead (e.g. to_date(ts))"
+                )
         self._staged_schema = self._committed_schema_json(df)
         from pyspark.sql.types import StructType
 
@@ -679,6 +719,27 @@ class LakehouseTable:
             f for f in self.current_files()
             if any(f.startswith(d + "/") for d in touched_dirs)
         ]
+
+    @staticmethod
+    def _norm_stat_key(s):
+        """Normalise a STORED stat key: aware ISO timestamp strings
+        (written before the tz normalisation, or by another writer)
+        convert to naive-UTC isoformat so they compare chronologically
+        with _stat_value's probe keys; everything else passes
+        through."""
+        if isinstance(s, str) and len(s) > 10 and s[:4].isdigit() and (
+            s.endswith("Z") or "+" in s[10:] or "-" in s[19:]
+        ):
+            import datetime as _dt
+
+            try:
+                d = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+            except ValueError:
+                return s
+            if d.tzinfo is not None:
+                d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return d.isoformat()
+        return s
 
     @staticmethod
     def _stat_value(v):
@@ -774,7 +835,11 @@ class LakehouseTable:
                 rng = fstats.get(col)
                 if rng is None:
                     continue
-                slo, shi = rng
+                # stored stats from commits written BEFORE the tz
+                # normalisation may carry aware isoformat strings
+                # ('...+00:00'); normalise them at load so old tables
+                # keep the never-a-filter contract against naive bounds
+                slo, shi = (self._norm_stat_key(x) for x in rng)
                 c_lo = self._stat_value(lo) if lo is not None else None
                 c_hi = self._stat_value(hi) if hi is not None else None
                 if (c_hi is not None and slo > c_hi) or (
@@ -1018,8 +1083,12 @@ class LakehouseTable:
                     f"{updates.columns}); merged rows cannot be routed to "
                     f"partitions without them"
                 )
-            # (a) partitions the update rows land in
-            parts_new = updates.select(*self.partition_by).distinct()
+            # (a) partitions the update rows land in — values
+            # canonicalised to their ON-DISK identity ('' == NULL) so
+            # the rewrite probe and the removal rendering agree
+            parts_new = _canon_partition_values(
+                updates.select(*self.partition_by), self.partition_by
+            ).distinct()
             # (b) partitions where a matched key currently lives — a key
             # whose partition value changed must be rewritten out of its
             # old partition, or the stale copy survives as a duplicate.

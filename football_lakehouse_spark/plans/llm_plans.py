@@ -842,8 +842,13 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     exact_dup AS (
+        -- q40 semantics incl. the NULL rule: NULL content is not
+        -- duplicable, so NULL-hash rows are never exact-dup losers
         SELECT doc_id FROM (
-            SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY h, CASE WHEN h IS NULL THEN doc_id END
+                ORDER BY doc_id
+            ) AS rn
             FROM rawpre
         ) WHERE rn > 1
     ),
@@ -913,9 +918,14 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
 
-    # exact-dup losers (q40 semantics: raw 8-token prefix hash, min doc wins)
+    # exact-dup losers (q40 semantics: raw 8-token prefix hash, min doc
+    # wins; NULL content is not duplicable — NULL-hash rows partition by
+    # their own id, matching exact_dedup)
     prefix = F.array_join(F.slice(F.split("text", WS_CLASS), 1, 8), " ")
-    hw = Window.partitionBy(F.sha2(prefix, 256)).orderBy("doc_id")
+    _h = F.sha2(prefix, 256)
+    hw = Window.partitionBy(
+        _h, F.when(_h.isNull(), F.col("doc_id"))
+    ).orderBy("doc_id")
     exact_dups = (
         docs.withColumn("rn", F.row_number().over(hw))
         .where(F.col("rn") > 1)
@@ -7430,8 +7440,11 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_sql_minhash_ctes(0.5)},
     d AS (
         SELECT doc_id, source, n_chars, sha256(text) AS h,
+               -- q40 rule: NULL content never an exact-dup loser
                row_number() OVER (
-                   PARTITION BY sha256(text) ORDER BY doc_id
+                   PARTITION BY sha256(text),
+                                CASE WHEN text IS NULL THEN doc_id END
+                   ORDER BY doc_id
                ) AS hrn
         FROM documents
     ),
@@ -7476,9 +7489,12 @@ def source_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_neardups(docs, threshold=0.5)
     near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(
-        F.col("doc_id").asc()
-    )
+    _h = F.sha2(F.col("text"), 256)
+    # NULL content is not duplicable (q40 rule): NULL-hash docs are
+    # never counted as exact-dup losers in the funnel
+    w = Window.partitionBy(
+        _h, F.when(_h.isNull(), F.col("doc_id"))
+    ).orderBy(F.col("doc_id").asc())
     d = docs.select(
         "doc_id", "source", "n_chars",
         F.row_number().over(w).alias("hrn"),

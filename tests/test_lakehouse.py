@@ -1084,15 +1084,24 @@ def test_partitioned_writes_boolean_and_empty_partition_values(spark, tmp_path):
     assert got == [(2, True), (3, False)]  # row 1 gone, NOT resurfaced
     assert t.read().count() == 2  # and row 2 not duplicated
 
+    # the empty-string key: Spark STORES '' partition values in the
+    # default partition and reads them back as NULL — '' and NULL are
+    # ONE on-disk key. A merge shipping a ''-valued partition row must
+    # therefore rewrite the NULL partition (probe and rendering agree
+    # via value canonicalisation); before the fix it REMOVED the NULL
+    # partition's files without rewriting their rows (confirmed loss)
     t2 = LakehouseTable(spark, str(tmp_path), "s", "empties", partition_by=["src"])
-    df2 = spark.createDataFrame(
-        [(1, "", 10.0), (2, "", 3.0), (3, "x", 5.0)],
-        "id bigint, src string, v double",
-    )
-    t2.append(df2)
+    t2.append(spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 3.0)], "id bigint, src string, v double",
+    ))
+    t2.merge(spark.createDataFrame(
+        [(9, "", 7.0)], "id bigint, src string, v double",
+    ), ["id"])
+    got2 = sorted((r.id, r.src) for r in t2.read().collect())
+    assert got2 == [(1, None), (2, None), (9, None)]  # nothing lost
+    # and delete over the merged state still removes exactly one row
     t2.delete(F.col("v") > 5)
-    got2 = sorted(r.id for r in t2.read().collect())
-    assert got2 == [2, 3]
+    assert sorted(r.id for r in t2.read().collect()) == [2]
 
 
 def test_partitioned_merge_moves_null_key_row(spark, tmp_path):
@@ -1149,3 +1158,30 @@ def test_stat_value_normalizes_tz_aware(spark):
     sa = LakehouseTable._stat_value(aware)
     sn = LakehouseTable._stat_value(naive)
     assert sa == sn == "2024-03-01T00:00:00"  # same instant, same key
+
+
+def test_partition_type_fail_closed_and_stat_key_norm(spark, tmp_path):
+    """r11 sweep #3 follow-up: (a) float/timestamp partition columns are
+    rejected at stage time — their Python rendering cannot match
+    Spark's on-disk dir names (Java '1.0E-7' vs Python '1e-07'), which
+    made rewrites resurrect deleted rows (confirmed repro); (b) stored
+    stats from pre-fix commits may carry tz-AWARE isoformat strings —
+    they normalise at load so skipping stays never-a-filter."""
+    t = LakehouseTable(spark, str(tmp_path), "s", "floaty", partition_by=["r"])
+    df = spark.createDataFrame([(1, 1e-7, 10.0)], "id bigint, r double, v double")
+    with pytest.raises(ValueError, match="partition column 'r' has type double"):
+        t.append(df)
+    t2 = LakehouseTable(spark, str(tmp_path), "s", "tsy", partition_by=["ts"])
+    df2 = spark.createDataFrame([(1,)], "id bigint").select(
+        "id", F.lit("2024-03-01 00:00:00.123").cast("timestamp").alias("ts")
+    )
+    with pytest.raises(ValueError, match="has type timestamp"):
+        t2.append(df2)
+
+    norm = LakehouseTable._norm_stat_key
+    assert norm("2024-03-01T05:00:00+00:00") == "2024-03-01T05:00:00"
+    assert norm("2024-03-01T05:00:00+05:00") == "2024-03-01T00:00:00"
+    assert norm("2024-03-01T05:00:00Z") == "2024-03-01T05:00:00"
+    assert norm("2024-03-01T05:00:00") == "2024-03-01T05:00:00"  # naive: unchanged
+    assert norm("plain-string") == "plain-string"
+    assert norm(42) == 42
