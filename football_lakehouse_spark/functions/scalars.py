@@ -95,14 +95,3 @@ def epoch_seconds(c: Column) -> Column:
 def epoch_micros(c: Column) -> Column:
     """NTZ-safe epoch microseconds — see :func:`epoch_seconds`."""
     return F.unix_micros(c.cast("timestamp_ltz"))
-
-
-def bucket_hash(c: Column, n_buckets: int, seed: str = "") -> Column:
-    """Deterministic, cross-engine-portable bucket assignment: first 8
-    hex chars of sha256 → int → mod. Used for salting and LSH banding
-    where reproducibility across engines matters more than speed."""
-    return (
-        F.conv(F.substring(F.sha2(F.concat(F.lit(seed), c), 256), 1, 8), 16, 10)
-        .cast("bigint")
-        % n_buckets
-    )

@@ -104,7 +104,12 @@ def smoke_roundtrip(spark: SparkSession, schema: str, location: str) -> DataFram
     """The reference's environment smoke test (01_environment_smoke_test):
     create → insert → read → drop, returning the read-back rows."""
     create_schema(spark, schema)
-    t = f"{schema}.smoke_roundtrip"
+    # resolve ONCE and use the resolved name in every statement:
+    # create_table resolves internally, so a catalog-qualified schema
+    # ('uc.bronze' → uc__bronze) would otherwise be created under the
+    # resolved name while DROP/INSERT/SELECT addressed a nonexistent
+    # 3-level name and threw
+    t = resolve_name(f"{schema}.smoke_roundtrip")
     spark.sql(f"DROP TABLE IF EXISTS {t}")
     create_table(spark, t, "id INT, note STRING, created_ts TIMESTAMP",
                  location=f"{location}/smoke_roundtrip")

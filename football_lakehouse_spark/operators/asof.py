@@ -109,10 +109,14 @@ def asof_join(
     # row's ts while the value came from a different, possibly
     # out-of-tolerance row. The struct is non-NULL for every right row,
     # so ignorenulls only skips LEFT rows; all fields travel together.
+    # SQL equality/inequality semantics (the q49/q133 DuckDB ASOF
+    # oracle): a right row with NULL ts can never satisfy r.ts < l.ts,
+    # so it must never become the fill (NULLS-FIRST ordering would
+    # otherwise hand its payload to every early left row)
     matched = (
         F.last(
             F.when(
-                F.col("__is_left") == 0,
+                (F.col("__is_left") == 0) & F.col("__ts").isNotNull(),
                 F.struct(
                     F.col("__ts").alias("__m_ts"),
                     *[F.col(f"__p_{c}").alias(c) for c in payload],
@@ -123,23 +127,47 @@ def asof_join(
         .over(w)
         .alias("__m")
     )
-    keep = ["__is_left", *[f"__l_{c}" for c in left.columns]]
+    keep = ["__is_left", "__k", *[f"__l_{c}" for c in left.columns]]
     if tolerance is not None:
         keep.append("__ts")
     filled = unioned.select(*keep, matched)
     filled = filled.where(F.col("__is_left") == 1)
+    # SQL equality semantics: NULL keys never match (the window
+    # partition groups NULLs together, so gate the fill instead); a
+    # NULL-ts LEFT row likewise has no "prior" (l.ts > r.ts is NULL) —
+    # NULLS-FIRST ordering already places it before every non-NULL-ts
+    # right row, and NULL-ts right fills are excluded above, so only
+    # the key gate needs to be explicit
+    filled = filled.withColumn(
+        "__m", F.when(F.col("__k").isNotNull(), F.col("__m"))
+    )
     if tolerance is not None:
         from football_lakehouse_spark.functions.scalars import epoch_micros
 
-        def as_num(c: F.Column, dtype: str) -> F.Column:
+        integral = {"tinyint", "smallint", "int", "bigint"}
+
+        def as_exact(c: F.Column, dtype: str) -> F.Column:
+            # EXACT lag arithmetic: dividing each side by 1e6 in double
+            # rounded independently, so an exactly-on-boundary match
+            # could flip (and bigint ts lost exactness past 2^53).
+            # Timestamps compare in integer micros; integral ts columns
+            # in DECIMAL(38,0); true doubles keep double (inherent).
             if "timestamp" in dtype:
-                return epoch_micros(c).cast("double") / 1000000.0
+                return epoch_micros(c)
+            if dtype in integral:
+                return c.cast("decimal(38,0)")
             return c.cast("double")
 
-        lag = as_num(F.col("__ts"), ltypes[left_ts]) - as_num(
-            F.col("__m.__m_ts"), rtypes[right_ts]
+        lt_dtype, rt_dtype = ltypes[left_ts], rtypes[right_ts]
+        lag = as_exact(F.col("__ts"), lt_dtype) - as_exact(
+            F.col("__m.__m_ts"), rt_dtype
         )
-        in_tol = lag <= F.lit(float(tolerance))
+        if "timestamp" in lt_dtype:
+            # tolerance is seconds; the lag is integer micros — compare
+            # against integer micros (the boundary is exact)
+            in_tol = lag <= F.lit(int(round(float(tolerance) * 1000000)))
+        else:
+            in_tol = lag <= F.lit(tolerance)
         out = filled.select(
             *[F.col(f"__l_{c}").alias(c) for c in left.columns],
             *[

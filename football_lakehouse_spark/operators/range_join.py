@@ -56,8 +56,20 @@ def banded_prior_window_join(
     """
     w = F.lit(window_micros).cast("bigint")
     lm = _micros(left, left_ts)
-    l = left.withColumn("__lm", lm).withColumn("__lb", F.floor(lm / w))
-    rb = F.floor(F.col("__rm") / w)
+
+    def floor_div(c: F.Column) -> F.Column:
+        # EXACT floor division on bigints: floor(a / b) promotes to
+        # double and mis-buckets past 2^53 (the q91 class — see
+        # tests/test_advanced.py::test_ppm_div_exactness_witnesses).
+        # Subtracting the non-negative remainder first makes the value
+        # exactly divisible, so the decimal division below is an exact
+        # integer (no scale-6 rounding can move it) and truncation ==
+        # floor for negatives too.
+        exact = (c - F.pmod(c, w)).cast("decimal(38,0)")
+        return (exact / w).cast("bigint")
+
+    l = left.withColumn("__lm", lm).withColumn("__lb", floor_div(lm))
+    rb = floor_div(F.col("__rm"))
     r = right.select(
         F.col(key).alias("__rk"),
         _micros(right, right_ts).alias("__rm"),

@@ -23,11 +23,25 @@ ROLLUP_KEYS = ("h", "event_type")
 
 
 def batch_partials(events: DataFrame) -> DataFrame:
-    """Aggregate one event batch to hourly-grain integer partials."""
-    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-    return events.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum(micros).alias("v_micros"))
+    """Aggregate one event batch to hourly-grain integer partials —
+    via the SHARED quantiser (functions/scalars.micros), summed as
+    DECIMAL(38,0): the previous inline bigint copy reintroduced exactly
+    the overflow the shared helper documents away (a rollup key's
+    running micro total wraps/ANSI-throws past ~9.2e18, and every merge
+    re-truncated it)."""
+    from football_lakehouse_spark.functions.scalars import micros
+
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micros(F.col("value"))).cast("decimal(38,0)").alias("v_micros"),
+        )
+        # partition column: merge's partition-scoped rewrite is what
+        # makes maintenance O(touched partitions); a date renders to
+        # its exact on-disk dir name (timestamps are fail-closed)
+        .withColumn("d", F.to_date("h"))
+    )
 
 
 def merge_additive(table: LakehouseTable, partials: DataFrame) -> int:
@@ -36,14 +50,28 @@ def merge_additive(table: LakehouseTable, partials: DataFrame) -> int:
     if not table.exists():
         return table.append(partials)
     current = table.read()
+    # TOUCHED KEYS ONLY: re-sum current+new for the batch's keys and
+    # MERGE those rows — untouched keys keep their files. The previous
+    # full-table re-aggregate + overwrite rewrote the whole rollup per
+    # batch (O(total keys) scan + write), the exact rescan cliff the
+    # module contract forbids at hypertable scale.
+    keys = list(ROLLUP_KEYS)
+    batch_keys = partials.select(*keys).distinct()
+    cond = None
+    for k in keys:
+        cl = current[k].eqNullSafe(batch_keys[k])
+        cond = cl if cond is None else cond & cl
+    touched_cur = current.join(F.broadcast(batch_keys), cond, "left_semi")
     combined = (
-        current.unionByName(partials)
-        .groupBy(*ROLLUP_KEYS)
-        .agg(F.sum("n").cast("bigint").alias("n"), F.sum("v_micros").cast("bigint").alias("v_micros"))
+        touched_cur.unionByName(partials)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("v_micros").cast("decimal(38,0)").alias("v_micros"),
+        )
+        .withColumn("d", F.to_date("h"))
     )
-    # overwrite with the re-summed state; at scale, restrict to touched
-    # partitions exactly like LakehouseTable.merge (partition on date(h))
-    return table.overwrite(combined)
+    return table.merge(combined, keys)
 
 
 def rollup_view(table: LakehouseTable) -> DataFrame:
@@ -64,7 +92,9 @@ def rollup_view(table: LakehouseTable) -> DataFrame:
 def maintain_from_batches(
     spark: SparkSession, batches: list[DataFrame], root: str
 ) -> LakehouseTable:
-    t = LakehouseTable(spark, root, "gold", "rollup_hourly")
+    t = LakehouseTable(
+        spark, root, "gold", "rollup_hourly", partition_by=["d"]
+    )
     for b in batches:
         merge_additive(t, batch_partials(b))
     return t

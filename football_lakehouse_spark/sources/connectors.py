@@ -113,7 +113,13 @@ class DeltaBackedTable:
 
     def _writer(self, df: DataFrame, mode: str):
         w = df.write.format("delta").mode(mode)
-        if self.partition_by and not self.exists():
+        # ALWAYS declare partitioning when configured: overwrite sets
+        # overwriteSchema=true, which REPLACES the table's partitioning
+        # with the writer's — the old exists() guard silently
+        # unpartitioned the table on the first overwrite (append to an
+        # existing table ignores a matching partitionBy, so declaring
+        # it is safe there and required here)
+        if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         return w
 
@@ -315,11 +321,18 @@ class DeltaBackedTable:
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """CHECK constraints from delta.constraints.* table properties.
-        Version-addressed reads resolve the property set as of that
-        commit via RESTORE-free history replay is not exposed publicly,
-        so version!=None uses `DESCRIBE DETAIL` of a versionAsOf read's
-        metadata — if the runtime lacks that, current-version properties
-        are returned (documented limitation until jar validation)."""
+        Version-addressed property history is not exposed through the
+        public DeltaTable API, so ``version`` is FAIL-CLOSED rather
+        than silently answered with current-version properties (a
+        time-travel parity check would otherwise read wrong data and
+        pass)."""
+        if version is not None:
+            raise NotImplementedError(
+                "DeltaBackedTable.constraints(version=...) — the public "
+                "Delta API does not expose versioned table properties; "
+                "read current constraints (version=None) or use "
+                "LakehouseTable for versioned constraint history"
+            )
         props = self._dt().detail().select("properties").head()["properties"] or {}
         pre = "delta.constraints."
         return {k[len(pre):]: v for k, v in props.items() if k.startswith(pre)}

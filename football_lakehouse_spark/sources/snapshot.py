@@ -43,6 +43,12 @@ def fetch_snapshot(
     status, parsed = fetcher()
     text = canonical_json(parsed)
     ts = now or datetime.now(timezone.utc)
+    # convert to UTC BEFORE dropping tzinfo: a caller-supplied non-UTC
+    # `now` would otherwise shift snapshot_ts by its offset and can
+    # flip snapshot_date — corrupting the (snapshot_date, sha256)
+    # idempotence key (same class as the landing source's ts fix)
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc)
     return {
         "source_url": source_url,
         "http_status": int(status),

@@ -371,3 +371,76 @@ def test_ppm_div_exactness_witnesses(spark):
     # witness the floor happens to coincide — the class-level proof is
     # the representability loss itself
     assert float(micros) != micros
+
+
+def test_asof_sql_null_semantics(spark):
+    """r11 sweep #4: asof_join follows SQL equality/inequality — a NULL
+    join key never matches (the window groups NULLs, so the fill is
+    key-gated), and a NULL-ts right row can never be the 'latest prior'
+    (r.ts < l.ts is NULL) — matching the q49/q133 DuckDB ASOF oracle
+    and pandas merge_asof."""
+    from football_lakehouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 100, 1), (7, 100, 2)], "k bigint, ts bigint, lid int"
+    )
+    right = spark.createDataFrame(
+        [(None, 50, "null-key"), (7, None, "null-ts"), (7, 40, "real")],
+        "k bigint, ts bigint, p string",
+    )
+    out = {r.lid: r.asof_p for r in asof_join(
+        left, right, "k", "ts", "ts", ["p"]
+    ).collect()}
+    assert out[1] is None      # NULL key: no match, not 'null-key'
+    assert out[2] == "real"    # NULL-ts right row skipped, not matched
+
+
+def test_asof_tolerance_exact_boundary_micros(spark):
+    """r11 sweep #4: the tolerance gate compares integer micros, so a
+    lag of EXACTLY the tolerance with non-zero microseconds stays
+    in-tolerance (per-side double division could round it out)."""
+    from football_lakehouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1,)], "k bigint").select(
+        "k", F.lit("2026-01-01 02:00:00.123456").cast("timestamp").alias("ts"),
+        F.lit(1).alias("lid"),
+    )
+    right = spark.createDataFrame([(1,)], "k bigint").select(
+        "k", F.lit("2026-01-01 01:00:00.123456").cast("timestamp").alias("ts"),
+        F.lit("v").alias("p"),
+    )
+    out = asof_join(left, right, "k", "ts", "ts", ["p"], tolerance=3600.0).collect()
+    assert out[0]["asof_p"] == "v"  # lag == tolerance exactly: kept
+    out2 = asof_join(left, right, "k", "ts", "ts", ["p"], tolerance=3599.999999).collect()
+    assert out2[0]["asof_p"] is None
+
+
+def test_banded_range_join_exact_past_2pow53(spark):
+    """r11 sweep #4: bucket assignment uses exact integer floor
+    division — floor(bigint / w) promoted to double and mis-bucketed
+    ts values past 2^53 (the q91 class), silently dropping in-window
+    matches. Witness values found computationally."""
+    import math
+
+    from football_lakehouse_spark.operators.range_join import (
+        banded_prior_window_join,
+    )
+
+    w = 10
+    base = 2**53 + 1
+    # values where double floor-division disagrees with exact //
+    bad = [x for x in range(base, base + 2000)
+           if math.floor(float(x) / w) != x // w][:3]
+    assert bad, "no witness in range — widen the scan"
+    rows_l = [(1, x, i) for i, x in enumerate(bad)]
+    rows_r = [(1, x - 1, f"p{i}") for i, x in enumerate(bad)]
+    left = spark.createDataFrame(rows_l, "k bigint, ts bigint, lid bigint")
+    right = spark.createDataFrame(rows_r, "k bigint, ts bigint, p string")
+    got = banded_prior_window_join(left, right, "k", "ts", "ts", w, ["p"])
+    # every pair is 1 apart — all must match (naive range predicate)
+    naive = left.join(
+        right.select(F.col("k").alias("rk"), F.col("ts").alias("rts"), "p"),
+        (F.col("k") == F.col("rk"))
+        & (F.col("rts") >= F.col("ts") - w) & (F.col("rts") < F.col("ts")),
+    )
+    assert got.count() == naive.count() == len(bad)

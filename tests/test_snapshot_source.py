@@ -703,3 +703,20 @@ def test_landing_max_files_per_batch_validation(spark, tmp_path):
         assert r.max_files is None
         r2 = cls({"path": str(tmp_path), "maxFilesPerBatch": "3"})
         assert r2.max_files == 3
+
+
+def test_fetch_snapshot_converts_aware_now_to_utc():
+    """r11 sweep #4: a caller-supplied non-UTC `now` converts to UTC
+    before the tzinfo drops — replace(tzinfo=None) alone shifted
+    snapshot_ts by the offset and could flip snapshot_date, corrupting
+    the (snapshot_date, sha256) idempotence key."""
+    from datetime import datetime, timedelta, timezone as tz
+
+    from football_lakehouse_spark.sources.snapshot import fetch_snapshot
+
+    row = fetch_snapshot(
+        lambda: (200, {"a": 1}), "http://example.test", "run-1",
+        now=datetime(2026, 8, 16, 1, 30, tzinfo=tz(timedelta(hours=5))),
+    )
+    assert row["snapshot_ts"] == datetime(2026, 8, 15, 20, 30)
+    assert row["snapshot_date"].isoformat() == "2026-08-15"
