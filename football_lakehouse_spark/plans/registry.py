@@ -62,73 +62,73 @@ def query(
 #: Attestation policy — OLDEST-FIRST ROTATION. Every registered query
 #: has a driver-green CORRECTNESS row (replay CORRECTNESS_r01–r10
 #: against this registry to verify: 292/292 green, zero red rows, and
-#: after r10 nothing older than r5). Each round's 50-row prefix is the
+#: after r11 nothing older than r6). Each round's 50-row prefix is the
 #: 50 registered queries whose latest driver-green row is OLDEST, ties
 #: broken by registration order — freshness is self-maintaining and no
-#: query's attestation ever ages more than ceil(n/50) rounds. This r11
+#: query's attestation ever ages more than ceil(n/50) rounds. This r12
 #: cohort is `python scripts/replay_attestation.py`'s printed oldest-50:
-#: the never-attested r11 addition (q294) leads, then the six r5 rows
-#: the r10 additions displaced (q162–q165, q170, q180) and the rest of
-#: the r5 cohort (q97, q173, q174, q175, q98, q121, ...; q205 rotates
-#: to r12). To rotate for r12, run the replay script and replace
-#: this tuple with its printed oldest-50 (the script also flags any
-#: registered query whose LATEST driver row is red — fix those, don't
-#: rotate them).
+#: the 43 queries last attested in r6 lead (q205, q206, q208, ...),
+#: then the first 7 of the r7 cohort (q182, q183, q191, q193, q196,
+#: q200, q220 ... by registration order). To rotate for r13, run the
+#: replay script and replace this tuple with its printed oldest-50
+#: (the script also flags any registered query whose LATEST driver
+#: row is red — fix those, don't rotate them; it also exits 1 when
+#: any attestation is older than the freshness horizon).
 #:
 #: Everything past the 50-row prefix is attested by the pytest oracle
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
 #: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md).
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    "q294_ivf_index_serving",
-    "q162_market_share",
-    "q163_promo_revenue_share",
-    "q164_sole_late_supplier",
-    "q165_priority_late_orders",
-    "q170_market_basket",
-    "q180_frequent_triples",
-    "q97_resample_ffill",
-    "q173_resample_interp",
-    "q174_range_frame_sum",
-    "q175_exact_percentiles",
-    "q98_cdc_feed",
-    "q121_partition_pruned_join",
-    "q122_zorder_locality",
-    "q171_data_skipping",
-    "q94_stream_stream_join",
-    "q172_stream_static_enrich",
-    "q179_streaming_windowed_agg",
-    "q159_training_run_log",
-    "q93_capped_neardup",
-    "q95_fuzzy_decontamination",
-    "q99_dup_span_coverage",
-    "q109_dup_span_removal",
-    "q100_dedup_report",
-    "q96_quantized_ann",
-    "q107_context_windows",
-    "q108_mixture_apply",
-    "q111_bpe_merges",
-    "q113_bpe_encode",
-    "q92_multimodal_decode",
-    "q112_bm25_topk",
-    "q114_lm_transition_score",
-    "q115_collocation_lift",
-    "q124_term_pagerank",
-    "q166_ivf_budget_probe",
-    "q160_ivf_rebalance",
-    "q151_gram_matrix",
-    "q168_setsim_prefix_join",
-    "q176_symspell_fuzzy_join",
-    "q177_weighted_sample",
-    "q167_distinct_sketch",
-    "q169_max_concurrency",
-    "q178_countmin_heavy_hitters",
-    "q185_gini_concentration",
-    "q190_copurchase_recs",
-    "q194_lorenz_curve",
-    "q195_skyline",
-    "q201_hierarchy_rollup",
-    "q203_trending_parts",
-    "q204_revenue_bridge",
+    "q205_abc_classification",
+    "q206_simpson_diversity",
+    "q208_ship_latency_sla",
+    "q215_equidepth_histogram",
+    "q217_rfm_segments",
+    "q224_revenue_concentrated_parts",
+    "q226_winsorized_stats",
+    "q181_mad_outliers",
+    "q184_percentile_normalize",
+    "q187_rolling_regression",
+    "q188_capped_balance",
+    "q198_purchase_gap_hazard",
+    "q199_cohort_ltv_curve",
+    "q209_cusum_changepoint",
+    "q213_journey_transitions",
+    "q186_table_diff_merkle",
+    "q189_decile_lift",
+    "q218_calibration_bins",
+    "q110_inverted_index",
+    "q123_incremental_index",
+    "q192_negative_sampling",
+    "q197_bloom_export",
+    "q202_filter_agreement",
+    "q207_dedup_savings",
+    "q210_temporal_split",
+    "q211_tail_expectation",
+    "q212_keyness_odds_ratio",
+    "q214_index_serving_bm25",
+    "q216_tfidf_topk",
+    "q219_neardup_degree_profile",
+    "q223_ann_recall_eval",
+    "q221_curriculum_order",
+    "q225_zipf_head_share",
+    "q227_join_explosion_audit",
+    "q228_preference_pairs",
+    "q182_group_trend",
+    "q183_ks_statistic",
+    "q191_linear_attribution",
+    "q193_multi_window_touches",
+    "q196_spearman",
+    "q200_asof_nearest",
+    "q220_seasonal_anomaly",
+    "q222_debounce_events",
+    "q234_histogram_2d",
+    "q235_ordered_listagg",
+    "q237_variant_props",
+    "q239_weighted_median",
+    "q240_benford_audit",
+    "q243_basket_size_value_curve",
+    "q244_discount_band_effectiveness",
 )
 
 

@@ -27,6 +27,13 @@ from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: Freshness gate: any registered query whose latest driver-green
+#: attestation is more than this many rounds behind the newest
+#: CORRECTNESS artifact fails the replay (exit 1). ceil(293/50) = 6,
+#: so the oldest-first rotation keeps every query inside the horizon
+#: as long as the prefix is actually rotated each round.
+FRESHNESS_HORIZON = 6
+
 
 def replay() -> dict:
     greens: dict[str, int] = {}
@@ -50,15 +57,29 @@ def replay() -> dict:
     # sorted() is stable, so ties already keep registration order — no
     # O(n^2) names.index tiebreak needed
     cohort = sorted(names, key=lambda n: last[n])[:50]
+    latest_round = max(greens.values(), default=0)
+    stale = {
+        n: latest_round - last[n]
+        for n in names
+        if last[n] > 0 and latest_round - last[n] > FRESHNESS_HORIZON
+    }
     return {
         "registered": len(names),
+        "latest_round": latest_round,
         "histogram": dict(sorted(Counter(last.values()).items())),
         # a registered query whose most recent row is red (red round
         # strictly newer than any green round) needs a fix, not a rotation
         "red_latest": {
             q: reds[q] for q in reds if q in last and reds[q][0] > last[q]
         },
+        # attested queries whose latest green row is older than the
+        # freshness horizon — a nonempty dict fails the gate (exit 1)
+        "stale": stale,
+        "never_attested": sorted(n for n in names if last[n] == 0),
         "next_prefix": cohort,
+        # the rotation is applied iff the codified prefix equals the
+        # computed oldest-50 (as a set; within-cohort order is cosmetic)
+        "prefix_rotated": set(RG.DRIVER_ORDER_FIRST) == set(cohort),
     }
 
 
@@ -70,6 +91,15 @@ def main() -> int | None:
         print("LATEST ROW RED for:", out["red_latest"])
     else:
         print("no registered query has a red latest row")
+    if out["stale"]:
+        print(
+            f"STALE (older than {FRESHNESS_HORIZON} rounds behind "
+            f"r{out['latest_round']}):", out["stale"],
+        )
+    if out["never_attested"]:
+        print("never attested (lead the next prefix):", out["never_attested"])
+    if not out["prefix_rotated"]:
+        print("DRIVER_ORDER_FIRST is NOT the computed oldest-50 — rotate it")
     print("next 50-query prefix (oldest first):")
     for n in out["next_prefix"]:
         print("   ", n)
@@ -81,6 +111,8 @@ def main() -> int | None:
         path = sys.argv[ix + 1]
         json.dump(out, open(path, "w"), indent=1)
         print("wrote", path)
+    if out["red_latest"] or out["stale"]:
+        return 1
 
 
 if __name__ == "__main__":
