@@ -9,7 +9,9 @@ on plain parquet + a manifest log; when a delta-spark runtime IS on the
 classpath `open_table(prefer='delta')` returns `DeltaBackedTable`, a
 thin adapter with the same call surface over the public
 `delta.tables.DeltaTable` API (reference declares every table
-`USING DELTA` — /root/reference/resources/uc/objects.sql).
+`USING DELTA` — /root/reference/resources/uc/objects.sql), and
+`open_table(prefer='iceberg')` likewise returns `IcebergBackedTable`
+over the public Spark-Iceberg integration when its runtime is present.
 
 The binding below is written ahead of the jar (RUNBOOK.md §8 records
 the blocked install attempts): it uses only documented delta-spark
@@ -22,6 +24,7 @@ this branch is actually exercised when `import delta` resolves.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import warnings
 from collections.abc import Sequence
@@ -51,6 +54,15 @@ def iceberg_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+#: snapshot-summary key carrying the engine-vocabulary operation name
+#: (stamped via Iceberg's documented `snapshot-property.*` write option)
+_FLS_OP = "fls-op"
+
+#: table property persisting how many snapshots vacuum() has expired —
+#: keeps engine version numbers stable across snapshot expiry
+_FLS_VERSION_OFFSET = "fls.version-offset"
 
 
 class DeltaBackedTable:
@@ -373,21 +385,430 @@ class DeltaBackedTable:
         )
 
 
+class IcebergBackedTable:
+    """`LakehouseTable`-shaped adapter over a native Apache Iceberg
+    table, written against the documented Spark-Iceberg integration
+    only (iceberg.apache.org/docs/latest/spark-*): a hadoop-type
+    ``SparkCatalog`` whose warehouse is the engine's table ``root``, so
+    ``(root, schema, name)`` maps 1:1 onto ``<catalog>.<schema>.<name>``
+    at ``<root>/<schema>/<name>`` on disk. Closes the north star's
+    "Delta/Iceberg" pair (reference declares its tables USING DELTA —
+    /root/reference/resources/uc/objects.sql — Iceberg is the
+    equivalent open-format binding).
+
+    Verb mapping (all public API):
+
+      append/overwrite      -> DataFrameWriterV2 ``writeTo(t).append()``
+                               / ``.overwrite(lit(True))``; first write
+                               ``.partitionedBy(...).create()``
+      merge                 -> SQL ``MERGE INTO`` on the catalog table
+                               (null-safe ``<=>`` key equality)
+      delete(pred)          -> ``writeTo(t).overwrite(pred)`` with an
+                               EMPTY source — rows matching pred are
+                               replaced with nothing; pred-NULL rows
+                               don't match, so they are retained (C12)
+      update(pred, asg)     -> pinned-snapshot read of pred-TRUE rows,
+                               assignments applied, ``overwrite(pred)``
+      read(version=v)       -> reader ``option("snapshot-id", ...)``
+                               (versions index the snapshot log,
+                               ordered by committed_at)
+      describe_history      -> the ``.snapshots`` metadata table; the
+                               engine op is stamped into the snapshot
+                               summary via the documented
+                               ``snapshot-property.*`` write option
+                               where the writeTo path allows
+      compact               -> ``CALL <cat>.system.rewrite_data_files``
+                               (binpack, or sort strategy for sort_by)
+      vacuum(retain_last=k) -> ``CALL <cat>.system.expire_snapshots``
+                               with its native ``retain_last`` — unlike
+                               Delta's time-based retention this maps
+                               FAITHFULLY, so any k ≥ 1 is accepted
+      restore(v)            -> full-table ``overwrite(lit(True))`` from
+                               the pinned old snapshot — a NEW commit
+                               whose state equals version v (keeps the
+                               engine's monotone version numbering;
+                               ``rollback_to_snapshot`` would move the
+                               current pointer without a new version)
+      table_changes         -> ``CALL <cat>.system.create_changelog_view``
+                               with start/end snapshot bounds
+
+    Documented divergences (contract-suite guards key off the class
+    attributes below):
+
+    - Iceberg has no CHECK constraints → ``supports_constraints=False``
+      and the constraint verbs raise ``NotImplementedError`` (use
+      LakehouseTable, which enforces them engine-side).
+    - SQL MERGE offers no snapshot-property hook, so its history row
+      carries Iceberg's own 'overwrite' label →
+      ``history_labels_exact=False``.
+    - The changelog needs no enablement (every snapshot is replayable)
+      → ``cdf_requires_enablement=False``; without identifier columns
+      updates surface as delete+insert pairs → ``cdf_update_images=False``.
+
+    Like ``DeltaBackedTable`` this binding is written ahead of the jar
+    (no network in this image — RUNBOOK §8): `iceberg_available()`
+    gates every contract param, and a dry-run test pins the
+    construction/guard paths so a runtime jar drop-in runs the
+    identical contract suite with zero code edits here.
+    """
+
+    supports_constraints = False
+    history_labels_exact = False
+    cdf_requires_enablement = False
+    cdf_update_images = False
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: str,
+        name: str,
+        partition_by: Sequence[str] = (),
+    ) -> None:
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.schema = schema
+        self.name = name
+        self.base = os.path.join(self.root, schema, name)
+        self.partition_by = tuple(partition_by)
+        # one hadoop catalog per warehouse root, deterministically named
+        # so two tables under the same root share it (catalog confs are
+        # resolved lazily at first reference, so runtime conf is enough)
+        digest = hashlib.sha256(self.root.encode()).hexdigest()[:12]
+        self.catalog = f"fls_ib_{digest}"
+        cat_key = f"spark.sql.catalog.{self.catalog}"
+        spark.conf.set(cat_key, "org.apache.iceberg.spark.SparkCatalog")
+        spark.conf.set(f"{cat_key}.type", "hadoop")
+        spark.conf.set(f"{cat_key}.warehouse", self.root)
+
+    # -- plumbing ---------------------------------------------------------
+
+    @property
+    def ident(self) -> str:
+        return f"{self.catalog}.`{self.schema}`.`{self.name}`"
+
+    @property
+    def data_root(self) -> str:
+        # current_files() paths are relative to this (hadoop-table
+        # layout keeps data under <base>/data/, which the relative
+        # paths include)
+        return self.base
+
+    def _proc_table(self) -> str:
+        # table argument for CALL <catalog>.system.* procedures
+        return f"{self.schema}.{self.name}"
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.ident)
+
+    def _version_offset(self) -> int:
+        """Count of snapshots expired by vacuum() — engine version v
+        lives at retained-log index ``v - offset``. Persisted as a
+        table property so version addressing stays STABLE across
+        expiry (Iceberg drops expired snapshots from the metadata log;
+        without the offset, read(version=0) after a vacuum would
+        silently answer with the oldest RETAINED snapshot)."""
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.ident}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        return int(props.get(_FLS_VERSION_OFFSET, "0"))
+
+    def _snapshots(self) -> list[dict]:
+        """Snapshot log oldest-first — the engine's version axis."""
+        rows = (
+            self.spark.table(f"{self.ident}.snapshots")
+            .select("committed_at", "snapshot_id", "operation", "summary")
+            .collect()
+        )
+        return [
+            {
+                "snapshot_id": int(r["snapshot_id"]),
+                "ts": r["committed_at"].timestamp(),
+                "operation": r["operation"],
+                "summary": dict(r["summary"] or {}),
+            }
+            for r in sorted(rows, key=lambda r: (r["committed_at"], r["snapshot_id"]))
+        ]
+
+    def _snapshot_id_at(self, version: int) -> int:
+        off = self._version_offset()
+        if version < off:
+            raise ValueError(
+                f"version {version} of {self.ident} is beyond the vacuum "
+                f"retention horizon (oldest retained version is {off}) — "
+                "its snapshot was expired"
+            )
+        snaps = self._snapshots()
+        ix = version - off
+        if ix >= len(snaps):
+            raise ValueError(
+                f"version {version} out of range: {self.ident} has "
+                f"versions {off}..{off + len(snaps) - 1}"
+            )
+        return snaps[ix]["snapshot_id"]
+
+    def _writer(self, df: DataFrame, op: str):
+        # engine-op stamped into the snapshot summary (documented
+        # `snapshot-property.*` write option) so describe_history can
+        # answer in the engine's vocabulary for every writeTo commit
+        return df.writeTo(self.ident).option(f"snapshot-property.{_FLS_OP}", op)
+
+    # -- reads ------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        if version is not None:
+            sid = self._snapshot_id_at(int(version))
+            return self.spark.read.option("snapshot-id", str(sid)).table(self.ident)
+        return self.spark.table(self.ident)
+
+    def _pinned(self) -> DataFrame:
+        """Current snapshot pinned by id — decouples a self-referencing
+        read from the overwrite that consumes it."""
+        return self.read(version=self.current_version())
+
+    def current_version(self) -> int:
+        n = len(self._snapshots())
+        if n == 0:
+            raise ValueError(f"{self.ident} has no snapshots yet")
+        return self._version_offset() + n - 1
+
+    def current_files(self) -> list[str]:
+        prefix = self.base.rstrip("/") + "/"
+        out = []
+        for r in self.spark.table(f"{self.ident}.files").select("file_path").collect():
+            p = r["file_path"].removeprefix("file:")
+            out.append(p.removeprefix(prefix))
+        return sorted(out)
+
+    def describe_history(self) -> list[dict]:
+        """LakehouseTable-shaped history: version index, engine-vocab
+        operation (from the stamped snapshot property when present,
+        else Iceberg's own operation label), commit timestamp."""
+        op_map = {"append": "append", "overwrite": "overwrite",
+                  "delete": "delete", "replace": "optimize"}
+        off = self._version_offset()
+        hist = []
+        for ix, s in enumerate(self._snapshots()):
+            op = s["summary"].get(_FLS_OP) or op_map.get(
+                s["operation"], s["operation"]
+            )
+            hist.append({"version": off + ix, "operation": op, "ts": s["ts"]})
+        return hist
+
+    # -- writes -----------------------------------------------------------
+
+    def _create(self, df: DataFrame, op: str) -> int:
+        w = self._writer(df, op)
+        if self.partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in self.partition_by])
+        w.create()
+        return self.current_version()
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        if not self.exists():
+            return self._create(df, "append")
+        w = self._writer(df, "append")
+        if merge_schema:
+            # documented Iceberg write option; needs the table property
+            # write.spark.accept-any-schema=true for arbitrary evolution
+            w = w.option("merge-schema", "true")
+        w.append()
+        return self.current_version()
+
+    def overwrite(self, df: DataFrame) -> int:
+        if not self.exists():
+            return self._create(df, "overwrite")
+        self._writer(df, "overwrite").overwrite(F.lit(True))
+        return self.current_version()
+
+    def merge(self, updates: DataFrame, keys: Sequence[str]) -> int:
+        """Upsert by key — native SQL MERGE INTO (copy-on-write rewrites
+        only the files holding matched rows; scale parity with Delta's
+        MERGE). Duplicate source keys rejected up front via the shared
+        MergeSourceDuplicateError contract."""
+        require_unique_merge_keys(updates, keys, f"iceberg merge into {self.ident}")
+        if not self.exists():
+            return self.append(updates)
+        view = f"fls_merge_src_{abs(hash((self.ident, tuple(keys)))) % 10**8}"
+        updates.createOrReplaceTempView(view)
+        try:
+            cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+            self.spark.sql(
+                f"MERGE INTO {self.ident} t USING {view} s ON {cond} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+        return self.current_version()
+
+    def delete(self, predicate: Column, deletion_vectors: bool = False) -> int:
+        """Returns the new version, or -1 when no row matched (parity
+        with LakehouseTable.delete). ``deletion_vectors`` is accepted
+        for surface parity; Iceberg v2 position deletes are the
+        engine-side analogue and rewrite_data_files purges them, so the
+        hint needs no action here. Rows where the predicate is NULL are
+        retained (C12): overwrite(pred) only replaces pred-TRUE rows."""
+        if self.read().where(predicate).limit(1).count() == 0:
+            return -1
+        empty = self._pinned().where(F.lit(False))
+        self._writer(empty, "delete").overwrite(predicate)
+        return self.current_version()
+
+    def update(self, predicate: Column, assignments: dict[str, Column]) -> int:
+        src = self._pinned().where(F.coalesce(predicate, F.lit(False)))
+        for c, expr in assignments.items():
+            src = src.withColumn(c, expr)
+        self._writer(src, "update").overwrite(predicate)
+        return self.current_version()
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, target_partitions: int = 1, sort_by: Sequence[str] | None = None) -> int:
+        """rewrite_data_files bin-packs to a target FILE SIZE (like
+        Delta OPTIMIZE), so target_partitions is advisory — warn, never
+        silently ignore (ADVICE r9 contract shared with the Delta
+        binding)."""
+        if target_partitions != 1:
+            warnings.warn(
+                "IcebergBackedTable.compact: rewrite_data_files bin-packs by "
+                f"file size; target_partitions={target_partitions} is ignored "
+                "(tune target-file-size-bytes instead)",
+                stacklevel=2,
+            )
+        if sort_by:
+            order = ", ".join(sort_by)
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rewrite_data_files("
+                f"table => '{self._proc_table()}', strategy => 'sort', "
+                f"sort_order => '{order}', "
+                "options => map('rewrite-all', 'true'))"
+            )
+        else:
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rewrite_data_files("
+                f"table => '{self._proc_table()}', strategy => 'binpack', "
+                "options => map('rewrite-all', 'true'))"
+            )
+        return self.current_version()
+
+    def vacuum(self, retain_last: int = 1) -> int:
+        """expire_snapshots with Iceberg's native retain_last — the
+        engine's version-count retention maps faithfully (contrast
+        DeltaBackedTable.vacuum, which must refuse retain_last != 1).
+        Returns the number of data files reclaimed. The count of
+        expired snapshots is added to the persisted version offset so
+        historical version numbers stay stable and reads beyond the
+        horizon fail LOUDLY (C7) instead of silently re-indexing."""
+        if retain_last < 1:
+            raise ValueError(f"retain_last must be >= 1, got {retain_last}")
+        n_before = len(self._snapshots())
+        row = self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{self._proc_table()}', "
+            "older_than => TIMESTAMP '2999-01-01 00:00:00', "
+            f"retain_last => {int(retain_last)})"
+        ).head()
+        expired = n_before - len(self._snapshots())
+        if expired > 0:
+            off = self._version_offset() + expired
+            self.spark.sql(
+                f"ALTER TABLE {self.ident} SET TBLPROPERTIES "
+                f"('{_FLS_VERSION_OFFSET}' = '{off}')"
+            )
+        return int(row["deleted_data_files_count"])
+
+    def restore(self, version: int) -> int:
+        snap = self.read(version=int(version))
+        self._writer(snap, "restore").overwrite(F.lit(True))
+        return self.current_version()
+
+    # -- constraints (unsupported format feature: fail closed) -------------
+
+    _NO_CONSTRAINTS = (
+        "Iceberg has no CHECK-constraint table feature; use "
+        "LakehouseTable (engine-side enforcement) or the Delta binding"
+    )
+
+    def add_constraint(self, name: str, predicate_sql: str) -> None:
+        raise NotImplementedError(self._NO_CONSTRAINTS)
+
+    def drop_constraint(self, name: str) -> None:
+        raise NotImplementedError(self._NO_CONSTRAINTS)
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        raise NotImplementedError(self._NO_CONSTRAINTS)
+
+    # -- change feed --------------------------------------------------------
+
+    def enable_change_feed(self) -> None:
+        """No-op: every Iceberg snapshot is changelog-replayable — there
+        is no enablement property and no pre-enablement hole."""
+
+    def change_feed_enabled(self) -> bool:
+        return True
+
+    def table_changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Changelog between version bounds via the documented
+        create_changelog_view procedure; column shape matched to
+        LakehouseTable.table_changes (leading version/change_type).
+        ``v_from`` means 'changes AFTER version v_from' — Iceberg's
+        start-snapshot-id is likewise exclusive, so the bound maps
+        directly (v_from=-1 → from the beginning)."""
+        opts = []
+        if v_from >= 0:
+            opts.append(f"'start-snapshot-id', '{self._snapshot_id_at(v_from)}'")
+        if v_to is not None:
+            opts.append(f"'end-snapshot-id', '{self._snapshot_id_at(v_to)}'")
+        view = f"fls_changes_{abs(hash((self.ident, v_from, v_to))) % 10**8}"
+        options = f", options => map({', '.join(opts)})" if opts else ""
+        self.spark.sql(
+            f"CALL {self.catalog}.system.create_changelog_view("
+            f"table => '{self._proc_table()}'{options}, "
+            f"changelog_view => '{view}')"
+        )
+        df = self.spark.table(view)
+        off = self._version_offset()
+        sid_to_v = {
+            s["snapshot_id"]: off + ix for ix, s in enumerate(self._snapshots())
+        }
+        v_map = F.create_map(
+            *[F.lit(x) for kv in sid_to_v.items() for x in kv]
+        )
+        type_map = F.create_map(
+            F.lit("INSERT"), F.lit("insert"),
+            F.lit("DELETE"), F.lit("delete"),
+            F.lit("UPDATE_BEFORE"), F.lit("update_preimage"),
+            F.lit("UPDATE_AFTER"), F.lit("update_postimage"),
+        )
+        data_cols = [
+            c for c in df.columns
+            if c not in ("_change_type", "_change_ordinal", "_commit_snapshot_id")
+        ]
+        return df.select(
+            v_map[F.col("_commit_snapshot_id")].alias("version"),
+            type_map[F.col("_change_type")].alias("change_type"),
+            *data_cols,
+        )
+
+
 def open_table(
     spark: SparkSession, root: str, schema: str, name: str, partition_by=(),
     prefer: str = "auto",
 ):
     """Open (or create-on-first-write) a lakehouse table with the best
-    available format. ``prefer`` ∈ {auto, parquet, delta}.
+    available format. ``prefer`` ∈ {auto, parquet, delta, iceberg}.
 
     - ``prefer='delta'`` + delta-spark on classpath → `DeltaBackedTable`
       (native binding over the public DeltaTable API). Without the jar
       it raises ModuleNotFoundError with the supported alternative.
+    - ``prefer='iceberg'`` + an Iceberg Spark runtime on the classpath →
+      `IcebergBackedTable` (hadoop-catalog binding over the public
+      Spark-Iceberg API). Same loud refusal without the jar.
     - ``prefer='auto'`` and ``'parquet'`` → manifest-log versioned
       parquet (`lakehouse.tables.LakehouseTable`) with the same
-      semantics. `auto` stays on the parquet branch even when delta is
-      importable, deliberately: the native binding graduates to the
-      auto path only after the contract suite has passed against a
+      semantics. `auto` stays on the parquet branch even when a native
+      format is importable, deliberately: a native binding graduates to
+      the auto path only after the contract suite has passed against a
       real jar (scripts/run_delta_branch.sh is that validation run).
     """
     if prefer == "delta":
@@ -398,6 +819,14 @@ def open_table(
                 "MERGE/time-travel/vacuum on parquet + manifest log)"
             )
         return DeltaBackedTable(spark, root, schema, name, partition_by=partition_by)
+    if prefer == "iceberg":
+        if not iceberg_available(spark):
+            raise ModuleNotFoundError(
+                "no Iceberg Spark runtime on the classpath; use "
+                "prefer='parquet' (LakehouseTable provides append/overwrite/"
+                "MERGE/time-travel/vacuum on parquet + manifest log)"
+            )
+        return IcebergBackedTable(spark, root, schema, name, partition_by=partition_by)
     if prefer not in ("auto", "parquet"):
         raise ValueError(f"unknown table format preference: {prefer!r}")
     return LakehouseTable(spark, root, schema, name, partition_by=partition_by)

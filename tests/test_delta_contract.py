@@ -42,17 +42,19 @@ from football_lakehouse_spark.lakehouse.tables import LakehouseTable
 from football_lakehouse_spark.sources import connectors
 
 
-@pytest.fixture(params=["parquet", "delta"])
+@pytest.fixture(params=["parquet", "delta", "iceberg"])
 def make_table(request, spark, tmp_path):
     """Every contract clause runs against the FACTORY surface
     (connectors.open_table), parameterised over formats: the parquet
-    branch is the always-available LakehouseTable; the delta branch
-    skips cleanly while no delta-spark jar is on the classpath, and the
-    day one is, the identical assertions run against the native binding
-    — no semantic drift can slip in unnoticed."""
+    branch is the always-available LakehouseTable; the delta and
+    iceberg branches skip cleanly while no jar is on the classpath,
+    and the day one is, the identical assertions run against the
+    native binding — no semantic drift can slip in unnoticed."""
     fmt = request.param
     if fmt == "delta" and not connectors.delta_available():
         pytest.skip("delta-spark not on classpath; parquet branch covers the contract")
+    if fmt == "iceberg" and not connectors.iceberg_available(spark):
+        pytest.skip("no Iceberg runtime on classpath; parquet branch covers the contract")
 
     def make(name: str, partition_by=()):
         return connectors.open_table(spark, str(tmp_path), "contract", name,
@@ -118,6 +120,66 @@ def test_delta_branch_dryrun(spark, tmp_path, monkeypatch):
                  "current_files", "add_constraint", "drop_constraint",
                  "constraints", "enable_change_feed", "table_changes"):
         assert callable(getattr(t, verb)), verb
+
+
+def test_iceberg_branch_dryrun(spark, tmp_path, monkeypatch):
+    """The Iceberg-binding branch is exercised end-to-end in the factory
+    the moment a runtime is on the classpath: force the availability
+    probe true and assert open_table(prefer='iceberg') returns
+    IcebergBackedTable with the hadoop catalog configured for the
+    table's root, the engine verbs present, and every pre-JVM guard
+    firing before any Iceberg call (no jar needed — this pins the
+    branch so a jar drop-in runs the contract suite with zero edits)."""
+    from football_lakehouse_spark.lakehouse.tables import (
+        MergeSourceDuplicateError,
+    )
+
+    monkeypatch.setattr(connectors, "iceberg_available", lambda s: True)
+    t = connectors.open_table(spark, str(tmp_path), "contract", "ibdry",
+                              partition_by=["p"], prefer="iceberg")
+    assert isinstance(t, connectors.IcebergBackedTable)
+    assert t.base.endswith("contract/ibdry")
+    assert t.partition_by == ("p",)
+    # hadoop catalog wired to the table root (lazily instantiated)
+    cat_key = f"spark.sql.catalog.{t.catalog}"
+    assert spark.conf.get(cat_key) == "org.apache.iceberg.spark.SparkCatalog"
+    assert spark.conf.get(f"{cat_key}.type") == "hadoop"
+    assert spark.conf.get(f"{cat_key}.warehouse") == t.root
+    assert t.ident == f"{t.catalog}.`contract`.`ibdry`"
+    # same root → same catalog; different root → different catalog
+    t2 = connectors.open_table(spark, str(tmp_path), "contract", "other",
+                               prefer="iceberg")
+    assert t2.catalog == t.catalog
+    t3 = connectors.open_table(spark, str(tmp_path / "elsewhere"), "c", "x",
+                               prefer="iceberg")
+    assert t3.catalog != t.catalog
+    # full verb surface exists (contract suite runs unmodified on jar
+    # drop-in) and the divergence flags the suite keys off are declared
+    for verb in ("append", "overwrite", "merge", "delete", "update", "read",
+                 "compact", "vacuum", "restore", "describe_history",
+                 "current_files", "add_constraint", "drop_constraint",
+                 "constraints", "enable_change_feed", "table_changes"):
+        assert callable(getattr(t, verb)), verb
+    assert t.supports_constraints is False
+    assert t.history_labels_exact is False
+    assert t.cdf_requires_enablement is False
+    # pre-JVM guards fire before any Iceberg call
+    dup = _df(spark, [(1, "a"), (1, "b"), (2, "c")])
+    with pytest.raises(MergeSourceDuplicateError, match="duplicate source key"):
+        t.merge(dup, ["k"])
+    with pytest.raises(ValueError, match="retain_last must be >= 1"):
+        t.vacuum(retain_last=0)
+    with pytest.raises(NotImplementedError, match="CHECK-constraint"):
+        t.add_constraint("pos_k", "k > 0")
+    with pytest.raises(NotImplementedError, match="CHECK-constraint"):
+        t.constraints()
+    # changelog needs no enablement switch
+    t.enable_change_feed()
+    assert t.change_feed_enabled() is True
+    # the partition-hint warning fires before the (jar-less) CALL fails
+    with pytest.warns(UserWarning, match="target_partitions=2 is ignored"):
+        with pytest.raises(Exception):
+            t.compact(target_partitions=2)
 
 
 def test_delta_vacuum_refuses_unfaithful_retention(spark, tmp_path, monkeypatch):
@@ -242,11 +304,15 @@ def test_parquet_merge_rejects_duplicate_source_keys(spark, tmp_path):
 def test_open_table_prefer_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown table format"):
         connectors.open_table(spark, str(tmp_path), "contract", "bad",
-                              prefer="iceberg")
+                              prefer="hudi")
     if not connectors.delta_available():
         with pytest.raises(ModuleNotFoundError, match="delta-spark"):
             connectors.open_table(spark, str(tmp_path), "contract", "nodelta",
                                   prefer="delta")
+    if not connectors.iceberg_available(spark):
+        with pytest.raises(ModuleNotFoundError, match="Iceberg"):
+            connectors.open_table(spark, str(tmp_path), "contract", "noiceberg",
+                                  prefer="iceberg")
 
 
 def test_c1_c2_history_shape(spark, make_table):
@@ -257,7 +323,17 @@ def test_c1_c2_history_shape(spark, make_table):
     t.compact()
     hist = t.describe_history()
     assert [h["version"] for h in hist] == [0, 1, 2, 3]
-    assert [h["operation"] for h in hist] == ["append", "overwrite", "merge", "optimize"]
+    if getattr(t, "history_labels_exact", True):
+        assert [h["operation"] for h in hist] == [
+            "append", "overwrite", "merge", "optimize"
+        ]
+    else:
+        # the Iceberg binding's SQL MERGE has no snapshot-property hook,
+        # so its history row carries Iceberg's own 'overwrite' label
+        assert hist[0]["operation"] == "append"
+        assert hist[1]["operation"] == "overwrite"
+        assert hist[2]["operation"] in ("merge", "overwrite")
+        assert hist[3]["operation"] == "optimize"
     assert all(isinstance(h["ts"], float) for h in hist)
     # the commit log is incremental: every commit records add/remove
     # actions (never the full table file list — Delta's log shape).
@@ -479,6 +555,8 @@ def test_c14_constraints_versioned_and_restored(spark, make_table):
     )
 
     t = make_table("cons_hist")
+    if not getattr(t, "supports_constraints", True):
+        pytest.skip("binding has no CHECK-constraint surface (Iceberg)")
     t.append(_df(spark, [(1, "a")]))           # v0
     v_clean = t.current_version()
     t.add_constraint("pos_k", "k > 0")         # v1 (set_properties commit)
@@ -601,6 +679,10 @@ def test_c18_change_feed_logged_and_served(spark, make_table):
     t = make_table("cdf")
     if not hasattr(t, "enable_change_feed"):
         pytest.skip("binding has no change-feed surface")
+    if not getattr(t, "cdf_update_images", True):
+        pytest.skip("binding's changelog serves updates as delete+insert "
+                    "pairs (Iceberg without identifier columns); the "
+                    "derive-by-diff oracle expects pre/post images")
     t.enable_change_feed()
     base = spark.createDataFrame(
         [(i, "a", float(i)) for i in range(10)], "k bigint, g string, v double"
@@ -641,6 +723,9 @@ def test_c18_change_feed_hole_raises(spark, make_table):
     t = make_table("cdf_hole")
     if not hasattr(t, "enable_change_feed"):
         pytest.skip("binding has no change-feed surface")
+    if not getattr(t, "cdf_requires_enablement", True):
+        pytest.skip("binding's changelog needs no enablement — there is "
+                    "no pre-enablement hole to assert (Iceberg)")
     base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double")
     t.append(base)
     t.delete(F.col("k") == 1)  # v1, no CDF yet
@@ -664,6 +749,9 @@ def test_c18_restore_hole_raises(spark, make_table):
     t = make_table("cdf_restore")
     if not hasattr(t, "enable_change_feed") or not hasattr(t, "restore"):
         pytest.skip("binding has no change-feed/restore surface")
+    if not getattr(t, "cdf_requires_enablement", True):
+        pytest.skip("binding replays every snapshot — a restore commit is "
+                    "served as data changes, never a hole (Iceberg)")
     t.enable_change_feed()
     t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"))
     t.delete(F.col("k") == 1)  # v1, CDF logged
@@ -689,6 +777,9 @@ def test_c18_overwrite_hole_raises(spark, make_table):
     t = make_table("cdf_ow_hole")
     if not hasattr(t, "enable_change_feed"):
         pytest.skip("binding has no change-feed surface")
+    if not getattr(t, "cdf_requires_enablement", True):
+        pytest.skip("binding's changelog needs no enablement — there is "
+                    "no pre-enablement hole to assert (Iceberg)")
     t.overwrite(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))  # v0: empty→rows
     t.overwrite(spark.createDataFrame([(2, 2.0)], "k bigint, v double"))  # v1: removes, no CDF
     t.enable_change_feed()
