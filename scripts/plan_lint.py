@@ -17,6 +17,10 @@ and greps the EXECUTED plan for the anti-patterns this engine bans:
   Allowed ONLY for EXPAND_ALLOW: genuine cube/rollup/grouping-sets
   semantics (where Expand IS the operator) — never as an accidental
   count-distinct plan (the q164 lesson: rewrite two-phase).
+- ``.collect()``/``.toPandas()`` in package source — a driver
+  materialisation is a scale cliff unless its size is bounded by
+  construction. Statically scanned (AST, whole package, Spark-free);
+  every site must be an audited COLLECT_ALLOW entry naming its bound.
 
 Builders that themselves execute jobs (lakehouse writers, iterative
 algorithms) run for real here, so the full sweep costs minutes — it is
@@ -62,6 +66,118 @@ EXPAND_ALLOW = {
                              # column requires true COUNT DISTINCT; the
                              # sketch columns alone are Expand-free
 }
+
+
+#: audited driver-materialisation sites — every `.collect()`/`.toPandas()`
+#: in the package must appear here as (module-relative path, enclosing
+#: qualname) with its BOUND named; anything else fails the static lint.
+#: The bound is what makes the site scale-safe: each collects a scalar,
+#: a fixed-domain table, or an ops-surface metadata list — never data.
+COLLECT_ALLOW: dict[tuple[str, str], str] = {
+    ("lakehouse/ddl.py", "smoke_roundtrip"):
+        "DDL smoke probe: limit-bounded readback of the created table",
+    ("lakehouse/tables.py", "LakehouseTable._enforce"):
+        "limit(1) constraint-violation witness",
+    ("lakehouse/tables.py", "LakehouseTable._removed_in_partitions"):
+        "distinct partition values of the TOUCHED batch (per-write bound)",
+    ("lakehouse/tables.py", "require_unique_merge_keys"):
+        "limit-bounded duplicate-key sample for the error message",
+    ("operators/blocking.py", "assert_candidate_volume"):
+        "1-row candidate-count aggregate",
+    ("operators/dedup.py", "_star_components"):
+        "1-row per-round convergence fingerprint (count + hash sum)",
+    ("operators/quality.py", "append_with_expectations"):
+        "Observation metrics row (1 row per write)",
+    ("operators/similarity.py", "assign_cells"):
+        "centroid table (n_cells rows, config-bounded)",
+    ("operators/similarity.py", "kmeans_cells"):
+        "centroid table (n_cells rows, config-bounded)",
+    ("operators/similarity.py", "refine_hot_cells"):
+        "hot-cell list + split centroids (bounded by n_cells)",
+    ("pipelines/ml.py", "training_run_log"):
+        "pinned run-log rows (fixed metric/param domain)",
+    ("plans/advanced_plans.py", "chi_square_ab"):
+        "contingency table (2×variant domain)",
+    ("plans/llm_plans.py", "bfs_distance"):
+        "1-row min-node seed scalar",
+    ("plans/llm_plans.py", "pca_power_iteration"):
+        "k-dim eigenvector per iteration (k ≤ 4)",
+    ("plans/llm_plans.py", "systematic_weighted_sample"):
+        "1-row total-weight scalar",
+    ("plans/relational.py", "abc_classification"):
+        "1-row min/max sizing probe",
+    ("sources/connectors.py", "DeltaBackedTable.describe_history"):
+        "commit-log rows (ops surface, bounded by version count)",
+    ("sources/connectors.py", "IcebergBackedTable._snapshots"):
+        "snapshot-log rows (ops surface, bounded by version count)",
+    ("sources/connectors.py", "IcebergBackedTable._version_offset"):
+        "SHOW TBLPROPERTIES rows (property-count bound)",
+    ("sources/connectors.py", "IcebergBackedTable.current_files"):
+        "live-snapshot file list (ops surface, parity with "
+        "LakehouseTable.current_files)",
+}
+
+
+def scan_collect_sites(pkg_root: str | None = None) -> list[str]:
+    """Static source lint: every ``.collect()``/``.toPandas()`` call in
+    the package must be an audited entry in COLLECT_ALLOW. Returns
+    violation strings (empty = clean). Also flags STALE allowlist
+    entries so a refactor can't leave a silent hole open.
+
+    AST-based (not grep) so comments/strings can't false-positive and
+    the enclosing function is named exactly; keyed on qualname, not
+    line number, so routine edits don't churn the allowlist.
+    """
+    import ast
+
+    if pkg_root is None:
+        pkg_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "football_lakehouse_spark",
+        )
+    errs: list[str] = []
+    seen: set[tuple[str, str]] = set()
+    for dirpath, dirnames, filenames in os.walk(pkg_root):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        for fn in filenames:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, pkg_root)
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+
+            def walk(node, stack):
+                for child in ast.iter_child_nodes(node):
+                    nstack = stack
+                    if isinstance(
+                        child,
+                        (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+                    ):
+                        nstack = stack + [child.name]
+                    if (
+                        isinstance(child, ast.Call)
+                        and isinstance(child.func, ast.Attribute)
+                        and child.func.attr in ("collect", "toPandas")
+                    ):
+                        key = (rel, ".".join(stack) or "<module>")
+                        seen.add(key)
+                        if key not in COLLECT_ALLOW:
+                            errs.append(
+                                f"{rel}:{child.lineno} driver materialisation "
+                                f"(.{child.func.attr}()) in {key[1]} — not in "
+                                "the audited COLLECT_ALLOW (name its bound "
+                                "there, or keep the operator distributed)"
+                            )
+                    walk(child, nstack)
+
+            walk(tree, [])
+    for key in sorted(set(COLLECT_ALLOW) - seen):
+        errs.append(
+            f"stale COLLECT_ALLOW entry {key} — site no longer exists; "
+            "remove it so the allowlist stays a faithful audit"
+        )
+    return errs
 
 
 def _plan_nodes(plan_json) -> list[dict]:
@@ -112,6 +228,11 @@ def main() -> int:
     ap.add_argument("--names", help="comma-separated query names (default: all)")
     ap.add_argument("--json", dest="json_out", help="write per-query verdicts here")
     args = ap.parse_args()
+    # static source lint first — cheap, Spark-free, whole-package
+    static_errs = scan_collect_sites()
+    for e in static_errs:
+        print(f"collect-lint: {e}", flush=True)
+
     names = args.names.split(",") if args.names else None
     if names:
         unknown = sorted(set(names) - set(REGISTRY))
@@ -154,8 +275,10 @@ def main() -> int:
             print(f"{name}: {e}", flush=True)
         verdicts[name] = {"ok": not errs, "errs": errs}
         bad += len(errs)
+    bad += len(static_errs)
     print(f"plan-lint: {bad} violation(s) across "
-          f"{len(verdicts)} queries", flush=True)
+          f"{len(verdicts)} queries "
+          f"(+{len(static_errs)} static collect-lint)", flush=True)
     if args.json_out:
         with open(args.json_out, "w") as fh:
             json.dump(
@@ -164,6 +287,10 @@ def main() -> int:
                     "queries_checked": len(verdicts),
                     "window_allow": sorted(WINDOW_ALLOW),
                     "expand_allow": sorted(EXPAND_ALLOW),
+                    "collect_allow": sorted(
+                        f"{p}:{q}" for p, q in COLLECT_ALLOW
+                    ),
+                    "collect_lint": static_errs,
                     "verdicts": verdicts,
                 },
                 fh,

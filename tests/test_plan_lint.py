@@ -37,6 +37,32 @@ def test_plan_lint(spark, spec):
     assert plan_lint.lint(plan_json, spec.name) == []
 
 
+def test_static_collect_lint_clean():
+    """Every driver materialisation in the package is an audited
+    COLLECT_ALLOW entry (bound named), and no allowlist entry is stale.
+    Spark-free, whole-package, runs in the default suite — VERDICT r11
+    item 7: keep the 'all collect sites are control-plane scalars'
+    claim true by machine, not by per-round manual audit."""
+    assert plan_lint.scan_collect_sites() == []
+
+
+def test_static_collect_lint_flags_new_site(tmp_path):
+    """A fresh .collect() outside the allowlist is caught, with the
+    enclosing qualname in the message; a stale allowlist entry is also
+    flagged."""
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (pkg / "mod.py").write_text(
+        "def hot_path(df):\n"
+        "    # comment mentioning collect() must not trip the AST scan\n"
+        "    return [r for r in df.collect()]\n"
+    )
+    errs = plan_lint.scan_collect_sites(str(pkg))
+    assert any("mod.py" in e and "hot_path" in e for e in errs)
+    # every real allowlist entry is reported stale against the toy tree
+    assert any("stale COLLECT_ALLOW" in e for e in errs)
+
+
 def test_allowlists_reference_live_queries():
     """Allowlist hygiene: every pinned exception must still name a
     registered query — a renamed/deleted query must not leave a stale
