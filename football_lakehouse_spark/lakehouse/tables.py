@@ -268,15 +268,41 @@ class LakehouseTable:
             live |= set(c["add"])
         return sorted(live)
 
+    def _head(self) -> int:
+        """Current head version, -1 for a table with no commits — the
+        snapshot pin every read-modify-write operation captures at
+        entry and hands back to :meth:`_commit` as ``expect_head``."""
+        commits, _ = self._log_entries()
+        return commits[-1] if commits else -1
+
     def _commit(self, operation: str, add: list[str], remove: list[str],
                 rows: int | None, schema_json: str | None = None,
                 dv_add: list[str] | None = None,
                 dv_remove: list[str] | None = None,
                 txn: dict | None = None,
                 props: dict | None = None,
-                cdf: str | None = None) -> int:
+                cdf: str | None = None,
+                expect_head: int | None = None) -> int:
         commits, _ = self._log_entries()
         v = (commits[-1] + 1) if commits else 0
+        # optimistic-concurrency check for read-modify-write operations
+        # (merge/delete/update/overwrite/restore/compact/properties):
+        # their add/remove sets were computed from the snapshot at
+        # ``expect_head``, so ANY commit that landed since invalidates
+        # them. Without this, a racing writer whose log listing is
+        # fresh by commit time links the NEXT free version and silently
+        # rebases a stale rewrite onto a head it never read — the
+        # multi-writer soak caught exactly that as lost merge updates
+        # (the same-number os.link CAS below only catches the two
+        # writers who compute the SAME target version). Blind appends
+        # intentionally pass expect_head=None: they commute and rebase.
+        if expect_head is not None and v != expect_head + 1:
+            raise ConcurrentWriteError(
+                f"{self.base}: table advanced from version {expect_head} "
+                f"to {v - 1} while this {operation} was reading/staging; "
+                "its result may depend on state another writer changed — "
+                "re-read the table and retry the operation"
+            )
         entry = {
             "version": v, "operation": operation, "ts": time.time(),
             "rows": rows, "add": sorted(add), "remove": sorted(remove),
@@ -440,7 +466,7 @@ class LakehouseTable:
             later_props = True
         return {} if later_props else self._props()
 
-    def _set_props(self, props: dict) -> None:
+    def _set_props(self, props: dict, expect_head: int | None = None) -> None:
         """Durably update table properties. On an existing table this is
         a metadata COMMIT (CAS-protected — concurrent add/drop raise
         ``ConcurrentWriteError`` instead of losing an update, and the
@@ -448,9 +474,14 @@ class LakehouseTable:
         constraint state); the ``_properties.json`` file is kept in sync
         as the fast current-state read path. Before the first commit
         (constraints declared on a not-yet-written table) only the file
-        is written — the first data commit has nothing to race with."""
+        is written — the first data commit has nothing to race with.
+        ``expect_head`` pins the snapshot the caller READ the current
+        properties at: props are read-modify-write, so a commit that
+        landed since (r12) conflicts instead of being silently merged
+        over."""
         if self.exists():
-            self._commit("set_properties", [], [], rows=None, props=props)
+            self._commit("set_properties", [], [], rows=None, props=props,
+                         expect_head=expect_head)
         self._write_props(props)
 
     # --------------------------------------------------------- column mapping
@@ -499,6 +530,7 @@ class LakehouseTable:
         valid. Metadata-only — O(1) at any table size. Time travel
         still reads pre-rename versions under their own names. CHECK
         constraints referencing the old name must be dropped first."""
+        head = self._head()  # snapshot pin: schema is read-modify-write
         cur = self.schema()
         if cur is None:
             raise ValueError(f"{self.base}: no schema logged yet")
@@ -529,6 +561,7 @@ class LakehouseTable:
         return self._commit(
             "rename_column", [], [], rows=None,
             schema_json=StructType(fields).json(),
+            expect_head=head,
         )
 
     def drop_column(self, name: str) -> int:
@@ -539,6 +572,7 @@ class LakehouseTable:
         identity is TOMBSTONED so a later re-add of the same name
         claims a fresh physical name and can never resurrect stale
         values. Time travel before the drop still shows the column."""
+        head = self._head()  # snapshot pin: schema+props read-modify-write
         cur = self.schema()
         if cur is None:
             raise ValueError(f"{self.base}: no schema logged yet")
@@ -566,6 +600,7 @@ class LakehouseTable:
         v = self._commit(
             "drop_column", [], [], rows=None, schema_json=new_schema.json(),
             props=props,
+            expect_head=head,
         )
         self._write_props(props)
         return v
@@ -579,10 +614,12 @@ class LakehouseTable:
             return self._props_at(version).get("constraints", {})
         return self._props().get("constraints", {})
 
-    def _write_constraints(self, cons: dict[str, str]) -> None:
+    def _write_constraints(
+        self, cons: dict[str, str], expect_head: int | None = None
+    ) -> None:
         props = self._props()
         props["constraints"] = cons
-        self._set_props(props)
+        self._set_props(props, expect_head=expect_head)
 
     def add_constraint(self, name: str, predicate_sql: str) -> None:
         """``ALTER TABLE … ADD CONSTRAINT name CHECK (predicate)``
@@ -593,19 +630,21 @@ class LakehouseTable:
         predicate evaluates to TRUE (NULL violates; add an explicit
         ``OR col IS NULL`` to relax). The existing-data scan pushes the
         negated predicate down to parquet and short-circuits limit-1."""
+        head = self._head()  # snapshot pin: constraints are read-modify-write
         if name in self.constraints():
             raise ValueError(f"constraint {name!r} already exists")
         if self.exists():
-            self._enforce({name: predicate_sql}, self.read(),
+            self._enforce({name: predicate_sql}, self.read(version=head),
                           context="existing data")
         cons = dict(self.constraints())
         cons[name] = predicate_sql
-        self._write_constraints(cons)
+        self._write_constraints(cons, expect_head=head if head >= 0 else None)
 
     def drop_constraint(self, name: str) -> None:
+        head = self._head()
         cons = dict(self.constraints())
         cons.pop(name, None)
-        self._write_constraints(cons)
+        self._write_constraints(cons, expect_head=head if head >= 0 else None)
 
     def _enforce(self, cons: dict[str, str], df: DataFrame, context: str) -> None:
         for cname, pred in cons.items():
@@ -704,19 +743,28 @@ class LakehouseTable:
                 raise
         return moved
 
-    def _removed_in_partitions(self, parts: DataFrame) -> list[str]:
+    def _removed_in_partitions(
+        self, parts: DataFrame, at_version: int | None = None
+    ) -> list[str]:
         """Live files under the partition dirs named by ``parts`` —
         the single implementation of the rewrite "removed" list for
         merge/delete/update (three verbatim copies before r11: a fix
-        to the dir-name rendering must hit every writer at once)."""
+        to the dir-name rendering must hit every writer at once).
+        ``at_version`` pins the file listing to the snapshot the caller
+        read (r12: a fresh listing here could include files a racing
+        writer just committed — removing files the rewrite never read)."""
         touched_dirs = [
             "/".join(
                 f"{c}={_escape_partition_value(r[c])}" for c in self.partition_by
             )
             for r in parts.collect()
         ]
+        live = (
+            self.current_files() if at_version is None
+            else self._live_at(at_version)
+        )
         return [
-            f for f in self.current_files()
+            f for f in live
             if any(f.startswith(d + "/") for d in touched_dirs)
         ]
 
@@ -1012,10 +1060,11 @@ class LakehouseTable:
         return self.append(df)
 
     def overwrite(self, df: DataFrame) -> int:
-        live = self.current_files()
+        head = self._head()  # snapshot pin: the whole op reads AT head
+        live = self._live_at(head) if head >= 0 else []
         cdf = None
         if live and self.change_feed_enabled():
-            old_rows = self.read()
+            old_rows = self.read(version=head)
             cdf = self._cdf_write(
                 old_rows.select(F.lit("delete").alias("change_type"), "*"),
                 old_rows.columns,
@@ -1023,8 +1072,9 @@ class LakehouseTable:
         return self._commit(
             "overwrite", self._stage(df), live, rows=None,
             schema_json=self._staged_schema,
-            dv_remove=self._dv_names_at(self.current_version()) if live else None,
+            dv_remove=self._dv_names_at(head) if live else None,
             cdf=cdf,
+            expect_head=head,
         )
 
     def merge(self, updates: DataFrame, keys: Sequence[str]) -> int:
@@ -1073,7 +1123,8 @@ class LakehouseTable:
         require_unique_merge_keys(updates, keys, f"merge into {self.base}")
         if not self.exists():
             return self.append(updates)
-        base = self.read()
+        head = self._head()  # snapshot pin: read, rewrite, and removal
+        base = self.read(version=head)  # sets all derive from ONE version
         if self.partition_by:
             missing = set(self.partition_by) - set(updates.columns)
             if missing:
@@ -1113,9 +1164,10 @@ class LakehouseTable:
                     change_feed(touched_base, merged, keys), base.columns
                 )
             new_files = self._stage(merged)
-            removed = self._removed_in_partitions(parts)
+            removed = self._removed_in_partitions(parts, at_version=head)
             return self._commit("merge", new_files, removed, rows=None,
-                                schema_json=self._staged_schema, cdf=cdf)
+                                schema_json=self._staged_schema, cdf=cdf,
+                                expect_head=head)
         merged = merge_upsert(base, updates, keys)
         cdf = None
         if self.change_feed_enabled():
@@ -1123,8 +1175,9 @@ class LakehouseTable:
 
             cdf = self._cdf_write(change_feed(base, merged, keys), base.columns)
         new_files = self._stage(merged)
-        return self._commit("merge", new_files, self.current_files(), rows=None,
-                            schema_json=self._staged_schema, cdf=cdf)
+        return self._commit("merge", new_files, self._live_at(head), rows=None,
+                            schema_json=self._staged_schema, cdf=cdf,
+                            expect_head=head)
 
     def delete(self, predicate: Column, deletion_vectors: bool = False) -> int:
         """Delta-style DELETE: copy-on-write removal of rows matching
@@ -1148,8 +1201,9 @@ class LakehouseTable:
         would silently drop (three-valued logic: NOT NULL is NULL).
         The kept-rows filter is therefore ``NOT (pred <=> TRUE)``.
         """
+        head = self._head()  # snapshot pin (see _commit expect_head)
         if deletion_vectors:
-            lineage = self._read(None, with_lineage=True)
+            lineage = self._read(head, with_lineage=True)
             matches = lineage.where(predicate).select(
                 F.col("__file").alias("file"), F.col("__ri").alias("row_index")
             )
@@ -1169,8 +1223,8 @@ class LakehouseTable:
                     cols,
                 )
             return self._commit("delete_dv", [], [], rows=None, dv_add=[dvname],
-                                cdf=cdf)
-        base = self.read()
+                                cdf=cdf, expect_head=head)
+        base = self.read(version=head)
         matches = base.where(predicate)
         if matches.limit(1).isEmpty():
             return -1
@@ -1186,12 +1240,14 @@ class LakehouseTable:
             touched = _null_safe_semi(base, parts, self.partition_by)
             kept_rows = touched.where(kept_pred)
             new_files = self._stage(kept_rows)
-            removed = self._removed_in_partitions(parts)
+            removed = self._removed_in_partitions(parts, at_version=head)
             return self._commit("delete", new_files, removed, rows=None,
-                                schema_json=self._staged_schema, cdf=cdf)
+                                schema_json=self._staged_schema, cdf=cdf,
+                                expect_head=head)
         new_files = self._stage(base.where(kept_pred))
-        return self._commit("delete", new_files, self.current_files(), rows=None,
-                            schema_json=self._staged_schema, cdf=cdf)
+        return self._commit("delete", new_files, self._live_at(head), rows=None,
+                            schema_json=self._staged_schema, cdf=cdf,
+                            expect_head=head)
 
     def update(self, predicate: Column, assignments: dict[str, Column]) -> int:
         """Delta-style ``UPDATE … SET`` : copy-on-write rewrite of rows
@@ -1212,7 +1268,8 @@ class LakehouseTable:
         partitioned table would rewrite only touched partitions with
         the coerced type while untouched partitions' files keep the old
         physical type, corrupting the table."""
-        base = self.read()
+        head = self._head()  # snapshot pin (see _commit expect_head)
+        base = self.read(version=head)
         matches = base.where(predicate)
         if matches.limit(1).isEmpty():
             return -1
@@ -1264,9 +1321,10 @@ class LakehouseTable:
                 ]
             )
             new_files = self._stage(updated)
-            removed = self._removed_in_partitions(parts)
+            removed = self._removed_in_partitions(parts, at_version=head)
             return self._commit("update", new_files, removed, rows=None,
-                                schema_json=self._staged_schema, cdf=cdf)
+                                schema_json=self._staged_schema, cdf=cdf,
+                                expect_head=head)
         updated = base.select(
             *[
                 F.when(hit, assignments[c]).otherwise(F.col(c)).alias(c)
@@ -1276,8 +1334,9 @@ class LakehouseTable:
             ]
         )
         new_files = self._stage(updated)
-        return self._commit("update", new_files, self.current_files(), rows=None,
-                            schema_json=self._staged_schema, cdf=cdf)
+        return self._commit("update", new_files, self._live_at(head), rows=None,
+                            schema_json=self._staged_schema, cdf=cdf,
+                            expect_head=head)
 
     # ------------------------------------------------------ change data feed
     def enable_change_feed(self) -> None:
@@ -1289,9 +1348,10 @@ class LakehouseTable:
         the insert entries (Delta's optimization; a 100 TB append must
         not be written twice). The property is versioned like
         constraints, so the enablement point is visible in history."""
+        head = self._head()
         props = self._props()
         props["changeDataFeed"] = "true"
-        self._set_props(props)
+        self._set_props(props, expect_head=head if head >= 0 else None)
 
     def change_feed_enabled(self) -> bool:
         return self._props().get("changeDataFeed") == "true"
@@ -1495,13 +1555,14 @@ class LakehouseTable:
         Delta. Files already vacuumed away cannot be restored — the same
         retention trade-off as :meth:`read`, surfaced on the next read.
         """
+        head = self._head()  # snapshot pin (see _commit expect_head)
         target = set(self._live_at(version))
-        current = set(self.current_files())
+        current = set(self._live_at(head))
         # deletion vectors are part of a version's logical content:
         # restoring past a DV delete must resurrect the rows (and
         # restoring TO a DV-bearing version must re-apply its vectors)
         dv_target = set(self._dv_names_at(version))
-        dv_current = set(self._dv_names_at(self.current_version()))
+        dv_current = set(self._dv_names_at(head))
         # properties: constraints roll back WITH the data (Delta
         # semantics — RESTORE restores table metadata), but column-
         # mapping tombstones are monotone: a physical name claimed at
@@ -1519,6 +1580,7 @@ class LakehouseTable:
             dv_add=sorted(dv_target - dv_current),
             dv_remove=sorted(dv_current - dv_target),
             props=props,
+            expect_head=head,
         )
         self._write_props(props)
         return v_new
@@ -1755,15 +1817,17 @@ class LakehouseTable:
         within the rewritten files (the ZORDER-analogue for single-key
         locality: parquet min/max row-group stats become selective, so
         point/range scans skip row groups)."""
-        df = self.read()
+        head = self._head()  # snapshot pin (see _commit expect_head)
+        df = self.read(version=head)
         if sort_by:
             df = df.repartition(target_partitions).sortWithinPartitions(*sort_by)
         else:
             df = df.coalesce(target_partitions)
         new_files = self._stage(df)
-        return self._commit("optimize", new_files, self.current_files(), rows=None,
+        return self._commit("optimize", new_files, self._live_at(head), rows=None,
                             schema_json=self._staged_schema,
-                            dv_remove=self._dv_names_at(self.current_version()))
+                            dv_remove=self._dv_names_at(head),
+                            expect_head=head)
 
     def compact_to_size(self, target_file_bytes: int = 128 << 20,
                         sort_by: Sequence[str] = ()) -> int:

@@ -2,8 +2,12 @@
 (r6 verdict #6, widened r8 per r7 verdict #5, widened again r10 per
 r9 verdict #4): quality gate -> exact dedup -> LSH near-dup clusters
 -> SPAN DETECT -> SPAN TRIM (keep-one-canonical) -> token-budget
-selection -> sharded split write -> IVF INDEX BUILD -> ANN MINING
-SERVE (q281 shape), each stage timed with its SHUFFLE BYTES attributed
+selection -> sharded split write -> LAKEHOUSE PUBLISH/MERGE/CDF/
+COMPACT (r11 verdict #5: the commit path the r11 sweeps rewrote,
+measured at volume — partitioned append with change feed, a
+10%-update MERGE with cross-partition moves, the sidecar-served
+incremental read, and compact_to_size) -> IVF INDEX BUILD -> ANN
+MINING SERVE (q281 shape), each stage timed with its SHUFFLE BYTES attributed
 via the Spark UI REST API — the per-stage cost table a 100 TB user
 asks for first, now including the passage-level trim between dedup
 and selection (the production curation order: doc-level near-dup
@@ -357,6 +361,72 @@ def run_pipeline(
         )
         return spark.read.parquet(p("s5")).count()
 
+    def s8_lakehouse_publish():
+        # the r11 commit-path rewrite (partition-dir canonicalisation,
+        # null-safe probes) measured at volume, not argued: publish the
+        # curated split output as a partitioned lakehouse table with the
+        # change feed on — the write cost IS the commit path
+        import shutil
+
+        from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+
+        shutil.rmtree(p("lh"), ignore_errors=True)  # rerun-clean
+        t = LakehouseTable(spark, p("lh"), "curated", "docs",
+                           partition_by=["split"])
+        t.enable_change_feed()
+        t.append(spark.read.parquet(p("s5")))
+        return t.read().count()
+
+    def s9_lakehouse_merge():
+        # 10%-of-corpus MERGE: half the batch re-texts existing docs in
+        # place, a quarter MOVES docs across the split partition
+        # (exercises cross-partition copy-on-write + dir rendering),
+        # and a quarter inserts brand-new doc_ids
+        from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+
+        t = LakehouseTable(spark, p("lh"), "curated", "docs",
+                           partition_by=["split"])
+        cur = t.read()
+        mod = F.col("doc_id") % 10
+        batch = (
+            cur.where(mod < 1)
+            .withColumn(
+                "text",
+                F.when(mod == 0, F.concat(F.col("text"), F.lit(" upd")))
+                .otherwise(F.col("text")),
+            )
+            .withColumn(
+                "split",
+                F.when(F.col("doc_id") % 40 == 0, F.lit("val"))
+                .otherwise(F.col("split")),
+            )
+        )
+        inserts = (
+            cur.where(F.col("doc_id") % 40 == 1)
+            .withColumn("doc_id", -F.col("doc_id"))
+        )
+        t.merge(batch.unionByName(inserts), ["doc_id"])
+        return t.read().count()
+
+    def s10_lakehouse_cdf():
+        # incremental consumer: the merge's change feed served from
+        # O(touched-rows) sidecars, never by re-reading both versions
+        from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+
+        t = LakehouseTable(spark, p("lh"), "curated", "docs",
+                           partition_by=["split"])
+        v = t.current_version()
+        return t.table_changes(v - 1, v).count()
+
+    def s11_lakehouse_compact():
+        # maintenance tail: OPTIMIZE to a target file size; row-invariant
+        from football_lakehouse_spark.lakehouse.tables import LakehouseTable
+
+        t = LakehouseTable(spark, p("lh"), "curated", "docs",
+                           partition_by=["split"])
+        t.compact_to_size(target_file_bytes=32 << 20)
+        return t.read().count()
+
     def s6_ivf_build():
         from football_lakehouse_spark.operators.similarity import kmeans_cells
 
@@ -393,6 +463,10 @@ def run_pipeline(
         ("span_trim", s3c_span_trim),
         ("selection", s4_select),
         ("shard_write", s5_shard),
+        ("lakehouse_publish", s8_lakehouse_publish),
+        ("lakehouse_merge", s9_lakehouse_merge),
+        ("lakehouse_cdf_read", s10_lakehouse_cdf),
+        ("lakehouse_compact", s11_lakehouse_compact),
         ("ivf_index_build", s6_ivf_build),
         ("mining_serve", s7_mining_serve),
     ):

@@ -31,6 +31,12 @@ Contract clauses covered:
   C17 the append rebase is refused when table properties changed
       concurrently (staged files were never checked against the new
       constraints)
+  C19 read-modify-write operations (merge/delete/update/overwrite/
+      restore/compact/properties) pin their snapshot head and CONFLICT
+      when any commit lands mid-flight — a stale rewrite must never
+      silently link the next free version (Delta optimistic
+      concurrency; the lost-update class scripts/soak_multiwriter.py
+      caught in r12)
 """
 
 from __future__ import annotations
@@ -647,6 +653,112 @@ def test_c16_concurrent_appends_both_commit(spark, make_table):
     assert state["rebased"] == 1, "the CAS conflict must have been hit exactly once"
     assert _rows(t.read()) == [(1, "base"), (2, "from_a"), (3, "from_b")]
     assert [h["version"] for h in t.describe_history()] == [0, 1, 2]
+
+
+def test_c19_concurrent_merge_conflict_detected(spark, make_table):
+    """C19 (r12, found by scripts/soak_multiwriter.py): a read-modify-
+    write operation whose snapshot went stale mid-flight must raise
+    ConcurrentWriteError — NEVER silently commit a rewrite computed
+    from a head it didn't read. Before r12 the version was computed at
+    link time, so a racing merge with a fresh log listing linked the
+    next free version and the earlier writer's updates were silently
+    lost (dense history, no error — the worst failure shape). The race
+    is reproduced deterministically by injecting the second writer's
+    commit inside the first writer's staging step."""
+    from football_lakehouse_spark.lakehouse.tables import ConcurrentWriteError
+
+    t1 = make_table("conc_mrg")
+    if not hasattr(t1, "_stage"):
+        pytest.skip("staging injection hook is parquet-branch-specific "
+                    "(native formats detect this conflict themselves)")
+    t1.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t2 = make_table("conc_mrg")  # second handle = second writer
+
+    raced = {"done": False}
+    orig_stage = t2._stage
+
+    def racing_stage(df):
+        files = orig_stage(df)
+        if not raced["done"]:
+            raced["done"] = True
+            t1.merge(_df(spark, [(1, "A1")]), ["k"])  # t1 wins mid-flight
+        return files
+
+    t2._stage = racing_stage
+    try:
+        with pytest.raises(ConcurrentWriteError, match="advanced from version"):
+            t2.merge(_df(spark, [(2, "B2")]), ["k"])
+        # the retry (RUNBOOK §3) re-reads and preserves BOTH writers' rows
+        t2.merge(_df(spark, [(2, "B2")]), ["k"])
+    finally:
+        t2._stage = orig_stage
+    assert _rows(t2.read()) == [(1, "A1"), (2, "B2"), (3, "c")]
+    assert [h["operation"] for h in t2.describe_history()] == [
+        "append", "merge", "merge"
+    ]
+
+
+def test_c19_concurrent_delete_conflict_detected(spark, make_table):
+    """C19 sibling: DELETE's kept-rows rewrite computed from a stale
+    snapshot would resurrect rows a racing merge changed — it must
+    conflict instead."""
+    from football_lakehouse_spark.lakehouse.tables import ConcurrentWriteError
+    from pyspark.sql import functions as F
+
+    t1 = make_table("conc_del")
+    if not hasattr(t1, "_stage"):
+        pytest.skip("staging injection hook is parquet-branch-specific")
+    t1.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t2 = make_table("conc_del")
+    raced = {"done": False}
+    orig_stage = t2._stage
+
+    def racing_stage(df):
+        files = orig_stage(df)
+        if not raced["done"]:
+            raced["done"] = True
+            t1.merge(_df(spark, [(2, "B-new")]), ["k"])
+        return files
+
+    t2._stage = racing_stage
+    try:
+        with pytest.raises(ConcurrentWriteError, match="advanced from version"):
+            t2.delete(F.col("k") == 3)
+        t2.delete(F.col("k") == 3)  # retry on fresh state
+    finally:
+        t2._stage = orig_stage
+    assert _rows(t2.read()) == [(1, "a"), (2, "B-new")]
+
+
+def test_c19_concurrent_constraint_add_not_lost(spark, make_table):
+    """C19 property sibling: two concurrent ADD CONSTRAINTs both read
+    props, both merge their own entry — the loser must conflict (then
+    succeed on retry with both constraints present), never silently
+    overwrite the winner's property commit."""
+    from football_lakehouse_spark.lakehouse.tables import ConcurrentWriteError
+
+    t1 = make_table("conc_prop")
+    if not hasattr(t1, "_enforce"):
+        pytest.skip("enforcement injection hook is parquet-branch-specific")
+    t1.append(_df(spark, [(1, "a")]))
+    t2 = make_table("conc_prop")
+    raced = {"done": False}
+    orig_enforce = t2._enforce
+
+    def racing_enforce(*a, **k):
+        if not raced["done"]:
+            raced["done"] = True
+            t1.add_constraint("pos_k", "k > 0")  # t1 wins mid-flight
+        return orig_enforce(*a, **k)
+
+    t2._enforce = racing_enforce
+    try:
+        with pytest.raises(ConcurrentWriteError, match="advanced from version"):
+            t2.add_constraint("short_v", "length(v) < 10")
+        t2.add_constraint("short_v", "length(v) < 10")  # retry
+    finally:
+        t2._enforce = orig_enforce
+    assert t2.constraints() == {"pos_k": "k > 0", "short_v": "length(v) < 10"}
 
 
 def test_c17_concurrent_append_conflicts_on_property_change(spark, make_table):
