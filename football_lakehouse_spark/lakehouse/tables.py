@@ -431,12 +431,34 @@ class LakehouseTable:
     def _properties_path(self) -> str:
         return os.path.join(self.log_root, "_properties.json")
 
-    def _props(self) -> dict:
+    def _file_props(self) -> dict:
         try:
             with open(self._properties_path()) as f:
                 return json.load(f)
         except FileNotFoundError:
             return {}
+
+    def _props(self) -> dict:
+        """Current table properties — LOG-authoritative (r12): the
+        newest props-bearing commit wins; ``_properties.json`` is only
+        the fallback for tables whose properties were never committed
+        (pre-first-commit bootstrap, or pre-versioning logs). The file
+        is a write-behind cache kept by :meth:`_set_props`; a writer
+        crashing between its commit (os.link, visible) and the file
+        write must not leave every reader silently enforcing stale
+        constraints or missing the change-feed flag. The reverse scan
+        stops at the newest props commit and rides the immutable
+        per-commit cache."""
+        commits, _ = self._log_entries()
+        for cv in reversed(commits):
+            c = self._read_commit(cv)
+            if "props" in c:
+                # DEEP copy: callers mutate the returned dict (nested
+                # constraint/tombstone edits); a reference into the
+                # immutable per-commit cache would silently rewrite
+                # the cached commit
+                return json.loads(json.dumps(c["props"]))
+        return self._file_props()
 
     def _write_props(self, props: dict) -> None:
         tmp = self._properties_path() + f".tmp-{uuid.uuid4().hex}"
@@ -462,9 +484,10 @@ class LakehouseTable:
             if "props" not in c:
                 continue
             if cv <= v:
-                return c["props"]
+                # deep copy — see _props(): callers mutate the result
+                return json.loads(json.dumps(c["props"]))
             later_props = True
-        return {} if later_props else self._props()
+        return {} if later_props else self._file_props()
 
     def _set_props(self, props: dict, expect_head: int | None = None) -> None:
         """Durably update table properties. On an existing table this is
@@ -1028,36 +1051,61 @@ class LakehouseTable:
         incoming − existing = incoming − (existing ∩ incoming). Same
         rewrite, with the same measurement, as the incremental span
         probe (SCALING round 9)."""
-        if self.exists():
-            # NULL-SAFE throughout: sha2(NULL payload) is NULL, and the
-            # plain equi chain kept a NULL hash in `novel` (anti-join
-            # never matches NULL) but then DROPPED every NULL-hash row
-            # at the final semi-join — rows vanished from the append
-            # with no error. NULL is one content value like any other:
-            # the first NULL-hash batch appends, replays skip.
-            existing = self.read().select(F.col(hash_col).alias("__h_ex"))
-            incoming = df.select(F.col(hash_col).alias("__h_in")).distinct()
-            matched = (
-                existing.join(
-                    incoming, F.col("__h_ex").eqNullSafe(F.col("__h_in")),
+        for attempt in range(APPEND_REBASE_RETRIES + 1):
+            head = self._head()  # RMW pin (r12): the novelty decision
+            filtered = df       # depends on the snapshot's hashes
+            if head >= 0:
+                # NULL-SAFE throughout: sha2(NULL payload) is NULL, and
+                # the plain equi chain kept a NULL hash in `novel`
+                # (anti-join never matches NULL) but then DROPPED every
+                # NULL-hash row at the final semi-join — rows vanished
+                # from the append with no error. NULL is one content
+                # value like any other: the first NULL-hash batch
+                # appends, replays skip.
+                existing = self.read(version=head).select(
+                    F.col(hash_col).alias("__h_ex")
+                )
+                incoming = df.select(F.col(hash_col).alias("__h_in")).distinct()
+                matched = (
+                    existing.join(
+                        incoming, F.col("__h_ex").eqNullSafe(F.col("__h_in")),
+                        "left_semi",
+                    )
+                    .distinct()
+                    .withColumnRenamed("__h_ex", "__h_m")
+                )
+                novel = incoming.join(
+                    F.broadcast(matched),
+                    F.col("__h_in").eqNullSafe(F.col("__h_m")),
+                    "left_anti",
+                )
+                if novel.limit(1).isEmpty():
+                    return None
+                filtered = df.join(
+                    F.broadcast(novel),
+                    F.col(hash_col).eqNullSafe(F.col("__h_in")),
                     "left_semi",
                 )
-                .distinct()
-                .withColumnRenamed("__h_ex", "__h_m")
-            )
-            novel = incoming.join(
-                F.broadcast(matched),
-                F.col("__h_in").eqNullSafe(F.col("__h_m")),
-                "left_anti",
-            )
-            if novel.limit(1).isEmpty():
-                return None
-            df = df.join(
-                F.broadcast(novel),
-                F.col(hash_col).eqNullSafe(F.col("__h_in")),
-                "left_semi",
-            )
-        return self.append(df)
+            # commit pinned to the PROBED snapshot — a blind append here
+            # (the pre-r12 behaviour) let two concurrent replays of the
+            # same payload both pass the novelty check and both land,
+            # breaking the skip-if-present contract. On conflict:
+            # unstage, re-probe against the new head, retry.
+            aligned = self._align_schema(filtered, False)
+            files = self._stage(aligned)
+            try:
+                return self._commit(
+                    "append", files, [], rows=None,
+                    schema_json=self._staged_schema, expect_head=head,
+                )
+            except ConcurrentWriteError:
+                for f in files:
+                    try:
+                        os.remove(os.path.join(self.data_root, f))
+                    except FileNotFoundError:
+                        pass
+                if attempt == APPEND_REBASE_RETRIES:
+                    raise
 
     def overwrite(self, df: DataFrame) -> int:
         head = self._head()  # snapshot pin: the whole op reads AT head

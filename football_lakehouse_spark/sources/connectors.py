@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import uuid
 import warnings
 from collections.abc import Sequence
 
@@ -513,21 +514,45 @@ class IcebergBackedTable:
         return int(props.get(_FLS_VERSION_OFFSET, "0"))
 
     def _snapshots(self) -> list[dict]:
-        """Snapshot log oldest-first — the engine's version axis."""
+        """Snapshot log oldest-first — the engine's version axis.
+        Ordered by the parent-id chain (exact commit order; this
+        binding never moves the current pointer backwards, so the
+        chain is linear — the oldest retained snapshot is the one
+        whose parent is expired or absent). committed_at has only
+        millisecond precision, so back-to-back small commits can tie
+        on it; the chain can't. Falls back to (committed_at,
+        snapshot_id) ordering only if the chain is broken (a table
+        some other tool rolled back)."""
         rows = (
             self.spark.table(f"{self.ident}.snapshots")
-            .select("committed_at", "snapshot_id", "operation", "summary")
+            .select("committed_at", "snapshot_id", "parent_id", "operation",
+                    "summary")
             .collect()
         )
-        return [
-            {
+        snaps = {
+            int(r["snapshot_id"]): {
                 "snapshot_id": int(r["snapshot_id"]),
+                "parent_id": None if r["parent_id"] is None else int(r["parent_id"]),
                 "ts": r["committed_at"].timestamp(),
                 "operation": r["operation"],
                 "summary": dict(r["summary"] or {}),
             }
-            for r in sorted(rows, key=lambda r: (r["committed_at"], r["snapshot_id"]))
-        ]
+            for r in rows
+        }
+        ids = set(snaps)
+        roots = [s for s in snaps.values()
+                 if s["parent_id"] is None or s["parent_id"] not in ids]
+        by_parent: dict[int, list[dict]] = {}
+        for s in snaps.values():
+            if s["parent_id"] in ids:
+                by_parent.setdefault(s["parent_id"], []).append(s)
+        if len(roots) == 1 and all(len(v) == 1 for v in by_parent.values()):
+            chain = [roots[0]]
+            while chain[-1]["snapshot_id"] in by_parent:
+                chain.append(by_parent[chain[-1]["snapshot_id"]][0])
+            if len(chain) == len(snaps):
+                return chain
+        return sorted(snaps.values(), key=lambda s: (s["ts"], s["snapshot_id"]))
 
     def _snapshot_id_at(self, version: int) -> int:
         off = self._version_offset()
@@ -628,7 +653,11 @@ class IcebergBackedTable:
         require_unique_merge_keys(updates, keys, f"iceberg merge into {self.ident}")
         if not self.exists():
             return self.append(updates)
-        view = f"fls_merge_src_{abs(hash((self.ident, tuple(keys)))) % 10**8}"
+        # uuid, NOT a hash of (table, keys): two concurrent merges on
+        # the same table+keys in one session would share a
+        # deterministic name — one clobbers the other's source view
+        # mid-MERGE, or the first finisher's drop kills the second's
+        view = f"fls_merge_src_{uuid.uuid4().hex[:12]}"
         updates.createOrReplaceTempView(view)
         try:
             cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
@@ -655,9 +684,23 @@ class IcebergBackedTable:
         return self.current_version()
 
     def update(self, predicate: Column, assignments: dict[str, Column]) -> int:
-        src = self._pinned().where(F.coalesce(predicate, F.lit(False)))
-        for c, expr in assignments.items():
-            src = src.withColumn(c, expr)
+        """Parity with LakehouseTable.update: -1 on no match, unknown
+        assignment columns rejected loudly, and all assignments applied
+        SIMULTANEOUSLY in one select (chained withColumn would let
+        {'a': col('b'), 'b': col('a')} read the already-rewritten 'a')."""
+        pinned = self._pinned()
+        for c in assignments:
+            if c not in pinned.columns:
+                raise ValueError(f"{self.ident}: no column {c!r}")
+        matched = pinned.where(F.coalesce(predicate, F.lit(False)))
+        if matched.limit(1).count() == 0:
+            return -1
+        src = matched.select(
+            *[
+                assignments[c].alias(c) if c in assignments else F.col(c)
+                for c in pinned.columns
+            ]
+        )
         self._writer(src, "update").overwrite(predicate)
         return self.current_version()
 
@@ -701,20 +744,26 @@ class IcebergBackedTable:
         horizon fail LOUDLY (C7) instead of silently re-indexing."""
         if retain_last < 1:
             raise ValueError(f"retain_last must be >= 1, got {retain_last}")
-        n_before = len(self._snapshots())
-        row = self.spark.sql(
-            f"CALL {self.catalog}.system.expire_snapshots("
-            f"table => '{self._proc_table()}', "
-            "older_than => TIMESTAMP '2999-01-01 00:00:00', "
-            f"retain_last => {int(retain_last)})"
-        ).head()
-        expired = n_before - len(self._snapshots())
+        # stamp the offset BEFORE expiring: expire_snapshots with an
+        # always-past cutoff removes exactly max(0, n - retain_last)
+        # oldest snapshots, so the new offset is known up front. A crash
+        # between stamp and expiry leaves versions that still exist
+        # refusing reads ("beyond the retention horizon") — fail-loud;
+        # the reverse order (expire, then stamp) would leave
+        # read(version=0) silently answering with the wrong snapshot.
+        expired = max(0, len(self._snapshots()) - int(retain_last))
         if expired > 0:
             off = self._version_offset() + expired
             self.spark.sql(
                 f"ALTER TABLE {self.ident} SET TBLPROPERTIES "
                 f"('{_FLS_VERSION_OFFSET}' = '{off}')"
             )
+        row = self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{self._proc_table()}', "
+            "older_than => TIMESTAMP '2999-01-01 00:00:00', "
+            f"retain_last => {int(retain_last)})"
+        ).head()
         return int(row["deleted_data_files_count"])
 
     def restore(self, version: int) -> int:

@@ -275,15 +275,17 @@ def main() -> int:
             print(f"{name}: {e}", flush=True)
         verdicts[name] = {"ok": not errs, "errs": errs}
         bad += len(errs)
-    bad += len(static_errs)
-    print(f"plan-lint: {bad} violation(s) across "
-          f"{len(verdicts)} queries "
-          f"(+{len(static_errs)} static collect-lint)", flush=True)
+    total = bad + len(static_errs)
+    print(f"plan-lint: {total} total violation(s) — {bad} across "
+          f"{len(verdicts)} queries, {len(static_errs)} static "
+          "collect-lint", flush=True)
     if args.json_out:
         with open(args.json_out, "w") as fh:
             json.dump(
                 {
-                    "violations": bad,
+                    "violations": total,
+                    "query_violations": bad,
+                    "static_violations": len(static_errs),
                     "queries_checked": len(verdicts),
                     "window_allow": sorted(WINDOW_ALLOW),
                     "expand_allow": sorted(EXPAND_ALLOW),
@@ -296,7 +298,7 @@ def main() -> int:
                 fh,
                 indent=1,
             )
-    return 1 if bad else 0
+    return 1 if total else 0
 
 
 if __name__ == "__main__":

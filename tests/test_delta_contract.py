@@ -730,6 +730,40 @@ def test_c19_concurrent_delete_conflict_detected(spark, make_table):
     assert _rows(t2.read()) == [(1, "a"), (2, "B-new")]
 
 
+def test_c19_concurrent_append_if_new_skips_duplicate(spark, make_table):
+    """C19 sibling: append_if_new's novelty decision is read-modify-
+    write — two concurrent replays of the SAME payload must not both
+    land (pre-r12 they did: both probed the same snapshot, neither saw
+    the other, and the blind-append path rebased both in). The loser
+    now conflicts, re-probes the new head, sees the hash, and skips."""
+    t1 = make_table("conc_ain")
+    if not hasattr(t1, "_stage"):
+        pytest.skip("staging injection hook is parquet-branch-specific")
+    t1.append(
+        spark.createDataFrame([(1, "seed", "h0")], "k int, v string, h string")
+    )
+    t2 = make_table("conc_ain")
+    payload = spark.createDataFrame(
+        [(2, "same-batch", "h1")], "k int, v string, h string"
+    )
+    raced = {"done": False}
+    orig_stage = t2._stage
+
+    def racing_stage(df):
+        files = orig_stage(df)
+        if not raced["done"]:
+            raced["done"] = True
+            assert t1.append_if_new(payload, "h") is not None  # t1 wins
+        return files
+
+    t2._stage = racing_stage
+    try:
+        assert t2.append_if_new(payload, "h") is None  # conflicted → re-probed → skip
+    finally:
+        t2._stage = orig_stage
+    assert _rows(t2.read().select("k")) == [(1,), (2,)]  # exactly once
+
+
 def test_c19_concurrent_constraint_add_not_lost(spark, make_table):
     """C19 property sibling: two concurrent ADD CONSTRAINTs both read
     props, both merge their own entry — the loser must conflict (then
