@@ -58,24 +58,42 @@ def change_feed(
 
         require_unique_merge_keys(old, keys, where="change_feed(old)")
         require_unique_merge_keys(new, keys, where="change_feed(new)")
-    val_cols = [c for c in new.columns if c not in keys]
+    # value columns = the UNION of both sides' non-key columns: diffing
+    # across an additive schema change (merge_schema append between the
+    # two versions) must not crash on the old side's missing column —
+    # and a column dropped between versions must still ride delete /
+    # preimage payloads. A side missing a column contributes NULL for
+    # it (exactly what the evolved table reads back for old rows).
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    val_cols = [c for c in new.columns if c not in keys] + [
+        c for c in old.columns if c not in keys and c not in new_types
+    ]
     # a KEY-ONLY table (e.g. span_key_index's single column) has no
     # value columns: the payload struct still needs a field, and the
     # changed-predicate fold needs an initial value (reduce() over an
     # empty list raises TypeError) — such rows can only insert/delete
-    def payload(side_cols: list[str]) -> Column:
-        if val_cols:
-            return F.struct(*side_cols)
-        return F.struct(F.lit(None).alias("__no_vals"))
+    def payload(side_types: dict) -> Column:
+        if not val_cols:
+            return F.struct(F.lit(None).alias("__no_vals"))
+        return F.struct(
+            *[
+                F.col(c).alias(c) if c in side_types
+                else F.lit(None)
+                .cast(new_types.get(c) or old_types[c])
+                .alias(c)
+                for c in val_cols
+            ]
+        )
 
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in keys],
-        payload(val_cols).alias("__old"),
+        payload(old_types).alias("__old"),
         F.lit(1).alias("__ino"),
     )
     n = new.select(
         *[F.col(k).alias(f"__kn_{k}") for k in keys],
-        payload(val_cols).alias("__new"),
+        payload(new_types).alias("__new"),
         F.lit(1).alias("__inn"),
     )
     cond = reduce(

@@ -35,32 +35,41 @@ O(files) on the driver — the same contract as Spark's own file index;
 at 10⁶+ files you compact the landing zone (RUNBOOK §7) regardless of
 which reader is used.
 
-Offset encoding — watermark-prefix + recent-tail. A naive
+Offset encoding — PER-DIR watermark-prefix + recent-tail. A naive
 content-addressed offset serializes every consumed file name into
 every micro-batch's offset-log entry: O(all files ever) per entry,
 multi-MB JSON at the RUNBOOK's own 10⁶-file bound. Instead, offsets
-compact to ``{"watermark": W, "tail": [names...]}`` with membership
-``consumed(f) ⇔ f <= W or f ∈ tail``: the stable sorted prefix of the
-consumed set folds into a single watermark string and only the recent
-tail stays explicit, so offset size is O(recent arrivals + margin).
-Correctness of batch planning is preserved by the FOLD INVARIANT —
-when an end offset is derived from a start offset, only names that
-were already members of START fold under the watermark, so every file
-of the batch itself is explicit in the end offset's tail and
+compact to ``{"dirwm": {dir: B, ...}, "tail": [names...]}`` with
+membership ``consumed(f) ⇔ basename(f) <= dirwm[dir(f)] or f ∈ tail``:
+each partition dir's stable sorted prefix of the consumed set folds
+into one basename watermark and only the recent tail stays explicit,
+so offset size is O(dirs + recent arrivals + margin). The fold is
+per dir — NOT one global path-ordered watermark — because the landing
+layout partitions by EVENT date: a late event for an old day lands in
+a dir that sorts wholesale below the newest dirs, and a global
+watermark treated its never-read file as consumed (permanent silent
+data loss; found r12). Within a dir, the writer's arrival-stamped
+monotone names (land_json_files) guarantee a late landing sorts above
+that dir's watermark. Correctness of batch planning is preserved by
+the FOLD INVARIANT — when an end offset is derived from a start
+offset, only names that were already members of START fold, so every
+file of the batch itself is explicit in the end offset's tail and
 ``partitions(start, end) = tail(end) − members(start)`` is exact,
 deterministic, and independent of the current listing (replay after
 new arrivals or deletions returns the originally planned files, same
 as the explicit-set design). The legacy ``{"consumed": [...]}``
 full-list form is still read AND still written whenever nothing has
-folded yet (small streams never change format); ``{"files": n}``
+folded yet (small streams never change format); a pre-r12
+``{"watermark": W}`` global watermark is honoured read-only (old folds
+keep their old semantics, new folds go per-dir); ``{"files": n}``
 count offsets from pre-r7 checkpoints keep their best-effort
-migration. The one semantic trade, documented on both readers: a
-late file whose name sorts at or below the CURRENT watermark is
-treated as consumed and silently skipped. The ``offsetTailKeep``
-margin (default 64) keeps the newest consumed names explicit — the
-watermark lags the frontier by at least that many names — and the
-landing contract's monotonic date-stamped part naming (RUNBOOK §7)
-makes sub-watermark arrivals out-of-contract to begin with.
+migration. The residual trade, documented on both readers: a late
+file whose name sorts at or below ITS DIR's watermark is treated as
+consumed and silently skipped — unreachable under the arrival-stamped
+naming contract unless the landing host's clock steps backwards past
+the margin. The ``offsetTailKeep`` margin (default 64) keeps the
+newest consumed names explicit, so each dir's watermark lags its
+frontier.
 """
 
 from __future__ import annotations
@@ -159,6 +168,18 @@ def _parse_id(v):
     return v
 
 
+def _parse_value(v):
+    """JSON value → float, or ValueError (rescue the whole line): only
+    JSON numbers are values — a boolean would coerce true → 1.0 with
+    _rescue NULL (silent corruption), and the native PERMISSIVE reader
+    rescues the same line."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise ValueError(f"non-numeric value: {v!r}")
+    return float(v)
+
+
 def _parse_max_files(options) -> int | None:
     """maxFilesPerBatch, validated at reader construction (0 = uncapped):
     a negative value would make ``pending[:cap]`` truncate from the END
@@ -190,7 +211,11 @@ def _parse_line(line: str, fp: str, pdate: date | None):
             _parse_ts(o.get("ts")),
             _parse_id(o.get("user_id")),
             o.get("event_type"),
-            float(o["value"]) if o.get("value") is not None else None,
+            # bool is rejected like _parse_id does: float(True) == 1.0
+            # would silently coerce a drifting producer's {"value": true}
+            # that the native PERMISSIVE reader rescues — the two S7/S8
+            # surfaces must agree on the same input
+            _parse_value(o.get("value")),
             o.get("props"),
             pdate,
             fp,
@@ -252,54 +277,80 @@ def _parse_tail_keep(options) -> int:
     return keep
 
 
+#: canonical membership state shared by both stream readers:
+#: ``(gw, dirwm, tail)`` — ``gw`` is a LEGACY global watermark
+#: (read-only passthrough from pre-r12 checkpoints; new folds never
+#: grow it), ``dirwm`` maps partition-dir → max folded BASENAME within
+#: that dir, ``tail`` is the explicit recent set.
+#: consumed(f) ⇔ f <= gw, or basename(f) <= dirwm[dir(f)], or f ∈ tail.
+#:
+#: PER-DIR watermarks (r12): a single global path-ordered watermark
+#: silently swallowed ordinary event-time lateness — the landing layout
+#: partitions by EVENT date (snapshot_date=D/...), so a late event for
+#: an old day lands in a dir that sorts wholesale below the frontier
+#: and its file was treated as consumed without ever being read
+#: (permanent silent data loss, found by review r12). Scoping the fold
+#: to each dir makes cross-dir ordering irrelevant; within a dir the
+#: writer's arrival-stamped names (land_json_files) are monotone, so a
+#: late landing always sorts above its dir's watermark.
+State = tuple
+
+
 def _warn_skipped_late_arrivals(
     prev_listing: set[str] | None,
     listing: list[str],
-    watermark: str | None,
-    tail: set[str],
+    state: State,
     path: str,
 ) -> set[str]:
     """Observability for the offset compaction's one silent-skip path
-    (module docstring): a NEVER-BEFORE-LISTED name at or below the
-    watermark is always a late arrival that will be treated as consumed
-    — within one reader lifetime the previous listing makes it
-    distinguishable from a genuinely consumed file, so log it loudly
-    instead of dropping it invisibly. Returns the new baseline
-    listing."""
-    if prev_listing is not None and watermark is not None:
+    (module docstring): a NEVER-BEFORE-LISTED name at or below its
+    dir's watermark (or a legacy global one) is a late arrival that
+    will be treated as consumed — within one reader lifetime the
+    previous listing makes it distinguishable from a genuinely consumed
+    file, so log it loudly instead of dropping it invisibly. Returns
+    the new baseline listing."""
+    gw, dirwm, tail = state
+    if prev_listing is not None and (gw is not None or dirwm):
         late = [
             f for f in listing
-            if f <= watermark and f not in tail and f not in prev_listing
+            if f not in tail
+            and f not in prev_listing
+            and _member(f, gw, dirwm, tail)
         ]
         if late:
             _log.warning(
                 "landing_events: %d never-before-listed file(s) under %s "
-                "sort at or below the offset watermark %r and will be "
-                "SKIPPED as already-consumed — a late arrival violating "
-                "the monotonic part-naming contract (RUNBOOK §7); rename "
-                "above the watermark to ingest: %s",
-                len(late), path, watermark, sorted(late)[:10],
+                "sort at or below their dir's offset watermark and will "
+                "be SKIPPED as already-consumed — a late arrival "
+                "violating the monotonic arrival-stamped naming contract "
+                "(RUNBOOK §7); rename above the watermark to ingest: %s",
+                len(late), path, sorted(late)[:10],
             )
     return set(listing)
 
 
-def _offset_state(offset: dict, path: str) -> tuple[str | None, set[str]]:
-    """Offset → canonical membership state ``(watermark, tail)`` —
-    consumed(f) ⇔ ``f <= watermark or f in tail``. Shared by both
-    stream readers so their checkpoints interoperate, across all three
-    wire forms: compact ``{"watermark", "tail"}``, legacy full-list
-    ``{"consumed"}`` (watermark None), and pre-r7 positional
-    ``{"files": n}`` counts. The count form maps n onto the first n of
-    the CURRENT sorted listing — best-effort by design: if consumed
-    files were deleted, or names that sort early landed out of order,
-    between the legacy checkpoint and the upgrade, the reconstructed
-    set differs from what was actually read and the one boundary batch
-    silently re-reads or skips those files. The migration logs a
-    warning so operators can audit that batch."""
-    if "watermark" in offset or "tail" in offset:
-        return offset.get("watermark"), set(offset.get("tail", ()))
+def _offset_state(offset: dict, path: str) -> State:
+    """Offset → canonical membership state ``(gw, dirwm, tail)``.
+    Shared by both stream readers so their checkpoints interoperate,
+    across all four wire forms: per-dir compact ``{"dirwm", "tail"}``,
+    legacy global-watermark ``{"watermark", "tail"}`` (kept as the
+    read-only ``gw`` clause — old folds keep their old semantics; new
+    folds go per-dir), legacy full-list ``{"consumed"}``, and pre-r7
+    positional ``{"files": n}`` counts. The count form maps n onto the
+    first n of the CURRENT sorted listing — best-effort by design: if
+    consumed files were deleted, or names that sort early landed out of
+    order, between the legacy checkpoint and the upgrade, the
+    reconstructed set differs from what was actually read and the one
+    boundary batch silently re-reads or skips those files. The
+    migration logs a warning so operators can audit that batch."""
+    if "dirwm" in offset or "watermark" in offset or "tail" in offset:
+        return (
+            offset.get("watermark"),
+            dict(offset.get("dirwm", {})),
+            set(offset.get("tail", ())),
+        )
     if "consumed" in offset:
-        return None, set(offset["consumed"])
+        return None, {}, set(offset["consumed"])
     n = int(offset.get("files", 0))
     if n:
         _log.warning(
@@ -310,67 +361,94 @@ def _offset_state(offset: dict, path: str) -> tuple[str | None, set[str]]:
             "legacy checkpoint was written",
             n, n, path,
         )
-    return None, {
+    return None, {}, {
         os.path.relpath(fp, path) for fp in _list_landing_files(path)[:n]
     }
 
 
-def _member(name: str, watermark: str | None, tail: set[str]) -> bool:
-    return (watermark is not None and name <= watermark) or name in tail
+def _member(name: str, gw: str | None, dirwm: dict, tail: set[str]) -> bool:
+    if gw is not None and name <= gw:
+        return True
+    d, b = os.path.split(name)
+    w = dirwm.get(d)
+    return (w is not None and b <= w) or name in tail
 
 
-def _merge_states(
-    a: tuple[str | None, set[str]] | None, b: tuple[str | None, set[str]]
-) -> tuple[str | None, set[str]]:
-    """Exact union of two membership states: a name ≤ max(watermarks)
-    is a member of whichever state carried the larger watermark."""
+def _merge_states(a: State | None, b: State) -> State:
+    """Exact union of two membership states: per-dir max watermarks,
+    max legacy global watermark, tail union — a name is a member of
+    whichever state carried the larger bound."""
     if a is None:
         return b
-    wa, ta = a
-    wb, tb = b
-    w = wb if wa is None else wa if wb is None else max(wa, wb)
-    return w, ta | tb
+    ga, da, ta = a
+    gb, db, tb = b
+    g = gb if ga is None else ga if gb is None else max(ga, gb)
+    d = dict(da)
+    for k, v in db.items():
+        cur = d.get(k)
+        d[k] = v if cur is None else max(cur, v)
+    return g, d, ta | tb
 
 
 def _advance_state(
-    watermark: str | None,
-    tail: set[str],
+    state: State,
     listing: list[str],
     pending: list[str],
     keep: int,
-) -> tuple[str | None, set[str]]:
+) -> State:
     """End-offset state from a start state plus this batch's pending
     files, maintaining the FOLD INVARIANT (module docstring): only
-    names that are members of START fold under the watermark — pending
-    names all sort above the fold frontier (the frontier stops at the
-    first listed non-member, and pending IS the listed non-members) —
-    so the batch stays explicit in the end tail. The newest ``keep``
-    foldable names stay explicit as the late-arrival margin. The
-    watermark never regresses."""
-    frontier: str | None = None
+    names that are members of START fold under a watermark — pending
+    names all sort above their dir's fold frontier (the frontier stops
+    at the first listed non-member of that dir, and pending IS the
+    listed non-members) — so the batch stays explicit in the end tail.
+    The newest ``keep`` foldable names (globally) stay explicit as the
+    late-arrival margin. Folds are PER DIR (see the State note); a
+    legacy global watermark passes through unchanged, never growing.
+    Dir watermarks never regress."""
+    gw, dirwm, tail = state
+    # per-dir frontier: the longest all-member prefix of that dir's
+    # sorted listing (the global sorted listing keeps each dir's names
+    # contiguous and ordered)
+    frontier: dict[str, str] = {}
+    blocked: set[str] = set()
     for name in listing:  # sorted
-        if _member(name, watermark, tail):
-            frontier = name
+        d, b = os.path.split(name)
+        if d in blocked:
+            continue
+        if _member(name, gw, dirwm, tail):
+            frontier[d] = b
         else:
-            break
+            blocked.add(d)
     new_tail = tail | set(pending)
-    if frontier is None:
-        return watermark, new_tail
-    foldable = sorted(f for f in new_tail if f <= frontier)
+    if not frontier:
+        return gw, dirwm, new_tail
+    foldable = sorted(
+        f for f in new_tail
+        if (db := os.path.split(f))[0] in frontier
+        and db[1] <= frontier[db[0]]
+    )
     folded = foldable[:-keep] if keep > 0 else foldable
     if not folded:
-        return watermark, new_tail
-    new_w = folded[-1] if watermark is None else max(watermark, folded[-1])
-    return new_w, new_tail - set(folded)
+        return gw, dirwm, new_tail
+    new_dirwm = dict(dirwm)
+    for f in folded:
+        d, b = os.path.split(f)
+        cur = new_dirwm.get(d)
+        new_dirwm[d] = b if cur is None else max(cur, b)
+    return gw, new_dirwm, new_tail - set(folded)
 
 
-def _encode_state(watermark: str | None, tail: set[str]) -> dict:
+def _encode_state(gw: str | None, dirwm: dict, tail: set[str]) -> dict:
     """State → wire offset. Until anything folds this is the legacy
     full-list form byte-for-byte, so small streams and old readers of
     the checkpoint never see a format change."""
-    if watermark is None:
+    if gw is None and not dirwm:
         return {"consumed": sorted(tail)}
-    return {"watermark": watermark, "tail": sorted(tail)}
+    out: dict = {"dirwm": dict(sorted(dirwm.items())), "tail": sorted(tail)}
+    if gw is not None:
+        out["watermark"] = gw
+    return out
 
 
 class LandingPartitionStreamReader(DataSourceStreamReader):
@@ -407,9 +485,9 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
     this only because ``read(start)`` is handed the start offset.)
 
     Late-arrival margin: same trade as the simple reader — a file whose
-    name sorts at or below the current offset WATERMARK is treated as
+    name sorts at or below ITS DIR's offset watermark is treated as
     consumed (``offsetTailKeep`` names stay explicit above it; module
-    docstring).
+    docstring — unreachable under the writer's arrival-stamped naming).
 
     ``maxFilesPerBatch`` is honoured as best-effort admission control:
     ``latestOffset`` advances by at most that many new files past the
@@ -437,7 +515,7 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
         self.tail_keep = _parse_tail_keep(options)
         #: union of every offset this instance planned or committed —
         #: the cap baseline, NOT a correctness input (see docstring)
-        self._state: tuple[str | None, set[str]] | None = None
+        self._state: State | None = None
         #: previous listing — late-arrival observability baseline only
         self._prev_listing: set[str] | None = None
 
@@ -458,11 +536,11 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
             os.path.relpath(fp, self.path)
             for fp in _list_landing_files(self.path)
         )
-        w, tail = self._state or (None, set())
+        gw, dirwm, tail = self._state or (None, {}, set())
         self._prev_listing = _warn_skipped_late_arrivals(
-            self._prev_listing, listing, w, tail, self.path
+            self._prev_listing, listing, (gw, dirwm, tail), self.path
         )
-        pending = [f for f in listing if not _member(f, w, tail)]
+        pending = [f for f in listing if not _member(f, gw, dirwm, tail)]
         # cap only with a baseline: a fresh reader (driver restart) has
         # none, so its first batch is uncapped — documented best-effort
         if self.max_files is not None and self._state is not None:
@@ -470,13 +548,13 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
         # consumed-but-deleted files stay members (watermark or tail):
         # a re-landed same-name file is not re-read within one lifetime
         self._state = _advance_state(
-            w, tail, listing, pending, self.tail_keep
+            (gw, dirwm, tail), listing, pending, self.tail_keep
         )
         return _encode_state(*self._state)
 
     def partitions(self, start, end):
-        sw, st = _offset_state(start, self.path)
-        ew, et = _offset_state(end, self.path)
+        sg, sd, st = _offset_state(start, self.path)
+        ew, ed, et = _offset_state(end, self.path)
         # the batch is tail(end) − members(start): by the fold invariant
         # every file of the batch is explicit in the end tail, and using
         # the tail (never the current listing) keeps replay deterministic
@@ -488,10 +566,10 @@ class LandingPartitionStreamReader(DataSourceStreamReader):
         # it as a batch — a phantom re-read that crashes read() on the
         # missing file. Once dropped, stays dropped; the chain of end
         # offsets is the source of truth.
-        self._state = _merge_states(self._state, (ew, et))
+        self._state = _merge_states(self._state, (ew, ed, et))
         return [
             _FilePartition(os.path.join(self.path, rel))
-            for rel in sorted(f for f in et if not _member(f, sw, st))
+            for rel in sorted(f for f in et if not _member(f, sg, sd, st))
         ]
 
     def read(self, partition):
@@ -518,9 +596,9 @@ class LandingStreamReader(SimpleDataSourceStreamReader):
     until anything folds. Each micro-batch is exactly the listed
     non-members (sorted), so a late-arriving file whose name sorts
     BEFORE already-consumed tail names is still picked up exactly once
-    — with the one documented exception that a name at or below the
-    watermark itself is treated as consumed (``offsetTailKeep`` is the
-    margin; the landing contract's monotonic naming makes such
+    — with the one documented exception that a name at or below its
+    DIR's watermark is treated as consumed (``offsetTailKeep`` is the
+    margin; the writer's arrival-stamped monotonic naming makes such
     arrivals out-of-contract). ``readBetweenOffsets(start, end)``
     replays exactly ``tail(end) − members(start)`` — by the fold
     invariant, precisely the batch's files — regardless of files that
@@ -569,25 +647,25 @@ class LandingStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start):
-        w, tail = _offset_state(start, self.path)
+        gw, dirwm, tail = _offset_state(start, self.path)
         listing = sorted(
             self._rel(fp) for fp in _list_landing_files(self.path)
         )
         self._prev_listing = _warn_skipped_late_arrivals(
-            self._prev_listing, listing, w, tail, self.path
+            self._prev_listing, listing, (gw, dirwm, tail), self.path
         )
-        pending = [f for f in listing if not _member(f, w, tail)]
+        pending = [f for f in listing if not _member(f, gw, dirwm, tail)]
         if self.max_files is not None:
             pending = pending[: self.max_files]
         end = _encode_state(
-            *_advance_state(w, tail, listing, pending, self.tail_keep)
+            *_advance_state((gw, dirwm, tail), listing, pending, self.tail_keep)
         )
         return (iter(self._read_files(pending)), end)
 
     def readBetweenOffsets(self, start, end):
-        sw, st = _offset_state(start, self.path)
-        _ew, et = _offset_state(end, self.path)
-        batch = [f for f in et if not _member(f, sw, st)]
+        sg, sd, st = _offset_state(start, self.path)
+        _eg, _ed, et = _offset_state(end, self.path)
+        batch = [f for f in et if not _member(f, sg, sd, st)]
         return iter(self._read_files(batch))
 
 

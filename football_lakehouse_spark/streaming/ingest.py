@@ -52,6 +52,9 @@ def land_json_files(events: DataFrame, landing_dir: str, files_per_day: int = 1)
     salt values hash to distinct tasks — close enough for sizing; at
     scale this is how you keep one hot day from serialising into a
     single writer task)."""
+    import time
+    import uuid
+
     src_cols = events.columns
     salted = (
         events.withColumn("snapshot_date", F.to_date("ts"))
@@ -63,6 +66,16 @@ def land_json_files(events: DataFrame, landing_dir: str, files_per_day: int = 1)
         int(events.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         files_per_day,
     )
+
+    def _data_files() -> set[str]:
+        found = set()
+        for root, _dirs, files in os.walk(landing_dir):
+            for f in files:
+                if f.endswith(".json") and not f.startswith(("_", ".")):
+                    found.add(os.path.join(root, f))
+        return found
+
+    before = _data_files() if os.path.isdir(landing_dir) else set()
     (
         salted.repartition(n_parts, F.col("snapshot_date"), F.col("_salt"))
         .drop("_salt")
@@ -70,6 +83,22 @@ def land_json_files(events: DataFrame, landing_dir: str, files_per_day: int = 1)
         .partitionBy("snapshot_date")
         .json(landing_dir)
     )
+    # ARRIVAL-STAMPED monotone names (RUNBOOK §7 contract, enforced by
+    # the writer itself since r12): Spark's part-<uuid> names are
+    # random, so a LATE event landing in an old snapshot_date dir could
+    # sort below that dir's consumed-offset watermark and be silently
+    # skipped by the incremental readers. Renaming every new file to
+    # t<arrival-micros>-<seq>-<uuid> makes names within a dir monotone
+    # in arrival order — a late landing always sorts above the
+    # watermark. 't' > 'p' also keeps any crash-leftover part- file
+    # below all stamped names instead of interleaving.
+    stamp = time.time_ns() // 1000
+    for i, fp in enumerate(sorted(_data_files() - before)):
+        d = os.path.dirname(fp)
+        os.rename(
+            fp,
+            os.path.join(d, f"t{stamp:016d}-{i:04d}-{uuid.uuid4().hex[:6]}.json"),
+        )
 
 
 def read_landing_stream(
@@ -155,6 +184,10 @@ def evolve_landing_schema(
         "_rescue",
         "source_file",
         "snapshot_date",
+        # read_landing_stream overwrites ingest_ts with
+        # current_timestamp(); adopting a producer column of that name
+        # would parse its values and then silently clobber them
+        "ingest_ts",
         spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record"),
     }
     known = {f.name for f in prior.fields} | reserved
@@ -189,12 +222,16 @@ def ingest_available_now(
             + ", snapshot_date DATE"
         )
     stream = read_landing_stream(spark, landing_dir, schema)
+    # NOTE: there is deliberately no mergeSchema option here — it is a
+    # READ option the parquet writer ignores. Consumers of an evolved
+    # Bronze dir must pass .option("mergeSchema", "true") on read (or
+    # read with the schema log's DDL), else Spark samples one footer
+    # and silently drops evolved columns.
     q = (
         stream.writeStream.trigger(availableNow=True)
         .format("parquet")
         .option("path", bronze_dir)
         .option("checkpointLocation", checkpoint_dir)
-        .option("mergeSchema", "true")
         .partitionBy("snapshot_date")
         .start()
     )
@@ -225,25 +262,45 @@ def merge_stream_into_table(
     stream = read_landing_stream(spark, landing_dir)
 
     def _merge_batch(batch: DataFrame, _epoch: int) -> None:
+        from pyspark import StorageLevel
+
         if transform is not None:
             batch = transform(batch)
-        bad = F.lit(False)
-        if "_rescue" in batch.columns:
-            bad = bad | F.col("_rescue").isNotNull()
-        for k in keys:
-            bad = bad | F.col(k).isNull()
-        quarantined = batch.where(bad)
-        if quarantine_table is not None and not quarantined.isEmpty():
-            # transactional append: foreachBatch is at-least-once, and a
-            # plain append would re-add the same quarantined rows on
-            # every micro-batch replay — the same (app_id, epoch)
-            # idempotence the main sinks already use
-            quarantine_table.append_txn(
-                quarantined, f"{checkpoint_dir}:quarantine", _epoch
+        # flush sentinels (state.flush_sentinel) share the landing zone;
+        # they exist only to advance watermarked aggregations and must
+        # never reach a keyed table. Batch-side filtering is safe here —
+        # the watermark-pushdown caveat applies only to streaming
+        # aggregation plans, and this is a foreachBatch body.
+        if "event_type" in batch.columns:
+            from football_lakehouse_spark.streaming.state import FLUSH_MARKER
+
+            batch = batch.where(
+                ~F.col("event_type").eqNullSafe(F.lit(FLUSH_MARKER))
             )
-        batch = batch.where(~bad)
-        batch = dedupe_updates(batch, list(keys), list(order_desc))
-        table.merge(batch, list(keys))
+        # persist: this body drives up to three actions (quarantine
+        # probe, quarantine append, merge) — unpersisted, each re-reads
+        # and re-parses every source JSON file in the batch
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            bad = F.lit(False)
+            if "_rescue" in batch.columns:
+                bad = bad | F.col("_rescue").isNotNull()
+            for k in keys:
+                bad = bad | F.col(k).isNull()
+            quarantined = batch.where(bad)
+            if quarantine_table is not None and not quarantined.isEmpty():
+                # transactional append: foreachBatch is at-least-once,
+                # and a plain append would re-add the same quarantined
+                # rows on every micro-batch replay — the same
+                # (app_id, epoch) idempotence the main sinks already use
+                quarantine_table.append_txn(
+                    quarantined, f"{checkpoint_dir}:quarantine", _epoch
+                )
+            good = batch.where(~bad)
+            good = dedupe_updates(good, list(keys), list(order_desc))
+            table.merge(good, list(keys))
+        finally:
+            batch.unpersist()
 
     q = (
         stream.writeStream.trigger(availableNow=True)

@@ -68,11 +68,25 @@ def flush_sentinel(
     ``advance``), without a driver-side action: a 1×1 crossJoin of a
     template row against the aggregated max. An empty ``batch`` yields
     an empty sentinel, which is the right degenerate behaviour.
+
+    Every column other than ``ts_col`` and ``marker_col`` is NULL:
+    copying a real row's values (the pre-r12 behaviour) leaked a REAL
+    event_id into the sentinel, so any keyed consumer of the shared
+    landing zone (merge_stream_into_table's latest-wins dedup) elected
+    the sentinel — max ts — and overwrote the real event with marker
+    data. The sentinel's only job is to carry an event time and be
+    mechanically strippable; it must never collide with a real key.
     """
     bumped = batch.agg(
         (F.max(ts_col) + F.expr(f"INTERVAL {advance}")).alias(ts_col)
     ).where(F.col(ts_col).isNotNull())
-    template = batch.limit(1).drop(ts_col)
+    template = batch.limit(1).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in batch.schema.fields
+            if f.name != ts_col
+        ]
+    )
     return (
         template.crossJoin(bumped)
         .withColumn(marker_col, F.lit(FLUSH_MARKER))
@@ -189,10 +203,19 @@ def attribution_stream_join(
 
 
 def streaming_dedup(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
-    """Watermark + dropDuplicates on the deterministic event key — the
-    Spark-native late/duplicate handling (engine offers both this and
-    the MERGE pattern, per SURVEY.md §2 ST4)."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Watermark + dropDuplicatesWithinWatermark on the deterministic
+    event key — the Spark-native late/duplicate handling (engine offers
+    both this and the MERGE pattern, per SURVEY.md §2 ST4).
+
+    WithinWatermark, not plain dropDuplicates: with the key subset not
+    containing the event-time column, plain dropDuplicates keeps every
+    key in the state store FOREVER (no watermark eviction) — unbounded
+    state on an unbounded stream. WithinWatermark evicts keys once the
+    watermark passes them, bounding state to the horizon (the q106 /
+    cross-batch-test pattern this helper had drifted from)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def run_windowed_counts_available_now(

@@ -42,10 +42,14 @@ def _update_user_state(key, pdfs, state: GroupState):
     n, micros = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
+        # NULL values (rescued/absent fields) are NaN here; they
+        # contribute 0, matching money_sum/q91 (SUM skips NULL). An
+        # unmasked floor(NaN).astype(int64) poisons the accumulator
+        # with INT64_MIN forever.
+        vals = pdf["value"].to_numpy(dtype="float64")
+        vals = np.where(np.isnan(vals), 0.0, vals)
         micros += int(
-            np.floor(pdf["value"].to_numpy(dtype="float64") * 1000000.0 + 0.5)
-            .astype("int64")
-            .sum()
+            np.floor(vals * 1000000.0 + 0.5).astype("int64").sum()
         )
     state.update((n, micros))
     import pandas as pd
@@ -54,7 +58,10 @@ def _update_user_state(key, pdfs, state: GroupState):
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(micros / 1000000.0, 2)],
+            # FLOOR at cents, not round(): the money_sum discipline the
+            # batch twin (q27/q91) emits — round() disagreed by 0.01
+            # whenever the micro remainder crossed 5000
+            "total_value": [(micros // 10**4) / 100.0],
         }
     )
 

@@ -73,17 +73,20 @@ class RunningUserTotals(StatefulProcessor):
         n, micros = (prev[0], prev[1]) if prev is not None else (0, 0)
         for pdf in rows:
             n += len(pdf)
+            # NaN (NULL value) contributes 0 — matches money_sum/q91;
+            # unmasked it poisons the accumulator with INT64_MIN
+            vals = pdf["value"].to_numpy(dtype="float64")
+            vals = np.where(np.isnan(vals), 0.0, vals)
             micros += int(
-                np.floor(
-                    pdf["value"].to_numpy(dtype="float64") * 1000000.0 + 0.5
-                ).astype("int64").sum()
+                np.floor(vals * 1000000.0 + 0.5).astype("int64").sum()
             )
         self._agg.update((n, micros))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(micros / 1000000.0, 2)],
+                # floor at cents (money_sum discipline), never round()
+                "total_value": [(micros // 10**4) / 100.0],
             }
         )
 

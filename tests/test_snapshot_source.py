@@ -384,7 +384,7 @@ def test_landing_offset_compaction_long_chain(tmp_path):
     # the latest offset is compact: watermark form, tail bounded by
     # margin + one batch — vs ~10⁴ names for the full-list form
     latest = offsets[-1]
-    assert "watermark" in latest
+    assert "dirwm" in latest
     assert len(latest["tail"]) <= 64 + files_per_batch
     full_size = len(_json.dumps({"consumed": sorted(set(flat))}))
     assert len(_json.dumps(latest)) < full_size / 20
@@ -437,7 +437,7 @@ def test_landing_offset_late_arrival_margin(tmp_path):
     # second advance folds the stable prefix behind a 2-name margin
     put("f10.json", 10)
     e2 = rdr.latestOffset()
-    assert e2["watermark"] == "f07.json"
+    assert e2["dirwm"] == {"": "f07.json"}
     assert sorted(e2["tail"]) == ["f08.json", "f09.json", "f10.json"]
 
     # late arrival ABOVE the watermark (inside the margin): read once
@@ -507,8 +507,8 @@ def test_landing_late_arrival_below_watermark_warns(tmp_path, caplog):
     e1 = rdr.latestOffset()
     rdr.partitions(start, e1)
     put("f10.json", 10)
-    e2 = rdr.latestOffset()  # folds: watermark = f07.json
-    assert e2["watermark"] == "f07.json"
+    e2 = rdr.latestOffset()  # folds: dir watermark = f07.json
+    assert e2["dirwm"] == {"": "f07.json"}
     logger = "football_lakehouse_spark.sources.pyds"
     # steady state, no new sub-watermark names: silent
     with caplog.at_level(logging.WARNING, logger=logger):
@@ -532,7 +532,7 @@ def test_landing_late_arrival_below_watermark_warns(tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger=logger):
         _rows, send1 = simple.read(simple.initialOffset())
         _rows, send2 = simple.read(send1)
-        assert "watermark" in send2
+        assert "dirwm" in send2
         put("f00b.json", 100)
         simple.read(send2)  # f00b is below the watermark and never listed
     assert any(
@@ -586,7 +586,7 @@ def test_landing_restart_offset_shape(tmp_path):
     rdr.partitions(start, e1)
     (land / "f10.json").write_text(line % 10)
     e2 = rdr.latestOffset()
-    assert "watermark" in e2  # compact in steady state
+    assert "dirwm" in e2  # compact in steady state
 
     # clean restart, no uncommitted batch: first entry is full-list...
     clean = LandingPartitionStreamReader({"path": str(land), "offsetTailKeep": "2"})
@@ -595,7 +595,7 @@ def test_landing_restart_offset_shape(tmp_path):
     # ...and self-heals into the compact form on the next advance
     (land / "f11.json").write_text(line % 11)
     r2 = clean.latestOffset()
-    assert "watermark" in r2 and len(r2.get("tail", [])) <= 3
+    assert "dirwm" in r2 and len(r2.get("tail", [])) <= 3
 
     # restart WITH an uncommitted batch: partitions(start, end) runs
     # first (Spark recovery), seeds the baseline, and the first
@@ -604,7 +604,7 @@ def test_landing_restart_offset_shape(tmp_path):
     warm.partitions(e1, e2)
     (land / "f12.json").write_text(line % 12)
     w1 = warm.latestOffset()
-    assert "watermark" in w1
+    assert "dirwm" in w1
 
 
 def test_landing_batch_empty_dir_and_malformed_ts(spark, tmp_path):
@@ -720,3 +720,109 @@ def test_fetch_snapshot_converts_aware_now_to_utc():
     )
     assert row["snapshot_ts"] == datetime(2026, 8, 15, 20, 30)
     assert row["snapshot_date"].isoformat() == "2026-08-15"
+
+
+def test_landing_cross_dir_late_arrival_is_read(tmp_path):
+    """r12 review fix: the offset fold is PER DIR. A late event for an
+    OLD snapshot_date dir lands in a dir that sorts wholesale below the
+    newest consumed names — under the old GLOBAL watermark its file was
+    treated as consumed and silently skipped (permanent data loss);
+    per-dir watermarks plan it exactly once."""
+    from football_lakehouse_spark.sources.pyds import (
+        LandingPartitionStreamReader,
+    )
+
+    land = tmp_path / "landing"
+    line = (
+        '{"event_id":%d,"ts":"2026-02-0%dT10:00:00","user_id":1,'
+        '"event_type":"click","value":1.0,"props":null}\n'
+    )
+
+    def put(day, name, eid):
+        d = land / f"snapshot_date=2026-02-0{day}"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / name).write_text(line % (eid, day))
+
+    rdr = LandingPartitionStreamReader(
+        {"path": str(land), "offsetTailKeep": "2"}
+    )
+    start = rdr.initialOffset()
+    for day in (1, 2, 3):
+        for i in range(4):
+            put(day, f"t{day}{i:03d}.json", day * 10 + i)
+    e1 = rdr.latestOffset()
+    rdr.partitions(start, e1)
+    put(3, "t3999.json", 39)
+    e2 = rdr.latestOffset()  # folds day-1/day-2 dirs behind the margin
+    rdr.partitions(e1, e2)
+    assert "dirwm" in e2 and "snapshot_date=2026-02-01" in e2["dirwm"]
+
+    # the late arrival: an event-time-day-1 file landing NOW, with an
+    # arrival-stamped name above its dir's watermark but far below
+    # every day-2/day-3 name in global path order
+    put(1, "t9999.json", 19)
+    e3 = rdr.latestOffset()
+    batch = [os.path.basename(p.fp) for p in rdr.partitions(e2, e3)]
+    assert batch == ["t9999.json"]  # read exactly once, not skipped
+    rdr.commit(e3)
+    e4 = rdr.latestOffset()
+    assert rdr.partitions(e3, e4) == []  # and never replanned
+
+
+def test_landing_legacy_global_watermark_offset_honoured(tmp_path):
+    """A pre-r12 {'watermark': W} checkpoint keeps its exact membership
+    semantics (name <= W is consumed) while new folds go per-dir."""
+    from football_lakehouse_spark.sources.pyds import LandingStreamReader
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    line = (
+        '{"event_id":%d,"ts":"2026-02-01T10:00:00","user_id":1,'
+        '"event_type":"click","value":1.0,"props":null}\n'
+    )
+    for i in range(6):
+        (land / f"f{i:02d}.json").write_text(line % i)
+    simple = LandingStreamReader({"path": str(land), "offsetTailKeep": "2"})
+    legacy = {"watermark": "f03.json", "tail": ["f04.json"]}
+    rows, end = simple.read(legacy)
+    assert [r[0] for r in rows] == [5]  # f00..f03 <= W, f04 in tail
+    assert end.get("watermark") == "f03.json"  # passthrough, never grown
+
+
+def test_land_json_files_arrival_stamped_names(spark, tmp_path):
+    """r12: the engine's own landing writer enforces the monotone
+    naming contract the incremental readers rely on — every data file
+    is renamed t<arrival-micros>-<seq>-<uuid>.json, so a later landing
+    into the SAME event-date dir always sorts above earlier ones."""
+    from pyspark.sql import functions as F
+
+    from football_lakehouse_spark.streaming.ingest import land_json_files
+
+    land = str(tmp_path / "landing")
+    df1 = spark.createDataFrame(
+        [(1, "2026-02-01 10:00:00", 1, "click", 1.0, None)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    land_json_files(df1, land)
+    first = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(land)
+        for f in fs
+        if f.endswith(".json") and not f.startswith(("_", "."))
+    )
+    assert first and all(
+        os.path.basename(f).startswith("t") for f in first
+    ), first
+    # a second landing into the same day dir sorts strictly above
+    land_json_files(df1, land)
+    second = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(land)
+        for f in fs
+        if f.endswith(".json") and not f.startswith(("_", "."))
+    )
+    new = sorted(set(second) - set(first))
+    assert new and min(os.path.basename(f) for f in new) > max(
+        os.path.basename(f) for f in first
+    )
