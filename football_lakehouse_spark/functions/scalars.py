@@ -39,29 +39,48 @@ def micros(c: Column) -> Column:
     return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
 
 
+def _trunc_div(a: Column, b: Column) -> Column:
+    """EXACT truncate-toward-zero integer division for a decimal ``a``
+    by a positive integer ``b`` — the semantics of SQL ``div`` and
+    DuckDB ``//`` (verified: -7 // 2 = -3 in both). Built from pmod so
+    no decimal division ever rounds: ``a - pmod(a, b)`` is an exact
+    multiple of ``b``, its quotient is exact at any scale, and the
+    +1 correction turns floor into trunc for negative ``a``. The naive
+    ``floor(a / b)`` had TWO cross-engine bugs: floor ≠ trunc for
+    negative sums, and Spark's decimal division HALF_UP-rounds at
+    result scale BEFORE the floor (one high when the true fraction is
+    ≥ .9999995 — the q199/q55 class)."""
+    fm = F.pmod(a, b)
+    fd = (a - fm) / b
+    return fd + F.when((a < 0) & (fm != 0), F.lit(1)).otherwise(F.lit(0))
+
+
 def money_sum(c: Column, scale: int = 2) -> Column:
     """Cross-engine-exact sum for money-magnitude doubles: quantise each
     row to micro-units (portable, see :func:`micros`), sum exactly,
-    floor at ``scale``. No round() anywhere — floor on exact integers
-    has no tie-breaking semantics to disagree on."""
+    truncate at ``scale`` (matching the DuckDB twin's ``//`` exactly,
+    negative sums included — see :func:`_trunc_div`). No round()
+    anywhere — truncation on exact integers has no tie-breaking
+    semantics to disagree on."""
     shift = 10 ** (6 - scale)
     unit = 10 ** scale
-    return F.floor(F.sum(micros(c)) / F.lit(shift)).cast("double") / unit
+    return _trunc_div(F.sum(micros(c)), F.lit(shift)).cast("double") / unit
 
 
 def money_avg(c: Column, scale: int = 4) -> Column:
-    """Cross-engine-exact average: floor(sum_micros / (count·10^(6-s)))
-    / 10^s. Residual risk: Spark's decimal division rounds at scale 6
-    before the floor (DuckDB floors exactly); they diverge only when the
-    true quotient is within 5e-7 of an integer — ~1e-6 per group."""
+    """Cross-engine-exact average: trunc(sum_micros div (count·10^(6-s)))
+    / 10^s via :func:`_trunc_div` — exact for any sign and any
+    quotient (the old floor-of-decimal-division form read one 1e-4 unit
+    high whenever the true quotient's fraction was ≥ .9999995)."""
     shift = 10 ** (6 - scale)
     unit = 10 ** scale
     denom = F.count(F.lit(1)) * F.lit(shift)
-    return F.floor(F.sum(micros(c)) / denom).cast("double") / unit
+    return _trunc_div(F.sum(micros(c)), denom).cast("double") / unit
 
 
 def sql_money_sum(expr: str, scale: int = 2) -> str:
-    """DuckDB twin of :func:`money_sum` (// = integer floor division)."""
+    """DuckDB twin of :func:`money_sum` (``//`` truncates toward zero,
+    exactly like :func:`_trunc_div`; NOT floor — -7 // 2 = -3)."""
     shift = 10 ** (6 - scale)
     unit = 10 ** scale
     return (

@@ -96,9 +96,13 @@ def quality_score(text: Column) -> Column:
     n = F.size(toks).cast("bigint")
     sw_ratio = stopword_count(toks) * F.lit(1.0) / n
     len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
-    score = len_ok * 0.5 + sw_ratio * 0.5
+    # association matters at the floor boundary: scale each term BEFORE
+    # adding — the exact float association the q38 oracle uses (a
+    # drifted (a*.5 + b*.5)*10000 copy can flip the last digit); this
+    # function IS q38's implementation, one definition total
+    score_e4 = len_ok * 0.5 * 10000 + sw_ratio * 0.5 * 10000
     return F.when(
-        n > 0, F.floor(score * 10000).cast("double") / 10000
+        n > 0, F.floor(score_e4).cast("double") / 10000
     ).otherwise(F.lit(0.0))
 
 

@@ -51,7 +51,7 @@ def assert_not_empty(df: DataFrame, name: str = "df") -> None:
         raise DataQualityError(f"{name}: expected at least one row")
 
 
-def failed_expectations(df: DataFrame, expectations: dict[str, str]):
+def failed_expectations(expectations: dict[str, str]):
     """Column: array of expectation names the row VIOLATES (predicate
     false or NULL — the enforcement semantics of table CHECK
     constraints). Empty array = row passes everything."""
@@ -101,7 +101,7 @@ def append_with_expectations(
     sinks received — recomputing counts after the writes from a lazy
     plan over a non-deterministic source (a landing dir gaining files
     mid-batch) could disagree with what was actually appended."""
-    marked = df.withColumn("__failed", failed_expectations(df, expectations))
+    marked = df.withColumn("__failed", failed_expectations(expectations))
     marked.persist()
     try:
         counts = marked.agg(

@@ -13,11 +13,27 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
 
-from ..functions.scalars import epoch_seconds
+from ..functions.scalars import _trunc_div, epoch_micros, micros
 
 
-def entity_timeline(df: DataFrame, key: str, order: list[str]) -> WindowSpec:
+def entity_timeline(key: str, order: list[str]) -> WindowSpec:
     return Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order])
+
+
+def _quantised_mean(value: str, w: WindowSpec, scale: int = 4) -> Column:
+    """Windowed cross-engine-exact mean at ``scale`` — the money_avg
+    discipline over a window: per-row integer micros, exact decimal
+    sum, truncating division. The old ``round(avg(double), scale)``
+    was non-portable (class-2): Spark rounds the shortest decimal repr
+    HALF_UP while DuckDB rounds the binary value, so a tie-repr double
+    (e.g. binary 0.28499999999999998 printing as 0.285) flips the last
+    digit between engines."""
+    shift = 10 ** (6 - scale)
+    denom = F.count(F.lit(1)).over(w) * F.lit(shift)
+    return (
+        _trunc_div(F.sum(micros(F.col(value))).over(w), denom).cast("double")
+        / 10 ** scale
+    )
 
 
 def rolling_mean(
@@ -30,8 +46,8 @@ def rolling_mean(
 ) -> DataFrame:
     """Rolling mean over the trailing ``window_rows`` rows per entity —
     the 'form score' primitive (reference A7)."""
-    w = entity_timeline(df, key, order).rowsBetween(-(window_rows - 1), 0)
-    return df.withColumn(alias, F.round(F.avg(value).over(w), 4))
+    w = entity_timeline(key, order).rowsBetween(-(window_rows - 1), 0)
+    return df.withColumn(alias, _quantised_mean(value, w))
 
 
 def rolling_form_features(
@@ -44,15 +60,16 @@ def rolling_form_features(
     n_alias: str = "form_n",
 ) -> list[Column]:
     """The A7 'form' column pair — trailing-``window_rows`` mean
-    (rounded to 4, the published quantisation) and the window's row
-    count — over the per-entity timeline. ONE definition shared by the
-    q25 registry query and the medallion gold build (they carried
-    byte-equivalent inline copies before r11; a change to the ordering,
-    tie-break, or quantisation must hit both at once). Returned as
-    select-able Columns so callers keep their own projection."""
-    w = entity_timeline(df, key, order).rowsBetween(-(window_rows - 1), 0)
+    (micros-quantised at 1e-4, see :func:`_quantised_mean`) and the
+    window's row count — over the per-entity timeline. ONE definition
+    shared by the q25 registry query and the medallion gold build (they
+    carried byte-equivalent inline copies before r11; a change to the
+    ordering, tie-break, or quantisation must hit both at once).
+    Returned as select-able Columns so callers keep their own
+    projection."""
+    w = entity_timeline(key, order).rowsBetween(-(window_rows - 1), 0)
     return [
-        F.round(F.avg(value).over(w), 4).alias(mean_alias),
+        _quantised_mean(value, w).alias(mean_alias),
         F.count(F.lit(1)).over(w).cast("bigint").alias(n_alias),
     ]
 
@@ -61,10 +78,16 @@ def lag_delta(
     df: DataFrame, key: str, order: list[str], value: str, alias: str
 ) -> DataFrame:
     """Per-entity delta vs previous observation — the 'price delta'
-    primitive (reference A8: lag(now_cost) over player timeline)."""
-    w = entity_timeline(df, key, order)
+    primitive (reference A8: lag(now_cost) over player timeline).
+    Quantised as a difference of per-row integer micros truncated at
+    1e-4 — ``round(a - b, 4)`` on doubles was the class-2 tie-repr
+    hazard (see :func:`_quantised_mean`); deltas are signed, and
+    truncation matches the oracle's ``//`` exactly for both signs."""
+    w = entity_timeline(key, order)
+    delta_micros = micros(F.col(value)) - micros(F.lag(value, 1).over(w))
     return df.withColumn(
-        alias, F.round(F.col(value) - F.lag(value, 1).over(w), 4)
+        alias,
+        _trunc_div(delta_micros, F.lit(100)).cast("double") / 10**4,
     )
 
 
@@ -97,10 +120,17 @@ def sessionize(
     """Gap-based sessionization: a new session starts when the time
     since the previous event exceeds ``gap``. lag + conditional cumsum —
     two window passes over one exchange."""
-    w = entity_timeline(df, key, order)
+    w = entity_timeline(key, order)
     prev_ts = F.lag(ts, 1).over(w)
+    # MICROsecond gap comparison: the fixture timestamps carry
+    # sub-second precision, and whole-second truncation disagreed with
+    # a fractional-second oracle whenever the true gap straddled the
+    # boundary within one second (r12 review)
+    gap_micros = gap.cast("bigint") * F.lit(1000000)
     is_new = F.when(
-        prev_ts.isNull() | (epoch_seconds(F.col(ts)) - epoch_seconds(prev_ts) > gap), 1
+        prev_ts.isNull()
+        | (epoch_micros(F.col(ts)) - epoch_micros(prev_ts) > gap_micros),
+        1,
     ).otherwise(0)
     return df.withColumn("__new", is_new).withColumn(
         session_alias,

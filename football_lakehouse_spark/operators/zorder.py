@@ -81,7 +81,15 @@ def zorder_write(
         df.withColumn("__z", z)
         .withColumn("__zb", F.shiftright(F.col("__z"), bucket_shift))
         .repartition(F.col("__zb"))
-        .sortWithinPartitions("__z")
+        # sort by (__zb, __z), not __z alone: the dynamic-partition
+        # writer REQUIRES output ordered by the partition column, and
+        # with only [__z] known the planner inserted its own Sort(__zb)
+        # — no secondary key — discarding the intra-file z ordering
+        # this function promises (r12 review). With __zb as the sort
+        # prefix the requirement is satisfied as-is (the prefix
+        # survives the __z drop), so no extra sort is injected and the
+        # physical z order reaches the files.
+        .sortWithinPartitions("__zb", "__z")
         .drop("__z")
         .write.mode("overwrite")
         .partitionBy("__zb")

@@ -126,10 +126,15 @@ def _sql_lang_pred() -> str:
     tags=("llm", "text"),
 )
 def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from football_lakehouse_spark.functions.text import (
+        quality_score,
+        stopword_count,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     toks = ws_tokens(F.col("text"))
     n = F.size(toks).cast("bigint")
-    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    sw = stopword_count(toks)
     return docs.select(
         "doc_id",
         "lang",
@@ -138,16 +143,9 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n > 0, F.floor(sw * 10000 / n).cast("double") / 10000)
         .otherwise(F.lit(0.0))
         .alias("stopword_ratio"),
-        F.when(
-            n > 0,
-            F.floor(
-                F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
-                * 0.5
-                * 10000
-                + (sw * F.lit(1.0) / n) * 0.5 * 10000
-            ).cast("double")
-            / 10000,
-        ).otherwise(F.lit(0.0)).alias("quality"),
+        # the ONE shared definition (functions.text.quality_score) —
+        # this query carried a drifted inline copy before r12
+        quality_score(F.col("text")).alias("quality"),
         predicted_lang(toks).alias("predicted_lang"),
     )
 

@@ -54,17 +54,17 @@ def latest_snapshot_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q25_rolling_form",
+    # micros-quantised mean, NOT round(avg(double), 4): Spark and DuckDB
+    # round() disagree on tie-repr doubles (class 2); // truncates like
+    # the engine's _trunc_div for both signs
     oracle="""
     SELECT event_id, user_id, event_type,
-           round(avg(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
-           ), 4) AS form_score,
-           CAST(count(*) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS form_n
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) OVER w
+                // (count(*) OVER w * 100) AS DOUBLE) / 10000 AS form_score,
+           CAST(count(*) OVER w AS BIGINT) AS form_n
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """,
     doc="Rolling 5-event mean per user ordered by event time — the declared "
     "fact_live_form 'rolling features' operator (SURVEY §2 A7).",
@@ -88,12 +88,17 @@ def rolling_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q26_value_delta",
+    # micros difference truncated at 1e-4 (not round(a-b, 4) — class 2;
+    # DuckDB // truncates toward zero, matching _trunc_div on signed
+    # deltas)
     oracle="""
     SELECT event_id, user_id,
-           round(value - lag(value, 1) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-           ), 4) AS value_delta
+           CAST((CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)
+                 - CAST(floor(lag(value, 1) OVER w * 1000000.0 + 0.5)
+                        AS HUGEINT)) // 100 AS DOUBLE) / 10000
+               AS value_delta
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     doc="Per-entity lag delta — the declared fact_price_snapshot price-delta "
     "operator (SURVEY §2 A8: lag(now_cost) over player timeline).",
@@ -151,9 +156,13 @@ def live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q28_sessionize",
     oracle="""
     WITH flagged AS (
+        -- epoch_us, not epoch(): the fixture timestamps carry
+        -- microseconds, and epoch() doubles vs whole-second engine
+        -- truncation diverged on gaps straddling the boundary (r12)
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > CAST(3600 AS BIGINT) * 1000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
