@@ -94,7 +94,16 @@ def candidate_volume(postings: DataFrame, key_cols: list[str]) -> DataFrame:
     100 TB envelope). Same defence as the ``_star_components``
     fingerprint sum (operators/dedup.py).
     """
-    per_key = postings.groupBy(*[F.col(c) for c in key_cols]).agg(
+    # price what the gated join actually emits: an equi-self-join
+    # produces ZERO pairs for NULL keys (NULL never equals NULL), so a
+    # giant NULL posting must not be priced as C(n,2) — that spuriously
+    # refused joins whose real output was far under the cap (r12
+    # review). NULL-keyed rows are dropped from the pricing, matching
+    # the join's own semantics.
+    non_null = postings
+    for c in key_cols:
+        non_null = non_null.where(F.col(c).isNotNull())
+    per_key = non_null.groupBy(*[F.col(c) for c in key_cols]).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias(_N)
     )
     return per_key.agg(

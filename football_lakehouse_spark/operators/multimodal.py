@@ -98,6 +98,16 @@ def frame_sample(
     """
     from pyspark.sql import functions as F
 
+    # fail at CALL time, not mid-stage: every_nth=0 makes `ix % 0` NULL
+    # (non-ANSI: silently zero frames for every doc) or a DIVIDE_BY_ZERO
+    # deep in the job (ANSI); frame_bytes<1 likewise nulls n_frames into
+    # silently-empty output (r12 review; the selection.py bucket_width
+    # guard rationale)
+    if frame_bytes < 1:
+        raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+
     payload = F.col(f"{asset_col}.payload")
     n_frames = F.ceil(F.length(payload) / F.lit(frame_bytes)).cast("int")
     # n_frames == 0 would make sequence(0, -1) count DOWN to [0, -1] and
@@ -200,6 +210,16 @@ def extract_features(df: DataFrame, asset_col: str = "asset") -> DataFrame:
                         float(int(s.max())) if s.size else 0.0,
                         float(d["bits"]),
                     ]
+                # unknown mime → byte-histogram fallback, INSIDE the
+                # try: a non-bytes payload cell here raised an uncaught
+                # TypeError and killed the stage (r12 review) — the
+                # same poison-row class the branches above handle
+                buckets = [0] * dim
+                for b in payload[:256]:
+                    buckets[b % dim] += 1
+                total = max(1, sum(buckets))
+                # floor-quantised micro-units: cross-engine bit-identical
+                return [x * 1_000_000 // total / 1e6 for x in buckets]
             except (ValueError, TypeError):
                 # ValueError: detectably-bad payload (codec contract).
                 # TypeError: non-bytes payload cell (Arrow hands the
@@ -207,12 +227,6 @@ def extract_features(df: DataFrame, asset_col: str = "asset") -> DataFrame:
                 # poison row, and NOT a ValueError subclass, so without
                 # this it would kill the whole stage at 100 TB.
                 return None
-            buckets = [0] * dim
-            for b in payload[:256]:
-                buckets[b % dim] += 1
-            total = max(1, sum(buckets))
-            # floor-quantised micro-units: cross-engine bit-identical
-            return [x * 1_000_000 // total / 1e6 for x in buckets]
 
         for pdf in it:
             yield pd.DataFrame(

@@ -162,7 +162,13 @@ def dsir_scores(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(evidence).cast("bigint").alias("score"),
+            # decimal(38,0) ACCUMULATOR (r12 review): per-row evidence
+            # is ~(count × corpus-total), so a bigint running sum wraps
+            # (non-ANSI) or crashes mid-aggregation (ANSI) orders of
+            # magnitude below the 100 TB envelope. The output cast back
+            # to bigint matches the oracle's schema and fails LOUDLY on
+            # both engines if a final score ever outgrows it.
+            F.sum(evidence.cast("decimal(38,0)")).cast("bigint").alias("score"),
         )
         .withColumn("selected", F.col("score") > 0)
     )
@@ -176,6 +182,7 @@ def bucketed_prefix(
     rank: str | None = None,
     descending: bool = False,
     maxs=None,
+    group=None,
 ) -> DataFrame:
     """The generalised two-phase global prefix (token_budget_select's
     decomposition, factored out so every global-window plan can reuse
@@ -210,10 +217,21 @@ def bucketed_prefix(
     ~10²–10³ buckets). Ties across the bucket boundary are impossible
     by construction (equal order keys hash to equal buckets when the
     bucket is a function of the leading order key).
+
+    ``group`` (r12): optional partition columns — the decomposition
+    runs independently WITHIN each group (running aggregates/rank per
+    group: exactly ``Window.partitionBy(*group).orderBy(...)``
+    semantics). This is the scale fix for few-valued partition keys: a
+    ``PARTITION BY event_type`` window over a 5-value enum serialises
+    corpus/5 rows through one task's sort — the same cliff as an
+    unpartitioned window — while grouped bucketing keeps every task at
+    one (group, bucket) slice. Group matching is null-safe throughout
+    (a NULL group value is one group).
     """
     sums = dict(sums or {})
     maxs = dict(maxs or {})
     order = list(order)
+    groups = list(group or [])
     agg = (
         [F.count(F.lit(1)).alias("__bcnt")]
         + [F.sum(expr).alias(f"__btot_{name}") for name, expr in sums.items()]
@@ -224,8 +242,9 @@ def bucketed_prefix(
         + [F.count(expr).alias(f"__bnn_{name}") for name, expr in sums.items()]
         + [F.max(expr).alias(f"__bmax_{name}") for name, expr in maxs.items()]
     )
-    bucket_tot = df.groupBy(bucket).agg(*agg)
+    bucket_tot = df.groupBy(*groups, bucket).agg(*agg)
     other = bucket_tot.select(
+        *[F.col(g).alias(f"__og{i}") for i, g in enumerate(groups)],
         F.col(bucket).alias("__ob"),
         F.col("__bcnt").alias("__ocnt"),
         *[F.col(f"__btot_{name}").alias(f"__otot_{name}") for name in sums],
@@ -245,9 +264,12 @@ def bucketed_prefix(
         better = (F.col("__ob") < F.col(bucket)) | (
             F.col("__ob").isNull() & F.col(bucket).isNotNull()
         )
+    # grouped: the prefix only counts better buckets of the SAME group
+    for i, g in enumerate(groups):
+        better = better & F.col(f"__og{i}").eqNullSafe(F.col(g))
     bucket_prefix = (
         bucket_tot.join(F.broadcast(other), better, "left")
-        .groupBy(bucket)
+        .groupBy(*groups, bucket)
         .agg(
             F.coalesce(F.sum("__ocnt"), F.lit(0)).alias("__pcnt"),
             *[
@@ -267,16 +289,18 @@ def bucketed_prefix(
             *[F.max(f"__omax_{name}").alias(f"__p_{name}") for name in maxs],
         )
     )
-    w_in = Window.partitionBy(bucket).orderBy(*order)
+    w_in = Window.partitionBy(*groups, bucket).orderBy(*order)
     w_in_cum = w_in.rowsBetween(Window.unboundedPreceding, 0)
-    # null-safe join: a NULL bucket must rejoin its own prefix row, not
-    # vanish ("All original columns are preserved")
-    out = df.join(
-        F.broadcast(
-            bucket_prefix.withColumnRenamed(bucket, "__pb")
-        ),
-        F.col(bucket).eqNullSafe(F.col("__pb")),
-    ).drop("__pb")
+    # null-safe join: a NULL bucket/group must rejoin its own prefix
+    # row, not vanish ("All original columns are preserved")
+    prefix = bucket_prefix.withColumnRenamed(bucket, "__pb")
+    cond = F.col(bucket).eqNullSafe(F.col("__pb"))
+    for i, g in enumerate(groups):
+        prefix = prefix.withColumnRenamed(g, f"__pg{i}")
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__pg{i}"))
+    out = df.join(F.broadcast(prefix), cond).drop(
+        "__pb", *[f"__pg{i}" for i in range(len(groups))]
+    )
     for name, expr in sums.items():
         within = F.sum(expr).over(w_in_cum)
         within_nn = F.count(expr).over(w_in_cum)

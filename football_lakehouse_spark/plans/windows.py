@@ -191,6 +191,40 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_grid_cells(spark: SparkSession, sf_dir: str):
+    """Shared q97/q173 resample scaffolding — (ev, cells, grid): the
+    user_id<=30 slice truncated to hours, the per-(user, hour)
+    latest-value cells (ts desc, event_id desc tie-break), and the
+    dense per-user hourly grid spanning min..max hour. ONE definition
+    for both resample queries (they carried ~20-line verbatim copies
+    before r12 — the drift hazard rolling_form_features' docstring
+    records from r11)."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 30)
+        .withColumn("h", F.date_trunc("hour", F.col("ts")))
+    )
+    rn = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cells = (
+        ev.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    return ev, cells, grid
+
+
+
 @query(
     "q97_resample_ffill",
     oracle="""
@@ -239,27 +273,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("user_id") <= 30)
-        .withColumn("h", F.date_trunc("hour", F.col("ts")))
-    )
-    rn = Window.partitionBy("user_id", "h").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    cells = (
-        ev.withColumn("rn", F.row_number().over(rn))
-        .where(F.col("rn") == 1)
-        .select("user_id", "h", "value")
-    )
+    ev, cells, grid = _hourly_grid_cells(spark, sf_dir)
     counts = ev.groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("n"))
-    bounds = ev.groupBy("user_id").agg(
-        F.min("h").alias("mn"), F.max("h").alias("mx")
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
-    )
     fill = Window.partitionBy("user_id").orderBy("h").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -731,26 +746,7 @@ def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from football_lakehouse_spark.functions.scalars import epoch_seconds
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("user_id") <= 30)
-        .withColumn("h", F.date_trunc("hour", F.col("ts")))
-    )
-    rn = Window.partitionBy("user_id", "h").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    cells = (
-        ev.withColumn("rn", F.row_number().over(rn))
-        .where(F.col("rn") == 1)
-        .select("user_id", "h", "value")
-    )
-    bounds = ev.groupBy("user_id").agg(
-        F.min("h").alias("mn"), F.max("h").alias("mx")
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
-    )
+    _ev, cells, grid = _hourly_grid_cells(spark, sf_dir)
     w_prev = Window.partitionBy("user_id").orderBy("h").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -787,13 +783,18 @@ def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q174_range_frame_sum",
     oracle="""
+    -- ORDER BY the FLOORED epoch, matching the engine's whole-second
+    -- epoch_seconds key exactly: bare epoch(ts) is a fractional DOUBLE
+    -- here, so sub-second siblings stopped being RANGE peers and a gap
+    -- straddling the 604800 s boundary within one second flipped frame
+    -- membership (the q28 class, r12)
     SELECT event_id, user_id,
            CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS w7d_value_micro,
            CAST(count(*) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS w7d_events
     FROM events
@@ -831,6 +832,34 @@ def range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(micro).over(w).cast("bigint").alias("w7d_value_micro"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("w7d_events"),
     )
+
+
+def _grouped_value_rank(df, group: str, col: str, tiebreak: str):
+    """(group, col, rn, n): 0-based per-group rank by (col, tiebreak)
+    plus the group size — via the GROUPED bucketed_prefix decomposition
+    (r12): a ranking window partitioned by a few-valued enum serialises
+    corpus/|enum| rows through one task's sort, the same cliff as an
+    unpartitioned window. floor(col) buckets are monotone in the order
+    key and bounded by the value domain, so no task sees more than one
+    (group, bucket) slice."""
+    from football_lakehouse_spark.operators.selection import bucketed_prefix
+
+    base = df.select(group, col, tiebreak).withColumn(
+        "__vb", F.floor(F.col(col)).cast("bigint")
+    )
+    ranked = bucketed_prefix(
+        base,
+        "__vb",
+        [F.col(col).asc(), F.col(tiebreak).asc()],
+        rank="__grn",
+        group=[group],
+    )
+    n_tot = df.groupBy(group).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.select(group, col, (F.col("__grn") - 1).alias("rn"))
+        .join(F.broadcast(n_tot), group)
+    )
+
 
 
 @query(
@@ -882,20 +911,14 @@ def range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "agg"),
 )
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
-    w_rn = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    w_n = Window.partitionBy("event_type")
-    v = ev.select(
-        "event_type", "value",
-        (F.row_number().over(w_rn) - 1).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
-    )
+    # grouped bucketed rank — see _grouped_value_rank (r12 scale fix:
+    # a PARTITION BY event_type ranking window serialised corpus/5
+    # rows through one task's sort)
+    v0 = _grouped_value_rank(ev, "event_type", "value", "event_id")
+    v = v0.select("event_type", "value", "rn")
     marks = (
-        v.select("event_type", "n").distinct()
+        v0.select("event_type", "n").distinct()
         .crossJoin(
             F.broadcast(
                 ev.sparkSession.createDataFrame([(50,), (90,), (99,)], "p int")
@@ -991,20 +1014,10 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "agg", "quality"),
 )
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
 
     def exact_median(df, col, order_tiebreak):
-        w_rn = Window.partitionBy("event_type").orderBy(
-            F.col(col).asc(), F.col(order_tiebreak).asc()
-        )
-        w_n = Window.partitionBy("event_type")
-        ranked = df.select(
-            "event_type", col,
-            (F.row_number().over(w_rn) - 1).alias("rn"),
-            F.count(F.lit(1)).over(w_n).alias("n"),
-        )
+        ranked = _grouped_value_rank(df, "event_type", col, order_tiebreak)
         mid_lo = F.floor((F.col("n") - 1) / 2.0).cast("bigint")
         mid_hi = F.ceil((F.col("n") - 1) / 2.0).cast("bigint")
         return (
@@ -1089,18 +1102,9 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "agg"),
 )
 def percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
-    w_rn = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    w_n = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type", "value",
-        (F.row_number().over(w_rn) - 1).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
-    )
+    # grouped bucketed rank — see _grouped_value_rank (r12 scale fix)
+    ranked = _grouped_value_rank(ev, "event_type", "value", "event_id")
     marks = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.lit(99)),
