@@ -40,16 +40,21 @@ def micros(c: Column) -> Column:
 
 
 def _trunc_div(a: Column, b: Column) -> Column:
-    """EXACT truncate-toward-zero integer division for a decimal ``a``
-    by a positive integer ``b`` — the semantics of SQL ``div`` and
-    DuckDB ``//`` (verified: -7 // 2 = -3 in both). Built from pmod so
-    no decimal division ever rounds: ``a - pmod(a, b)`` is an exact
-    multiple of ``b``, its quotient is exact at any scale, and the
-    +1 correction turns floor into trunc for negative ``a``. The naive
-    ``floor(a / b)`` had TWO cross-engine bugs: floor ≠ trunc for
-    negative sums, and Spark's decimal division HALF_UP-rounds at
-    result scale BEFORE the floor (one high when the true fraction is
-    ≥ .9999995 — the q199/q55 class)."""
+    """EXACT truncate-toward-zero integer division for an integer-
+    valued ``a`` by a positive integer ``b`` — the semantics of SQL
+    ``div`` and DuckDB ``//`` (verified: -7 // 2 = -3 in both). Built
+    from pmod so no decimal division ever rounds: ``a - pmod(a, b)``
+    is an exact multiple of ``b``, its quotient is exact at any scale,
+    and the +1 correction turns floor into trunc for negative ``a``.
+    The naive ``floor(a / b)`` had TWO cross-engine bugs: floor ≠
+    trunc for negative sums, and Spark's decimal division HALF_UP-
+    rounds at result scale BEFORE the floor (one high when the true
+    fraction is ≥ .9999995 — the q199/q55 class).
+
+    Input types: decimal(38,0) for unbounded accumulators (exact at
+    any magnitude); BIGINT is fine — and much cheaper per row — when
+    the caller can bound ``|a - pmod(a,b)|`` under 2^53 (bounded
+    windows), since bigint/bigint division goes through double."""
     fm = F.pmod(a, b)
     fd = (a - fm) / b
     return fd + F.when((a < 0) & (fm != 0), F.lit(1)).otherwise(F.lit(0))

@@ -22,18 +22,23 @@ def entity_timeline(key: str, order: list[str]) -> WindowSpec:
 
 def _quantised_mean(value: str, w: WindowSpec, scale: int = 4) -> Column:
     """Windowed cross-engine-exact mean at ``scale`` — the money_avg
-    discipline over a window: per-row integer micros, exact decimal
-    sum, truncating division. The old ``round(avg(double), scale)``
-    was non-portable (class-2): Spark rounds the shortest decimal repr
+    discipline over a window: per-row integer micros, exact sum,
+    truncating division. The old ``round(avg(double), scale)`` was
+    non-portable (class-2): Spark rounds the shortest decimal repr
     HALF_UP while DuckDB rounds the binary value, so a tie-repr double
     (e.g. binary 0.28499999999999998 printing as 0.285) flips the last
-    digit between engines."""
+    digit between engines.
+
+    BIGINT arithmetic, not the decimal(38,0) money_sum accumulator:
+    these are BOUNDED row windows (the trailing-k form pair), so the
+    micro-sum is ≤ k × 9.2e12-dollar rows — decades inside bigint —
+    and decimal pmod/divide per output row benched 2× slower on the
+    window path (r12). _trunc_div on bigint is exact the same way
+    (pmod + exact multiple division)."""
     shift = 10 ** (6 - scale)
     denom = F.count(F.lit(1)).over(w) * F.lit(shift)
-    return (
-        _trunc_div(F.sum(micros(F.col(value))).over(w), denom).cast("double")
-        / 10 ** scale
-    )
+    total = F.sum(micros(F.col(value)).cast("bigint")).over(w)
+    return _trunc_div(total, denom).cast("double") / 10 ** scale
 
 
 def rolling_mean(
@@ -84,7 +89,11 @@ def lag_delta(
     hazard (see :func:`_quantised_mean`); deltas are signed, and
     truncation matches the oracle's ``//`` exactly for both signs."""
     w = entity_timeline(key, order)
-    delta_micros = micros(F.col(value)) - micros(F.lag(value, 1).over(w))
+    # bigint, not decimal: single-row micros fit decades inside 2^53
+    # (see _quantised_mean's bound note) and decimal ops benched 1.5×
+    delta_micros = micros(F.col(value)).cast("bigint") - micros(
+        F.lag(value, 1).over(w)
+    ).cast("bigint")
     return df.withColumn(
         alias,
         _trunc_div(delta_micros, F.lit(100)).cast("double") / 10**4,
