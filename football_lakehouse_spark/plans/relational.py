@@ -63,7 +63,7 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_bounded_multi_agg",
     oracle=f"""
     SELECT l_suppkey,
-           round(avg(l_discount), 4) AS avg_discount,
+           {sql_money_avg('l_discount')} AS avg_discount,
            {sql_money_avg('l_extendedprice')} AS avg_price,
            {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
            count(*) AS n_items,
@@ -85,7 +85,10 @@ def bounded_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+            # money_avg, not round(avg(double), 4): the class-2
+            # tie-repr hazard (see functions/scalars) — avg of 0.01-
+            # step discounts can land exactly on a 4th-decimal tie
+            money_avg(F.col("l_discount"), 4).alias("avg_discount"),
             money_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
             money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -578,7 +581,7 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
            {sql_money_avg('l_quantity')} AS avg_qty,
            {sql_money_avg('l_extendedprice')} AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           {sql_money_avg('l_discount')}  AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -602,7 +605,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             money_avg(F.col("l_quantity"), 4).alias("avg_qty"),
             money_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # money_avg, not round(avg(double), 4) — class 2 (r12)
+            money_avg(F.col("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
