@@ -530,8 +530,14 @@ def props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q153_pit_join",
     oracle="""
     WITH dim AS (
-        SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS eff_from
+        -- one version per (user, eff_from): second-truncation can tie
+        -- two purchases, and DuckDB ASOF picks an UNSPECIFIED row
+        -- among equal eff_from — dedupe max(value) on BOTH engines so
+        -- ties cannot exist to disagree on (r12)
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS eff_from,
+               max(value) AS value
         FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
     ),
     v AS (
         SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
@@ -559,10 +565,12 @@ def pit_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.functions.scalars import epoch_seconds
 
     ev = load_table(spark, sf_dir, "events")
-    dim = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "value",
-        epoch_seconds(F.col("ts")).alias("eff_from"),
+    # one version per (user, eff_from) — mirrors the oracle's dedupe:
+    # DuckDB ASOF tie-breaks among equal eff_from rows unspecified (r12)
+    dim = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", epoch_seconds(F.col("ts")).alias("eff_from"))
+        .agg(F.max("value").alias("value"))
     )
     views = ev.where(F.col("event_type") == "view").select(
         "event_id", "user_id", epoch_seconds(F.col("ts")).alias("es")
@@ -864,16 +872,18 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("advanced", "agg", "ml"),
 )
 def group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from football_lakehouse_spark.functions.scalars import epoch_seconds
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    base = ev.select(
+    # per-group min via groupBy + broadcast join, NOT a window
+    # partitioned by the 5-value enum (single-task sort of corpus/5
+    # rows — r12; the aggregation itself needs no ordering at all)
+    mins = ev.groupBy("event_type").agg(
+        F.min(epoch_seconds(F.col("ts"))).alias("__x0")
+    )
+    base = ev.join(F.broadcast(mins), "event_type").select(
         "event_type",
-        (epoch_seconds(F.col("ts"))
-         - F.min(epoch_seconds(F.col("ts"))).over(w)).alias("x"),
+        (epoch_seconds(F.col("ts")) - F.col("__x0")).alias("x"),
         F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("vmicro"),
     )
     dec = "decimal(38,0)"
@@ -1057,7 +1067,10 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-            F.sum(F.floor(F.col("vmicro") / F.col("n_touch")))
+            # exact integer div, not floor(bigint/bigint): the double
+            # division loses exactness past 2^53 and can floor one off
+            # the oracle's truncating // (the q199/q55 class — r12)
+            F.sum(F.expr("vmicro div n_touch"))
             .cast("bigint").alias("credit_micro"),
         )
     )
@@ -1183,24 +1196,40 @@ def multi_window_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("advanced", "agg", "quality"),
 )
 def spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from football_lakehouse_spark.functions.scalars import epoch_seconds
+    from football_lakehouse_spark.plans.windows import _grouped_value_rank
 
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
+        "event_id",
         epoch_seconds(F.col("ts")).alias("x"),
         F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("y"),
     )
-    wx = Window.partitionBy("event_type").orderBy("x")
-    wxt = Window.partitionBy("event_type", "x")
-    wy = Window.partitionBy("event_type").orderBy("y")
-    wyt = Window.partitionBy("event_type", "y")
-    rk = base.select(
-        "event_type",
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1).alias("rx"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyt) - 1).alias("ry"),
+
+    # doubled midranks WITHOUT a per-event_type ranking window (the
+    # few-valued-key single-task-sort cliff, r12): unique grouped ranks
+    # via the bucketed decomposition, then per-(group, value) min-rank
+    # + tie-count — 2·midrank = 2·(min_rn + 1) + tiecount − 1. Buckets:
+    # days for epoch seconds, whole units for micro ints (both
+    # domain-bounded and monotone in the key).
+    def doubled_midrank(col, bucket, alias):
+        rn = _grouped_value_rank(base, "event_type", col, "event_id",
+                                 bucket=bucket)
+        return rn.groupBy("event_type", col).agg(
+            (2 * (F.min("rn") + 1) + F.count(F.lit(1)) - 1).alias(alias)
+        )
+
+    rx_tab = doubled_midrank(
+        "x", F.expr("x div 86400").cast("bigint"), "rx"
+    )
+    ry_tab = doubled_midrank(
+        "y", F.floor(F.col("y") / 1000000).cast("bigint"), "ry"
+    )
+    rk = (
+        base.join(rx_tab, ["event_type", "x"])
+        .join(ry_tab, ["event_type", "y"])
+        .select("event_type", "rx", "ry")
     )
     dec = "decimal(38,0)"
     s = rk.groupBy("event_type").agg(
@@ -1904,11 +1933,15 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-    # persist, NOT localCheckpoint: checkpointing would truncate the
-    # probe lineage and hide the broadcast bit-test joins from the
-    # executed plan (the q254 plan-shape test pins them); the cache is
-    # query-lifetime only
-    kept = probe.persist()
+    # no persist and no localCheckpoint (r12): checkpointing would
+    # truncate the probe lineage and hide the broadcast bit-test joins
+    # from the executed plan (the q254 plan-shape test pins them), and
+    # a persist() on a lazily-returned DataFrame can never be
+    # unpersisted — CacheManager holds it until session end, so
+    # re-running the builder accumulated one cached filtered-lineitem
+    # copy per run. The kept-count branch below recomputes the probe
+    # (one extra lineitem scan) — the standard leak-free trade.
+    kept = probe
 
     totals = F.broadcast(
         li.agg(F.count(F.lit(1)).cast("bigint").alias("probe_total"))

@@ -11,7 +11,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from football_lakehouse_spark.functions.scalars import money_sum
+from football_lakehouse_spark.functions.scalars import _trunc_div, money_sum
 
 from football_lakehouse_spark.catalog import load_table
 from football_lakehouse_spark.lakehouse.tables import LakehouseTable
@@ -308,9 +308,12 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.sum("n").cast("bigint").alias("n"),
-        (F.floor(F.sum("v_micros") / F.lit(10000)).cast("double") / 100).alias(
-            "total_value"
-        ),
+        # exact trunc-div on the pre-aggregated micros (shared
+        # _trunc_div; the hand-rolled floor(sum/10000) was the
+        # HALF_UP-before-floor + negative-floor class — r12)
+        (
+            _trunc_div(F.sum("v_micros"), F.lit(10000)).cast("double") / 100
+        ).alias("total_value"),
     )
 
 
@@ -467,9 +470,9 @@ def partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            (F.floor(F.sum(micro) / 10000).cast("double") / 100).alias(
-                "total_price"
-            ),
+            # the shared money_sum (exact trunc-div) — this carried one
+            # of the two hand-rolled floor(sum/10000) copies (r12)
+            money_sum(F.col("o_totalprice")).alias("total_price"),
         )
     )
 
@@ -1688,9 +1691,11 @@ def shuffle_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 32
         ).alias("reducer"),
         (
+            # octet_length (BYTES, matching the oracle's strlen) — the
+            # chars-vs-bytes class q263 already documents (r12)
             F.lit(72)
-            + F.length("l_returnflag")
-            + F.length("l_linestatus")
+            + F.octet_length("l_returnflag")
+            + F.octet_length("l_linestatus")
         ).alias("row_bytes"),
     )
     per = li.groupBy("reducer").agg(
@@ -1755,7 +1760,8 @@ def broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, tbl)
         width = F.lit(fixed)
         for c in strcols:
-            width = width + F.length(c)
+            # bytes, not chars — matches the oracle's strlen (r12)
+            width = width + F.octet_length(c)
         return df.select(width.alias("w")).agg(
             F.lit(tbl).alias("tbl"),
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),

@@ -834,19 +834,21 @@ def range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _grouped_value_rank(df, group: str, col: str, tiebreak: str):
+def _grouped_value_rank(df, group: str, col: str, tiebreak: str, bucket=None):
     """(group, col, rn, n): 0-based per-group rank by (col, tiebreak)
     plus the group size — via the GROUPED bucketed_prefix decomposition
     (r12): a ranking window partitioned by a few-valued enum serialises
     corpus/|enum| rows through one task's sort, the same cliff as an
-    unpartitioned window. floor(col) buckets are monotone in the order
-    key and bounded by the value domain, so no task sees more than one
-    (group, bucket) slice."""
+    unpartitioned window. The bucket must be MONOTONE in ``col`` and
+    DOMAIN-bounded (~10²–10³ distinct values — the bucket table
+    broadcasts); default floor(col) fits money-magnitude doubles, and
+    callers with wide-domain keys (epoch seconds, micro ints) pass a
+    coarser ``bucket`` expression (e.g. ``col div 86400``)."""
     from football_lakehouse_spark.operators.selection import bucketed_prefix
 
-    base = df.select(group, col, tiebreak).withColumn(
-        "__vb", F.floor(F.col(col)).cast("bigint")
-    )
+    if bucket is None:
+        bucket = F.floor(F.col(col)).cast("bigint")
+    base = df.select(group, col, tiebreak).withColumn("__vb", bucket)
     ranked = bucketed_prefix(
         base,
         "__vb",
