@@ -65,11 +65,11 @@ def query(
 #: after r11 nothing older than r6). Each round's 50-row prefix is the
 #: 50 registered queries whose latest driver-green row is OLDEST, ties
 #: broken by registration order — freshness is self-maintaining and no
-#: query's attestation ever ages more than ceil(n/50) rounds. This r12
+#: query's attestation ever ages more than ceil(n/50) rounds. This r13
 #: cohort is `python scripts/replay_attestation.py`'s printed oldest-50:
-#: the 43 queries last attested in r6 lead (q205, q206, q208, ...),
-#: then the first 7 of the r7 cohort (q182, q183, q191, q193, q196,
-#: q200, q220 ... by registration order). To rotate for r13, run the
+#: the 43 queries last attested in r7 lead (q269, q232, q233, ...),
+#: then the first 7 of the r8 cohort (q01, q02, q04, q05, q06, q07,
+#: q08 ... by registration order). To rotate for r14, run the
 #: replay script and replace this tuple with its printed oldest-50
 #: (the script also flags any registered query whose LATEST driver
 #: row is red — fix those, don't rotate them; it also exits 1 when
@@ -79,56 +79,56 @@ def query(
 #: suite at sf0.001 AND sf0.01 (tests/test_oracle.py with
 #: SPARK_GRAFT_TEST_FULL=1, ledger in SCALING.md).
 DRIVER_ORDER_FIRST: tuple[str, ...] = (
-    "q205_abc_classification",
-    "q206_simpson_diversity",
-    "q208_ship_latency_sla",
-    "q215_equidepth_histogram",
-    "q217_rfm_segments",
-    "q224_revenue_concentrated_parts",
-    "q226_winsorized_stats",
-    "q181_mad_outliers",
-    "q184_percentile_normalize",
-    "q187_rolling_regression",
-    "q188_capped_balance",
-    "q198_purchase_gap_hazard",
-    "q199_cohort_ltv_curve",
-    "q209_cusum_changepoint",
-    "q213_journey_transitions",
-    "q186_table_diff_merkle",
-    "q189_decile_lift",
-    "q218_calibration_bins",
-    "q110_inverted_index",
-    "q123_incremental_index",
-    "q192_negative_sampling",
-    "q197_bloom_export",
-    "q202_filter_agreement",
-    "q207_dedup_savings",
-    "q210_temporal_split",
-    "q211_tail_expectation",
-    "q212_keyness_odds_ratio",
-    "q214_index_serving_bm25",
-    "q216_tfidf_topk",
-    "q219_neardup_degree_profile",
-    "q223_ann_recall_eval",
-    "q221_curriculum_order",
-    "q225_zipf_head_share",
-    "q227_join_explosion_audit",
-    "q228_preference_pairs",
-    "q182_group_trend",
-    "q183_ks_statistic",
-    "q191_linear_attribution",
-    "q193_multi_window_touches",
-    "q196_spearman",
-    "q200_asof_nearest",
-    "q220_seasonal_anomaly",
-    "q222_debounce_events",
-    "q234_histogram_2d",
-    "q235_ordered_listagg",
-    "q237_variant_props",
-    "q239_weighted_median",
-    "q240_benford_audit",
-    "q243_basket_size_value_curve",
-    "q244_discount_band_effectiveness",
+    "q269_recursive_purchase_chains",
+    "q232_value_window_family",
+    "q233_max_drawdown",
+    "q236_python_datasource_roundtrip",
+    "q247_anti_entropy_repair",
+    "q248_subject_erasure",
+    "q249_consistent_snapshot_join",
+    "q250_incremental_view_maintenance",
+    "q252_compaction_plan",
+    "q257_logged_cdf_ivm",
+    "q260_zonemap_skip_audit",
+    "q275_shuffle_sizing_advisor",
+    "q276_broadcast_advisor",
+    "q246_rate_limited_drain",
+    "q262_disorder_lateness_audit",
+    "q229_source_length_drift",
+    "q238_udtf_chunk_expand",
+    "q245_centroid_separation",
+    "q251_pca_power_iteration",
+    "q255_bfs_distance",
+    "q258_exact_heavy_hitters",
+    "q259_systematic_weighted_sample",
+    "q261_hybrid_rrf_fusion",
+    "q265_dim_truncation_recall",
+    "q266_sample_estimate_audit",
+    "q268_lsh_funnel_audit",
+    "q270_dataset_card",
+    "q271_pq_adc_recall",
+    "q272_incremental_curation",
+    "q273_ivfpq_recall",
+    "q274_minhash_estimator_audit",
+    "q277_frame_sample",
+    "q278_hard_negative_mining",
+    "q230_sequence_transition_audit",
+    "q231_repeat_purchase_curve",
+    "q241_interarrival_burstiness",
+    "q242_top_user_paths",
+    "q253_k_anonymity",
+    "q254_bloom_pruned_join",
+    "q256_chi_square_ab",
+    "q263_encoding_advisor",
+    "q264_observed_metrics",
+    "q267_time_weighted_value",
+    "q01_fixture_horizons",
+    "q02_horizon_assembly_joins",
+    "q04_conditional_agg",
+    "q05_bounded_multi_agg",
+    "q06_duplicate_key_detection",
+    "q07_topk_customers",
+    "q08_union_all_counts",
 )
 
 
