@@ -60,6 +60,21 @@ def _trunc_div(a: Column, b: Column) -> Column:
     return fd + F.when((a < 0) & (fm != 0), F.lit(1)).otherwise(F.lit(0))
 
 
+def py_money_from_micros(m: int, scale: int = 2) -> float:
+    """Pure-Python twin of :func:`money_sum`'s final step, for the
+    stateful Pandas processors that keep an exact integer-micros
+    accumulator and emit per micro-batch. Truncates toward zero at
+    ``scale`` decimals, exactly like :func:`_trunc_div` and DuckDB
+    ``//``. Python's ``//`` alone floors toward -inf, so a negative
+    accumulated total would read one cent below the batch twin."""
+    shift = 10 ** (6 - scale)
+    unit = 10 ** scale
+    q = m // shift
+    if m < 0 and m % shift:
+        q += 1
+    return q / unit
+
+
 def money_sum(c: Column, scale: int = 2) -> Column:
     """Cross-engine-exact sum for money-magnitude doubles: quantise each
     row to micro-units (portable, see :func:`micros`), sum exactly,

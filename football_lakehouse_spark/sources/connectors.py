@@ -57,6 +57,22 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _rel_data_path(path: str, base: str) -> str:
+    """Render a snapshot data-file path relative to the table base —
+    the LakehouseTable.current_files parity contract. Hadoop renders
+    local URIs in several spellings ('file:/x', 'file:///x', bare
+    '/x'); stripping literal prefixes left 'file:///...' paths
+    absolute (the '//' survived and no longer matched the base), so
+    normalise BOTH sides through the URI path component instead."""
+    from urllib.parse import urlparse
+
+    head = path.split("/", 1)[0]
+    p = urlparse(path).path if ":" in head else path
+    bhead = base.split("/", 1)[0]
+    b = urlparse(base).path if ":" in bhead else base
+    return p.removeprefix(b.rstrip("/") + "/")
+
+
 #: snapshot-summary key carrying the engine-vocabulary operation name
 #: (stamped via Iceberg's documented `snapshot-property.*` write option)
 _FLS_OP = "fls-op"
@@ -64,6 +80,14 @@ _FLS_OP = "fls-op"
 #: table property persisting how many snapshots vacuum() has expired —
 #: keeps engine version numbers stable across snapshot expiry
 _FLS_VERSION_OFFSET = "fls.version-offset"
+
+#: table property anchoring a RETAINED snapshot id to its engine
+#: version ("<snapshot_id>:<version>") — the offset is derived from the
+#: anchor's OBSERVED position in the retained chain, so it stays exact
+#: even when expire_snapshots removes fewer snapshots than predicted
+#: (branch/tag refs, history.expire.min-snapshots-to-keep). Supersedes
+#: _FLS_VERSION_OFFSET, which is kept as the pre-anchor fallback.
+_FLS_VERSION_ANCHOR = "fls.version-anchor"
 
 
 class DeltaBackedTable:
@@ -152,12 +176,9 @@ class DeltaBackedTable:
         # Relative data-file paths of the live snapshot (parity with
         # LakehouseTable.current_files). inputFiles() is the documented
         # public surface for the snapshot's file set.
-        prefix = self.base.rstrip("/") + "/"
-        out = []
-        for f in self.read().inputFiles():
-            f = f.removeprefix("file:")
-            out.append(f.removeprefix(prefix))
-        return sorted(out)
+        return sorted(
+            _rel_data_path(f, self.base) for f in self.read().inputFiles()
+        )
 
     def describe_history(self) -> list[dict]:
         """LakehouseTable-shaped history: oldest first, operations
@@ -502,16 +523,51 @@ class IcebergBackedTable:
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.ident)
 
-    def _version_offset(self) -> int:
-        """Count of snapshots expired by vacuum() — engine version v
-        lives at retained-log index ``v - offset``. Persisted as a
-        table property so version addressing stays STABLE across
-        expiry (Iceberg drops expired snapshots from the metadata log;
-        without the offset, read(version=0) after a vacuum would
-        silently answer with the oldest RETAINED snapshot)."""
+    def _table_props(self) -> dict[str, str]:
         rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.ident}").collect()
-        props = {r["key"]: r["value"] for r in rows}
-        return int(props.get(_FLS_VERSION_OFFSET, "0"))
+        return {r["key"]: r["value"] for r in rows}
+
+    def _set_table_prop(self, key: str, value: str) -> None:
+        self.spark.sql(
+            f"ALTER TABLE {self.ident} SET TBLPROPERTIES ('{key}' = '{value}')"
+        )
+
+    def _version_offset(self, snaps: list[dict] | None = None) -> int:
+        """Count of snapshots expired by vacuum() — engine version v
+        lives at retained-log index ``v - offset``. Persisted so
+        version addressing stays STABLE across expiry (Iceberg drops
+        expired snapshots from the metadata log; without the offset,
+        read(version=0) after a vacuum would silently answer with the
+        oldest RETAINED snapshot).
+
+        Derivation prefers the anchor property (snapshot_id:version of
+        a retained snapshot, stamped by vacuum()): offset = anchored
+        version - anchored snapshot's observed chain index. This is
+        exact regardless of how many snapshots expire_snapshots
+        ACTUALLY removed — predicting the count (the pre-r13 form)
+        overcounts whenever Iceberg retains extras (branch/tag refs,
+        history.expire.min-snapshots-to-keep), silently mis-indexing
+        every subsequent read(version=...). An anchor pointing at a
+        snapshot no longer in the chain (external expiry/rollback by
+        another tool) fails LOUDLY rather than guessing."""
+        props = self._table_props()
+        anchor = props.get(_FLS_VERSION_ANCHOR)
+        if anchor is None:
+            return int(props.get(_FLS_VERSION_OFFSET, "0"))
+        sid_s, ver_s = anchor.split(":")
+        sid, ver = int(sid_s), int(ver_s)
+        if snaps is None:
+            snaps = self._snapshots()
+        for ix, s in enumerate(snaps):
+            if s["snapshot_id"] == sid:
+                return ver - ix
+        raise ValueError(
+            f"{self.ident}: version-anchor snapshot {sid} is no longer "
+            "in the retained snapshot chain (expired or rolled back by "
+            "another tool) — engine version addressing cannot be "
+            "re-established; re-anchor by running vacuum() on a known "
+            "head or clear the anchor property explicitly"
+        )
 
     def _snapshots(self) -> list[dict]:
         """Snapshot log oldest-first — the engine's version axis.
@@ -555,14 +611,14 @@ class IcebergBackedTable:
         return sorted(snaps.values(), key=lambda s: (s["ts"], s["snapshot_id"]))
 
     def _snapshot_id_at(self, version: int) -> int:
-        off = self._version_offset()
+        snaps = self._snapshots()
+        off = self._version_offset(snaps)
         if version < off:
             raise ValueError(
                 f"version {version} of {self.ident} is beyond the vacuum "
                 f"retention horizon (oldest retained version is {off}) — "
                 "its snapshot was expired"
             )
-        snaps = self._snapshots()
         ix = version - off
         if ix >= len(snaps):
             raise ValueError(
@@ -591,18 +647,14 @@ class IcebergBackedTable:
         return self.read(version=self.current_version())
 
     def current_version(self) -> int:
-        n = len(self._snapshots())
-        if n == 0:
+        snaps = self._snapshots()
+        if not snaps:
             raise ValueError(f"{self.ident} has no snapshots yet")
-        return self._version_offset() + n - 1
+        return self._version_offset(snaps) + len(snaps) - 1
 
     def current_files(self) -> list[str]:
-        prefix = self.base.rstrip("/") + "/"
-        out = []
-        for r in self.spark.table(f"{self.ident}.files").select("file_path").collect():
-            p = r["file_path"].removeprefix("file:")
-            out.append(p.removeprefix(prefix))
-        return sorted(out)
+        rows = self.spark.table(f"{self.ident}.files").select("file_path").collect()
+        return sorted(_rel_data_path(r["file_path"], self.base) for r in rows)
 
     def describe_history(self) -> list[dict]:
         """LakehouseTable-shaped history: version index, engine-vocab
@@ -610,9 +662,10 @@ class IcebergBackedTable:
         else Iceberg's own operation label), commit timestamp."""
         op_map = {"append": "append", "overwrite": "overwrite",
                   "delete": "delete", "replace": "optimize"}
-        off = self._version_offset()
+        snaps = self._snapshots()
+        off = self._version_offset(snaps)
         hist = []
-        for ix, s in enumerate(self._snapshots()):
+        for ix, s in enumerate(snaps):
             op = s["summary"].get(_FLS_OP) or op_map.get(
                 s["operation"], s["operation"]
             )
@@ -744,20 +797,24 @@ class IcebergBackedTable:
         horizon fail LOUDLY (C7) instead of silently re-indexing."""
         if retain_last < 1:
             raise ValueError(f"retain_last must be >= 1, got {retain_last}")
-        # stamp the offset BEFORE expiring: expire_snapshots with an
-        # always-past cutoff removes exactly max(0, n - retain_last)
-        # oldest snapshots, so the new offset is known up front. A crash
-        # between stamp and expiry leaves versions that still exist
-        # refusing reads ("beyond the retention horizon") — fail-loud;
-        # the reverse order (expire, then stamp) would leave
-        # read(version=0) silently answering with the wrong snapshot.
-        expired = max(0, len(self._snapshots()) - int(retain_last))
-        if expired > 0:
-            off = self._version_offset() + expired
-            self.spark.sql(
-                f"ALTER TABLE {self.ident} SET TBLPROPERTIES "
-                f"('{_FLS_VERSION_OFFSET}' = '{off}')"
-            )
+        # anchor the CURRENT head (always retained: retain_last >= 1)
+        # to its engine version BEFORE expiring. The offset is then
+        # derived from the anchor's OBSERVED position after expiry, so
+        # it is exact however many snapshots expire_snapshots actually
+        # removed — a predicted max(0, n - retain_last) overcounts
+        # whenever Iceberg keeps extras (branch/tag refs,
+        # min-snapshots-to-keep) and read(version=v) would silently
+        # return an OLDER snapshot. Crash between stamp and expiry is
+        # harmless: nothing expired → the anchor's position, and hence
+        # every version, is unchanged.
+        snaps = self._snapshots()
+        if not snaps:
+            raise ValueError(f"{self.ident} has no snapshots to vacuum")
+        head = snaps[-1]
+        head_version = self._version_offset(snaps) + len(snaps) - 1
+        self._set_table_prop(
+            _FLS_VERSION_ANCHOR, f"{head['snapshot_id']}:{head_version}"
+        )
         row = self.spark.sql(
             f"CALL {self.catalog}.system.expire_snapshots("
             f"table => '{self._proc_table()}', "
@@ -816,9 +873,10 @@ class IcebergBackedTable:
             f"changelog_view => '{view}')"
         )
         df = self.spark.table(view)
-        off = self._version_offset()
+        snaps = self._snapshots()
+        off = self._version_offset(snaps)
         sid_to_v = {
-            s["snapshot_id"]: off + ix for ix, s in enumerate(self._snapshots())
+            s["snapshot_id"]: off + ix for ix, s in enumerate(snaps)
         }
         v_map = F.create_map(
             *[F.lit(x) for kv in sid_to_v.items() for x in kv]

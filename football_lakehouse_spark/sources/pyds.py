@@ -118,7 +118,11 @@ def _list_landing_files(path: str) -> list[str]:
     (recurses into snapshot_date=... partition dirs; skips hidden and
     _SUCCESS-style marker files)."""
     out: list[str] = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # prune hidden dirs (Spark's own file index skips _/. prefixed
+        # directories too) — a _staging-* or _temporary subtree must
+        # never leak un-stamped in-flight files into an offset
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.startswith(("_", ".")):
                 continue

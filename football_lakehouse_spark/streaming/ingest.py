@@ -67,38 +67,52 @@ def land_json_files(events: DataFrame, landing_dir: str, files_per_day: int = 1)
         files_per_day,
     )
 
-    def _data_files() -> set[str]:
-        found = set()
-        for root, _dirs, files in os.walk(landing_dir):
-            for f in files:
-                if f.endswith(".json") and not f.startswith(("_", ".")):
-                    found.add(os.path.join(root, f))
-        return found
+    # STAGE-THEN-MOVE (ADVICE r12): write the batch into a private
+    # sibling staging dir, then move each file into the landing dir
+    # under its final arrival-stamped name. Each file has exactly ONE
+    # visibility transition — writing in place and renaming afterwards
+    # let a reader listing between write and rename consume the
+    # part-* name, after which the rename resurfaced the same data as
+    # a never-consumed t* name (duplicate ingestion into append-only
+    # bronze). The staging dir is keyed per call, so concurrent
+    # landers can no longer rename each other's in-flight files.
+    #
+    # ARRIVAL-STAMPED monotone names (RUNBOOK §7 contract, enforced by
+    # the writer itself since r12): Spark's part-<uuid> names are
+    # random, so a LATE event landing in an old snapshot_date dir
+    # could sort below that dir's consumed-offset watermark and be
+    # silently skipped by the incremental readers. Stamping every file
+    # t<arrival-micros>-<seq>-<uuid> makes names within a dir monotone
+    # in arrival order — a late landing always sorts above the
+    # watermark. 't' > 'p' also keeps any crash-leftover part- file
+    # below all stamped names instead of interleaving.
+    import shutil
 
-    before = _data_files() if os.path.isdir(landing_dir) else set()
+    staging = f"{landing_dir.rstrip('/')}.staging-{uuid.uuid4().hex[:8]}"
     (
         salted.repartition(n_parts, F.col("snapshot_date"), F.col("_salt"))
         .drop("_salt")
         .write.mode("append")
         .partitionBy("snapshot_date")
-        .json(landing_dir)
+        .json(staging)
     )
-    # ARRIVAL-STAMPED monotone names (RUNBOOK §7 contract, enforced by
-    # the writer itself since r12): Spark's part-<uuid> names are
-    # random, so a LATE event landing in an old snapshot_date dir could
-    # sort below that dir's consumed-offset watermark and be silently
-    # skipped by the incremental readers. Renaming every new file to
-    # t<arrival-micros>-<seq>-<uuid> makes names within a dir monotone
-    # in arrival order — a late landing always sorts above the
-    # watermark. 't' > 'p' also keeps any crash-leftover part- file
-    # below all stamped names instead of interleaving.
+    staged = []
+    for root, _dirs, files in os.walk(staging):
+        for f in files:
+            if f.endswith(".json") and not f.startswith(("_", ".")):
+                staged.append(os.path.join(root, f))
     stamp = time.time_ns() // 1000
-    for i, fp in enumerate(sorted(_data_files() - before)):
-        d = os.path.dirname(fp)
+    for i, fp in enumerate(sorted(staged)):
+        rel = os.path.relpath(os.path.dirname(fp), staging)
+        dest_dir = landing_dir if rel == "." else os.path.join(landing_dir, rel)
+        os.makedirs(dest_dir, exist_ok=True)
         os.rename(
             fp,
-            os.path.join(d, f"t{stamp:016d}-{i:04d}-{uuid.uuid4().hex[:6]}.json"),
+            os.path.join(
+                dest_dir, f"t{stamp:016d}-{i:04d}-{uuid.uuid4().hex[:6]}.json"
+            ),
         )
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_landing_stream(
@@ -247,6 +261,7 @@ def merge_stream_into_table(
     order_desc: Sequence[str] = ("ts", "event_id"),
     transform: Callable[[DataFrame], DataFrame] | None = None,
     quarantine_table: LakehouseTable | None = None,
+    marker_col: str = "event_type",
 ) -> None:
     """ST4: late/duplicate-safe upsert — every micro-batch is deduped
     (latest wins) and MERGEd into the versioned table inside
@@ -258,6 +273,11 @@ def merge_stream_into_table(
     dedupe+merge: a null key never matches in the merge anti-join, so
     letting them through would accumulate one null-key row per
     micro-batch in the target table.
+
+    ``marker_col`` must match the column the producer passed to
+    ``state.flush_sentinel`` (default ``event_type``) — sentinel rows
+    carry NULL keys, so a mismatched marker column would silently
+    route them to quarantine instead of recognising them as markers.
     """
     stream = read_landing_stream(spark, landing_dir)
 
@@ -271,12 +291,10 @@ def merge_stream_into_table(
         # never reach a keyed table. Batch-side filtering is safe here —
         # the watermark-pushdown caveat applies only to streaming
         # aggregation plans, and this is a foreachBatch body.
-        if "event_type" in batch.columns:
-            from football_lakehouse_spark.streaming.state import FLUSH_MARKER
+        if marker_col in batch.columns:
+            from football_lakehouse_spark.streaming.state import strip_flush_rows
 
-            batch = batch.where(
-                ~F.col("event_type").eqNullSafe(F.lit(FLUSH_MARKER))
-            )
+            batch = strip_flush_rows(batch, marker_col)
         # persist: this body drives up to three actions (quarantine
         # probe, quarantine append, merge) — unpersisted, each re-reads
         # and re-parses every source JSON file in the batch

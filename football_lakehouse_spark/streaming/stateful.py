@@ -19,6 +19,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from football_lakehouse_spark.functions.scalars import py_money_from_micros
+
 OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -32,7 +34,9 @@ STATE_SCHEMA = StructType(
 
 
 def _update_user_state(key, pdfs, state: GroupState):
-    # self-contained: runs on Python workers — only stdlib/pandas here.
+    # runs on Python workers — stdlib/pandas plus the shared
+    # py_money_from_micros twin (pickled by module reference; the
+    # package ships to workers with the job).
     # State carries EXACT integer micros (the q91 discipline): storing a
     # round()ed double made the running total depend on micro-batch
     # boundaries (two 0.004 events in one batch → 0.01, split across
@@ -58,10 +62,11 @@ def _update_user_state(key, pdfs, state: GroupState):
         {
             "user_id": [key[0]],
             "n_events": [n],
-            # FLOOR at cents, not round(): the money_sum discipline the
-            # batch twin (q27/q91) emits — round() disagreed by 0.01
-            # whenever the micro remainder crossed 5000
-            "total_value": [(micros // 10**4) / 100.0],
+            # TRUNCATE at cents, not round(): the money_sum discipline
+            # the batch twin (q27/q91) emits — round() disagreed by
+            # 0.01 whenever the micro remainder crossed 5000, and bare
+            # // floors (not truncs) negative totals one cent low
+            "total_value": [py_money_from_micros(micros)],
         }
     )
 

@@ -31,6 +31,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from football_lakehouse_spark.functions.scalars import py_money_from_micros
+
 
 def tws_available() -> bool:
     """transformWithState's state-server protocol needs google.protobuf
@@ -85,8 +87,9 @@ class RunningUserTotals(StatefulProcessor):
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                # floor at cents (money_sum discipline), never round()
-                "total_value": [(micros // 10**4) / 100.0],
+                # truncate at cents (money_sum discipline) — never
+                # round(), and never bare // (floors negatives low)
+                "total_value": [py_money_from_micros(micros)],
             }
         )
 

@@ -769,3 +769,38 @@ def test_bucketed_prefix_equals_global_window_law(spark, rows, width, descending
     g = {r.id: (r.rv, r.rm, r.rk) for r in got.collect()}
     w = {r.id: (r.rv, r.rm, r.rk) for r in want.collect()}
     assert g == w
+
+
+@given(m=st.integers(-(10**18), 10**18))
+@settings(max_examples=200, deadline=None)
+def test_py_money_from_micros_truncs_toward_zero(m):
+    """ADVICE r12: the stateful twins' bare ``micros // 10**4`` floored
+    toward -inf, reading negative running totals one cent below the
+    batch money_sum. py_money_from_micros must trunc toward zero,
+    matching _trunc_div and DuckDB ``//`` at any magnitude/sign."""
+    from football_lakehouse_spark.functions.scalars import py_money_from_micros
+
+    q = abs(m) // 10**4
+    want = (-q if m < 0 else q) / 100.0
+    assert py_money_from_micros(m) == want
+
+
+def test_py_money_from_micros_matches_money_sum_on_negatives(spark):
+    """Single negative value where floor != trunc: -0.035 → -3 cents
+    (trunc), not -4 (floor). Spark money_sum and the Python twin agree."""
+    import numpy as np
+
+    from football_lakehouse_spark.functions.scalars import (
+        money_sum,
+        py_money_from_micros,
+    )
+
+    vals = [-0.035, -123.4567, 0.005, 7.7777]
+    got_spark = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .agg(money_sum(F.col("x")).alias("s"))
+        .first()
+        .s
+    )
+    micros = int(np.floor(np.array(vals) * 1e6 + 0.5).astype("int64").sum())
+    assert py_money_from_micros(micros) == got_spark

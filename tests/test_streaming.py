@@ -825,3 +825,18 @@ def test_strip_flush_rows_keeps_null_marker_groups(spark):
     )
     got = {r.event_type: r.n for r in strip_flush_rows(df).collect()}
     assert got == {"purchase": 3, None: 2}
+
+
+def test_flush_sentinel_custom_marker_col(spark, events):
+    """ADVICE r12: a producer stamping sentinels into a NON-default
+    marker column must have them recognised by the shared strip helper
+    with the same marker_col — not silently quarantined as NULL-key
+    rows (merge_stream_into_table now forwards marker_col to
+    strip_flush_rows for exactly this reason)."""
+    sample = events.limit(50).withColumn("etype", F.lit("real"))
+    sent = flush_sentinel(sample, marker_col="etype", advance="1 DAY")
+    assert sent.collect()[0]["etype"] == FLUSH_MARKER
+    both = sample.unionByName(sent)
+    # default marker_col does NOT strip it; matching marker_col does
+    assert strip_flush_rows(both).count() == 51
+    assert strip_flush_rows(both, marker_col="etype").count() == 50
