@@ -34,8 +34,12 @@ def dot(a: F.Column, b: F.Column) -> F.Column:
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity; NULL when either vector has zero norm — the
+    same value DuckDB's x/0 yields, so the oracle twins agree, and the
+    engine never ANSI-crashes on a degenerate vector at scale."""
     ad, bd = as_double(a), as_double(b)
-    return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
+    denom = F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd))
+    return F.when(denom > 0, dot(ad, bd) / denom)
 
 
 def brute_force_topk(
@@ -269,8 +273,16 @@ def assign_cells(
         impl = "arrow" if n_cells >= ARROW_MIN_CELLS else "sql"
     vd = as_double(F.col(vec_col))
     if normalize:
+        # zero-norm guard (same rule as _quantized_components: a zero
+        # vector "normalizes" to itself) — the bare x/nrm twin CRASHED
+        # under ANSI on a zero vector (r13 fuzz sweep witness) while
+        # the DuckDB oracles return NULL; zero-norm vectors are
+        # out-of-contract for the oracle twins (documented there), but
+        # the ENGINE must never crash on one at scale.
         nrm = F.sqrt(dot(vd, vd))
-        vd = F.transform(vd, lambda x: x / nrm)
+        vd = F.transform(
+            vd, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
+        )
     qvecs = vectors.select(
         F.col(id_col).alias(id_out),
         F.transform(vd, lambda x: F.floor(x * 1000000).cast("bigint")).alias("qvec"),

@@ -3091,9 +3091,14 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("qx") * F.col("qx")).alias("na2"),
         )
     )
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nc2").cast("double"))
+    # NULL (not crash) when a vector quantises to all-zero components
+    # (na2 = 0 — degenerate/near-zero embedding): DuckDB's x/0 is NULL,
+    # so the guard is the parity form; bare division ANSI-crashed on
+    # the r13 fuzz fixtures' near-zero vectors.
+    denom = F.sqrt(F.col("na2").cast("double")) * F.sqrt(
+        F.col("nc2").cast("double")
     )
+    cos = F.when(denom > 0, F.col("dot").cast("double") / denom)
     return (
         d.join(F.broadcast(nc), "label")
         .select(

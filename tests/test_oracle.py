@@ -22,6 +22,13 @@ ROWS_ONLY_SPECS = [s for s in registry.REGISTRY.values() if s.oracle is None]
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
 def test_oracle_parity(spark, duck, spec, sf_dir):
+    if spec.oracle_sf and os.environ.get("SPARK_GRAFT_FUZZ_SWEEP"):
+        # pinned-literal oracles embed values derived from the seed-42
+        # driver fixtures (q69 et al.); under fuzzed fixtures they are
+        # exempt BY PROCEDURE (scripts/gen_fuzz.py docstring): a real
+        # fixture regeneration must re-derive the literals by re-running
+        # their builders at the recorded scale.
+        pytest.skip(f"{spec.name}: pinned-literal oracle, exempt from fuzz sweep")
     if spec.oracle_sf and not sf_dir.rstrip("/").endswith(spec.oracle_sf):
         # pinned-literal oracle, only meaningful at its recorded scale
         sf_dir = SF_ORACLE if spec.oracle_sf == "sf0.01" else pytest.skip(
