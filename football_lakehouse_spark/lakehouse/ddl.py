@@ -118,7 +118,12 @@ def smoke_roundtrip(spark: SparkSession, schema: str, location: str) -> DataFram
     # location would otherwise read the prior run's file and report a
     # phantom second row — the smoke test must be idempotent.
     spark.sql(f"INSERT OVERWRITE {t} VALUES (1, 'hello', current_timestamp())")
-    out = spark.sql(f"SELECT id, note FROM {t}").collect()
+    from football_lakehouse_spark.functions.guards import bounded_collect
+
+    # bound 1: the overwrite writes exactly one row — a phantom second
+    # row (append-instead-of-overwrite regression) now fails loudly
+    out = bounded_collect(spark.sql(f"SELECT id, note FROM {t}"), 1,
+                          "ddl.smoke_roundtrip")
     spark.sql(f"DROP TABLE {t}")
     return spark.createDataFrame(out, "id int, note string")
 

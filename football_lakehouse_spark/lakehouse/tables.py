@@ -112,12 +112,15 @@ def require_unique_merge_keys(
     findable. Public: the Delta binding shares this exact contract.
     The count is aliased (never bare ``.count()``) so a merge key
     literally named ``count`` cannot collide with the aggregate."""
-    dups = (
+    from football_lakehouse_spark.functions.guards import bounded_collect
+
+    dups = bounded_collect(
         updates.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > 1)
-        .limit(3)
-        .collect()
+        .limit(3),
+        3,
+        "require_unique_merge_keys",
     )
     if dups:
         sample = [tuple(r[k] for k in keys) for r in dups]
@@ -670,9 +673,11 @@ class LakehouseTable:
         self._write_constraints(cons, expect_head=head if head >= 0 else None)
 
     def _enforce(self, cons: dict[str, str], df: DataFrame, context: str) -> None:
+        from football_lakehouse_spark.functions.guards import bounded_collect
+
         for cname, pred in cons.items():
             bad = df.where(~F.expr(pred).eqNullSafe(F.lit(True))).limit(1)
-            rows = bad.collect()
+            rows = bounded_collect(bad, 1, f"constraint {cname} witness")
             if rows:
                 raise ConstraintViolationError(
                     f"{self.base}: CHECK constraint {cname!r} ({pred}) "
@@ -776,11 +781,18 @@ class LakehouseTable:
         ``at_version`` pins the file listing to the snapshot the caller
         read (r12: a fresh listing here could include files a racing
         writer just committed — removing files the rewrite never read)."""
+        from football_lakehouse_spark.functions.guards import (
+            PER_WRITE_PARTITION_BOUND,
+            bounded_collect,
+        )
+
         touched_dirs = [
             "/".join(
                 f"{c}={_escape_partition_value(r[c])}" for c in self.partition_by
             )
-            for r in parts.collect()
+            for r in bounded_collect(
+                parts, PER_WRITE_PARTITION_BOUND, "_removed_in_partitions"
+            )
         ]
         live = (
             self.current_files() if at_version is None

@@ -32,6 +32,8 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
+from football_lakehouse_spark.functions.guards import bounded_collect
+
 #: refuse a blocking self-join whose exact candidate output exceeds
 #: this many pairs. Default prices ~minutes of single-node verify work;
 #: a cluster deployment raises it deliberately via the env var, which
@@ -129,7 +131,9 @@ def assert_candidate_volume(
     turn when the data is in the operator's degenerate regime.
     """
     cap = _max_pairs_cap() if max_pairs is None else max_pairs
-    row = candidate_volume(postings, key_cols).collect()[0]
+    row = bounded_collect(
+        candidate_volume(postings, key_cols), 1, "assert_candidate_volume"
+    )[0]
     if row["est_pairs"] is None and (row["n_keys"] or 0) > 0:
         # fail CLOSED: a non-empty posting table with a NULL price means
         # the decimal(38,0) sum itself overflowed (non-ANSI nulls it) —

@@ -35,6 +35,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
+from football_lakehouse_spark.functions.guards import bounded_collect
 from football_lakehouse_spark.functions.text import portable_hash, ws_tokens
 
 N_MINHASH = 6  # 3 bands × 2 rows
@@ -481,11 +482,15 @@ def _star_components(pairs: DataFrame, max_iters: int = 30) -> tuple[DataFrame, 
     for rounds in range(1, max_iters + 1):
         stepped = _small_star(_large_star(sym)).localCheckpoint()
         # cheap order-invariant fingerprint: ONE action per round
-        fp_row = stepped.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: a BIGINT sum of 64-bit hashes overflows ANSI mode
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
+        fp_row = bounded_collect(
+            stepped.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: a BIGINT sum of 64-bit hashes overflows ANSI
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+            ),
+            1,
+            "_star_components fingerprint",
+        )[0]
         fp = (fp_row["n"], fp_row["h"])
         if fp == prev_fp:
             return stepped, rounds

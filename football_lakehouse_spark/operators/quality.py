@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from football_lakehouse_spark.functions.guards import bounded_collect
+
 
 class DataQualityError(AssertionError):
     """Raised when a DQ gate fails; pipelines abort before any write."""
@@ -104,14 +106,18 @@ def append_with_expectations(
     marked = df.withColumn("__failed", failed_expectations(expectations))
     marked.persist()
     try:
-        counts = marked.agg(
-            F.sum(F.when(F.size("__failed") == 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("valid"),
-            F.sum(F.when(F.size("__failed") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("quarantined"),
-        ).collect()[0]
+        counts = bounded_collect(
+            marked.agg(
+                F.sum(F.when(F.size("__failed") == 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("valid"),
+                F.sum(F.when(F.size("__failed") > 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("quarantined"),
+            ),
+            1,
+            "append_with_expectations metrics",
+        )[0]
         stats = {
             "valid": int(counts["valid"] or 0),
             "quarantined": int(counts["quarantined"] or 0),

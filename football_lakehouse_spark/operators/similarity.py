@@ -20,6 +20,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from football_lakehouse_spark.functions.guards import (
+    CONTROL_PLANE_BOUND,
+    bounded_collect,
+)
+
 DIM = 64
 
 
@@ -267,9 +272,11 @@ def assign_cells(
         if n_cells is None:
             # (cell, pos, cq) is exploded by component — count distinct
             # cells (the documented eager fallback; pass n_cells to avoid)
-            n_cells = centroids.agg(
-                F.countDistinct("cell").alias("n")
-            ).collect()[0][0]
+            n_cells = bounded_collect(
+                centroids.agg(F.countDistinct("cell").alias("n")),
+                1,
+                "assign_cells n_cells probe",
+            )[0][0]
         impl = "arrow" if n_cells >= ARROW_MIN_CELLS else "sql"
     vd = as_double(F.col(vec_col))
     if normalize:
@@ -292,7 +299,11 @@ def assign_cells(
 
         # control-plane collect: n_cells×dim rows — the identical
         # payload the SQL path ships as a broadcast table
-        crows = centroids.select("cell", "pos", "cq").collect()
+        crows = bounded_collect(
+            centroids.select("cell", "pos", "cq"),
+            CONTROL_PLANE_BOUND,
+            "assign_cells centroid table",
+        )
         if not crows:
             # the SQL path would return an empty result here, but an
             # empty quantiser means the caller skipped training — a
@@ -443,8 +454,12 @@ def kmeans_cells(
     # scale cliff).
     seed_ids = [
         r[0]
-        for r in train.select(F.col(id_col).alias(id_out))
-        .orderBy(id_out).limit(n_cells).collect()
+        for r in bounded_collect(
+            train.select(F.col(id_col).alias(id_out))
+            .orderBy(id_out).limit(n_cells),
+            n_cells,
+            "kmeans_cells init seeds",
+        )
     ]
     if len(seed_ids) < n_cells:
         raise ValueError(
@@ -544,14 +559,18 @@ def refine_hot_cells(
         id_out=id_col, normalize=normalize,
     ).localCheckpoint(eager=True)
     total = corpus.count()
-    hot_rows = (
+    hot_rows = bounded_collect(
         assigned.groupBy("cell").count()
         .where(F.col("count") > max_cell_frac * total)
-        .select("cell").orderBy("cell").collect()
+        .select("cell").orderBy("cell"),
+        CONTROL_PLANE_BOUND,
+        "refine_hot_cells hot-cell list",
     )
     if not hot_rows:
         return assigned, centroids
-    n_base = centroids.agg(F.max("cell")).collect()[0][0] + 1
+    n_base = bounded_collect(
+        centroids.agg(F.max("cell")), 1, "refine_hot_cells cell-count probe"
+    )[0][0] + 1
     hot = F.broadcast(
         corpus.sparkSession.createDataFrame(
             [(r["cell"], i) for i, r in enumerate(hot_rows)], "cell int, hix int"

@@ -133,7 +133,9 @@ def training_run_log(
         "is_train",
         F.round(F.col("predicted_value") - F.col("lifetime_value"), 2).alias("residual"),
     )
-    m = scored.agg(
+    from football_lakehouse_spark.functions.guards import bounded_collect
+
+    m = bounded_collect(scored.agg(
         F.sum(F.when(F.col("is_train"), 1).otherwise(0)).cast("bigint").alias("n_train"),
         F.sum(F.when(~F.col("is_train"), 1).otherwise(0)).cast("bigint").alias("n_test"),
         F.sum(
@@ -144,7 +146,7 @@ def training_run_log(
             F.when(~F.col("is_train"), F.abs(F.round(F.col("residual") * 100).cast("bigint")))
             .otherwise(0)
         ).cast("bigint").alias("test_abs_resid_cents"),
-    ).collect()[0]
+    ), 1, "training_run_log metrics")[0]
     gbt = model.stages[-1]
     importances = gbt.featureImportances.toArray()
     rows = [

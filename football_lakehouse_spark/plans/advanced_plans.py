@@ -2046,10 +2046,16 @@ def chi_square_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("variant") == v) & (F.col("conv") == c), 1).otherwise(0)
         ).cast("bigint")
 
-    row = flagged.agg(
-        cell(0, 1).alias("a"), cell(0, 0).alias("b"),
-        cell(1, 1).alias("c"), cell(1, 0).alias("d"),
-    ).collect()[0]
+    from football_lakehouse_spark.functions.guards import bounded_collect
+
+    row = bounded_collect(
+        flagged.agg(
+            cell(0, 1).alias("a"), cell(0, 0).alias("b"),
+            cell(1, 1).alias("c"), cell(1, 0).alias("d"),
+        ),
+        1,
+        "chi_square_ab contingency",
+    )[0]
     a, b, c, d = (int(row[k]) for k in ("a", "b", "c", "d"))
     num = (a + b + c + d) * (a * d - b * c) ** 2 * 1000000
     den = max((a + b) * (c + d) * (a + c) * (b + d), 1)

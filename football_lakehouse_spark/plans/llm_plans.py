@@ -5922,7 +5922,12 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("a.q").cast(dec).alias("sx"),
             F.sum("b.q").cast(dec).alias("sy"),
         )
-        .collect()
+    )
+    from football_lakehouse_spark.functions.guards import bounded_collect
+
+    # d*(d+1)/2 upper-triangle cells of the d-by-d gram surrogate
+    g = bounded_collect(
+        g, _PCA_D * (_PCA_D + 1) // 2, "pca_power_iteration gram"
     )
     # driver-local eigensolve over the collected d*d control-plane matrix
     c: dict[tuple[int, int], int] = {}
@@ -6012,7 +6017,10 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).persist()
-    src = edges.agg(F.min("pa")).collect()[0][0]  # control-plane scalar
+    from football_lakehouse_spark.functions.guards import bounded_collect
+
+    # control-plane scalar
+    src = bounded_collect(edges.agg(F.min("pa")), 1, "bfs_distance seed")[0][0]
     dist = spark.createDataFrame([(int(src), 0)], ["node", "d"]).localCheckpoint(
         eager=True
     )
@@ -6113,7 +6121,11 @@ def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the bucket count stays ~512 at ANY corpus size — a fixed width
     # would grow the O(buckets²) prefix join linearly with the data,
     # exactly the cliff bucketed_prefix exists to avoid
-    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    from football_lakehouse_spark.functions.guards import bounded_collect
+
+    lo, hi = bounded_collect(
+        base.agg(F.min("doc_id"), F.max("doc_id")), 1, "sizing probe"
+    )[0]
     width = max((int(hi) - int(lo) + 1) // 512, 1)
     docs = base.withColumn(
         "bucket", F.floor(F.col("doc_id") / width).cast("bigint")

@@ -2352,7 +2352,11 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise each re-run the full lineitem groupBy (localCheckpoint
     # so the blocks are reclaimable, not CacheManager-pinned)
     rev = rev.localCheckpoint(eager=True)
-    lo, hi = rev.agg(F.min("r"), F.max("r")).collect()[0]
+    from football_lakehouse_spark.functions.guards import bounded_collect
+
+    lo, hi = bounded_collect(
+        rev.agg(F.min("r"), F.max("r")), 1, "abc_classification sizing probe"
+    )[0]
     if hi is None:  # empty input: no buckets to size, result is empty
         lo, hi = 0, 0
     width = max((int(hi) - int(lo) + 1) // 512, 1)

@@ -197,11 +197,17 @@ class DeltaBackedTable:
             "CREATE TABLE AS SELECT": "overwrite",
             "CREATE OR REPLACE TABLE AS SELECT": "overwrite",
         }
-        rows = (
+        from football_lakehouse_spark.functions.guards import (
+            OPS_METADATA_BOUND,
+            bounded_collect,
+        )
+
+        rows = bounded_collect(
             self._dt()
             .history()
-            .select("version", "operation", "operationParameters", "timestamp")
-            .collect()
+            .select("version", "operation", "operationParameters", "timestamp"),
+            OPS_METADATA_BOUND,
+            "DeltaBackedTable.describe_history",
         )
         hist = []
         for r in sorted(rows, key=lambda r: r["version"]):
@@ -524,7 +530,16 @@ class IcebergBackedTable:
         return self.spark.catalog.tableExists(self.ident)
 
     def _table_props(self) -> dict[str, str]:
-        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.ident}").collect()
+        from football_lakehouse_spark.functions.guards import (
+            OPS_METADATA_BOUND,
+            bounded_collect,
+        )
+
+        rows = bounded_collect(
+            self.spark.sql(f"SHOW TBLPROPERTIES {self.ident}"),
+            OPS_METADATA_BOUND,
+            "IcebergBackedTable._table_props",
+        )
         return {r["key"]: r["value"] for r in rows}
 
     def _set_table_prop(self, key: str, value: str) -> None:
@@ -579,11 +594,17 @@ class IcebergBackedTable:
         on it; the chain can't. Falls back to (committed_at,
         snapshot_id) ordering only if the chain is broken (a table
         some other tool rolled back)."""
-        rows = (
+        from football_lakehouse_spark.functions.guards import (
+            OPS_METADATA_BOUND,
+            bounded_collect,
+        )
+
+        rows = bounded_collect(
             self.spark.table(f"{self.ident}.snapshots")
             .select("committed_at", "snapshot_id", "parent_id", "operation",
-                    "summary")
-            .collect()
+                    "summary"),
+            OPS_METADATA_BOUND,
+            "IcebergBackedTable._snapshots",
         )
         snaps = {
             int(r["snapshot_id"]): {
@@ -653,7 +674,16 @@ class IcebergBackedTable:
         return self._version_offset(snaps) + len(snaps) - 1
 
     def current_files(self) -> list[str]:
-        rows = self.spark.table(f"{self.ident}.files").select("file_path").collect()
+        from football_lakehouse_spark.functions.guards import (
+            FILE_LISTING_BOUND,
+            bounded_collect,
+        )
+
+        rows = bounded_collect(
+            self.spark.table(f"{self.ident}.files").select("file_path"),
+            FILE_LISTING_BOUND,
+            "IcebergBackedTable.current_files",
+        )
         return sorted(_rel_data_path(r["file_path"], self.base) for r in rows)
 
     def describe_history(self) -> list[dict]:

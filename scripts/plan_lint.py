@@ -69,11 +69,20 @@ EXPAND_ALLOW = {
 
 
 #: audited driver-materialisation sites — every `.collect()`/`.toPandas()`
-#: in the package must appear here as (module-relative path, enclosing
-#: qualname) with its BOUND named; anything else fails the static lint.
-#: The bound is what makes the site scale-safe: each collects a scalar,
-#: a fixed-domain table, or an ops-surface metadata list — never data.
+#: AND every `bounded_collect(...)` call in the package must appear here
+#: as (module-relative path, enclosing qualname) with its BOUND named;
+#: anything else fails the static lint. The bound is what makes the site
+#: scale-safe: each collects a scalar, a fixed-domain table, or an
+#: ops-surface metadata list — never data. Since r13 the bounds are also
+#: ENFORCED AT RUNTIME: each site routes through
+#: functions/guards.bounded_collect (limit(n+1) fetch + loud
+#: CollectBoundExceeded), so a drifting caller cannot materialise more
+#: than its audit claims.
 COLLECT_ALLOW: dict[tuple[str, str], str] = {
+    ("functions/guards.py", "bounded_collect"):
+        "the shared runtime-bound primitive every audited site routes "
+        "through (fetches max_rows+1 via limit, fails loudly past the "
+        "audited bound)",
     ("lakehouse/ddl.py", "smoke_roundtrip"):
         "DDL smoke probe: limit-bounded readback of the created table",
     ("lakehouse/tables.py", "LakehouseTable._enforce"):
@@ -110,8 +119,9 @@ COLLECT_ALLOW: dict[tuple[str, str], str] = {
         "commit-log rows (ops surface, bounded by version count)",
     ("sources/connectors.py", "IcebergBackedTable._snapshots"):
         "snapshot-log rows (ops surface, bounded by version count)",
-    ("sources/connectors.py", "IcebergBackedTable._version_offset"):
-        "SHOW TBLPROPERTIES rows (property-count bound)",
+    ("sources/connectors.py", "IcebergBackedTable._table_props"):
+        "SHOW TBLPROPERTIES rows (property-count bound, "
+        "OPS_METADATA_BOUND-enforced)",
     ("sources/connectors.py", "IcebergBackedTable.current_files"):
         "live-snapshot file list (ops surface, parity with "
         "LakehouseTable.current_files)",
@@ -155,17 +165,34 @@ def scan_collect_sites(pkg_root: str | None = None) -> list[str]:
                         (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
                     ):
                         nstack = stack + [child.name]
-                    if (
+                    is_raw = (
                         isinstance(child, ast.Call)
                         and isinstance(child.func, ast.Attribute)
                         and child.func.attr in ("collect", "toPandas")
-                    ):
+                    )
+                    # bounded_collect call sites are audited exactly like
+                    # raw collects — the helper enforces the bound at
+                    # runtime, the allowlist still names WHO collects
+                    is_bounded = (
+                        isinstance(child, ast.Call)
+                        and (
+                            (isinstance(child.func, ast.Name)
+                             and child.func.id == "bounded_collect")
+                            or (isinstance(child.func, ast.Attribute)
+                                and child.func.attr == "bounded_collect")
+                        )
+                    )
+                    if is_raw or is_bounded:
+                        kind = (
+                            f".{child.func.attr}()" if is_raw
+                            else "bounded_collect(...)"
+                        )
                         key = (rel, ".".join(stack) or "<module>")
                         seen.add(key)
                         if key not in COLLECT_ALLOW:
                             errs.append(
                                 f"{rel}:{child.lineno} driver materialisation "
-                                f"(.{child.func.attr}()) in {key[1]} — not in "
+                                f"({kind}) in {key[1]} — not in "
                                 "the audited COLLECT_ALLOW (name its bound "
                                 "there, or keep the operator distributed)"
                             )

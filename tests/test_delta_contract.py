@@ -1151,6 +1151,14 @@ def test_iceberg_snapshot_chain_broken_parent_fallback(spark, tmp_path, monkeypa
         def select(self, *cols):
             return self
 
+        def limit(self, n):
+            # bounded_collect fetches through limit(n+1)
+            import copy
+
+            clone = copy.copy(self)
+            clone._rows = self._rows[:n]
+            return clone
+
         def collect(self):
             import datetime
 
