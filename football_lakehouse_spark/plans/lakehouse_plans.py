@@ -1337,6 +1337,7 @@ def consistent_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q250_incremental_view_maintenance",
+    bench=True,
     oracle=f"""
     WITH base AS ({_BASE_SQL}), upd AS ({_UPD_SQL}),
     v1 AS (
@@ -1483,6 +1484,7 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q257_logged_cdf_ivm",
+    bench=True,
     oracle=f"""
     WITH base AS ({_BASE_SQL}), upd AS ({_UPD_SQL}),
     v1 AS (

@@ -2115,6 +2115,7 @@ def _bpe_encode_oracle_sql(n_merges: int) -> str:
 
 @query(
     "q111_bpe_merges",
+    bench=True,
     oracle=_bpe_oracle_sql(4),
     doc="Distributed BPE tokenizer training — the first 4 merges "
     "(Sennrich et al. 2016, the algorithm behind most LLM tokenizers). "
@@ -2670,6 +2671,7 @@ def source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q78_sequence_packing",
+    bench=True,
     oracle="""
     WITH RECURSIVE t AS (
         SELECT doc_id, source, doc_id % 4 AS shard,
@@ -5015,6 +5017,7 @@ def keyness_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q214_index_serving_bm25",
+    bench=True,
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     p AS (
@@ -8452,6 +8455,7 @@ def decontaminated_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q294_ivf_index_serving",
+    bench=True,
     oracle=_ivf_oracle_sql(n_cells=16, n_probe=4, k=3, iters=2),
     doc="SERVING off PERSISTED IVF index artifacts (r11; the vector twin "
     "of q214's BM25 index serving): the index lifecycle's build half — "
