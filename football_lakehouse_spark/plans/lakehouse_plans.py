@@ -528,9 +528,12 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q134_check_constraint_gate",
     oracle="""
-    SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+    -- abs(): the demo's premise (base data satisfies the CHECK) must
+    -- hold on ANY input, not just fixtures with nonnegative values
+    SELECT event_id, event_type, abs(value) AS value FROM events
+    WHERE event_id % 2 = 0
     UNION ALL
-    SELECT event_id, event_type, value FROM events
+    SELECT event_id, event_type, abs(value) AS value FROM events
     WHERE event_id % 2 = 1 AND event_id % 7 = 0
     """,
     doc="Table-level CHECK constraint enforcement end to end (Delta "
@@ -553,6 +556,13 @@ def check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = scratch_dir("q134_check_constraint_gate")
     t = LakehouseTable(spark, root, "silver", "event_checked")
+    # abs(): the constraint demo must be DATA-INDEPENDENT — on raw
+    # values a single negative event (r13 fuzz fixtures) makes
+    # add_constraint correctly refuse the declaration and the whole
+    # demo premise collapses; clamping keeps every step meaningful on
+    # any input while the violating append below still exercises the
+    # rejection path
+    ev = ev.withColumn("value", F.abs(F.col("value")))
     t.append(ev.where(F.col("event_id") % 2 == 0))
     t.add_constraint("nonneg_value", "value >= 0")
     bad = (
@@ -856,18 +866,28 @@ def scd2_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS event_type,
                CASE WHEN event_id % 11 = 0 THEN -value ELSE value END AS value
         FROM base
+    ),
+    checked AS (
+        -- evaluate the expectations ON THE DATA (r13 fuzz: the old
+        -- analytic form assumed raw values are nonnegative, so an
+        -- organically-negative value — or a negated negative — broke
+        -- the twin; "failed unless predicate is TRUE" matches the
+        -- engine's null-safe rule)
+        SELECT event_id, event_type, value,
+               concat_ws(',',
+                   CASE WHEN NOT COALESCE(event_type IN
+                       ('click','error','purchase','signup','view','updated'),
+                       FALSE) THEN 'known_type' END,
+                   CASE WHEN NOT COALESCE(value >= 0, FALSE)
+                        THEN 'nonneg_value' END) AS failed
+        FROM mutated
     )
     SELECT event_id, event_type, value, 'valid' AS disposition,
            '' AS failed_expectations
-    FROM mutated
-    WHERE NOT (event_id % 7 = 0) AND NOT (event_id % 11 = 0)
+    FROM checked WHERE failed = ''
     UNION ALL
-    SELECT event_id, event_type, value, 'quarantined',
-           concat_ws(',',
-               CASE WHEN event_id % 7 = 0 THEN 'known_type' END,
-               CASE WHEN event_id % 11 = 0 THEN 'nonneg_value' END)
-    FROM mutated
-    WHERE event_id % 7 = 0 OR event_id % 11 = 0
+    SELECT event_id, event_type, value, 'quarantined', failed
+    FROM checked WHERE failed <> ''
     """,
     doc="DLT-style expectations with QUARANTINE (expect_or_quarantine; "
     "operators/quality.append_with_expectations): a batch with injected "

@@ -946,22 +946,30 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = (
         docs.select("doc_id", "source")
-        .join(per_doc, ["doc_id"])
+        # LEFT join (r13 fuzz witness): the span-coverage derivation
+        # yields no row for a zero-token (empty/whitespace-only) doc,
+        # and the old inner join silently dropped such docs from
+        # n_docs AND from the exact-dup count — the oracle keeps them
+        .join(per_doc, ["doc_id"], "left")
         # no broadcast hint: the dup-doc table is data-dependent (a
         # dup-heavy corpus makes it corpus-scale) — AQE broadcasts it
         # at runtime exactly when it is actually small
         .join(exact_dups, ["doc_id"], "left")
         .join(nd_docs, ["doc_id"], "left")
     )
-    cov_sum = F.sum("covered_tokens").cast("bigint")
-    tok_sum = F.sum("n_tokens").cast("bigint")
+    cov_sum = F.sum(F.coalesce(F.col("covered_tokens"), F.lit(0))).cast("bigint")
+    tok_sum = F.sum(F.coalesce(F.col("n_tokens"), F.lit(0))).cast("bigint")
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.coalesce(F.col("is_exact_dup"), F.lit(0))).cast("bigint").alias("n_exact_dups"),
         F.sum(F.coalesce(F.col("is_neardup"), F.lit(0))).cast("bigint").alias("n_neardup_docs"),
         tok_sum.alias("n_tokens"),
         cov_sum.alias("covered_tokens"),
-        (F.floor(cov_sum * 10000 / tok_sum).cast("double") / 10000).alias("dup_span_ratio"),
+        # all-empty source: 0 tokens → NULL ratio (DuckDB x/0), not an
+        # ANSI crash
+        F.when(
+            tok_sum > 0, F.floor(cov_sum * 10000 / tok_sum).cast("double") / 10000
+        ).alias("dup_span_ratio"),
     )
 
 
@@ -2446,7 +2454,9 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id,
-           array_to_string(kept, ' ') AS norm_text,
+           -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is
+           -- '' — empty docs (r13 fuzz witness) need the explicit ''
+           coalesce(array_to_string(kept, ' '), '') AS norm_text,
            CAST(len(kept) AS BIGINT) AS n_tokens,
            CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
     FROM k
@@ -2742,7 +2752,10 @@ _CHUNK_LEN, _CHUNK_STRIDE = 64, 32
     SELECT doc_id,
            CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_ix,
            CAST(least({_CHUNK_LEN}, len(toks) - start) AS BIGINT) AS n_tokens,
-           array_to_string(toks[start + 1 : start + {_CHUNK_LEN}], ' ') AS chunk_text
+           -- coalesce: DuckDB array_to_string of an EMPTY slice (empty
+           -- doc, r13 fuzz witness) is NULL; Spark array_join gives ''
+           coalesce(array_to_string(toks[start + 1 : start + {_CHUNK_LEN}], ' '),
+                    '') AS chunk_text
     FROM r
     """,
     doc="Context chunking for embedding/training prep: each doc is split "

@@ -1323,8 +1323,10 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN is_target THEN rev_micro ELSE 0 END)
                 AS BIGINT) AS target_rev_micro,
            CAST(sum(rev_micro) AS BIGINT) AS total_rev_micro,
-           CAST(floor(sum(CASE WHEN is_target THEN rev_micro ELSE 0 END)
-                      * CAST(1000000 AS HUGEINT) / sum(rev_micro))
+           -- // (trunc, = Spark div): floor(/) reads one ppm low when a
+           -- month's total revenue goes negative (r13 fuzz class)
+           CAST(sum(CASE WHEN is_target THEN rev_micro ELSE 0 END)
+                * CAST(1000000 AS HUGEINT) // sum(rev_micro)
                 AS BIGINT) AS share_ppm
     FROM flat GROUP BY o_year
     """,
@@ -1411,8 +1413,10 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN is_promo THEN rev_micro ELSE 0 END)
                 AS BIGINT) AS promo_rev_micro,
            CAST(sum(rev_micro) AS BIGINT) AS total_rev_micro,
-           CAST(floor(sum(CASE WHEN is_promo THEN rev_micro ELSE 0 END)
-                      * CAST(1000000 AS HUGEINT) / sum(rev_micro))
+           -- // (trunc, = Spark div): floor(/) reads one ppm low on a
+           -- negative monthly total (r13 fuzz witness: 1995-01, 1998-03)
+           CAST(sum(CASE WHEN is_promo THEN rev_micro ELSE 0 END)
+                * CAST(1000000 AS HUGEINT) // sum(rev_micro)
                 AS BIGINT) AS promo_ppm
     FROM flat GROUP BY ship_month
     """,
@@ -1903,7 +1907,9 @@ def copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(ceil(i * 10.0 / n) AS BIGINT) AS decile,
            CAST(max(i) AS BIGINT) AS n_customers_cum,
-           CAST(floor(max(cum) * CAST(1000000 AS HUGEINT) / max(total))
+           -- // (trunc, = Spark div): cum revenue prefixes go negative
+           -- when low-spend customers have negative totals (r13 fuzz)
+           CAST(max(cum) * CAST(1000000 AS HUGEINT) // max(total)
                 AS BIGINT) AS cum_revenue_ppm
     FROM ranked GROUP BY 1
     """,
@@ -1952,7 +1958,17 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.max("i").cast("bigint").alias("n_customers_cum"),
-            F.floor(F.max("cum") * 1000000 / F.max("total"))
+            F.max("cum").alias("__cum"),
+            F.max("total").alias("__tot"),
+        )
+        # div (trunc), not floor(/): a negative cum prefix (customers
+        # with negative revenue totals, r13 fuzz witness) floored one
+        # ppm below the DuckDB // twin — and decimal / also HALF_UP-
+        # rounds before floor (the q199/q55 class)
+        .select(
+            "decile",
+            "n_customers_cum",
+            F.expr("__cum * 1000000 div __tot")
             .cast("bigint").alias("cum_revenue_ppm"),
         )
     )
@@ -2208,7 +2224,9 @@ def trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN l_shipdate >= TIMESTAMP '2001-01-01'
                          AND l_shipdate < TIMESTAMP '2002-01-01' THEN 1
                END AS yr,
-               CAST(l_quantity AS BIGINT) AS l_quantity,
+               -- trunc(): DuckDB CAST(double AS BIGINT) rounds half-even
+               -- while Spark's cast truncates (r13 fuzz: .5 quantities)
+               CAST(trunc(l_quantity) AS BIGINT) AS l_quantity,
                CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)
                    AS ext_micro
         FROM lineitem
@@ -2605,9 +2623,14 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.min("price_micro").cast("bigint").alias("lo_micro"),
             F.max("price_micro").cast("bigint").alias("hi_micro"),
-            F.floor(
-                F.sum(F.col("price_micro").cast(dec)) / F.count(F.lit(1))
-            ).cast("bigint").alias("avg_micro"),
+            F.sum(F.col("price_micro").cast(dec)).alias("__s"),
+        )
+        # div (trunc, = DuckDB //), not floor(/): a bin whose price sum
+        # is negative floored one micro low (r13 fuzz witness), and
+        # decimal / HALF_UP-rounds before floor (q199/q55 class)
+        .select(
+            "bin", "n_rows", "lo_micro", "hi_micro",
+            F.expr("__s div n_rows").cast("bigint").alias("avg_micro"),
         )
     )
 
@@ -2890,10 +2913,13 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q234_histogram_2d",
     oracle="""
-    SELECT CAST(least(4, CAST(l_quantity AS BIGINT) // 10) AS BIGINT)
+    -- trunc(): DuckDB double→int cast rounds, Spark truncates
+    SELECT CAST(least(4, CAST(trunc(l_quantity) AS BIGINT) // 10) AS BIGINT)
                AS qty_bin,
-           CAST(least(9, CAST(floor(l_extendedprice) AS BIGINT) // 10000)
-               AS BIGINT) AS price_bin,
+           -- floor-division (not //-trunc): bins over NEGATIVE prices
+           -- must floor like the engine's floor(x / 10000) (r13 fuzz)
+           CAST(least(9, CAST(floor(floor(l_extendedprice) / 10000.0)
+               AS BIGINT)) AS BIGINT) AS price_bin,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
                                * 1000000.0 + 0.5) AS HUGEINT))
@@ -3055,7 +3081,8 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)
                    AS price_micro,
-               CAST(l_quantity AS BIGINT) AS w,
+               -- trunc(): DuckDB double→int cast rounds, Spark truncates
+               CAST(trunc(l_quantity) AS BIGINT) AS w,
                l_orderkey, l_linenumber
         FROM lineitem
     ),
@@ -3240,7 +3267,8 @@ def basket_size_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS discount_pct,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           -- trunc(): DuckDB double→int cast rounds, Spark truncates
+           CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
            CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
                                * 1000000.0 + 0.5) AS HUGEINT))
                 // count(*) AS BIGINT) AS avg_net_micro,
