@@ -1908,8 +1908,11 @@ def copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ceil(i * 10.0 / n) AS BIGINT) AS decile,
            CAST(max(i) AS BIGINT) AS n_customers_cum,
            -- // (trunc, = Spark div): cum revenue prefixes go negative
-           -- when low-spend customers have negative totals (r13 fuzz)
-           CAST(max(cum) * CAST(1000000 AS HUGEINT) // max(total)
+           -- when low-spend customers have negative totals (r13 fuzz);
+           -- max_by(cum, i): the curve point is cum AT the last-ranked
+           -- row — max(cum) diverges once the running sum is
+           -- non-monotone (negative totals)
+           CAST(max_by(cum, i) * CAST(1000000 AS HUGEINT) // max(total)
                 AS BIGINT) AS cum_revenue_ppm
     FROM ranked GROUP BY 1
     """,
@@ -1958,7 +1961,11 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.max("i").cast("bigint").alias("n_customers_cum"),
-            F.max("cum").alias("__cum"),
+            # cum AT the decile's last-ranked row, not max(cum): with
+            # negative revenue totals (supported input class since the
+            # r13 fuzz work) the ascending running sum is non-monotone
+            # and max(cum) is not a point on the Lorenz curve
+            F.max_by("cum", "i").alias("__cum"),
             F.max("total").alias("__tot"),
         )
         # div (trunc), not floor(/): a negative cum prefix (customers

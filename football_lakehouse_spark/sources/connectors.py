@@ -67,9 +67,20 @@ def _rel_data_path(path: str, base: str) -> str:
     from urllib.parse import urlparse
 
     head = path.split("/", 1)[0]
-    p = urlparse(path).path if ":" in head else path
+    pu = urlparse(path) if ":" in head else None
     bhead = base.split("/", 1)[0]
-    b = urlparse(base).path if ":" in bhead else base
+    bu = urlparse(base) if ":" in bhead else None
+    # different authority (bucket/host) ⇒ genuinely outside the table
+    # base even when the PATH components coincide — keep the original
+    # URI absolute rather than mis-relativising a foreign-bucket file
+    # ('file' spellings all carry an empty/localhost authority, which
+    # normalises equal)
+    pn = (pu.netloc if pu else "").replace("localhost", "")
+    bn = (bu.netloc if bu else "").replace("localhost", "")
+    if pn != bn:
+        return path
+    p = pu.path if pu else path
+    b = bu.path if bu else base
     return p.removeprefix(b.rstrip("/") + "/")
 
 
@@ -573,6 +584,32 @@ class IcebergBackedTable:
         sid, ver = int(sid_s), int(ver_s)
         if snaps is None:
             snaps = self._snapshots()
+        # anchor indices are positions in the LINEAR parent chain; when
+        # the retained set is non-contiguous (a tag/branch kept an
+        # orphan whose parent chain was expired around it), _snapshots
+        # falls back to timestamp ordering, where an index is NOT a
+        # version distance — deriving an offset from it would silently
+        # mis-address versions (the exact bug class the anchor exists
+        # to prevent). Detect and fail loudly instead.
+        ids = {s["snapshot_id"] for s in snaps}
+        linear = all(
+            snaps[i + 1]["parent_id"] == snaps[i]["snapshot_id"]
+            for i in range(len(snaps) - 1)
+        ) and sum(
+            1 for s in snaps
+            if s["parent_id"] is None or s["parent_id"] not in ids
+        ) <= 1
+        if not linear:
+            raise ValueError(
+                f"{self.ident}: retained snapshots do not form a single "
+                "parent chain (a tag/branch ref kept an orphan while its "
+                "ancestors were expired, or another tool rewrote history)"
+                " — anchor-derived version addressing would silently "
+                "mis-index; resolve the extra refs (drop the tag/branch "
+                "or expire the orphan) or reset the "
+                f"'{_FLS_VERSION_ANCHOR}' property to a known "
+                "snapshot_id:version pair"
+            )
         for ix, s in enumerate(snaps):
             if s["snapshot_id"] == sid:
                 return ver - ix
@@ -580,8 +617,11 @@ class IcebergBackedTable:
             f"{self.ident}: version-anchor snapshot {sid} is no longer "
             "in the retained snapshot chain (expired or rolled back by "
             "another tool) — engine version addressing cannot be "
-            "re-established; re-anchor by running vacuum() on a known "
-            "head or clear the anchor property explicitly"
+            "re-established automatically; if a trustworthy mapping is "
+            f"known, manually reset the '{_FLS_VERSION_ANCHOR}' table "
+            "property to a retained snapshot_id:version pair (vacuum() "
+            "cannot repair this: it needs the mapping to stamp a new "
+            "anchor)"
         )
 
     def _snapshots(self) -> list[dict]:

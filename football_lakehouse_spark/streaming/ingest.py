@@ -76,6 +76,12 @@ def land_json_files(events: DataFrame, landing_dir: str, files_per_day: int = 1)
     # a never-consumed t* name (duplicate ingestion into append-only
     # bronze). The staging dir is keyed per call, so concurrent
     # landers can no longer rename each other's in-flight files.
+    # Residual (documented in RUNBOOK §7): concurrent landers into the
+    # SAME partition dir can interleave a lower stamp after a reader
+    # consumed a higher one — the per-dir watermark lags the frontier
+    # by offsetTailKeep names precisely to absorb this; faster
+    # concurrent publish rates need one writer per dir (or a larger
+    # offsetTailKeep).
     #
     # ARRIVAL-STAMPED monotone names (RUNBOOK §7 contract, enforced by
     # the writer itself since r12): Spark's part-<uuid> names are

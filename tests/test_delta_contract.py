@@ -1183,3 +1183,46 @@ def test_iceberg_snapshot_chain_broken_parent_fallback(spark, tmp_path, monkeypa
     t.spark = _FakeSpark()
     got = [s["snapshot_id"] for s in t._snapshots()]
     assert got == [20, 30, 50]
+
+
+def test_iceberg_offset_anchor_nonlinear_chain_fails_loud(spark, tmp_path, monkeypatch):
+    """r13 review: a tag/branch ref can keep an ORPHAN snapshot while
+    its ancestors are expired — the retained set is then non-contiguous
+    and a timestamp-fallback index is NOT a version distance. The
+    anchor derivation must refuse rather than silently mis-address
+    (offset from the fallback index would alias old data to newer
+    version numbers)."""
+    props = {connectors._FLS_VERSION_ANCHOR: "40:3"}
+    # orphan sid 10 (tag-retained; its children 20, 30 were expired)
+    # plus the head 40 whose parent 30 is gone: two roots
+    broken = [
+        {"snapshot_id": 10, "parent_id": None, "ts": 1000.0,
+         "operation": "append", "summary": {}},
+        {"snapshot_id": 40, "parent_id": 30, "ts": 1003.0,
+         "operation": "append", "summary": {}},
+    ]
+    t = _fake_iceberg_table(spark, tmp_path, monkeypatch, broken, props)
+    with pytest.raises(ValueError, match="single\\s+parent chain"):
+        t._version_offset()
+    # the legacy-offset path (no anchor) is not affected by this guard
+    t2 = _fake_iceberg_table(spark, tmp_path, monkeypatch, broken,
+                             {connectors._FLS_VERSION_OFFSET: "0"})
+    assert t2._version_offset() == 0
+
+
+def test_rel_data_path_foreign_authority_stays_absolute():
+    """r13 review: a file in a DIFFERENT bucket whose path component
+    coincides with the base's path must not be mis-relativised."""
+    assert (
+        connectors._rel_data_path(
+            "s3a://data-bucket/wh/t1/data/f.parquet", "s3a://meta-bucket/wh/t1"
+        )
+        == "s3a://data-bucket/wh/t1/data/f.parquet"
+    )
+    # and the local spellings still relativise (empty/localhost authority)
+    assert (
+        connectors._rel_data_path(
+            "file://localhost/wh/t1/data/f.parquet", "/wh/t1"
+        )
+        == "data/f.parquet"
+    )
