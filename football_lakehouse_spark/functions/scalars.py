@@ -39,6 +39,49 @@ def micros(c: Column) -> Column:
     return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
 
 
+#: limb radix for :func:`_sum_micros_exact` — each limb is in [0, 1e6)
+#: (the hi limb is signed and tiny), so a BIGINT limb sum stays exact
+#: past 9e12 rows PER GROUP before ANSI mode fails it loudly.
+_LIMB = 1000000
+
+
+def _sum_micros_exact(c: Column) -> Column:
+    """Exact SUM of per-row integer micros, 2.4× faster than a
+    DECIMAL(38,0) sum at sf1 (r13 A/B, SCALING.md): Spark's decimal
+    aggregation pays a per-row Decimal conversion + 128-bit add, while
+    BIGINT sums stay in primitive longs inside whole-stage codegen —
+    measured FASTER than even a plain double sum. Each row's micros
+    value m (|m| ≤ 2^53, inherited from the double floor) splits into
+    three limbs m = hi·10¹² + mid·10⁶ + lo with mid, lo ∈ [0, 10⁶)
+    (pmod) and |hi| ≤ |m|/10¹²; the limbs sum as BIGINTs and only the
+    per-GROUP recombination happens in DECIMAL(38,0) — so the result
+    is the exact integer total at any magnitude, identical to the old
+    decimal-sum form bit for bit (verified on the sf1 fixtures).
+
+    Overflow headroom: limb sums are bounded by 10⁶ × rows-per-group →
+    exact to ~9.2e12 rows per group (≈ 1.5 PB of lineitem in one
+    group); beyond that ANSI sum overflow fails LOUDLY, never
+    silently. The split arithmetic is itself exact: m - pmod(m, 10⁶)
+    is a multiple of 10⁶ whose double conversion and division are both
+    exact for |m| ≤ 2^53.
+
+    Returns a composite expression containing three aggregate
+    functions — valid anywhere ``F.sum(...)`` is (``groupBy().agg``,
+    global agg), but NOT as a window function operand; window callers
+    keep their own bounded single-sum forms (operators/rolling)."""
+    m = F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    lo = F.pmod(m, F.lit(_LIMB))
+    t1 = ((m - lo) / F.lit(_LIMB)).cast("bigint")
+    mid = F.pmod(t1, F.lit(_LIMB))
+    hi = ((t1 - mid) / F.lit(_LIMB)).cast("bigint")
+    dec = "decimal(38,0)"
+    return (
+        F.sum(hi).cast(dec) * F.lit(_LIMB * _LIMB)
+        + F.sum(mid).cast(dec) * F.lit(_LIMB)
+        + F.sum(lo).cast(dec)
+    )
+
+
 def _trunc_div(a: Column, b: Column) -> Column:
     """EXACT truncate-toward-zero integer division for an integer-
     valued ``a`` by a positive integer ``b`` — the semantics of SQL
@@ -81,10 +124,12 @@ def money_sum(c: Column, scale: int = 2) -> Column:
     truncate at ``scale`` (matching the DuckDB twin's ``//`` exactly,
     negative sums included — see :func:`_trunc_div`). No round()
     anywhere — truncation on exact integers has no tie-breaking
-    semantics to disagree on."""
+    semantics to disagree on. Sums via the bigint-limb fast path
+    (:func:`_sum_micros_exact`, r13): same exact integer total, ~2.4×
+    cheaper than the decimal-sum form on agg-dominated plans."""
     shift = 10 ** (6 - scale)
     unit = 10 ** scale
-    return _trunc_div(F.sum(micros(c)), F.lit(shift)).cast("double") / unit
+    return _trunc_div(_sum_micros_exact(c), F.lit(shift)).cast("double") / unit
 
 
 def money_avg(c: Column, scale: int = 4) -> Column:
@@ -95,7 +140,7 @@ def money_avg(c: Column, scale: int = 4) -> Column:
     shift = 10 ** (6 - scale)
     unit = 10 ** scale
     denom = F.count(F.lit(1)) * F.lit(shift)
-    return _trunc_div(F.sum(micros(c)), denom).cast("double") / unit
+    return _trunc_div(_sum_micros_exact(c), denom).cast("double") / unit
 
 
 def sql_money_sum(expr: str, scale: int = 2) -> str:

@@ -17,7 +17,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from football_lakehouse_spark.functions.scalars import micros
+from football_lakehouse_spark.functions.scalars import (
+    _sum_micros_exact,
+    _trunc_div,
+    micros,
+)
 
 #: fixed-point scale shared with functions.scalars.money_sum
 _MONEY_SCALE = 2
@@ -88,9 +92,14 @@ def salted_aggregate(
         # portable fixed-point rule): the two-phase salted sum lands on
         # the identical double as the single-phase oracle because
         # integer partials merge exactly
-        partial_aggs.append(F.sum(micros(F.col(c))).alias(f"__ps_{c}"))
+        # bigint-limb partials (r13): the per-row quantised sum is the
+        # hot phase — _sum_micros_exact keeps it in codegen'd longs;
+        # the final merge sums only n_keys×n_salt decimal partials
+        partial_aggs.append(_sum_micros_exact(F.col(c)).alias(f"__ps_{c}"))
         final_aggs.append(
-            (F.floor(F.sum(f"__ps_{c}") / F.lit(shift)).cast("double") / unit)
+            # _trunc_div, not floor(/): floor reads one cent low on a
+            # negative group total and decimal / HALF_UP-rounds first
+            (_trunc_div(F.sum(f"__ps_{c}"), F.lit(shift)).cast("double") / unit)
             .alias(f"sum_{c}")
         )
     partial = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*partial_aggs)

@@ -29,13 +29,13 @@ def batch_partials(events: DataFrame) -> DataFrame:
     the overflow the shared helper documents away (a rollup key's
     running micro total wraps/ANSI-throws past ~9.2e18, and every merge
     re-truncated it)."""
-    from football_lakehouse_spark.functions.scalars import micros
+    from football_lakehouse_spark.functions.scalars import _sum_micros_exact
 
     return (
         events.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(micros(F.col("value"))).cast("decimal(38,0)").alias("v_micros"),
+            _sum_micros_exact(F.col("value")).alias("v_micros"),
         )
         # partition column: merge's partition-scoped rewrite is what
         # makes maintenance O(touched partitions); a date renders to

@@ -11,7 +11,11 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from football_lakehouse_spark.functions.scalars import _trunc_div, money_sum
+from football_lakehouse_spark.functions.scalars import (
+    _sum_micros_exact,
+    _trunc_div,
+    money_sum,
+)
 
 from football_lakehouse_spark.catalog import load_table
 from football_lakehouse_spark.lakehouse.tables import LakehouseTable
@@ -301,7 +305,7 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(micros(F.col("value"))).alias("v_micros"),
+        _sum_micros_exact(F.col("value")).alias("v_micros"),
     )
     return hourly.groupBy(
         F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
@@ -1408,12 +1412,9 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete((F.col("event_type") == "updated") & (F.col("value") < 50))
     v0 = t.read(version=0)
 
-    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
-        "decimal(38,0)"
-    )
     mv0 = v0.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(micros).alias("value_micros"),
+        _sum_micros_exact(F.col("value")).alias("value_micros"),
     )
 
     feed = change_feed(v0, t.read(version=1), ["event_id"]).unionByName(
@@ -1422,6 +1423,11 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign = F.when(
         F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
+    # delta batches are O(touched rows) — the decimal form is fine here;
+    # the base-view scan above uses the bigint-limb fast path
+    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     delta = feed.groupBy("event_type").agg(
         F.sum(sign).cast("bigint").alias("dn"),
         F.sum(sign.cast("decimal(38,0)") * micros).alias("dv"),
@@ -1549,13 +1555,10 @@ def logged_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.merge(upd, ["event_id"])
     t.delete((F.col("event_type") == "updated") & (F.col("value") < 50))
 
-    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
-        "decimal(38,0)"
-    )
     band = F.floor(F.col("value") / 10).cast("bigint").alias("band")
     mv0 = t.read(version=0).groupBy(band).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(micros).alias("value_micros"),
+        _sum_micros_exact(F.col("value")).alias("value_micros"),
     )
 
     # refresh input: ONLY the logged feed — no table version is read
@@ -1563,6 +1566,11 @@ def logged_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign = F.when(
         F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
+    # delta batches are O(touched rows) — the decimal form is fine here;
+    # the base-view scan above uses the bigint-limb fast path
+    micros = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     delta = feed.groupBy(band).agg(
         F.sum(sign).cast("bigint").alias("dn"),
         F.sum(sign.cast("decimal(38,0)") * micros).alias("dv"),

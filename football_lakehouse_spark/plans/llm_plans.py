@@ -2188,14 +2188,25 @@ def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from football_lakehouse_spark.operators.similarity import as_double, dot
 
+    from football_lakehouse_spark.functions.scalars import (
+        _sum_micros_exact,
+        _trunc_div,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
     nrm = F.sqrt(dot(v, v))
-    micros = F.floor(nrm * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         (
-            F.floor(F.sum(micros) / (F.count(F.lit(1)) * F.lit(100))).cast("double")
+            # _trunc_div, not floor(decimal /): the decimal division
+            # HALF_UP-rounds at result scale BEFORE floor (q199/q55
+            # class — one 1e-4 high when the fraction is ≥ .9999995);
+            # DuckDB's // is exact. Norms are nonnegative, so floor vs
+            # trunc itself cannot differ here.
+            _trunc_div(
+                _sum_micros_exact(nrm), F.count(F.lit(1)) * F.lit(100)
+            ).cast("double")
             / 10000
         ).alias("avg_norm"),
     )
