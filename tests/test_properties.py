@@ -804,3 +804,23 @@ def test_py_money_from_micros_matches_money_sum_on_negatives(spark):
     )
     micros = int(np.floor(np.array(vals) * 1e6 + 0.5).astype("int64").sum())
     assert py_money_from_micros(micros) == got_spark
+
+
+@given(vals=st.lists(st.floats(-1e9, 1e9, allow_nan=False), min_size=1, max_size=40),
+       parts=st.integers(1, 7))
+@SLOW
+def test_sum_micros_exact_equals_decimal_sum(spark, vals, parts):
+    """r13 limb redesign: the bigint-limb sum must be BIT-IDENTICAL to
+    the decimal(38,0) sum of the same per-row micros, for any sign and
+    magnitude the double quantisation itself supports, under any
+    partitioning (limb sums are algebraic, so partial merges are
+    exact)."""
+    from football_lakehouse_spark.functions.scalars import (
+        _sum_micros_exact,
+        micros,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(parts)
+    got = df.agg(_sum_micros_exact(F.col("x")).alias("s")).first().s
+    want = df.agg(F.sum(micros(F.col("x"))).alias("s")).first().s
+    assert got == want
