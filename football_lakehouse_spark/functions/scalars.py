@@ -44,6 +44,32 @@ def micros(c: Column) -> Column:
 #: past 9e12 rows PER GROUP before ANSI mode fails it loudly.
 _LIMB = 1000000
 
+#: literal-Column cache: expression CONSTRUCTION is driver-side py4j
+#: chatter (~1 round-trip per operator), and the limb form multiplies
+#: it — with several money columns per query the build cost showed as
+#: a visible constant in sub-second benches (row-independent, so
+#: irrelevant at scale, but free to trim). Cached handles reference
+#: the gateway's JVM objects, so the cache is invalidated whenever the
+#: active SparkContext changes (session restart in one process).
+_lit_cache: dict = {}
+_lit_cache_ctx = None
+
+
+def _clit(v) -> Column:
+    global _lit_cache_ctx
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if ctx is not _lit_cache_ctx:
+        _lit_cache.clear()
+        _lit_cache_ctx = ctx
+    key = (type(v).__name__, v)
+    col = _lit_cache.get(key)
+    if col is None:
+        col = F.lit(v)
+        _lit_cache[key] = col
+    return col
+
 
 def _sum_micros_exact(c: Column) -> Column:
     """Exact SUM of per-row integer micros, 2.4× faster than a
@@ -61,23 +87,34 @@ def _sum_micros_exact(c: Column) -> Column:
     Overflow headroom: limb sums are bounded by 10⁶ × rows-per-group →
     exact to ~9.2e12 rows per group (≈ 1.5 PB of lineitem in one
     group); beyond that ANSI sum overflow fails LOUDLY, never
-    silently. The split arithmetic is itself exact: m - pmod(m, 10⁶)
-    is a multiple of 10⁶ whose double conversion and division are both
-    exact for |m| ≤ 2^53.
+    silently. The split arithmetic is itself exact: m - pmod(m, 10¹²)
+    is a multiple of 10¹² whose double conversion and division are both
+    exact for |m| ≤ 2^53, and the inner 10⁶ split of the nonnegative
+    remainder cannot misround (see the inline note).
 
     Returns a composite expression containing three aggregate
     functions — valid anywhere ``F.sum(...)`` is (``groupBy().agg``,
     global agg), but NOT as a window function operand; window callers
     keep their own bounded single-sum forms (operators/rolling)."""
-    m = F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-    lo = F.pmod(m, F.lit(_LIMB))
-    t1 = ((m - lo) / F.lit(_LIMB)).cast("bigint")
-    mid = F.pmod(t1, F.lit(_LIMB))
-    hi = ((t1 - mid) / F.lit(_LIMB)).cast("bigint")
+    # hoisted literal Columns + the lo12 two-division form: expression
+    # CONSTRUCTION is driver-side py4j chatter, ~1 round-trip per
+    # operator — with several money columns per query it showed up as
+    # a visible constant in sub-second benches (row-independent, so
+    # irrelevant at scale, but free to trim)
+    limb2 = _clit(_LIMB * _LIMB)
+    limb = _clit(_LIMB)
+    m = F.floor(c * _clit(1000000.0) + _clit(0.5)).cast("bigint")
+    lo12 = F.pmod(m, limb2)                   # [0, 1e12)
+    hi = ((m - lo12) / limb2).cast("bigint")
+    # lo12 < 1e12 ≤ 2^53: the double division's error (< 2^-52·1e6)
+    # cannot reach the 1e-6 fraction granularity, so the bigint cast
+    # (trunc; lo12 is nonnegative) is the exact quotient
+    mid = (lo12 / limb).cast("bigint")
+    lo = lo12 - mid * limb
     dec = "decimal(38,0)"
     return (
-        F.sum(hi).cast(dec) * F.lit(_LIMB * _LIMB)
-        + F.sum(mid).cast(dec) * F.lit(_LIMB)
+        F.sum(hi).cast(dec) * limb2
+        + F.sum(mid).cast(dec) * limb
         + F.sum(lo).cast(dec)
     )
 
@@ -129,7 +166,7 @@ def money_sum(c: Column, scale: int = 2) -> Column:
     cheaper than the decimal-sum form on agg-dominated plans."""
     shift = 10 ** (6 - scale)
     unit = 10 ** scale
-    return _trunc_div(_sum_micros_exact(c), F.lit(shift)).cast("double") / unit
+    return _trunc_div(_sum_micros_exact(c), _clit(shift)).cast("double") / unit
 
 
 def money_avg(c: Column, scale: int = 4) -> Column:
@@ -139,7 +176,7 @@ def money_avg(c: Column, scale: int = 4) -> Column:
     high whenever the true quotient's fraction was ≥ .9999995)."""
     shift = 10 ** (6 - scale)
     unit = 10 ** scale
-    denom = F.count(F.lit(1)) * F.lit(shift)
+    denom = F.count(_clit(1)) * _clit(shift)
     return _trunc_div(_sum_micros_exact(c), denom).cast("double") / unit
 
 
