@@ -36,7 +36,7 @@ def micros(c: Column) -> Column:
     binary value — the per-row ±1e-6 drift accumulates across millions
     of rows and flips any fixed-point result.) Summed as DECIMAL(38,0)
     so 100 TB-scale totals cannot overflow."""
-    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    return F.floor(c * _clit(1000000.0) + _clit(0.5)).cast("decimal(38,0)")
 
 
 #: limb radix for :func:`_sum_micros_exact` — each limb is in [0, 1e6)
@@ -137,7 +137,8 @@ def _trunc_div(a: Column, b: Column) -> Column:
     windows), since bigint/bigint division goes through double."""
     fm = F.pmod(a, b)
     fd = (a - fm) / b
-    return fd + F.when((a < 0) & (fm != 0), F.lit(1)).otherwise(F.lit(0))
+    zero = _clit(0)
+    return fd + F.when((a < zero) & (fm != zero), _clit(1)).otherwise(zero)
 
 
 def py_money_from_micros(m: int, scale: int = 2) -> float:
