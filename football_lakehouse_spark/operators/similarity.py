@@ -41,10 +41,80 @@ def dot(a: F.Column, b: F.Column) -> F.Column:
 def cosine(a: F.Column, b: F.Column) -> F.Column:
     """Cosine similarity; NULL when either vector has zero norm — the
     same value DuckDB's x/0 yields, so the oracle twins agree, and the
-    engine never ANSI-crashes on a degenerate vector at scale."""
+    engine never ANSI-crashes on a degenerate vector at scale.
+
+    PER-PAIR COST WARNING (r14): this single expression inlines both
+    self-dots, the cast transforms, and (via the two references to
+    ``denom``) re-evaluates them — ~5 O(dim) interpreted folds per
+    PAIR. Every hot pair-scoring path should instead materialise the
+    double array and its norm once per ROW with :func:`vec_side` and
+    score with :func:`cosine_hoisted` — bit-identical (same IEEE ops
+    in the same order), measured ~4× cheaper per pair on the sf0.1
+    embeddings. Keep this form for one-off columns only."""
     ad, bd = as_double(a), as_double(b)
     denom = F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd))
     return F.when(denom > 0, dot(ad, bd) / denom)
+
+
+def per_row_scalar(vec: F.Column, scalar: F.Column, f) -> F.Column:
+    """Apply ``f(element, scalar)`` to every element of ``vec`` with
+    ``scalar`` evaluated ONCE PER ROW: zip the array against
+    ``array_repeat(scalar, size(vec))``. Embedding a non-trivial scalar
+    (an O(dim) fold like a norm or max-abs scale) inside a
+    ``transform`` lambda re-evaluates it per ELEMENT — O(dim²) per row,
+    measured 15× slower on the sf0.1 embeddings — and a two-projection
+    hoist is not robust because CollapseProject re-inlines any
+    single-reference produced column regardless of cost (r14)."""
+    return F.zip_with(vec, F.array_repeat(scalar, F.size(vec)), f)
+
+
+def micro_qvec(vec_col: F.Column, normalize: bool = False) -> F.Column:
+    """Micro-quantised integer components (``floor(x·10⁶)`` per
+    element, optionally after L2 normalisation) — the exact arithmetic
+    space the deterministic k-means runs in, as ONE per-row-safe
+    expression (norm via :func:`per_row_scalar`). Value-identical to
+    the pre-r14 nested-transform form (same casts, same IEEE divide,
+    same floor — verified element-wise on the sf0.1 embeddings)."""
+    vd = as_double(vec_col)
+    if not normalize:
+        return F.transform(vd, lambda x: F.floor(x * 1000000).cast("bigint"))
+    nrm = F.sqrt(dot(vd, vd))
+    return per_row_scalar(
+        vd,
+        nrm,
+        lambda x, nv: F.floor(
+            F.when(nv > 0, x / nv).otherwise(F.lit(0.0)) * 1000000
+        ).cast("bigint"),
+    )
+
+
+def vec_side(
+    df: DataFrame, id_col: str, vec_col: str,
+    id_alias: str, vec_alias: str, nrm_alias: str,
+) -> DataFrame:
+    """One side of a pair-scoring join: ``(id, vec double[], nrm)``
+    with the cast array and its L2 norm materialised ONCE PER ROW (two
+    stacked projections — the norm is referenced twice downstream, so
+    CollapseProject keeps it materialised instead of re-inlining the
+    O(dim) fold). The per-PAIR score is then a single zip_with fold
+    (:func:`cosine_hoisted`) instead of :func:`cosine`'s ~5 (r14)."""
+    vd = as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        vd.alias(vec_alias),
+        F.sqrt(dot(vd, vd)).alias(nrm_alias),
+    )
+
+
+def cosine_hoisted(
+    av: F.Column, bv: F.Column, an: F.Column, bn: F.Column
+) -> F.Column:
+    """:func:`cosine` over pre-materialised double arrays and norms —
+    bit-identical (``an·bn`` is the same double product as
+    ``sqrt(dot(a,a))·sqrt(dot(b,b))``; the zero-norm NULL contract is
+    unchanged), one fold per pair."""
+    denom = an * bn
+    return F.when(denom > 0, dot(av, bv) / denom)
 
 
 def brute_force_topk(
@@ -53,14 +123,13 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query. Queries are broadcast (the small
     side by contract); ranking is a window over (query, score desc)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
+    # norms hoisted per SIDE (vec_side): the pair stage pays one fold
+    q = vec_side(queries, id_col, vec_col, "query_id", "query_vec", "q_nrm")
     # embedding tables pack many rows per file split; the scoring stage is
     # CPU-bound → spread the corpus across executors first
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(par).select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
+    c = vec_side(
+        corpus.repartition(par), id_col, vec_col, "match_id", "match_vec", "m_nrm"
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -68,7 +137,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+            cosine_hoisted(
+                F.col("query_vec"), F.col("match_vec"),
+                F.col("q_nrm"), F.col("m_nrm"),
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -90,11 +162,29 @@ def quantize_int8(vec: F.Column) -> F.Column:
     scoring is order-independent and bit-identical cross-engine (unlike
     raw float cosines, which are only oracle-exact under matched
     summation order). Cosine is scale-invariant, so the per-vector
-    scale never needs to be applied back for ranking."""
+    scale never needs to be applied back for ranking.
+
+    COST NOTE (r14): the scale ``s`` is inlined inside the per-element
+    lambda, so this single expression re-evaluates the O(dim) max fold
+    per component — O(dim²) per row. Fine for one-off columns; hot
+    paths hoist the scale per row first (:func:`_quantized_side`)."""
     d = F.transform(vec, lambda x: x.cast("double"))
     s = F.array_max(F.transform(d, lambda x: F.abs(x)))
     return F.transform(
         d, lambda x: F.floor(x * F.lit(127.0) / s + F.lit(0.5)).cast("bigint")
+    )
+
+
+def quantize_int8_hoisted(vec: F.Column) -> F.Column:
+    """:func:`quantize_int8` with the per-vector scale evaluated once
+    per ROW (:func:`per_row_scalar` — the inline form re-runs the
+    max-abs fold per component). Bit-identical: same cast, same
+    max-abs scale, same ``floor(x·127/s + 0.5)`` per element."""
+    d = F.transform(vec, lambda x: x.cast("double"))
+    s = F.array_max(F.transform(d, lambda x: F.abs(x)))
+    return per_row_scalar(
+        d, s,
+        lambda x, sv: F.floor(x * F.lit(127.0) / sv + F.lit(0.5)).cast("bigint"),
     )
 
 
@@ -115,14 +205,26 @@ def quantized_topk(
     integer dot product (``qdot``) alongside the quantised cosine;
     ranking ties break on match_id so results are deterministic even if
     two candidates quantise identically."""
+    # quantisation + self-norm hoisted per SIDE; the pair stage then
+    # pays exactly ONE integer fold (qdot), referenced twice through a
+    # stacked projection instead of being inlined twice (r14)
+    qq = quantize_int8_hoisted(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        quantize_int8(F.col(vec_col)).alias("query_vec"),
+        qq.alias("query_vec"),
+    ).select(
+        "query_id", "query_vec",
+        F.sqrt(_qdot(F.col("query_vec"), F.col("query_vec")).cast("double"))
+        .alias("q_nrm"),
     )
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(par).select(
         F.col(id_col).alias("match_id"),
-        quantize_int8(F.col(vec_col)).alias("match_vec"),
+        qq.alias("match_vec"),
+    ).select(
+        "match_id", "match_vec",
+        F.sqrt(_qdot(F.col("match_vec"), F.col("match_vec")).cast("double"))
+        .alias("m_nrm"),
     )
     qv, mv = F.col("query_vec"), F.col("match_vec")
     scored = (
@@ -132,13 +234,13 @@ def quantized_topk(
             "query_id",
             "match_id",
             _qdot(qv, mv).alias("qdot"),
-            (
-                _qdot(qv, mv).cast("double")
-                / (
-                    F.sqrt(_qdot(qv, qv).cast("double"))
-                    * F.sqrt(_qdot(mv, mv).cast("double"))
-                )
-            ).alias("cos_q"),
+            (F.col("q_nrm") * F.col("m_nrm")).alias("__denom"),
+        )
+        .select(
+            "query_id",
+            "match_id",
+            "qdot",
+            (F.col("qdot").cast("double") / F.col("__denom")).alias("cos_q"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -163,9 +265,16 @@ def hyperplane(seed: int, dim: int = DIM) -> list[float]:
     return out
 
 
-def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
-    """Sign-bit bucket id: bit b = (v · plane_b) >= 0."""
-    vd = as_double(vec_col)
+def lsh_bucket(
+    vec_col: F.Column, planes: list[list[float]], already_double: bool = False
+) -> F.Column:
+    """Sign-bit bucket id: bit b = (v · plane_b) >= 0.
+
+    ``already_double=True`` skips the per-plane element cast — pass it
+    when ``vec_col`` is a pre-materialised double array (e.g. a
+    :func:`vec_side` column): the inline ``as_double`` transform is
+    otherwise re-evaluated once PER PLANE (r14)."""
+    vd = vec_col if already_double else as_double(vec_col)
     acc = F.lit(0).cast("bigint")
     for b, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(x) for x in plane])
@@ -191,35 +300,32 @@ def _quantized_components(
     (guarded — an unguarded x/0 yields NULL components that crash the
     Arrow kernel's int64 conversion mid-stage, or silently ride NULL
     arithmetic through the SQL path)."""
-    vd = as_double(F.col(vec_col))
-    if normalize:
-        nrm = F.sqrt(dot(vd, vd))
-        vd = F.transform(
-            vd, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
-        )
     return df.select(
         F.col(id_col).alias(id_out),
-        F.posexplode(vd).alias("pos", "x"),
-    ).select(
-        id_out, "pos", F.floor(F.col("x") * 1000000).cast("bigint").alias("qx")
+        F.posexplode(micro_qvec(F.col(vec_col), normalize)).alias("pos", "qx"),
     )
 
 
 #: cell count above which the Arrow assignment kernel beats the SQL
-#: fold. Measured at sf0.1 (2k vectors, 16 cells): the Arrow path's
-#: fixed overhead (eager centroid collect + Arrow exchange, ~0.5 s per
-#: kmeans call) exceeds the fold tax it saves; at 160+ cells it wins
-#: ~10× and at 1,600 cells ~40× (SCALING.md round 8). n_cells is the
-#: right proxy because both documented operating points grow it with
-#: the corpus.
-ARROW_MIN_CELLS = 64
+#: fold. Re-measured r14 after the per-row quantisation hoist
+#: (micro_qvec) shrank the JVM-side prelude both paths share: at 16
+#: cells the Arrow matmul now wins 2.5× (0.35 s vs 0.89 s per
+#: assignment pass over the sf0.1 embeddings) because the SQL fold
+#: pays n_cells×dim interpreted lambda ops per row while the kernel's
+#: remaining fixed cost (centroid collect of a checkpointed
+#: n_cells×dim table + one Arrow exchange) is milliseconds; the forms
+#: converge at ~4-8 cells where the fold tax vanishes. (The old
+#: crossover of 64 dated from r8, before the hoist, when the shared
+#: prelude dwarfed both kernels.) n_cells is the right proxy because
+#: both documented operating points grow it with the corpus.
+ARROW_MIN_CELLS = 8
 
 
 def assign_cells(
     vectors: DataFrame, centroids: DataFrame, *,
     id_col: str = "vec_id", vec_col: str = "embedding", id_out: str = "vec_id",
     normalize: bool = False, with_d2: bool = False, impl: str = "auto",
-    n_cells: int | None = None,
+    n_cells: int | None = None, keep_qvec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest FROZEN centroid — the shared
     assignment kernel of :func:`kmeans_cells` (each Lloyd round) and the
@@ -244,10 +350,21 @@ def assign_cells(
       for exactly this dense-numeric kernel (same Arrow batching as
       the multimodal ops; never row-at-a-time Python).
     - ``impl="sql"``: the pure-expression reference form — integer d²
-      via a codegen fold over zipped quantised arrays, argmin via
-      ``min(struct(d2, cell))``, broadcast tiny centroid side. Kept as
-      the cross-engine-auditable spec of the kernel, the faster path
-      below the crossover, and the pin for the property test.
+      via a fold over zipped quantised arrays, argmin via
+      ``array_min`` over per-centroid ``struct(d2, cell)`` entries of
+      ONE packed, broadcast centroid-array row (r14: the pre-r14 form
+      exploded n_cells candidate rows per vector and re-aggregated
+      them with a corpus-keyed ``groupBy(id)`` shuffle; the packed
+      form keeps assignment a NARROW map — zero corpus exchanges —
+      with the identical integer d² and lower-cell tie-break, since
+      ``array_min`` uses the same lexicographic struct ordering as
+      ``min(struct(d2, cell))``). Kept as the cross-engine-auditable
+      spec of the kernel, the faster path below the crossover, and
+      the pin for the property test.
+
+    ``keep_qvec=True`` additionally returns the quantised ``qvec``
+    column — the Lloyd centroid update consumes it directly, so the
+    update needs no corpus-keyed join back to the components (r14).
 
     Either way: exact integer sums, ties to the lower cell id, one
     narrow pass over ``vectors`` regardless of corpus size — the
@@ -278,21 +395,15 @@ def assign_cells(
                 "assign_cells n_cells probe",
             )[0][0]
         impl = "arrow" if n_cells >= ARROW_MIN_CELLS else "sql"
-    vd = as_double(F.col(vec_col))
-    if normalize:
-        # zero-norm guard (same rule as _quantized_components: a zero
-        # vector "normalizes" to itself) — the bare x/nrm twin CRASHED
-        # under ANSI on a zero vector (r13 fuzz sweep witness) while
-        # the DuckDB oracles return NULL; zero-norm vectors are
-        # out-of-contract for the oracle twins (documented there), but
-        # the ENGINE must never crash on one at scale.
-        nrm = F.sqrt(dot(vd, vd))
-        vd = F.transform(
-            vd, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
-        )
+    # zero-norm guard (inside micro_qvec — a zero vector "normalizes"
+    # to itself): the bare x/nrm twin CRASHED under ANSI on a zero
+    # vector (r13 fuzz sweep witness) while the DuckDB oracles return
+    # NULL; zero-norm vectors are out-of-contract for the oracle twins
+    # (documented there), but the ENGINE must never crash on one at
+    # scale. The norm is evaluated once per ROW (per_row_scalar, r14).
     qvecs = vectors.select(
         F.col(id_col).alias(id_out),
-        F.transform(vd, lambda x: F.floor(x * 1000000).cast("bigint")).alias("qvec"),
+        micro_qvec(F.col(vec_col), normalize).alias("qvec"),
     )
     if impl == "arrow":
         import numpy as np
@@ -353,10 +464,14 @@ def assign_cells(
                 }
                 if with_d2:
                     out["d2"] = d2m[np.arange(len(j)), j]
+                if keep_qvec:
+                    out["qvec"] = pdf["qvec"]
                 yield pd.DataFrame(out)
 
-        schema = f"{id_out} {id_field}, cell int" + (
-            ", d2 bigint" if with_d2 else ""
+        schema = (
+            f"{id_out} {id_field}, cell int"
+            + (", d2 bigint" if with_d2 else "")
+            + (", qvec array<bigint>" if keep_qvec else "")
         )
         return qvecs.mapInPandas(_assign_batches, schema)
 
@@ -370,20 +485,43 @@ def assign_cells(
             lambda s: s["cq"],
         ).alias("cvec")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+    # pack ALL centroids into ONE cell-sorted array row (control-plane:
+    # n_cells×dim — the same payload the Arrow path collects) and
+    # broadcast it: the argmin is then a per-row array_min over
+    # struct(d2, cell) entries — a NARROW map with the identical
+    # lexicographic (d2, cell) tie-break as min(struct(d2, cell)), and
+    # no n_cells-per-vector row explosion / corpus-keyed groupBy
+    # shuffle behind it (r14; the old fold form paid one corpus-sized
+    # exchange per assignment pass)
+    packed = cvecs.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("__cents")
+    )
+
+    def _d2(cv: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col("qvec"), cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(_d2(s["cvec"]).alias("d2"), s["cell"].alias("cell")),
+        )
     )
     scored = (
-        qvecs.crossJoin(F.broadcast(cvecs))
-        .select(id_out, "cell", d2.alias("d2"))
-        .groupBy(id_out)
-        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        qvecs.crossJoin(F.broadcast(packed))
+        # empty quantiser → empty assignment, like the old per-cell
+        # fold (whose crossJoin against zero centroid rows was empty)
+        .where(F.size(F.col("__cents")) > 0)
+        .select(F.col(id_out), F.col("qvec"), best.alias("__best"))
     )
-    cols = [F.col(id_out), F.col("m.cell").alias("cell")]
+    cols = [F.col(id_out), F.col("__best")["cell"].alias("cell")]
     if with_d2:
-        cols.append(F.col("m.d2").alias("d2"))
+        cols.append(F.col("__best")["d2"].alias("d2"))
+    if keep_qvec:
+        cols.append(F.col("qvec"))
     return scored.select(*cols)
 
 
@@ -420,11 +558,18 @@ def kmeans_cells(
     None keeps exact full-corpus training — the oracle-matching form
     every registered query uses.
 
-    Scale contract: each Lloyd round is one exploded-sample shuffle;
-    cell assignment is one narrow pass with broadcast centroids
-    (centroid table is n_cells×dim — tiny at any corpus scale).
-    Centroid sums stay exact below 2^53 (qx ≤ 1e6 per component →
-    safe past 1e9 members per cell).
+    Scale contract (r14 form): cell assignment is one NARROW pass with
+    broadcast centroids (centroid table is n_cells×dim — tiny at any
+    corpus scale); each Lloyd round's centroid update explodes the
+    ALREADY-ASSIGNED rows by component and partial-aggregates map-side,
+    so the only exchange per round carries ≈ n_cells×dim×n_tasks
+    partial rows — never the sample. (The pre-r14 rounds paid a
+    corpus-keyed groupBy inside the assignment plus an exploded
+    components-by-id join per update: ~3 sample-sized shuffles per
+    round, one of them dim× wide. Same integer arithmetic, same
+    assignments, bit-identical centroids.) Centroid sums stay exact
+    below 2^53 (qx ≤ 1e6 per component → safe past 1e9 members per
+    cell).
     """
     # embedding tables pack many rows per file split and every Lloyd
     # stage is CPU-bound → spread the corpus across executors first
@@ -441,9 +586,14 @@ def kmeans_cells(
         train = corpus.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
         ).persist()
-    qx = _quantized_components(
-        train, id_out, id_col, vec_col, normalize=normalize
-    ).persist()
+    # quantised ARRAY form of the training vectors (the exact space the
+    # kernel's d² runs in) — a narrow projection over the cached train
+    # rows; the exploded per-component form only ever appears AFTER an
+    # assignment, where it partial-aggregates straight to centroids
+    qtrain = train.select(
+        F.col(id_col).alias(id_out),
+        micro_qvec(F.col(vec_col), normalize).alias("qvec"),
+    )
 
     # init: the n_cells lowest-id TRAINING vectors, cell = 0..n_cells-1
     # in id order. The id list is a control-plane scalar (n_cells rows,
@@ -470,19 +620,22 @@ def kmeans_cells(
         [(i, c) for c, i in enumerate(seed_ids)], [id_out, "cell"]
     ).select(id_out, F.col("cell").cast("int"))
     cent = (
-        qx.join(F.broadcast(init), id_out)
-        .select("cell", "pos", F.col("qx").alias("cq"))
+        qtrain.join(F.broadcast(init), id_out)
+        .select("cell", F.posexplode("qvec").alias("pos", "cq"))
     )
 
     # n_cells is known here — resolve the kernel once instead of paying
     # assign_cells' auto-count job on every round
     impl = "arrow" if n_cells >= ARROW_MIN_CELLS else "sql"
 
-    def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    def assign(
+        vectors: DataFrame, centroids: DataFrame, keep_qvec: bool = False
+    ) -> DataFrame:
         # assignment kernel shared with the incremental append path
         return assign_cells(
             vectors, centroids, impl=impl,
             id_col=id_col, vec_col=vec_col, id_out=id_out, normalize=normalize,
+            keep_qvec=keep_qvec,
         )
 
     # each round's centroid table is consumed by BOTH the next assignment
@@ -493,21 +646,24 @@ def kmeans_cells(
     # connected-components rounds in operators/dedup.py).
     cent = cent.localCheckpoint(eager=True)
     for _ in range(iters):
-        assigned = assign(train, cent)
+        # assignment carries qvec through (keep_qvec), so the centroid
+        # update explodes the assigned rows directly and map-side
+        # partial aggregation shrinks the round's only exchange to
+        # ≈ n_cells×dim partials per task (r14; previously: exploded
+        # components re-joined to the assignment by id — two
+        # sample-sized shuffle sides, one dim× wide)
+        assigned = assign(train, cent, keep_qvec=True)
         cent = (
-            qx.join(assigned, id_out)
+            assigned.select("cell", F.posexplode("qvec").alias("pos", "cq"))
             .groupBy("cell", "pos")
             .agg(
-                F.floor(F.sum("qx") / F.count(F.lit(1))).cast("bigint").alias("cq")
+                F.floor(F.sum("cq") / F.count(F.lit(1))).cast("bigint").alias("cq")
             )
             .localCheckpoint(eager=True)
         )
-    # the Lloyd loop is done and cent is checkpointed: the training
-    # caches are fully consumed and can be released NOW — DataFrame
-    # persists otherwise live in the CacheManager for the whole session
-    # (one leaked training-set cache per kmeans call). The corpus cache
-    # stays: the returned lazy assignment still reads it.
-    qx.unpersist()
+    # the Lloyd loop is done and cent is checkpointed: the sampled
+    # training cache is fully consumed and can be released NOW. The
+    # corpus cache stays: the returned lazy assignment still reads it.
     if train is not corpus:
         train.unpersist()
     return assign(corpus, cent), cent
@@ -737,11 +893,25 @@ def ann_mining_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("match_id").asc()
     )
+    # candidates carry RAW vectors (public contract) — stage the double
+    # arrays + norms in one projection, score with the single-fold form
+    # in the next (cosine() would inline ~5 folds per candidate, r14)
+    qd, md = as_double(F.col("query_vec")), as_double(F.col("match_vec"))
+    staged = cand.select(
+        "query_id",
+        "match_id",
+        qd.alias("qv"),
+        md.alias("mv"),
+        F.sqrt(dot(qd, qd)).alias("q_nrm"),
+        F.sqrt(dot(md, md)).alias("m_nrm"),
+    )
     return (
-        cand.select(
+        staged.select(
             "query_id",
             "match_id",
-            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+            cosine_hoisted(
+                F.col("qv"), F.col("mv"), F.col("q_nrm"), F.col("m_nrm")
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
@@ -768,15 +938,13 @@ def ivf_search(
     ``assigned`` side never shuffles on the possibly-skewed cell key);
     the final top-k window is WindowGroupLimit-bounded map-side.
     """
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
-    )
+    # double arrays + norms hoisted per SIDE (r14): candidates pay one
+    # zip_with fold each instead of cosine()'s ~5
+    c = vec_side(corpus, id_col, vec_col, "match_id", "match_vec", "m_nrm")
     probes = ivf_probe_cells(
         queries, centroids, n_probe, id_col=id_col, vec_col=vec_col
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
+    q = vec_side(queries, id_col, vec_col, "query_id", "query_vec", "q_nrm")
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .join(c, "match_id")
@@ -785,7 +953,10 @@ def ivf_search(
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+            cosine_hoisted(
+                F.col("query_vec"), F.col("match_vec"),
+                F.col("q_nrm"), F.col("m_nrm"),
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -824,9 +995,7 @@ def ivf_search_budget(
     carries a running member-count window (per query — the probe table
     is queries×cells, tiny) before the broadcast candidate join.
     """
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
-    )
+    c = vec_side(corpus, id_col, vec_col, "match_id", "match_vec", "m_nrm")
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_sz"))
     qqx = _quantized_components(queries, "query_id", id_col, vec_col)
     diff = F.col("qx") - F.col("cq")
@@ -843,9 +1012,7 @@ def ivf_search_budget(
         .where(F.col("_cum") - F.col("_sz") < candidate_budget)
         .select("query_id", "cell")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
+    q = vec_side(queries, id_col, vec_col, "query_id", "query_vec", "q_nrm")
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .join(c, "match_id")
@@ -854,7 +1021,10 @@ def ivf_search_budget(
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+            cosine_hoisted(
+                F.col("query_vec"), F.col("match_vec"),
+                F.col("q_nrm"), F.col("m_nrm"),
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -906,10 +1076,16 @@ def lsh_topk(
     grows with them, still no corpus re-scan (probing expands the tiny
     QUERY side, never the corpus side)."""
     planes = [hyperplane(s) for s in range(n_planes)]
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    # sides carry the double array + norm (vec_side); the bucket then
+    # hashes the MATERIALISED double column (already_double — the raw
+    # form re-cast the array once per plane) and the pair stage pays a
+    # single fold (r14)
+    q = vec_side(queries, id_col, vec_col, "query_id", "query_vec", "q_nrm")
+    q = q.select(
+        "query_id", "query_vec", "q_nrm",
+        lsh_bucket(F.col("query_vec"), planes, already_double=True).alias(
+            "bucket"
+        ),
     )
     if multiprobe > 0:
         probe_buckets = F.array_union(
@@ -919,13 +1095,18 @@ def lsh_topk(
             ]),
         )
         q = q.select(
-            "query_id", "query_vec", F.explode(probe_buckets).alias("bucket")
+            "query_id", "query_vec", "q_nrm",
+            F.explode(probe_buckets).alias("bucket"),
         )
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(par).select(
-        F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("match_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    c = vec_side(
+        corpus.repartition(par), id_col, vec_col, "match_id", "match_vec", "m_nrm"
+    )
+    c = c.select(
+        "match_id", "match_vec", "m_nrm",
+        lsh_bucket(F.col("match_vec"), planes, already_double=True).alias(
+            "bucket"
+        ),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -933,7 +1114,10 @@ def lsh_topk(
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+            cosine_hoisted(
+                F.col("query_vec"), F.col("match_vec"),
+                F.col("q_nrm"), F.col("m_nrm"),
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

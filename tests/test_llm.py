@@ -905,7 +905,7 @@ def test_assign_cells_auto_kernel(spark, emb):
     )
 
     corpus = emb.where(F.col("vec_id") < 300)
-    _, small_cent = kmeans_cells(corpus, n_cells=8, iters=1)
+    _, small_cent = kmeans_cells(corpus, n_cells=4, iters=1)
     small_plan = (
         assign_cells(corpus, small_cent)
         ._jdf.queryExecution().executedPlan().toString()

@@ -282,14 +282,18 @@ def test_oov_vocab_topk_broadcast(spark):
 
 
 def test_ivf_append_broadcasts_centroids(spark):
-    """q128: the frozen centroid table reaches the batch as a broadcast
-    nested-loop (n_cells rows) — appending never re-shuffles a corpus.
-    At 16 cells the auto kernel picks the SQL fold (below
-    ARROW_MIN_CELLS); past the crossover the same call plans the Arrow
-    MapInPandas pass instead (pinned by test_assign_cells_auto_kernel)."""
+    """q128: appending never re-shuffles a corpus — the batch is
+    assigned in ONE narrow pass against the frozen n_cells-row centroid
+    table. At 16 cells the r14 auto kernel picks the Arrow matmul
+    (MapInPandas; the control-plane centroid collect replaces the
+    broadcast — crossover re-measured in similarity.ARROW_MIN_CELLS);
+    below the crossover the same call plans the SQL fold's broadcast
+    nested-loop instead (pinned by test_assign_cells_auto_kernel).
+    Either way: no shuffled join anywhere in the append plan."""
     plan = plan_of(spark, "q128_ivf_append")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_salted_join_spreads_key_no_broadcast(spark):
