@@ -48,16 +48,51 @@ def change_feed(
     such rows into duplicated/mispaired change entries that silently
     corrupt downstream MERGE consumers (same contract as
     require_unique_merge_keys on the merge path; appends can create
-    duplicates the merge path never would). The check is one eager
-    map-side-combined aggregation per side; pass False only when the
-    caller has already validated both versions."""
+    duplicates the merge path never would). Since r14 both sides are
+    validated in ONE eager map-side-combined aggregation (side-tagged
+    union) instead of one job per side — same fail-closed contract and
+    error type, half the plan-build actions and one combined pass over
+    the two versions instead of two separate ones. (An in-plan
+    ``raise_error`` window guard was tried first and rejected: the
+    null-safe join partitions on ``(coalesce(k, 0), isnull(k))`` while
+    a per-key window partitions on ``k``, so the "free" guard actually
+    added a full extra exchange per side — worse than the scan at any
+    scale.) Pass False only when the caller has already validated both
+    versions."""
     if validate_unique:
+        from football_lakehouse_spark.functions.guards import bounded_collect
         from football_lakehouse_spark.lakehouse.tables import (
-            require_unique_merge_keys,
+            MergeSourceDuplicateError,
         )
 
-        require_unique_merge_keys(old, keys, where="change_feed(old)")
-        require_unique_merge_keys(new, keys, where="change_feed(new)")
+        tagged = old.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            F.lit("change_feed(old)").alias("__side"),
+        ).unionByName(
+            new.select(
+                *[F.col(k).alias(f"__k_{k}") for k in keys],
+                F.lit("change_feed(new)").alias("__side"),
+            )
+        )
+        dups = bounded_collect(
+            tagged.groupBy("__side", *[f"__k_{k}" for k in keys])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(3),
+            3,
+            "change_feed unique-key check",
+        )
+        if dups:
+            sample = [
+                (r["__side"], tuple(r[f"__k_{k}"] for k in keys)) for r in dups
+            ]
+            raise MergeSourceDuplicateError(
+                f"change_feed: duplicate source key(s) for {list(keys)} — "
+                f"e.g. {sample}; change_feed requires key-unique versions "
+                "(duplicates multiply through the full-outer diff into "
+                "mispaired change entries). Pre-dedupe with an explicit "
+                "ordering, e.g. dedupe_updates(batch, keys, order_desc)."
+            )
     # value columns = the UNION of both sides' non-key columns: diffing
     # across an additive schema change (merge_schema append between the
     # two versions) must not crash on the old side's missing column —
@@ -138,3 +173,56 @@ def change_feed(
         *keys,
         *[F.col(f"__e.payload.{c}").alias(c) for c in val_cols],
     )
+
+
+def change_feed_chain(
+    versions: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Concatenated :func:`change_feed` over CONSECUTIVE version pairs
+    (v0→v1, v1→v2, …) — the composed-delta input of incremental view
+    maintenance (q250). Each version is validated key-unique exactly
+    ONCE in one side-tagged aggregation: the naive pairwise loop prices
+    every interior version twice (it is the ``new`` side of one diff
+    and the ``old`` side of the next), so a k-version chain paid
+    2(k-1) validation scans where k suffice (r14)."""
+    if len(versions) < 2:
+        raise ValueError("change_feed_chain needs at least two versions")
+    from football_lakehouse_spark.functions.guards import bounded_collect
+    from football_lakehouse_spark.lakehouse.tables import (
+        MergeSourceDuplicateError,
+    )
+
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            v.select(
+                *[F.col(k).alias(f"__k_{k}") for k in keys],
+                F.lit(i).alias("__v"),
+            )
+            for i, v in enumerate(versions)
+        ],
+    )
+    dups = bounded_collect(
+        tagged.groupBy("__v", *[f"__k_{k}" for k in keys])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(3),
+        3,
+        "change_feed_chain unique-key check",
+    )
+    if dups:
+        sample = [
+            (f"version#{r['__v']}", tuple(r[f"__k_{k}"] for k in keys))
+            for r in dups
+        ]
+        raise MergeSourceDuplicateError(
+            f"change_feed_chain: duplicate key(s) for {list(keys)} — e.g. "
+            f"{sample}; change feeds require key-unique versions. "
+            "Pre-dedupe with an explicit ordering, e.g. "
+            "dedupe_updates(batch, keys, order_desc)."
+        )
+    feeds = [
+        change_feed(a, b, keys, validate_unique=False)
+        for a, b in zip(versions, versions[1:])
+    ]
+    return reduce(lambda a, b: a.unionByName(b), feeds)

@@ -205,7 +205,8 @@ class Version:
 class LakehouseTable:
     def __init__(self, spark: SparkSession, root: str, schema: str, name: str,
                  partition_by: Sequence[str] = (),
-                 stats_columns: Sequence[str] = ()):
+                 stats_columns: Sequence[str] = (),
+                 optimized_write: bool | None = None):
         self.spark = spark
         self.base = os.path.join(root, schema, name)
         self.data_root = os.path.join(self.base, "data")
@@ -215,6 +216,25 @@ class LakehouseTable:
         #: for data skipping (Delta `dataSkippingNumIndexedCols`
         #: analogue). Numeric / string / timestamp columns only.
         self.stats_columns = list(stats_columns)
+        #: OPTIMIZED WRITE (r14; Delta optimizedWrite / Iceberg
+        #: write.distribution-mode analogue): route every staged write
+        #: through one AQE-coalescible REBALANCE exchange so output
+        #: files land at the advisory partition size instead of one
+        #: file per upstream task (a 32-task plan writing a few
+        #: thousand rows otherwise commits 32 KB-sized files, and every
+        #: later read of that version pays per-file open + listing —
+        #: the guide-§6 small-files tax; at 100 TB the pre-write
+        #: rebalance is the standard write-distribution pattern).
+        #: Default: ON, except when ``stats_columns`` is set — data
+        #: skipping relies on CALLER-ARRANGED file clustering (e.g. a
+        #: repartitionByRange before append) and a rebalance would
+        #: merge those carefully-split files back together, gutting
+        #: min/max pruning. Pass True/False to override either way.
+        self.optimized_write = (
+            optimized_write
+            if optimized_write is not None
+            else not self.stats_columns
+        )
         #: immutable-commit JSON cache (see _read_commit)
         self._commit_cache: dict[int, dict] = {}
         os.makedirs(self.data_root, exist_ok=True)
@@ -685,7 +705,7 @@ class LakehouseTable:
                 )
 
     # ------------------------------------------------------------------ write
-    def _stage(self, df: DataFrame) -> list[str]:
+    def _stage(self, df: DataFrame, preserve_layout: bool = False) -> list[str]:
         """Write df to a staging dir, move files under data/ with
         version-unique names, return relative paths; CHECK constraints
         are enforced on the STAGED files (a column-pruned, predicate-
@@ -729,6 +749,20 @@ class LakehouseTable:
             df = df.select(*[F.col(c).alias(phys[c]) for c in df.columns])
         txid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.base, f"_staging-{txid}")
+        if self.optimized_write and not preserve_layout:
+            # one AQE-coalescible exchange sizes the output files (see
+            # __init__); hash-distributing by the partition columns
+            # additionally co-locates each partition dir's rows so a
+            # partitioned write emits one well-sized file per dir per
+            # coalesced task instead of every task writing every dir.
+            # ``preserve_layout`` exempts writers that ARE the layout
+            # (compact/ZORDER: their partition count and within-file
+            # sort are the product being committed).
+            df = (
+                df.hint("rebalance", *self.partition_by)
+                if self.partition_by
+                else df.hint("rebalance")
+            )
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -1883,7 +1917,10 @@ class LakehouseTable:
             df = df.repartition(target_partitions).sortWithinPartitions(*sort_by)
         else:
             df = df.coalesce(target_partitions)
-        new_files = self._stage(df)
+        # preserve_layout: the partition count / within-file sort IS the
+        # compaction product — the optimized-write rebalance must not
+        # re-split or merge it (r14)
+        new_files = self._stage(df, preserve_layout=True)
         return self._commit("optimize", new_files, self._live_at(head), rows=None,
                             schema_json=self._staged_schema,
                             dv_remove=self._dv_names_at(head),

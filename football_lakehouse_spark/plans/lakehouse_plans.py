@@ -1402,7 +1402,7 @@ def consistent_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lakehouse", "cdc"),
 )
 def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from football_lakehouse_spark.lakehouse.cdc import change_feed
+    from football_lakehouse_spark.lakehouse.cdc import change_feed_chain
 
     base, upd = _base_updates(spark, sf_dir)
     root = scratch_dir("q250_incremental_view_maintenance")
@@ -1417,8 +1417,11 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sum_micros_exact(F.col("value")).alias("value_micros"),
     )
 
-    feed = change_feed(v0, t.read(version=1), ["event_id"]).unionByName(
-        change_feed(t.read(version=1), t.read(version=2), ["event_id"])
+    # chained diff: v1 is read once and every version's key-uniqueness
+    # is priced exactly once (the pairwise change_feed calls re-read
+    # and re-validated the interior version — r14)
+    feed = change_feed_chain(
+        [v0, t.read(version=1), t.read(version=2)], ["event_id"]
     )
     sign = F.when(
         F.col("change_type").isin("insert", "update_postimage"), F.lit(1)

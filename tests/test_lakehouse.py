@@ -71,7 +71,12 @@ def test_merge_insert_and_update(spark, tmp_path):
 
 
 def test_vacuum_and_compact(spark, events, tmp_path):
-    t = LakehouseTable(spark, str(tmp_path), "silver", "ev")
+    # optimized_write=False: this test MANUFACTURES an 8-small-file
+    # version to count what vacuum unreferences; the r14 default would
+    # rebalance the append into one well-sized file
+    t = LakehouseTable(
+        spark, str(tmp_path), "silver", "ev", optimized_write=False
+    )
     t.append(events.limit(100).repartition(8))
     t.overwrite(events.limit(10))
     assert len(t.current_files()) >= 1
@@ -944,7 +949,12 @@ def test_compact_to_size_targets_file_bytes(spark, events, tmp_path):
     """OPTIMIZE by target file size: output file count tracks
     ceil(live bytes / target), rows unchanged, DVs purged like any
     compaction."""
-    t = LakehouseTable(spark, str(tmp_path), "silver", "sized")
+    # optimized_write=False: the test MANUFACTURES a 16-small-file
+    # version for compact_to_size to re-bin; the r14 default rebalance
+    # would pre-merge the append into one file
+    t = LakehouseTable(
+        spark, str(tmp_path), "silver", "sized", optimized_write=False
+    )
     t.append(events.repartition(16))
     total = sum(
         os.path.getsize(os.path.join(t.data_root, f)) for f in t.current_files()
@@ -1029,15 +1039,18 @@ def test_change_feed_null_key_rows(spark):
 def test_change_feed_rejects_duplicate_keys(spark):
     """r11 sweep: duplicate key tuples on either side would multiply
     through the full-outer join into duplicated/mispaired change
-    entries — fail closed like the merge path."""
+    entries — fail closed like the merge path. Since r14 both sides
+    are priced in ONE side-tagged aggregation (half the plan-build
+    actions, one combined scan); the error's key sample names the
+    offending side."""
     from football_lakehouse_spark.lakehouse.cdc import change_feed
     from football_lakehouse_spark.lakehouse.tables import MergeSourceDuplicateError
 
     dup = spark.createDataFrame([(1, "a"), (1, "b")], "id bigint, t string")
     ok = spark.createDataFrame([(1, "a")], "id bigint, t string")
-    with pytest.raises(MergeSourceDuplicateError, match="change_feed"):
+    with pytest.raises(MergeSourceDuplicateError, match=r"change_feed\(old\)"):
         change_feed(dup, ok, ["id"]).collect()
-    with pytest.raises(MergeSourceDuplicateError, match="change_feed"):
+    with pytest.raises(MergeSourceDuplicateError, match=r"change_feed\(new\)"):
         change_feed(ok, dup, ["id"]).collect()
     # escape hatch for pre-validated versions
     assert change_feed(dup, dup, ["id"], validate_unique=False).count() >= 0
