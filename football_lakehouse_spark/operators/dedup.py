@@ -391,15 +391,23 @@ def _lp_rounds(
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(rounds):
-        nbr = (
-            edges.join(
-                labels.select(F.col("node").alias("dst"), F.col("label").alias("dst_label")),
-                "dst",
+    for rnd in range(rounds):
+        if rnd == 0:
+            # round 1 shortcut (r14): labels are still the identity map
+            # (label(dst) = dst), so joining them onto edges is a
+            # no-op — min over the raw neighbour ids IS the first
+            # round's neighbour label. Saves one edge-sized shuffle
+            # join in the round every invocation pays.
+            nbr = edges.groupBy("src").agg(F.min("dst").alias("nbr_label"))
+        else:
+            nbr = (
+                edges.join(
+                    labels.select(F.col("node").alias("dst"), F.col("label").alias("dst_label")),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_label").alias("nbr_label"))
             )
-            .groupBy("src")
-            .agg(F.min("dst_label").alias("nbr_label"))
-        )
         stepped = (
             labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
             .select(
@@ -411,9 +419,12 @@ def _lp_rounds(
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = stepped.where(F.col("label") < F.col("old_label")).count()
+        # convergence probe over the CHECKPOINTED rows: isEmpty stops at
+        # the first changed row instead of counting them all (r14; only
+        # the ==0 test was ever used)
+        no_change = stepped.where(F.col("label") < F.col("old_label")).isEmpty()
         labels = stepped.select("node", "label")
-        if n_changed == 0:
+        if no_change:
             converged = True
             break
     return edges, labels, converged

@@ -87,10 +87,11 @@ def bounded_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # money_avg, not round(avg(double), 4): the class-2
             # tie-repr hazard (see functions/scalars) — avg of 0.01-
-            # step discounts can land exactly on a 4th-decimal tie
-            money_avg(F.col("l_discount"), 4).alias("avg_discount"),
-            money_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
-            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            # step discounts can land exactly on a 4th-decimal tie.
+            # String inputs → one-parse construction (r14, same tree).
+            money_avg("l_discount", 4).alias("avg_discount"),
+            money_avg("l_extendedprice", 4).alias("avg_price"),
+            money_sum("l_extendedprice * (1 - l_discount)").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
             F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
         )
@@ -594,19 +595,21 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money_sum(F.col("l_quantity")).alias("sum_qty"),
-            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            # string inputs → one-parse construction per aggregate
+            # (r14, same tree; see functions/scalars.money_sum)
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
             money_sum(disc_price).alias("sum_disc_price"),
-            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            money_avg(F.col("l_quantity"), 4).alias("avg_qty"),
-            money_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            money_sum(f"({disc_price}) * (1 + l_tax)").alias("sum_charge"),
+            money_avg("l_quantity", 4).alias("avg_qty"),
+            money_avg("l_extendedprice", 4).alias("avg_price"),
             # money_avg, not round(avg(double), 4) — class 2 (r12)
-            money_avg(F.col("l_discount"), 4).alias("avg_disc"),
+            money_avg("l_discount", 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -651,7 +654,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            money_sum("l_extendedprice * (1 - l_discount)").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

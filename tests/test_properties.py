@@ -824,3 +824,26 @@ def test_sum_micros_exact_equals_decimal_sum(spark, vals, parts):
     got = df.agg(_sum_micros_exact(F.col("x")).alias("s")).first().s
     want = df.agg(F.sum(micros(F.col("x"))).alias("s")).first().s
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e5, 1e5, allow_nan=False), min_size=1, max_size=30
+    )
+)
+@SLOW
+def test_money_sql_string_form_equals_column_form(spark, vals):
+    """r14: money_sum/money_avg accept a SQL-string input that builds
+    the whole limb aggregate in ONE parsed expression (construction
+    trim). The parsed tree must be VALUE-IDENTICAL to the Column-built
+    form — negative totals included (the trunc-vs-floor corner)."""
+    from football_lakehouse_spark.functions.scalars import money_avg
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    col_form = df.agg(
+        money_sum(F.col("x")).alias("s"), money_avg(F.col("x")).alias("a")
+    ).first()
+    str_form = df.agg(
+        money_sum("x").alias("s"), money_avg("x").alias("a")
+    ).first()
+    assert (col_form.s, col_form.a) == (str_form.s, str_form.a)
