@@ -24,6 +24,19 @@ TABLES = (
 )
 
 
+#: per-process schema cache — the metastore role a real catalog plays.
+#: Parquet schema INFERENCE is a driver-side footer read costing
+#: ~0.1 s per call; every query builder re-loads its tables, so the
+#: bench paid it dozens of times per pass for immutable fixtures
+#: (r14: explicit-schema reads are ~5× cheaper to construct). Keyed on
+#: (sf_dir, table, nanosAsLong) because that legacy flag changes how a
+#: TIMESTAMP(NANOS) column surfaces. Caches METADATA only — every scan
+#: still reads the parquet data in full; fixture dirs are immutable by
+#: contract (a regenerated dir must use a fresh path, which the fuzz /
+#: scale generators do).
+_schema_cache: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalising storage quirks.
 
@@ -33,7 +46,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     behaviour DuckDB applies when it reads the same file, so oracle
     comparisons line up.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (
+        sf_dir,
+        name,
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+    )
+    sch = _schema_cache.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _schema_cache[key] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

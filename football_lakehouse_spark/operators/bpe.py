@@ -44,11 +44,12 @@ from football_lakehouse_spark.functions.text import ws_tokens
 
 def bpe_rounds(
     docs: DataFrame, n_merges: int = 4, text_col: str = "text"
-) -> tuple[list[DataFrame], DataFrame]:
+) -> tuple[list[tuple], DataFrame]:
     """Run up to ``n_merges`` BPE rounds, stopping early when no
     adjacent pair remains (classic BPE exhaustion); returns (per-round
-    winner frames, final rewritten vocab ``(word, cnt, syms)``).
-    Shared core of
+    winner tuples ``(round, left_sym, right_sym, merged, pair_weight)``
+    — control-plane scalars, one per round — and the final rewritten
+    vocab ``(word, cnt, syms)``). Shared core of
     :func:`bpe_merges` (training log) and :func:`bpe_encode_tokens`
     (applying the learned merges — the encode side)."""
     words = (
@@ -64,7 +65,9 @@ def bpe_rounds(
         eager=True
     )
 
-    out: list[DataFrame] = []
+    from football_lakehouse_spark.functions.guards import bounded_collect
+
+    out: list[tuple] = []
     for rnd in range(1, n_merges + 1):
         # adjacent pairs (guard single-symbol words: sequence(1, 0) would
         # generate a DESCENDING range, not an empty one)
@@ -81,45 +84,45 @@ def bpe_rounds(
         pairs = vocab.select("cnt", F.explode(adj).alias("p")).select(
             "cnt", F.col("p.l").alias("l"), F.col("p.r").alias("r")
         )
-        win = (
+        # the winner is CONTROL-PLANE (one row by construction): collect
+        # it instead of checkpoint + head-probe + 1-row crossJoin
+        # broadcast (r14 — one takeOrdered job per round instead of
+        # three, and the fold below binds the winner as literals, so the
+        # vocab rewrite is a NARROW pass with no broadcast build). The
+        # same single row crossed to the driver under the broadcast
+        # form anyway.
+        win_rows = bounded_collect(
             pairs.groupBy("l", "r")
             .agg(F.sum("cnt").cast("bigint").alias("w"))
             .orderBy(F.col("w").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .localCheckpoint(eager=True)
+            .limit(1),
+            1,
+            "bpe_rounds per-round winner",
         )
         # merges exhausted (every word is a single symbol): classic BPE
-        # stops early. Without this, crossJoin with the EMPTY winner
-        # frame would silently wipe the whole vocab — total data loss
-        # for any corpus whose merge inventory is smaller than n_merges.
-        if not win.head(1):
+        # stops early. Without this, an empty winner would silently wipe
+        # the whole vocab — total data loss for any corpus whose merge
+        # inventory is smaller than n_merges.
+        if not win_rows:
             break
-        out.append(
-            win.select(
-                F.lit(rnd).cast("int").alias("round"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.concat("l", "r").alias("merged"),
-                F.col("w").alias("pair_weight"),
-            )
-        )
+        l_val, r_val, w_val = win_rows[0]["l"], win_rows[0]["r"], win_rows[0]["w"]
+        out.append((rnd, l_val, r_val, l_val + r_val, w_val))
+        l_lit, r_lit = F.lit(l_val), F.lit(r_val)
         fold = F.aggregate(
             F.col("syms"),
             F.array().cast("array<string>"),
             lambda acc, cur: F.when(
                 (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.col("l"))
-                & (cur == F.col("r")),
+                & (F.element_at(acc, -1) == l_lit)
+                & (cur == r_lit),
                 F.concat(
                     F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.col("l"), F.col("r"))),
+                    F.array(F.concat(l_lit, r_lit)),
                 ),
             ).otherwise(F.concat(acc, F.array(cur))),
         )
-        vocab = (
-            vocab.crossJoin(F.broadcast(win.select("l", "r")))  # 1-row winner
-            .select("word", "cnt", fold.alias("syms"))
-            .localCheckpoint(eager=True)
+        vocab = vocab.select("word", "cnt", fold.alias("syms")).localCheckpoint(
+            eager=True
         )
 
     return out, vocab
@@ -132,16 +135,14 @@ def bpe_merges(
     vocabulary of ``docs``. Returns one row per round:
     (round, left_sym, right_sym, merged, pair_weight)."""
     out, _ = bpe_rounds(docs, n_merges, text_col)
-    if not out:  # n_merges=0 or a corpus with no adjacent pairs at all
-        return docs.sparkSession.createDataFrame(
-            [],
-            "round int, left_sym string, right_sym string, "
-            "merged string, pair_weight bigint",
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+    # winners are control-plane tuples — ONE local frame for all rounds
+    # (r14; the per-round checkpoint + union form paid two extra jobs
+    # per round)
+    return docs.sparkSession.createDataFrame(
+        out,
+        "round int, left_sym string, right_sym string, "
+        "merged string, pair_weight bigint",
+    )
 
 
 def bpe_encode_tokens(

@@ -99,6 +99,8 @@ COLLECT_ALLOW: dict[tuple[str, str], str] = {
         "limit-bounded duplicate-key sample for the error message",
     ("operators/blocking.py", "assert_candidate_volume"):
         "1-row candidate-count aggregate",
+    ("operators/bpe.py", "bpe_rounds"):
+        "1-row per-round merge winner (limit(1), n_merges-bounded)",
     ("operators/dedup.py", "_star_components"):
         "1-row per-round convergence fingerprint (count + hash sum)",
     ("operators/quality.py", "append_with_expectations"):
