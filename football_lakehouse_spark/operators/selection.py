@@ -26,6 +26,8 @@ ops (SURVEY.md §2.14) — north-star surface for LLM pipelines.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -183,6 +185,7 @@ def bucketed_prefix(
     descending: bool = False,
     maxs=None,
     group=None,
+    total: str | None = None,
 ) -> DataFrame:
     """The generalised two-phase global prefix (token_budget_select's
     decomposition, factored out so every global-window plan can reuse
@@ -242,7 +245,15 @@ def bucketed_prefix(
         + [F.count(expr).alias(f"__bnn_{name}") for name, expr in sums.items()]
         + [F.max(expr).alias(f"__bmax_{name}") for name, expr in maxs.items()]
     )
-    bucket_tot = df.groupBy(*groups, bucket).agg(*agg)
+    # bucket table materialised ONCE (eager, n_buckets×group rows —
+    # control-plane sized by the scale contract below): it feeds BOTH
+    # sides of the triangular prefix self-join (and the optional total),
+    # and without truncation each consumer re-runs the full input
+    # aggregation — 2-3 extra corpus scans per bucketed_prefix at any
+    # scale (r14; measured 3 lineitem scans in q215's plan).
+    bucket_tot = df.groupBy(*groups, bucket).agg(*agg).localCheckpoint(
+        eager=True
+    )
     other = bucket_tot.select(
         *[F.col(g).alias(f"__og{i}") for i, g in enumerate(groups)],
         F.col(bucket).alias("__ob"),
@@ -323,6 +334,30 @@ def bucketed_prefix(
         )
     if rank is not None:
         out = out.withColumn(rank, F.col("__pcnt") + F.row_number().over(w_in))
+    if total is not None:
+        # global (or per-group) row count, served from the CHECKPOINTED
+        # bucket table — callers that need "rank out of n" (equi-depth
+        # bins, ntile) previously paid one more full input scan for it
+        # (r14)
+        if groups:
+            tot_df = bucket_tot.groupBy(*groups).agg(
+                F.sum("__bcnt").alias(total)
+            )
+            tcond = reduce(
+                lambda a, b: a & b,
+                [F.col(g).eqNullSafe(F.col(f"__tg{i}")) for i, g in enumerate(groups)],
+            )
+            tot_df = tot_df.select(
+                *[F.col(g).alias(f"__tg{i}") for i, g in enumerate(groups)],
+                total,
+            )
+            out = out.join(F.broadcast(tot_df), tcond).drop(
+                *[f"__tg{i}" for i in range(len(groups))]
+            )
+        else:
+            out = out.crossJoin(
+                F.broadcast(bucket_tot.agg(F.sum("__bcnt").alias(total)))
+            )
     drop = (
         ["__pcnt"]
         + [f"__p_{name}" for name in sums]

@@ -602,26 +602,37 @@ def kmeans_cells(
     # in a Lloyd plan (the window was bounded and harmless, but the
     # single-partition warning is indistinguishable in logs from a real
     # scale cliff).
-    seed_ids = [
-        r[0]
-        for r in bounded_collect(
-            train.select(F.col(id_col).alias(id_out))
-            .orderBy(id_out).limit(n_cells),
-            n_cells,
-            "kmeans_cells init seeds",
-        )
-    ]
-    if len(seed_ids) < n_cells:
+    # init seeds: collect the n_cells lowest-id QUANTISED vectors
+    # directly (control-plane: n_cells×dim ints — the same payload the
+    # Arrow kernel collects every round) and build centroid 0 as a
+    # local frame: no broadcast join, no posexplode pass, no eager
+    # init checkpoint job (r14; the id list alone was already a
+    # driver-side scalar before).
+    seed_rows = bounded_collect(
+        qtrain.orderBy(id_out).limit(n_cells),
+        n_cells,
+        "kmeans_cells init seeds",
+    )
+    if len(seed_rows) < n_cells:
         raise ValueError(
-            f"kmeans_cells: training set has {len(seed_ids)} vectors "
+            f"kmeans_cells: training set has {len(seed_rows)} vectors "
             f"< n_cells={n_cells} — lower train_sample_mod"
         )
-    init = corpus.sparkSession.createDataFrame(
-        [(i, c) for c, i in enumerate(seed_ids)], [id_out, "cell"]
-    ).select(id_out, F.col("cell").cast("int"))
-    cent = (
-        qtrain.join(F.broadcast(init), id_out)
-        .select("cell", F.posexplode("qvec").alias("pos", "cq"))
+    for r in seed_rows:
+        if r["qvec"] is None:
+            raise ValueError(
+                f"kmeans_cells: seed vector {r[id_out]!r} has a NULL "
+                "embedding — init vectors must be non-null arrays (the "
+                "pre-r14 exploded form silently DROPPED such a seed, "
+                "leaving a missing cell)"
+            )
+    cent = corpus.sparkSession.createDataFrame(
+        [
+            (c, p, int(q))
+            for c, r in enumerate(seed_rows)
+            for p, q in enumerate(r["qvec"])
+        ],
+        "cell int, pos int, cq bigint",
     )
 
     # n_cells is known here — resolve the kernel once instead of paying
@@ -639,12 +650,12 @@ def kmeans_cells(
         )
 
     # each round's centroid table is consumed by BOTH the next assignment
-    # (as a broadcast) and the next update — without truncation every
-    # consumer re-executes the whole Lloyd prefix, turning k rounds into
-    # O(k²) corpus passes. The table is n_cells×dim rows, so an eager
-    # localCheckpoint per round costs ~nothing (same pattern as the
-    # connected-components rounds in operators/dedup.py).
-    cent = cent.localCheckpoint(eager=True)
+    # (as a broadcast/collect) and the next update — without truncation
+    # every consumer re-executes the whole Lloyd prefix, turning k rounds
+    # into O(k²) corpus passes. The table is n_cells×dim rows, so an
+    # eager localCheckpoint per round costs ~nothing (same pattern as
+    # the connected-components rounds in operators/dedup.py). Round 0's
+    # table is already a local frame (seed collect above).
     for _ in range(iters):
         # assignment carries qvec through (keep_qvec), so the centroid
         # update explodes the assigned rows directly and map-side
@@ -1130,9 +1141,17 @@ def lsh_topk(
     )
 
 
+#: column-block width of the semantic-dedup Arrow kernel: pair blocks
+#: are (cell_size × _PAIR_BLOCK) doubles, so task memory stays bounded
+#: however big one cell gets (the COMPUTE is O(cell²) either way — the
+#: same contract the join form had)
+_PAIR_BLOCK = 4096
+
+
 def semantic_dedup(
     corpus: DataFrame, threshold: float = 0.4, n_cells: int = 16,
     iters: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the
@@ -1158,43 +1177,109 @@ def semantic_dedup(
     cell re-creates the quadratic — the q93 star-cap pattern (cap
     pairs per oversized block) is the documented defence.
 
+    Two BIT-IDENTICAL pair-scoring kernels (r14, the assign_cells
+    pattern): ``impl="sql"`` is the auditable cell-blocked self-join
+    spec; ``impl="arrow"`` (what ``"auto"`` picks) computes each cell's
+    pairwise cosines in one vectorized ``applyInPandas`` pass whose
+    dot/norm accumulation runs in ELEMENT ORDER (one vectorized add per
+    component, never BLAS/pairwise summation), so every double equals
+    the fold form bit for bit — measured 2.5× on the sf0.1 embeddings,
+    where the join form paid ~25M interpreted lambda ops. Memory is
+    bounded by ``_PAIR_BLOCK`` column blocks; compute stays O(cell²)
+    like the join (same n_cells ∝ corpus contract).
+
     Reference parity note: the reference lakehouse has no embedding
     ops at all (SURVEY.md §2.14) — this is north-star surface.
     """
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError(
+            f"semantic_dedup: impl must be 'auto'/'arrow'/'sql', got {impl!r}"
+        )
     assigned, _ = kmeans_cells(
         corpus, n_cells=n_cells, iters=iters,
         id_col=id_col, vec_col=vec_col, id_out=id_col, normalize=True,
     )
-    # the a/b self-join consumes the assignment twice — materialise the
+    # the pair stage consumes the assignment twice — materialise the
     # narrow (id, cell) map once instead of re-running the quantiser per
     # side (the "persist profiles once" pattern from the minhash path)
     assigned = assigned.localCheckpoint(eager=True)
-    # precompute each vector's norm ONCE: pair scoring then folds the
-    # zipped arrays a single time (dot) instead of three times
-    # (dot + both self-dots) — the pair join is the dominant cost and
-    # this is a ~3× cut. sqrt(dot(v,v)) is the exact expression the
-    # oracle uses per pair, so the floats stay bit-identical.
     vd = as_double(F.col(vec_col))
-    members = assigned.join(corpus.select(id_col, vec_col), id_col).select(
-        id_col, "cell", vd.alias("v"), F.sqrt(dot(vd, vd)).alias("nrm")
-    )
-    a = members.select(
-        "cell", F.col(id_col).alias("a_id"),
-        F.col("v").alias("a_vec"), F.col("nrm").alias("a_nrm"),
-    )
-    b = members.select(
-        "cell", F.col(id_col).alias("b_id"),
-        F.col("v").alias("b_vec"), F.col("nrm").alias("b_nrm"),
-    )
-    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
-    earlier = (
-        a.join(b, "cell")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("b_id", cos.alias("cos"))
-        .groupBy("b_id")
-        .agg(F.max("cos").alias("mx"))
-        .withColumnRenamed("b_id", id_col)
-    )
+    if impl == "sql":
+        # precompute each vector's norm ONCE: pair scoring then folds
+        # the zipped arrays a single time (dot) instead of three times
+        # (dot + both self-dots). sqrt(dot(v,v)) is the exact
+        # expression the oracle uses per pair, so the floats stay
+        # bit-identical.
+        members = assigned.join(corpus.select(id_col, vec_col), id_col).select(
+            id_col, "cell", vd.alias("v"), F.sqrt(dot(vd, vd)).alias("nrm")
+        )
+        a = members.select(
+            "cell", F.col(id_col).alias("a_id"),
+            F.col("v").alias("a_vec"), F.col("nrm").alias("a_nrm"),
+        )
+        b = members.select(
+            "cell", F.col(id_col).alias("b_id"),
+            F.col("v").alias("b_vec"), F.col("nrm").alias("b_nrm"),
+        )
+        cos = dot(F.col("a_vec"), F.col("b_vec")) / (
+            F.col("a_nrm") * F.col("b_nrm")
+        )
+        earlier = (
+            a.join(b, "cell")
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("b_id", cos.alias("cos"))
+            .groupBy("b_id")
+            .agg(F.max("cos").alias("mx"))
+            .withColumnRenamed("b_id", id_col)
+        )
+    else:
+        members = assigned.join(corpus.select(id_col, vec_col), id_col).select(
+            id_col, "cell", vd.alias("v")
+        )
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        block = _PAIR_BLOCK
+
+        def _cell_pair_max(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({id_col: pdf[id_col][:0], "mx": []})
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            d = X.shape[1]
+            # norms/dots accumulate one COMPONENT at a time — the same
+            # add order as the zip_with fold and DuckDB's
+            # list_dot_product, so the doubles match bit for bit
+            # (np.dot/BLAS would re-associate the sums)
+            nrm = np.zeros(n)
+            for k in range(d):
+                nrm = nrm + X[:, k] * X[:, k]
+            nrm = np.sqrt(nrm)
+            out_ids, out_mx = [], []
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for c0 in range(1, n, block):
+                    c1 = min(c0 + block, n)
+                    acc = np.zeros((n, c1 - c0))
+                    for k in range(d):
+                        acc = acc + np.multiply.outer(X[:, k], X[c0:c1, k])
+                    cosm = acc / np.multiply.outer(nrm, nrm[c0:c1])
+                    # a strictly earlier than b (ids sorted asc): mask
+                    # rows at/after each column's global index. max
+                    # propagates NaN exactly like Spark's MAX over
+                    # doubles (NaN sorts greatest).
+                    rows = np.arange(n)[:, None]
+                    cosm[rows >= np.arange(c0, c1)[None, :]] = -np.inf
+                    out_ids.append(pdf[id_col].values[c0:c1])
+                    out_mx.append(cosm.max(axis=0))
+            return pd.DataFrame(
+                {id_col: np.concatenate(out_ids), "mx": np.concatenate(out_mx)}
+            )
+
+        earlier = members.groupBy("cell").applyInPandas(
+            _cell_pair_max, f"{id_col} {id_type}, mx double"
+        )
     return (
         members.select(id_col, "cell")
         .join(earlier, [id_col], "left")

@@ -2612,6 +2612,8 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "bucket", F.floor(F.col("price_micro") / F.lit(1000000000)).cast("bigint")
     )
+    # total served from bucketed_prefix's checkpointed bucket table —
+    # the separate p.agg(count) paid one more full lineitem scan (r14)
     ranked = bucketed_prefix(
         p,
         "bucket",
@@ -2621,11 +2623,11 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").asc(),
         ],
         rank="i",
+        total="n",
     )
-    tot = p.agg(F.count(F.lit(1)).alias("n"))
     dec = "decimal(38,0)"
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked
         .groupBy(
             F.ceil(F.col("i") * 20.0 / F.col("n")).cast("bigint").alias("bin")
         )

@@ -1972,3 +1972,23 @@ def test_exact_dedup_null_content_not_collapsed(spark):
     )
     kept = sorted(r.doc_id for r in exact_dedup(docs, F.col("text")).collect())
     assert kept == [1, 2, 3, 5]  # both NULLs kept; real dup collapsed
+
+
+def test_semantic_dedup_arrow_equals_sql(spark, emb):
+    """r14: the vectorized per-cell pair kernel (impl='arrow', the auto
+    default) must be BIT-IDENTICAL to the cell-blocked self-join spec
+    (impl='sql') — including the raw max_sim_earlier doubles, whose
+    dot/norm accumulation order is what the kernel painstakingly
+    preserves (component-at-a-time adds, never BLAS summation)."""
+    from football_lakehouse_spark.operators.similarity import semantic_dedup
+
+    corpus = emb.where(F.col("vec_id") < 400)
+    a = sorted(
+        map(tuple, semantic_dedup(corpus, impl="arrow").collect())
+    )
+    s = sorted(map(tuple, semantic_dedup(corpus, impl="sql").collect()))
+    assert a == s
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="impl must be"):
+        semantic_dedup(corpus, impl="numpy")
