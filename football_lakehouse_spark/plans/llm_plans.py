@@ -5101,8 +5101,6 @@ def keyness_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "similarity"),
 )
 def index_serving_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     # the artefact: q110's exact output shape (string postings), built
     # once — persist so every serving branch below reads the index, not
@@ -5121,9 +5119,14 @@ def index_serving_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfd = occ.groupBy("term", "df", "doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    tfw = tfd.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
-    )
+    # doc length as a map-side-combined AGGREGATION joined onto the
+    # QUERY-TERM rows only (r14): the old per-doc window computed dl by
+    # sorting the ENTIRE index-universe tf table, then threw away every
+    # non-query-term row at the join right after — at scale that is a
+    # full extra sort of vocab×docs rows for values only
+    # O(query_terms × docs) of them need. Same dl values (exact
+    # integer sum per doc either way).
+    dl_tab = tfd.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     st = tfd.agg(
         F.countDistinct("doc_id").cast("bigint").alias("n"),
         F.sum("tf").cast("bigint").alias("l"),
@@ -5139,7 +5142,8 @@ def index_serving_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = F.floor(idf * tfn * 100000000.0 + 0.5).cast("bigint")
     return (
-        tfw.join(F.broadcast(qsel), "term")
+        tfd.join(F.broadcast(qsel), "term")
+        .join(dl_tab, "doc_id")
         .crossJoin(F.broadcast(st))
         .select("doc_id", s.alias("s"))
         .groupBy("doc_id")

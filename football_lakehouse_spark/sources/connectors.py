@@ -72,11 +72,13 @@ def _rel_data_path(path: str, base: str) -> str:
     bu = urlparse(base) if ":" in bhead else None
     # different authority (bucket/host) ⇒ genuinely outside the table
     # base even when the PATH components coincide — keep the original
-    # URI absolute rather than mis-relativising a foreign-bucket file
-    # ('file' spellings all carry an empty/localhost authority, which
-    # normalises equal)
-    pn = (pu.netloc if pu else "").replace("localhost", "")
-    bn = (bu.netloc if bu else "").replace("localhost", "")
+    # URI absolute rather than mis-relativising a foreign-bucket file.
+    # Only an EXACT 'localhost' netloc normalises to the empty local
+    # authority ('file' spellings carry empty or localhost): the old
+    # substring .replace() made any host merely CONTAINING 'localhost'
+    # (e.g. 'mylocalhostmirror') falsely compare equal (ADVICE r13).
+    pn = "" if pu is None or pu.netloc == "localhost" else pu.netloc
+    bn = "" if bu is None or bu.netloc == "localhost" else bu.netloc
     if pn != bn:
         return path
     p = pu.path if pu else path
