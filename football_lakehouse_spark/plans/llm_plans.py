@@ -2043,16 +2043,35 @@ def _serialize_postings(ix: DataFrame) -> DataFrame:
 
 def _postings_index(docs: DataFrame) -> DataFrame:
     """(term, df, tf, postings) index of a doc set — shared by q110
-    (full build) and q123 (batch build + shard merge)."""
+    (full build) and q123 (batch build + shard merge).
+
+    ``df``/``tf`` are DERIVED FROM the collected posting list instead of
+    aggregated alongside it (r15): ``count(DISTINCT doc_id)`` next to a
+    ``collect_list`` plans as a two-level aggregate — one exchange keyed
+    ``(term, doc_id)`` and a second keyed ``term``, with the posting
+    buffers riding BOTH — but the postings array already contains every
+    ``doc_id·10⁶ + pos`` occurrence, so ``tf = size(postings)`` and
+    ``df = #distinct(packed div 10⁶)`` (exact integral div — the same
+    unpacking q214's serving half uses). Same values, half the
+    shuffles: the build sub-plan is ONE term-keyed exchange."""
     p = docs.select(
         "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("pos0", "term")
     ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
-    return p.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df"),
-        F.count(F.lit(1)).cast("bigint").alias("tf"),
-        F.array_sort(
-            F.collect_list(F.col("doc_id") * 1000000 + F.col("pos"))
-        ).alias("postings"),
+    return (
+        p.groupBy("term")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.col("doc_id") * 1000000 + F.col("pos"))
+            ).alias("postings")
+        )
+        .select(
+            "term",
+            F.expr(
+                "size(array_distinct(transform(postings, x -> x div 1000000)))"
+            ).cast("bigint").alias("df"),
+            F.size("postings").cast("bigint").alias("tf"),
+            "postings",
+        )
     )
 
 
