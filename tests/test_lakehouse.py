@@ -1233,3 +1233,32 @@ def test_continuous_rollup_touches_only_batch_partitions(spark, events, tmp_path
     assert got == want
     # the stored partial is decimal, not bigint (overflow headroom)
     assert dict(t.read().dtypes)["v_micros"].startswith("decimal")
+
+
+def test_optimized_write_staged_size_gate(spark, tmp_path):
+    """r15: the optimized write's REBALANCE is gated on the staged
+    plan's size estimate — a commit under one advisory partition skips
+    the exchange (keeps per-task files), a commit estimated above it
+    rebalances into advisory-sized output."""
+    t = LakehouseTable(spark, str(tmp_path), "silver", "gate")
+    df = spark.range(0, 1000, 1, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # tiny staged frame: estimate (KBs) << advisory (64m) -> gate off
+    assert not t._rebalance_worthwhile(df)
+    t.append(df)
+    files_v0 = [f for f in t.current_files()]
+    assert len(files_v0) == 8  # one file per upstream task, no exchange
+    # same frame with the advisory forced below the estimate -> gate on
+    old = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+        assert t._rebalance_worthwhile(df)
+        t2 = LakehouseTable(spark, str(tmp_path), "silver", "gate_on")
+        t2.append(df)
+        # the rebalance exchange re-splits the 8 upstream tasks to the
+        # (tiny) advisory size: file count is set by AQE, not by the
+        # upstream task count
+        assert len(t2.current_files()) != 8
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old)
