@@ -711,9 +711,17 @@ def refine_hot_cells(
 
     Scale: detection is one count per cell (map-side partials); the
     nested rounds touch only hot-cell members (≤ corpus, usually a
-    small multiple of max_cell_frac); the per-(parent,pos) joins ride
-    the exploded component form — fine while n_split·iters is small
-    (the maintenance-op regime). The hot set and n_base are the only
+    small multiple of max_cell_frac). r15 (the kmeans_cells treatment,
+    VERDICT r14 #3): the member table carries its quantised ``qvec``
+    array and is materialised ONCE; each sub-assignment is a NARROW map
+    — all of a parent's sub-centroids packed into one broadcast
+    sub-sorted array, argmin via ``array_min`` over ``struct(d2, sub)``
+    (identical integer d² and lower-sub tie-break as the old
+    ``min(struct(d2, sub))``) — and each sub-Lloyd update explodes the
+    assigned rows and partial-aggregates map-side, so the only exchange
+    per round carries ≈ parents×n_split×dim partials. (The pre-r15 form
+    re-exploded the corpus by component and paid two member-sized
+    shuffle joins per round.) The hot set and n_base are the only
     driver-side scalars (control-plane, ≤ 1/max_cell_frac rows).
     """
     # id_out=id_col: the kernel's default id_out is "vec_id", which
@@ -744,41 +752,89 @@ def refine_hot_cells(
         )
     )
 
-    members = assigned.join(hot, "cell").select(
-        F.col(id_col), F.col("cell").alias("parent"), "hix"
+    # member table WITH the quantised array (the exact space the d²
+    # runs in), materialised once: every sub-round below consumes it as
+    # a narrow map instead of re-deriving corpus×dim exploded
+    # components per consumer (r15; member-sized × dim-wide — the same
+    # footprint one side of the old per-round join carried)
+    qvecs = corpus.select(
+        F.col(id_col),
+        micro_qvec(F.col(vec_col), normalize).alias("qvec"),
     )
-    qx = _quantized_components(corpus, id_col, id_col, vec_col, normalize=normalize)
-    mqx = qx.join(members, id_col)  # (id, pos, qx, parent, hix)
-
-    # init: per parent, the n_split lowest-id members seed sub 0..n_split-1
-    w_init = Window.partitionBy("parent").orderBy(F.col(id_col).asc())
-    init = (
-        members.withColumn("rn", F.row_number().over(w_init))
-        .where(F.col("rn") <= n_split)
-        .select(id_col, "parent", (F.col("rn") - 1).cast("int").alias("sub"))
-    )
-    scent = (
-        mqx.join(init, [id_col, "parent"])
-        .select("parent", "sub", "pos", F.col("qx").alias("cq"))
+    mq = (
+        assigned.join(hot, "cell")
+        .select(F.col(id_col), F.col("cell").alias("parent"), "hix")
+        .join(qvecs, id_col)
         .localCheckpoint(eager=True)
     )
 
-    def sub_assign(sc: DataFrame) -> DataFrame:
-        d2 = (
-            mqx.join(sc, ["parent", "pos"])
-            .groupBy(id_col, "parent", "sub")
-            .agg(F.sum((F.col("qx") - F.col("cq")) * (F.col("qx") - F.col("cq"))).alias("d2"))
+    # init: per parent, the n_split lowest-id members seed sub
+    # 0..n_split-1 (their components verbatim — identical to the old
+    # mqx⋈init projection of qx as cq)
+    w_init = Window.partitionBy("parent").orderBy(F.col(id_col).asc())
+    scent = (
+        mq.withColumn("rn", F.row_number().over(w_init))
+        .where(F.col("rn") <= n_split)
+        .select(
+            "parent",
+            (F.col("rn") - 1).cast("int").alias("sub"),
+            F.posexplode("qvec").alias("pos", "cq"),
         )
-        return (
-            d2.groupBy(id_col, "parent")
-            .agg(F.min(F.struct("d2", "sub")).alias("m"))
-            .select(id_col, "parent", F.col("m.sub").alias("sub"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _d2(cv: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col("qvec"), cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
         )
 
+    def sub_assign(sc: DataFrame, keep_qvec: bool = False) -> DataFrame:
+        # pack each parent's sub-centroids into ONE sub-sorted array row
+        # (control-plane: parents×n_split×dim) and broadcast-join on
+        # parent: the argmin is a per-member array_min over
+        # struct(d2, sub) — same lexicographic (d2, sub) tie-break as
+        # the old min(struct(d2, sub)), zero member-keyed exchanges
+        packed = (
+            sc.groupBy("parent", "sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                    lambda s: s["cq"],
+                ).alias("cvec")
+            )
+            .groupBy("parent")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("sub", "cvec"))).alias(
+                    "__subs"
+                )
+            )
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("__subs"),
+                lambda s: F.struct(
+                    _d2(s["cvec"]).alias("d2"), s["sub"].alias("sub")
+                ),
+            )
+        )
+        cols = [
+            F.col(id_col), F.col("parent"), F.col("hix"),
+            best["sub"].alias("sub"),
+        ]
+        if keep_qvec:
+            cols.append(F.col("qvec"))
+        return mq.join(F.broadcast(packed), "parent").select(*cols)
+
     for _ in range(iters):
-        sa = sub_assign(scent)
+        # assignment keeps qvec through, so the sub-centroid update
+        # explodes the assigned rows directly and partial-aggregates
+        # map-side — the round's only exchange carries the
+        # parents×n_split×dim partials (the kmeans_cells r14 shape)
+        sa = sub_assign(scent, keep_qvec=True)
         scent = (
-            mqx.join(sa, [id_col, "parent"])
+            sa.select("parent", "sub", F.posexplode("qvec").alias("pos", "qx"))
             .groupBy("parent", "sub", "pos")
             .agg(F.floor(F.sum("qx") / F.count(F.lit(1))).cast("bigint").alias("cq"))
             .localCheckpoint(eager=True)
@@ -788,11 +844,7 @@ def refine_hot_cells(
     new_cell = (F.lit(n_base) + F.col("hix") * n_split + F.col("sub")).cast("int")
     refined_assign = (
         assigned.join(hot.select("cell"), "cell", "left_anti")
-        .unionByName(
-            final_sub.join(members.select(id_col, "parent", "hix"),
-                           [id_col, "parent"])
-            .select(id_col, new_cell.alias("cell"))
-        )
+        .unionByName(final_sub.select(id_col, new_cell.alias("cell")))
     )
     refined_cent = (
         centroids.join(hot.select("cell"), "cell", "left_anti")
