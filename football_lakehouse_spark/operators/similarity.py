@@ -1193,11 +1193,31 @@ def lsh_topk(
     )
 
 
-#: column-block width of the semantic-dedup Arrow kernel: pair blocks
-#: are (cell_size × _PAIR_BLOCK) doubles, so task memory stays bounded
-#: however big one cell gets (the COMPUTE is O(cell²) either way — the
-#: same contract the join form had)
+#: row/column block width of the semantic-dedup Arrow kernel: pair
+#: blocks are (_PAIR_BLOCK × _PAIR_BLOCK) doubles (r15 — the r14 form
+#: blocked columns only, so its accumulator still scaled with the cell:
+#: cell_size × _PAIR_BLOCK doubles), so the kernel's working memory is
+#: O(block²) + the cell's vector matrix, however big one cell gets
+#: (the COMPUTE is O(cell²) either way — the same contract the join
+#: form had)
 _PAIR_BLOCK = 4096
+
+#: corpus plan-size estimate below which the oversized-cell probe is
+#: skipped: when the WHOLE corpus (optimizer estimate, errs large)
+#: fits in a fraction of one executor's memory, no cell can exceed it
+#: and the probe job would be pure overhead (this is what keeps the
+#: bench path at its r14 job count)
+_PAIR_GUARD_MIN_BYTES = 256 << 20
+
+#: rows above which one cell is too big for the Arrow pair kernel —
+#: applyInPandas materialises the whole group (≈ rows × dim × 8 B of
+#: vector payload, plus the Arrow batch), so an adversarial corpus
+#: that collapses into one cell must NOT reach the kernel; above this
+#: bound semantic_dedup's "auto" falls back to the bit-identical SQL
+#: self-join, which streams and spills (VERDICT r14 #5). 500k rows ×
+#: 64 dims ≈ 256 MB of float64 — comfortable under an executor task's
+#: share; the n_cells ∝ corpus contract keeps honest cells far below.
+_PAIR_MAX_CELL_ROWS = 500_000
 
 
 def semantic_dedup(
@@ -1226,8 +1246,11 @@ def semantic_dedup(
     cell-blocked — O(Σ cell_size²) with cells sized corpus/n_cells, so
     n_cells grows with the corpus to bound cell populations exactly
     like IVF. Cliff: an adversarial corpus that collapses into one
-    cell re-creates the quadratic — the q93 star-cap pattern (cap
-    pairs per oversized block) is the documented defence.
+    cell re-creates the quadratic; compute stays quadratic either way,
+    but since r15 ``"auto"`` additionally guards MEMORY — a cell past
+    ``_PAIR_MAX_CELL_ROWS`` falls back to the spillable SQL join, so
+    one collapsed cell degrades to slow instead of OOMing the executor
+    that would have materialised it as a single pandas group.
 
     Two BIT-IDENTICAL pair-scoring kernels (r14, the assign_cells
     pattern): ``impl="sql"`` is the auditable cell-blocked self-join
@@ -1255,6 +1278,34 @@ def semantic_dedup(
     # narrow (id, cell) map once instead of re-running the quantiser per
     # side (the "persist profiles once" pattern from the minhash path)
     assigned = assigned.localCheckpoint(eager=True)
+    if impl == "auto":
+        # oversized-cell guard (r15, VERDICT r14 #5): the Arrow kernel
+        # materialises each cell as ONE pandas group, so a corpus that
+        # collapses into one cell must take the spillable SQL join
+        # instead. Two-tier to keep the guard free on the common path:
+        # a driver-side plan-size estimate first (no job; estimates err
+        # LARGE, so the skip direction is safe), and only when the
+        # corpus is big enough that one cell COULD exceed a task's
+        # memory, one tiny max-cell-count probe over the checkpointed
+        # (id, cell) map.
+        impl = "arrow"
+        try:
+            est = int(
+                corpus._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            est = None
+        if est is None or est > _PAIR_GUARD_MIN_BYTES:
+            biggest = bounded_collect(
+                assigned.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n").alias("mx")),
+                1,
+                "semantic_dedup max-cell probe",
+            )[0][0]
+            if biggest is not None and biggest > _PAIR_MAX_CELL_ROWS:
+                impl = "sql"
     vd = as_double(F.col(vec_col))
     if impl == "sql":
         # precompute each vector's norm ONCE: pair scoring then folds
@@ -1299,6 +1350,21 @@ def semantic_dedup(
             n = len(pdf)
             if n < 2:
                 return pd.DataFrame({id_col: pdf[id_col][:0], "mx": []})
+            # validate before np.stack (r15, ADVICE r14): a NULL or
+            # ragged embedding otherwise dies inside numpy with an
+            # opaque executor traceback — mirror the assign kernel's
+            # named per-row check
+            dim = None
+            for rid, v in zip(pdf[id_col], pdf["v"]):
+                if v is None or (dim is not None and len(v) != dim):
+                    got = "NULL" if v is None else f"dim {len(v)}"
+                    raise ValueError(
+                        f"semantic_dedup: vector {rid!r} has {got}, "
+                        f"cell-mates have dim {dim} — embeddings must "
+                        "be non-null fixed-width arrays"
+                    )
+                if dim is None:
+                    dim = len(v)
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             d = X.shape[1]
             # norms/dots accumulate one COMPONENT at a time — the same
@@ -1309,22 +1375,44 @@ def semantic_dedup(
             for k in range(d):
                 nrm = nrm + X[:, k] * X[:, k]
             nrm = np.sqrt(nrm)
+            # zero-norm = the SQL form's double division by zero, which
+            # RAISES under Spark 4 ANSI — the r14 kernel instead let
+            # 0/0 → NaN ride the max and silently dropped the later
+            # row (ADVICE r14, medium). Fail as loud as the spec path.
+            if not np.all(nrm > 0):
+                bad = pdf[id_col].values[int(np.argmin(nrm))]
+                raise ValueError(
+                    f"semantic_dedup: vector {bad!r} has zero L2 norm — "
+                    "cosine against a cell-mate is undefined (the SQL "
+                    "pair form raises DIVIDE_BY_ZERO under ANSI); drop "
+                    "or repair zero-norm embeddings before dedup"
+                )
             out_ids, out_mx = [], []
-            with np.errstate(divide="ignore", invalid="ignore"):
-                for c0 in range(1, n, block):
-                    c1 = min(c0 + block, n)
-                    acc = np.zeros((n, c1 - c0))
+            for c0 in range(1, n, block):
+                c1 = min(c0 + block, n)
+                # per-column running max over ROW blocks (r15): the
+                # accumulator is block×block instead of n×block, so one
+                # giant cell no longer scales the kernel's working set.
+                # max-of-maxes is order-insensitive for doubles, and a
+                # NaN (inf/inf from pathological magnitudes — zero
+                # norms raise above) still propagates exactly like
+                # Spark's MAX (NaN sorts greatest).
+                colmax = np.full(c1 - c0, -np.inf)
+                for r0 in range(0, c1, block):
+                    r1 = min(r0 + block, c1)
+                    acc = np.zeros((r1 - r0, c1 - c0))
                     for k in range(d):
-                        acc = acc + np.multiply.outer(X[:, k], X[c0:c1, k])
-                    cosm = acc / np.multiply.outer(nrm, nrm[c0:c1])
+                        acc = acc + np.multiply.outer(
+                            X[r0:r1, k], X[c0:c1, k]
+                        )
+                    cosm = acc / np.multiply.outer(nrm[r0:r1], nrm[c0:c1])
                     # a strictly earlier than b (ids sorted asc): mask
-                    # rows at/after each column's global index. max
-                    # propagates NaN exactly like Spark's MAX over
-                    # doubles (NaN sorts greatest).
-                    rows = np.arange(n)[:, None]
+                    # rows at/after each column's global index
+                    rows = np.arange(r0, r1)[:, None]
                     cosm[rows >= np.arange(c0, c1)[None, :]] = -np.inf
-                    out_ids.append(pdf[id_col].values[c0:c1])
-                    out_mx.append(cosm.max(axis=0))
+                    colmax = np.maximum(colmax, cosm.max(axis=0))
+                out_ids.append(pdf[id_col].values[c0:c1])
+                out_mx.append(colmax)
             return pd.DataFrame(
                 {id_col: np.concatenate(out_ids), "mx": np.concatenate(out_mx)}
             )

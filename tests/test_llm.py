@@ -1992,3 +1992,60 @@ def test_semantic_dedup_arrow_equals_sql(spark, emb):
 
     with _pytest.raises(ValueError, match="impl must be"):
         semantic_dedup(corpus, impl="numpy")
+
+
+def test_semantic_dedup_zero_norm_fails_loud_both_impls(spark):
+    """r15 (ADVICE r14, medium): a zero-norm vector sharing a cell with
+    another vector must fail LOUD in both pair kernels — the SQL form
+    raises ANSI DIVIDE_BY_ZERO, and the Arrow kernel raises the same
+    named contract instead of silently dropping the row with a NaN
+    max (the r14 behaviour)."""
+    from football_lakehouse_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i + 1), 1.0, 0.5, 2.0]) for i in range(8)]
+    rows += [(100, [0.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0, 0.0])]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="zero L2 norm"):
+        semantic_dedup(corpus, n_cells=2, iters=1, impl="arrow").collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        semantic_dedup(corpus, n_cells=2, iters=1, impl="sql").collect()
+
+
+def test_semantic_dedup_null_embedding_named_error(spark):
+    """r15 (ADVICE r14, low): a NULL embedding reaching the Arrow pair
+    kernel raises the named data error, not an opaque numpy traceback."""
+    from football_lakehouse_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i + 1), 1.0, 0.5, 2.0]) for i in range(8)]
+    corpus = spark.createDataFrame(
+        rows + [(100, None)], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="non-null fixed-width"):
+        semantic_dedup(corpus, n_cells=2, iters=1, impl="arrow").collect()
+
+
+def test_semantic_dedup_oversized_cell_falls_back_to_sql(spark, emb, monkeypatch):
+    """r15 (VERDICT r14 #5): impl='auto' must route a corpus whose
+    biggest cell exceeds the kernel's row bound to the spillable SQL
+    join (bit-identical), never materialise it as one pandas group."""
+    from football_lakehouse_spark.operators import similarity
+
+    corpus = emb.where(F.col("vec_id") < 200)
+    # untouched auto: Arrow kernel in the plan
+    plan_auto = (
+        semantic_plan := similarity.semantic_dedup(corpus)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan_auto
+    # guard tripped: probe runs (min-bytes floor removed) and the
+    # 1-row cell bound forces the SQL fallback
+    monkeypatch.setattr(similarity, "_PAIR_GUARD_MIN_BYTES", 0)
+    monkeypatch.setattr(similarity, "_PAIR_MAX_CELL_ROWS", 1)
+    fb = similarity.semantic_dedup(corpus)
+    assert "FlatMapGroupsInPandas" not in (
+        fb._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sorted(map(tuple, fb.collect())) == sorted(
+        map(tuple, semantic_plan.collect())
+    )
