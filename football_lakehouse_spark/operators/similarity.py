@@ -18,6 +18,8 @@ summation), which makes even the floating-point cosine oracle-exact.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from football_lakehouse_spark.functions.guards import (
@@ -91,18 +93,23 @@ def micro_qvec(vec_col: F.Column, normalize: bool = False) -> F.Column:
 def vec_side(
     df: DataFrame, id_col: str, vec_col: str,
     id_alias: str, vec_alias: str, nrm_alias: str,
+    extra: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """One side of a pair-scoring join: ``(id, vec double[], nrm)``
     with the cast array and its L2 norm materialised ONCE PER ROW (two
     stacked projections — the norm is referenced twice downstream, so
     CollapseProject keeps it materialised instead of re-inlining the
     O(dim) fold). The per-PAIR score is then a single zip_with fold
-    (:func:`cosine_hoisted`) instead of :func:`cosine`'s ~5 (r14)."""
+    (:func:`cosine_hoisted`) instead of :func:`cosine`'s ~5 (r14).
+    ``extra`` carries additional ``(source, alias)`` columns through
+    (labels, payloads) so label-filtered scoring paths can ride the
+    same hoist (r15)."""
     vd = as_double(F.col(vec_col))
     return df.select(
         F.col(id_col).alias(id_alias),
         vd.alias(vec_alias),
         F.sqrt(dot(vd, vd)).alias(nrm_alias),
+        *[F.col(src).alias(dst) for src, dst in extra],
     )
 
 

@@ -1584,17 +1584,27 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "similarity"),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from football_lakehouse_spark.operators.similarity import cosine
+    from football_lakehouse_spark.operators.similarity import (
+        cosine_hoisted,
+        vec_side,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     par = spark.sparkContext.defaultParallelism
-    a = emb.repartition(par).select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
-    )
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms materialised once per ROW (vec_side): the O(pairs) stage
+    # pays one zip_with fold per pair instead of cosine()'s ~5 (r15 —
+    # the r14 hoist sweep applied to this exact-pairs path; measured
+    # 22.3 s -> 4.0 s noop-exec on the sf0.1 embeddings)
+    a = vec_side(emb.repartition(par), "vec_id", "embedding", "vec_a", "ea", "na")
+    b = vec_side(emb, "vec_id", "embedding", "vec_b", "eb", "nb")
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .select(
+            "vec_a", "vec_b",
+            cosine_hoisted(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= 0.4)
     )
 
@@ -7379,20 +7389,23 @@ def frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from football_lakehouse_spark.operators.similarity import (
+        cosine_hoisted,
+        vec_side,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("query_vec"),
+    # norms hoisted per SIDE (vec_side, r15): the scoring stage pays
+    # one fold per (anchor, candidate) pair instead of cosine()'s ~5
+    q = vec_side(
+        emb.where(F.col("vec_id") < 10), "vec_id", "embedding",
+        "query_id", "query_vec", "q_nrm", extra=[("label", "q_label")],
     )
     par = emb.sparkSession.sparkContext.defaultParallelism
-    c = emb.repartition(par).select(
-        F.col("vec_id").alias("match_id"),
-        F.col("label").alias("m_label"),
-        F.col("embedding").alias("match_vec"),
+    c = vec_side(
+        emb.repartition(par), "vec_id", "embedding",
+        "match_id", "match_vec", "m_nrm", extra=[("label", "m_label")],
     )
-    from football_lakehouse_spark.operators.similarity import cosine
-
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(
@@ -7404,7 +7417,10 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_label").cast("int").alias("q_label"),
             "match_id",
             F.col("m_label").cast("int").alias("neg_label"),
-            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+            cosine_hoisted(
+                F.col("query_vec"), F.col("match_vec"),
+                F.col("q_nrm"), F.col("m_nrm"),
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -7459,17 +7475,21 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from football_lakehouse_spark.operators.similarity import cosine
+    from football_lakehouse_spark.operators.similarity import (
+        cosine_hoisted,
+        vec_side,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.where(F.col("vec_id") < 50).select(
-        "vec_id", F.col("label").alias("own_label"),
-        F.col("embedding").alias("qv"),
+    # per-side norm hoist (r15): one fold per (audited, neighbour) pair
+    a = vec_side(
+        emb.where(F.col("vec_id") < 50), "vec_id", "embedding",
+        "vec_id", "qv", "q_nrm", extra=[("label", "own_label")],
     )
     par = emb.sparkSession.sparkContext.defaultParallelism
-    b = emb.repartition(par).select(
-        F.col("vec_id").alias("nb_id"), F.col("label").alias("nb_label"),
-        F.col("embedding").alias("mv"),
+    b = vec_side(
+        emb.repartition(par), "vec_id", "embedding",
+        "nb_id", "mv", "m_nrm", extra=[("label", "nb_label")],
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("nb_id").asc()
@@ -7479,7 +7499,9 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nb_id") != F.col("vec_id"))
         .select(
             "vec_id", "own_label", "nb_id", "nb_label",
-            cosine(F.col("qv"), F.col("mv")).alias("cos"),
+            cosine_hoisted(
+                F.col("qv"), F.col("mv"), F.col("q_nrm"), F.col("m_nrm")
+            ).alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
@@ -7687,16 +7709,17 @@ def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from football_lakehouse_spark.operators.similarity import (
         ann_mining_topk,
-        cosine,
+        cosine_hoisted,
         kmeans_cells,
+        vec_side,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.where(F.col("vec_id") < 10)
-    a = anchors.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("query_vec"),
+    # per-side norm hoist for the exact-truth half (r15)
+    a = vec_side(
+        anchors, "vec_id", "embedding",
+        "query_id", "query_vec", "q_nrm", extra=[("label", "q_label")],
     )
     assigned, cent = kmeans_cells(emb, n_cells=16, iters=2, id_out="match_id")
     w = Window.partitionBy("query_id").orderBy(
@@ -7712,11 +7735,9 @@ def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact truth on the anchor sample only (q278's scan, eval-sized)
     par = emb.sparkSession.sparkContext.defaultParallelism
     exact_top = (
-        emb.repartition(par)
-        .select(
-            F.col("vec_id").alias("match_id"),
-            F.col("label").alias("m_label"),
-            F.col("embedding").alias("match_vec"),
+        vec_side(
+            emb.repartition(par), "vec_id", "embedding",
+            "match_id", "match_vec", "m_nrm", extra=[("label", "m_label")],
         )
         .crossJoin(F.broadcast(a))
         .where(
@@ -7727,7 +7748,10 @@ def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("q_label").cast("int").alias("q_label"),
             "match_id",
-            cosine(F.col("query_vec"), F.col("match_vec")).alias("cos_sim"),
+            cosine_hoisted(
+                F.col("query_vec"), F.col("match_vec"),
+                F.col("q_nrm"), F.col("m_nrm"),
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
@@ -7839,27 +7863,31 @@ def knn_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from football_lakehouse_spark.operators.similarity import (
-        cosine,
+        cosine_hoisted,
         ivf_probe_cells,
         kmeans_cells,
+        vec_side,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     audited = emb.where(F.col("vec_id") < 50)
-    a = audited.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("own_label"),
-        F.col("embedding").alias("qv"),
+    # per-side norm hoist (r15): both the ANN-candidate and the
+    # exact-truth scoring stages pay one fold per pair
+    a = vec_side(
+        audited, "vec_id", "embedding",
+        "query_id", "qv", "q_nrm", extra=[("label", "own_label")],
     )
     assigned, cent = kmeans_cells(emb, n_cells=16, iters=2, id_out="nb_id")
     probes = ivf_probe_cells(audited, cent, n_probe=4)
-    c = emb.select(
-        F.col("vec_id").alias("nb_id"),
-        F.col("label").alias("nb_label"),
-        F.col("embedding").alias("mv"),
+    c = vec_side(
+        emb, "vec_id", "embedding",
+        "nb_id", "mv", "m_nrm", extra=[("label", "nb_label")],
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("nb_id").asc()
+    )
+    pair_cos = cosine_hoisted(
+        F.col("qv"), F.col("mv"), F.col("q_nrm"), F.col("m_nrm")
     )
     ann_votes = (
         assigned.join(F.broadcast(probes), "cell")
@@ -7868,7 +7896,7 @@ def knn_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nb_id") != F.col("query_id"))
         .select(
             "query_id", "own_label", "nb_id", "nb_label",
-            cosine(F.col("qv"), F.col("mv")).alias("cos"),
+            pair_cos.alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
@@ -7883,17 +7911,15 @@ def knn_label_noise_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-kNN vote on the audited sample only (q279's scan, eval-sized)
     par = emb.sparkSession.sparkContext.defaultParallelism
     exact_votes = (
-        emb.repartition(par)
-        .select(
-            F.col("vec_id").alias("nb_id"),
-            F.col("label").alias("nb_label"),
-            F.col("embedding").alias("mv"),
+        vec_side(
+            emb.repartition(par), "vec_id", "embedding",
+            "nb_id", "mv", "m_nrm", extra=[("label", "nb_label")],
         )
         .crossJoin(F.broadcast(a))
         .where(F.col("nb_id") != F.col("query_id"))
         .select(
             "query_id", "own_label", "nb_id", "nb_label",
-            cosine(F.col("qv"), F.col("mv")).alias("cos"),
+            pair_cos.alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
