@@ -8,6 +8,8 @@ DataFrames. Registers temp views so SQL-form plans work too.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
@@ -29,11 +31,15 @@ TABLES = (
 #: ~0.1 s per call; every query builder re-loads its tables, so the
 #: bench paid it dozens of times per pass for immutable fixtures
 #: (r14: explicit-schema reads are ~5× cheaper to construct). Keyed on
-#: (sf_dir, table, nanosAsLong) because that legacy flag changes how a
-#: TIMESTAMP(NANOS) column surfaces. Caches METADATA only — every scan
-#: still reads the parquet data in full; fixture dirs are immutable by
-#: contract (a regenerated dir must use a fresh path, which the fuzz /
-#: scale generators do).
+#: (sf_dir, table, nanosAsLong, mtime) because that legacy flag changes
+#: how a TIMESTAMP(NANOS) column surfaces, and the file mtime (r15,
+#: ADVICE r14) invalidates the entry when a fixture is regenerated IN
+#: PLACE — a contract violation nothing enforced, which previously made
+#: renamed/retyped columns come back as NULLs/mis-casts instead of a
+#: fresh inference. Caches METADATA only — every scan still reads the
+#: parquet data in full; fixture dirs are immutable by contract (a
+#: regenerated dir must use a fresh path, which the fuzz / scale
+#: generators do).
 _schema_cache: dict = {}
 
 
@@ -47,10 +53,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons line up.
     """
     path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None  # missing/remote path: let the Spark read report it
     key = (
         sf_dir,
         name,
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        mtime,
     )
     sch = _schema_cache.get(key)
     if sch is None:

@@ -225,4 +225,14 @@ def change_feed_chain(
         change_feed(a, b, keys, validate_unique=False)
         for a, b in zip(versions, versions[1:])
     ]
-    return reduce(lambda a, b: a.unionByName(b), feeds)
+    # allowMissingColumns: change_feed itself supports an additively
+    # evolved schema between two versions (val_cols = union of both
+    # sides), so consecutive pair feeds can legitimately differ in
+    # payload columns — a plain unionByName then raised
+    # AnalysisException on exactly the chains change_feed promises to
+    # handle. A feed missing a column contributes NULL for it, the
+    # same value per-pair change_feed emits for a side that lacks it
+    # (ADVICE r14, r15).
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), feeds
+    )

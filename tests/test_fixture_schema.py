@@ -211,3 +211,24 @@ def test_spark_engine_schema(spark, table):
         f"session config changed what operators see; audit epoch helpers "
         f"(functions/scalars.py) and re-pin"
     )
+
+
+def test_schema_cache_invalidated_on_in_place_regeneration(spark, tmp_path):
+    """r15 (ADVICE r14): the per-process schema cache keys on the file
+    mtime, so a fixture regenerated IN PLACE (contract violation, but
+    nothing enforces it) re-infers instead of serving a stale schema."""
+    import os
+    import time
+
+    from football_lakehouse_spark.catalog import load_table
+
+    sf = str(tmp_path)
+    p = os.path.join(sf, "events.parquet")
+    spark.createDataFrame([(1, "x")], "event_id bigint, a string").write.parquet(p)
+    assert dict(load_table(spark, sf, "events").dtypes)["a"] == "string"
+    time.sleep(1.1)  # mtime granularity
+    import shutil
+
+    shutil.rmtree(p)
+    spark.createDataFrame([(1, 7)], "event_id bigint, a bigint").write.parquet(p)
+    assert dict(load_table(spark, sf, "events").dtypes)["a"] == "bigint"

@@ -1262,3 +1262,33 @@ def test_optimized_write_staged_size_gate(spark, tmp_path):
         assert len(t2.current_files()) != 8
     finally:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old)
+
+
+def test_change_feed_chain_additive_schema_evolution(spark):
+    """r15 (ADVICE r14): a chain whose later versions gained a column
+    must union its pair feeds with NULLs for the missing payload column
+    (the same value per-pair change_feed emits for a side lacking it),
+    not raise AnalysisException."""
+    from football_lakehouse_spark.lakehouse.cdc import change_feed_chain
+
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20)], "k int, v string, extra int"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 21), (3, "c", 30)],
+        "k int, v string, extra int",
+    )
+    feed = change_feed_chain([v0, v1, v2], ["k"]).collect()
+    got = {(r.change_type, r.k, r.v, r.extra) for r in feed}
+    assert got == {
+        # v0 -> v1: row 2 updated; row 1's extra went NULL -> 10 (update)
+        ("update_preimage", 1, "a", None),
+        ("update_postimage", 1, "a", 10),
+        ("update_preimage", 2, "b", None),
+        ("update_postimage", 2, "B", 20),
+        # v1 -> v2: row 2 extra bumped, row 3 inserted
+        ("update_preimage", 2, "B", 20),
+        ("update_postimage", 2, "B", 21),
+        ("insert", 3, "c", 30),
+    }
