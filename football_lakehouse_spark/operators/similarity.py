@@ -328,6 +328,79 @@ def _quantized_components(
 ARROW_MIN_CELLS = 8
 
 
+def _assign_rows(
+    qvecs: DataFrame, crows: Sequence[tuple], id_field: str, *,
+    id_out: str, with_d2: bool = False, keep_qvec: bool = False,
+) -> DataFrame:
+    """Arrow assignment kernel over a DRIVER-HELD centroid list
+    ``[(cell, pos, cq), ...]`` (control-plane: n_cells×dim tuples).
+    Shared by :func:`assign_cells` (which collects its centroid table
+    first) and the :func:`kmeans_cells` Lloyd loop, which already holds
+    each round's centroids as rows (r15) — passing them straight in
+    removes the per-round localCheckpoint + re-collect job pair the r14
+    loop paid to hand a 1 KB table from one round to the next."""
+    import numpy as np
+
+    if not crows:
+        # the SQL path would return an empty result here, but an
+        # empty quantiser means the caller skipped training — a
+        # named error beats silently assigning nothing
+        raise ValueError("assign_cells: empty centroid table")
+    cells = sorted({c for c, _p, _q in crows})
+    dim = max(p for _c, p, _q in crows) + 1
+    cmat = np.zeros((len(cells), dim), dtype=np.int64)
+    cidx = {c: i for i, c in enumerate(cells)}
+    for c, p, q in crows:
+        cmat[cidx[c], p] = q
+    cell_ids = np.array(cells, dtype=np.int64)
+    c2 = (cmat * cmat).sum(axis=1)
+
+    def _assign_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            # validate before np.stack: a null or ragged embedding
+            # otherwise dies inside numpy with an opaque executor
+            # traceback instead of a named data error
+            for rid, v in zip(pdf[id_out], pdf["qvec"]):
+                if v is None or len(v) != dim:
+                    got = "NULL" if v is None else f"dim {len(v)}"
+                    raise ValueError(
+                        f"assign_cells: vector {rid!r} has {got}, "
+                        f"centroids have dim {dim} — embeddings must "
+                        "be non-null fixed-width arrays"
+                    )
+            q = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
+            )
+            # exact int64: |q|² + |c|² − 2 q·c ; comps ≤ 1e6 →
+            # every term ≤ dim·1e12, far under 2^63
+            d2m = (
+                (q * q).sum(axis=1)[:, None]
+                + c2[None, :]
+                - 2 * (q @ cmat.T)
+            )
+            j = d2m.argmin(axis=1)  # first min → lowest cell id
+            out = {
+                id_out: pdf[id_out],
+                "cell": cell_ids[j].astype("int32"),
+            }
+            if with_d2:
+                out["d2"] = d2m[np.arange(len(j)), j]
+            if keep_qvec:
+                out["qvec"] = pdf["qvec"]
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_out} {id_field}, cell int"
+        + (", d2 bigint" if with_d2 else "")
+        + (", qvec array<bigint>" if keep_qvec else "")
+    )
+    return qvecs.mapInPandas(_assign_batches, schema)
+
+
 def assign_cells(
     vectors: DataFrame, centroids: DataFrame, *,
     id_col: str = "vec_id", vec_col: str = "embedding", id_out: str = "vec_id",
@@ -413,74 +486,20 @@ def assign_cells(
         micro_qvec(F.col(vec_col), normalize).alias("qvec"),
     )
     if impl == "arrow":
-        import numpy as np
-
         # control-plane collect: n_cells×dim rows — the identical
         # payload the SQL path ships as a broadcast table
-        crows = bounded_collect(
-            centroids.select("cell", "pos", "cq"),
-            CONTROL_PLANE_BOUND,
-            "assign_cells centroid table",
+        crows = [
+            (r["cell"], r["pos"], r["cq"])
+            for r in bounded_collect(
+                centroids.select("cell", "pos", "cq"),
+                CONTROL_PLANE_BOUND,
+                "assign_cells centroid table",
+            )
+        ]
+        return _assign_rows(
+            qvecs, crows, vectors.schema[id_col].dataType.simpleString(),
+            id_out=id_out, with_d2=with_d2, keep_qvec=keep_qvec,
         )
-        if not crows:
-            # the SQL path would return an empty result here, but an
-            # empty quantiser means the caller skipped training — a
-            # named error beats silently assigning nothing
-            raise ValueError("assign_cells: empty centroid table")
-        cells = sorted({r["cell"] for r in crows})
-        dim = max(r["pos"] for r in crows) + 1
-        cmat = np.zeros((len(cells), dim), dtype=np.int64)
-        cidx = {c: i for i, c in enumerate(cells)}
-        for r in crows:
-            cmat[cidx[r["cell"]], r["pos"]] = r["cq"]
-        cell_ids = np.array(cells, dtype=np.int64)
-        c2 = (cmat * cmat).sum(axis=1)
-        id_field = vectors.schema[id_col].dataType.simpleString()
-
-        def _assign_batches(it):
-            import pandas as pd
-
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                # validate before np.stack: a null or ragged embedding
-                # otherwise dies inside numpy with an opaque executor
-                # traceback instead of a named data error
-                for rid, v in zip(pdf[id_out], pdf["qvec"]):
-                    if v is None or len(v) != dim:
-                        got = "NULL" if v is None else f"dim {len(v)}"
-                        raise ValueError(
-                            f"assign_cells: vector {rid!r} has {got}, "
-                            f"centroids have dim {dim} — embeddings must "
-                            "be non-null fixed-width arrays"
-                        )
-                q = np.stack(
-                    [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
-                )
-                # exact int64: |q|² + |c|² − 2 q·c ; comps ≤ 1e6 →
-                # every term ≤ dim·1e12, far under 2^63
-                d2m = (
-                    (q * q).sum(axis=1)[:, None]
-                    + c2[None, :]
-                    - 2 * (q @ cmat.T)
-                )
-                j = d2m.argmin(axis=1)  # first min → lowest cell id
-                out = {
-                    id_out: pdf[id_out],
-                    "cell": cell_ids[j].astype("int32"),
-                }
-                if with_d2:
-                    out["d2"] = d2m[np.arange(len(j)), j]
-                if keep_qvec:
-                    out["qvec"] = pdf["qvec"]
-                yield pd.DataFrame(out)
-
-        schema = (
-            f"{id_out} {id_field}, cell int"
-            + (", d2 bigint" if with_d2 else "")
-            + (", qvec array<bigint>" if keep_qvec else "")
-        )
-        return qvecs.mapInPandas(_assign_batches, schema)
 
     # (cell, pos, cq) → (cell, cvec) with components in pos order, so the
     # distance step is a zip_with fold instead of a corpus×dims×n_cells
@@ -633,36 +652,49 @@ def kmeans_cells(
                 "pre-r14 exploded form silently DROPPED such a seed, "
                 "leaving a missing cell)"
             )
-    cent = corpus.sparkSession.createDataFrame(
-        [
-            (c, p, int(q))
-            for c, r in enumerate(seed_rows)
-            for p, q in enumerate(r["qvec"])
-        ],
-        "cell int, pos int, cq bigint",
-    )
+    crows = [
+        (c, p, int(q))
+        for c, r in enumerate(seed_rows)
+        for p, q in enumerate(r["qvec"])
+    ]
 
     # n_cells is known here — resolve the kernel once instead of paying
     # assign_cells' auto-count job on every round
     impl = "arrow" if n_cells >= ARROW_MIN_CELLS else "sql"
+    id_field = corpus.schema[id_col].dataType.simpleString()
+    spark = corpus.sparkSession
 
     def assign(
-        vectors: DataFrame, centroids: DataFrame, keep_qvec: bool = False
+        vectors: DataFrame, rows: list, keep_qvec: bool = False
     ) -> DataFrame:
-        # assignment kernel shared with the incremental append path
+        # assignment kernel shared with the incremental append path;
+        # the rounds hold centroids as DRIVER rows (control-plane:
+        # n_cells×dim), so the Arrow kernel consumes them directly —
+        # no per-round table materialisation at all (r15)
+        if impl == "arrow":
+            qv = vectors.select(
+                F.col(id_col).alias(id_out),
+                micro_qvec(F.col(vec_col), normalize).alias("qvec"),
+            )
+            return _assign_rows(
+                qv, rows, id_field, id_out=id_out, keep_qvec=keep_qvec
+            )
         return assign_cells(
-            vectors, centroids, impl=impl,
+            vectors,
+            spark.createDataFrame(rows, "cell int, pos int, cq bigint"),
+            impl="sql",
             id_col=id_col, vec_col=vec_col, id_out=id_out, normalize=normalize,
             keep_qvec=keep_qvec,
         )
 
-    # each round's centroid table is consumed by BOTH the next assignment
-    # (as a broadcast/collect) and the next update — without truncation
-    # every consumer re-executes the whole Lloyd prefix, turning k rounds
-    # into O(k²) corpus passes. The table is n_cells×dim rows, so an
-    # eager localCheckpoint per round costs ~nothing (same pattern as
-    # the connected-components rounds in operators/dedup.py). Round 0's
-    # table is already a local frame (seed collect above).
+    # each round: ONE job — the map-side-combined centroid update is
+    # collected straight back to the driver (n_cells×dim rows, the
+    # same control-plane payload the assignment kernel needs anyway).
+    # The r14 loop localCheckpoint-ed the update (job 1) only for the
+    # next assignment to re-collect it (job 2): a 1 KB table took two
+    # cluster round-trips per round to cross from one round to the
+    # next. Same integer arithmetic, same assignments, bit-identical
+    # centroids.
     for _ in range(iters):
         # assignment carries qvec through (keep_qvec), so the centroid
         # update explodes the assigned rows directly and map-side
@@ -670,21 +702,29 @@ def kmeans_cells(
         # ≈ n_cells×dim partials per task (r14; previously: exploded
         # components re-joined to the assignment by id — two
         # sample-sized shuffle sides, one dim× wide)
-        assigned = assign(train, cent, keep_qvec=True)
-        cent = (
+        assigned = assign(train, crows, keep_qvec=True)
+        upd = (
             assigned.select("cell", F.posexplode("qvec").alias("pos", "cq"))
             .groupBy("cell", "pos")
             .agg(
                 F.floor(F.sum("cq") / F.count(F.lit(1))).cast("bigint").alias("cq")
             )
-            .localCheckpoint(eager=True)
         )
-    # the Lloyd loop is done and cent is checkpointed: the sampled
-    # training cache is fully consumed and can be released NOW. The
-    # corpus cache stays: the returned lazy assignment still reads it.
+        crows = sorted(
+            (r["cell"], r["pos"], int(r["cq"]))
+            for r in bounded_collect(
+                upd, CONTROL_PLANE_BOUND, "kmeans_cells centroid update"
+            )
+        )
+    # the Lloyd loop is done: the sampled training cache is fully
+    # consumed and can be released NOW. The corpus cache stays: the
+    # returned lazy assignment still reads it.
     if train is not corpus:
         train.unpersist()
-    return assign(corpus, cent), cent
+    # the returned centroid TABLE is built once, from the final rows
+    # (cell/pos-sorted for a deterministic frame)
+    cent = spark.createDataFrame(crows, "cell int, pos int, cq bigint")
+    return assign(corpus, crows), cent
 
 
 def refine_hot_cells(

@@ -111,6 +111,8 @@ COLLECT_ALLOW: dict[tuple[str, str], str] = {
         "centroid table (n_cells rows, config-bounded)",
     ("operators/similarity.py", "refine_hot_cells"):
         "hot-cell list + split centroids (bounded by n_cells)",
+    ("operators/similarity.py", "semantic_dedup"):
+        "1-row max-cell-size probe (oversized-cell guard, r15)",
     ("pipelines/ml.py", "training_run_log"):
         "pinned run-log rows (fixed metric/param domain)",
     ("plans/advanced_plans.py", "chi_square_ab"):
