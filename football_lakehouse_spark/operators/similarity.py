@@ -722,8 +722,14 @@ def kmeans_cells(
     if train is not corpus:
         train.unpersist()
     # the returned centroid TABLE is built once, from the final rows
-    # (cell/pos-sorted for a deterministic frame)
-    cent = spark.createDataFrame(crows, "cell int, pos int, cq bigint")
+    # (cell/pos-sorted for a deterministic frame). coalesce(1): the
+    # local frame otherwise parallelizes into defaultParallelism slices
+    # and every consumer that WRITES it (q294's index persist) emits
+    # one near-empty file per slice — it is n_cells×dim rows, one task
+    # is the right shape at any scale.
+    cent = spark.createDataFrame(
+        crows, "cell int, pos int, cq bigint"
+    ).coalesce(1)
     return assign(corpus, crows), cent
 
 

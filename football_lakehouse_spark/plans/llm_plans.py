@@ -8569,9 +8569,20 @@ def ivf_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_t = LakehouseTable(spark, root, "gold", "ann_vectors")
     asg_t = LakehouseTable(spark, root, "gold", "ann_assignments")
     cen_t = LakehouseTable(spark, root, "gold", "ann_centroids")
-    vec_t.append(emb.select("vec_id", "embedding"))
-    asg_t.append(assigned)
-    cen_t.append(centroids)
+    # the three artifact writes are INDEPENDENT (separate tables, no
+    # cross-reads) — submit them from a small thread pool so each
+    # write's stragglers/commit latency back-fills the others'
+    # executors instead of serialising three job tails (guide §2.6;
+    # job submission is thread-safe, one commit per table)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [
+            pool.submit(vec_t.append, emb.select("vec_id", "embedding")),
+            pool.submit(asg_t.append, assigned),
+            pool.submit(cen_t.append, centroids),
+        ]:
+            f.result()
 
     # SERVE: every input below reads a persisted table — queries and
     # match vectors both come from the stored vector table (float
